@@ -1,0 +1,30 @@
+"""zx_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of humble-tools/zx (reference: /root/reference,
+a Redis-module columnar event store, src/lib.rs).
+
+Design stance (SURVEY.md): the reference's capabilities — time-range-scanned,
+sparse, sample-rate-weighted, time-windowed grouped aggregation over columnar
+storage — are expressed here as declarative DataFrame plans so Catalyst/
+Tungsten pick the physical strategy. Nothing in this package hand-schedules
+what the optimizer already does: time-range scans become Parquet
+partition/stat pruning, column fetch becomes column pruning, per-condition
+filtering becomes pushed-down predicates.
+"""
+
+from zx_spark.model import Aggregate, Cmp, Condition, Query, Select
+from zx_spark.compiler import compile_query, run_query, run_sorted
+from zx_spark.session import get_spark
+
+__all__ = [
+    "Aggregate",
+    "Cmp",
+    "Condition",
+    "Query",
+    "Select",
+    "compile_query",
+    "run_query",
+    "run_sorted",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

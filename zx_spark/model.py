@@ -1,0 +1,113 @@
+"""Logical query model — the programmatic API of the engine.
+
+Mirrors the reference's ``Query`` / ``QueryFields`` / ``Condition`` / ``Select``
+shape (reference src/lib.rs:50-69, 125-176) as Python dataclasses. This is the
+*logical* layer only: ``zx_spark.compiler`` lowers a ``Query`` to a Spark
+DataFrame plan and Catalyst does the physical planning.
+
+Reserved column conventions (reference src/lib.rs:56-58):
+- ``__nil``  — rendered group key for a missing group-by value
+- ``__ts``   — implicit event timestamp (here: a real ``ts`` column)
+- ``__sample_rate`` — per-row sampling weight (here: ``sample_rate``, NULL→1.0)
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+NIL = "__nil"
+TS_COL = "ts"
+ID_COL = "id"
+SAMPLE_RATE_COL = "sample_rate"
+
+
+class Cmp(enum.Enum):
+    """Filter comparators (reference src/lib.rs:162-176; semantics §2.3 of SURVEY)."""
+
+    EQ = "eq"
+    NE = "ne"
+    GT = "gt"
+    LT = "lt"
+    GTE = "gte"
+    LTE = "lte"
+    EXISTS = "exists"
+    NOT_EXISTS = "not_exists"
+    STARTS_WITH = "starts_with"
+    NOT_STARTS_WITH = "not_starts_with"
+    CONTAINS = "contains"
+    NOT_CONTAINS = "not_contains"
+
+
+class Aggregate(enum.Enum):
+    """Aggregation functions (reference src/lib.rs:133-143).
+
+    P50 / RAW / HEATMAP are declared-but-unimplemented in the reference
+    (``unimplemented!()`` arms, src/lib.rs:659-661); this engine implements
+    them for real (SURVEY §7 M2).
+    """
+
+    SUM = "sum"
+    MAX = "max"
+    MIN = "min"
+    COUNT = "count"
+    COUNT_DISTINCT = "count_distinct"
+    MEAN = "mean"
+    P50 = "p50"
+    RAW = "raw"
+    HEATMAP = "heatmap"
+
+
+@dataclass(frozen=True)
+class Condition:
+    """``col <cmp> value`` — conditions in a query are ANDed
+    (reference src/lib.rs:66, applied as successive set intersections
+    src/lib.rs:197-200)."""
+
+    column: str
+    cmp: Cmp
+    value: str | int | float | None = None
+
+
+@dataclass(frozen=True)
+class Select:
+    """One SELECT item: an aggregate applied to a column."""
+
+    column: str
+    aggregate: Aggregate
+
+    @property
+    def key(self) -> str:
+        """Result key format ``$$agg(col)`` (reference src/lib.rs:801-813)."""
+        return f"$${self.aggregate.value}({self.column})"
+
+    @property
+    def alias(self) -> str:
+        """SQL-safe flat alias for DataFrame results."""
+        return f"{self.aggregate.value}__{self.column}".replace(".", "_")
+
+
+@dataclass
+class Query:
+    """Full query (reference ``Query``/``QueryFields`` src/lib.rs:50-69).
+
+    ``granularity_s`` is the window width in seconds (reference hardcodes
+    300s for SQL, src/expr.rs:224-227; tests use 15s). ``granularity_s=None``
+    means no time windowing — one window per group (the reference's
+    ``run_sorted`` behavior, src/lib.rs:744).
+
+    ``window_mode``:
+    - ``"aligned"``  — idiomatic epoch-aligned tumbling windows
+      (``F.window``); the scale path.
+    - ``"faithful"`` — reference-exact data-aligned windows (SURVEY §2.6),
+      including the breaking-row-drop quirk (src/lib.rs:711-713).
+    """
+
+    selects: list[Select] = field(default_factory=list)
+    conditions: list[Condition] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (select key, asc)
+    t_start: float | None = None  # unix seconds, inclusive
+    t_end: float | None = None  # unix seconds, inclusive
+    granularity_s: float | None = None
+    window_mode: str = "aligned"

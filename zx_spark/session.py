@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones that also
+matter on a real cluster (AQE, adaptive skew join, Arrow for the few Pandas-UDF
+operators, UTC session time for oracle comparability). Shuffle partitioning is
+sized by ``ZX_SHUFFLE_PARTITIONS`` (default: number of local cores) — at 100 TB
+a deployment would raise it (or rely on AQE coalescing, which is enabled).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "zx_spark", extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    shuffle = os.environ.get("ZX_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("ZX_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

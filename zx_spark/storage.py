@@ -1,0 +1,102 @@
+"""Storage layer — Parquet-backed event tables + the reference fixture.
+
+The reference's storage is one redis-server process per column (src/proc.rs,
+"separated storage and computing layers"). In Spark, columnar Parquet on an
+object store IS the separated serverless storage layer — nothing to build
+beyond conventions:
+
+- events schema: ``id BIGINT, ts TIMESTAMP, sample_rate DOUBLE,
+  <attr> STRING...`` — nullable attr columns encode sparsity (NULL = the
+  reference's "column absent for this row").
+- at scale, write partitioned by time (``partitionBy(date(ts))``) so the
+  reference's TS-index range scan (src/lib.rs:305-331) becomes partition
+  pruning + row-group stat pruning.
+
+``zx_fixture`` materializes the reference's only dataset — the 10-row
+fixture from fixtures/test.cmd:1-66 (schema + rows pinned in FIXTURES.md) —
+for the golden-value tests ported from src/test.rs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ZX_FIXTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("foo", T.StringType(), True),
+        T.StructField("x", T.StringType(), True),
+        T.StructField("y", T.StringType(), True),
+        T.StructField("tag", T.StringType(), True),
+        T.StructField("sample_rate", T.DoubleType(), True),
+    ]
+)
+
+# fixtures/test.cmd:8-66 — (id, ts_unix_s, foo, x, y, tag); sample_rate never
+# set in the fixture (defaults to 1, src/lib.rs:565).
+ZX_FIXTURE_ROWS = [
+    (1, 0, "100", "7", "1", "t1"),
+    (2, 1, "200", "1", None, "t1,t2"),
+    (3, 2, "300", "3", None, "t3"),
+    (4, 3, "400", "2", "9", "t2"),
+    (5, 4, "500", "4", None, None),
+    (6, 5, "600", "5", None, None),
+    (7, 6, "700", "6", None, "t3"),
+    (8, 7, "800", "9", None, None),
+    (9, 8, "900", "8", None, None),
+    (10, 9, "1000", "0", "9", None),
+]
+
+
+def zx_fixture(spark: SparkSession) -> DataFrame:
+    """The reference 10-row fixture as a DataFrame (ts = unix seconds 0-9)."""
+    rows = [
+        {"id": i, "ts_s": ts, "foo": foo, "x": x, "y": y, "tag": tag}
+        for (i, ts, foo, x, y, tag) in ZX_FIXTURE_ROWS
+    ]
+    df = spark.createDataFrame(rows)
+    return df.select(
+        F.col("id").cast("long").alias("id"),
+        F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "foo",
+        "x",
+        "y",
+        "tag",
+        F.lit(None).cast("double").alias("sample_rate"),
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    names = tables or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_events(df: DataFrame, path: str, partition_by_day: bool = True) -> None:
+    """Append-only insert sink (S3 equivalent; reference insert
+    src/lib.rs:263-303). Partitioned by event date so time-range queries
+    prune partitions at scale."""
+    writer = df.write.mode("append")
+    if partition_by_day:
+        df = df.withColumn("event_date", F.to_date("ts"))
+        writer = df.write.mode("append").partitionBy("event_date")
+    writer.parquet(path)
