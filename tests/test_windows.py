@@ -1,0 +1,87 @@
+"""Faithful data-aligned window semantics (SURVEY §2.6; src/lib.rs:665-732).
+
+The reference fixture never splits a window (max gap 9s < 15s granularity),
+so these tests pin the behaviors no golden test covers: multi-window
+segmentation, the breaking-row drop (src/lib.rs:711-713), the
+breaking-row-ts window_start seed, and id-order (not ts-order) traversal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zx_spark.compiler import compile_query
+from zx_spark.model import Aggregate, Query, Select
+from zx_spark.operators.windows import WINDOW_NO, with_faithful_windows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v double, ts_s long").withColumn(
+        "ts", F.timestamp_seconds(F.col("ts_s"))
+    )
+
+
+def test_multi_window_breaking_row_dropped(spark):
+    # ids 1..5 at ts [0, 5, 20, 22, 40], granularity 10:
+    #   w0 = {ts 0, 5}; ts 20 breaks (dropped, seeds w1 start);
+    #   w1 = {ts 22}; ts 40 breaks (dropped, seeds w2, which stays empty).
+    rows = [(1, 1.0, 0), (2, 2.0, 5), (3, 4.0, 20), (4, 8.0, 22), (5, 16.0, 40)]
+    q = Query(selects=[Select("v", Aggregate.SUM)], granularity_s=10, window_mode="faithful")
+    out = sorted(
+        compile_query(_df(spark, rows), q, rate_col=None).collect(),
+        key=lambda r: r["window_start"],
+    )
+    assert len(out) == 2  # empty trailing window vanishes (documented divergence)
+    w0, w1 = out
+    assert (w0["window_start"], w0["window_end"], w0["sum__v"]) == (0.0, 5.0, 3.0)
+    # w1 starts at the DROPPED breaking row's ts (20), ends at its one kept row.
+    assert (w1["window_start"], w1["window_end"], w1["sum__v"]) == (20.0, 22.0, 8.0)
+
+
+def test_id_order_not_ts_order(spark):
+    # Out-of-order insert: id order 1,2,3 has ts 10, 0, 25 — traversal is by
+    # id (src/lib.rs:544). w0 opens at ts=10; id2 (ts=0) joins (0-10 <= g);
+    # id3 (ts=25) breaks with granularity 10 (25-10 > 10).
+    rows = [(1, 1.0, 10), (2, 2.0, 0), (3, 4.0, 25)]
+    q = Query(selects=[Select("v", Aggregate.SUM)], granularity_s=10, window_mode="faithful")
+    out = compile_query(_df(spark, rows), q, rate_col=None).collect()
+    assert len(out) == 1
+    # start = first row's ts (10); end = last kept row in id order (id2, ts 0).
+    assert (out[0]["window_start"], out[0]["window_end"], out[0]["sum__v"]) == (10.0, 0.0, 3.0)
+
+
+def test_inclusive_edge(spark):
+    # ts - start == granularity joins the window (inclusive, src/lib.rs:696-700).
+    rows = [(1, 1.0, 0), (2, 2.0, 10)]
+    q = Query(selects=[Select("v", Aggregate.SUM)], granularity_s=10, window_mode="faithful")
+    out = compile_query(_df(spark, rows), q, rate_col=None).collect()
+    assert len(out) == 1 and out[0]["sum__v"] == 3.0
+
+
+def test_per_group_independent_windows(spark):
+    # Window recurrences are per group; grouped segmentation must not leak
+    # state across groups.
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 0), (2, "b", 2.0, 100), (3, "a", 4.0, 50), (4, "b", 8.0, 105)],
+        "id long, k string, v double, ts_s long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+    q = Query(
+        selects=[Select("v", Aggregate.SUM)],
+        group_by=["k"],
+        granularity_s=10,
+        window_mode="faithful",
+    )
+    out = {(r["g_k"], r["window_start"]): r["sum__v"] for r in compile_query(df, q, rate_col=None).collect()}
+    # group a: w0={ts0}, ts50 breaks (dropped, seeds empty w1) → one row.
+    # group b: both rows in one window.
+    assert out == {("a", 0.0): 1.0, ("b", 100.0): 10.0}
+
+
+def test_segmenter_schema_not_mutated(spark):
+    # Regression: StructType.add mutated the input DataFrame's schema in
+    # place, making applyInPandas fail with UNRESOLVED_COLUMN __window_no.
+    df = _df(spark, [(1, 1.0, 0)])
+    before = df.schema.jsonValue()
+    seg = with_faithful_windows(df, [], "id", "ts", 10)
+    assert WINDOW_NO in seg.columns
+    assert df.schema.jsonValue() == before

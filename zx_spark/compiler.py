@@ -26,7 +26,9 @@ from zx_spark.model import NIL, Query, Select
 from zx_spark.operators.aggregates import agg_expr, is_numeric_result
 from zx_spark.operators.filters import apply_conditions
 from zx_spark.operators.windows import (
+    WINDOW_END_TS,
     WINDOW_NO,
+    WINDOW_START_TS,
     with_aligned_windows,
     with_faithful_windows,
 )
@@ -86,25 +88,36 @@ def compile_query(
     df, keys = _group_keys(df, q)
 
     grouping = list(keys)
+    faithful = False
     if q.granularity_s is not None:
         if q.window_mode == "faithful":
             df = with_faithful_windows(df, keys, id_col, ts_col, q.granularity_s)
+            faithful = True
         else:
             df = with_aligned_windows(df, ts_col, q.granularity_s)
         grouping.append(WINDOW_NO)
 
     ts_unix = F.col(f"`{ts_col}`").cast("double")
-    aggs = [
-        F.min(ts_unix).alias(WINDOW_START),
-        F.max(ts_unix).alias(WINDOW_END),
-    ] + [agg_expr(s, rate_col=rate_col, empty_sentinels=empty_sentinels) for s in q.selects]
+    if faithful:
+        # Reference-exact report timestamps (src/lib.rs:702-712): first-row-
+        # in-id-order ts (a dropped breaking row's ts after a break) and
+        # last-kept-row-in-id-order ts, emitted by the segmenter.
+        start_expr = F.first(F.col(WINDOW_START_TS)).alias(WINDOW_START)
+        end_expr = F.first(F.col(WINDOW_END_TS)).alias(WINDOW_END)
+    else:
+        start_expr = F.min(ts_unix).alias(WINDOW_START)
+        end_expr = F.max(ts_unix).alias(WINDOW_END)
+    aggs = [start_expr, end_expr] + [
+        agg_expr(s, rate_col=rate_col, empty_sentinels=empty_sentinels) for s in q.selects
+    ]
 
     if grouping:
         out = df.groupBy(*grouping).agg(*aggs)
     else:
         out = df.agg(*aggs)
-    if WINDOW_NO in out.columns:
-        out = out.drop(WINDOW_NO)
+    for helper in (WINDOW_NO, WINDOW_START_TS, WINDOW_END_TS):
+        if helper in out.columns:
+            out = out.drop(helper)
     order = keys + [WINDOW_START]
     return out.orderBy(*order)
 

@@ -71,10 +71,16 @@ class Condition:
 
 @dataclass(frozen=True)
 class Select:
-    """One SELECT item: an aggregate applied to a column."""
+    """One SELECT item: an aggregate applied to a column.
+
+    ``params`` carries aggregate-specific parameters: for HEATMAP it is
+    ``(lo, hi, bins)`` (default ``(0.0, 1000.0, 10)``); for P50 it is unused
+    (the quantile is fixed by the function name, reference src/expr.rs:136).
+    """
 
     column: str
     aggregate: Aggregate
+    params: tuple = ()
 
     @property
     def key(self) -> str:

@@ -34,6 +34,7 @@ from zx_spark.model import Aggregate, Select
 F64_MIN = -1.7976931348623157e308
 F64_MAX = 1.7976931348623157e308
 
+# Default HEATMAP domain, used when Select.params doesn't override it.
 HEATMAP_LO = 0.0
 HEATMAP_HI = 1000.0
 HEATMAP_BINS = 10
@@ -87,7 +88,10 @@ def agg_expr(
     elif a is Aggregate.RAW:
         expr = F.sort_array(F.collect_list(x))
     elif a is Aggregate.HEATMAP:
-        expr = histogram(x, HEATMAP_LO, HEATMAP_HI, HEATMAP_BINS)
+        lo, hi, bins = sel.params or (HEATMAP_LO, HEATMAP_HI, HEATMAP_BINS)
+        if not (hi > lo and bins > 0):
+            raise ValueError(f"bad heatmap domain ({lo}, {hi}, {bins})")
+        expr = histogram(x, float(lo), float(hi), int(bins))
     else:
         raise ValueError(f"unknown aggregate {a}")
     return expr.alias(sel.alias)

@@ -29,13 +29,22 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 WINDOW_NO = "__window_no"
+# Faithful-mode per-window report timestamps (reference src/lib.rs:702-712:
+# window_start = ts of the first row in id order — after a break, the DROPPED
+# breaking row's ts; window_end = ts of the last *kept* row in id order).
+WINDOW_START_TS = "__window_start_ts"
+WINDOW_END_TS = "__window_end_ts"
 
 
 def with_aligned_windows(df: DataFrame, ts_col: str, granularity_s: float) -> DataFrame:
     """Epoch-aligned tumbling window id (bucket start, unix seconds)."""
-    w = F.window(F.col(ts_col), f"{int(granularity_s)} seconds")
+    ms = int(round(granularity_s * 1000))
+    if ms <= 0:
+        raise ValueError(f"granularity must be positive, got {granularity_s}s")
+    w = F.window(F.col(ts_col), f"{ms} milliseconds")
     return df.withColumn(WINDOW_NO, w.start.cast("double"))
 
 
@@ -49,13 +58,42 @@ def with_faithful_windows(
     """Reference-exact data-aligned window numbers; drops breaking rows.
 
     ``group_cols`` are the (already-materialized, __nil-coalesced) group key
-    columns. Output = input columns + ``__window_no`` (long), with breaking
-    rows removed — downstream groupBy(group_cols + [__window_no]) then
-    aggregates natively.
+    columns. Output = input columns + ``__window_no`` (long) +
+    ``__window_start_ts``/``__window_end_ts`` (double unix seconds), with
+    breaking rows removed — downstream groupBy(group_cols + [__window_no])
+    then aggregates natively (JVM-side).
+
+    Per-window report timestamps follow the reference exactly
+    (src/lib.rs:702-712): ``window_start`` is the ts of the window's FIRST
+    row in id order — after a break, that is the *dropped* breaking row's ts
+    which seeds the next window — and ``window_end`` is the ts of the last
+    *kept* row in id order (not the max ts).
+
+    Documented divergence: on consecutive breaking rows the reference emits
+    an empty-window result (sum=0, max=f64::MIN, stale window_end); here a
+    window with zero kept rows produces no output row — empty windows vanish.
+
+    Scale note: the recurrence (each window's start depends on the previous
+    window's breaking row) is inherently sequential per group, so this ships
+    each group to one Python task. Fine as the compat/oracle mode; the scale
+    path is ``aligned`` (pure Catalyst).
     """
     ts_unix = "__ts_unix"
     work = df.withColumn(ts_unix, F.col(ts_col).cast("double"))
-    out_schema = work.schema.add(WINDOW_NO, "long")
+    const_group = "__seg_group"
+    if not group_cols:
+        # applyInPandas needs named grouping columns; a global (ungrouped)
+        # segmentation groups on a materialized constant.
+        work = work.withColumn(const_group, F.lit(1))
+    # StructType.add would mutate work.schema in place — build a fresh one.
+    out_schema = T.StructType(
+        list(work.schema.fields)
+        + [
+            T.StructField(WINDOW_NO, T.LongType()),
+            T.StructField(WINDOW_START_TS, T.DoubleType()),
+            T.StructField(WINDOW_END_TS, T.DoubleType()),
+        ]
+    )
     g = float(granularity_s)
 
     def segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -66,20 +104,29 @@ def with_faithful_windows(
         keep = [True] * n
         w = 0
         start = ts[0] if n else 0.0
+        starts: dict[int, float] = {0: start}
+        ends: dict[int, float] = {}
         for i in range(n):
             if ts[i] - start <= g:
                 window_no[i] = w
+                ends[w] = ts[i]  # last kept row in id order wins
             else:
                 # Breaking row: dropped, but its ts seeds the next window
                 # (reference src/lib.rs:711-713 — window_start_idx = i + 1).
                 keep[i] = False
                 start = ts[i]
                 w += 1
+                starts[w] = start
         pdf[WINDOW_NO] = pd.Series(window_no, dtype="int64")
+        pdf[WINDOW_START_TS] = pd.Series(
+            [starts[wn] for wn in window_no], dtype="float64"
+        )
+        pdf[WINDOW_END_TS] = pd.Series(
+            [ends.get(wn, float("nan")) for wn in window_no], dtype="float64"
+        )
         return pdf[pd.Series(keep)]
 
-    if group_cols:
-        seg = work.groupBy(*group_cols).applyInPandas(segment, schema=out_schema)
-    else:
-        seg = work.groupBy(F.lit(1)).applyInPandas(segment, schema=out_schema)
-    return seg.drop(ts_unix)
+    seg = work.groupBy(*(group_cols or [const_group])).applyInPandas(
+        segment, schema=out_schema
+    )
+    return seg.drop(ts_unix, const_group)

@@ -26,6 +26,10 @@ def get_spark(app_name: str = "zx_spark", extra_conf: dict | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata stores INT64 TIMESTAMP(NANOS) parquet; Spark reads
+        # it as bigint nanos with this flag (storage.read_table normalizes to
+        # a micros TIMESTAMP, matching DuckDB's nanos→micros truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("ZX_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -43,8 +43,8 @@ ZX_FIXTURE_ROWS = [
     (3, 2, "300", "3", None, "t3"),
     (4, 3, "400", "2", "9", "t2"),
     (5, 4, "500", "4", None, None),
-    (6, 5, "600", "5", None, None),
-    (7, 6, "700", "6", None, "t3"),
+    (6, 5, "600", "5", None, "t3"),
+    (7, 6, "700", "6", None, None),
     (8, 7, "800", "9", None, None),
     (9, 8, "900", "8", None, None),
     (10, 9, "1000", "0", "9", None),
@@ -70,8 +70,19 @@ def zx_fixture(spark: SparkSession) -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver testdata table (TESTDATA.md).
+
+    The driver writes ``ts`` as INT64 TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as bigint nanos.
+    Normalize to a micros TIMESTAMP by integer-truncating (``div 1000``) —
+    the same truncation DuckDB applies reading nanos parquet, so oracle
+    comparisons see identical timestamps.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
