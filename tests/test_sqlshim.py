@@ -1,0 +1,90 @@
+"""SQL dialect shim tests (Q2) — zx grammar, compat flags, documented
+divergences, and the Spark-SQL fallthrough."""
+
+from __future__ import annotations
+
+import pytest
+
+from zx_spark.model import NIL, Aggregate, Cmp
+from zx_spark.sqlshim import Passthrough, ZxCompat, parse_zx_sql, zx_sql
+from zx_spark.sqlshim.translate import ZxSqlError
+from zx_spark.storage import zx_fixture
+
+
+def test_parse_full_query():
+    q = parse_zx_sql(
+        "SELECT sum(foo), count_distinct(tag) WHERE $T_START > 0 AND foo >= 100 "
+        "AND tag LIKE t1 GROUP BY y GRANULARITY 15"
+    )
+    assert [(s.column, s.aggregate) for s in q.selects] == [
+        ("foo", Aggregate.SUM),
+        ("tag", Aggregate.COUNT_DISTINCT),
+    ]
+    assert q.t_start == 0.0 and q.t_end is None
+    assert [(c.column, c.cmp) for c in q.conditions] == [
+        ("foo", Cmp.GTE),
+        ("tag", Cmp.CONTAINS),  # LIKE = substring (src/expr.rs:81-89)
+    ]
+    assert q.group_by == ["y"] and q.granularity_s == 15.0
+
+
+def test_lowercasing_and_dotted_columns():
+    # Whole query is lowercased (src/lib.rs:818-820); dotted identifiers are
+    # flat column names (src/expr.rs:148-157).
+    q = parse_zx_sql("SELECT COUNT(Repo.Name) GROUP BY Events")
+    assert q.selects[0].column == "repo.name"
+    assert q.group_by == ["events"]
+
+
+def test_neq_compat_flag():
+    fixed = parse_zx_sql("select count(foo) where x != 1")
+    assert fixed.conditions[0].cmp is Cmp.NE
+    buggy = parse_zx_sql("select count(foo) where x != 1", compat=ZxCompat(neq_is_eq_bug=True))
+    assert buggy.conditions[0].cmp is Cmp.EQ  # reference bug, src/expr.rs:66-74
+
+
+def test_from_query_is_passthrough():
+    q = parse_zx_sql("select l_returnflag, count(*) from lineitem group by l_returnflag")
+    assert isinstance(q, Passthrough)
+
+
+def test_rejects_reference_panics():
+    with pytest.raises(ZxSqlError):
+        parse_zx_sql("select count(foo) where a > 1 or b > 2")  # OR panics (src/expr.rs:99)
+    with pytest.raises(ZxSqlError):
+        parse_zx_sql("select a + b")  # computed projection panics (src/expr.rs:162)
+    with pytest.raises(ZxSqlError):
+        parse_zx_sql("delete from x")
+
+
+def test_end_to_end_on_fixture(spark):
+    out = zx_sql(
+        spark,
+        "select sum(foo) group by y granularity 15",
+        df=zx_fixture(spark),
+        compat=ZxCompat(faithful_windows=True),
+    )
+    got = {r["g_y"]: r["sum__foo"] for r in out.collect()}
+    assert got == {"1": 100.0, "9": 1400.0, NIL: 4000.0}
+
+
+def test_order_by_routes_to_sorted(spark):
+    out = zx_sql(
+        spark,
+        "select mean(foo) group by y order by mean(foo) desc",
+        df=zx_fixture(spark),
+    )
+    assert [r["mean__foo"] for r in out.collect()] == [700.0, 571.4285714285714, 100.0]
+
+
+def test_raw_projection(spark):
+    # Bare identifiers = plain distributed projection (reference panics,
+    # src/lib.rs:660 — documented divergence).
+    out = zx_sql(spark, "select foo, x where foo > 800", df=zx_fixture(spark))
+    assert sorted([tuple(r) for r in out.collect()]) == [("1000", "0"), ("900", "8")]
+
+
+def test_passthrough_runs_spark_sql(spark):
+    zx_fixture(spark).createOrReplaceTempView("zx_events_view")
+    out = zx_sql(spark, "select count(*) as n from zx_events_view where y is not null")
+    assert out.collect()[0]["n"] == 3

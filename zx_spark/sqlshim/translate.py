@@ -1,0 +1,232 @@
+"""zx SQL → Query translation. See package docstring for dialect rules.
+
+The parser is a deliberate hand-rolled clause splitter (~the same size as
+the reference's sqlparser-walking expr.rs:106-230): the zx grammar has no
+nesting — select items are ``ident`` or ``fn(ident)``, conditions are
+``ident op literal`` joined by AND (OR panics in the reference,
+src/expr.rs:99) — so regexes over lowercased text are exact, not a
+heuristic.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from zx_spark.compiler import compile_query, run_sorted
+from zx_spark.model import Aggregate, Cmp, Condition, Query, Select
+from zx_spark.operators.filters import apply_conditions
+
+# Function-name table (reference src/expr.rs:129-139).
+_FUNCS = {
+    "count": Aggregate.COUNT,
+    "sum": Aggregate.SUM,
+    "max": Aggregate.MAX,
+    "min": Aggregate.MIN,
+    "count_distinct": Aggregate.COUNT_DISTINCT,
+    "mean": Aggregate.MEAN,
+    "p50": Aggregate.P50,
+    "heatmap": Aggregate.HEATMAP,
+}
+
+_IDENT = r"[a-z_][\w.]*"
+_ITEM_RE = re.compile(rf"^(?:(?P<fn>\w+)\(\s*(?P<arg>{_IDENT})\s*\)|(?P<bare>{_IDENT}))$")
+_COND_RE = re.compile(
+    rf"^(?P<col>\$?{_IDENT})\s*(?P<op>>=|<=|!=|<>|=|>|<|not\s+like|like)\s*"
+    r"(?P<val>'[^']*'|\"[^\"]*\"|[\w.$-]+)$"
+)
+_CLAUSES = re.compile(
+    r"\bwhere\b|\bgroup\s+by\b|\border\s+by\b|\bgranularity\b|\bfrom\b"
+)
+
+_OPS = {
+    ">": Cmp.GT,
+    "<": Cmp.LT,
+    ">=": Cmp.GTE,
+    "<=": Cmp.LTE,
+    "=": Cmp.EQ,
+}
+
+
+@dataclass(frozen=True)
+class ZxCompat:
+    """Reference-bug compatibility flags (all divergences documented in the
+    package docstring)."""
+
+    neq_is_eq_bug: bool = False  # src/expr.rs:66-74
+    like_is_contains: bool = True  # src/expr.rs:81-89
+    faithful_windows: bool = False  # SURVEY §2.6 data-aligned mode
+
+
+@dataclass(frozen=True)
+class Passthrough:
+    """Marker: not zx dialect — run verbatim through spark.sql()."""
+
+    sql: str
+
+
+class ZxSqlError(ValueError):
+    pass
+
+
+def parse_zx_sql(
+    text: str,
+    granularity_s: float | None = 300.0,
+    compat: ZxCompat = ZxCompat(),
+) -> Query | Passthrough:
+    """Parse one zx-dialect query; FROM-queries return ``Passthrough``.
+
+    ``granularity_s`` is the default window width (reference hardcodes
+    300 s, src/expr.rs:224-227); a ``GRANULARITY <seconds>`` clause
+    overrides it.
+    """
+    original = text.strip().rstrip(";")
+    low = re.sub(r"\s+", " ", original.lower()).strip()  # src/lib.rs:818-820
+    if not low.startswith("select"):
+        raise ZxSqlError("query must start with SELECT (src/lib.rs:821-823)")
+    if re.search(r"\bfrom\b", low):
+        return Passthrough(sql=original)
+
+    clauses = _split_clauses(low)
+    q = Query(granularity_s=granularity_s)
+    if compat.faithful_windows:
+        q.window_mode = "faithful"
+
+    q.selects = [_parse_item(s) for s in _split_commas(clauses["select"])]
+
+    for cond_text in _split_and(clauses.get("where", "")):
+        _apply_condition(q, cond_text, compat)
+
+    if "group by" in clauses:
+        q.group_by = [_require_ident(c) for c in _split_commas(clauses["group by"])]
+
+    for ob in _split_commas(clauses.get("order by", "")):
+        m = re.match(rf"^(?P<key>\w+\(\s*{_IDENT}\s*\)|{_IDENT})(?:\s+(?P<dir>asc|desc))?$", ob)
+        if not m:
+            raise ZxSqlError(f"bad ORDER BY item: {ob!r}")
+        key = m.group("key")
+        fm = re.match(rf"^(\w+)\(\s*({_IDENT})\s*\)$", key)
+        if fm:
+            # Order keys are aggregate keys like "$$mean(foo)" (src/test.rs:475).
+            key = f"$${fm.group(1)}({fm.group(2)})"
+        q.order_by.append((key, m.group("dir") != "desc"))
+
+    if "granularity" in clauses:
+        q.granularity_s = float(clauses["granularity"].strip().rstrip("s"))
+    return q
+
+
+def zx_sql(
+    spark: SparkSession,
+    text: str,
+    df: DataFrame | None = None,
+    granularity_s: float | None = 300.0,
+    compat: ZxCompat = ZxCompat(),
+    **compile_kwargs,
+) -> DataFrame:
+    """Execute a query: zx dialect against ``df`` (the one event store), or
+    any FROM-query verbatim through ``spark.sql`` (full Spark SQL surface)."""
+    q = parse_zx_sql(text, granularity_s=granularity_s, compat=compat)
+    if isinstance(q, Passthrough):
+        return spark.sql(q.sql)
+    if df is None:
+        raise ZxSqlError("zx-dialect query needs the event DataFrame (df=...)")
+    if q.order_by:
+        # ORDER BY routes to aggregate-then-sort (O1) — wired for real,
+        # unlike the reference (src/lib.rs:840 ignores it).
+        return run_sorted(df, q, **compile_kwargs)
+    if all(s.aggregate is Aggregate.RAW for s in q.selects) and not q.group_by:
+        # Plain projection: scan → filter → select, fully distributed (the
+        # reference's Raw arm is unimplemented!(), src/lib.rs:660).
+        work = df
+        if q.t_start is not None or q.t_end is not None or q.conditions:
+            from zx_spark.compiler import _scan  # same scan path as compiled queries
+
+            work = _scan(work, q, compile_kwargs.get("ts_col", "ts"))
+            work = apply_conditions(work, q.conditions)
+        return work.select(*[f"`{s.column}`" for s in q.selects])
+    return compile_query(df, q, **compile_kwargs)
+
+
+def _split_clauses(low: str) -> dict[str, str]:
+    bounds = [(m.start(), m.end(), re.sub(r"\s+", " ", m.group(0))) for m in _CLAUSES.finditer(low)]
+    clauses: dict[str, str] = {}
+    spans = [(0, len("select"), "select")] + bounds + [(len(low), len(low), "")]
+    for (_, end, kw), (nxt_start, _, _) in zip(spans, spans[1:]):
+        if kw:
+            if kw in clauses:
+                raise ZxSqlError(f"duplicate {kw.upper()} clause")
+            clauses[kw] = low[end:nxt_start].strip()
+    if not clauses.get("select"):
+        raise ZxSqlError("empty SELECT list")
+    return clauses
+
+
+def _split_commas(s: str) -> list[str]:
+    return [p.strip() for p in s.split(",") if p.strip()] if s else []
+
+
+def _split_and(s: str) -> list[str]:
+    return [p.strip() for p in re.split(r"\band\b", s) if p.strip()] if s else []
+
+
+def _parse_item(item: str) -> Select:
+    m = _ITEM_RE.match(item)
+    if not m:
+        raise ZxSqlError(f"unsupported SELECT item: {item!r} (src/expr.rs:159,162)")
+    if m.group("bare"):
+        # Bare identifier → Raw (src/expr.rs:120-125).
+        return Select(m.group("bare"), Aggregate.RAW)
+    fn, arg = m.group("fn"), m.group("arg")
+    if fn not in _FUNCS:
+        raise ZxSqlError(f"unknown function {fn!r} (src/expr.rs:129-139)")
+    return Select(arg, _FUNCS[fn])
+
+
+def _require_ident(s: str) -> str:
+    if not re.match(rf"^{_IDENT}$", s):
+        raise ZxSqlError(f"bad identifier: {s!r}")
+    return s
+
+
+def _apply_condition(q: Query, text: str, compat: ZxCompat) -> None:
+    m = _COND_RE.match(text)
+    if not m:
+        raise ZxSqlError(f"unsupported condition: {text!r} (src/expr.rs:99)")
+    col, op, val = m.group("col"), re.sub(r"\s+", " ", m.group("op")), m.group("val")
+    if val[:1] in "'\"" and val[:1] == val[-1:]:
+        val = val[1:-1]
+    # $T_START/$T_END extraction into the scan range (src/expr.rs:171-185).
+    if col == "$t_start":
+        q.t_start = float(val)
+        return
+    if col == "$t_end":
+        q.t_end = float(val)
+        return
+    if op in _OPS:
+        cmp = _OPS[op]
+    elif op in ("!=", "<>"):
+        cmp = Cmp.EQ if compat.neq_is_eq_bug else Cmp.NE
+    elif op in ("like", "not like"):
+        neg = op == "not like"
+        if compat.like_is_contains:
+            # Reference semantics: LIKE is plain substring (src/expr.rs:81-89).
+            cmp = Cmp.NOT_CONTAINS if neg else Cmp.CONTAINS
+        else:
+            # Real-pattern mode for the common shapes.
+            if val.startswith("%") and val.endswith("%"):
+                cmp, val = (Cmp.NOT_CONTAINS if neg else Cmp.CONTAINS), val.strip("%")
+            elif val.endswith("%") and "%" not in val[:-1]:
+                cmp, val = (Cmp.NOT_STARTS_WITH if neg else Cmp.STARTS_WITH), val[:-1]
+            elif "%" not in val and "_" not in val:
+                cmp = Cmp.NE if neg else Cmp.EQ
+            else:
+                raise ZxSqlError(f"unsupported LIKE pattern: {val!r}")
+    else:  # pragma: no cover
+        raise ZxSqlError(f"unknown operator {op!r}")
+    value: str | float = val
+    if cmp in (Cmp.GT, Cmp.LT, Cmp.GTE, Cmp.LTE):
+        value = float(val)
+    q.conditions.append(Condition(col, cmp, value))
