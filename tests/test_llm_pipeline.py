@@ -1,0 +1,153 @@
+"""LLM-data-pipeline operator tests: dedup (exact/MinHash/SimHash),
+similarity search (brute-force/LSH/IVF), text analysis, multimodal
+plumbing. Includes plan-shape assertions: no cartesian product in any
+near-dup path."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zx_spark.functions.text import (
+    bpe_ish_token_count,
+    document_fingerprint,
+    language_id,
+    text_quality,
+)
+from zx_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from zx_spark.operators.multimodal import attach_media, decode_image, sample_frames
+from zx_spark.operators.similarity import (
+    cosine_topk,
+    ivf_build,
+    ivf_topk,
+    rp_lsh_near_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away now"),  # near-dup of 1
+    (3, "completely different text about spark engines and distributed query planning"),
+    (4, "the quick brown fox jumps over the lazy dog and runs far away home"),  # exact dup of 1
+    (5, "der hund läuft schnell und die katze ist nicht da für den mann auf"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["keep_id"]: r["dup_count"] for r in exact_dedup_groups(docs, "text", "doc_id").collect()}
+    assert groups[1] == 2  # doc 4 is an exact dup of doc 1
+    kept = {r["doc_id"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert kept == {1, 2, 3, 5}
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in near_dup_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dups always survive
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near-dup caught
+    assert all(3 not in p and 5 not in p for p in pairs)  # distinct docs unpaired
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
+    assert pairs.get((1, 4)) == 0  # identical text → identical signature
+    assert all(3 not in p for p in pairs)
+
+
+def test_no_cartesian_in_dedup_plans(spark, docs):
+    for df in (
+        near_dup_pairs(docs, "text", "doc_id"),
+        simhash_near_dup_pairs(docs, "text", "doc_id"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_text_quality_and_tokens(spark, docs):
+    out = docs.select("doc_id", text_quality(F.col("text")).alias("q"),
+                      bpe_ish_token_count(F.col("text")).alias("n_bpe")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["q"]["n_tokens"] == 14
+    assert by_id[1]["q"]["punct_ratio"] == 0.0
+    assert by_id[1]["n_bpe"] == 14  # plain words, no punctuation splits
+    assert 0.0 <= by_id[1]["q"]["quality_score"] <= 1.0
+    # en text has high stopword ratio; german text scores ~0 on en stopwords
+    assert by_id[1]["q"]["stopword_ratio"] > by_id[5]["q"]["stopword_ratio"]
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", language_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[5] == "de"
+    und = spark.createDataFrame([(9, "xyzzy plugh 12345")], "doc_id long, text string")
+    assert und.select(language_id(F.col("text")).alias("l")).collect()[0]["l"] == "und"
+
+
+def test_document_fingerprint(spark, docs):
+    fp = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", document_fingerprint(F.col("text"), n=3, mod=2).alias("fp")).collect()}
+    assert fp[1] == fp[4]  # identical docs → identical fingerprints
+    shared = set(fp[1]) & set(fp[2])
+    assert len(shared) > 0  # near-dups share most fingerprint hashes
+    assert not (set(fp[1]) & set(fp[3]))
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.99, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),
+    (5, [0.98, 0.05, 0.01, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk(spark, vecs):
+    top = cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 5, 1]
+    assert top[0]["cosine"] == 1.0
+
+
+def test_ivf_matches_bruteforce_top1(spark, vecs):
+    assigned, centers = ivf_build(vecs, n_cells=3)
+    approx = ivf_topk(assigned, centers, [1.0, 0.0, 0.0, 0.0], k=1, nprobe=2).collect()
+    assert approx[0]["vec_id"] == 0
+
+
+def test_rp_lsh_near_pairs(spark, vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in rp_lsh_near_pairs(vecs, dim=4, threshold=0.99).collect()}
+    assert (0, 5) in pairs or (0, 1) in pairs  # near-identical vectors found
+    assert all({a, b} != {0, 4} for a, b in pairs)  # opposite vectors never pair
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"0123456789abcdef" * 8, "png", 4, 4), (2, b"\x00" * 100, "jpg", 10, 10)],
+        "doc_id long, payload binary, fmt string, w int, h int",
+    )
+    media = attach_media(df, "payload", "fmt", "w", "h")
+    metas = {r["doc_id"]: r["media_meta"] for r in media.collect()}
+    assert metas[1]["n_bytes"] == 128 and metas[1]["format"] == "png"
+
+    feats = decode_image(media, decoder="fake", n_features=4).collect()
+    assert all(len(r["features"]) == 4 for r in feats)
+    again = decode_image(media, decoder="fake", n_features=4).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))  # deterministic
+
+    with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
+        decode_image(media).collect()
+
+    frames = sample_frames(media, every_n_bytes=64, frame_bytes=16).collect()
+    assert sum(1 for r in frames if r["doc_id"] == 1) == 2

@@ -1,0 +1,120 @@
+"""Text-analysis columns for training-data pipelines — all native Catalyst
+expressions (no Python in the hot path), so they whole-stage-codegen and
+scale linearly with executors.
+
+These generalize beyond the reference (which has no scalar functions,
+SURVEY §2.2); they are first-class operators for the 100 TB documents
+pipeline: quality scoring, language id, token counting, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# Deliberately small: language id at pipeline scale needs a cheap, fully
+# vectorizable signal, not a model.
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+
+_TOKEN_SPLIT = r"\s+"
+# BPE-ish pre-tokenizer: word pieces, numbers, or runs of punctuation —
+# the shape GPT-style byte-pair pre-tokenization produces, as one regex so
+# counting stays a single JVM expression.
+_BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def text_quality(text: Column) -> Column:
+    """Struct of quality signals: n_chars, n_tokens, avg_token_len,
+    punct_ratio, stopword_ratio (en), upper_ratio, and a composite
+    quality_score in [0, 1] (heuristic length/punct/stopword mix)."""
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", ""))
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    punct_ratio = n_punct.cast("double") / safe_chars
+    stop_ratio = n_stop.cast("double") / safe_tokens
+    upper_ratio = n_upper.cast("double") / safe_chars
+    avg_len = (n_chars.cast("double") - (n_tokens - 1).cast("double")) / safe_tokens
+    # Composite: long-enough docs with normal punctuation and some stopwords
+    # score high; degenerate (all-punct / all-caps / no-stopword) docs low.
+    length_score = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0))
+    stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    quality = (length_score + punct_score + stop_score) / F.lit(3.0)
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language id: argmax of per-language stopword hit counts
+    over whitespace tokens; ``und`` (undetermined) when nothing matches.
+
+    One pass per language over the token array — still a single Catalyst
+    projection, no shuffle, no Python.
+    """
+    toks = _tokens(text)
+
+    def lang_score(words: list[str]) -> Column:
+        wordset = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+    scored = F.array(
+        *[
+            F.struct(lang_score(words).alias("score"), F.lit(lang).alias("lang"))
+            for lang, words in _STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: score first, then lang
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-style pre-tokenizer regex (single JVM
+    expression — the cheap proxy for "how many tokens will training pay
+    for")."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), 0))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (the unit for MinHash / Jaccard dedup).
+    Documents shorter than ``n`` words yield their whole text as one
+    shingle so they still participate in dedup."""
+    toks = _tokens(text)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) > 0, shingles).otherwise(F.array(F.lit("")))
+
+
+def document_fingerprint(text: Column, n: int = 5, mod: int = 8) -> Column:
+    """Winnowing-style document fingerprint: hash every n-word shingle
+    (xxhash64, JVM-side) and keep the deterministic 1/``mod`` sample
+    (``hash % mod == 0``), sorted. Near-identical documents share most
+    fingerprint hashes; the sample keeps the array O(len/mod).
+    """
+    hashes = F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+    kept = F.filter(hashes, lambda h: F.pmod(h, F.lit(mod)) == 0)
+    return F.array_sort(kept)

@@ -1,0 +1,255 @@
+"""Deduplication operators for training-data pipelines.
+
+Every near-dup path here is BUCKETED — candidates come from equality joins
+on band/bucket keys, never from an all-pairs crossJoin (which is a
+cartesian scale-killer at 100 TB). The shapes:
+
+- exact:    hash-groupBy on md5(text) — one shuffle on the hash key.
+- MinHash:  shingles → k minhashes (JVM xxhash64) → b bands → explode →
+            self-equi-join on (band, band_hash) → verify exact Jaccard on
+            the candidate pairs only.
+- SimHash:  64-bit signature (Arrow-vectorized pandas UDF — genuine
+            bit-twiddling that built-ins can't express) → 4×16-bit chunk
+            bucket join (any pair within Hamming distance 3 shares ≥1 exact
+            chunk, pigeonhole) → verify with bit_count(xor).
+
+All signatures/hashes are seeded deterministically so results are stable
+across runs and match golden tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from zx_spark.functions.text import word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct content hash with the
+    kept (minimum) id and the duplicate count. Single hash-shuffle; the
+    map-side partial agg means the shuffle carries one row per distinct
+    hash per partition, not per input row."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (the min id) per distinct text. Implemented as
+    a min-id semi-join rather than dropDuplicates so the kept row is
+    deterministic under parallelism."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` minhashes over n-word shingles. Each hash
+    family member is xxhash64 seeded by its index — deterministic, JVM-side,
+    no Python."""
+    shingles = word_shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(df: DataFrame, id_col: str, sig_col: str = "minhash", bands: int = 8) -> DataFrame:
+    """Explode a signature into ``bands`` (band_no, band_hash) bucket keys.
+    Two documents land in the same bucket iff one band of their signatures
+    agrees exactly — the standard LSH banding construction."""
+    sig = F.col(sig_col)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * (F.size(sig) / bands).cast("int") + 1,
+                                    (F.size(sig) / bands).cast("int")),
+                            lambda h: h.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band_no", "band_hash"),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    Plan shape: one projection for signatures, one explode (bands× rows),
+    one shuffle for the self-equi-join on (band_no, band_hash), one
+    distinct. No cartesian product anywhere; AQE's skew-join handling
+    splits any hot bucket (e.g. a boilerplate shingle set shared by
+    thousands of docs).
+    """
+    sigs = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("minhash")
+    )
+    banded = minhash_bands(sigs, id_col, "minhash", bands)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_no") == F.col("b.band_no"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs only (two broadcast-able
+    hash joins back to the shingle sets — never all-pairs)."""
+    sets_df = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    out = (
+        pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1.0)), 6).alias("jaccard"),
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard ≥
+    threshold. The full bucketed pipeline: sign → band → bucket-join →
+    verify."""
+    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return jaccard_pairs(df, cands, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _simhash64_fn(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens — Arrow-batched, numpy-
+    vectorized per batch. Bit-parallel accumulation is the one dedup
+    primitive built-in expressions can't express efficiently (64 per-bit
+    weighted sums per row)."""
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        # Deterministic 64-bit token hashes (FNV-1a), no Python hash()
+        # randomization.
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = 14695981039346656037
+            for ch in tok.encode("utf-8"):
+                h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = 0
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= 1 << b
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        out[i] = sig
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    # pandas_udf parses its DDL type against the active session — build it
+    # lazily, not at import time.
+    udf = pandas_udf(_simhash64_fn, "long")
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming`` (≤3):
+    split the 64-bit signature into 4 16-bit chunks; by pigeonhole any pair
+    within distance 3 agrees on ≥1 full chunk, so an equality join on
+    (chunk_no, chunk_value) finds all of them; verify with
+    ``bit_count(a ^ b)``. Bucketed — no crossJoin."""
+    sigs = simhash(df, text_col).select(id_col, "simhash")
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_no", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_no") == F.col("b.chunk_no"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,136 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing (schema, batch iteration, partition-preserving
+transforms) is real and tested; the actual media decoding is STUBBED —
+image/audio libraries are not in this container — behind
+``decode_image(..., decoder=...)``:
+
+- ``decoder=None`` (default) raises ``NotImplementedError`` at execution,
+  marking exactly where a real decoder (PIL/libvips/ffmpeg) plugs in;
+- ``decoder="fake"`` runs a deterministic stand-in (hash-derived pixels)
+  so the distributed pipeline — batch shapes, schema contracts,
+  per-partition behavior — is exercised end-to-end in tests.
+
+At 100 TB: binary payloads dominate row size, so media tables should set a
+small ``spark.sql.files.maxPartitionBytes`` and these transforms are
+deliberately mapInPandas (no shuffle, streams Arrow batches, bounded
+memory per batch via ``maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame,
+    payload_col: str,
+    fmt_col: str | None = None,
+    width_col: str | None = None,
+    height_col: str | None = None,
+) -> DataFrame:
+    """Normalize a raw binary column into the engine's media convention:
+    ``media BINARY`` + ``media_meta STRUCT(format, width, height, n_bytes)``."""
+    meta = F.struct(
+        (F.col(fmt_col) if fmt_col else F.lit(None).cast("string")).alias("format"),
+        (F.col(width_col) if width_col else F.lit(None).cast("int")).alias("width"),
+        (F.col(height_col) if height_col else F.lit(None).cast("int")).alias("height"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+    )
+    return df.withColumn("media", F.col(payload_col).cast("binary")).withColumn(
+        "media_meta", meta
+    )
+
+
+def _fake_decode(payload: bytes, n_features: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: derive ``n_features``
+    floats from a rolling byte hash. Stable across runs/partitions."""
+    h = 1469598103934665603
+    feats = []
+    if payload is None:
+        payload = b""
+    for i in range(n_features):
+        for b_ in payload[i::n_features] or b"\x00":
+            h = ((h ^ b_) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        feats.append((h % 10_000) / 10_000.0)
+    return feats
+
+
+def decode_image(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    n_features: int = 8,
+    decoder: str | None = None,
+) -> DataFrame:
+    """Decode/feature-extract a media column → ``(id, features array<double>)``.
+
+    Arrow-batched mapInPandas: one Python roundtrip per batch, not per row;
+    no shuffle (narrow transform). The real decode is stubbed — see module
+    docstring."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    use_fake = decoder == "fake"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake:
+                raise NotImplementedError(
+                    "real image decoding requires PIL/libvips (not in this "
+                    "container); pass decoder='fake' for the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        _fake_decode(p, n_features) for p in pdf[media_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """Frame sampling for video-like payloads, as pure JVM byte slicing:
+    one "frame" (binary slice) every ``every_n_bytes``. Demonstrates the
+    explode-to-frames shape (id, frame_no, frame) a real ffmpeg-backed
+    sampler would produce."""
+    n_frames = F.greatest(
+        (F.length(F.col(media_col)) / every_n_bytes).cast("int"), F.lit(1)
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substring(F.col(media_col), i * every_n_bytes + 1, frame_bytes),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(frames).alias("frame_no", "frame"),
+    )
