@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001. ``queries()`` registers
+one callable per implemented operator from SURVEY.md §2 plus the
+LLM-data-pipeline surface; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query (the driver compares row-count + schema +
+order-insensitive value hash at sf0.01). Non-SQL-expressible ops (seeded
+xxhash64 MinHash/SimHash, IVF KMeans, mapInPandas decode) have no oracle
+entry → rows-only check, as the contract allows.
+
+Float discipline: every order-dependent float aggregate is rounded (3-6 dp)
+on BOTH sides; window timestamps are floored to whole-second BIGINTs so no
+result column depends on float summation order or timestamp representation.
 """
 
 from __future__ import annotations
@@ -12,27 +18,653 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zx_spark.compiler import compile_query, run_sorted
+from zx_spark.model import Aggregate, Cmp, Condition, Query, Select
+from zx_spark.operators.filters import apply_conditions
+from zx_spark.storage import read_table, register_views
+
+# ---------------------------------------------------------------- helpers
+
+T0 = 1704412800  # 2024-01-05 00:00:00 UTC
+T1 = 1705017600  # 2024-01-12 00:00:00 UTC
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+def _events_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + a genuinely sparse column (NULL for 'view' rows) so the
+    __nil/EXISTS semantics are exercised at driver scale."""
+    return _events(spark, sf_dir).withColumn("tag", F.expr("nullif(event_type, 'view')"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _floor_windows(df: DataFrame) -> DataFrame:
+    """window_start/window_end → whole-second BIGINT (exact integers on
+    both engines; sub-second fidelity is covered by the golden tests)."""
+    cols = []
+    for c in df.columns:
+        if c in ("window_start", "window_end"):
+            cols.append(F.floor(F.col(c)).cast("long").alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def _round(df: DataFrame, spec: dict[str, int]) -> DataFrame:
+    cols = [
+        F.round(F.col(c), spec[c]).alias(c) if c in spec else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+def _id_set_agg(df: DataFrame) -> DataFrame:
+    """The filter-test result shape: count + id-range + value checksum
+    pins the exact surviving id set (reference filter_test asserts id
+    sets, src/test.rs:23-84)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+_FILTER_ORACLE = (
+    "SELECT count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id, "
+    "round(sum(value), 3) AS sum_value FROM events WHERE {pred}"
+)
+
+
+def _filter_query(cond: Condition, tagged: bool = False):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _events_tagged(spark, sf_dir) if tagged else _events(spark, sf_dir)
+        return _id_set_agg(apply_conditions(df, [cond]))
+
+    return run
+
+
+# ------------------------------------------------------- core zx queries
+
+
+def q_s1_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(t_start=T0, t_end=T1)
+    from zx_spark.compiler import _scan
+
+    return _id_set_agg(_scan(_events(spark, sf_dir), q, "ts"))
+
+
+def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
+        group_by=["tag"],
+    )
+    out = compile_query(_events_tagged(spark, sf_dir), q, id_col="event_id", rate_col=None)
+    return _round(_floor_windows(out), {"sum__value": 3})
+
+
+def q_w1_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
+        group_by=["event_type"],
+        granularity_s=3600,
+    )
+    out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
+    return _round(_floor_windows(out), {"sum__value": 3})
+
+
+def _agg_query(sel: Select, rounds: dict[str, int]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        q = Query(selects=[sel], group_by=["event_type"])
+        out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
+        return _round(_floor_windows(out), rounds)
+
+    return run
+
+
+def q_a8_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        selects=[Select("value", Aggregate.RAW)],
+        conditions=[Condition("value", Cmp.GT, 300.0)],
+        group_by=["event_type"],
+    )
+    out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
+    return _floor_windows(out)
+
+
+HEAT_LO, HEAT_HI, HEAT_BINS = 0.0, 500.0, 10
+
+
+def q_a9_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        selects=[Select("value", Aggregate.HEATMAP, params=(HEAT_LO, HEAT_HI, HEAT_BINS))],
+        group_by=["event_type"],
+    )
+    out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
+    return _floor_windows(out)
+
+
+def q_o1_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = Query(
+        selects=[Select("value", Aggregate.MEAN)],
+        group_by=["event_type"],
+        order_by=[("$$mean(value)", False)],
+    )
+    out = run_sorted(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
+    return _round(out, {"mean__value": 6})
+
+
+def q_q2_sql_zx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.sqlshim import zx_sql
+
+    out = zx_sql(
+        spark,
+        "select count(value), sum(value) where value > 50 group by event_type granularity 86400",
+        df=_events(spark, sf_dir),
+        id_col="event_id",
+        rate_col=None,
+    )
+    return _round(_floor_windows(out), {"sum__value": 3})
+
+
+def q_q2_sql_raw_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.sqlshim import zx_sql
+
+    return zx_sql(
+        spark,
+        "select event_id, event_type, value where value > 480",
+        df=_events(spark, sf_dir),
+        id_col="event_id",
+        rate_col=None,
+    )
+
+
+# ------------------------------------------- Spark-SQL passthrough (joins+)
+# One SQL string per query, valid in BOTH Spark SQL and DuckDB — the oracle
+# is the identical text.
+
+PASSTHROUGH_SQL = {
+    "sql_tpch_q1_pricing": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty, "
+        "round(sum(l_extendedprice), 3) AS sum_base, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, count(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "sql_tpch_q3_segment_revenue": (
+        "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue, "
+        "count(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00' "
+        "GROUP BY o_orderpriority"
+    ),
+    "sql_tpch_q5_region_revenue": (
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name"
+    ),
+    "sql_tpch_q6_forecast": (
+        "SELECT round(sum(l_extendedprice * l_discount), 3) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+    ),
+    "sql_setop_intersect": (
+        "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000 "
+        "INTERSECT "
+        "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 30000"
+    ),
+    "sql_window_first_order": (
+        "SELECT o_custkey, o_orderkey AS first_order FROM ("
+        "SELECT o_custkey, o_orderkey, row_number() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders"
+        ") t WHERE rn = 1"
+    ),
+    "sql_join_agg_broadcast": (
+        "SELECT n_name, round(sum(c_acctbal), 3) AS total_bal, count(*) AS n "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+}
+
+
+def _passthrough(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# ------------------------------------------------------ LLM-pipeline queries
+
+ANN_QUERY_VEC = [1.0] + [0.0] * 63  # fixed basis query — deterministic across sf
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id").select("doc_id")
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.5)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard over within-source buckets (equi-join on source —
+    the SQL-expressible cousin of the MinHash path)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source", toks.alias("tokset"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset"))).cast("double")
+    union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset"))).cast("double")
+    return (
+        a.join(b, on=[F.col("a.source") == F.col("b.source"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+def q_ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.similarity import cosine
+
+    sim = cosine(F.col("embedding").cast("array<double>"),
+                 F.array(*[F.lit(v) for v in ANN_QUERY_VEC]))
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), ANN_QUERY_VEC, k=10)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    assigned, centers = ivf_build(emb, n_cells=8)
+    return ivf_topk(assigned, centers, ANN_QUERY_VEC, k=10, nprobe=4)
+
+
+def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.similarity import rp_lsh_near_pairs
+
+    return rp_lsh_near_pairs(_emb(spark, sf_dir), dim=64, threshold=0.9)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.functions.text import bpe_ish_token_count
+
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.functions.text import text_quality
+
+    q = text_quality(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["upper_ratio"].alias("upper_ratio"),
+        q["quality_score"].alias("quality_score"),
+    )
+
+
+def q_text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.functions.text import language_id
+
+    return (
+        _docs(spark, sf_dir)
+        .select(language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.functions.text import document_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(document_fingerprint(F.col("text"))).alias("n_fingerprints")
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.multimodal import attach_media, decode_image
+
+    media = attach_media(
+        _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8")),
+        "payload",
+    )
+    return decode_image(media, decoder="fake", n_features=8)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.multimodal import attach_media, sample_frames
+
+    media = attach_media(
+        _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8")),
+        "payload",
+    )
+    return (
+        sample_frames(media, every_n_bytes=64, frame_bytes=16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
+# -------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: zx-SQL windowed grouped aggregate on sf0.001 events
+    (SURVEY §7 M1 shape, through the full shim → compiler → Catalyst path)."""
+    from zx_spark.sqlshim import zx_sql
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    return zx_sql(
+        spark,
+        "select sum(value), count(value), mean(value) group by event_type granularity 86400",
+        df=ev,
+        id_col="event_id",
+        rate_col=None,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # S1 scan + F1 comparators (12)
+        "s1_time_scan": q_s1_time_scan,
+        "f1_eq": _filter_query(Condition("event_type", Cmp.EQ, "click")),
+        "f1_ne": _filter_query(Condition("event_type", Cmp.NE, "click")),
+        "f1_gt": _filter_query(Condition("value", Cmp.GT, 90.0)),
+        "f1_lt": _filter_query(Condition("value", Cmp.LT, 10.0)),
+        "f1_gte": _filter_query(Condition("value", Cmp.GTE, 90.0)),
+        "f1_lte": _filter_query(Condition("value", Cmp.LTE, 10.0)),
+        "f1_exists": _filter_query(Condition("tag", Cmp.EXISTS), tagged=True),
+        "f1_not_exists": _filter_query(Condition("tag", Cmp.NOT_EXISTS), tagged=True),
+        "f1_starts_with": _filter_query(Condition("event_type", Cmp.STARTS_WITH, "c")),
+        "f1_not_starts_with": _filter_query(Condition("event_type", Cmp.NOT_STARTS_WITH, "c")),
+        "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
+        "f1_not_contains": _filter_query(Condition("props", Cmp.NOT_CONTAINS, '"k": 7')),
+        # G1 / W1 / O1 / Q2
+        "g1_group_nil": q_g1_group_nil,
+        "w1_aligned_windows": q_w1_aligned,
+        "o1_top_groups": q_o1_top_groups,
+        "q2_sql_zx_dialect": q_q2_sql_zx,
+        "q2_sql_raw_projection": q_q2_sql_raw_projection,
+        # A1-A9
+        "a1_sum": _agg_query(Select("value", Aggregate.SUM), {"sum__value": 3}),
+        "a2_max": _agg_query(Select("value", Aggregate.MAX), {}),
+        "a3_min": _agg_query(Select("value", Aggregate.MIN), {}),
+        "a4_count": _agg_query(Select("value", Aggregate.COUNT), {}),
+        "a5_count_distinct": _agg_query(Select("user_id", Aggregate.COUNT_DISTINCT), {}),
+        "a6_mean": _agg_query(Select("value", Aggregate.MEAN), {"mean__value": 6}),
+        "a7_p50": _agg_query(Select("value", Aggregate.P50), {"p50__value": 6}),
+        "a8_raw": q_a8_raw,
+        "a9_heatmap": q_a9_heatmap,
+        # LLM pipeline
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_kept": q_dedup_exact_kept,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "jaccard_wordset_pairs": q_jaccard_wordset_pairs,
+        "ann_cosine_threshold": q_ann_cosine_threshold,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_near_pairs_lsh": q_emb_near_pairs_lsh,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_lang_counts": q_text_lang_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+    }
+    for name, sql in PASSTHROUGH_SQL.items():
+        qs[name] = _passthrough(sql)
+    return qs
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _heatmap_bucket_sql(col: str, lo: float, hi: float, bins: int) -> str:
+    w = (hi - lo) / bins
+    bucket = f"least(greatest(floor(({col} - {lo}) / {w}), 0), {bins - 1})"
+    items = ", ".join(
+        f"coalesce(sum(CASE WHEN {col} IS NOT NULL AND {bucket} = {i} THEN 1 ELSE 0 END), 0)::double"
+        for i in range(bins)
+    )
+    return f"[{items}]"
+
+
+_WINDOW_COLS = (
+    "floor(min(epoch(ts)))::bigint AS window_start, "
+    "floor(max(epoch(ts)))::bigint AS window_end"
+)
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_EN_STOP = "['the','a','and','of','to','in','is','that','it','for']"
+_DE_STOP = "['der','die','das','und','ist','nicht','ein','mit','für','auf']"
+_FR_STOP = "['le','la','les','et','est','un','une','pour','dans','que']"
+_ES_STOP = "['el','la','los','y','es','un','una','para','en','que']"
+
+
+def _lang_scores() -> str:
+    return (
+        f"len(list_filter({_TOKS}, t -> list_contains({_EN_STOP}, t))) AS s_en, "
+        f"len(list_filter({_TOKS}, t -> list_contains({_DE_STOP}, t))) AS s_de, "
+        f"len(list_filter({_TOKS}, t -> list_contains({_FR_STOP}, t))) AS s_fr, "
+        f"len(list_filter({_TOKS}, t -> list_contains({_ES_STOP}, t))) AS s_es"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {
+        "s1_time_scan": _FILTER_ORACLE.format(
+            pred=f"epoch(ts) >= {T0} AND epoch(ts) <= {T1}"
+        ),
+        "f1_eq": _FILTER_ORACLE.format(pred="event_type = 'click'"),
+        "f1_ne": _FILTER_ORACLE.format(pred="event_type != 'click'"),
+        "f1_gt": _FILTER_ORACLE.format(pred="value > 90.0"),
+        "f1_lt": _FILTER_ORACLE.format(pred="value < 10.0"),
+        "f1_gte": _FILTER_ORACLE.format(pred="value >= 90.0"),
+        "f1_lte": _FILTER_ORACLE.format(pred="value <= 10.0"),
+        "f1_exists": _FILTER_ORACLE.format(pred="nullif(event_type, 'view') IS NOT NULL"),
+        "f1_not_exists": _FILTER_ORACLE.format(pred="nullif(event_type, 'view') IS NULL"),
+        "f1_starts_with": _FILTER_ORACLE.format(pred="starts_with(event_type, 'c')"),
+        "f1_not_starts_with": _FILTER_ORACLE.format(
+            pred="event_type IS NOT NULL AND NOT starts_with(event_type, 'c')"
+        ),
+        "f1_contains": _FILTER_ORACLE.format(pred="contains(props, '\"k\": 7')"),
+        "f1_not_contains": _FILTER_ORACLE.format(
+            pred="props IS NOT NULL AND NOT contains(props, '\"k\": 7')"
+        ),
+        "g1_group_nil": (
+            "SELECT coalesce(nullif(event_type, 'view'), '__nil') AS g_tag, "
+            f"{_WINDOW_COLS}, "
+            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
+            "CAST(count(value) AS DOUBLE) AS count__value "
+            "FROM events GROUP BY coalesce(nullif(event_type, 'view'), '__nil')"
+        ),
+        "w1_aligned_windows": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, "
+            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
+            "CAST(count(value) AS DOUBLE) AS count__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 3600)"
+        ),
+        "o1_top_groups": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "round(avg(value), 6) AS mean__value FROM events "
+            "GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "q2_sql_zx_dialect": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, "
+            "CAST(count(value) AS DOUBLE) AS count__value, "
+            "round(sum(coalesce(value, 0)), 3) AS sum__value "
+            "FROM events WHERE value > 50 "
+            "GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 86400)"
+        ),
+        "q2_sql_raw_projection": (
+            "SELECT event_id, event_type, value FROM events WHERE value > 480"
+        ),
+        "a1_sum": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, round(sum(coalesce(value, 0)), 3) AS sum__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a2_max": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, max(value) AS max__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a3_min": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, min(value) AS min__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a4_count": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, CAST(count(value) AS DOUBLE) AS count__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a5_count_distinct": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, "
+            "CAST(count(DISTINCT user_id) + (CASE WHEN count(*) > count(user_id) THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS count_distinct__user_id "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a6_mean": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, round(avg(value), 6) AS mean__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a7_p50": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, round(quantile_cont(value, 0.5), 6) AS p50__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a8_raw": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, list_sort(list(value)) AS raw__value "
+            "FROM events WHERE value > 300.0 GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a9_heatmap": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, "
+            f"{_heatmap_bucket_sql('value', HEAT_LO, HEAT_HI, HEAT_BINS)} AS heatmap__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "dedup_exact_groups": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+            "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_exact_kept": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "jaccard_wordset_pairs": (
+            "WITH d AS (SELECT doc_id, source, "
+            f"list_distinct({_TOKS}) AS tokset FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(len(list_intersect(a.tokset, b.tokset))::double / "
+            "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) AS jaccard "
+            "FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id "
+            "WHERE round(len(list_intersect(a.tokset, b.tokset))::double / "
+            "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) >= 0.6"
+        ),
+        "ann_cosine_threshold": (
+            "SELECT vec_id, round(embedding[1]::double / "
+            "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) AS cosine "
+            "FROM embeddings WHERE round(embedding[1]::double / "
+            "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) >= 0.25"
+        ),
+        "ann_topk": (
+            "SELECT vec_id, round(embedding[1]::double / "
+            "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) AS cosine "
+            "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "text_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            f"len({_TOKS}) AS n_tokens, "
+            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "WITH q AS (SELECT doc_id, length(text) AS n_chars, "
+            f"len({_TOKS}) AS n_tokens, "
+            "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) AS n_punct, "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
+            f"len(list_filter({_TOKS}, t -> list_contains({_EN_STOP}, t))) AS n_stop "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "round(n_stop::double / greatest(n_tokens, 1), 4) AS stopword_ratio, "
+            "round(n_upper::double / greatest(n_chars, 1), 4) AS upper_ratio, "
+            "round((least(n_tokens::double / 50.0, 1.0) "
+            " + (1.0 - least(n_punct::double / greatest(n_chars, 1) * 4.0, 1.0)) "
+            " + least(n_stop::double / greatest(n_tokens, 1) * 4.0, 1.0)) / 3.0, 4) AS quality_score "
+            "FROM q"
+        ),
+        "text_lang_counts": (
+            f"WITH s AS (SELECT {_lang_scores()} FROM documents), "
+            "p AS (SELECT CASE "
+            "WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr' "
+            "WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es' "
+            "WHEN s_en >= s_de AND s_en > 0 THEN 'en' "
+            "WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang_pred FROM s) "
+            "SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred"
+        ),
+        "multimodal_frames": (
+            "SELECT doc_id, greatest(floor(octet_length(encode(text)) / 64)::int, 1)::bigint AS n_frames "
+            "FROM documents"
+        ),
+    }
+    o.update(PASSTHROUGH_SQL)
+    return o

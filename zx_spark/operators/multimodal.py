@@ -124,7 +124,7 @@ def sample_frames(
     explode-to-frames shape (id, frame_no, frame) a real ffmpeg-backed
     sampler would produce."""
     n_frames = F.greatest(
-        (F.length(F.col(media_col)) / every_n_bytes).cast("int"), F.lit(1)
+        F.floor(F.length(F.col(media_col)) / every_n_bytes).cast("int"), F.lit(1)
     )
     frames = F.transform(
         F.sequence(F.lit(0), n_frames - 1),

@@ -78,11 +78,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same truncation DuckDB applies reading nanos parquet, so oracle
     comparisons see identical timestamps.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_cols(path):
+        if isinstance(dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[col], T.LongType):
+            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     return df
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer (these
+    arrive as bigint under nanosAsLong and need normalization)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
