@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+The headline set covers every engine layer: time-scan + filter, __nil
+grouping, aligned windowed aggregation, heatmap, top-groups, the zx SQL
+shim, TPC-H join shapes through Spark SQL, MinHash-LSH dedup, ANN top-k,
+and text analysis. Each query is timed to full materialization (count of
+the result), not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "s1_time_scan",
+    "f1_contains",
+    "g1_group_nil",
+    "w1_aligned_windows",
+    "a5_count_distinct",
+    "a9_heatmap",
+    "o1_top_groups",
+    "q2_sql_zx_dialect",
+    "sql_tpch_q1_pricing",
+    "sql_tpch_q3_segment_revenue",
+    "sql_tpch_q5_region_revenue",
+    "sql_window_first_order",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "ann_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from zx_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("zx_spark_bench")
+
+    qs = entry.queries()
+    # Warm the JVM/session on a trivial action so query timings measure the
+    # engine, not first-stage setup.
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

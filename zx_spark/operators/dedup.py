@@ -28,6 +28,18 @@ from pyspark.sql.pandas.functions import pandas_udf
 from zx_spark.functions.text import word_shingles
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism iff the input
+    has fewer partitions — lets CPU-heavy per-row stages (signature
+    hashing, Arrow UDFs) use every core even when the source is one small
+    parquet file. At 100 TB inputs already have plenty of partitions and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups: one row per distinct content hash with the
     kept (minimum) id and the duplicate count. Single hash-shuffle; the
@@ -53,16 +65,28 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
     """Array of ``num_hashes`` minhashes over n-word shingles. Each hash
     family member is xxhash64 seeded by its index — deterministic, JVM-side,
-    no Python."""
-    shingles = word_shingles(text, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+    no Python.
+
+    Implemented as ONE ``F.aggregate`` pass over the shingle array (per
+    shingle: num_hashes xxhash64 calls, folded into a running element-wise
+    min). The naive per-seed formulation (num_hashes separate
+    ``array_min(transform(...))`` expressions) re-builds the shingle array
+    once per seed — measured ~6× slower at 5k docs."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        word_shingles(text, shingle_n),
+        F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(i, s)),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -106,8 +130,13 @@ def minhash_candidate_pairs(
     distinct. No cartesian product anywhere; AQE's skew-join handling
     splits any hot bucket (e.g. a boilerplate shingle set shared by
     thousands of docs).
+
+    The input is repartitioned before signing: signature hashing is the
+    CPU-heavy stage (num_hashes × shingles xxhash64 calls per row) and a
+    small parquet file otherwise arrives as ONE partition, serializing the
+    whole stage on one core.
     """
-    sigs = df.select(
+    sigs = _spread(df).select(
         F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("minhash")
     )
     banded = minhash_bands(sigs, id_col, "minhash", bands)
@@ -139,7 +168,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs only (two broadcast-able
     hash joins back to the shingle sets — never all-pairs)."""
-    sets_df = df.select(
+    sets_df = _spread(df).select(
         F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     out = (
@@ -208,7 +237,7 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     # pandas_udf parses its DDL type against the active session — build it
     # lazily, not at import time.
     udf = pandas_udf(_simhash64_fn, "long")
-    return df.withColumn(out_col, udf(F.col(text_col)))
+    return _spread(df).withColumn(out_col, udf(F.col(text_col)))
 
 
 def simhash_near_dup_pairs(

@@ -25,6 +25,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to cluster parallelism — embedding dot
+    products are CPU-heavy per row and small parquet inputs otherwise run
+    as a single task. No-op when the input is already well-partitioned."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -56,7 +66,7 @@ def cosine_topk(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
-        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        _spread(df).select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -92,7 +102,7 @@ def rp_lsh_near_pairs(
     """Embedding near-duplicate pairs: candidates from ``n_tables``
     independent LSH bucket equi-joins (union), verified with exact cosine ≥
     threshold. All joins are equality joins on (table, bucket)."""
-    buckets = df.select(
+    buckets = _spread(df).select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(
