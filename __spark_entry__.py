@@ -377,6 +377,41 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path: stream the events parquet through the
+    watermarked windowed aggregation with an availableNow drain — complete-
+    mode output equals the batch aligned-window result, so it oracles."""
+    import tempfile
+    import uuid
+
+    from zx_spark.streaming import run_available_now, streaming_windowed_agg
+
+    import os
+    import tempfile as _tf
+
+    # The file streaming source requires a directory; stage the single
+    # parquet file behind a symlink in a temp dir.
+    stage = _tf.mkdtemp(prefix="zx_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .load(stage)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = Query(
+        selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
+        group_by=["event_type"],
+        granularity_s=86400,
+    )
+    result = streaming_windowed_agg(stream, q, rate_col=None)
+    name = f"zx_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(result, name, tempfile.mkdtemp(prefix="zx_ckpt_"))
+    out = spark.table(name)
+    return _round(out, {"sum__value": 3})
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zx_spark.operators.multimodal import attach_media, decode_image
 
@@ -467,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
+        "streaming_windowed_agg": q_streaming_windowed,
     }
     for name, sql in PASSTHROUGH_SQL.items():
         qs[name] = _passthrough(sql)
@@ -664,6 +700,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": (
             "SELECT doc_id, greatest(floor(octet_length(encode(text)) / 64)::int, 1)::bigint AS n_frames "
             "FROM documents"
+        ),
+        "streaming_windowed_agg": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "(floor(epoch(ts) / 86400) * 86400)::double AS window_start, "
+            "((floor(epoch(ts) / 86400) + 1) * 86400)::double AS window_end, "
+            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
+            "CAST(count(value) AS DOUBLE) AS count__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 86400)"
         ),
     }
     o.update(PASSTHROUGH_SQL)

@@ -117,6 +117,14 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def truncate_events(spark: SparkSession, path: str, schema: T.StructType | None = None) -> None:
+    """S4 init/flush equivalent (reference ``init``/``flushall``,
+    src/lib.rs:248-261): overwrite the events table with an empty frame
+    (keeping the schema so readers of the path keep working)."""
+    schema = schema or ZX_FIXTURE_SCHEMA
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+
 def write_events(df: DataFrame, path: str, partition_by_day: bool = True) -> None:
     """Append-only insert sink (S3 equivalent; reference insert
     src/lib.rs:263-303). Partitioned by event date so time-range queries

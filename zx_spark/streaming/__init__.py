@@ -1,0 +1,15 @@
+"""Structured Streaming surface.
+
+The reference has no true streaming (SURVEY §2.2: inserts are incremental
+but every query recomputes from storage). This package is the Spark-native
+upgrade: the same windowed-aggregate semantics as the batch compiler,
+expressed as an incremental streaming query with watermarked late-data
+handling — the shape a 100 TB observability pipeline actually runs."""
+
+from zx_spark.streaming.windowed import (
+    run_available_now,
+    stream_events,
+    streaming_windowed_agg,
+)
+
+__all__ = ["run_available_now", "stream_events", "streaming_windowed_agg"]
