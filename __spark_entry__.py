@@ -155,6 +155,19 @@ def q_a9_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _floor_windows(out)
 
 
+def q_w1_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (lag/cumsum, JVM-side) — 10-minute gap
+    splits per event_type."""
+    q = Query(
+        selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
+        group_by=["event_type"],
+        granularity_s=600,
+        window_mode="session",
+    )
+    out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
+    return _round(_floor_windows(out), {"sum__value": 3})
+
+
 def q_o1_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = Query(
         selects=[Select("value", Aggregate.MEAN)],
@@ -473,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G1 / W1 / O1 / Q2
         "g1_group_nil": q_g1_group_nil,
         "w1_aligned_windows": q_w1_aligned,
+        "w1_session_windows": q_w1_session,
         "o1_top_groups": q_o1_top_groups,
         "q2_sql_zx_dialect": q_q2_sql_zx,
         "q2_sql_raw_projection": q_q2_sql_raw_projection,
@@ -574,6 +588,19 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(coalesce(value, 0)), 3) AS sum__value, "
             "CAST(count(value) AS DOUBLE) AS count__value "
             "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 3600)"
+        ),
+        "w1_session_windows": (
+            "WITH g AS (SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id) > 600 THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "s AS (SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS wno FROM g) "
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "floor(min(epoch(ts)))::bigint AS window_start, "
+            "floor(max(epoch(ts)))::bigint AS window_end, "
+            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
+            "CAST(count(value) AS DOUBLE) AS count__value "
+            "FROM s GROUP BY coalesce(event_type, '__nil'), wno"
         ),
         "o1_top_groups": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "

@@ -1,0 +1,96 @@
+"""Plan-shape assertions — the 100 TB contract, checked on real plans.
+
+These tests pin the optimizer behaviors the engine's scale story depends
+on: predicate pushdown into the parquet scan, column pruning of the
+ReadSchema, broadcast joins for small dimensions, whole-stage codegen on
+the aggregate path, and no Python eval in any default-mode query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zx_spark.compiler import compile_query
+from zx_spark.model import Aggregate, Cmp, Condition, Query, Select
+from zx_spark.storage import read_table, register_views
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    q = Query(
+        selects=[Select("value", Aggregate.SUM)],
+        conditions=[Condition("event_type", Cmp.EQ, "click")],
+        group_by=["event_type"],
+    )
+    plan = _executed(compile_query(read_table(spark, SF, "events"), q, id_col="event_id", rate_col=None))
+    # The equality predicate must reach the parquet reader as a pushed filter.
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning(spark):
+    q = Query(selects=[Select("value", Aggregate.SUM)], group_by=["event_type"])
+    plan = _executed(compile_query(read_table(spark, SF, "events"), q, id_col="event_id", rate_col=None))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    # Only the referenced columns are read — props/user_id must be pruned.
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_broadcast_join_small_dim(spark):
+    register_views(spark, SF)
+    plan = _executed(
+        spark.sql(
+            "SELECT n_name, count(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        )
+    )
+    assert "BroadcastHashJoin" in plan  # 25-row nation must broadcast
+
+
+def test_codegen_on_aggregate_path(spark):
+    q = Query(selects=[Select("value", Aggregate.SUM)], group_by=["event_type"])
+    plan = _executed(compile_query(read_table(spark, SF, "events"), q, id_col="event_id", rate_col=None))
+    # Codegen'd operators print as "*(n) Op"; the aggregate must be one,
+    # and the map side must do partial aggregation.
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+    assert "partial_sum" in plan
+
+
+def test_no_python_in_default_paths(spark):
+    # aligned windows + every numeric aggregate: zero Python eval nodes.
+    q = Query(
+        selects=[
+            Select("value", a)
+            for a in (
+                Aggregate.SUM,
+                Aggregate.MAX,
+                Aggregate.MIN,
+                Aggregate.COUNT,
+                Aggregate.COUNT_DISTINCT,
+                Aggregate.COUNT_DISTINCT_APPROX,
+                Aggregate.MEAN,
+                Aggregate.P50,
+            )
+        ],
+        group_by=["event_type"],
+        granularity_s=3600,
+    )
+    plan = _executed(compile_query(read_table(spark, SF, "events"), q, id_col="event_id", rate_col=None))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_approx_count_distinct_close_to_exact(spark):
+    df = read_table(spark, SF, "events")
+    exact = df.select(F.countDistinct("user_id")).collect()[0][0]
+    q = Query(selects=[Select("user_id", Aggregate.COUNT_DISTINCT_APPROX, params=(0.02,))])
+    approx = compile_query(df, q, id_col="event_id", rate_col=None).collect()[0][
+        "count_distinct_approx__user_id"
+    ]
+    assert abs(approx - exact) / exact < 0.1

@@ -77,6 +77,28 @@ def test_per_group_independent_windows(spark):
     assert out == {("a", 0.0): 1.0, ("b", 100.0): 10.0}
 
 
+def test_session_windows(spark):
+    # Gap-based: rows at ts [0, 5, 20, 22, 40] with gap 10 → sessions
+    # {0,5}, {20,22}, {40}. Unlike faithful mode, no row is dropped and
+    # the 40s row forms its own window.
+    rows = [(1, 1.0, 0), (2, 2.0, 5), (3, 4.0, 20), (4, 8.0, 22), (5, 16.0, 40)]
+    q = Query(selects=[Select("v", Aggregate.SUM)], granularity_s=10, window_mode="session")
+    out = sorted(
+        compile_query(_df(spark, rows), q, rate_col=None).collect(),
+        key=lambda r: r["window_start"],
+    )
+    got = [(r["window_start"], r["window_end"], r["sum__v"]) for r in out]
+    assert got == [(0.0, 5.0, 3.0), (20.0, 22.0, 12.0), (40.0, 40.0, 16.0)]
+
+
+def test_session_windows_no_python_in_plan(spark):
+    # The scale path must stay JVM-side: no Arrow/Python eval nodes.
+    rows = [(1, 1.0, 0), (2, 2.0, 5)]
+    q = Query(selects=[Select("v", Aggregate.SUM)], granularity_s=10, window_mode="session")
+    plan = compile_query(_df(spark, rows), q, rate_col=None)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
 def test_segmenter_schema_not_mutated(spark):
     # Regression: StructType.add mutated the input DataFrame's schema in
     # place, making applyInPandas fail with UNRESOLVED_COLUMN __window_no.

@@ -31,6 +31,7 @@ from zx_spark.operators.windows import (
     WINDOW_START_TS,
     with_aligned_windows,
     with_faithful_windows,
+    with_session_windows,
 )
 
 GROUP_PREFIX = "g_"
@@ -93,8 +94,17 @@ def compile_query(
         if q.window_mode == "faithful":
             df = with_faithful_windows(df, keys, id_col, ts_col, q.granularity_s)
             faithful = True
-        else:
+        elif q.window_mode == "session":
+            df = with_session_windows(df, keys, id_col, ts_col, q.granularity_s)
+        elif q.window_mode == "aligned":
             df = with_aligned_windows(df, ts_col, q.granularity_s)
+        else:
+            # A typo'd mode must not silently fall back to different
+            # window semantics.
+            raise ValueError(
+                f"unknown window_mode {q.window_mode!r} "
+                "(expected 'aligned', 'session', or 'faithful')"
+            )
         grouping.append(WINDOW_NO)
 
     ts_unix = F.col(f"`{ts_col}`").cast("double")

@@ -52,6 +52,9 @@ class Aggregate(enum.Enum):
     MIN = "min"
     COUNT = "count"
     COUNT_DISTINCT = "count_distinct"
+    # Scale variant beyond the reference: HyperLogLog++ sketch instead of
+    # an exact distinct shuffle — the opt-in for 100 TB cardinalities.
+    COUNT_DISTINCT_APPROX = "count_distinct_approx"
     MEAN = "mean"
     P50 = "p50"
     RAW = "raw"
@@ -105,8 +108,12 @@ class Query:
     ``window_mode``:
     - ``"aligned"``  — idiomatic epoch-aligned tumbling windows
       (``F.window``); the scale path.
+    - ``"session"``  — gap-based data-aligned windows via lag/cumsum
+      (JVM-side, spillable) — the scale-safe approximation of the
+      reference's data-aligned intent.
     - ``"faithful"`` — reference-exact data-aligned windows (SURVEY §2.6),
-      including the breaking-row-drop quirk (src/lib.rs:711-713).
+      including the breaking-row-drop quirk (src/lib.rs:711-713);
+      compat/oracle mode (per-group sequential).
     """
 
     selects: list[Select] = field(default_factory=list)

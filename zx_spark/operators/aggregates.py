@@ -76,6 +76,15 @@ def agg_expr(
             F.countDistinct(col)
             + F.max(F.when(col.isNull(), F.lit(1)).otherwise(F.lit(0)))
         ).cast("double")
+    elif a is Aggregate.COUNT_DISTINCT_APPROX:
+        # HLL++ sketch (rsd from params, default 5%): mergeable partial
+        # aggregate, no exact-distinct shuffle — the 100 TB variant. Keeps
+        # the reference's NULL-counts-as-one-distinct rule.
+        rsd = float(sel.params[0]) if sel.params else 0.05
+        expr = (
+            F.approx_count_distinct(col, rsd)
+            + F.max(F.when(col.isNull(), F.lit(1)).otherwise(F.lit(0)))
+        ).cast("double")
     elif a is Aggregate.MEAN:
         # Reference parses the rate as isize for mean (src/lib.rs:643-646):
         # integer-truncate before weighting.
@@ -124,3 +133,12 @@ def histogram(x: Column, lo: float, hi: float, bins: int) -> Column:
 def is_numeric_result(sel: Select) -> bool:
     """run_sorted keeps only Number-valued aggregates (src/lib.rs:746)."""
     return sel.aggregate not in (Aggregate.RAW, Aggregate.HEATMAP)
+
+
+def approx_quantiles(column: str, probabilities: list[float], accuracy: int = 10000) -> Column:
+    """Mergeable quantile sketch (percentile_approx) — the scale variant of
+    exact P50 for 100 TB inputs."""
+    probs = ", ".join(str(p) for p in probabilities)
+    return F.expr(
+        f"percentile_approx(cast(`{column}` as double), array({probs}), {accuracy})"
+    )

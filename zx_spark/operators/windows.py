@@ -48,6 +48,37 @@ def with_aligned_windows(df: DataFrame, ts_col: str, granularity_s: float) -> Da
     return df.withColumn(WINDOW_NO, w.start.cast("double"))
 
 
+def with_session_windows(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    ts_col: str,
+    granularity_s: float,
+) -> DataFrame:
+    """Gap-based session window numbers — the scale-safe JVM sibling of
+    faithful mode (SURVEY §2.6's lag/gap/cumsum technique).
+
+    A new window starts when the gap to the previous row (ts order, id
+    tiebreak) exceeds the granularity. This differs from the reference's
+    recurrence (which measures from the window START, drops the breaking
+    row, and walks in id order) but captures the same "data-aligned
+    burst" intent with no Python, no per-group single task: one
+    shuffle+sort per key, windowed sum, all spillable and codegen'd —
+    the mode to use at 100 TB when epoch alignment isn't wanted.
+    """
+    from pyspark.sql import Window as W
+
+    ts = F.col(ts_col).cast("double")
+    base = W.partitionBy(*(group_cols or [F.lit(1)])).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    brk = F.when(ts - F.lag(ts).over(base) > float(granularity_s), 1).otherwise(0)
+    return df.withColumn(
+        WINDOW_NO,
+        F.sum(brk).over(base.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
 def with_faithful_windows(
     df: DataFrame,
     group_cols: list[str],
