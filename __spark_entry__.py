@@ -168,6 +168,20 @@ def q_w1_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(_floor_windows(out), {"sum__value": 3})
 
 
+def q_w1_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact data-aligned windows (sequential recurrence —
+    rows-only check; the per-window semantics are pinned by golden tests
+    against the reference fixture instead)."""
+    q = Query(
+        selects=[Select("value", Aggregate.SUM)],
+        group_by=["event_type"],
+        granularity_s=600,
+        window_mode="faithful",
+    )
+    out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
+    return _round(_floor_windows(out), {"sum__value": 3})
+
+
 def q_o1_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = Query(
         selects=[Select("value", Aggregate.MEAN)],
@@ -487,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_group_nil": q_g1_group_nil,
         "w1_aligned_windows": q_w1_aligned,
         "w1_session_windows": q_w1_session,
+        "w1_faithful_windows": q_w1_faithful,
         "o1_top_groups": q_o1_top_groups,
         "q2_sql_zx_dialect": q_q2_sql_zx,
         "q2_sql_raw_projection": q_q2_sql_raw_projection,
