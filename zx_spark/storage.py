@@ -117,6 +117,29 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    buckets: int = 32,
+) -> None:
+    """Write a bucketed+sorted parquet table (hash-bucketed on
+    ``bucket_col``). Two tables bucketed on the same key with the same
+    bucket count join WITHOUT a shuffle — the co-located-join layout for
+    repeated large joins at 100 TB (e.g. events⋈users on user_id), where
+    paying one bucketed write amortizes every subsequent join's exchange.
+    Verified by plan test: no Exchange under the SortMergeJoin."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
 def truncate_events(spark: SparkSession, path: str, schema: T.StructType | None = None) -> None:
     """S4 init/flush equivalent (reference ``init``/``flushall``,
     src/lib.rs:248-261): overwrite the events table with an empty frame
