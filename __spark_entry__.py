@@ -449,6 +449,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(media, decoder="fake", n_features=8)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.operators.multimodal import attach_media, resize_image
+
+    media = attach_media(
+        _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8")),
+        "payload",
+    )
+    out = resize_image(media, 16, 16, decoder="fake")
+    return out.select("doc_id", F.length("media").alias("n_bytes"))
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zx_spark.operators.multimodal import attach_media, sample_frames
 
@@ -531,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "streaming_windowed_agg": q_streaming_windowed,
     }
     for name, sql in PASSTHROUGH_SQL.items():
@@ -742,6 +754,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": (
             "SELECT doc_id, greatest(floor(octet_length(encode(text)) / 64)::int, 1)::bigint AS n_frames "
             "FROM documents"
+        ),
+        "multimodal_resize": (
+            # Resize contract: every doc yields exactly width*height bytes.
+            "SELECT doc_id, 256::int AS n_bytes FROM documents"
         ),
         "streaming_windowed_agg": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "

@@ -21,7 +21,12 @@ from zx_spark.operators.dedup import (
     near_dup_pairs,
     simhash_near_dup_pairs,
 )
-from zx_spark.operators.multimodal import attach_media, decode_image, sample_frames
+from zx_spark.operators.multimodal import (
+    attach_media,
+    decode_image,
+    resize_image,
+    sample_frames,
+)
 from zx_spark.operators.similarity import (
     cosine_topk,
     ivf_build,
@@ -151,3 +156,9 @@ def test_multimodal_plumbing(spark):
 
     frames = sample_frames(media, every_n_bytes=64, frame_bytes=16).collect()
     assert sum(1 for r in frames if r["doc_id"] == 1) == 2
+
+    resized = {r["doc_id"]: r for r in resize_image(media, 8, 4, decoder="fake").collect()}
+    assert len(resized[1]["media"]) == 32  # exactly width*height bytes
+    assert resized[1]["media_meta"]["width"] == 8 and resized[1]["media_meta"]["height"] == 4
+    with pytest.raises(Exception, match="NotImplementedError|real image resizing"):
+        resize_image(media, 8, 4).collect()

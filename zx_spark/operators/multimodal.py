@@ -112,6 +112,66 @@ def decode_image(
     return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: str | None = None,
+) -> DataFrame:
+    """Resize a media column → ``(id, media binary, media_meta)`` with the
+    target dimensions. Same stub contract as ``decode_image``: the real
+    resampler (PIL/libvips) raises ``NotImplementedError`` until plugged
+    in; ``decoder='fake'`` emits a deterministic payload of exactly
+    width×height bytes so the schema/batching contract is exercised."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+        ]
+    )
+    use_fake = decoder == "fake"
+    n_bytes = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake:
+                raise NotImplementedError(
+                    "real image resizing requires PIL/libvips (not in this "
+                    "container); pass decoder='fake' for the deterministic stub"
+                )
+            payloads = [
+                bytes(
+                    _int_bytes(_fake_decode(p, 8), n_bytes)
+                )
+                for p in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": payloads,
+                    "media_meta": [
+                        {"format": "raw", "width": width, "height": height, "n_bytes": n_bytes}
+                        for _ in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=out_schema)
+
+
+def _int_bytes(seed_feats: list[float], n: int) -> bytearray:
+    """Deterministic n-byte payload derived from the fake-decode features."""
+    out = bytearray(n)
+    acc = 0
+    for i in range(n):
+        acc = (acc * 31 + int(seed_feats[i % len(seed_feats)] * 10_000) + i) % 256
+        out[i] = acc
+    return out
+
+
 def sample_frames(
     df: DataFrame,
     media_col: str = "media",

@@ -79,6 +79,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons see identical timestamps.
     """
     path = f"{sf_dir}/{name}.parquet"
+    try:
+        # The caller's session may not be ours (the driver passes its own):
+        # make sure nanos-timestamp parquet is readable and timestamp
+        # literals parse in UTC regardless.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_cols(path):
         if isinstance(dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[col], T.LongType):
