@@ -1,0 +1,54 @@
+"""ZX facade tests — command-level parity (ZX.SQL / ZX.I / flushall / ZX.T)
+and GRANULARITY duration units."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from zx_spark.api import ZX
+from zx_spark.sqlshim import parse_zx_sql
+from zx_spark.sqlshim.translate import ZxSqlError
+from zx_spark.storage import zx_fixture
+
+
+def test_sql_returns_reference_json_shape(spark):
+    zx = ZX(spark, events_df=zx_fixture(spark), granularity_s=15)
+    out = zx.sql("select sum(foo) group by y")
+    assert out[json.dumps({"y": "9"})]["$$sum(foo)"]["data"] == [1400.0]
+    assert set(out) == {json.dumps({"y": v}) for v in ("1", "9", "__nil")}
+
+
+def test_sql_raw_and_ordered_return_rows(spark):
+    zx = ZX(spark, events_df=zx_fixture(spark), granularity_s=15)
+    raw = zx.sql("select foo where foo > 800")
+    assert sorted(r["foo"] for r in raw) == ["1000", "900"]
+    ordered = zx.sql("select mean(foo) group by y order by mean(foo) desc")
+    assert [r["mean__foo"] for r in ordered] == [700.0, 571.4285714285714, 100.0]
+
+
+def test_insert_flush_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "store")
+    zx = ZX(spark, events_path=path, rate_col=None)
+    zx.i(ts=100.0, foo="1", y="a")
+    zx.i(ts=101.0, foo="2", y="a")
+    out = zx.sql("select sum(foo) group by y")
+    assert out[json.dumps({"y": "a"})]["$$sum(foo)"]["data"] == [3.0]
+    ids = {r["id"] for r in zx.events().select("id").collect()}
+    assert ids == {1, 2}  # INCR LAST-ID analog
+    zx.flushall(schema=zx.events().schema)
+    assert zx.events().count() == 0
+
+
+def test_t_golden_selfcheck(spark):
+    assert ZX(spark, events_df=zx_fixture(spark)).t() == "OK"
+
+
+def test_granularity_units():
+    assert parse_zx_sql("select count(x) granularity 5m").granularity_s == 300.0
+    assert parse_zx_sql("select count(x) granularity 1h").granularity_s == 3600.0
+    assert parse_zx_sql("select count(x) granularity 500ms").granularity_s == 0.5
+    assert parse_zx_sql("select count(x) granularity 15").granularity_s == 15.0
+    with pytest.raises(ZxSqlError):
+        parse_zx_sql("select count(x) granularity soon")

@@ -114,8 +114,19 @@ def parse_zx_sql(
         q.order_by.append((key, m.group("dir") != "desc"))
 
     if "granularity" in clauses:
-        q.granularity_s = float(clauses["granularity"].strip().rstrip("s"))
+        q.granularity_s = _parse_duration(clauses["granularity"].strip())
     return q
+
+
+_DURATION_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def _parse_duration(text: str) -> float:
+    """``15``, ``15s``, ``500ms``, ``5m``, ``1h``, ``2d`` → seconds."""
+    m = re.match(r"^(\d+(?:\.\d+)?)\s*(ms|s|m|h|d)?$", text)
+    if not m:
+        raise ZxSqlError(f"bad GRANULARITY: {text!r}")
+    return float(m.group(1)) * _DURATION_UNITS.get(m.group(2) or "s", 1.0)
 
 
 def zx_sql(
