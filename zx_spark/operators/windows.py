@@ -105,12 +105,17 @@ def with_faithful_windows(
     window with zero kept rows produces no output row — empty windows vanish.
 
     Scale note: the recurrence (each window's start depends on the previous
-    window's breaking row) is inherently sequential per group, so this ships
-    each group to one Python task. Fine as the compat/oracle mode; the scale
-    path is ``aligned`` (pure Catalyst).
+    window's breaking row) is inherently sequential per group, so each
+    group's TIMELINE goes to one Python task — but only the slim
+    ``(group_cols, id, ts)`` projection crosses the Python boundary; the
+    window assignments join back to the full rows by id (inner join also
+    drops the breaking rows, which the segmenter omits). Wide rows never
+    serialize through Arrow. Still the compat/oracle mode; the scale paths
+    are ``aligned``/``session`` (pure Catalyst).
     """
     ts_unix = "__ts_unix"
-    work = df.withColumn(ts_unix, F.col(ts_col).cast("double"))
+    slim = df.select(*group_cols, id_col, F.col(ts_col).cast("double").alias(ts_unix))
+    work = slim
     const_group = "__seg_group"
     if not group_cols:
         # applyInPandas needs named grouping columns; a global (ungrouped)
@@ -160,4 +165,5 @@ def with_faithful_windows(
     seg = work.groupBy(*(group_cols or [const_group])).applyInPandas(
         segment, schema=out_schema
     )
-    return seg.drop(ts_unix, const_group)
+    assignments = seg.select(id_col, WINDOW_NO, WINDOW_START_TS, WINDOW_END_TS)
+    return df.join(assignments, on=id_col, how="inner")
