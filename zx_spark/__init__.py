@@ -15,16 +15,34 @@ from zx_spark.model import Aggregate, Cmp, Condition, Query, Select
 from zx_spark.compiler import compile_query, run_query, run_sorted
 from zx_spark.session import get_spark
 
+
+def __getattr__(name):
+    # Lazy facade/shim exports — keep `import zx_spark` light.
+    if name == "ZX":
+        from zx_spark.api import ZX
+
+        return ZX
+    if name in ("zx_sql", "parse_zx_sql", "ZxCompat", "Passthrough"):
+        import zx_spark.sqlshim as _shim
+
+        return getattr(_shim, name)
+    raise AttributeError(f"module 'zx_spark' has no attribute {name!r}")
+
+
 __all__ = [
     "Aggregate",
     "Cmp",
     "Condition",
     "Query",
     "Select",
+    "ZX",
+    "ZxCompat",
     "compile_query",
+    "get_spark",
+    "parse_zx_sql",
     "run_query",
     "run_sorted",
-    "get_spark",
+    "zx_sql",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
