@@ -35,6 +35,19 @@ def test_json_and_rows(spark, tmp_path):
     assert rows.selectExpr("max(cast(ts as double))").collect()[0][0] == 1704067200.456
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    from zx_spark.sources import read_orc_events
+
+    p = str(tmp_path / "ev_orc")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "eid long, service string, v double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("eid")))
+    write_events(df, p, partition_by_day=False, fmt="orc")
+    back = read_orc_events(spark, p)
+    assert back.count() == 2
+    assert {f.name for f in back.schema.fields} >= {"service", "v", "ts", "id"}
+
+
 def test_write_and_truncate(spark, tmp_path):
     p = str(tmp_path / "events_table")
     df = spark.createDataFrame([(1, 1.0)], "id long, v double").withColumn(

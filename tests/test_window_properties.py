@@ -30,6 +30,43 @@ def reference_segment(rows: list[tuple[int, float]], g: float):
     return out
 
 
+def reference_sessions(rows: list[tuple[int, float]], g: float):
+    """Pure-Python gap-based sessionization (ts order, id tiebreak):
+    window increments when the gap to the previous row exceeds g."""
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    out, w, prev = {}, 0, None
+    for rid, ts in ordered:
+        if prev is not None and ts - prev > g:
+            w += 1
+        out[rid] = w
+        prev = ts
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    g=st.floats(min_value=0.5, max_value=500, allow_nan=False),
+)
+def test_session_matches_reference_loop(spark, rows, g):
+    from zx_spark.operators.windows import with_session_windows
+
+    df = spark.createDataFrame(
+        [(rid, float(ts)) for rid, ts in rows], "id long, ts_d double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts_d"))).drop("ts_d")
+    got = {r["id"]: r[WINDOW_NO] for r in with_session_windows(df, [], "id", "ts", g).collect()}
+    truncated = [(rid, int(ts * 1e6) / 1e6) for rid, ts in rows]
+    assert got == reference_sessions(truncated, g)
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(

@@ -7,6 +7,7 @@ first-class citizen (Parquet / CSV / JSON / in-memory rows)."""
 from zx_spark.sources.readers import (
     read_csv_events,
     read_json_events,
+    read_orc_events,
     read_parquet_events,
     rows_to_events,
 )
@@ -14,6 +15,7 @@ from zx_spark.sources.readers import (
 __all__ = [
     "read_csv_events",
     "read_json_events",
+    "read_orc_events",
     "read_parquet_events",
     "rows_to_events",
 ]

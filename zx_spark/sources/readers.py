@@ -55,6 +55,12 @@ def read_parquet_events(spark: SparkSession, path: str) -> DataFrame:
     return _ensure_id(_normalize_ts(spark.read.parquet(path)))
 
 
+def read_orc_events(spark: SparkSession, path: str) -> DataFrame:
+    """ORC is the other first-class columnar lake format (same pruning and
+    vectorized-read properties as parquet in Spark)."""
+    return _ensure_id(_normalize_ts(spark.read.orc(path)))
+
+
 def read_csv_events(
     spark: SparkSession,
     path: str,

@@ -156,12 +156,15 @@ def truncate_events(spark: SparkSession, path: str, schema: T.StructType | None 
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
 
 
-def write_events(df: DataFrame, path: str, partition_by_day: bool = True) -> None:
+def write_events(
+    df: DataFrame, path: str, partition_by_day: bool = True, fmt: str = "parquet"
+) -> None:
     """Append-only insert sink (S3 equivalent; reference insert
     src/lib.rs:263-303). Partitioned by event date so time-range queries
-    prune partitions at scale."""
+    prune partitions at scale; ``fmt`` is any columnar lake format
+    ("parquet" or "orc")."""
     writer = df.write.mode("append")
     if partition_by_day:
         df = df.withColumn("event_date", F.to_date("ts"))
         writer = df.write.mode("append").partitionBy("event_date")
-    writer.parquet(path)
+    writer.format(fmt).save(path)
