@@ -224,14 +224,14 @@ def q_q2_sql_raw_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 PASSTHROUGH_SQL = {
     "sql_tpch_q1_pricing": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty, "
-        "round(sum(l_extendedprice), 3) AS sum_base, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price, "
+        "round(sum(l_extendedprice), 1) AS sum_base, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price, "
         "round(avg(l_quantity), 6) AS avg_qty, count(*) AS n "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
     ),
     "sql_tpch_q3_segment_revenue": (
-        "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue, "
+        "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue, "
         "count(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
@@ -239,7 +239,7 @@ PASSTHROUGH_SQL = {
         "GROUP BY o_orderpriority"
     ),
     "sql_tpch_q5_region_revenue": (
-        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue "
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue "
         "FROM region JOIN nation ON n_regionkey = r_regionkey "
         "JOIN customer ON c_nationkey = n_nationkey "
         "JOIN orders ON o_custkey = c_custkey "
@@ -248,7 +248,7 @@ PASSTHROUGH_SQL = {
         "WHERE r_name = 'ASIA' GROUP BY n_name"
     ),
     "sql_tpch_q6_forecast": (
-        "SELECT round(sum(l_extendedprice * l_discount), 3) AS revenue FROM lineitem "
+        "SELECT round(sum(l_extendedprice * l_discount), 1) AS revenue FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
