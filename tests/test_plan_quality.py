@@ -86,6 +86,19 @@ def test_no_python_in_default_paths(spark):
         assert marker not in plan
 
 
+def test_no_global_sort_by_default(spark):
+    # The result sort is opt-in (sort=True): the default compiled plan must
+    # not pay a range-partitioned Sort exchange on the final result.
+    q = Query(selects=[Select("value", Aggregate.SUM)], group_by=["event_type"], granularity_s=3600)
+    df = compile_query(read_table(spark, SF, "events"), q, id_col="event_id", rate_col=None)
+    plan = _executed(df)
+    assert "rangepartitioning" not in plan.lower()
+    sorted_plan = _executed(
+        compile_query(read_table(spark, SF, "events"), q, id_col="event_id", rate_col=None, sort=True)
+    )
+    assert "rangepartitioning" in sorted_plan.lower()
+
+
 def test_approx_count_distinct_close_to_exact(spark):
     df = read_table(spark, SF, "events")
     exact = df.select(F.countDistinct("user_id")).collect()[0][0]

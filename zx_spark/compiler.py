@@ -73,6 +73,7 @@ def compile_query(
     ts_col: str = "ts",
     rate_col: str | None = "sample_rate",
     empty_sentinels: bool = True,
+    sort: bool = False,
 ) -> DataFrame:
     """Compile a windowed grouped-aggregate query (run_unsorted equivalent,
     reference src/lib.rs:191-218).
@@ -128,8 +129,12 @@ def compile_query(
     for helper in (WINDOW_NO, WINDOW_START_TS, WINDOW_END_TS):
         if helper in out.columns:
             out = out.drop(helper)
-    order = keys + [WINDOW_START]
-    return out.orderBy(*order)
+    if sort:
+        # Opt-in: a global range sort of the result is an extra exchange —
+        # wasted at 100 TB when the consumer is order-insensitive (the
+        # reference returns an unordered HashMap, src/lib.rs:191-194).
+        out = out.orderBy(*keys, WINDOW_START)
+    return out
 
 
 def run_query(

@@ -27,7 +27,15 @@ def shape_result(df: DataFrame, q: Query) -> dict:
     """
     keys = [(c, group_alias(c)) for c in q.group_by]
     out: dict[str, dict] = {}
-    for row in df.collect():
+    # Deterministic timeseries order without requiring a sorted plan: the
+    # result is already aggregated (small), so sort the collected rows here
+    # rather than paying a global Sort exchange in the distributed plan.
+    rows = sorted(
+        df.collect(),
+        key=lambda r: tuple(str(r[a]) for _, a in keys)
+        + ((r[WINDOW_START],) if WINDOW_START in df.columns else ()),
+    )
+    for row in rows:
         gk = json.dumps({c: row[a] for c, a in keys}, sort_keys=True)
         slot = out.setdefault(gk, {})
         for sel in q.selects:
