@@ -77,6 +77,17 @@ def test_no_cartesian_in_dedup_plans(spark, docs):
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_simhash_plan_is_jvm_side(spark, docs):
+    # The signature stage must be pure Catalyst — no Arrow/Python eval node
+    # anywhere in the SimHash pipeline.
+    plan = (
+        simhash_near_dup_pairs(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
+
+
 def test_text_quality_and_tokens(spark, docs):
     out = docs.select("doc_id", text_quality(F.col("text")).alias("q"),
                       bpe_ish_token_count(F.col("text")).alias("n_bpe")).collect()

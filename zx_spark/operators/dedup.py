@@ -8,10 +8,10 @@ cartesian scale-killer at 100 TB). The shapes:
 - MinHash:  shingles → k minhashes (JVM xxhash64) → b bands → explode →
             self-equi-join on (band, band_hash) → verify exact Jaccard on
             the candidate pairs only.
-- SimHash:  64-bit signature (Arrow-vectorized pandas UDF — genuine
-            bit-twiddling that built-ins can't express) → 4×16-bit chunk
-            bucket join (any pair within Hamming distance 3 shares ≥1 exact
-            chunk, pigeonhole) → verify with bit_count(xor).
+- SimHash:  64-bit signature (JVM-side: xxhash64 per token + one
+            F.aggregate ±1 accumulation over the 64 bit positions) →
+            4×16-bit chunk bucket join (any pair within Hamming distance 3
+            shares ≥1 exact chunk, pigeonhole) → verify with bit_count(xor).
 
 All signatures/hashes are seeded deterministically so results are stable
 across runs and match golden tests.
@@ -19,11 +19,8 @@ across runs and match golden tests.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 
 from zx_spark.functions.text import word_shingles
 
@@ -202,42 +199,62 @@ def near_dup_pairs(
     )
 
 
-def _simhash64_fn(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens — Arrow-batched, numpy-
-    vectorized per batch. Bit-parallel accumulation is the one dedup
-    primitive built-in expressions can't express efficiently (64 per-bit
-    weighted sums per row)."""
-    import numpy as np
+def _simhash_bit_counts(text: Column) -> Column:
+    """64-element ±1 per-bit accumulation over xxhash64 token hashes —
+    pure Catalyst (the same one-``F.aggregate``-pass pattern as
+    ``minhash_signature``). For each whitespace token: hash it JVM-side,
+    then add +1/-1 to each of the 64 bit positions depending on the hash
+    bit. No Python anywhere (the previous revision looped per byte in a
+    pandas UDF — orders of magnitude slower at scale)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_nos = F.sequence(F.lit(0), F.lit(63))
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_nos,
+                lambda b: F.when(
+                    F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == F.lit(1),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        # Deterministic 64-bit token hashes (FNV-1a), no Python hash()
-        # randomization.
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = 14695981039346656037
-            for ch in tok.encode("utf-8"):
-                h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        sig = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= 1 << b
-        if sig >= 1 << 63:
-            sig -= 1 << 64
-        out[i] = sig
-    return pd.Series(out)
+
+def _simhash_from_counts(acc: Column) -> Column:
+    """Fold the ±1 bit counts into one 64-bit signature: bit b set iff
+    acc[b] > 0. shiftleft(1, 63) wraps to the sign bit — two's-complement
+    long, matching ``bit_count(a ^ b)`` Hamming verification."""
+    bit_vals = F.zip_with(
+        acc,
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda a, b: F.call_function(
+            "shiftleft",
+            F.when(a > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            b,
+        ),
+    )
+    return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda s, v: s + v)
 
 
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    # pandas_udf parses its DDL type against the active session — build it
-    # lazily, not at import time.
-    udf = pandas_udf(_simhash64_fn, "long")
-    return _spread(df).withColumn(out_col, udf(F.col(text_col)))
+    """64-bit SimHash signature column — fully JVM-side (two projections:
+    bit-count accumulation, then bit packing; kept separate so the token
+    aggregation is evaluated once, not once per bit)."""
+    acc_col = "__simhash_acc"
+    return (
+        _spread(df)
+        .withColumn(acc_col, _simhash_bit_counts(F.col(text_col)))
+        .withColumn(out_col, _simhash_from_counts(F.col(acc_col)))
+        .drop(acc_col)
+    )
 
 
 def simhash_near_dup_pairs(
