@@ -86,11 +86,33 @@ _FILTER_ORACLE = (
     "round(sum(value), 3) AS sum_value FROM events WHERE {pred}"
 )
 
+# Paired form: one driver row checks a comparator AND its negation (keeps
+# all 12 F1 comparators oracle-verified inside the driver's 50-query cap).
+_FILTER_PAIR_ORACLE = (
+    "SELECT 'a' AS arm, count(*) AS n, min(event_id) AS min_id, "
+    "max(event_id) AS max_id, round(sum(value), 3) AS sum_value "
+    "FROM events WHERE {pred_a} "
+    "UNION ALL "
+    "SELECT 'b' AS arm, count(*) AS n, min(event_id) AS min_id, "
+    "max(event_id) AS max_id, round(sum(value), 3) AS sum_value "
+    "FROM events WHERE {pred_b}"
+)
+
 
 def _filter_query(cond: Condition, tagged: bool = False):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _events_tagged(spark, sf_dir) if tagged else _events(spark, sf_dir)
         return _id_set_agg(apply_conditions(df, [cond]))
+
+    return run
+
+
+def _filter_pair_query(cond_a: Condition, cond_b: Condition, tagged: bool = False):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _events_tagged(spark, sf_dir) if tagged else _events(spark, sf_dir)
+        a = _id_set_agg(apply_conditions(df, [cond_a])).select(F.lit("a").alias("arm"), "*")
+        b = _id_set_agg(apply_conditions(df, [cond_b])).select(F.lit("b").alias("arm"), "*")
+        return a.unionByName(b)
 
     return run
 
@@ -133,26 +155,73 @@ def _agg_query(sel: Select, rounds: dict[str, int]):
     return run
 
 
+# SURVEY §2.5 sample-rate weighting (the reference's defining observability
+# semantics, src/lib.rs:560-657): the driver events table has no
+# sample_rate column, so synthesize a deterministic one — rates
+# {1.0, 1.5, 2.0, 2.5} exercise both the float-rate path (SUM/COUNT) and
+# MEAN's integer-truncated rate (floor → {1, 1, 2, 2}).
+_RATE_SQL = "((1 + (event_id % 4) * 0.5)::double)"  # ::double — DuckDB decimal literal otherwise
+
+
+def _weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).withColumn(
+        "sample_rate",
+        F.lit(1.0) + F.pmod(F.col("event_id"), F.lit(4)).cast("double") * F.lit(0.5),
+    )
+
+
+def _weighted_agg_query(sel: Select, rounds: dict[str, int]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        q = Query(selects=[sel], group_by=["event_type"])
+        out = compile_query(
+            _weighted_events(spark, sf_dir), q, id_col="event_id", rate_col="sample_rate"
+        )
+        return _round(_floor_windows(out), rounds)
+
+    return run
+
+
 def q_a8_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 RAW through the real aggregate (sorted collect_list), then
+    exploded to scalar rows — the driver's canonicalizer can't hash
+    array-typed columns, and the exploded multiset pins the same
+    semantics."""
     q = Query(
         selects=[Select("value", Aggregate.RAW)],
         conditions=[Condition("value", Cmp.GT, 300.0)],
         group_by=["event_type"],
     )
     out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
-    return _floor_windows(out)
+    return _floor_windows(out).select(
+        "g_event_type",
+        "window_start",
+        "window_end",
+        F.explode("raw__value").alias("value"),
+    )
 
 
 HEAT_LO, HEAT_HI, HEAT_BINS = 0.0, 500.0, 10
 
 
 def q_a9_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 HEATMAP through the real histogram aggregate, posexploded to one
+    (group, bin_no, count) row per bin — scalar columns for the driver's
+    canonicalizer; zero bins stay present."""
     q = Query(
         selects=[Select("value", Aggregate.HEATMAP, params=(HEAT_LO, HEAT_HI, HEAT_BINS))],
         group_by=["event_type"],
     )
     out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
-    return _floor_windows(out)
+    return (
+        _floor_windows(out)
+        .select(
+            "g_event_type",
+            "window_start",
+            "window_end",
+            F.posexplode("heatmap__value").alias("bin_no", "heat_count"),
+        )
+        .withColumn("bin_no", F.col("bin_no").cast("long"))
+    )
 
 
 def q_w1_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,9 +238,10 @@ def q_w1_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_w1_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-exact data-aligned windows (sequential recurrence —
-    rows-only check; the per-window semantics are pinned by golden tests
-    against the reference fixture instead)."""
+    """Reference-exact data-aligned windows (sequential recurrence).
+    Oracle: the same recurrence as a DuckDB recursive CTE (see
+    oracle_sql), so the driver now hash-verifies the semantics the golden
+    tests pin at fixture scale."""
     q = Query(
         selects=[Select("value", Aggregate.SUM)],
         group_by=["event_type"],
@@ -309,17 +379,37 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard over within-source buckets (equi-join on source —
-    the SQL-expressible cousin of the MinHash path)."""
+    """Word-set Jaccard near-dup pairs, candidate-limited to (source,
+    length-bucket) equality — the SQL-expressible cousin of the MinHash
+    path. The log2 length bucket turns the former within-source all-pairs
+    product into a selective equi-join key: at scale each bucket holds only
+    similarly-sized docs, and docs whose sizes differ ≥2× (which can't
+    reach Jaccard 0.6 anyway... a pair straddling a bucket edge can be
+    missed — a documented candidate-generation tradeoff, identical in the
+    DuckDB oracle). The recall-exact path is dedup_minhash_pairs."""
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
-    d = _docs(spark, sf_dir).select("doc_id", "source", toks.alias("tokset"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        toks.alias("tokset"),
+    ).withColumn(
+        "len_bucket",
+        F.floor(F.log2(F.greatest(F.size("tokset"), F.lit(2)).cast("double"))).cast("long"),
+    )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset"))).cast("double")
     union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset"))).cast("double")
     return (
-        a.join(b, on=[F.col("a.source") == F.col("b.source"), F.col("a.doc_id") < F.col("b.doc_id")])
+        a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.len_bucket") == F.col("b.len_bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
@@ -356,9 +446,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH near-pair detection, self-seeded: the driver's random-ish
+    embeddings contain no cosine-0.9 pairs, so union each vector with a
+    deterministically perturbed copy (vec_id + 1_000_000). The LSH path
+    then provably finds the planted near-pairs (cosine ≈ 0.999) — a
+    non-vacuous end-to-end exercise of bucketing, multi-table union, and
+    cosine verification. Planted-pair recall is asserted in
+    tests/test_llm_pipeline.py."""
     from zx_spark.operators.similarity import rp_lsh_near_pairs
 
-    return rp_lsh_near_pairs(_emb(spark, sf_dir), dim=64, threshold=0.9)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.lit(0.01) * (F.pmod(i, F.lit(5)).cast("double") - F.lit(2.0)) / F.lit(2.0),
+        ).alias("embedding"),
+    )
+    return rp_lsh_near_pairs(emb.unionByName(planted), dim=64, threshold=0.9)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,38 +547,46 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode features posexploded to (doc_id, feature_no, feature_value)
+    scalar rows — the driver canonicalizer can't hash array columns."""
     from zx_spark.operators.multimodal import attach_media, decode_image
 
     media = attach_media(
         _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8")),
         "payload",
     )
-    return decode_image(media, decoder="fake", n_features=8)
-
-
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.operators.multimodal import attach_media, resize_image
-
-    media = attach_media(
-        _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8")),
-        "payload",
-    )
-    out = resize_image(media, 16, 16, decoder="fake")
-    return out.select("doc_id", F.length("media").alias("n_bytes"))
-
-
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.operators.multimodal import attach_media, sample_frames
-
-    media = attach_media(
-        _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8")),
-        "payload",
-    )
     return (
+        decode_image(media, decoder="fake", n_features=8)
+        .select("doc_id", F.posexplode("features").alias("feature_no", "feature_value"))
+        .withColumn("feature_no", F.col("feature_no").cast("long"))
+    )
+
+
+def q_multimodal_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize byte-contract + frame-sampling count in one driver row
+    (merged so the registry fits the driver's 50-query cap; both operators
+    still run end-to-end)."""
+    from zx_spark.operators.multimodal import attach_media, resize_image, sample_frames
+
+    media = attach_media(
+        _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8")),
+        "payload",
+    )
+    resized = resize_image(media, 16, 16, decoder="fake").select(
+        "doc_id", F.length("media").alias("n_bytes")
+    )
+    frames = (
         sample_frames(media, every_n_bytes=64, frame_bytes=16)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
+    return resized.join(frames, "doc_id")
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zx_spark.functions.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=5)
 
 
 # -------------------------------------------------------------- contract
@@ -492,22 +607,34 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The driver checks at most 50 registered queries — the registry is kept at
+# EXACTLY 50 (43 here + 7 PASSTHROUGH_SQL) so every entry gets a
+# CORRECTNESS row. F1 comparators are paired (op + negation per row) to fit.
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # S1 scan + F1 comparators (12)
+        # S1 scan + F1 comparators (12 comparators in 6 paired rows)
         "s1_time_scan": q_s1_time_scan,
-        "f1_eq": _filter_query(Condition("event_type", Cmp.EQ, "click")),
-        "f1_ne": _filter_query(Condition("event_type", Cmp.NE, "click")),
-        "f1_gt": _filter_query(Condition("value", Cmp.GT, 90.0)),
-        "f1_lt": _filter_query(Condition("value", Cmp.LT, 10.0)),
-        "f1_gte": _filter_query(Condition("value", Cmp.GTE, 90.0)),
-        "f1_lte": _filter_query(Condition("value", Cmp.LTE, 10.0)),
-        "f1_exists": _filter_query(Condition("tag", Cmp.EXISTS), tagged=True),
-        "f1_not_exists": _filter_query(Condition("tag", Cmp.NOT_EXISTS), tagged=True),
-        "f1_starts_with": _filter_query(Condition("event_type", Cmp.STARTS_WITH, "c")),
-        "f1_not_starts_with": _filter_query(Condition("event_type", Cmp.NOT_STARTS_WITH, "c")),
-        "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
-        "f1_not_contains": _filter_query(Condition("props", Cmp.NOT_CONTAINS, '"k": 7')),
+        "f1_eq_ne": _filter_pair_query(
+            Condition("event_type", Cmp.EQ, "click"),
+            Condition("event_type", Cmp.NE, "click"),
+        ),
+        "f1_gt_lt": _filter_pair_query(
+            Condition("value", Cmp.GT, 90.0), Condition("value", Cmp.LT, 10.0)
+        ),
+        "f1_gte_lte": _filter_pair_query(
+            Condition("value", Cmp.GTE, 90.0), Condition("value", Cmp.LTE, 10.0)
+        ),
+        "f1_exists_pair": _filter_pair_query(
+            Condition("tag", Cmp.EXISTS), Condition("tag", Cmp.NOT_EXISTS), tagged=True
+        ),
+        "f1_starts_with_pair": _filter_pair_query(
+            Condition("event_type", Cmp.STARTS_WITH, "c"),
+            Condition("event_type", Cmp.NOT_STARTS_WITH, "c"),
+        ),
+        "f1_contains_pair": _filter_pair_query(
+            Condition("props", Cmp.CONTAINS, '"k": 7'),
+            Condition("props", Cmp.NOT_CONTAINS, '"k": 7'),
+        ),
         # G1 / W1 / O1 / Q2
         "g1_group_nil": q_g1_group_nil,
         "w1_aligned_windows": q_w1_aligned,
@@ -516,7 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_top_groups": q_o1_top_groups,
         "q2_sql_zx_dialect": q_q2_sql_zx,
         "q2_sql_raw_projection": q_q2_sql_raw_projection,
-        # A1-A9
+        # A1-A9 + §2.5 sample-rate-weighted forms
         "a1_sum": _agg_query(Select("value", Aggregate.SUM), {"sum__value": 3}),
         "a2_max": _agg_query(Select("value", Aggregate.MAX), {}),
         "a3_min": _agg_query(Select("value", Aggregate.MIN), {}),
@@ -526,6 +653,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_p50": _agg_query(Select("value", Aggregate.P50), {"p50__value": 6}),
         "a8_raw": q_a8_raw,
         "a9_heatmap": q_a9_heatmap,
+        "a1_sum_weighted": _weighted_agg_query(
+            Select("value", Aggregate.SUM), {"sum__value": 2}
+        ),
+        "a4_count_weighted": _weighted_agg_query(
+            Select("value", Aggregate.COUNT), {"count__value": 2}
+        ),
+        "a6_mean_weighted": _weighted_agg_query(
+            Select("value", Aggregate.MEAN), {"mean__value": 6}
+        ),
         # LLM pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_kept": q_dedup_exact_kept,
@@ -539,25 +675,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_lang_counts": q_text_lang_counts,
+        "text_tfidf": q_text_tfidf,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
+        "multimodal_shapes": q_multimodal_shapes,
         "streaming_windowed_agg": q_streaming_windowed,
     }
     for name, sql in PASSTHROUGH_SQL.items():
         qs[name] = _passthrough(sql)
+    assert len(qs) <= 50, f"driver checks only 50 queries; registry has {len(qs)}"
     return qs
 
 
-def _heatmap_bucket_sql(col: str, lo: float, hi: float, bins: int) -> str:
-    w = (hi - lo) / bins
-    bucket = f"least(greatest(floor(({col} - {lo}) / {w}), 0), {bins - 1})"
-    items = ", ".join(
-        f"coalesce(sum(CASE WHEN {col} IS NOT NULL AND {bucket} = {i} THEN 1 ELSE 0 END), 0)::double"
-        for i in range(bins)
-    )
-    return f"[{items}]"
+# Stable single-comparator callables for bench.py (timings comparable with
+# the round-2 pinned baseline, which timed f1_contains alone).
+BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
+}
 
 
 _WINDOW_COLS = (
@@ -586,21 +720,26 @@ def oracle_sql() -> dict[str, str]:
         "s1_time_scan": _FILTER_ORACLE.format(
             pred=f"epoch(ts) >= {T0} AND epoch(ts) <= {T1}"
         ),
-        "f1_eq": _FILTER_ORACLE.format(pred="event_type = 'click'"),
-        "f1_ne": _FILTER_ORACLE.format(pred="event_type != 'click'"),
-        "f1_gt": _FILTER_ORACLE.format(pred="value > 90.0"),
-        "f1_lt": _FILTER_ORACLE.format(pred="value < 10.0"),
-        "f1_gte": _FILTER_ORACLE.format(pred="value >= 90.0"),
-        "f1_lte": _FILTER_ORACLE.format(pred="value <= 10.0"),
-        "f1_exists": _FILTER_ORACLE.format(pred="nullif(event_type, 'view') IS NOT NULL"),
-        "f1_not_exists": _FILTER_ORACLE.format(pred="nullif(event_type, 'view') IS NULL"),
-        "f1_starts_with": _FILTER_ORACLE.format(pred="starts_with(event_type, 'c')"),
-        "f1_not_starts_with": _FILTER_ORACLE.format(
-            pred="event_type IS NOT NULL AND NOT starts_with(event_type, 'c')"
+        "f1_eq_ne": _FILTER_PAIR_ORACLE.format(
+            pred_a="event_type = 'click'", pred_b="event_type != 'click'"
         ),
-        "f1_contains": _FILTER_ORACLE.format(pred="contains(props, '\"k\": 7')"),
-        "f1_not_contains": _FILTER_ORACLE.format(
-            pred="props IS NOT NULL AND NOT contains(props, '\"k\": 7')"
+        "f1_gt_lt": _FILTER_PAIR_ORACLE.format(
+            pred_a="value > 90.0", pred_b="value < 10.0"
+        ),
+        "f1_gte_lte": _FILTER_PAIR_ORACLE.format(
+            pred_a="value >= 90.0", pred_b="value <= 10.0"
+        ),
+        "f1_exists_pair": _FILTER_PAIR_ORACLE.format(
+            pred_a="nullif(event_type, 'view') IS NOT NULL",
+            pred_b="nullif(event_type, 'view') IS NULL",
+        ),
+        "f1_starts_with_pair": _FILTER_PAIR_ORACLE.format(
+            pred_a="starts_with(event_type, 'c')",
+            pred_b="event_type IS NOT NULL AND NOT starts_with(event_type, 'c')",
+        ),
+        "f1_contains_pair": _FILTER_PAIR_ORACLE.format(
+            pred_a="contains(props, '\"k\": 7')",
+            pred_b="props IS NOT NULL AND NOT contains(props, '\"k\": 7')",
         ),
         "g1_group_nil": (
             "SELECT coalesce(nullif(event_type, 'view'), '__nil') AS g_tag, "
@@ -683,15 +822,78 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY coalesce(event_type, '__nil')"
         ),
         "a8_raw": (
-            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
-            f"{_WINDOW_COLS}, list_sort(list(value)) AS raw__value "
-            "FROM events WHERE value > 300.0 GROUP BY coalesce(event_type, '__nil')"
+            # Exploded RAW multiset: every surviving value, one scalar row,
+            # carrying its group's first/last-event window bounds.
+            "WITH f AS (SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "epoch(ts) AS e, value FROM events WHERE value > 300.0), "
+            "w AS (SELECT g_event_type, floor(min(e))::bigint AS window_start, "
+            "floor(max(e))::bigint AS window_end FROM f GROUP BY g_event_type) "
+            "SELECT f.g_event_type, w.window_start, w.window_end, f.value "
+            "FROM f JOIN w ON f.g_event_type = w.g_event_type"
         ),
         "a9_heatmap": (
+            # One (group, bin_no, count) row per bin — zero bins included.
+            "WITH w AS (SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "floor(min(epoch(ts)))::bigint AS window_start, "
+            "floor(max(epoch(ts)))::bigint AS window_end "
+            "FROM events GROUP BY coalesce(event_type, '__nil')), "
+            "c AS (SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"least(greatest(floor((value - {HEAT_LO}) / {(HEAT_HI - HEAT_LO) / HEAT_BINS}), 0), {HEAT_BINS - 1})::bigint AS bin_no, "
+            "count(*)::double AS heat_count FROM events WHERE value IS NOT NULL "
+            "GROUP BY 1, 2), "
+            f"b AS (SELECT unnest(generate_series(0, {HEAT_BINS - 1}))::bigint AS bin_no) "
+            "SELECT w.g_event_type, w.window_start, w.window_end, b.bin_no, "
+            "coalesce(c.heat_count, 0)::double AS heat_count "
+            "FROM w CROSS JOIN b "
+            "LEFT JOIN c ON c.g_event_type = w.g_event_type AND c.bin_no = b.bin_no"
+        ),
+        "a1_sum_weighted": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "
             f"{_WINDOW_COLS}, "
-            f"{_heatmap_bucket_sql('value', HEAT_LO, HEAT_HI, HEAT_BINS)} AS heatmap__value "
+            f"round(sum(coalesce(value, 0) * {_RATE_SQL}), 2) AS sum__value "
             "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a4_count_weighted": (
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, "
+            f"round(sum(CASE WHEN value IS NOT NULL THEN {_RATE_SQL} ELSE 0 END), 2) "
+            "AS count__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "a6_mean_weighted": (
+            # MEAN truncates the rate to an integer (reference parses it as
+            # isize, src/lib.rs:643-646).
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, "
+            f"round(sum(CASE WHEN value IS NOT NULL THEN value * floor({_RATE_SQL}) END) "
+            f"/ sum(CASE WHEN value IS NOT NULL THEN floor({_RATE_SQL}) END), 6) "
+            "AS mean__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "w1_faithful_windows": (
+            # The reference's sequential data-aligned recurrence as a
+            # recursive CTE: walk rows per group in id order, carry the
+            # window start; a row with ts - start > g is DROPPED but seeds
+            # the next window's start (windows.py:135-163 semantics).
+            "WITH RECURSIVE ordered AS ("
+            "SELECT coalesce(event_type, '__nil') AS g, epoch(ts) AS e, "
+            "coalesce(value, 0) AS v, "
+            "row_number() OVER (PARTITION BY coalesce(event_type, '__nil') "
+            "ORDER BY event_id) AS rn FROM events), "
+            "walk AS ("
+            "SELECT g, rn, e, v, e AS win_start, 0 AS wno, true AS kept "
+            "FROM ordered WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT o.g, o.rn, o.e, o.v, "
+            "CASE WHEN o.e - w.win_start <= 600.0 THEN w.win_start ELSE o.e END, "
+            "CASE WHEN o.e - w.win_start <= 600.0 THEN w.wno ELSE w.wno + 1 END, "
+            "o.e - w.win_start <= 600.0 "
+            "FROM walk w JOIN ordered o ON o.g = w.g AND o.rn = w.rn + 1) "
+            "SELECT g AS g_event_type, "
+            "floor(min(win_start))::bigint AS window_start, "
+            "floor(arg_max(e, rn))::bigint AS window_end, "
+            "round(sum(v), 3) AS sum__value "
+            "FROM walk WHERE kept GROUP BY g, wno"
         ),
         "dedup_exact_groups": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
@@ -702,11 +904,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_wordset_pairs": (
             "WITH d AS (SELECT doc_id, source, "
-            f"list_distinct({_TOKS}) AS tokset FROM documents) "
+            f"list_distinct({_TOKS}) AS tokset, "
+            f"floor(log2(greatest(len(list_distinct({_TOKS})), 2)::double))::bigint AS len_bucket "
+            "FROM documents) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "round(len(list_intersect(a.tokset, b.tokset))::double / "
             "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) AS jaccard "
-            "FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id "
+            "FROM d a JOIN d b ON a.source = b.source "
+            "AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id "
             "WHERE round(len(list_intersect(a.tokset, b.tokset))::double / "
             "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) >= 0.6"
         ),
@@ -751,13 +956,26 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang_pred FROM s) "
             "SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred"
         ),
-        "multimodal_frames": (
-            "SELECT doc_id, greatest(floor(octet_length(encode(text)) / 64)::int, 1)::bigint AS n_frames "
-            "FROM documents"
+        "text_tfidf": (
+            "WITH ex AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS token "
+            f"FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)), "
+            "tf AS (SELECT doc_id, token, any_value(n_toks) AS n_toks, "
+            "count(*) AS cnt FROM ex GROUP BY doc_id, token), "
+            "dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token), "
+            "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
+            "sc AS (SELECT doc_id, tf.token, "
+            "round((cnt::double / n_toks) * ln(n_docs::double / dfc), 6) AS tfidf "
+            "FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, token) AS rn FROM sc) "
+            "SELECT doc_id, token, tfidf FROM r WHERE rn <= 5"
         ),
-        "multimodal_resize": (
-            # Resize contract: every doc yields exactly width*height bytes.
-            "SELECT doc_id, 256::int AS n_bytes FROM documents"
+        "multimodal_shapes": (
+            # Resize contract (every doc → exactly width*height bytes) +
+            # frame-sampling count, one row per doc.
+            "SELECT doc_id, 256::int AS n_bytes, "
+            "greatest(floor(octet_length(encode(text)) / 64)::int, 1)::bigint AS n_frames "
+            "FROM documents"
         ),
         "streaming_windowed_agg": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "

@@ -51,6 +51,9 @@ def main() -> None:
     spark = get_spark("zx_spark_bench")
 
     qs = entry.queries()
+    # Single-comparator callables kept outside the (capped) driver registry
+    # so headline timings stay comparable with the pinned r2 baseline.
+    qs.update(entry.BENCH_COMPAT)
     # Warm the JVM/session on a trivial action so query timings measure the
     # engine, not first-stage setup.
     spark.range(1).count()

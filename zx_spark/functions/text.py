@@ -9,7 +9,7 @@ pipeline: quality scoring, language id, token counting, fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
@@ -107,6 +107,50 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return F.when(F.size(toks) > 0, shingles).otherwise(F.array(F.lit("")))
+
+
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, token) TF-IDF weights: ``tf = count(token in doc) /
+    n_tokens(doc)``, ``idf = ln(N_docs / doc_freq(token))``, rounded to 6dp.
+
+    Distributed shape: explode → one hash aggregation per (doc, token) →
+    one per token for document frequency → join back (the token-frequency
+    side is orders of magnitude smaller than the corpus; AQE broadcasts it
+    when it fits) → cross join with the single-row corpus count
+    (broadcast). No collect, no window over the whole corpus.
+    """
+    toks = _tokens(F.col(text_col))
+    ex = df.select(
+        F.col(id_col), F.size(toks).alias("__n_toks"), F.explode(toks).alias("token")
+    )
+    tf = ex.groupBy(id_col, "token", "__n_toks").agg(F.count(F.lit(1)).alias("__cnt"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n_docs"))
+    score = (F.col("__cnt") / F.col("__n_toks")) * F.log(
+        F.col("__n_docs") / F.col("__df")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(F.col(id_col), F.col("token"), F.round(score, 6).alias("tfidf"))
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (deterministic tie-break on the
+    rounded score then token) — the usual keyword-extraction shape. One
+    extra shuffle on ``id_col`` for the per-doc row_number."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf_idf(df, text_col, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def document_fingerprint(text: Column, n: int = 5, mod: int = 8) -> Column:
