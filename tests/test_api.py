@@ -52,3 +52,17 @@ def test_granularity_units():
     assert parse_zx_sql("select count(x) granularity 15").granularity_s == 15.0
     with pytest.raises(ZxSqlError):
         parse_zx_sql("select count(x) granularity soon")
+
+
+def test_sparse_insert_columns_survive(spark, tmp_path):
+    # A column present only in earlier files must not vanish when later
+    # sparse inserts append files without it (ADVICE r2: mergeSchema +
+    # null-filled insert rows).
+    path = str(tmp_path / "sparse_store")
+    zx = ZX(spark, events_path=path, rate_col=None)
+    zx.i(ts=100.0, foo="1", rare="only_here")
+    zx.i(ts=101.0, foo="2")
+    cols = set(zx.events().columns)
+    assert "rare" in cols
+    vals = {r["rare"] for r in zx.events().select("rare").collect()}
+    assert vals == {"only_here", None}

@@ -29,3 +29,13 @@ def test_salted_join_left(spark):
     out = salted_join(big, small, "k", salts=4, how="left")
     assert out.count() == 50
     assert out.filter(F.col("name").isNull()).count() == 40  # unmatched keys kept
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    big = spark.range(0, 5).select(F.col("id").alias("k"))
+    small = spark.range(0, 2).select(F.col("id").alias("k"), F.lit("x").alias("name"))
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)

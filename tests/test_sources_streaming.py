@@ -83,3 +83,23 @@ def test_streaming_windowed_agg(spark, tmp_path):
     assert rows[("a", 0.0)] == (30.0, 2.0)
     assert rows[("b", 60.0)] == (5.0, 1.0)
     assert rows[("__nil", 60.0)] == (7.0, 1.0)
+
+
+def test_epoch_unit_heuristic(spark):
+    # bigint ts in seconds / millis / micros / nanos must all normalize to
+    # the same instant (ADVICE r2: micros/nanos previously misread).
+    base_s = 1704067200
+    df = rows_to_events(
+        spark,
+        [
+            {"k": "s", "ts": base_s},
+            {"k": "ms", "ts": base_s * 1_000 + 123},
+            {"k": "us", "ts": base_s * 1_000_000 + 123_456},
+            {"k": "ns", "ts": base_s * 1_000_000_000 + 123_456_789},
+        ],
+    )
+    got = {r["k"]: r["ts"].timestamp() for r in df.collect()}
+    assert got["s"] == base_s
+    assert abs(got["ms"] - (base_s + 0.123)) < 1e-6
+    assert abs(got["us"] - (base_s + 0.123456)) < 1e-9
+    assert abs(got["ns"] - (base_s + 0.123456)) < 1e-9  # nanos truncate to micros

@@ -88,3 +88,11 @@ def test_passthrough_runs_spark_sql(spark):
     zx_fixture(spark).createOrReplaceTempView("zx_events_view")
     out = zx_sql(spark, "select count(*) as n from zx_events_view where y is not null")
     assert out.collect()[0]["n"] == 3
+
+
+def test_quoted_from_not_passthrough():
+    # 'from' inside a string literal must not route to spark.sql.
+    q = parse_zx_sql("select count(value) where event_type like 'from x'")
+    assert not isinstance(q, Passthrough)
+    assert q.conditions[0].column == "event_type"
+    assert q.conditions[0].value == "from x"

@@ -54,7 +54,10 @@ class ZX:
 
     def events(self) -> DataFrame:
         if self.events_path is not None:
-            return self.spark.read.parquet(self.events_path)
+            # mergeSchema: sparse inserts append files whose footers carry
+            # only their own columns; without merging, columns present only
+            # in other files would silently vanish from the store view.
+            return self.spark.read.option("mergeSchema", "true").parquet(self.events_path)
         return self._events_df
 
     def df(self, text: str) -> DataFrame:
@@ -98,18 +101,22 @@ class ZX:
             ts = _dt.datetime.now(tz=_dt.timezone.utc).timestamp()
         row = {"ts": _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc), **columns}
         df = self.spark.createDataFrame([row])
-        existing_ids = 0
-        try:
-            existing_ids = (
-                self.spark.read.parquet(self.events_path)
-                .selectExpr(f"max(`{self._cols['id_col']}`) m")
-                .collect()[0]["m"]
-                or 0
-            )
-        except Exception:
-            pass  # empty/new store
         from pyspark.sql import functions as F
 
+        existing_ids = 0
+        try:
+            store = self.spark.read.option("mergeSchema", "true").parquet(self.events_path)
+            existing_ids = (
+                store.selectExpr(f"max(`{self._cols['id_col']}`) m").collect()[0]["m"] or 0
+            )
+            # Align the insert row to the store schema (null-fill columns
+            # this sparse row doesn't set) so any single file footer still
+            # describes every column.
+            for field in store.schema.fields:
+                if field.name not in df.columns:
+                    df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        except Exception:
+            pass  # empty/new store
         df = df.withColumn(self._cols["id_col"], F.lit(int(existing_ids) + 1).cast("long"))
         write_events(df, self.events_path, partition_by_day=False)
 

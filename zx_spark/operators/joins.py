@@ -36,6 +36,11 @@ def salted_join(
     modest dim, one hot key)."""
     if salts < 1:
         raise ValueError(f"salts must be >= 1, got {salts}")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # Replicating the small side salts× would emit each unmatched
+        # small-side row salts times under right/full-outer joins —
+        # silently wrong results, so refuse.
+        raise ValueError(f"salted_join supports inner/left/semi/anti joins, got {how!r}")
     b = big.withColumn(SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"))
     s = small.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(salts)]))

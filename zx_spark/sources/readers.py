@@ -29,13 +29,19 @@ def _normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     if isinstance(dt, T.TimestampType):
         return df
     if isinstance(dt, (T.LongType, T.IntegerType)):
-        # Heuristic epoch unit: values beyond year ~5138 in seconds are
-        # millis. One expression, no data pass.
+        # Heuristic epoch unit by magnitude: > 1e16 → nanos (the driver's
+        # own parquet format arrives as bigint nanos under nanosAsLong),
+        # > 1e14 → micros, > ~1e11 → millis, else seconds. Integer `div`
+        # for nanos — doubles can't represent 1e18 exactly.
         return df.withColumn(
             ts_col,
-            F.when(col > F.lit(99_999_999_999), F.timestamp_millis(col)).otherwise(
-                F.timestamp_seconds(col)
-            ),
+            F.when(
+                col > F.lit(10_000_000_000_000_000),
+                F.expr(f"timestamp_micros(`{ts_col}` div 1000)"),
+            )
+            .when(col > F.lit(100_000_000_000_000), F.timestamp_micros(col))
+            .when(col > F.lit(99_999_999_999), F.timestamp_millis(col))
+            .otherwise(F.timestamp_seconds(col)),
         )
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return df.withColumn(ts_col, F.timestamp_seconds(col))

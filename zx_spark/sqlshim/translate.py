@@ -86,10 +86,14 @@ def parse_zx_sql(
     low = re.sub(r"\s+", " ", original.lower()).strip()  # src/lib.rs:818-820
     if not low.startswith("select"):
         raise ZxSqlError("query must start with SELECT (src/lib.rs:821-823)")
-    if re.search(r"\bfrom\b", low):
+    # Clause keywords must be detected OUTSIDE string literals — a quoted
+    # value like `... like 'from x'` is not a FROM clause. The mask keeps
+    # offsets (same-length replacement) so spans slice the real text.
+    masked = _mask_quoted(low)
+    if re.search(r"\bfrom\b", masked):
         return Passthrough(sql=original)
 
-    clauses = _split_clauses(low)
+    clauses = _split_clauses(low, masked)
     q = Query(granularity_s=granularity_s)
     if compat.faithful_windows:
         q.window_mode = "faithful"
@@ -161,8 +165,18 @@ def zx_sql(
     return compile_query(df, q, **compile_kwargs)
 
 
-def _split_clauses(low: str) -> dict[str, str]:
-    bounds = [(m.start(), m.end(), re.sub(r"\s+", " ", m.group(0))) for m in _CLAUSES.finditer(low)]
+_QUOTED = re.compile(r"'[^']*'|\"[^\"]*\"")
+
+
+def _mask_quoted(s: str) -> str:
+    """Blank the inside of string literals (length-preserving) so clause
+    scans never match keywords inside quoted values."""
+    return _QUOTED.sub(lambda m: m.group(0)[0] + " " * (len(m.group(0)) - 2) + m.group(0)[0], s)
+
+
+def _split_clauses(low: str, masked: str | None = None) -> dict[str, str]:
+    masked = masked if masked is not None else _mask_quoted(low)
+    bounds = [(m.start(), m.end(), re.sub(r"\s+", " ", m.group(0))) for m in _CLAUSES.finditer(masked)]
     clauses: dict[str, str] = {}
     spans = [(0, len("select"), "select")] + bounds + [(len(low), len(low), "")]
     for (_, end, kw), (nxt_start, _, _) in zip(spans, spans[1:]):
