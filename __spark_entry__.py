@@ -970,6 +970,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY tfidf DESC, token) AS rn FROM sc) "
             "SELECT doc_id, token, tfidf FROM r WHERE rn <= 5"
         ),
+        "multimodal_decode": (
+            # The fake decoder is deliberately md5-derived (multimodal.py
+            # _fake_decode) so DuckDB can reproduce the mapInPandas output
+            # value-for-value: feature i of a doc is
+            # md5(utf8(text) + ':' + i) first-8-hex-digits mod 10000 / 1e4.
+            "SELECT doc_id, feature_no, "
+            "(('0x' || substr(md5(text || ':' || feature_no), 1, 8))::bigint "
+            " % 10000) / 10000.0 AS feature_value "
+            "FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 7)) AS feature_no)"
+        ),
         "multimodal_shapes": (
             # Resize contract (every doc → exactly width*height bytes) +
             # frame-sampling count, one row per doc.

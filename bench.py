@@ -58,14 +58,15 @@ def main() -> None:
     # engine, not first-stage setup.
     spark.range(1).count()
 
-    # Best-of-2 per query: this host shows 10-25x noisy-neighbor stalls on
+    # Best-of-3 per query: this host shows 10-25x noisy-neighbor stalls on
     # identical plans (measured: the same stage at 1.4s and 50s back to
-    # back); min-of-k isolates engine time from machine noise.
+    # back, and dedup_minhash at 2.3s vs 11.6s within one session);
+    # min-of-k isolates engine time from machine noise.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, rows = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             rows = fn(spark, sf_dir).count()
             el = time.time() - t0

@@ -59,15 +59,19 @@ def attach_media(
 
 
 def _fake_decode(payload: bytes, n_features: int) -> list[float]:
-    """Deterministic stand-in for a real decoder: derive ``n_features``
-    floats from a rolling byte hash. Stable across runs/partitions."""
-    h = 1469598103934665603
-    feats = []
+    """Deterministic stand-in for a real decoder: feature ``i`` is derived
+    from ``md5(payload + b":" + str(i))``. Stable across runs/partitions,
+    and — deliberately — reproducible in ANSI SQL
+    (``('0x' || substr(md5(text || ':' || i), 1, 8))::bigint``) so the
+    driver's DuckDB oracle can verify the full mapInPandas path
+    value-for-value, not just row counts."""
+    import hashlib
+
     if payload is None:
         payload = b""
+    feats = []
     for i in range(n_features):
-        for b_ in payload[i::n_features] or b"\x00":
-            h = ((h ^ b_) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        h = int(hashlib.md5(payload + b":%d" % i).hexdigest()[:8], 16)
         feats.append((h % 10_000) / 10_000.0)
     return feats
 
