@@ -86,17 +86,17 @@ _FILTER_ORACLE = (
     "round(sum(value), 3) AS sum_value FROM events WHERE {pred}"
 )
 
-# Paired form: one driver row checks a comparator AND its negation (keeps
-# all 12 F1 comparators oracle-verified inside the driver's 50-query cap).
-_FILTER_PAIR_ORACLE = (
-    "SELECT 'a' AS arm, count(*) AS n, min(event_id) AS min_id, "
-    "max(event_id) AS max_id, round(sum(value), 3) AS sum_value "
-    "FROM events WHERE {pred_a} "
-    "UNION ALL "
-    "SELECT 'b' AS arm, count(*) AS n, min(event_id) AS min_id, "
-    "max(event_id) AS max_id, round(sum(value), 3) AS sum_value "
-    "FROM events WHERE {pred_b}"
-)
+# Multi-arm form: one driver row checks several comparators (keeps all 12
+# F1 comparators oracle-verified inside the driver's 50-query cap).
+def _filter_arms_oracle(*preds: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{chr(ord('a') + i)}' AS arm, count(*) AS n, "
+        "min(event_id) AS min_id, max(event_id) AS max_id, "
+        f"round(sum(value), 3) AS sum_value FROM events WHERE {p}"
+        for i, p in enumerate(preds)
+    )
+
+
 
 
 def _filter_query(cond: Condition, tagged: bool = False):
@@ -107,14 +107,29 @@ def _filter_query(cond: Condition, tagged: bool = False):
     return run
 
 
-def _filter_pair_query(cond_a: Condition, cond_b: Condition, tagged: bool = False):
+def _filter_multi_query(*conds: Condition, tagged: bool = False):
+    """N comparators in one driver row: arm 'a'..'d' per condition, each an
+    id-set aggregate — keeps all 12 F1 comparators oracle-verified inside
+    the driver's 50-query cap."""
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _events_tagged(spark, sf_dir) if tagged else _events(spark, sf_dir)
-        a = _id_set_agg(apply_conditions(df, [cond_a])).select(F.lit("a").alias("arm"), "*")
-        b = _id_set_agg(apply_conditions(df, [cond_b])).select(F.lit("b").alias("arm"), "*")
-        return a.unionByName(b)
+        arms = [
+            _id_set_agg(apply_conditions(df, [cond])).select(
+                F.lit(chr(ord("a") + i)).alias("arm"), "*"
+            )
+            for i, cond in enumerate(conds)
+        ]
+        out = arms[0]
+        for a in arms[1:]:
+            out = out.unionByName(a)
+        return out
 
     return run
+
+
+def _filter_pair_query(cond_a: Condition, cond_b: Condition, tagged: bool = False):
+    return _filter_multi_query(cond_a, cond_b, tagged=tagged)
 
 
 # ------------------------------------------------------- core zx queries
@@ -589,6 +604,68 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=5)
 
 
+def _events_keyed_secs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, etype, sec) with null event types folded to __nil and
+    whole-second timestamps — the integer time axis both engines agree on."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.coalesce("event_type", F.lit("__nil")).alias("etype"),
+        F.floor(F.col("ts").cast("double")).cast("long").alias("sec"),
+    )
+
+
+def q_asof_join_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py asof_join): every event is
+    enriched with the most recent 'mark' at-or-before it in its type —
+    the trades↔quotes shape. Marks are a deterministic downsample of the
+    events table (every 20th id, deduped per (type, sec)) so DuckDB's
+    native ASOF JOIN reproduces it exactly."""
+    from zx_spark.operators.joins import asof_join
+
+    left = _events_keyed_secs(spark, sf_dir)
+    marks = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 20 == 0)
+        .groupBy(
+            F.coalesce("event_type", F.lit("__nil")).alias("etype"),
+            F.floor(F.col("ts").cast("double")).cast("long").alias("sec"),
+        )
+        .agg(F.max("value").cast("double").alias("mark_value"))
+    )
+    return asof_join(
+        left, marks, on=["etype"], left_ts="sec", right_ts="sec",
+        right_cols=["mark_value"], how="left",
+    )
+
+
+def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-containment join (operators/joins.py range_join):
+    each high-value event opens a [t, t+3600] incident window; count the
+    events of the same type inside each window. The equi-join-on-bins plan
+    replaces the O(n·m) nested-loop Spark would otherwise pick."""
+    from zx_spark.operators.joins import range_join
+
+    left = _events_keyed_secs(spark, sf_dir)
+    incidents = (
+        _events(spark, sf_dir)
+        .filter(F.col("value") > 300)
+        .select(
+            F.coalesce("event_type", F.lit("__nil")).alias("etype"),
+            F.floor(F.col("ts").cast("double")).cast("long").alias("inc_start"),
+        )
+        .distinct()
+        .withColumn("inc_end", F.col("inc_start") + 3600)
+    )
+    return (
+        range_join(
+            left, incidents, point_col="sec", start_col="inc_start",
+            end_col="inc_end", on=["etype"], bin_width=3600,
+        )
+        .groupBy("etype", "inc_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # -------------------------------------------------------------- contract
 
 
@@ -618,20 +695,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Condition("event_type", Cmp.EQ, "click"),
             Condition("event_type", Cmp.NE, "click"),
         ),
-        "f1_gt_lt": _filter_pair_query(
-            Condition("value", Cmp.GT, 90.0), Condition("value", Cmp.LT, 10.0)
-        ),
-        "f1_gte_lte": _filter_pair_query(
-            Condition("value", Cmp.GTE, 90.0), Condition("value", Cmp.LTE, 10.0)
+        "f1_order_cmps": _filter_multi_query(
+            Condition("value", Cmp.GT, 90.0),
+            Condition("value", Cmp.LT, 10.0),
+            Condition("value", Cmp.GTE, 90.0),
+            Condition("value", Cmp.LTE, 10.0),
         ),
         "f1_exists_pair": _filter_pair_query(
             Condition("tag", Cmp.EXISTS), Condition("tag", Cmp.NOT_EXISTS), tagged=True
         ),
-        "f1_starts_with_pair": _filter_pair_query(
+        "f1_string_cmps": _filter_multi_query(
             Condition("event_type", Cmp.STARTS_WITH, "c"),
             Condition("event_type", Cmp.NOT_STARTS_WITH, "c"),
-        ),
-        "f1_contains_pair": _filter_pair_query(
             Condition("props", Cmp.CONTAINS, '"k": 7'),
             Condition("props", Cmp.NOT_CONTAINS, '"k": 7'),
         ),
@@ -680,6 +755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_shapes": q_multimodal_shapes,
         "streaming_windowed_agg": q_streaming_windowed,
+        # Joins Spark lacks natively, scale-first formulations
+        "asof_join_marks": q_asof_join_marks,
+        "range_join_incidents": q_range_join_incidents,
     }
     for name, sql in PASSTHROUGH_SQL.items():
         qs[name] = _passthrough(sql)
@@ -720,26 +798,21 @@ def oracle_sql() -> dict[str, str]:
         "s1_time_scan": _FILTER_ORACLE.format(
             pred=f"epoch(ts) >= {T0} AND epoch(ts) <= {T1}"
         ),
-        "f1_eq_ne": _FILTER_PAIR_ORACLE.format(
-            pred_a="event_type = 'click'", pred_b="event_type != 'click'"
+        "f1_eq_ne": _filter_arms_oracle(
+            "event_type = 'click'", "event_type != 'click'"
         ),
-        "f1_gt_lt": _FILTER_PAIR_ORACLE.format(
-            pred_a="value > 90.0", pred_b="value < 10.0"
+        "f1_order_cmps": _filter_arms_oracle(
+            "value > 90.0", "value < 10.0", "value >= 90.0", "value <= 10.0"
         ),
-        "f1_gte_lte": _FILTER_PAIR_ORACLE.format(
-            pred_a="value >= 90.0", pred_b="value <= 10.0"
+        "f1_exists_pair": _filter_arms_oracle(
+            "nullif(event_type, 'view') IS NOT NULL",
+            "nullif(event_type, 'view') IS NULL",
         ),
-        "f1_exists_pair": _FILTER_PAIR_ORACLE.format(
-            pred_a="nullif(event_type, 'view') IS NOT NULL",
-            pred_b="nullif(event_type, 'view') IS NULL",
-        ),
-        "f1_starts_with_pair": _FILTER_PAIR_ORACLE.format(
-            pred_a="starts_with(event_type, 'c')",
-            pred_b="event_type IS NOT NULL AND NOT starts_with(event_type, 'c')",
-        ),
-        "f1_contains_pair": _FILTER_PAIR_ORACLE.format(
-            pred_a="contains(props, '\"k\": 7')",
-            pred_b="props IS NOT NULL AND NOT contains(props, '\"k\": 7')",
+        "f1_string_cmps": _filter_arms_oracle(
+            "starts_with(event_type, 'c')",
+            "event_type IS NOT NULL AND NOT starts_with(event_type, 'c')",
+            "contains(props, '\"k\": 7')",
+            "props IS NOT NULL AND NOT contains(props, '\"k\": 7')",
         ),
         "g1_group_nil": (
             "SELECT coalesce(nullif(event_type, 'view'), '__nil') AS g_tag, "
@@ -987,6 +1060,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 256::int AS n_bytes, "
             "greatest(floor(octet_length(encode(text)) / 64)::int, 1)::bigint AS n_frames "
             "FROM documents"
+        ),
+        "asof_join_marks": (
+            # DuckDB's native ASOF JOIN is the oracle for the Spark-side
+            # union+window formulation (operators/joins.py asof_join).
+            "WITH l AS (SELECT event_id, coalesce(event_type, '__nil') AS etype, "
+            "floor(epoch(ts))::bigint AS sec FROM events), "
+            "m AS (SELECT coalesce(event_type, '__nil') AS etype, "
+            "floor(epoch(ts))::bigint AS sec, max(value)::double AS mark_value "
+            "FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2) "
+            "SELECT l.event_id, l.etype, l.sec, m.mark_value "
+            "FROM l ASOF LEFT JOIN m ON l.etype = m.etype AND l.sec >= m.sec"
+        ),
+        "range_join_incidents": (
+            # Plain inequality join is the oracle for the bucketed
+            # equi-join-on-bins formulation (operators/joins.py range_join).
+            "WITH l AS (SELECT coalesce(event_type, '__nil') AS etype, "
+            "floor(epoch(ts))::bigint AS sec FROM events), "
+            "i AS (SELECT DISTINCT coalesce(event_type, '__nil') AS etype, "
+            "floor(epoch(ts))::bigint AS inc_start FROM events WHERE value > 300) "
+            "SELECT i.etype, i.inc_start, count(*) AS n_events "
+            "FROM i JOIN l ON l.etype = i.etype "
+            "AND l.sec BETWEEN i.inc_start AND i.inc_start + 3600 "
+            "GROUP BY 1, 2"
         ),
         "streaming_windowed_agg": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "

@@ -1,0 +1,137 @@
+"""asof_join and range_join: brute-force equivalence + plan shape.
+
+The brute-force twins are the O(n·m) formulations the operators exist to
+avoid — equality on small data pins the semantics, the plan assertions pin
+that the scale formulation is actually used (equi-join / single window
+pass, no nested-loop)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from zx_spark.operators.joins import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        # (trade_id, sym, t)
+        (1, "A", 5), (2, "A", 10), (3, "A", 10), (4, "A", 99),
+        (5, "B", 3), (6, "B", 50), (7, None, 7), (8, "C", 1),
+    ]
+    return spark.createDataFrame(rows, "trade_id long, sym string, t long")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        # (sym, t, px) — unique per (sym, t); includes a NULL px row and a
+        # quote exactly AT a trade timestamp (t=10) to pin <= semantics.
+        ("A", 4, 1.0), ("A", 10, 2.0), ("A", 60, None),
+        ("B", 3, 9.0), ("D", 1, 7.0),
+    ]
+    return spark.createDataFrame(rows, "sym string, t long, px double")
+
+
+def _brute_asof(spark, trades, quotes):
+    """O(n·m) reference: for each trade, the quote with max t' <= t."""
+    j = trades.alias("l").join(
+        quotes.alias("r"),
+        (F.col("l.sym") == F.col("r.sym")) & (F.col("r.t") <= F.col("l.t")),
+        "left",
+    )
+    w = Window.partitionBy("l.trade_id").orderBy(F.col("r.t").desc_nulls_last())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("l.trade_id", "l.sym", "l.t", F.col("r.px").alias("px"))
+    )
+
+
+def test_asof_matches_brute_force(spark, trades, quotes):
+    got = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], how="left",
+    )
+    exp = {r.trade_id: r.px for r in _brute_asof(spark, trades, quotes).collect()}
+    rows = {r.trade_id: r.px for r in got.collect()}
+    assert rows == exp
+    # pin the interesting cases explicitly
+    assert rows[2] == 2.0      # quote AT trade ts matches (<=, not <)
+    assert rows[4] is None     # latest quote has NULL px — carried, not skipped
+    assert rows[7] is None     # NULL key: no quotes with NULL sym
+    assert rows[8] is None     # no quote at-or-before
+
+
+def test_asof_inner_drops_unmatched(spark, trades, quotes):
+    got = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], how="inner",
+    )
+    ids = {r.trade_id for r in got.collect()}
+    # trade 8 ("C", t=1) has no quote at-or-before; 7 has NULL key.
+    # 4 matches the NULL-px quote (a real quote row) so it stays.
+    assert ids == {1, 2, 3, 4, 5, 6}
+
+
+def test_asof_plan_single_window_no_join(spark, trades, quotes):
+    plan = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], how="left",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Window") == 1
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [(i, "A" if i % 2 == 0 else "B", i * 7 % 100) for i in range(60)]
+    return spark.createDataFrame(rows, "pid long, k string, p long")
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    rows = [
+        ("A", 0, 10), ("A", 5, 40), ("B", 90, 99), ("B", 20, 21),
+        ("A", 95, 180),  # interval longer than bin_width spans many bins
+    ]
+    return spark.createDataFrame(rows, "k string, s long, e long")
+
+
+def test_range_join_matches_brute_force(spark, points, intervals):
+    got = range_join(
+        points, intervals, point_col="p", start_col="s", end_col="e",
+        on=["k"], bin_width=16,
+    )
+    exp = (
+        points.alias("l")
+        .join(
+            intervals.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & F.col("l.p").between(F.col("r.s"), F.col("r.e")),
+        )
+        .select("l.pid", "r.s", "r.e")
+    )
+    assert {tuple(r) for r in got.select("pid", "s", "e").collect()} == {
+        tuple(r) for r in exp.collect()
+    }
+    # no duplicate (point, interval) pairs even when an interval spans bins
+    n = got.count()
+    assert n == got.select("pid", "s", "e").distinct().count()
+
+
+def test_range_join_plan_is_equi_join(spark, points, intervals):
+    plan = range_join(
+        points, intervals, point_col="p", start_col="s", end_col="e",
+        on=["k"], bin_width=16,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_requires_bin_width(spark, points, intervals):
+    with pytest.raises(ValueError):
+        range_join(points, intervals, point_col="p", start_col="s", end_col="e")

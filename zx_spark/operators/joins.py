@@ -1,4 +1,7 @@
-"""Join utilities for skewed keys at scale.
+"""Join operators Spark lacks natively, built scale-first: salted joins
+for AQE-resistant skew, backward as-of joins (one window pass, one
+shuffle), and bucketed interval/range joins (equi-join on time bins, not
+a nested-loop).
 
 The session enables AQE skew-join splitting (zx_spark.session), which
 handles most skew at runtime by splitting oversized sort-merge partitions.
@@ -17,7 +20,7 @@ result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT = "__salt"
@@ -47,3 +50,121 @@ def salted_join(
     )
     out = b.join(s, on=[on, SALT], how=how)
     return out.drop(SALT)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: each left row is matched to the right row with
+    the greatest ``right_ts <= left_ts`` in the same ``on`` key group —
+    the time-series enrichment join (trades↔quotes, events↔config marks)
+    that Spark has no native operator for.
+
+    Spark-first plan: union both sides tagged, then ONE window pass per key
+    group (``last(..., ignorenulls=True)`` over rows-unbounded-preceding)
+    carries the most recent right-side payload forward onto left rows.
+    Cost = a single shuffle + sort on ``on`` — identical shape to a
+    sort-merge join, no Python, no per-row loop; at 100 TB this is the
+    minimal-shuffle formulation (an inequality join would be O(n·m) per
+    key; this is O((n+m) log) per partition via the sort).
+
+    Ties: a right row AT the left timestamp matches (``<=`` semantics, the
+    same as DuckDB ``ASOF JOIN ... ON l.t >= r.t``). ``right`` should be
+    unique per ``(on, right_ts)`` — pre-aggregate duplicates, otherwise
+    which duplicate wins is plan-dependent.
+
+    ``how='left'`` keeps unmatched left rows (right cols null);
+    ``'inner'`` drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    payload = "__asof_payload"
+    side = "__asof_side"
+    t = "__asof_t"
+
+    # Right rows carry their payload as ONE struct so a legitimately-NULL
+    # right column doesn't make last(ignorenulls) skip back to an older row.
+    payload_type = right.select(
+        F.struct(*[F.col(c) for c in right_cols]).alias(payload)
+    ).schema[0].dataType
+    left_only = [c for c in left.columns if c not in on]
+
+    l2 = left.select(
+        *left.columns,
+        F.lit(1).alias(side),
+        F.col(left_ts).alias(t),
+        F.lit(None).cast(payload_type).alias(payload),
+    )
+    r2 = right.select(
+        *[F.col(c) for c in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        F.lit(0).alias(side),
+        F.col(right_ts).alias(t),
+        F.struct(*[F.col(c) for c in right_cols]).alias(payload),
+    )
+    unioned = l2.unionByName(r2.select(*l2.columns))
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(t).asc(), F.col(side).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+    out = carried.filter(F.col(side) == 1)
+    if how == "inner":
+        out = out.filter(F.col(payload).isNotNull())
+    return out.select(
+        *left.columns,
+        *[F.col(f"{payload}.{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """Interval containment join: left rows whose ``point_col`` falls in
+    ``[start_col, end_col]`` of a right interval (plus optional ``on``
+    equality keys). Spark's naive formulation is a BroadcastNestedLoopJoin
+    (O(n·m)); this is the bucketed equi-join formulation that scales:
+
+    - left rows get bin ``floor(point / w)``;
+    - each interval explodes to the bins it overlaps (``sequence(
+      floor(start/w), floor(end/w))`` — ≤ len/w + 1 rows);
+    - equi-join on ``(on..., bin)`` (shuffle- or broadcast-hash, AQE-
+      eligible), then the exact ``BETWEEN`` filter.
+
+    Each (left row, interval) pair meets in exactly one bin — the left
+    row's own — so no dedup pass is needed. Pick ``bin_width`` near the
+    typical interval length: smaller bins replicate intervals more, larger
+    bins fatten the per-bin candidate set."""
+    if bin_width is None or bin_width <= 0:
+        raise ValueError("range_join requires a positive bin_width")
+    on = list(on or [])
+    bin_col = "__range_bin"
+    lb = left.withColumn(bin_col, F.floor(F.col(point_col) / bin_width).cast("long"))
+    rb = right.withColumn(
+        bin_col,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width).cast("long"),
+                F.floor(F.col(end_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, on=[*on, bin_col], how="inner")
+        .filter(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop(bin_col)
+    )
