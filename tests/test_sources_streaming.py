@@ -103,3 +103,68 @@ def test_epoch_unit_heuristic(spark):
     assert abs(got["ms"] - (base_s + 0.123)) < 1e-6
     assert abs(got["us"] - (base_s + 0.123456)) < 1e-9
     assert abs(got["ns"] - (base_s + 0.123456)) < 1e-9  # nanos truncate to micros
+
+
+def test_streaming_session_agg_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions close
+    either when a later event arrives past the gap (A) or when the
+    watermark passes last_ts + gap with no successor (B, timeout path)."""
+    import time as _time
+
+    from zx_spark.streaming import streaming_session_agg
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    schema = "id long, service string, v double, ts timestamp"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "id long, service string, v double, ts_s long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        import glob, shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(part, dst)
+        return dst
+
+    # Times sit on a base offset: the initial watermark is epoch 0, so
+    # epoch-0 events would be dropped as late before reaching the operator.
+    B = 1_000_000
+    # batch 1: A has a 3-event session (gap 30 keeps +0,+10,+20 together);
+    #          B has a single event that will only close by TIMEOUT.
+    f1 = write_file("b1", [(1, "A", 1.0, B), (2, "A", 2.0, B + 10), (3, "A", 4.0, B + 20), (4, "B", 9.0, B)])
+    _time.sleep(0.05)
+    # batch 2: far-future A event — closes A's open session on arrival and
+    #          advances the watermark so B's timeout fires next batch.
+    f2 = write_file("b2", [(5, "A", 8.0, B + 1000)])
+    _time.sleep(0.05)
+    # batch 3: advances event time again → closes A's +1000 session and
+    #          fires B's event-time timeout.
+    f3 = write_file("b3", [(6, "A", 16.0, B + 2000)])
+    for i, f in enumerate([f1, f2, f3]):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    result = streaming_session_agg(
+        stream, group_by=["service"], gap_s=30.0, ts_col="ts",
+        value_col="v", watermark="0 seconds",
+    )
+    run_available_now(result, "sess_out", str(tmp_path / "sess_ckpt"), output_mode="append")
+    rows = {
+        (r["g_service"], r["window_start"], r["window_end"]): (r["sum__value"], r["count__value"])
+        for r in spark.table("sess_out").collect()
+    }
+    B = 1_000_000.0
+    assert rows[("A", B, B + 20.0)] == (7.0, 3.0)          # closed by arrival gap
+    assert rows[("A", B + 1000.0, B + 1000.0)] == (8.0, 1.0)  # closed by next batch
+    assert rows[("B", B, B)] == (9.0, 1.0)                 # closed by TIMEOUT
+    # the t=2000 session is still open at end-of-stream: append mode never
+    # emits open state
+    assert len(rows) == 3

@@ -6,10 +6,16 @@ upgrade: the same windowed-aggregate semantics as the batch compiler,
 expressed as an incremental streaming query with watermarked late-data
 handling — the shape a 100 TB observability pipeline actually runs."""
 
+from zx_spark.streaming.sessions import streaming_session_agg
 from zx_spark.streaming.windowed import (
     run_available_now,
     stream_events,
     streaming_windowed_agg,
 )
 
-__all__ = ["run_available_now", "stream_events", "streaming_windowed_agg"]
+__all__ = [
+    "run_available_now",
+    "stream_events",
+    "streaming_session_agg",
+    "streaming_windowed_agg",
+]
