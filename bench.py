@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "ann_topk",
     "text_quality",
+    # added r3 (no r2 baseline entry — first measurement pins them)
+    "asof_join_marks",
+    "range_join_incidents",
 ]
 
 
