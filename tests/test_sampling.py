@@ -1,0 +1,72 @@
+"""Deterministic sampling: stability, exact stratum counts, split
+disjointness/coverage, and plan shape (map-side filter, no shuffle for
+hash_sample)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zx_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+
+
+def test_hash_sample_deterministic_and_near_rate(spark, corpus):
+    a = {r.doc_id for r in hash_sample(corpus, 0.3, "doc_id", seed=7).collect()}
+    b = {r.doc_id for r in hash_sample(corpus, 0.3, "doc_id", seed=7).collect()}
+    assert a == b  # same run-to-run
+    assert 0.2 < len(a) / 2000 < 0.4  # near the requested rate
+    c = {r.doc_id for r in hash_sample(corpus, 0.3, "doc_id", seed=8).collect()}
+    assert a != c  # seed changes the sample
+    # monotone: a higher rate is a superset (same seed)
+    d = {r.doc_id for r in hash_sample(corpus, 0.5, "doc_id", seed=7).collect()}
+    assert a <= d
+
+
+def test_hash_sample_no_shuffle(spark, corpus):
+    plan = hash_sample(corpus, 0.5, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side filter
+
+
+def test_stratified_exact_counts(spark, corpus):
+    out = stratified_sample(corpus, ["lang"], 50, "doc_id")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 50, "1": 50, "2": 50, "3": 50}
+    # small stratum: capped at its size
+    tiny = corpus.filter("doc_id < 6")  # lang 0: ids 0,4 → 2 rows
+    out2 = stratified_sample(tiny, ["lang"], 50, "doc_id")
+    assert out2.filter("lang = '0'").count() == 2
+
+
+def test_train_test_split_disjoint_exhaustive_stable(spark, corpus):
+    out = train_test_split(corpus, [0.8, 0.1, 0.1], "doc_id", seed=3)
+    assert out.count() == 2000  # exhaustive: every row gets a split
+    sizes = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2}
+    assert sizes[0] > sizes[1] and sizes[0] > sizes[2]
+    assert 0.7 < sizes[0] / 2000 < 0.9
+    # stability: same assignment on re-run
+    again = train_test_split(corpus, [0.8, 0.1, 0.1], "doc_id", seed=3)
+    diff = out.alias("a").join(again.alias("b"), "doc_id").filter("a.split != b.split")
+    assert diff.count() == 0
+
+
+def test_validation(spark, corpus):
+    with pytest.raises(ValueError):
+        hash_sample(corpus, 1.5, "doc_id")
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, ["lang"], 0, "doc_id")
+    with pytest.raises(ValueError):
+        train_test_split(corpus, [], "doc_id")

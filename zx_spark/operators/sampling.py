@@ -1,0 +1,92 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is nondeterministic across retries/partitions reshuffles —
+useless for reproducible corpus construction. Everything here keys the
+decision on a HASH of a stable id, so membership is a pure function of
+the row (survives retries, re-partitioning, incremental reruns) and the
+predicate is a Catalyst expression (pushed into the scan where possible,
+no Python).
+
+At 100 TB:
+- `hash_sample` is a map-side filter — no shuffle, scales with scan.
+- `stratified_sample` shuffles once on the strata key (row_number over a
+  hash order); cap `n_per_stratum` memory via the window, not a collect.
+- `train_test_split` is the leak-proof split: the same key ALWAYS lands
+  in the same side, so near-duplicate leakage across splits reduces to
+  the dedup problem (run dedup first), not the splitter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key, seed: int):
+    """Stable bucket in [0, 1e6): xxhash64 of (key, seed), JVM-side."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by ``key_col``.
+
+    Pure filter expression — no shuffle, repeatable across runs and
+    cluster layouts, and rows with the same key are kept/dropped
+    together (sampling users, not user-events)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_bucket(F.col(key_col), seed) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``min(n, stratum_size)`` rows per stratum, chosen by hash
+    order (deterministic, unbiased within the hash). One shuffle on the
+    strata key."""
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _bucket(F.col(key_col), seed), F.col(key_col)
+    )
+    rn = "__strat_rn"
+    return (
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n_per_stratum)
+        .drop(rn)
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    weights: list[float],
+    key_col: str,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split id (0..len(weights)-1) by hash bucket —
+    disjoint, exhaustive, and stable: the same key lands in the same
+    split in every run and on any cluster. Map-side expression only."""
+    if not weights or any(w < 0 for w in weights):
+        raise ValueError(f"weights must be non-negative, got {weights}")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    bounds: list[int] = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(int(acc * _BUCKETS))
+    b = _bucket(F.col(key_col), seed)
+    expr = F.lit(len(weights) - 1)
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(b < bounds[i], F.lit(i)).otherwise(expr)
+    return df.withColumn(split_col, expr)
