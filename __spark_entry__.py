@@ -73,17 +73,20 @@ def _id_set_agg(df: DataFrame) -> DataFrame:
     """The filter-test result shape: count + id-range + value checksum
     pins the exact surviving id set (reference filter_test asserts id
     sets, src/test.rs:23-84)."""
+    # 1dp: the checksum only pins the id set; finer rounding of an
+    # order-dependent float sum is boundary-flake risk (the class that bit
+    # tpch_q3 in round 1), not extra discrimination.
     return df.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
-        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.round(F.sum("value"), 1).alias("sum_value"),
     )
 
 
 _FILTER_ORACLE = (
     "SELECT count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id, "
-    "round(sum(value), 3) AS sum_value FROM events WHERE {pred}"
+    "round(sum(value), 1) AS sum_value FROM events WHERE {pred}"
 )
 
 # Multi-arm form: one driver row checks several comparators (keeps all 12
@@ -92,7 +95,7 @@ def _filter_arms_oracle(*preds: str) -> str:
     return " UNION ALL ".join(
         f"SELECT '{chr(ord('a') + i)}' AS arm, count(*) AS n, "
         "min(event_id) AS min_id, max(event_id) AS max_id, "
-        f"round(sum(value), 3) AS sum_value FROM events WHERE {p}"
+        f"round(sum(value), 1) AS sum_value FROM events WHERE {p}"
         for i, p in enumerate(preds)
     )
 
