@@ -61,21 +61,23 @@ def main() -> None:
     # engine, not first-stage setup.
     spark.range(1).count()
 
-    # Best-of-3 per query: this host shows 10-25x noisy-neighbor stalls on
-    # identical plans (measured: the same stage at 1.4s and 50s back to
-    # back, and dedup_minhash at 2.3s vs 11.6s within one session);
-    # min-of-k isolates engine time from machine noise.
+    # Min over 3 ROUND-ROBIN passes: this host shows 10-25x noisy-neighbor
+    # stalls in multi-second BURSTS (measured: the same stage at 1.4s and
+    # 50s back to back; dedup_minhash at 2.3s vs 17.4s across bench runs).
+    # Back-to-back repeats of one query all land inside one burst, so the
+    # passes interleave the whole list — a burst inflates different
+    # queries each pass and the per-query min stays an engine time.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best, rows = None, 0
-        for _ in range(3):
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.time()
-            rows = fn(spark, sf_dir).count()
+            rows = qs[name](spark, sf_dir).count()
             el = time.time() - t0
-            best = el if best is None else min(best, el)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s ({rows} rows)", file=sys.stderr)
+            if name not in times or el < times[name]:
+                times[name] = el
+    times = {n: round(v, 3) for n, v in times.items()}
+    for name in HEADLINE:
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
