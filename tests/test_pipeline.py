@@ -1,0 +1,66 @@
+"""curate_corpus: end-to-end composition over the driver documents table
+— every stage observable, deterministic across runs, no cartesian
+products in the composed plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zx_spark.pipeline import curate_corpus
+from zx_spark.storage import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+def test_full_pipeline_stages_compose(spark, docs):
+    n0 = docs.count()
+    out = curate_corpus(
+        docs,
+        quality_min=0.2,
+        languages=["en", "und"],
+        near_dup_threshold=0.8,
+        sample_rate=0.9,
+        split_weights=[0.8, 0.2],
+        seed=1,
+    )
+    rows = out.collect()
+    assert 0 < len(rows) < n0
+    assert set(out.columns) >= {"doc_id", "text", "lang", "split"}
+    assert {r.split for r in rows} <= {0, 1}
+    assert all(r.lang in ("en", "und") for r in rows)
+    # exact duplicates removed: texts unique
+    texts = [r.text for r in rows]
+    assert len(texts) == len(set(texts))
+
+
+def test_pipeline_deterministic(spark, docs):
+    kw = dict(quality_min=0.2, near_dup_threshold=0.8, sample_rate=0.5, seed=9)
+    a = {r.doc_id for r in curate_corpus(docs, **kw).collect()}
+    b = {r.doc_id for r in curate_corpus(docs, **kw).collect()}
+    assert a == b and a
+
+
+def test_near_dup_stage_drops_planted_duplicate(spark, docs):
+    # plant a near-duplicate of doc 0 (append one token) with a high id
+    src = docs.select("doc_id", "text")
+    first = src.filter("doc_id = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    out = curate_corpus(src.unionByName(first), near_dup_threshold=0.5)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 0 in ids and 1_000_000 not in ids  # greedy keeps the lower id
+
+
+def test_pipeline_plan_no_cartesian(spark, docs):
+    plan = curate_corpus(
+        docs, quality_min=0.2, near_dup_threshold=0.8, split_weights=[0.9, 0.1]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -1,0 +1,70 @@
+"""Corpus curation: the end-to-end training-data pipeline composed from
+the engine's operators, staged in scale order.
+
+Stage order is the 100 TB order — cheap map-side filters first so every
+shuffle downstream sees the smallest possible corpus:
+
+1. quality gate     — pure Catalyst projection, no shuffle
+2. language gate    — pure Catalyst projection, no shuffle
+3. exact dedup      — one hash shuffle (min-id semi-join)
+4. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
+                      corpus; greedy keep-lowest-id per pair
+5. hash sample      — map-side filter
+6. train/test split — map-side bucket assignment
+
+Every stage is deterministic (hash-keyed, fixed seeds), so the curated
+corpus is reproducible row-for-row across runs, retries, and cluster
+layouts — the property that makes dataset versioning meaningful.
+
+Near-dup removal is the standard greedy: any doc appearing as the HIGHER
+id of a verified pair is dropped. On chains (a~b, b~c but a!~c) this
+keeps only the lowest id of each connected component's pairs it sees —
+the usual web-dedup tradeoff vs. full union-find connectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zx_spark.functions.text import language_id, text_quality
+from zx_spark.operators.dedup import exact_dedup, near_dup_pairs
+from zx_spark.operators.sampling import hash_sample, train_test_split
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_min: float | None = None,
+    languages: list[str] | None = None,
+    near_dup_threshold: float | None = None,
+    sample_rate: float | None = None,
+    split_weights: list[float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Filter → dedup → sample → split, any stage skippable via None.
+
+    Adds ``lang`` when ``languages`` is given and ``split`` when
+    ``split_weights`` is given; otherwise returns the input columns."""
+    out = df
+    if quality_min is not None:
+        out = out.filter(
+            text_quality(F.col(text_col))["quality_score"] >= quality_min
+        )
+    if languages is not None:
+        out = out.withColumn("lang", language_id(F.col(text_col))).filter(
+            F.col("lang").isin(list(languages))
+        )
+    out = exact_dedup(out, text_col, id_col)
+    if near_dup_threshold is not None:
+        pairs = near_dup_pairs(out, text_col, id_col, threshold=near_dup_threshold)
+        drop = pairs.select(
+            F.greatest("id_a", "id_b").alias(id_col)
+        ).distinct()
+        out = out.join(drop, on=id_col, how="left_anti")
+    if sample_rate is not None:
+        out = hash_sample(out, sample_rate, id_col, seed=seed)
+    if split_weights is not None:
+        out = train_test_split(out, split_weights, id_col, seed=seed)
+    return out
