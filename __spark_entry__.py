@@ -796,6 +796,43 @@ def _lang_scores() -> str:
     )
 
 
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """The FULL MinHash-LSH pipeline in DuckDB SQL — possible because the
+    Spark side deliberately uses an md5-derived base hash + affine family
+    (dedup.py base_hash/minhash_signature): shingle → signature → band
+    string keys → candidate self-join → exact-Jaccard verify, with the
+    affine coefficients interpolated from the same constants."""
+    from zx_spark.operators.dedup import _MERSENNE, _MINHASH_A, _MINHASH_B
+
+    rpb = num_hashes // bands
+    sig_elems = ", ".join(
+        f"coalesce(list_min(list_transform(hs, x -> ({a}*x + {b}) % {_MERSENNE})), "
+        "9223372036854775807)"
+        for a, b in zip(_MINHASH_A[:num_hashes], _MINHASH_B[:num_hashes])
+    )
+    return (
+        f"WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(w) > 0 THEN "
+        "list_transform(generate_series(0, greatest(len(w)-3, 0)), "
+        "i -> array_to_string(w[i+1:i+3], ' ')) ELSE [''] END AS sh FROM w), "
+        "h AS (SELECT doc_id, sh, list_transform(sh, s -> "
+        f"('0x'||substr(md5(s),1,8))::bigint % {_MERSENNE}) AS hs FROM sh), "
+        f"sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM h), "
+        f"bands AS (SELECT doc_id, b.band_no, array_to_string("
+        f"sig[b.band_no*{rpb}+1 : b.band_no*{rpb}+{rpb}], ',') AS bk "
+        f"FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band_no) b), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM bands a JOIN bands b2 ON a.band_no = b2.band_no AND a.bk = b2.bk "
+        "AND a.doc_id < b2.doc_id), "
+        "sets AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh), "
+        "j AS (SELECT id_a, id_b, "
+        "round(len(list_intersect(sa.ds, sb.ds))::double / "
+        "greatest(len(list_distinct(sa.ds || sb.ds)), 1), 6) AS jaccard "
+        "FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b) "
+        f"SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {
         "s1_time_scan": _FILTER_ORACLE.format(
@@ -978,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_kept": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
         ),
+        "dedup_minhash_pairs": _minhash_oracle(),
         "jaccard_wordset_pairs": (
             "WITH d AS (SELECT doc_id, source, "
             f"list_distinct({_TOKS}) AS tokset, "

@@ -5,7 +5,9 @@ on band/bucket keys, never from an all-pairs crossJoin (which is a
 cartesian scale-killer at 100 TB). The shapes:
 
 - exact:    hash-groupBy on md5(text) — one shuffle on the hash key.
-- MinHash:  shingles → k minhashes (JVM xxhash64) → b bands → explode →
+- MinHash:  shingles → one base hash each (md5-derived by default, so the
+            DuckDB oracle can reproduce signatures; xx64 for max
+            throughput) → k affine-family minhashes → b bands → explode →
             self-equi-join on (band, band_hash) → verify exact Jaccard on
             the candidate pairs only.
 - SimHash:  64-bit signature (JVM-side: xxhash64 per token + one
@@ -75,14 +77,36 @@ _MINHASH_A = [_rnd.randrange(1, _MERSENNE) for _ in range(64)]
 _MINHASH_B = [_rnd.randrange(0, _MERSENNE) for _ in range(64)]
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+def base_hash(s: Column, method: str = "md5") -> Column:
+    """Shingle → int in [0, 2^31-1).
+
+    ``md5`` (default): first 8 hex digits of md5 — reproducible in ANSI
+    SQL (``('0x'||substr(md5(s),1,8))::bigint``), which is what lets the
+    driver's DuckDB oracle verify the whole LSH pipeline value-for-value
+    instead of rows-only. ~30% slower than xxhash64 on the hashing stage
+    (the affine maps dominate the signature anyway).
+
+    ``xx64``: xxhash64 — the max-throughput choice for 100 TB production
+    runs where no SQL oracle needs to reproduce the signatures."""
+    if method == "xx64":
+        return F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    if method != "md5":
+        raise ValueError(f"base_hash method must be 'md5' or 'xx64', got {method!r}")
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), F.lit(_MERSENNE)
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, shingle_n: int = 3, hash_method: str = "md5"
+) -> Column:
     """Array of ``num_hashes`` minhashes over n-word shingles — one
     ``F.aggregate`` pass, JVM-side, no Python.
 
-    Each shingle is string-hashed ONCE (xxhash64 → [0, 2^31-1)), then the
+    Each shingle is string-hashed ONCE (``base_hash``), then the
     ``num_hashes`` family members are cheap affine maps ``(a_i*h + b_i)
     mod 2^31-1`` (pairwise-independent universal hashing). The previous
-    formulation called xxhash64 per (shingle, seed) — num_hashes O(len)
+    formulation string-hashed per (shingle, seed) — num_hashes O(len)
     string hashes per shingle vs one here; measured ~2× faster end-to-end
     at 5k docs. Products stay < 2^62, so no overflow under ANSI mode. The
     naive per-seed formulation (num_hashes separate ``array_min`` passes)
@@ -90,8 +114,7 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
     a_arr = F.array(*[F.lit(a).cast("long") for a in _MINHASH_A[:num_hashes]])
     b_arr = F.array(*[F.lit(b).cast("long") for b in _MINHASH_B[:num_hashes]])
     hashed = F.transform(
-        word_shingles(text, shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+        word_shingles(text, shingle_n), lambda sh: base_hash(sh, hash_method)
     )
     return F.aggregate(
         hashed,
@@ -107,22 +130,23 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
 def minhash_bands(df: DataFrame, id_col: str, sig_col: str = "minhash", bands: int = 8) -> DataFrame:
     """Explode a signature into ``bands`` (band_no, band_hash) bucket keys.
     Two documents land in the same bucket iff one band of their signatures
-    agrees exactly — the standard LSH banding construction."""
+    agrees exactly — the standard LSH banding construction. The key is the
+    band's values joined as a string (not re-hashed): equality is what the
+    join needs, and the plain form is ANSI-SQL-reproducible for the
+    oracle."""
     sig = F.col(sig_col)
     return df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(sig, b * (F.size(sig) / bands).cast("int") + 1,
-                                    (F.size(sig) / bands).cast("int")),
-                            lambda h: h.cast("string"),
-                        ),
-                        ",",
-                    )
+                lambda b: F.array_join(
+                    F.transform(
+                        F.slice(sig, b * (F.size(sig) / bands).cast("int") + 1,
+                                (F.size(sig) / bands).cast("int")),
+                        lambda h: h.cast("string"),
+                    ),
+                    ",",
                 ),
             )
         ).alias("band_no", "band_hash"),
@@ -136,6 +160,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduplicated across bands.
 
@@ -145,13 +170,14 @@ def minhash_candidate_pairs(
     splits any hot bucket (e.g. a boilerplate shingle set shared by
     thousands of docs).
 
-    The input is repartitioned before signing: signature hashing is the
-    CPU-heavy stage (num_hashes × shingles xxhash64 calls per row) and a
-    small parquet file otherwise arrives as ONE partition, serializing the
-    whole stage on one core.
+    The input is repartitioned before signing: the signature (one string
+    hash + num_hashes affine maps per shingle) is the CPU-heavy stage and
+    a small parquet file otherwise arrives as ONE partition, serializing
+    the whole stage on one core.
     """
     sigs = _spread(df).select(
-        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("minhash")
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n, hash_method).alias("minhash"),
     )
     banded = minhash_bands(sigs, id_col, "minhash", bands)
     a = banded.alias("a")
@@ -206,11 +232,14 @@ def near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard ≥
     threshold. The full bucketed pipeline: sign → band → bucket-join →
     verify."""
-    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    cands = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_method
+    )
     return jaccard_pairs(df, cands, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
