@@ -833,6 +833,33 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
     )
 
 
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """The FULL SimHash pipeline in DuckDB SQL — possible because the
+    Spark side uses a 60-bit md5-derived token hash (dedup.py
+    _simhash_token_hash): per-bit ±1 counts → signature → 4×15-bit
+    pigeonhole chunk join → bit_count(xor) Hamming verify."""
+    from zx_spark.operators.dedup import _CHUNK_BITS, _SIMHASH_BITS, _SIMHASH_CHUNKS
+
+    mask = (1 << _CHUNK_BITS) - 1
+    return (
+        f"WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents), "
+        "h AS (SELECT doc_id, list_transform(w, t -> "
+        "('0x'||substr(md5(t),1,15))::bigint) AS hs FROM w), "
+        f"cnt AS (SELECT doc_id, list_transform(generate_series(0, {_SIMHASH_BITS - 1}), b -> "
+        "coalesce(list_sum(list_transform(hs, x -> "
+        "CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0)) AS acc FROM h), "
+        f"sig AS (SELECT doc_id, list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), b -> "
+        "CASE WHEN acc[b+1] > 0 THEN (1::bigint << b) ELSE 0::bigint END))::bigint AS sh FROM cnt), "
+        f"chunks AS (SELECT doc_id, sh, c.chunk_no, (sh >> (c.chunk_no * {_CHUNK_BITS})) & {mask} AS cv "
+        f"FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_SIMHASH_CHUNKS - 1})) AS chunk_no) c), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "bit_count(xor(a.sh, b.sh)) AS hamming "
+        "FROM chunks a JOIN chunks b ON a.chunk_no = b.chunk_no AND a.cv = b.cv "
+        "AND a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {
         "s1_time_scan": _FILTER_ORACLE.format(
@@ -1016,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
         ),
         "dedup_minhash_pairs": _minhash_oracle(),
+        "dedup_simhash_pairs": _simhash_oracle(),
         "jaccard_wordset_pairs": (
             "WITH d AS (SELECT doc_id, source, "
             f"list_distinct({_TOKS}) AS tokset, "
@@ -1069,6 +1097,18 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_en >= s_de AND s_en > 0 THEN 'en' "
             "WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang_pred FROM s) "
             "SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred"
+        ),
+        "doc_fingerprints": (
+            # Same md5-derived 60-bit shingle hash as the Spark side
+            # (functions/text.py document_fingerprint): 5-word shingles,
+            # keep hashes ≡ 0 (mod 8), count them.
+            f"WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) > 0 THEN "
+            "list_transform(generate_series(0, greatest(len(w)-5, 0)), "
+            "i -> array_to_string(w[i+1:i+5], ' ')) ELSE [''] END AS sh FROM w) "
+            "SELECT doc_id, len(list_filter(list_transform(sh, s -> "
+            "('0x'||substr(md5(s),1,15))::bigint), h -> h % 8 = 0)) AS n_fingerprints "
+            "FROM sh"
         ),
         "text_tfidf": (
             "WITH ex AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS token "

@@ -155,10 +155,15 @@ def tf_idf_top_terms(
 
 def document_fingerprint(text: Column, n: int = 5, mod: int = 8) -> Column:
     """Winnowing-style document fingerprint: hash every n-word shingle
-    (xxhash64, JVM-side) and keep the deterministic 1/``mod`` sample
+    (md5-derived 60-bit int, JVM-side — ANSI-SQL-reproducible as
+    ``('0x'||substr(md5(s),1,15))::bigint`` so the driver oracle can
+    verify it) and keep the deterministic 1/``mod`` sample
     (``hash % mod == 0``), sorted. Near-identical documents share most
     fingerprint hashes; the sample keeps the array O(len/mod).
     """
-    hashes = F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+    hashes = F.transform(
+        word_shingles(text, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
     kept = F.filter(hashes, lambda h: F.pmod(h, F.lit(mod)) == 0)
     return F.array_sort(kept)

@@ -10,10 +10,11 @@ cartesian scale-killer at 100 TB). The shapes:
             throughput) → k affine-family minhashes → b bands → explode →
             self-equi-join on (band, band_hash) → verify exact Jaccard on
             the candidate pairs only.
-- SimHash:  64-bit signature (JVM-side: xxhash64 per token + one
-            F.aggregate ±1 accumulation over the 64 bit positions) →
-            4×16-bit chunk bucket join (any pair within Hamming distance 3
-            shares ≥1 exact chunk, pigeonhole) → verify with bit_count(xor).
+- SimHash:  60-bit signature (JVM-side: one md5-derived hash per token —
+            SQL-reproducible, xx64 opt-in — + one F.aggregate ±1
+            accumulation over the bit positions) → 4×15-bit chunk bucket
+            join (any pair within Hamming distance 3 shares ≥1 exact
+            chunk, pigeonhole) → verify with bit_count(xor).
 
 All signatures/hashes are seeded deterministically so results are stable
 across runs and match golden tests.
@@ -245,19 +246,40 @@ def near_dup_pairs(
     )
 
 
-def _simhash_bit_counts(text: Column) -> Column:
-    """64-element ±1 per-bit accumulation over xxhash64 token hashes —
-    pure Catalyst (the same one-``F.aggregate``-pass pattern as
+# 60 bits: the md5-derived token hash is 15 hex digits so the signature
+# stays a POSITIVE int64 on both engines (16 digits could set the sign
+# bit, which DuckDB's '0x..'::bigint cast rejects). 4 chunks of 15 bits
+# keep the pigeonhole guarantee for Hamming distance <= 3.
+_SIMHASH_BITS = 60
+_SIMHASH_CHUNKS = 4
+_CHUNK_BITS = _SIMHASH_BITS // _SIMHASH_CHUNKS
+
+
+def _simhash_token_hash(t: Column, method: str = "md5") -> Column:
+    """Token → 60-bit int. ``md5`` (default) is ANSI-SQL-reproducible
+    (``('0x'||substr(md5(t),1,15))::bigint``) so the DuckDB oracle can
+    verify the full SimHash pipeline; ``xx64`` uses xxhash64's low bits
+    for max throughput (rows-only verification)."""
+    if method == "xx64":
+        return F.xxhash64(t)
+    if method != "md5":
+        raise ValueError(f"hash method must be 'md5' or 'xx64', got {method!r}")
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def _simhash_bit_counts(text: Column, hash_method: str = "md5") -> Column:
+    """60-element ±1 per-bit accumulation over token hashes — pure
+    Catalyst (the same one-``F.aggregate``-pass pattern as
     ``minhash_signature``). For each whitespace token: hash it JVM-side,
-    then add +1/-1 to each of the 64 bit positions depending on the hash
-    bit. No Python anywhere (the previous revision looped per byte in a
-    pandas UDF — orders of magnitude slower at scale)."""
+    then add +1/-1 to each bit position depending on the hash bit. No
+    Python anywhere (an earlier revision looped per byte in a pandas UDF
+    — orders of magnitude slower at scale)."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_nos = F.sequence(F.lit(0), F.lit(63))
+    hashed = F.transform(toks, lambda t: _simhash_token_hash(t, hash_method))
+    bit_nos = F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
     return F.aggregate(
         hashed,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
@@ -275,12 +297,12 @@ def _simhash_bit_counts(text: Column) -> Column:
 
 
 def _simhash_from_counts(acc: Column) -> Column:
-    """Fold the ±1 bit counts into one 64-bit signature: bit b set iff
-    acc[b] > 0. shiftleft(1, 63) wraps to the sign bit — two's-complement
-    long, matching ``bit_count(a ^ b)`` Hamming verification."""
+    """Fold the ±1 bit counts into one 60-bit signature: bit b set iff
+    acc[b] > 0. Always positive (no sign bit), so the value round-trips
+    identically through DuckDB."""
     bit_vals = F.zip_with(
         acc,
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1)),
         lambda a, b: F.call_function(
             "shiftleft",
             F.when(a > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
@@ -290,14 +312,16 @@ def _simhash_from_counts(acc: Column) -> Column:
     return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda s, v: s + v)
 
 
-def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash signature column — fully JVM-side (two projections:
+def simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash", hash_method: str = "md5"
+) -> DataFrame:
+    """60-bit SimHash signature column — fully JVM-side (two projections:
     bit-count accumulation, then bit packing; kept separate so the token
     aggregation is evaluated once, not once per bit)."""
     acc_col = "__simhash_acc"
     return (
         _spread(df)
-        .withColumn(acc_col, _simhash_bit_counts(F.col(text_col)))
+        .withColumn(acc_col, _simhash_bit_counts(F.col(text_col), hash_method))
         .withColumn(out_col, _simhash_from_counts(F.col(acc_col)))
         .drop(acc_col)
     )
@@ -308,21 +332,25 @@ def simhash_near_dup_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ``max_hamming`` (≤3):
-    split the 64-bit signature into 4 16-bit chunks; by pigeonhole any pair
+    split the 60-bit signature into 4 15-bit chunks; by pigeonhole any pair
     within distance 3 agrees on ≥1 full chunk, so an equality join on
     (chunk_no, chunk_value) finds all of them; verify with
     ``bit_count(a ^ b)``. Bucketed — no crossJoin."""
-    sigs = simhash(df, text_col).select(id_col, "simhash")
+    sigs = simhash(df, text_col, hash_method=hash_method).select(id_col, "simhash")
+    chunk_mask = (1 << _CHUNK_BITS) - 1
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned(F.col("simhash"), _CHUNK_BITS * c).bitwiseAND(
+                        F.lit(chunk_mask)
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
                 ]
             )
         ).alias("chunk_no", "chunk_val"),
