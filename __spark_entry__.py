@@ -4,9 +4,12 @@
 one callable per implemented operator from SURVEY.md §2 plus the
 LLM-data-pipeline surface; ``oracle_sql()`` gives the DuckDB-equivalent SQL
 for every SQL-expressible query (the driver compares row-count + schema +
-order-insensitive value hash at sf0.01). Non-SQL-expressible ops (seeded
-xxhash64 MinHash/SimHash, IVF KMeans, mapInPandas decode) have no oracle
-entry → rows-only check, as the contract allows.
+order-insensitive value hash at sf0.01). 49 of 50 queries are
+hash-verified — the hashing-based pipelines (MinHash, SimHash,
+fingerprints, RP-LSH, multimodal decode) deliberately use md5-derived /
+literal-embedded constructions so DuckDB reproduces them value-for-value.
+The one rows-only entry is ann_ivf_topk (Spark ML KMeans — genuinely not
+expressible in SQL), as the contract allows.
 
 Float discipline: every order-dependent float aggregate is rounded (3-6 dp)
 on BOTH sides; window timestamps are floored to whole-second BIGINTs so no
@@ -860,6 +863,53 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
     )
 
 
+def _rp_lsh_oracle(
+    n_planes: int = 12, n_tables: int = 3, dim: int = 64, threshold: float = 0.9
+) -> str:
+    """The FULL RP-LSH near-pair pipeline in DuckDB SQL — possible because
+    the hyperplanes are seeded numpy constants embedded as literals on
+    BOTH engines (similarity.py _hyperplanes): plant perturbed copies,
+    sign-bit buckets per table, bucket equi-join, exact cosine verify.
+    Float note: bucket bits and cosines are computed from identical double
+    literals; a sign/rounding flip would need |dot| within ~1e-15 of zero
+    (hyperplane dots are O(1)) — negligible."""
+    from zx_spark.operators.similarity import _hyperplanes
+
+    def plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=1000 + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(planes[i])}) > 0 "
+            f"THEN {1 << i}::bigint ELSE 0::bigint END)"
+            for i in range(n_planes)
+        )
+        bucket_cols.append(f"({bits}) AS b{t}")
+    case_arms = " ".join(
+        f"WHEN {t} THEN b{t}" for t in range(n_tables - 1)
+    )
+    return (
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "planted AS (SELECT vec_id + 1000000 AS vec_id, "
+        "list_transform(generate_series(1, len(v)), i -> "
+        "v[i] + (0.01 * (((i-1) % 5)::double - 2.0)) / 2.0) AS v FROM base), "
+        "allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
+        f"bk AS (SELECT vec_id, v, {', '.join(bucket_cols)} FROM allv), "
+        f"ex AS (SELECT vec_id, v, t.table_no, CASE t.table_no {case_arms} "
+        f"ELSE b{n_tables - 1} END AS bucket FROM bk CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {n_tables - 1})) AS table_no) t), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_dot_product(a.v, b.v) / "
+        "greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), "
+        "1e-12), 6) AS cosine "
+        "FROM ex a JOIN ex b ON a.table_no = b.table_no AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id) "
+        f"SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {
         "s1_time_scan": _FILTER_ORACLE.format(
@@ -1057,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(len(list_intersect(a.tokset, b.tokset))::double / "
             "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) >= 0.6"
         ),
+        "emb_near_pairs_lsh": _rp_lsh_oracle(),
         "ann_cosine_threshold": (
             "SELECT vec_id, round(embedding[1]::double / "
             "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) AS cosine "
