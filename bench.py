@@ -61,14 +61,14 @@ def main() -> None:
     # engine, not first-stage setup.
     spark.range(1).count()
 
-    # Min over 3 ROUND-ROBIN passes: this host shows 10-25x noisy-neighbor
+    # Min over 4 ROUND-ROBIN passes: this host shows 10-25x noisy-neighbor
     # stalls in multi-second BURSTS (measured: the same stage at 1.4s and
     # 50s back to back; dedup_minhash at 2.3s vs 17.4s across bench runs).
     # Back-to-back repeats of one query all land inside one burst, so the
     # passes interleave the whole list — a burst inflates different
     # queries each pass and the per-query min stays an engine time.
     times: dict[str, float] = {}
-    for _ in range(3):
+    for _ in range(4):
         for name in HEADLINE:
             t0 = time.time()
             rows = qs[name](spark, sf_dir).count()
