@@ -135,3 +135,50 @@ def test_range_join_plan_is_equi_join(spark, points, intervals):
 def test_range_join_requires_bin_width(spark, points, intervals):
     with pytest.raises(ValueError):
         range_join(points, intervals, point_col="p", start_col="s", end_col="e")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_rows=st.lists(
+        st.tuples(st.sampled_from("AB"), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    right_rows=st.lists(
+        st.tuples(st.sampled_from("ABC"), st.integers(0, 50), st.integers(-5, 5)),
+        max_size=15,
+    ),
+)
+def test_asof_property_matches_python_reference(spark, left_rows, right_rows):
+    """asof_join vs a pure-Python reference on random keyed timelines —
+    duplicates on the right are pre-deduped (the operator's contract)."""
+    trades = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "trade_id long, sym string, t long",
+    )
+    dedup = {}
+    for k, t, v in right_rows:
+        dedup[(k, t)] = float(v)
+    quotes_rows = [(k, t, v) for (k, t), v in sorted(dedup.items())]
+    quotes = spark.createDataFrame(
+        quotes_rows or [("Z", -1, 0.0)], "sym string, t long, px double"
+    )
+
+    got = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+            right_cols=["px"], how="left",
+        ).collect()
+    }
+
+    by_key: dict[str, list[tuple[int, float]]] = {}
+    for k, t, v in (quotes_rows or [("Z", -1, 0.0)]):
+        by_key.setdefault(k, []).append((t, v))
+    expected = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(qt, v) for qt, v in by_key.get(k, []) if qt <= t]
+        expected[i] = max(cands)[1] if cands else None
+    assert got == expected
