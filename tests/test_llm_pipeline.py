@@ -194,3 +194,23 @@ def test_multimodal_plumbing(spark):
     assert resized[1]["media_meta"]["width"] == 8 and resized[1]["media_meta"]["height"] == 4
     with pytest.raises(Exception, match="NotImplementedError|real image resizing"):
         resize_image(media, 8, 4).collect()
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark):
+    """nprobe = n_cells makes IVF exact: its top-k must equal brute force
+    on the real driver embeddings — pins that cell pruning is the ONLY
+    approximation in the IVF path."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = [0.1] * 64
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    assigned, centers = ivf_build(emb, n_cells=4)
+    approx = [
+        r["vec_id"] for r in ivf_topk(assigned, centers, q, k=5, nprobe=4).collect()
+    ]
+    assert approx == exact
