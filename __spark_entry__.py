@@ -1062,28 +1062,39 @@ def oracle_sql() -> dict[str, str]:
         ),
         "w1_faithful_windows": (
             # The reference's sequential data-aligned recurrence as a
-            # recursive CTE: walk rows per group in id order, carry the
-            # window start; a row with ts - start > g is DROPPED but seeds
+            # recursive CTE that steps one WINDOW at a time (not one row):
+            # each iteration finds the current window's breaking row via a
+            # LATERAL min-rn probe — the breaking row is DROPPED but seeds
             # the next window's start (windows.py:135-163 semantics).
-            "WITH RECURSIVE ordered AS ("
+            # ~4× fewer recursion steps than the row-walk form; verified
+            # row-identical to it at sf0.01. Consecutive breaking rows
+            # yield start_rn > end_rn → the empty window joins no rows and
+            # vanishes, matching the Spark side.
+            "WITH RECURSIVE ordered AS MATERIALIZED ("
             "SELECT coalesce(event_type, '__nil') AS g, epoch(ts) AS e, "
             "coalesce(value, 0) AS v, "
             "row_number() OVER (PARTITION BY coalesce(event_type, '__nil') "
             "ORDER BY event_id) AS rn FROM events), "
-            "walk AS ("
-            "SELECT g, rn, e, v, e AS win_start, 0 AS wno, true AS kept "
+            "win AS ("
+            "SELECT g, 0 AS wno, e AS win_start, 1 AS start_rn "
             "FROM ordered WHERE rn = 1 "
             "UNION ALL "
-            "SELECT o.g, o.rn, o.e, o.v, "
-            "CASE WHEN o.e - w.win_start <= 600.0 THEN w.win_start ELSE o.e END, "
-            "CASE WHEN o.e - w.win_start <= 600.0 THEN w.wno ELSE w.wno + 1 END, "
-            "o.e - w.win_start <= 600.0 "
-            "FROM walk w JOIN ordered o ON o.g = w.g AND o.rn = w.rn + 1) "
-            "SELECT g AS g_event_type, "
-            "floor(min(win_start))::bigint AS window_start, "
-            "floor(arg_max(e, rn))::bigint AS window_end, "
-            "round(sum(v), 3) AS sum__value "
-            "FROM walk WHERE kept GROUP BY g, wno"
+            "SELECT w.g, w.wno + 1, b.e, b.rn + 1 "
+            "FROM win w JOIN LATERAL ("
+            "SELECT o.e, o.rn FROM ordered o "
+            "WHERE o.g = w.g AND o.rn >= w.start_rn AND o.e - w.win_start > 600.0 "
+            "ORDER BY o.rn LIMIT 1) b ON true), "
+            "bounds AS ("
+            "SELECT g, wno, win_start, start_rn, "
+            "coalesce(lead(start_rn) OVER (PARTITION BY g ORDER BY wno) - 2, "
+            "9223372036854775807) AS end_rn FROM win) "
+            "SELECT b.g AS g_event_type, "
+            "floor(b.win_start)::bigint AS window_start, "
+            "floor(arg_max(o.e, o.rn))::bigint AS window_end, "
+            "round(sum(o.v), 3) AS sum__value "
+            "FROM bounds b JOIN ordered o ON o.g = b.g "
+            "AND o.rn BETWEEN b.start_rn AND b.end_rn "
+            "GROUP BY b.g, b.wno, b.win_start"
         ),
         "dedup_exact_groups": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
