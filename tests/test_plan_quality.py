@@ -107,3 +107,27 @@ def test_approx_count_distinct_close_to_exact(spark):
         "count_distinct_approx__user_id"
     ]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_partition_pruning_on_day_partitioned_store(spark, tmp_path):
+    """write_events(partition_by_day=True) + a one-day time filter must
+    prune the scan to that day's partition — the mechanism that turns the
+    reference's TS-index range scan into free partition pruning at 100 TB."""
+    from zx_spark.storage import write_events
+
+    path = str(tmp_path / "day_store")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 5:02d} 12:00:00", float(i)) for i in range(50)],
+        "event_id long, ts_s string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    write_events(df, path, partition_by_day=True)
+
+    scan = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-03")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan
+    # the pruned scan reads exactly one day
+    assert scan.count() == 10
+    # and the file listing actually contains day directories
+    import os
+
+    assert any(d.startswith("event_date=") for d in os.listdir(path))
