@@ -96,3 +96,34 @@ def test_quoted_from_not_passthrough():
     assert not isinstance(q, Passthrough)
     assert q.conditions[0].column == "event_type"
     assert q.conditions[0].value == "from x"
+
+
+def test_passthrough_grouping_sets_having_except(spark):
+    """SQL surfaces the reference lacks entirely (SURVEY §2.2 'absent'
+    rows) work through the shim's spark.sql passthrough: GROUPING SETS,
+    HAVING, EXCEPT."""
+    spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("b", "y", 4.0)],
+        "k string, s string, v double",
+    ).createOrReplaceTempView("shim_t")
+
+    gs = zx_sql(
+        spark,
+        "select k, s, sum(v) as sv from shim_t "
+        "group by grouping sets ((k), (s), ())",
+    ).collect()
+    rows = {(r["k"], r["s"]): r["sv"] for r in gs}
+    assert rows[("a", None)] == 3.0 and rows[(None, "x")] == 4.0
+    assert rows[(None, None)] == 10.0
+
+    hav = zx_sql(
+        spark,
+        "select k, sum(v) as sv from shim_t group by k having sum(v) > 4",
+    ).collect()
+    assert [(r["k"], r["sv"]) for r in hav] == [("b", 7.0)]
+
+    exc = zx_sql(
+        spark,
+        "select k from shim_t except select k from shim_t where k = 'a'",
+    ).collect()
+    assert [r["k"] for r in exc] == ["b"]
