@@ -168,3 +168,40 @@ def test_streaming_session_agg_stateful(spark, tmp_path):
     # the t=2000 session is still open at end-of-stream: append mode never
     # emits open state
     assert len(rows) == 3
+
+
+def test_streaming_weighted_agg_matches_batch(spark, tmp_path):
+    """§2.5 sample-rate weighting through the STREAMING path: the
+    watermarked windowed agg with rate_col must equal the batch compiler
+    on the same snapshot (both use agg_expr, so drift is impossible by
+    construction — this pins it)."""
+    from zx_spark.compiler import compile_query
+
+    src = str(tmp_path / "wstream_src")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [(1, "a", 10.0, 1.0, 30), (2, "a", 20.0, 2.0, 40), (3, "b", 6.0, 1.5, 90)],
+        "id long, service string, v double, sample_rate double, ts_s long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    batch.write.parquet(src, mode="overwrite")
+
+    q = Query(
+        selects=[Select("v", Aggregate.SUM), Select("v", Aggregate.COUNT)],
+        group_by=["service"],
+        granularity_s=60,
+    )
+    result = streaming_windowed_agg(
+        stream_events(spark, src, batch.schema), q, rate_col="sample_rate"
+    )
+    run_available_now(result, "wstream_out", str(tmp_path / "wckpt"))
+    got = {
+        (r["g_service"], r["window_start"]): (r["sum__v"], r["count__v"])
+        for r in spark.table("wstream_out").collect()
+    }
+    # weighted: sum(v*r), count = sum(r) over non-null v
+    assert got[("a", 0.0)] == (10.0 * 1.0 + 20.0 * 2.0, 3.0)
+    assert got[("b", 60.0)] == (9.0, 1.5)
+    # batch path agrees (same expressions by construction)
+    bat = compile_query(batch, q, id_col="id", rate_col="sample_rate")
+    brow = {r["g_service"]: r["sum__v"] for r in bat.collect()}
+    assert brow["a"] == 50.0 and brow["b"] == 9.0
