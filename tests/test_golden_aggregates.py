@@ -136,3 +136,28 @@ def test_heatmap_parameterized(spark):
     row = compile_query(df, qq, rate_col=None).collect()[0]
     # bins of width 2 over [0,8): [-5,0,...clamp lo] [2,3.9] [4] [7.9, 8, 100 clamp hi]
     assert row["heatmap__v"] == [2.0, 2.0, 1.0, 3.0]
+
+
+def test_multi_column_group_by(spark, mode):
+    """Two group keys (reference group keys are a COLUMN LIST,
+    src/lib.rs:60 group_by: Vec<String>): every (y, tag) combination gets
+    its own __nil-coalesced group."""
+    query = Query(
+        selects=[Select("foo", Aggregate.SUM), Select("foo", Aggregate.COUNT)],
+        group_by=["y", "tag"],
+        granularity_s=15,
+        window_mode=mode,
+    )
+    out = {
+        (r["g_y"], r["g_tag"]): (r["sum__foo"], r["count__foo"])
+        for r in compile_query(zx_fixture(spark), query).collect()
+    }
+    # fixture rows: (y, tag) → ids: (1,t1)->1; (nil,'t1,t2')->2; (nil,t3)->3,6;
+    # (9,t2)->4; (nil,nil)->5,7,8,9; (9,nil)->10
+    assert out[("1", "t1")] == (100.0, 1.0)
+    assert out[(NIL, "t1,t2")] == (200.0, 1.0)
+    assert out[(NIL, "t3")] == (300.0 + 600.0, 2.0)
+    assert out[("9", "t2")] == (400.0, 1.0)
+    assert out[(NIL, NIL)] == (500.0 + 700.0 + 800.0 + 900.0, 4.0)
+    assert out[("9", NIL)] == (1000.0, 1.0)
+    assert len(out) == 6
