@@ -182,3 +182,16 @@ def test_asof_property_matches_python_reference(spark, left_rows, right_rows):
         cands = [(qt, v) for qt, v in by_key.get(k, []) if qt <= t]
         expected[i] = max(cands)[1] if cands else None
     assert got == expected
+
+
+def test_join_column_collisions_rejected(spark, trades, quotes, points, intervals):
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades, quotes.withColumnRenamed("px", "t"),
+            on=["sym"], left_ts="t", right_ts="t", right_cols=["t"],
+        )
+    with pytest.raises(ValueError, match="ambiguous"):
+        range_join(
+            points.withColumn("s", F.lit(1)), intervals,
+            point_col="p", start_col="s", end_col="e", on=["k"], bin_width=16,
+        )

@@ -84,6 +84,12 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns — alias "
+            "them on the right frame before joining"
+        )
     payload = "__asof_payload"
     side = "__asof_side"
     t = "__asof_t"
@@ -152,6 +158,12 @@ def range_join(
     if bin_width is None or bin_width <= 0:
         raise ValueError("range_join requires a positive bin_width")
     on = list(on or [])
+    clash = (set(left.columns) & set(right.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"left/right share non-key columns {sorted(clash)} — the joined "
+            "result would be ambiguous; alias one side first"
+        )
     bin_col = "__range_bin"
     lb = left.withColumn(bin_col, F.floor(F.col(point_col) / bin_width).cast("long"))
     rb = right.withColumn(
