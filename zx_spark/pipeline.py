@@ -42,11 +42,14 @@ def curate_corpus(
     sample_rate: float | None = None,
     split_weights: list[float] | None = None,
     seed: int = 0,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """Filter → dedup → sample → split, any stage skippable via None.
 
     Adds ``lang`` when ``languages`` is given and ``split`` when
-    ``split_weights`` is given; otherwise returns the input columns."""
+    ``split_weights`` is given; otherwise returns the input columns.
+    ``hash_method='xx64'`` switches the MinHash stage to xxhash64 for
+    max throughput (md5 default keeps it SQL-verifiable)."""
     out = df
     if quality_min is not None:
         out = out.filter(
@@ -58,7 +61,9 @@ def curate_corpus(
         )
     out = exact_dedup(out, text_col, id_col)
     if near_dup_threshold is not None:
-        pairs = near_dup_pairs(out, text_col, id_col, threshold=near_dup_threshold)
+        pairs = near_dup_pairs(
+            out, text_col, id_col, threshold=near_dup_threshold, hash_method=hash_method
+        )
         drop = pairs.select(
             F.greatest("id_a", "id_b").alias(id_col)
         ).distinct()
