@@ -459,10 +459,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.operators.similarity import ivf_build, ivf_topk
+    """IVF ANN top-k over the deterministic Lloyd quantizer
+    (similarity.ivf_build_lloyd): every communicated center is rounded to
+    6 decimals, so the DuckDB oracle re-derives the IDENTICAL centers from
+    the raw parquet (ivf_centers_numpy) and the whole pipeline —
+    assignment, nprobe cell pruning, exact in-cell cosine top-k — is
+    hash-verified. The Spark-ML-KMeans variant (ivf_build) remains the
+    library alternative, pinned by tests."""
+    from zx_spark.operators.similarity import ivf_build_lloyd, ivf_topk
 
-    emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
-    assigned, centers = ivf_build(emb, n_cells=8)
+    emb = _emb(spark, sf_dir)
+    assigned, centers = ivf_build_lloyd(emb, n_cells=8, iters=5, dim=64)
     return ivf_topk(assigned, centers, ANN_QUERY_VEC, k=10, nprobe=4)
 
 
@@ -910,6 +917,50 @@ def _rp_lsh_oracle(
     )
 
 
+def _ivf_oracle(n_cells: int = 8, iters: int = 5, nprobe: int = 4, k: int = 10) -> str:
+    """The FULL IVF ANN pipeline in DuckDB SQL — possible because the
+    Lloyd quantizer (similarity.ivf_build_lloyd) rounds every communicated
+    center to 6 decimals, so ``ivf_centers_numpy`` re-derives bit-identical
+    centers from the raw parquet without Spark. Those centers are embedded
+    as double literals: assignment = argmin of the |v|^2 - 2v.c + |c|^2
+    expansion (list_position → first-index ties, same as Spark's
+    array_position), probe cells from the shared ``probe_cells`` helper on
+    the identical centers, exact cosine top-k within them. The parquet
+    path is the driver's fixed sf0.01 correctness scale."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zx_spark.operators.similarity import ivf_centers_numpy, probe_cells
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    centers = ivf_centers_numpy(
+        t["vec_id"].to_numpy(),
+        np.array(t["embedding"].to_pylist(), dtype=np.float64),
+        n_cells,
+        iters,
+    )
+    cells = probe_cells(centers, ANN_QUERY_VEC, nprobe)
+
+    def center_lit(c) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    dists = ", ".join(
+        f"(list_dot_product(v, v) - 2*list_dot_product(v, {center_lit(c)}) "
+        f"+ {float(sum(x * x for x in c))!r})"
+        for c in centers
+    )
+    return (
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"d AS (SELECT vec_id, v, [{dists}] AS dl FROM base), "
+        "a AS (SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell FROM d) "
+        "SELECT vec_id, round(v[1] / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6) AS cosine "
+        f"FROM a WHERE cell IN ({', '.join(str(c) for c in cells)}) "
+        f"ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {
         "s1_time_scan": _FILTER_ORACLE.format(
@@ -1130,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) AS cosine "
             "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
+        "ann_ivf_topk": _ivf_oracle(),
         "text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "
             f"len({_TOKS}) AS n_tokens, "

@@ -214,3 +214,50 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark):
         r["vec_id"] for r in ivf_topk(assigned, centers, q, k=5, nprobe=4).collect()
     ]
     assert approx == exact
+
+
+def test_ivf_lloyd_centers_match_numpy_twin(spark):
+    """The deterministic Lloyd quantizer must produce BIT-IDENTICAL
+    centers in Spark (distributed assign + groupBy-avg, 6-dp rounding of
+    every communicated center) and in the numpy twin reading the same
+    parquet — this equality is what lets the driver's DuckDB oracle embed
+    the centers as literals and hash-verify the whole IVF pipeline."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zx_spark.operators.similarity import ivf_build_lloyd, ivf_centers_numpy
+    from zx_spark.storage import read_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, centers = ivf_build_lloyd(emb, n_cells=4, iters=3, dim=64)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    twin = ivf_centers_numpy(
+        t["vec_id"].to_numpy(),
+        np.array(t["embedding"].to_pylist(), dtype=np.float64),
+        n_cells=4,
+        iters=3,
+    )
+    assert np.array_equal(centers, twin)
+
+
+def test_ivf_lloyd_exhaustive_probe_equals_bruteforce(spark):
+    """Same exactness pin as the Spark-ML variant: with nprobe = n_cells
+    the Lloyd IVF reduces to brute force — cell pruning is the only
+    approximation."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.similarity import ivf_build_lloyd
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = [0.1] * 64
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    assigned, centers = ivf_build_lloyd(emb, n_cells=4, iters=3, dim=64)
+    approx = [
+        r["vec_id"] for r in ivf_topk(assigned, centers, q, k=5, nprobe=4).collect()
+    ]
+    assert approx == exact

@@ -26,13 +26,14 @@ from pyspark.sql import functions as F
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to cluster parallelism — embedding dot
+    """Round-robin repartition to cluster parallelism — embedding dot
     products are CPU-heavy per row and small parquet inputs otherwise run
-    as a single task. No-op when the input is already well-partitioned."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    as a single task. Declared unconditionally: inspecting
+    ``df.rdd.getNumPartitions()`` to make it a no-op would force plan
+    analysis + RDD lineage materialization per call; the one exchange is
+    amortized by the CPU-bound work downstream (and AQE coalesces it
+    when the input is already wide)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -156,6 +157,16 @@ def ivf_build(
     return assigned, centers
 
 
+def probe_cells(centers: np.ndarray, query_vec: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` cell ids whose centroids are nearest the query by
+    cosine — driver-side on the tiny (k, dim) centers array. Factored out
+    so the DuckDB oracle can select the identical cells from the identical
+    (rounded-literal) centers."""
+    q = np.asarray(query_vec, dtype=float)
+    sims = centers @ q / (np.linalg.norm(centers, axis=1) * np.linalg.norm(q) + 1e-12)
+    return [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+
 def ivf_topk(
     assigned: DataFrame,
     centers: np.ndarray,
@@ -168,14 +179,136 @@ def ivf_topk(
     """ANN top-k: score only the ``nprobe`` cells whose centroids are
     nearest the query (computed driver-side on the tiny centers array),
     then exact cosine within them."""
-    q = np.asarray(query_vec, dtype=float)
-    sims = centers @ q / (np.linalg.norm(centers, axis=1) * np.linalg.norm(q) + 1e-12)
-    probe_cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
+    cells = probe_cells(centers, query_vec, nprobe)
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), qcol)
     return (
-        assigned.filter(F.col("ivf_cell").isin(probe_cells))
+        assigned.filter(F.col("ivf_cell").isin(cells))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic IVF (Lloyd's algorithm over DataFrame ops)
+#
+# Spark ML KMeans (``ivf_build``) is seeded but its k-means|| init and
+# distributed reduction order are not reproducible outside Spark, so a
+# DuckDB oracle can't re-derive its centers. This variant IS reproducible:
+# every communicated value (the centers) is rounded to 6 decimals, init is
+# an md5-hash-ordered pick, and each Lloyd step is assignment (argmin over
+# literal centers, first-index ties) + per-cell mean — all exactly
+# re-runnable in numpy from the same parquet. Cross-engine FP noise
+# (~1e-15) only matters within 1e-6 of a rounding boundary or at exact
+# distance ties — negligible on real-valued data.
+#
+# Scale shape: init is TakeOrdered(k); each iteration is one scan with a
+# map-side partial agg (k*dim running sums), collecting k rows; assignment
+# is a codegen'd expression over broadcast literal centers — no shuffle of
+# the vectors themselves beyond the groupBy's k-row exchange.
+# --------------------------------------------------------------------------
+
+
+def _sqdist_lit(v: Column, center: list[float]) -> Column:
+    """Squared L2 distance to a literal center via the expansion
+    |v|^2 - 2*v.c + |c|^2 (the same formula the DuckDB oracle uses)."""
+    c = F.array(*[F.lit(float(x)) for x in center])
+    c2 = float(sum(x * x for x in center))
+    return _dot(v, v) - 2.0 * _dot(v, c) + F.lit(c2)
+
+
+def ivf_init_centers(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int
+) -> list[list[float]]:
+    """Deterministic pseudo-random seed centers: the ``n_cells`` vectors
+    whose ids sort first by md5(id-as-string) — an unbiased, engine-
+    independent pick (TakeOrdered(k), no full sort materialized)."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[round(float(x), 6) for x in r["__v"]] for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame, centers: list[list[float]], vec_col: str, cell_col: str = "ivf_cell"
+) -> DataFrame:
+    """Assign each vector to its nearest center (argmin squared distance,
+    first index on ties) — a pure codegen'd expression over broadcast
+    literal centers; no shuffle, no Python."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_sqdist_lit(v, c) for c in centers])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn(cell_col, cell)
+
+
+def ivf_build_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    iters: int = 5,
+    dim: int | None = None,
+):
+    """Fit an IVF coarse quantizer with ``iters`` Lloyd steps, fully
+    deterministic and engine-reproducible (see module comment above).
+    Returns ``(assigned_df with cell_col, centers ndarray)`` like
+    ``ivf_build``. Empty cells keep their previous center."""
+    if dim is None:
+        dim = len(df.select(F.col(vec_col)).first()[0])
+    centers = ivf_init_centers(df, vec_col, id_col, n_cells)
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        assigned = ivf_assign(df, centers, vec_col)
+        means = (
+            assigned.groupBy("ivf_cell")
+            .agg(*[F.avg(v[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {
+            int(r["ivf_cell"]): [round(float(r[f"m{i}"]), 6) for i in range(dim)]
+            for r in means
+        }
+        centers = [new.get(c, centers[c]) for c in range(n_cells)]
+    return ivf_assign(df, centers, vec_col), np.array(centers)
+
+
+def ivf_centers_numpy(
+    ids: np.ndarray, X: np.ndarray, n_cells: int, iters: int = 5
+) -> np.ndarray:
+    """Driver-side twin of ``ivf_build_lloyd`` — same init, same argmin
+    (expansion formula, first-index ties), same per-cell mean, same
+    6-decimal rounding of every communicated center. Used by tests to pin
+    Spark ≡ numpy and by the DuckDB oracle to re-derive the centers from
+    the raw parquet without a SparkSession."""
+    import hashlib
+
+    def _r6(vec) -> np.ndarray:
+        # Python round(), not np.round: the Spark side rounds collected
+        # doubles with round(float(x), 6), and numpy's scale-round-unscale
+        # can disagree with Python's correctly-rounded dtoa at boundaries.
+        return np.array([round(float(t), 6) for t in vec])
+
+    X = np.asarray(X, dtype=np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(int(ids[i])).encode()).hexdigest(), int(ids[i])),
+    )
+    centers = np.stack([_r6(X[i]) for i in order[:n_cells]])
+    for _ in range(iters):
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ centers.T)
+            + (centers * centers).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        new = centers.copy()
+        for c in range(n_cells):
+            mask = assign == c
+            if mask.any():
+                new[c] = _r6(X[mask].mean(axis=0))
+        centers = new
+    return centers
