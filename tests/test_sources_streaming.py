@@ -170,6 +170,67 @@ def test_streaming_session_agg_stateful(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_streaming_session_disorder_keeps_state_monotone(spark, tmp_path):
+    """ADVICE r3 regression: a late-but-within-watermark batch whose
+    events are all OLDER than the stored open-session state must not
+    regress last_ts (which made the next on-time event see a spurious
+    > gap break and close a session with window_end earlier than events
+    already summed into it). With monotone state the disordered events
+    fold into ONE session with correct [min, max] bounds."""
+    import time as _time
+
+    from zx_spark.streaming import streaming_session_agg
+
+    src = str(tmp_path / "dis_src")
+    os.makedirs(src)
+    schema = "id long, service string, v double, ts timestamp"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "id long, service string, v double, ts_s long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        import glob, shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(part, dst)
+        return dst
+
+    B = 1_000_000
+    # b1 opens [B+100, B+110]; b2 is LATE (B+50, inside the 1000s
+    # watermark, older than the stored state); b3 is on-time B+130 —
+    # within gap of the TRUE last (110), but > gap from the regressed
+    # last (50) the pre-fix code stored; b4 closes the session on arrival.
+    f1 = write_file("d1", [(1, "A", 1.0, B + 100), (2, "A", 2.0, B + 110)])
+    _time.sleep(0.05)
+    f2 = write_file("d2", [(3, "A", 4.0, B + 50)])
+    _time.sleep(0.05)
+    f3 = write_file("d3", [(4, "A", 8.0, B + 130)])
+    _time.sleep(0.05)
+    f4 = write_file("d4", [(5, "A", 16.0, B + 3000)])
+    for i, f in enumerate([f1, f2, f3, f4]):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    result = streaming_session_agg(
+        stream, group_by=["service"], gap_s=30.0, ts_col="ts",
+        value_col="v", watermark="1000 seconds",
+    )
+    run_available_now(result, "dis_out", str(tmp_path / "dis_ckpt"), output_mode="append")
+    rows = {
+        (r["g_service"], r["window_start"], r["window_end"]): (r["sum__value"], r["count__value"])
+        for r in spark.table("dis_out").collect()
+    }
+    # ONE closed session spanning the disordered events, bounds = [min, max]
+    assert rows == {("A", B + 50.0, B + 130.0): (15.0, 4.0)}
+
+
 def test_streaming_weighted_agg_matches_batch(spark, tmp_path):
     """§2.5 sample-rate weighting through the STREAMING path: the
     watermarked windowed agg with rate_col must equal the batch compiler

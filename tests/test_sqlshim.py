@@ -98,6 +98,48 @@ def test_quoted_from_not_passthrough():
     assert q.conditions[0].value == "from x"
 
 
+def test_escaped_quote_literal_keeps_from_masked():
+    """ADVICE r3: '' is a quote ESCAPE inside a literal — a literal like
+    'it''s from x' must mask as ONE literal, not two with the middle
+    (and its 'from') exposed to clause detection."""
+    q = parse_zx_sql("select count(value) where event_type = 'it''s from x'")
+    assert not isinstance(q, Passthrough)
+    assert q.conditions[0].column == "event_type"
+    assert q.conditions[0].value == "it's from x"
+
+
+def test_real_pattern_like_routes_to_native(spark):
+    """Mixed %/_ patterns no longer raise in real-pattern mode: they route
+    to the Spark-native LIKE comparator. In reference-compat mode the same
+    text stays plain-substring (src/expr.rs:81-89)."""
+    q = parse_zx_sql(
+        "select count(value) where event_type like '%a_b%'",
+        compat=ZxCompat(like_is_contains=False),
+    )
+    assert q.conditions[0].cmp is Cmp.LIKE
+    assert q.conditions[0].value == "%a_b%"
+    qc = parse_zx_sql("select count(value) where event_type like '%a_b%'")
+    assert qc.conditions[0].cmp is Cmp.CONTAINS
+
+    df = spark.createDataFrame(
+        [("aXb",), ("a_b",), ("ab",), (None,)], "event_type string"
+    )
+    from zx_spark.operators.filters import apply_conditions
+
+    got = {r["event_type"] for r in apply_conditions(df, q.conditions).collect()}
+    assert got == {"aXb", "a_b"}  # _ matches any one char
+    gotc = {r["event_type"] for r in apply_conditions(df, qc.conditions).collect()}
+    # compat: the reference treats the WHOLE pattern (incl. %) as a
+    # literal substring — nothing contains "%a_b%".
+    assert gotc == set()
+    qn = parse_zx_sql(
+        "select count(value) where event_type not like '%a_b%'",
+        compat=ZxCompat(like_is_contains=False),
+    )
+    gotn = {r["event_type"] for r in apply_conditions(df, qn.conditions).collect()}
+    assert gotn == {"ab"}  # NULL excluded, like the other NOT_* comparators
+
+
 def test_passthrough_grouping_sets_having_except(spark):
     """SQL surfaces the reference lacks entirely (SURVEY §2.2 'absent'
     rows) work through the shim's spark.sql passthrough: GROUPING SETS,

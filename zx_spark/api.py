@@ -103,6 +103,8 @@ class ZX:
         df = self.spark.createDataFrame([row])
         from pyspark.sql import functions as F
 
+        from pyspark.errors import AnalysisException
+
         existing_ids = 0
         try:
             store = self.spark.read.option("mergeSchema", "true").parquet(self.events_path)
@@ -115,8 +117,14 @@ class ZX:
             for field in store.schema.fields:
                 if field.name not in df.columns:
                     df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
-        except Exception:
-            pass  # empty/new store
+        except AnalysisException as e:
+            # Only the empty/new-store case (missing path / unreadable-as-
+            # table) may fall through to id 1. Any other failure must
+            # propagate: swallowing a transient read error here would
+            # silently reset the id counter and write an unaligned row
+            # (ADVICE r3).
+            if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
         df = df.withColumn(self._cols["id_col"], F.lit(int(existing_ids) + 1).cast("long"))
         write_events(df, self.events_path, partition_by_day=False)
 

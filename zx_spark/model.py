@@ -37,6 +37,11 @@ class Cmp(enum.Enum):
     NOT_STARTS_WITH = "not_starts_with"
     CONTAINS = "contains"
     NOT_CONTAINS = "not_contains"
+    # Beyond-reference: real %/_ pattern matching for the SQL shim's
+    # non-compat LIKE mode (the reference only has substring LIKE,
+    # src/expr.rs:81-89).
+    LIKE = "like"
+    NOT_LIKE = "not_like"
 
 
 class Aggregate(enum.Enum):

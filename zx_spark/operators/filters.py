@@ -72,6 +72,11 @@ def condition_to_column(df: DataFrame, cond: Condition) -> Column:
         return s.contains(str(v))
     if cond.cmp is Cmp.NOT_CONTAINS:
         return s.isNotNull() & ~s.contains(str(v))
+    if cond.cmp is Cmp.LIKE:
+        # Real %/_ patterns (beyond-reference; Spark-native, codegen'd).
+        return s.like(str(v))
+    if cond.cmp is Cmp.NOT_LIKE:
+        return s.isNotNull() & ~s.like(str(v))
     raise ValueError(f"unknown comparator {cond.cmp}")
 
 

@@ -81,6 +81,12 @@ def asof_join(
 
     ``how='left'`` keeps unmatched left rows (right cols null);
     ``'inner'`` drops them.
+
+    Scale limit (same as session windows, SCALE.md): the per-key window
+    pass serializes WITHIN a key, so one pathologically hot key becomes
+    one task — inherent to ordered-recurrence semantics. If a single key
+    dominates, pre-split it on a coarse time bucket and stitch the bucket
+    boundaries with a second, tiny as-of pass over the bucket heads.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")

@@ -35,7 +35,7 @@ _IDENT = r"[a-z_][\w.]*"
 _ITEM_RE = re.compile(rf"^(?:(?P<fn>\w+)\(\s*(?P<arg>{_IDENT})\s*\)|(?P<bare>{_IDENT}))$")
 _COND_RE = re.compile(
     rf"^(?P<col>\$?{_IDENT})\s*(?P<op>>=|<=|!=|<>|=|>|<|not\s+like|like)\s*"
-    r"(?P<val>'[^']*'|\"[^\"]*\"|[\w.$-]+)$"
+    r"(?P<val>'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[\w.$-]+)$"
 )
 _CLAUSES = re.compile(
     r"\bwhere\b|\bgroup\s+by\b|\border\s+by\b|\bgranularity\b|\bfrom\b"
@@ -165,7 +165,10 @@ def zx_sql(
     return compile_query(df, q, **compile_kwargs)
 
 
-_QUOTED = re.compile(r"'[^']*'|\"[^\"]*\"")
+# Doubled quotes ('' / "") are SQL escapes INSIDE a literal, not a
+# close-then-open — without the (?:[^']|'')* form, 'it''s from x' masks as
+# two literals with "s from x" exposed, mis-detecting the FROM keyword.
+_QUOTED = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
 
 
 def _mask_quoted(s: str) -> str:
@@ -222,7 +225,8 @@ def _apply_condition(q: Query, text: str, compat: ZxCompat) -> None:
         raise ZxSqlError(f"unsupported condition: {text!r} (src/expr.rs:99)")
     col, op, val = m.group("col"), re.sub(r"\s+", " ", m.group("op")), m.group("val")
     if val[:1] in "'\"" and val[:1] == val[-1:]:
-        val = val[1:-1]
+        quote, val = val[0], val[1:-1]
+        val = val.replace(quote * 2, quote)  # SQL doubled-quote escape
     # $T_START/$T_END extraction into the scan range (src/expr.rs:171-185).
     if col == "$t_start":
         q.t_start = float(val)
@@ -240,15 +244,21 @@ def _apply_condition(q: Query, text: str, compat: ZxCompat) -> None:
             # Reference semantics: LIKE is plain substring (src/expr.rs:81-89).
             cmp = Cmp.NOT_CONTAINS if neg else Cmp.CONTAINS
         else:
-            # Real-pattern mode for the common shapes.
-            if val.startswith("%") and val.endswith("%"):
-                cmp, val = (Cmp.NOT_CONTAINS if neg else Cmp.CONTAINS), val.strip("%")
-            elif val.endswith("%") and "%" not in val[:-1]:
+            # Real-pattern mode: common shapes map to the reference's
+            # comparators (substring/prefix/equality — all wildcard-free
+            # inside); anything else is a true pattern → Spark-native LIKE.
+            def _plain(s: str) -> bool:
+                return "%" not in s and "_" not in s
+
+            inner = val[1:-1]
+            if len(val) >= 2 and val[0] == val[-1] == "%" and _plain(inner):
+                cmp, val = (Cmp.NOT_CONTAINS if neg else Cmp.CONTAINS), inner
+            elif val.endswith("%") and _plain(val[:-1]):
                 cmp, val = (Cmp.NOT_STARTS_WITH if neg else Cmp.STARTS_WITH), val[:-1]
-            elif "%" not in val and "_" not in val:
+            elif _plain(val):
                 cmp = Cmp.NE if neg else Cmp.EQ
             else:
-                raise ZxSqlError(f"unsupported LIKE pattern: {val!r}")
+                cmp = Cmp.NOT_LIKE if neg else Cmp.LIKE
     else:  # pragma: no cover
         raise ZxSqlError(f"unknown operator {op!r}")
     value: str | float = val

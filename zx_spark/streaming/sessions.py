@@ -24,7 +24,14 @@ Scale notes (the reason this shape is right at 100 TB/day of events):
 Known semantics vs batch: events that arrive AFTER the watermark already
 closed their session are dropped by Spark before the function runs (the
 standard late-data contract); the batch operator, running over complete
-data, has no such cutoff.
+data, has no such cutoff. Within the watermark, state updates are kept
+MONOTONE (window_start only shrinks, last_ts only grows), so disordered
+micro-batches can't split an open session; the residual divergence is the
+opposite direction — a late event landing inside what was (on event time)
+a > gap silence MERGES the neighboring sessions here, where the batch
+operator, seeing the full order, would keep them split. Exact parity
+under arbitrary disorder would require buffering per-key events until the
+watermark passes them — O(events) state instead of O(1).
 """
 
 from __future__ import annotations
@@ -152,9 +159,16 @@ def streaming_session_agg(
             seg_nv = int(vals[m].notna().sum())
             seg_nr = int(m.sum())
             if s_id == 0 and last is not None and not brk[0]:
-                # continues the open session
+                # Continues the open session. State must stay MONOTONE
+                # under intra-watermark disorder: a late-but-allowed batch
+                # can be entirely OLDER than the stored bounds, so take
+                # max/min rather than overwrite — otherwise `last`
+                # regresses and the next on-time event sees a spurious gap
+                # break, closing a session whose window_end predates
+                # events already summed into it.
                 sv, nr, nv = sv + seg_sum, nr + seg_nr, nv + seg_nv
-                last = float(seg_ts[-1])
+                ws = min(ws, float(seg_ts[0]))
+                last = max(last, float(seg_ts[-1]))
             else:
                 if last is not None:
                     closed.append((ws, last, sv, nr, nv))
