@@ -381,10 +381,54 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
 
 
-def q_dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.operators.dedup import exact_dedup
+def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three deterministic-sampling operators in one driver row
+    (registry is capped at 50; dedup_exact_kept was folded into
+    dedup_exact_groups, whose keep_id column already pins the kept set):
 
-    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id").select("doc_id")
+    - ``split`` arm: hash_sample(rate=0.25) then train_test_split
+      [0.8/0.1/0.1] composed the way a real pipeline runs them (sample →
+      split, both map-side filters, no join), aggregated per split id.
+    - ``strat`` arm: stratified_sample n=10 per source (binding: every
+      source has 25 docs at sf0.01), aggregated per source.
+
+    The md5 bucket (sampling._bucket) makes every keep/drop decision
+    reproducible in the DuckDB oracle value-for-value; id_sum checksums
+    WHICH rows survived, not just how many."""
+    from zx_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+        train_test_split,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    split_agg = (
+        train_test_split(
+            hash_sample(ids, 0.25, "doc_id", seed=13), [0.8, 0.1, 0.1], "doc_id", seed=7
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("split").alias("part_kind"),
+            F.col("split").cast("string").alias("part_key"),
+            "n_docs",
+            "id_sum",
+        )
+    )
+    strat_agg = (
+        stratified_sample(
+            _docs(spark, sf_dir).select("doc_id", "source"), ["source"], 10, "doc_id", seed=3
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("strat").alias("part_kind"),
+            F.col("source").alias("part_key"),
+            "n_docs",
+            "id_sum",
+        )
+    )
+    return split_agg.unionByName(strat_agg)
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,7 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # LLM pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_exact_kept": q_dedup_exact_kept,
+        "sampling_suite": q_sampling_suite,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "jaccard_wordset_pairs": q_jaccard_wordset_pairs,
@@ -914,6 +958,39 @@ def _rp_lsh_oracle(
         "FROM ex a JOIN ex b ON a.table_no = b.table_no AND a.bucket = b.bucket "
         "AND a.vec_id < b.vec_id) "
         f"SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}"
+    )
+
+
+def _sampling_oracle() -> str:
+    """The FULL sampling suite in DuckDB SQL — possible because
+    sampling._bucket's md5 mode is ANSI-reproducible:
+    ``('0x'||substr(md5(key||':seed'),1,15))::bigint % 1000000``. The
+    split bounds come from the same ``split_bounds`` helper the Spark
+    operator uses, so the integer cutoffs are IDENTICAL constants."""
+    from zx_spark.operators.sampling import _BUCKETS, split_bounds
+
+    def bucket(seed: int) -> str:
+        return (
+            f"('0x'||substr(md5(doc_id::VARCHAR || ':{seed}'),1,15))::bigint % {_BUCKETS}"
+        )
+
+    b = split_bounds([0.8, 0.1, 0.1])
+    rate_cut = int(0.25 * _BUCKETS)
+    return (
+        # split arm: hash_sample(0.25, seed 13) → train_test_split(seed 7)
+        f"WITH samp AS (SELECT doc_id FROM documents WHERE {bucket(13)} < {rate_cut}), "
+        f"sp AS (SELECT doc_id, CASE WHEN {bucket(7)} < {b[0]} THEN 0 "
+        f"WHEN {bucket(7)} < {b[1]} THEN 1 ELSE 2 END AS split FROM samp), "
+        "split_agg AS (SELECT 'split' AS part_kind, split::VARCHAR AS part_key, "
+        "count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum FROM sp GROUP BY split), "
+        # strat arm: stratified_sample(n=10 per source, seed 3) — hash
+        # order with doc_id tiebreak, same as the Spark window
+        f"r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+        f"ORDER BY {bucket(3)}, doc_id) AS rn FROM documents), "
+        "strat_agg AS (SELECT 'strat' AS part_kind, source AS part_key, "
+        "count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum FROM r WHERE rn <= 10 "
+        "GROUP BY source) "
+        "SELECT * FROM split_agg UNION ALL SELECT * FROM strat_agg"
     )
 
 
@@ -1151,9 +1228,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
             "count(*) AS dup_count FROM documents GROUP BY md5(text)"
         ),
-        "dedup_exact_kept": (
-            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
-        ),
+        "sampling_suite": _sampling_oracle(),
         "dedup_minhash_pairs": _minhash_oracle(),
         "dedup_simhash_pairs": _simhash_oracle(),
         "jaccard_wordset_pairs": (

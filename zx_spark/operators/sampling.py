@@ -24,13 +24,41 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def _bucket(key, seed: int):
-    """Stable bucket in [0, 1e6): xxhash64 of (key, seed), JVM-side."""
-    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+def _bucket(key, seed: int, hash_method: str = "md5"):
+    """Stable bucket in [0, 1e6), JVM-side.
+
+    ``md5`` (default): first 15 hex digits (60 bits, positive in int64)
+    of md5("<key>:<seed>") — reproducible in ANSI SQL
+    (``('0x'||substr(md5(key||':seed'),1,15))::bigint % 1000000``), which
+    is what lets the driver's DuckDB oracle verify sampling decisions
+    value-for-value (same trick as dedup.base_hash).
+
+    ``xx64``: xxhash64 of (key, seed) — the max-throughput choice when no
+    SQL oracle needs to reproduce the buckets."""
+    if hash_method == "xx64":
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+    if hash_method != "md5":
+        raise ValueError(f"hash_method must be 'md5' or 'xx64', got {hash_method!r}")
+    s = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_BUCKETS)
+    )
+
+
+def split_bounds(weights: list[float]) -> list[int]:
+    """Cumulative bucket bounds for ``train_test_split`` — exposed so the
+    DuckDB oracle embeds the IDENTICAL integer constants."""
+    total = float(sum(weights))
+    bounds: list[int] = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(int(acc * _BUCKETS))
+    return bounds
 
 
 def hash_sample(
-    df: DataFrame, rate: float, key_col: str, seed: int = 0
+    df: DataFrame, rate: float, key_col: str, seed: int = 0, hash_method: str = "md5"
 ) -> DataFrame:
     """Keep ~``rate`` of rows, deterministically by ``key_col``.
 
@@ -39,7 +67,9 @@ def hash_sample(
     together (sampling users, not user-events)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.filter(_bucket(F.col(key_col), seed) < int(rate * _BUCKETS))
+    return df.filter(
+        _bucket(F.col(key_col), seed, hash_method) < int(rate * _BUCKETS)
+    )
 
 
 def stratified_sample(
@@ -48,6 +78,7 @@ def stratified_sample(
     n_per_stratum: int,
     key_col: str,
     seed: int = 0,
+    hash_method: str = "md5",
 ) -> DataFrame:
     """Exactly ``min(n, stratum_size)`` rows per stratum, chosen by hash
     order (deterministic, unbiased within the hash). One shuffle on the
@@ -55,7 +86,7 @@ def stratified_sample(
     if n_per_stratum < 1:
         raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
     w = Window.partitionBy(*strata_cols).orderBy(
-        _bucket(F.col(key_col), seed), F.col(key_col)
+        _bucket(F.col(key_col), seed, hash_method), F.col(key_col)
     )
     rn = "__strat_rn"
     return (
@@ -71,6 +102,7 @@ def train_test_split(
     key_col: str,
     seed: int = 0,
     split_col: str = "split",
+    hash_method: str = "md5",
 ) -> DataFrame:
     """Assign every row a split id (0..len(weights)-1) by hash bucket —
     disjoint, exhaustive, and stable: the same key lands in the same
@@ -80,12 +112,8 @@ def train_test_split(
     total = float(sum(weights))
     if total <= 0:
         raise ValueError("weights must sum to > 0")
-    bounds: list[int] = []
-    acc = 0.0
-    for w in weights[:-1]:
-        acc += w / total
-        bounds.append(int(acc * _BUCKETS))
-    b = _bucket(F.col(key_col), seed)
+    bounds = split_bounds(weights)
+    b = _bucket(F.col(key_col), seed, hash_method)
     expr = F.lit(len(weights) - 1)
     for i in range(len(bounds) - 1, -1, -1):
         expr = F.when(b < bounds[i], F.lit(i)).otherwise(expr)

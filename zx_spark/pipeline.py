@@ -48,8 +48,9 @@ def curate_corpus(
 
     Adds ``lang`` when ``languages`` is given and ``split`` when
     ``split_weights`` is given; otherwise returns the input columns.
-    ``hash_method='xx64'`` switches the MinHash stage to xxhash64 for
-    max throughput (md5 default keeps it SQL-verifiable)."""
+    ``hash_method='xx64'`` switches every hashing stage (MinHash,
+    sampling, split) to xxhash64 for max throughput (md5 default keeps
+    them SQL-verifiable)."""
     out = df
     if quality_min is not None:
         out = out.filter(
@@ -69,7 +70,9 @@ def curate_corpus(
         ).distinct()
         out = out.join(drop, on=id_col, how="left_anti")
     if sample_rate is not None:
-        out = hash_sample(out, sample_rate, id_col, seed=seed)
+        out = hash_sample(out, sample_rate, id_col, seed=seed, hash_method=hash_method)
     if split_weights is not None:
-        out = train_test_split(out, split_weights, id_col, seed=seed)
+        out = train_test_split(
+            out, split_weights, id_col, seed=seed, hash_method=hash_method
+        )
     return out
