@@ -502,6 +502,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_emb(spark, sf_dir), ANN_QUERY_VEC, k=10)
 
 
+def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k + threshold scan as one two-arm driver row
+    (identical column shapes; merged to free a registry slot for
+    streaming_sessions under the 50-query cap). The pure top-k callable
+    stays in BENCH_COMPAT so headline timings remain comparable with the
+    pinned baseline."""
+    topk = q_ann_topk(spark, sf_dir).select(
+        F.lit("topk").alias("arm"), "vec_id", "cosine"
+    )
+    thr = q_ann_cosine_threshold(spark, sf_dir).select(
+        F.lit("threshold").alias("arm"), "vec_id", "cosine"
+    )
+    return topk.unionByName(thr)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k over the deterministic Lloyd quantizer
     (similarity.ivf_build_lloyd): every communicated center is rounded to
@@ -613,9 +628,83 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = streaming_windowed_agg(stream, q, rate_col=None)
     name = f"zx_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(result, name, tempfile.mkdtemp(prefix="zx_ckpt_"))
+    ckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
+    run_available_now(result, name, ckpt)
+    # Memory sink holds the rows; don't leak the staged source/checkpoint
+    # across driver rounds.
+    import shutil as _shutil
+
+    for d in (stage, ckpt):
+        _shutil.rmtree(d, ignore_errors=True)
     out = spark.table(name)
     return _round(out, {"sum__value": 3})
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState) with
+    BATCH PARITY: stream the events parquet, then a synthetic far-future
+    tail event per event_type (one extra file, later mtime → later
+    micro-batch) breaks the gap for every open session, so ALL real
+    sessions emit as closed. The tail's own sessions never close and
+    append mode never emits them — the result equals the batch lag/cumsum
+    session SQL (the w1_session_windows oracle) exactly."""
+    import os
+    import tempfile as _tf
+    import uuid
+
+    from zx_spark.streaming import run_available_now, streaming_session_agg
+
+    stage = _tf.mkdtemp(prefix="zx_sess_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_schema = batch.schema
+    # One tail row per event_type (incl. NULL → the __nil group), 1e6 s
+    # past the global max — far beyond any 600 s gap.
+    tail_ts = batch.agg(F.max("ts")).collect()[0][0] + 10**15  # raw nanos
+    tail_cols = []
+    for f in raw_schema.fields:
+        if f.name == "event_type":
+            tail_cols.append(F.col("event_type"))
+        elif f.name == "ts":
+            tail_cols.append(F.lit(tail_ts).cast(f.dataType).alias("ts"))
+        else:
+            tail_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    tmp_tail = _tf.mkdtemp(prefix="zx_sess_tail_")
+    batch.select("event_type").distinct().select(*tail_cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_tail)
+    import glob as _glob
+    import shutil as _shutil
+
+    _shutil.copy(_glob.glob(f"{tmp_tail}/part-*.parquet")[0], f"{stage}/tail.parquet")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    result = streaming_session_agg(
+        stream, group_by=["event_type"], gap_s=600.0, ts_col="ts",
+        value_col="value", watermark="0 seconds",
+    )
+    name = f"zx_sess_{uuid.uuid4().hex[:8]}"
+    ckpt = _tf.mkdtemp(prefix="zx_sess_ckpt_")
+    run_available_now(result, name, ckpt, output_mode="append")
+    # The memory sink holds the rows; the staged source, tail temp, and
+    # checkpoint are dead once the drain stops — don't leak them per
+    # driver round.
+    for d in (stage, tmp_tail, ckpt):
+        _shutil.rmtree(d, ignore_errors=True)
+    out = spark.table(name)
+    return out.select(
+        "g_event_type",
+        F.floor("window_start").cast("long").alias("window_start"),
+        F.floor("window_end").cast("long").alias("window_end"),
+        F.round("sum__value", 3).alias("sum__value"),
+        "count__value",
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,8 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "jaccard_wordset_pairs": q_jaccard_wordset_pairs,
-        "ann_cosine_threshold": q_ann_cosine_threshold,
-        "ann_topk": q_ann_topk,
+        "ann_cosine_suite": q_ann_cosine_suite,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_pairs_lsh": q_emb_near_pairs_lsh,
         "text_stats": q_text_stats,
@@ -812,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_shapes": q_multimodal_shapes,
         "streaming_windowed_agg": q_streaming_windowed,
+        "streaming_sessions": q_streaming_sessions,
         # Joins Spark lacks natively, scale-first formulations
         "asof_join_marks": q_asof_join_marks,
         "range_join_incidents": q_range_join_incidents,
@@ -826,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the round-2 pinned baseline, which timed f1_contains alone).
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
+    # Kept for baseline continuity after the registry merge into
+    # ann_cosine_suite (bench HEADLINE still times the pure top-k).
+    "ann_topk": q_ann_topk,
 }
 
 
@@ -1245,18 +1337,33 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) >= 0.6"
         ),
         "emb_near_pairs_lsh": _rp_lsh_oracle(),
-        "ann_cosine_threshold": (
-            "SELECT vec_id, round(embedding[1]::double / "
+        "ann_cosine_suite": (
+            "WITH c AS (SELECT vec_id, round(embedding[1]::double / "
             "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) AS cosine "
-            "FROM embeddings WHERE round(embedding[1]::double / "
-            "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) >= 0.25"
-        ),
-        "ann_topk": (
-            "SELECT vec_id, round(embedding[1]::double / "
-            "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) AS cosine "
-            "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+            "FROM embeddings) "
+            "SELECT 'topk' AS arm, vec_id, cosine FROM "
+            "(SELECT * FROM c ORDER BY cosine DESC, vec_id LIMIT 10) "
+            "UNION ALL "
+            "SELECT 'threshold' AS arm, vec_id, cosine FROM c WHERE cosine >= 0.25"
         ),
         "ann_ivf_topk": _ivf_oracle(),
+        "streaming_sessions": (
+            # Batch parity: the availableNow drain + far-future tail per
+            # key closes every REAL session, so the streaming append
+            # output equals the batch lag/cumsum session SQL (the
+            # w1_session_windows oracle verbatim).
+            "WITH g AS (SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id) > 600 THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "s AS (SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS wno FROM g) "
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "floor(min(epoch(ts)))::bigint AS window_start, "
+            "floor(max(epoch(ts)))::bigint AS window_end, "
+            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
+            "CAST(count(value) AS DOUBLE) AS count__value "
+            "FROM s GROUP BY coalesce(event_type, '__nil'), wno"
+        ),
         "text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "
             f"len({_TOKS}) AS n_tokens, "
