@@ -445,13 +445,17 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set Jaccard near-dup pairs, candidate-limited to (source,
-    length-bucket) equality — the SQL-expressible cousin of the MinHash
-    path. The log2 length bucket turns the former within-source all-pairs
-    product into a selective equi-join key: at scale each bucket holds only
-    similarly-sized docs, and docs whose sizes differ ≥2× (which can't
-    reach Jaccard 0.6 anyway... a pair straddling a bucket edge can be
-    missed — a documented candidate-generation tradeoff, identical in the
-    DuckDB oracle). The recall-exact path is dedup_minhash_pairs."""
+    length-bucket, minhash-band) equality — the SQL-expressible cousin of
+    the MinHash path. The log2 length bucket keeps only similarly-sized
+    docs together (a ≥2× size gap can't reach Jaccard 0.6 anyway), and the
+    single md5-derived minhash band (min token hash, agreement probability
+    = the Jaccard itself, ≥0.6 for qualifying pairs, 1.0 for exact dups)
+    collapses the former within-bucket quadratic to near-linear: at 100 TB
+    a bucket is no longer "all ~1k-token docs from one crawl source" but
+    only those sharing a rarest-hash token. Both keys are deterministic
+    candidate-generation tradeoffs, IDENTICAL in the DuckDB oracle — a
+    qualifying pair can be missed (bucket edge, band disagreement), never
+    wrongly emitted. The recall-exact path is dedup_minhash_pairs."""
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
@@ -462,6 +466,14 @@ def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "len_bucket",
         F.floor(F.log2(F.greatest(F.size("tokset"), F.lit(2)).cast("double"))).cast("long"),
+    ).withColumn(
+        "band",
+        F.array_min(
+            F.transform(
+                F.col("tokset"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            )
+        ),
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset"))).cast("double")
@@ -472,6 +484,7 @@ def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             on=[
                 F.col("a.source") == F.col("b.source"),
                 F.col("a.len_bucket") == F.col("b.len_bucket"),
+                F.col("a.band") == F.col("b.band"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
@@ -1326,13 +1339,16 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_wordset_pairs": (
             "WITH d AS (SELECT doc_id, source, "
             f"list_distinct({_TOKS}) AS tokset, "
-            f"floor(log2(greatest(len(list_distinct({_TOKS})), 2)::double))::bigint AS len_bucket "
+            f"floor(log2(greatest(len(list_distinct({_TOKS})), 2)::double))::bigint AS len_bucket, "
+            f"list_min(list_transform(list_distinct({_TOKS}), "
+            "t -> ('0x'||substr(md5(t),1,15))::bigint)) AS band "
             "FROM documents) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "round(len(list_intersect(a.tokset, b.tokset))::double / "
             "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) AS jaccard "
             "FROM d a JOIN d b ON a.source = b.source "
-            "AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id "
+            "AND a.len_bucket = b.len_bucket AND a.band = b.band "
+            "AND a.doc_id < b.doc_id "
             "WHERE round(len(list_intersect(a.tokset, b.tokset))::double / "
             "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) >= 0.6"
         ),

@@ -29,15 +29,14 @@ from zx_spark.functions.text import word_shingles
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the cluster's parallelism iff the input
-    has fewer partitions — lets CPU-heavy per-row stages (signature
-    hashing, Arrow UDFs) use every core even when the source is one small
-    parquet file. At 100 TB inputs already have plenty of partitions and
-    this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Round-robin repartition to cluster parallelism — lets CPU-heavy
+    per-row stages (signature hashing, Arrow UDFs) use every core even
+    when the source is one small parquet file. Declared unconditionally:
+    probing ``df.rdd.getNumPartitions()`` to skip it would force plan
+    analysis + RDD lineage materialization per call; the one exchange is
+    amortized by the hashing work downstream, and AQE coalesces it when
+    the input is already wide."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
