@@ -96,10 +96,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as TIMESTAMP(NANOS) in the parquet footer (these
-    arrive as bigint under nanosAsLong and need normalization)."""
+    arrive as bigint under nanosAsLong and need normalization). ``path``
+    may be a single file or a Spark-written directory of part files —
+    one footer is representative either way."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     return [
         f.name
