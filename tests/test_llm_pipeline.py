@@ -242,6 +242,43 @@ def test_ivf_lloyd_centers_match_numpy_twin(spark):
     assert np.array_equal(centers, twin)
 
 
+def test_ivf_store_partition_pruning(spark, tmp_path):
+    """The cell-partitioned IVF layout must turn the nprobe filter into
+    Parquet PARTITION PRUNING — the executed plan carries a PartitionFilters
+    entry on ivf_cell and the probe's top-k equals running ivf_topk on the
+    in-memory assigned frame. This is the claim SCALE.md makes for the
+    100 TB ANN path, asserted on a real executed plan."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.similarity import (
+        ivf_build_lloyd,
+        ivf_topk,
+        read_ivf_store,
+        write_ivf_store,
+    )
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned, centers = ivf_build_lloyd(emb, n_cells=4, iters=2, dim=64)
+    path = str(tmp_path / "ivf_store")
+    write_ivf_store(assigned, path)
+
+    store = read_ivf_store(spark, path)
+    q = [0.1] * 64
+    probe = ivf_topk(store, centers, q, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan
+    mem = ivf_topk(assigned, centers, q, k=5, nprobe=2)
+    assert [r["vec_id"] for r in probe.collect()] == [
+        r["vec_id"] for r in mem.collect()
+    ]
+    import os
+
+    assert any(d.startswith("ivf_cell=") for d in os.listdir(path))
+
+
 def test_ivf_lloyd_exhaustive_probe_equals_bruteforce(spark):
     """Same exactness pin as the Spark-ML variant: with nprobe = n_cells
     the Lloyd IVF reduces to brute force — cell pruning is the only

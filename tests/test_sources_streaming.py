@@ -231,6 +231,49 @@ def test_streaming_session_disorder_keeps_state_monotone(spark, tmp_path):
     assert rows == {("A", B + 50.0, B + 130.0): (15.0, 4.0)}
 
 
+def test_streaming_exact_dedup_drops_redelivered_content(spark, tmp_path):
+    """Ingestion dedup: identical CONTENT re-delivered across micro-batches
+    (different envelope ids) is dropped within the watermark; distinct
+    content passes. Keeps the first arrival — the batch exact-dedup
+    keep-min rule's streaming twin."""
+    import time as _time
+
+    from zx_spark.streaming import run_available_now, streaming_exact_dedup
+
+    src = str(tmp_path / "ded_src")
+    os.makedirs(src)
+    schema = "id long, text string, ts timestamp"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "id long, text string, ts_s long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        import glob, shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    B = 1_000_000
+    # b1: two distinct docs (one duplicated in-batch under a new id);
+    # b2: re-delivers doc "aaa" under yet another id 100 s later (inside
+    #     the 10-min watermark) plus one genuinely new doc.
+    write_file("b1", [(1, "aaa", B), (2, "bbb", B + 1), (3, "aaa", B + 2)])
+    _time.sleep(0.05)
+    write_file("b2", [(4, "aaa", B + 100), (5, "ccc", B + 100)])
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    result = streaming_exact_dedup(stream, "text", ts_col="ts")
+    run_available_now(result, "ded_out", str(tmp_path / "ded_ckpt"), output_mode="append")
+    rows = {r["id"]: r["text"] for r in spark.table("ded_out").collect()}
+    assert rows == {1: "aaa", 2: "bbb", 5: "ccc"}  # first arrival per content
+
+
 def test_streaming_weighted_agg_matches_batch(spark, tmp_path):
     """§2.5 sample-rate weighting through the STREAMING path: the
     watermarked windowed agg with rate_col must equal the batch compiler

@@ -276,6 +276,20 @@ def ivf_build_lloyd(
     return ivf_assign(df, centers, vec_col), np.array(centers)
 
 
+def write_ivf_store(
+    assigned: DataFrame, path: str, cell_col: str = "ivf_cell"
+) -> None:
+    """Persist an IVF-assigned vector table partitioned by cell — the
+    layout that turns ``ivf_topk``'s ``nprobe`` cell filter into Parquet
+    PARTITION PRUNING: a probe reads only nprobe/n_cells of the 100 TB
+    store (plan-asserted in tests/test_llm_pipeline.py)."""
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def read_ivf_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivf_centers_numpy(
     ids: np.ndarray, X: np.ndarray, n_cells: int, iters: int = 5
 ) -> np.ndarray:

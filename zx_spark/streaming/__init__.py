@@ -6,6 +6,7 @@ upgrade: the same windowed-aggregate semantics as the batch compiler,
 expressed as an incremental streaming query with watermarked late-data
 handling — the shape a 100 TB observability pipeline actually runs."""
 
+from zx_spark.streaming.dedup import streaming_exact_dedup
 from zx_spark.streaming.sessions import streaming_session_agg
 from zx_spark.streaming.windowed import (
     run_available_now,
@@ -16,6 +17,7 @@ from zx_spark.streaming.windowed import (
 __all__ = [
     "run_available_now",
     "stream_events",
+    "streaming_exact_dedup",
     "streaming_session_agg",
     "streaming_windowed_agg",
 ]
