@@ -216,6 +216,68 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark):
     assert approx == exact
 
 
+def test_cosine_topk_batch_equals_per_query(spark):
+    """Multi-query ANN (one scan, per-partition numpy top-k, candidate-only
+    shuffle) must return EXACTLY what cosine_topk returns per query after
+    6dp rounding — same ids, same order, same cosines."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.similarity import cosine_topk, cosine_topk_batch
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = [[1.0] + [0.0] * 63, [0.1] * 64, [(-1.0) ** i for i in range(64)]]
+    batch = cosine_topk_batch(emb, queries, k=5)
+    got = {
+        qno: [(r["vec_id"], r["cosine"]) for r in batch.filter(F.col("query_no") == qno)
+              .orderBy(F.col("cosine").desc(), "vec_id").collect()]
+        for qno in range(3)
+    }
+    for qno, q in enumerate(queries):
+        exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=5).collect()]
+        assert got[qno] == exact
+
+
+def test_quantized_embeddings_preserve_cosine(spark):
+    """int8 quantization: tinyint storage (4-8x fewer scan bytes), cosine
+    scale-invariance — similarity on the quantized vectors matches the
+    exact cosine within quantization error, and top-1 is preserved on the
+    real driver embeddings."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.similarity import cosine, cosine_topk, quantize_embeddings
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qdf = quantize_embeddings(emb)
+    assert dict(qdf.dtypes)["q_embedding"] == "array<tinyint>"
+
+    q = [0.1] * 64
+    qcol = F.array(*[F.lit(v) for v in q])
+    approx = {
+        r["vec_id"]: r["c"]
+        for r in qdf.select(
+            "vec_id",
+            F.round(cosine(F.col("q_embedding").cast("array<double>"), qcol), 6).alias("c"),
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", F.round(cosine(F.col("embedding"), qcol), 6).alias("c")
+        ).collect()
+    }
+    worst = max(abs(approx[i] - exact[i]) for i in exact)
+    assert worst < 0.02  # int8 quantization error bound
+    top1 = cosine_topk(emb, q, k=1).collect()[0]["vec_id"]
+    qtop1 = max(approx.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert qtop1 == top1
+
+
 def test_ivf_lloyd_centers_match_numpy_twin(spark):
     """The deterministic Lloyd quantizer must produce BIT-IDENTICAL
     centers in Spark (distributed assign + groupBy-avg, 6-dp rounding of

@@ -73,6 +73,97 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q = round(v / scale)``
+    with ``scale = max|v| / 127``. A tinyint array is 1 byte/element vs 4
+    (float32) or 8 (double) — a 4-8× scan-byte reduction on a 100 TB
+    vector store. Cosine is SCALE-INVARIANT, so similarity search runs
+    directly on the int8 arrays (``cosine(qa, qb) == cosine(a, b)`` up to
+    quantization error ~0.5%); ``scale_col`` is kept for exact
+    reconstruction / re-ranking. All JVM expressions, no Python."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = (
+        F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12))
+        / F.lit(127.0)
+    )
+    df = df.withColumn(scale_col, scale)
+    q = F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint"))
+    return df.withColumn(out_col, q)
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k for a BATCH of queries in ONE scan — the ANN serving shape:
+    per partition, an Arrow-batched numpy matmul scores every vector
+    against all Q queries and keeps a local top-k per query; only those
+    ``partitions × Q × k`` candidates shuffle to the final per-query
+    top-k window. Python here is the sanctioned fast path — one BLAS
+    matmul per Arrow batch beats per-element JVM folds for wide Q, and
+    the scan is still a single pass regardless of Q.
+
+    Returns (query_no, vec_id, cosine) rows, k per query, ordered by
+    (cosine desc, id) with cosine rounded to 6dp — identical to running
+    ``cosine_topk`` once per query."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    Q = np.asarray(query_vecs, dtype=np.float64)
+    qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
+    n_q = len(query_vecs)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_no", T.IntegerType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(X, axis=1)
+            sims = (X @ qn.T) / np.maximum(norms, 1e-12)[:, None]
+            sims = np.round(sims, 6)
+            for qno in range(n_q):
+                s = sims[:, qno]
+                # top-k by (sim desc, id asc); lexsort keys: last is primary
+                order = np.lexsort((ids, -s))[:k]
+                best.append(
+                    pd.DataFrame(
+                        {"query_no": qno, id_col: ids[order], "cosine": s[order]}
+                    )
+                )
+        if best:
+            # one re-reduce per partition so only Q*k rows leave it
+            allb = pd.concat(best, ignore_index=True)
+            allb = allb.sort_values(
+                ["query_no", "cosine", id_col], ascending=[True, False, True]
+            )
+            yield allb.groupby("query_no", group_keys=False).head(k)
+
+    cand = _spread(df.select(id_col, vec_col)).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_no").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
