@@ -66,6 +66,34 @@ def test_asof_matches_brute_force(spark, trades, quotes):
     assert rows[8] is None     # no quote at-or-before
 
 
+@pytest.mark.parametrize("bucket", [1, 7, 100])
+def test_asof_time_bucket_presplit_matches_base(spark, trades, quotes, bucket):
+    """The hot-key pre-split (time_bucket_s) must reproduce the base
+    single-window result ROW-FOR-ROW at every bucket width: width 1 forces
+    carry-ins across many empty buckets, width 7 mixes in-bucket matches
+    with boundary stitches, width 100 degenerates to one bucket (pure
+    in-bucket path)."""
+    base = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], how="left",
+    )
+    split = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], how="left", time_bucket_s=bucket,
+    )
+    b = {r.trade_id: r.px for r in base.collect()}
+    s = {r.trade_id: r.px for r in split.collect()}
+    assert s == b
+    # inner mode too
+    bi = {r.trade_id for r in asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], how="inner").collect()}
+    si = {r.trade_id for r in asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], how="inner", time_bucket_s=bucket).collect()}
+    assert si == bi
+
+
 def test_asof_inner_drops_unmatched(spark, trades, quotes):
     got = asof_join(
         trades, quotes, on=["sym"], left_ts="t", right_ts="t",

@@ -60,6 +60,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     how: str = "left",
+    time_bucket_s: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: each left row is matched to the right row with
     the greatest ``right_ts <= left_ts`` in the same ``on`` key group —
@@ -84,9 +85,18 @@ def asof_join(
 
     Scale limit (same as session windows, SCALE.md): the per-key window
     pass serializes WITHIN a key, so one pathologically hot key becomes
-    one task — inherent to ordered-recurrence semantics. If a single key
-    dominates, pre-split it on a coarse time bucket and stitch the bucket
-    boundaries with a second, tiny as-of pass over the bucket heads.
+    one task — inherent to ordered-recurrence semantics. For that case
+    pass ``time_bucket_s``: rows split on ``floor(t / bucket)`` so the
+    window runs per (key, bucket) — parallel across buckets — and
+    carry-in payloads stitch the boundaries: per-bucket right-side tails
+    (a tiny table, one row per non-empty bucket) get a cumulative
+    last-non-null window over the BUCKET sequence, and left rows with no
+    in-bucket match coalesce from their bucket's carry-in. Same result,
+    row-for-row (✓test), at the cost of two extra small shuffles —
+    opt-in for skew, not the default. One divergence: the stitch joins on
+    the keys, so NULL-keyed RIGHT rows never carry across buckets in this
+    mode (the base window groups NULLs together) — coalesce such keys
+    first if they are meaningful.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
@@ -122,13 +132,60 @@ def asof_join(
     )
     unioned = l2.unionByName(r2.select(*l2.columns))
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(t).asc(), F.col(side).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
-    out = carried.filter(F.col(side) == 1)
+    if time_bucket_s is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(t).asc(), F.col(side).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = unioned.withColumn(
+            payload, F.last(payload, ignorenulls=True).over(w)
+        ).filter(F.col(side) == 1)
+    else:
+        # Hot-key pre-split: window per (key, bucket) — parallel across
+        # buckets — then stitch boundaries with per-bucket carry-ins.
+        # Correct because floor(rt/W) < floor(lt/W) implies rt < lt, so a
+        # strictly-earlier bucket's tail is always an eligible (older)
+        # match, and the cumulative-last over the bucket sequence picks
+        # the latest among them.
+        b = "__asof_bucket"
+        unioned = unioned.withColumn(
+            b, F.floor(F.col(t) / F.lit(float(time_bucket_s))).cast("long")
+        )
+        wb = (
+            Window.partitionBy(*on, b)
+            .orderBy(F.col(t).asc(), F.col(side).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(wb))
+        # One tail row per (key, bucket) that contains right rows: the
+        # payload of its latest right row.
+        tails = (
+            r2.withColumn(b, F.floor(F.col(t) / F.lit(float(time_bucket_s))).cast("long"))
+            .groupBy(*on, b)
+            .agg(F.max_by(payload, F.col(t)).alias("__asof_tail"))
+        )
+        # Bucket spine (every bucket seen on either side) -> carry-in =
+        # latest tail among STRICTLY earlier buckets. This window runs
+        # over buckets, not rows — tiny even for a year of seconds.
+        spine = (
+            unioned.select(*on, b)
+            .distinct()
+            .join(tails, on=[*on, b], how="left")
+        )
+        wc = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(b).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = spine.withColumn(
+            "__asof_carry", F.last("__asof_tail", ignorenulls=True).over(wc)
+        ).select(*on, b, "__asof_carry")
+        out = (
+            carried.filter(F.col(side) == 1)
+            .join(carry, on=[*on, b], how="left")
+            .withColumn(payload, F.coalesce(F.col(payload), F.col("__asof_carry")))
+        )
     if how == "inner":
         out = out.filter(F.col(payload).isNotNull())
     return out.select(
