@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from zx_spark.functions.text import (
     bpe_ish_token_count,
+    chunk_documents,
     document_fingerprint,
     language_id,
     text_quality,
@@ -214,6 +215,34 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark):
         r["vec_id"] for r in ivf_topk(assigned, centers, q, k=5, nprobe=4).collect()
     ]
     assert approx == exact
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking: full token coverage, exact overlap, remainder chunk
+    sizes, single-chunk shorts, and empty docs yielding one empty chunk."""
+    words = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=256, overlap_tokens=32)
+    rows = {
+        (r["doc_id"], r["chunk_no"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: 300 tokens -> chunks at 0 and 224
+    assert rows[(1, 0)][1] == 256 and rows[(1, 0)][0].startswith("w0 ")
+    assert rows[(1, 1)][1] == 76 and rows[(1, 1)][0].startswith("w224 ")
+    # overlap: tokens 224..255 appear in both chunks
+    assert rows[(1, 0)][0].split()[-32:] == rows[(1, 1)][0].split()[:32]
+    # reconstruction: chunk0 + chunk1-minus-overlap == the document
+    assert rows[(1, 0)][0].split() + rows[(1, 1)][0].split()[32:] == words.split()
+    # short and empty docs
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert rows[(3, 0)] == ("", 0)
+    assert len(rows) == 4
+    # plan: narrow transform, no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_cosine_topk_batch_equals_per_query(spark):

@@ -153,6 +153,57 @@ def tf_idf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-tokenization step of a training-data pipeline. Returns
+    one row per chunk: (id, chunk_no, chunk_text, n_tokens).
+
+    Pure JVM: tokenize once, ``sequence`` over window starts,
+    ``posexplode`` + ``slice`` + ``array_join`` — a narrow transform, no
+    shuffle, no Python; output rows ≈ len/stride per doc. Chunk starts
+    step by ``chunk_tokens - overlap_tokens``; the final window is the
+    (possibly short) remainder, and a document shorter than one chunk
+    yields exactly one chunk. Empty/whitespace docs yield one empty
+    chunk (n_tokens 0) so no document silently disappears."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = "__chunk_toks"
+    out = df.withColumn(toks, _tokens(F.col(text_col)))
+    n = F.greatest(F.size(toks), F.lit(1))
+    # number of windows = ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.ceil(F.greatest(n - F.lit(overlap_tokens), F.lit(1)) / F.lit(stride))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return (
+        out.select(
+            F.col(id_col),
+            F.col(toks),
+            F.posexplode(starts).alias("chunk_no", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.array_join(
+                F.slice(F.col(toks), F.col("__start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(toks) - F.col("__start"), F.lit(chunk_tokens)
+            ).cast("long").alias("n_tokens"),
+        )
+        .withColumn("n_tokens", F.greatest(F.col("n_tokens"), F.lit(0)))
+    )
+
+
 def document_fingerprint(text: Column, n: int = 5, mod: int = 8) -> Column:
     """Winnowing-style document fingerprint: hash every n-word shingle
     (md5-derived 60-bit int, JVM-side — ANSI-SQL-reproducible as
