@@ -133,6 +133,8 @@ def cosine_topk_batch(
     def local_topk(batches):
         best: list[pd.DataFrame] = []
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             norms = np.linalg.norm(X, axis=1)

@@ -125,7 +125,6 @@ def streaming_session_agg(
 
         parts = list(pdfs)
         if not parts:
-            yield emit([])
             return
         pdf = pd.concat(parts, ignore_index=True).sort_values(
             "__ts", kind="mergesort"
@@ -179,7 +178,8 @@ def streaming_session_agg(
             state.update((ws, last, sv, nr, nv))
             # flush the open session once event time passes last_ts + gap
             state.setTimeoutTimestamp(int((last + gap) * 1000))
-        yield emit(closed)
+        if closed:  # skip empty frames (pandas concat FutureWarning + waste)
+            yield emit(closed)
 
     return (
         df.groupBy(*keys)
