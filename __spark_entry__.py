@@ -459,6 +459,8 @@ def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
+    from zx_spark.operators.dedup import _simhash_token_hash
+
     d = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
@@ -468,12 +470,11 @@ def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log2(F.greatest(F.size("tokset"), F.lit(2)).cast("double"))).cast("long"),
     ).withColumn(
         "band",
-        F.array_min(
-            F.transform(
-                F.col("tokset"),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-            )
-        ),
+        # same 60-bit md5 token hash as SimHash/fingerprints — ONE house
+        # implementation, one DuckDB twin. Explicit lambda: F.transform
+        # would otherwise feed the element INDEX into the helper's
+        # optional second (hash-method) parameter.
+        F.array_min(F.transform(F.col("tokset"), lambda t: _simhash_token_hash(t))),
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset"))).cast("double")
@@ -667,19 +668,33 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from zx_spark.streaming import run_available_now, streaming_session_agg
 
+    from pyspark.sql import types as T
+
     stage = _tf.mkdtemp(prefix="zx_sess_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw_schema = batch.schema
+    # Driver testdata stores ts as raw TIMESTAMP(NANOS) (arrives as
+    # bigint under nanosAsLong); other stores (e.g. make_scale_store
+    # output) have a real TimestampType column. Handle both.
+    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
     # One tail row per event_type (incl. NULL → the __nil group), 1e6 s
     # past the global max — far beyond any 600 s gap.
-    tail_ts = batch.agg(F.max("ts")).collect()[0][0] + 10**15  # raw nanos
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    if ts_is_long:
+        tail_ts_col = F.lit(max_ts + 10**15).cast("long")  # raw nanos
+    else:
+        import datetime as _dt
+
+        tail_ts_col = F.lit(max_ts + _dt.timedelta(seconds=10**6)).cast(
+            raw_schema["ts"].dataType
+        )
     tail_cols = []
     for f in raw_schema.fields:
         if f.name == "event_type":
             tail_cols.append(F.col("event_type"))
         elif f.name == "ts":
-            tail_cols.append(F.lit(tail_ts).cast(f.dataType).alias("ts"))
+            tail_cols.append(tail_ts_col.alias("ts"))
         else:
             tail_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     tmp_tail = _tf.mkdtemp(prefix="zx_sess_tail_")
@@ -689,15 +704,23 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import shutil as _shutil
 
-    _shutil.copy(_glob.glob(f"{tmp_tail}/part-*.parquet")[0], f"{stage}/tail.parquet")
+    tail_file = f"{stage}/tail.parquet"
+    _shutil.copy(_glob.glob(f"{tmp_tail}/part-*.parquet")[0], tail_file)
+    # Pin the micro-batch ORDER explicitly: the tail must be a LATER
+    # batch than the events file, or (with equal mtimes, e.g. freshly
+    # regenerated testdata) the tail could run first, advance the
+    # watermark to tail_ts, and drop every real event as late.
+    ev_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
+    os.utime(tail_file, (ev_mtime + 10, ev_mtime + 10))
 
     stream = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .load(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     result = streaming_session_agg(
         stream, group_by=["event_type"], gap_s=600.0, ts_col="ts",
         value_col="value", watermark="0 seconds",
@@ -1108,15 +1131,20 @@ def _ivf_oracle(n_cells: int = 8, iters: int = 5, nprobe: int = 4, k: int = 10) 
     expansion (list_position → first-index ties, same as Spark's
     array_position), probe cells from the shared ``probe_cells`` helper on
     the identical centers, exact cosine top-k within them. The parquet
-    path is the driver's fixed sf0.01 correctness scale."""
+    path defaults to the driver's fixed sf0.01 correctness scale;
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides it so
+    tools/check_correctness.py stays usable at other sf dirs."""
+    import os
+
     import numpy as np
     import pyarrow.parquet as pq
 
     from zx_spark.operators.similarity import ivf_centers_numpy, probe_cells
 
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         t = pq.read_table(
-            "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
     except OSError:
         # Missing testdata must fail ONLY this query's comparison, not

@@ -222,7 +222,8 @@ def test_chunk_documents_coverage_and_overlap(spark):
     sizes, single-chunk shorts, and empty docs yielding one empty chunk."""
     words = " ".join(f"w{i}" for i in range(300))
     df = spark.createDataFrame(
-        [(1, words), (2, "a b c"), (3, "   ")], "doc_id long, text string"
+        [(1, words), (2, "a b c"), (3, "   "), (4, None)],
+        "doc_id long, text string",
     )
     out = chunk_documents(df, chunk_tokens=256, overlap_tokens=32)
     rows = {
@@ -236,10 +237,12 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert rows[(1, 0)][0].split()[-32:] == rows[(1, 1)][0].split()[:32]
     # reconstruction: chunk0 + chunk1-minus-overlap == the document
     assert rows[(1, 0)][0].split() + rows[(1, 1)][0].split()[32:] == words.split()
-    # short and empty docs
+    # short, empty, and NULL docs (NULL must not report phantom tokens —
+    # ANSI size(NULL) is NULL and F.least would skip it)
     assert rows[(2, 0)] == ("a b c", 3)
     assert rows[(3, 0)] == ("", 0)
-    assert len(rows) == 4
+    assert rows[(4, 0)] == ("", 0)
+    assert len(rows) == 5
     # plan: narrow transform, no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

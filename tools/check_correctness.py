@@ -53,6 +53,11 @@ def main() -> int:
         )
 
     qs = entry.queries()
+    # Data-derived oracles (IVF centers) must read the SAME sf dir the
+    # Spark queries run against, or they'd spuriously mismatch here.
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():

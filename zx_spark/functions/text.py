@@ -179,7 +179,10 @@ def chunk_documents(
         )
     stride = chunk_tokens - overlap_tokens
     toks = "__chunk_toks"
-    out = df.withColumn(toks, _tokens(F.col(text_col)))
+    # coalesce: NULL text must behave like empty (one empty chunk,
+    # n_tokens 0) — otherwise size(NULL)=NULL under ANSI and F.least
+    # SKIPS the null, reporting n_tokens = chunk_tokens for no content.
+    out = df.withColumn(toks, _tokens(F.coalesce(F.col(text_col), F.lit(""))))
     n = F.greatest(F.size(toks), F.lit(1))
     # number of windows = ceil(max(n - overlap, 1) / stride)
     n_chunks = F.ceil(F.greatest(n - F.lit(overlap_tokens), F.lit(1)) / F.lit(stride))

@@ -31,12 +31,19 @@ from zx_spark.functions.text import word_shingles
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to cluster parallelism — lets CPU-heavy
     per-row stages (signature hashing, Arrow UDFs) use every core even
-    when the source is one small parquet file. Declared unconditionally:
-    probing ``df.rdd.getNumPartitions()`` to skip it would force plan
-    analysis + RDD lineage materialization per call; the one exchange is
-    amortized by the hashing work downstream, and AQE coalesces it when
-    the input is already wide."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    when the source is one small parquet file. Guarded by the SOURCE FILE
+    COUNT (``inputFiles()``, no RDD lineage materialization): an input
+    already wider than the cluster is left alone — an explicit
+    ``repartition(n)`` there would COLLAPSE its partitions down to n and
+    lose parallelism, which AQE cannot undo (it only merges, never
+    splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
+    return df.repartition(target)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -34,7 +34,12 @@ def _bucket(key, seed: int, hash_method: str = "md5"):
     value-for-value (same trick as dedup.base_hash).
 
     ``xx64``: xxhash64 of (key, seed) — the max-throughput choice when no
-    SQL oracle needs to reproduce the buckets."""
+    SQL oracle needs to reproduce the buckets.
+
+    NOTE: the default changed from xx64 to md5 in round 4 — bucket
+    assignments differ from earlier versions. Pipelines that persisted a
+    split under the old default must pass ``hash_method='xx64'`` to
+    reproduce it (determinism is per-method, not across methods)."""
     if hash_method == "xx64":
         return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
     if hash_method != "md5":

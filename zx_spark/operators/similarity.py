@@ -28,12 +28,18 @@ from pyspark.sql import functions as F
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to cluster parallelism — embedding dot
     products are CPU-heavy per row and small parquet inputs otherwise run
-    as a single task. Declared unconditionally: inspecting
-    ``df.rdd.getNumPartitions()`` to make it a no-op would force plan
-    analysis + RDD lineage materialization per call; the one exchange is
-    amortized by the CPU-bound work downstream (and AQE coalesces it
-    when the input is already wide)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    as a single task. Guarded by the SOURCE FILE COUNT (``inputFiles()``,
+    no RDD lineage materialization): an input already wider than the
+    cluster is left alone — an explicit ``repartition(n)`` there would
+    COLLAPSE 10k partitions into n and lose parallelism, which AQE cannot
+    undo (it only merges, never splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
+    return df.repartition(target)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -119,6 +125,11 @@ def cosine_topk_batch(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    if not query_vecs:
+        raise ValueError("cosine_topk_batch needs at least one query vector")
+    dims = {len(q) for q in query_vecs}
+    if len(dims) != 1:
+        raise ValueError(f"query vectors must share one dimension, got {sorted(dims)}")
     Q = np.asarray(query_vecs, dtype=np.float64)
     qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
     n_q = len(query_vecs)

@@ -106,7 +106,8 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     import pyarrow.types as pat
 
     if os.path.isdir(path):
-        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        # recursive: partitioned writes nest part files under key=val dirs
+        parts = sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
         if not parts:
             return []
         path = parts[0]
