@@ -248,6 +248,42 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert "Exchange" not in plan
 
 
+def test_chunk_documents_property_reconstruction(spark):
+    """Property (driven grid, not hypothesis — one Spark job for all
+    cases): for every (n_tokens, chunk, overlap) combination, chunk
+    starts step by stride, every token appears, consecutive chunks share
+    exactly `overlap` tokens (except a short final remainder), and
+    stitching chunks minus overlaps reproduces the document."""
+    cases = [
+        (n, c, o)
+        for n in (0, 1, 5, 7, 16, 33)
+        for (c, o) in ((4, 0), (4, 1), (8, 3), (16, 15), (5, 4))
+    ]
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)))
+        for i, (n, _c, _o) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for (c, o) in sorted({(c, o) for _n, c, o in cases}):
+        out = chunk_documents(df, chunk_tokens=c, overlap_tokens=o)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_no"], r["chunk_text"].split() if r["chunk_text"] else [])
+            )
+        for i, (n, _c, _o) in enumerate(cases):
+            chunks = [t for _, t in sorted(got[i])]
+            stride = c - o
+            expect = [f"t{j}" for j in range(n)]
+            stitched = chunks[0] + [t for ch in chunks[1:] for t in ch[o:]]
+            assert stitched == expect, (n, c, o)
+            for ch in chunks[:-1]:
+                assert len(ch) == c, (n, c, o)  # only the tail may be short
+            if len(chunks) > 1:
+                for a, b in zip(chunks, chunks[1:]):
+                    assert a[stride:] == b[: len(a[stride:])], (n, c, o)
+
+
 def test_cosine_topk_batch_equals_per_query(spark):
     """Multi-query ANN (one scan, per-partition numpy top-k, candidate-only
     shuffle) must return EXACTLY what cosine_topk returns per query after
