@@ -42,6 +42,11 @@ HEADLINE = [
     # added r3 (no r2 baseline entry — first measurement pins them)
     "asof_join_marks",
     "range_join_incidents",
+    # added r4 (first measurement pins it). jaccard_wordset_pairs is
+    # deliberately NOT here: it is the SQL-expressible oracle twin
+    # (md5-per-token, ~5.5s at sf0.1); dedup_minhash_pairs is the
+    # production near-dup path the bench measures.
+    "sampling_suite",
 ]
 
 
