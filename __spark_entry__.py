@@ -1098,8 +1098,10 @@ def _sampling_oracle() -> str:
     from zx_spark.operators.sampling import _BUCKETS, split_bounds
 
     def bucket(seed: int) -> str:
+        # coalesce mirrors sampling._bucket's NULL-key sentinel
         return (
-            f"('0x'||substr(md5(doc_id::VARCHAR || ':{seed}'),1,15))::bigint % {_BUCKETS}"
+            f"('0x'||substr(md5(coalesce(doc_id::VARCHAR, '__null__') || ':{seed}'),1,15))"
+            f"::bigint % {_BUCKETS}"
         )
 
     b = split_bounds([0.8, 0.1, 0.1])

@@ -54,6 +54,30 @@ def test_granularity_units():
         parse_zx_sql("select count(x) granularity soon")
 
 
+def test_insert_casts_to_store_types(spark, tmp_path):
+    """An insert whose inferred type disagrees with the store column
+    (int into a STRING column) must be CAST on write — appending the raw
+    int64 file would make every later mergeSchema read of the store fail."""
+    path = str(tmp_path / "cast_store")
+    zx = ZX(spark, events_path=path, rate_col=None)
+    zx.i(ts=100.0, foo="1")        # store establishes foo STRING
+    zx.i(ts=101.0, foo=2)          # int literal -> must be cast to STRING
+    vals = {r["foo"] for r in zx.events().select("foo").collect()}
+    assert vals == {"1", "2"}
+
+
+def test_flushall_preserves_store_schema(spark, tmp_path):
+    """flushall() without a schema must keep the store's OWN columns, not
+    replace them with the fixture schema."""
+    path = str(tmp_path / "custom_store")
+    zx = ZX(spark, events_path=path, rate_col=None)
+    zx.i(ts=100.0, my_custom_col="v")
+    zx.flushall()
+    cols = set(zx.events().columns)
+    assert "my_custom_col" in cols
+    assert zx.events().count() == 0
+
+
 def test_sparse_insert_columns_survive(spark, tmp_path):
     # A column present only in earlier files must not vanish when later
     # sparse inserts append files without it (ADVICE r2: mergeSchema +

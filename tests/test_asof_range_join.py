@@ -94,6 +94,26 @@ def test_asof_time_bucket_presplit_matches_base(spark, trades, quotes, bucket):
     assert si == bi
 
 
+def test_asof_time_bucket_accepts_timestamp_ts(spark):
+    """The hot-key pre-split must work on TimestampType ts (the events
+    convention), not just numeric ts — bucketing casts through epoch
+    seconds first."""
+    t = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 200)], "trade_id long, sym string, ts_s long"
+    ).withColumn("t", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    q = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 150, 2.0)], "sym string, ts_s long, px double"
+    ).withColumn("qt", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    got = {
+        r.trade_id: r.px
+        for r in asof_join(
+            t, q, on=["sym"], left_ts="t", right_ts="qt",
+            right_cols=["px"], time_bucket_s=60,
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 2.0}
+
+
 def test_asof_inner_drops_unmatched(spark, trades, quotes):
     got = asof_join(
         trades, quotes, on=["sym"], left_ts="t", right_ts="t",

@@ -56,6 +56,32 @@ def test_exact_dedup(spark, docs):
     assert kept == {1, 2, 3, 5}
 
 
+def test_exact_dedup_null_text_passthrough(spark):
+    """NULL text is NOT content: md5(NULL)=NULL would otherwise collapse
+    every NULL-text row (e.g. media-only docs) into one survivor."""
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert kept == {1, 3, 4, 5}  # dup 2 dropped; ALL null-text rows kept
+
+
+def test_lsh_knob_validation(spark, docs):
+    """Silent-recall-loss knob combinations must raise, not degrade:
+    non-divisor bands truncate the signature; bands > num_hashes makes
+    every band empty (full cross-product); max_hamming >= chunks breaks
+    the pigeonhole guarantee."""
+    with pytest.raises(ValueError, match="bands"):
+        near_dup_pairs(docs, "text", "doc_id", num_hashes=32, bands=6)
+    with pytest.raises(ValueError, match="bands"):
+        near_dup_pairs(docs, "text", "doc_id", num_hashes=4, bands=8)
+    from zx_spark.operators.dedup import simhash_near_dup_pairs
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=4)
+
+
 def test_minhash_near_dup(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in near_dup_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dups always survive

@@ -35,6 +35,20 @@ def test_hash_sample_deterministic_and_near_rate(spark, corpus):
     assert a <= d
 
 
+def test_null_keys_are_sampled_and_split(spark):
+    """NULL keys must bucket (sentinel), not vanish: md5(NULL)=NULL would
+    silently drop them from hash_sample even at rate=1.0 and funnel every
+    NULL-key row into the LAST split."""
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c"), (2, "d")], "doc_id long, x string"
+    )
+    assert hash_sample(df, 1.0, "doc_id").count() == 4  # rate 1.0 keeps ALL
+    out = train_test_split(df, [0.5, 0.5], "doc_id")
+    splits = {r["x"]: r["split"] for r in out.collect()}
+    assert len(splits) == 4  # exhaustive incl. NULL keys
+    assert splits["a"] == splits["b"]  # same (null) key -> same split
+
+
 def test_hash_sample_no_shuffle(spark, corpus):
     plan = hash_sample(corpus, 0.5, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side filter

@@ -32,3 +32,16 @@ def test_sort_group_desc(spark):
         (NIL, 571.4285714285714),
         ("1", 100.0),
     ]
+
+
+def test_order_by_bare_group_column(spark):
+    """ORDER BY a group-by column (a shape the SQL parser accepts): after
+    the aggregate the column only exists as g_<col> — ordering must
+    resolve through the alias, not crash UNRESOLVED_COLUMN."""
+    q = Query(
+        selects=[Select("foo", Aggregate.SUM)],
+        group_by=["y"],
+        order_by=[("y", False)],
+    )
+    got = [r["g_y"] for r in run_sorted(zx_fixture(spark), q).collect()]
+    assert got == sorted(got, reverse=True)

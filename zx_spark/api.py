@@ -111,12 +111,16 @@ class ZX:
             existing_ids = (
                 store.selectExpr(f"max(`{self._cols['id_col']}`) m").collect()[0]["m"] or 0
             )
-            # Align the insert row to the store schema (null-fill columns
-            # this sparse row doesn't set) so any single file footer still
-            # describes every column.
+            # Align the insert row to the store schema: null-fill columns
+            # this sparse row doesn't set AND cast columns present in
+            # both — an int literal inserted into a STRING column would
+            # otherwise write an int64 parquet file that breaks every
+            # subsequent mergeSchema read of the store.
             for field in store.schema.fields:
                 if field.name not in df.columns:
                     df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+                elif dict(df.dtypes)[field.name] != field.dataType.simpleString():
+                    df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
         except AnalysisException as e:
             # Only the empty/new-store case (missing path / unreadable-as-
             # table) may fall through to id 1. Any other failure must

@@ -173,6 +173,10 @@ def run_sorted(
     out = work.groupBy(*keys).agg(*aggs) if keys else work.agg(*aggs)
 
     by_key = {s.key: s.alias for s in numeric}
+    # Bare group-by columns are valid ORDER BY keys too — after the agg
+    # they only exist under their g_<col> alias.
+    for c in q.group_by:
+        by_key.setdefault(c, group_alias(c))
     order = []
     for key, asc in q.order_by:
         alias = by_key.get(key, key)

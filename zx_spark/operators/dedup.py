@@ -28,22 +28,7 @@ from pyspark.sql import functions as F
 from zx_spark.functions.text import word_shingles
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to cluster parallelism — lets CPU-heavy
-    per-row stages (signature hashing, Arrow UDFs) use every core even
-    when the source is one small parquet file. Guarded by the SOURCE FILE
-    COUNT (``inputFiles()``, no RDD lineage materialization): an input
-    already wider than the cluster is left alone — an explicit
-    ``repartition(n)`` there would COLLAPSE its partitions down to n and
-    lose parallelism, which AQE cannot undo (it only merges, never
-    splits)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        if len(df.inputFiles()) >= target:
-            return df
-    except Exception:
-        pass
-    return df.repartition(target)
+from zx_spark.util import spread as _spread  # one shared guard + docstring
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -64,11 +49,20 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep exactly one row (the min id) per distinct text. Implemented as
     a min-id semi-join rather than dropDuplicates so the kept row is
-    deterministic under parallelism."""
-    keep = exact_dedup_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    deterministic under parallelism.
+
+    NULL text is NOT content: such rows pass through untouched. Without
+    this, md5(NULL)=NULL and groupBy's null-equality would collapse every
+    NULL-text row (e.g. media-only docs) into one survivor — silent mass
+    deletion (``exact_dedup_groups`` keeps the single-NULL-group behavior
+    for REPORTING, where one 'no content' row is the useful shape)."""
+    keep = exact_dedup_groups(
+        df.filter(F.col(text_col).isNotNull()), text_col, id_col
+    ).select(F.col("keep_id").alias(id_col))
+    deduped = df.filter(F.col(text_col).isNotNull()).join(
+        keep, on=id_col, how="left_semi"
     )
-    return df.join(keep, on=id_col, how="left_semi")
+    return deduped.unionByName(df.filter(F.col(text_col).isNull()))
 
 
 _LONG_MAX = (1 << 63) - 1
@@ -182,6 +176,14 @@ def minhash_candidate_pairs(
     a small parquet file otherwise arrives as ONE partition, serializing
     the whole stage on one core.
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # A non-divisor silently drops the tail minhashes from every band
+        # (weaker LSH than configured); bands > num_hashes makes every
+        # band slice empty → band_hash '' for ALL docs → the full O(n^2)
+        # cross-product this module promises never happens.
+        raise ValueError(
+            f"bands must divide num_hashes (got num_hashes={num_hashes}, bands={bands})"
+        )
     sigs = _spread(df).select(
         F.col(id_col),
         minhash_signature(F.col(text_col), num_hashes, shingle_n, hash_method).alias("minhash"),
@@ -345,6 +347,14 @@ def simhash_near_dup_pairs(
     within distance 3 agrees on ≥1 full chunk, so an equality join on
     (chunk_no, chunk_value) finds all of them; verify with
     ``bit_count(a ^ b)``. Bucketed — no crossJoin."""
+    if not 0 <= max_hamming < _SIMHASH_CHUNKS:
+        # Pigeonhole recall only holds for distance < number of chunks; a
+        # larger threshold would silently MISS qualifying pairs whose
+        # differing bits spread across all chunks.
+        raise ValueError(
+            f"max_hamming must be in [0, {_SIMHASH_CHUNKS - 1}] for the "
+            f"{_SIMHASH_CHUNKS}-chunk pigeonhole join, got {max_hamming}"
+        )
     sigs = simhash(df, text_col, hash_method=hash_method).select(id_col, "simhash")
     chunk_mask = (1 << _CHUNK_BITS) - 1
     chunks = sigs.select(

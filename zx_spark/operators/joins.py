@@ -149,9 +149,13 @@ def asof_join(
         # match, and the cumulative-last over the bucket sequence picks
         # the latest among them.
         b = "__asof_bucket"
-        unioned = unioned.withColumn(
-            b, F.floor(F.col(t) / F.lit(float(time_bucket_s))).cast("long")
-        )
+        # cast to double first: epoch seconds for TimestampType ts (a
+        # direct timestamp/number division fails analysis), identity for
+        # numeric ts.
+        bucket_of = lambda c: F.floor(  # noqa: E731
+            c.cast("double") / F.lit(float(time_bucket_s))
+        ).cast("long")
+        unioned = unioned.withColumn(b, bucket_of(F.col(t)))
         wb = (
             Window.partitionBy(*on, b)
             .orderBy(F.col(t).asc(), F.col(side).asc())
@@ -161,7 +165,7 @@ def asof_join(
         # One tail row per (key, bucket) that contains right rows: the
         # payload of its latest right row.
         tails = (
-            r2.withColumn(b, F.floor(F.col(t) / F.lit(float(time_bucket_s))).cast("long"))
+            r2.withColumn(b, bucket_of(F.col(t)))
             .groupBy(*on, b)
             .agg(F.max_by(payload, F.col(t)).alias("__asof_tail"))
         )

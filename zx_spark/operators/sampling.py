@@ -44,7 +44,13 @@ def _bucket(key, seed: int, hash_method: str = "md5"):
         return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
     if hash_method != "md5":
         raise ValueError(f"hash_method must be 'md5' or 'xx64', got {hash_method!r}")
-    s = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    # NULL keys must still land in a bucket (md5(NULL) is NULL, which
+    # would silently DROP them from hash_sample even at rate=1.0 and
+    # funnel them into the last split) — coalesce to a sentinel so all
+    # NULL keys bucket together, same shape as xxhash64's null handling.
+    s = F.concat(
+        F.coalesce(key.cast("string"), F.lit("__null__")), F.lit(f":{seed}")
+    )
     return F.pmod(
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_BUCKETS)
     )

@@ -25,21 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to cluster parallelism — embedding dot
-    products are CPU-heavy per row and small parquet inputs otherwise run
-    as a single task. Guarded by the SOURCE FILE COUNT (``inputFiles()``,
-    no RDD lineage materialization): an input already wider than the
-    cluster is left alone — an explicit ``repartition(n)`` there would
-    COLLAPSE 10k partitions into n and lose parallelism, which AQE cannot
-    undo (it only merges, never splits)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        if len(df.inputFiles()) >= target:
-            return df
-    except Exception:
-        pass
-    return df.repartition(target)
+from zx_spark.util import spread as _spread  # one shared guard + docstring
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -220,6 +206,10 @@ def rp_lsh_near_pairs(
         ).alias("table_no", "bucket"),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
+    # Distinct the ID pairs FIRST, score once per pair after: a pair
+    # sharing buckets in all n_tables tables would otherwise pay the
+    # O(dim) cosine fold n_tables times and carry the double into the
+    # dedup key. Same shape as the MinHash path (candidates → verify).
     cands = (
         a.join(
             b,
@@ -232,12 +222,25 @@ def rp_lsh_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}").cast("array<double>"),
-                           F.col(f"b.{vec_col}").cast("array<double>")), 6).alias("cosine"),
         )
         .distinct()
     )
-    return cands.filter(F.col("cosine") >= threshold)
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va")
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb")
+    )
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def ivf_build(

@@ -161,9 +161,15 @@ def write_bucketed(
 
 def truncate_events(spark: SparkSession, path: str, schema: T.StructType | None = None) -> None:
     """S4 init/flush equivalent (reference ``init``/``flushall``,
-    src/lib.rs:248-261): overwrite the events table with an empty frame
-    (keeping the schema so readers of the path keep working)."""
-    schema = schema or ZX_FIXTURE_SCHEMA
+    src/lib.rs:248-261): overwrite the events table with an empty frame,
+    PRESERVING the store's own schema — defaulting to the fixture schema
+    would silently replace a custom store's columns. Falls back to the
+    fixture schema only when the store doesn't exist yet (true init)."""
+    if schema is None:
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:
+            schema = ZX_FIXTURE_SCHEMA
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
 
 

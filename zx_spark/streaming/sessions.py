@@ -81,7 +81,9 @@ def streaming_session_agg(
     event, ``sum__value``, ``count__value``) for every session that has
     CLOSED under the watermark. Run with an ``availableNow`` drain plus a
     watermark-advancing tail batch to get batch parity in tests."""
-    keys = [f"g_{c.replace('.', '_')}" for c in group_by]
+    from zx_spark.compiler import group_alias
+
+    keys = [group_alias(c) for c in group_by]
     df = stream.withWatermark(ts_col, watermark)
     for c, a in zip(group_by, keys):
         df = df.withColumn(a, F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(NIL)))

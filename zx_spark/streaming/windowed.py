@@ -52,10 +52,12 @@ def streaming_windowed_agg(
         raise ValueError("streaming aggregation needs a granularity")
     if rate_col is not None and rate_col not in stream.columns:
         rate_col = None
+    from zx_spark.compiler import group_alias
+
     keys = []
     df = stream.withWatermark(ts_col, watermark)
     for c in q.group_by:
-        a = f"g_{c.replace('.', '_')}"
+        a = group_alias(c)  # same rule as batch — parity tests depend on it
         df = df.withColumn(a, F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(NIL)))
         keys.append(a)
     win = F.window(F.col(ts_col), f"{int(round(q.granularity_s * 1000))} milliseconds")
