@@ -1,0 +1,167 @@
+"""Hypertable rollup (continuous aggregates): rollup-derived answers must
+EXACTLY match the direct windowed-aggregate path, merges must be lossless,
+and the rollup must actually be small."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from zx_spark.compiler import compile_query
+from zx_spark.model import Aggregate, Query, Select
+from zx_spark.operators.rollup import (
+    BUCKET,
+    build_rollup,
+    coarsen_rollup,
+    merge_rollups,
+    rollup_answer,
+)
+from zx_spark.storage import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+BASE_S = 300.0
+COARSE_S = 3600.0
+EXACT_SELECTS = [
+    Select("value", Aggregate.SUM),
+    Select("value", Aggregate.COUNT),
+    Select("value", Aggregate.MIN),
+    Select("value", Aggregate.MAX),
+    Select("value", Aggregate.MEAN),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # g_event_type mirrors compile_query's __nil group-key materialization
+    # so rollup output columns line up with the compiler's.
+    return (
+        read_table(spark, SF_DIR, "events")
+        .withColumn("g_event_type", F.coalesce(F.col("event_type"), F.lit("__nil")))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def base_rollup(events):
+    return build_rollup(
+        events,
+        value_cols=["value"],
+        group_cols=["g_event_type"],
+        granularity_s=BASE_S,
+        rate_col=None,
+    ).cache()
+
+
+def _by_key(rows, aliases):
+    out = {}
+    for r in rows:
+        key = (r["g_event_type"], round(r["window_start"], 6), round(r["window_end"], 6))
+        out[key] = tuple(r[a] for a in aliases)
+    return out
+
+
+def test_rollup_answers_match_direct_query(spark, events, base_rollup):
+    """coarsen(base 5m -> 1h) + finalize == compile_query aligned 1h —
+    value-for-value, including window_start/end event-ts conventions."""
+    coarse = coarsen_rollup(base_rollup, BASE_S, COARSE_S, group_cols=["g_event_type"])
+    got = rollup_answer(coarse, EXACT_SELECTS, group_cols=["g_event_type"]).collect()
+
+    q = Query(selects=EXACT_SELECTS, group_by=["event_type"], granularity_s=COARSE_S)
+    want = compile_query(
+        events, q, id_col="event_id", ts_col="ts", rate_col=None
+    ).collect()
+
+    aliases = [s.alias for s in EXACT_SELECTS]
+    got_m, want_m = _by_key(got, aliases), _by_key(want, aliases)
+    assert set(got_m) == set(want_m)
+    assert len(got_m) > 1
+    for k, vals in want_m.items():
+        for g, w in zip(got_m[k], vals):
+            assert g == pytest.approx(w, rel=1e-9), (k, got_m[k], vals)
+
+
+def test_merge_rollups_is_incremental_maintenance(events, base_rollup):
+    """rollup(half A) ⊎ rollup(half B) == rollup(all) — the late-data /
+    incremental-update path is just union + re-merge of partials."""
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    kw = dict(
+        value_cols=["value"], group_cols=["g_event_type"],
+        granularity_s=BASE_S, rate_col=None,
+    )
+    merged = merge_rollups(
+        build_rollup(half_a, **kw), build_rollup(half_b, **kw),
+        group_cols=["g_event_type"],
+    )
+    sel = EXACT_SELECTS
+    aliases = [s.alias for s in sel]
+    got = _by_key(rollup_answer(merged, sel, group_cols=["g_event_type"]).collect(), aliases)
+    want = _by_key(rollup_answer(base_rollup, sel, group_cols=["g_event_type"]).collect(), aliases)
+    assert set(got) == set(want)
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_hll_distinct_survives_merge(events, base_rollup):
+    """Sketch-backed distinct stays within tolerance after coarsening —
+    the mergeable path exact COUNT_DISTINCT cannot take."""
+    coarse = coarsen_rollup(base_rollup, BASE_S, COARSE_S, group_cols=["g_event_type"])
+    sel = [Select("user_id", Aggregate.COUNT_DISTINCT_APPROX)]
+    rolled = build_rollup(
+        events, value_cols=["user_id"], group_cols=["g_event_type"],
+        granularity_s=BASE_S, rate_col=None,
+    )
+    coarse = coarsen_rollup(rolled, BASE_S, COARSE_S, group_cols=["g_event_type"])
+    got = rollup_answer(coarse, sel, group_cols=["g_event_type"]).collect()
+
+    exact = (
+        events.groupBy(
+            "g_event_type",
+            (F.floor(F.col("ts").cast("double") / COARSE_S) * COARSE_S).alias("b"),
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    )
+    exact_m = {(r["g_event_type"], r["b"]): r["d"] for r in exact}
+    assert len(got) == len(exact_m)
+    for r in got:
+        key = (r["g_event_type"], math.floor(r["window_start"] / COARSE_S) * COARSE_S)
+        est = r[sel[0].alias]
+        assert est == pytest.approx(exact_m[key], rel=0.06), key
+
+
+def test_rollup_is_small_and_validates(events, base_rollup):
+    # Structural invariants (compression itself grows with events-per-
+    # bucket, so a fixed ratio would just test the fixture's time span):
+    # rows = one per (group, bucket), n_rows partials account for every
+    # event exactly once, and coarsening strictly compresses.
+    n_events = events.count()
+    coarse = coarsen_rollup(base_rollup, BASE_S, 86400.0, group_cols=["g_event_type"])
+    assert base_rollup.agg(F.sum(F.col("n_rows"))).collect()[0][0] == n_events
+    assert coarse.agg(F.sum(F.col("n_rows"))).collect()[0][0] == n_events
+    assert coarse.count() < base_rollup.count() < n_events
+    with pytest.raises(ValueError, match="integer"):
+        coarsen_rollup(base_rollup, BASE_S, 450.0)
+    with pytest.raises(ValueError, match="not answerable"):
+        rollup_answer(base_rollup, [Select("value", Aggregate.P50)])
+    with pytest.raises(ValueError, match="positive"):
+        build_rollup(events, value_cols=["value"], granularity_s=0)
+
+
+def test_rollup_answer_scans_only_rollup(spark, base_rollup, tmp_path):
+    """Answering from a stored rollup reads the rollup parquet, not events —
+    and the finalize is a pure projection (no shuffle, no Python)."""
+    path = str(tmp_path / "rollup_5m")
+    base_rollup.write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = rollup_answer(
+        stored, EXACT_SELECTS, group_cols=["g_event_type"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # The scan's ReadSchema is the rollup's partial columns, not event rows.
+    assert "value__sum_wx" in plan
+    assert "events" not in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

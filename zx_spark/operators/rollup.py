@@ -1,0 +1,222 @@
+"""Hypertable rollup / continuous aggregates — pre-aggregated time buckets
+that answer coarser-granularity queries WITHOUT rescanning the events.
+
+Beyond-reference scale operator (the reference recomputes every query from
+raw storage, src/lib.rs:191-218). At 100 TB the standard observability
+pattern (TimescaleDB continuous aggregates, Druid rollup segments, M3
+downsampling) is: maintain per-bucket MERGEABLE partial aggregates at a
+fine base granularity, then answer any query whose window is a multiple of
+the base from the rollup — a table that is orders of magnitude smaller
+than the raw events (one row per (group, bucket) instead of per event).
+
+Everything here is a plain Catalyst aggregation; the partials are chosen so
+that every re-aggregation is itself a partial-aggregatable expression:
+
+    SUM   -> sum of Σ r·x            (merge: SUM)
+    COUNT -> sum of Σ r·[present]    (merge: SUM)
+    MIN   -> min of per-bucket mins  (merge: MIN)
+    MAX   -> max of per-bucket maxes (merge: MAX)
+    MEAN  -> Σ x·⌊r⌋ / Σ ⌊r⌋         (merge: SUM / SUM — never avg-of-avgs)
+    COUNT_DISTINCT_APPROX -> HLL sketch binary (merge: hll_union_agg) —
+        sketches are the ONLY mergeable distinct representation; exact
+        COUNT_DISTINCT and exact P50 are NOT derivable from a rollup and
+        must run on the raw events (documented, not silently approximated).
+
+Incremental maintenance falls out of mergeability: rollup(new_events) can
+be unioned with the stored rollup and re-merged (``merge_rollups``) — no
+read-modify-write of history, late data just lands in its bucket.
+
+Window semantics match ``compile_query(window_mode="aligned")`` exactly:
+buckets are epoch-aligned tumbling windows (``with_aligned_windows``), and
+``first_ts``/``last_ts`` partials reproduce the reference's convention of
+reporting the first/last *event* timestamp per window (src/lib.rs:702-708).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zx_spark.model import Aggregate, Select
+from zx_spark.operators.aggregates import F64_MAX, F64_MIN
+from zx_spark.operators.windows import WINDOW_NO, with_aligned_windows
+
+BUCKET = "bucket_start"
+FIRST_TS = "first_ts"
+LAST_TS = "last_ts"
+N_ROWS = "n_rows"
+
+# Suffix → merge function. A rollup column is either a shared column
+# (bucket/ts bounds/row count) or "<value_col>__<suffix>".
+_MERGE_BY_SUFFIX = {
+    "sum_wx": F.sum,
+    "cnt_w": F.sum,
+    "mean_num": F.sum,
+    "mean_den": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "any_null": F.max,
+    "hll": lambda c: F.hll_union_agg(c, True),
+}
+_MERGE_SHARED = {N_ROWS: F.sum, FIRST_TS: F.min, LAST_TS: F.max}
+
+# Aggregates a rollup can answer exactly (vs agg_expr on raw events), plus
+# the sketch-backed approximate distinct. Exact COUNT_DISTINCT / P50 / RAW /
+# HEATMAP-with-arbitrary-domain need the raw events.
+ROLLUP_AGGREGATES = (
+    Aggregate.SUM,
+    Aggregate.MAX,
+    Aggregate.MIN,
+    Aggregate.COUNT,
+    Aggregate.MEAN,
+    Aggregate.COUNT_DISTINCT_APPROX,
+)
+
+
+def _rate(df: DataFrame, rate_col: str | None):
+    if rate_col is None or rate_col not in df.columns:
+        return F.lit(1.0)
+    return F.coalesce(F.col(f"`{rate_col}`").cast("double"), F.lit(1.0))
+
+
+def build_rollup(
+    df: DataFrame,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    granularity_s: float = 300.0,
+    rate_col: str | None = "sample_rate",
+    distinct_sketch: bool = True,
+) -> DataFrame:
+    """One pass over the events → per-(group, bucket) mergeable partials.
+
+    One shuffle keyed on (group_cols, bucket) with map-side partial
+    aggregation — the same cost as a single windowed aggregate query, paid
+    once and amortized over every query answered from the rollup.
+    """
+    if granularity_s <= 0:
+        raise ValueError(f"granularity must be positive, got {granularity_s}s")
+    group_cols = list(group_cols or [])
+    df = with_aligned_windows(df, ts_col, granularity_s).withColumnRenamed(
+        WINDOW_NO, BUCKET
+    )
+    r = _rate(df, rate_col)
+    ts_unix = F.col(f"`{ts_col}`").cast("double")
+
+    aggs = [
+        F.min(ts_unix).alias(FIRST_TS),
+        F.max(ts_unix).alias(LAST_TS),
+        F.count(F.lit(1)).alias(N_ROWS),
+    ]
+    for v in value_cols:
+        col = F.col(f"`{v}`")
+        x = col.cast("double")
+        ri = F.floor(r).cast("double")
+        aggs += [
+            F.sum(F.coalesce(x, F.lit(0.0)) * r).alias(f"{v}__sum_wx"),
+            F.sum(F.when(col.isNotNull(), r).otherwise(F.lit(0.0))).alias(f"{v}__cnt_w"),
+            F.min(x).alias(f"{v}__min"),
+            F.max(x).alias(f"{v}__max"),
+            F.sum(F.when(x.isNotNull(), x * ri)).alias(f"{v}__mean_num"),
+            F.sum(F.when(x.isNotNull(), ri)).alias(f"{v}__mean_den"),
+            F.max(F.when(col.isNull(), F.lit(1)).otherwise(F.lit(0))).alias(
+                f"{v}__any_null"
+            ),
+        ]
+        if distinct_sketch:
+            # lgConfigK=12 ≈ 1.6KB/sketch, ~2.5% rsd — mergeable across
+            # buckets AND groups, unlike any exact-distinct representation.
+            aggs.append(F.hll_sketch_agg(col.cast("string"), 12).alias(f"{v}__hll"))
+    return df.groupBy(*group_cols, BUCKET).agg(*aggs)
+
+
+def _merge(df: DataFrame, group_cols: list[str], bucket_col) -> DataFrame:
+    """Re-aggregate rollup partials under a (possibly coarser) bucket."""
+    aggs = []
+    for c in df.columns:
+        if c in (BUCKET, *group_cols):
+            continue
+        if c in _MERGE_SHARED:
+            aggs.append(_MERGE_SHARED[c](F.col(c)).alias(c))
+            continue
+        suffix = c.rsplit("__", 1)[-1]
+        if suffix not in _MERGE_BY_SUFFIX:
+            raise ValueError(f"unknown rollup column {c!r}")
+        aggs.append(_MERGE_BY_SUFFIX[suffix](F.col(c)).alias(c))
+    return df.groupBy(*group_cols, bucket_col.alias(BUCKET)).agg(*aggs)
+
+
+def merge_rollups(*rollups: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union same-granularity rollups and re-merge their partials — THE
+    incremental-maintenance primitive: ``merge_rollups(stored,
+    build_rollup(new_events, ...))``. Late events just re-merge into their
+    bucket; nothing is read-modified in place."""
+    group_cols = list(group_cols or [])
+    out = rollups[0]
+    for other in rollups[1:]:
+        out = out.unionByName(other)
+    return _merge(out, group_cols, F.col(BUCKET))
+
+
+def coarsen_rollup(
+    rollup: DataFrame,
+    from_granularity_s: float,
+    to_granularity_s: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-bucket a rollup to a coarser granularity (must be an integer
+    multiple — epoch-aligned buckets nest exactly then)."""
+    ratio = to_granularity_s / from_granularity_s
+    if ratio != int(ratio) or ratio < 1:
+        raise ValueError(
+            f"target granularity {to_granularity_s}s must be an integer "
+            f"multiple of the base {from_granularity_s}s"
+        )
+    g = float(to_granularity_s)
+    bucket = F.floor(F.col(BUCKET) / g) * g
+    return _merge(rollup, list(group_cols or []), bucket.cast("double"))
+
+
+def rollup_answer(
+    rollup: DataFrame,
+    selects: list[Select],
+    group_cols: list[str] | None = None,
+    empty_sentinels: bool = True,
+) -> DataFrame:
+    """Finalize rollup partials into query results — same output shape and
+    zx null semantics as ``compile_query`` (window_start/window_end = the
+    first/last event ts in the bucket, src/lib.rs:702-708). The input scan
+    is the (tiny) rollup table; the raw events are never touched."""
+    group_cols = list(group_cols or [])
+    cols = [F.col(c) for c in group_cols] + [
+        F.col(FIRST_TS).alias("window_start"),
+        F.col(LAST_TS).alias("window_end"),
+    ]
+    for s in selects:
+        v = s.column
+        if s.aggregate not in ROLLUP_AGGREGATES:
+            raise ValueError(
+                f"{s.aggregate.value} is not answerable from a rollup — "
+                "exact distinct/quantiles/raw need the raw events "
+                f"(rollup-answerable: {[a.value for a in ROLLUP_AGGREGATES]})"
+            )
+        if s.aggregate is Aggregate.SUM:
+            expr = F.coalesce(F.col(f"{v}__sum_wx"), F.lit(0.0))
+        elif s.aggregate is Aggregate.COUNT:
+            expr = F.coalesce(F.col(f"{v}__cnt_w"), F.lit(0.0))
+        elif s.aggregate is Aggregate.MIN:
+            expr = F.col(f"{v}__min")
+            if empty_sentinels:
+                expr = F.coalesce(expr, F.lit(F64_MAX))
+        elif s.aggregate is Aggregate.MAX:
+            expr = F.col(f"{v}__max")
+            if empty_sentinels:
+                expr = F.coalesce(expr, F.lit(F64_MIN))
+        elif s.aggregate is Aggregate.MEAN:
+            expr = F.col(f"{v}__mean_num") / F.col(f"{v}__mean_den")
+        else:  # COUNT_DISTINCT_APPROX
+            expr = (
+                F.hll_sketch_estimate(F.col(f"{v}__hll")) + F.col(f"{v}__any_null")
+            ).cast("double")
+        cols.append(expr.alias(s.alias))
+    return rollup.select(*cols)
