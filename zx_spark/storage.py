@@ -173,6 +173,90 @@ def truncate_events(spark: SparkSession, path: str, schema: T.StructType | None 
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
 
 
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: float = 128.0,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Compact a parquet store's small files into ~``target_file_mb`` files.
+
+    The operational reality behind every streaming/append sink at scale:
+    micro-batch appends (``write_events``, ``foreachBatch``) accrete
+    thousands of KB-sized part files per partition, and scan cost becomes
+    file-open overhead instead of I/O — a 100 TB store with 10 M files is
+    unqueryable regardless of plan quality. Compaction rewrites the data
+    in place at the target file size and preserves the partition layout
+    (so partition pruning keeps working).
+
+    Plan shape: ONE shuffle keyed on the partition columns (each
+    partition's rows converge to one task), with ``maxRecordsPerFile``
+    splitting oversized partitions at write time — sized from the store's
+    own measured bytes/row, so the knob is real on-disk MB, not a row
+    guess. Unpartitioned stores repartition to ``ceil(bytes/target)``.
+
+    The rewrite goes to a sibling temp dir, then swaps via two renames —
+    crash-safe for the data (both copies exist until the final rename)
+    but not concurrent-writer-safe: pause appends during the swap (same
+    contract as every non-transactional lake compactor; a table format
+    with optimistic commits is the 100 TB answer for concurrent writers).
+
+    Returns ``{files_before, files_after, bytes, rows}``.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    if target_file_mb <= 0:
+        raise ValueError(f"target_file_mb must be positive, got {target_file_mb}")
+
+    def _parts(p: str) -> list[str]:
+        return sorted(glob.glob(f"{p}/**/*.parquet", recursive=True))
+
+    before = _parts(path)
+    if not before:
+        raise ValueError(f"no parquet files under {path}")
+    total_bytes = sum(os.path.getsize(f) for f in before)
+
+    if partition_cols is None:
+        # key=value subdirectories are Spark's partition layout.
+        partition_cols = sorted(
+            {
+                e.split("=", 1)[0]
+                for e in os.listdir(path)
+                if "=" in e and os.path.isdir(os.path.join(path, e))
+            }
+        )
+    df = spark.read.parquet(path)
+    rows = df.count()
+    if rows == 0:
+        return {"files_before": len(before), "files_after": len(before),
+                "bytes": total_bytes, "rows": 0}
+    max_records = max(1, int(target_file_mb * 2**20 * rows / total_bytes))
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if partition_cols:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+        writer = out.write.partitionBy(*partition_cols)
+    else:
+        out = df.repartition(max(1, math.ceil(total_bytes / (target_file_mb * 2**20))))
+        writer = out.write
+    writer.mode("overwrite").option("maxRecordsPerFile", max_records).parquet(tmp)
+
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_parts(path)),
+        "bytes": total_bytes,
+        "rows": rows,
+    }
+
+
 def write_events(
     df: DataFrame, path: str, partition_by_day: bool = True, fmt: str = "parquet"
 ) -> None:
