@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zx_spark.compiler import compile_query, run_sorted
-from zx_spark.model import Aggregate, Cmp, Condition, Query, Select
+from zx_spark.model import NIL, Aggregate, Cmp, Condition, Query, Select
 from zx_spark.operators.filters import apply_conditions
 from zx_spark.storage import read_table, register_views
 
@@ -191,15 +191,52 @@ def _weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _weighted_agg_query(sel: Select, rounds: dict[str, int]):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        q = Query(selects=[sel], group_by=["event_type"])
-        out = compile_query(
-            _weighted_events(spark, sf_dir), q, id_col="event_id", rate_col="sample_rate"
-        )
-        return _round(_floor_windows(out), rounds)
+def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4/A6 §2.5 sample-rate weighting — all three weighted aggregates
+    in ONE grouped pass (merged from three registry rows to stay under the
+    driver's 50-query cap while keeping each aggregate hash-verified)."""
+    q = Query(
+        selects=[
+            Select("value", Aggregate.SUM),
+            Select("value", Aggregate.COUNT),
+            Select("value", Aggregate.MEAN),
+        ],
+        group_by=["event_type"],
+    )
+    out = compile_query(
+        _weighted_events(spark, sf_dir), q, id_col="event_id", rate_col="sample_rate"
+    )
+    return _round(
+        _floor_windows(out), {"sum__value": 2, "count__value": 2, "mean__value": 6}
+    )
 
-    return run
+
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable rollup) path: 5-minute mergeable
+    partials, coarsened to hourly, finalized — must equal the DIRECT
+    hourly windowed aggregate, which is exactly what the DuckDB oracle
+    computes. Verifies build→coarsen→finalize end-to-end (zx_spark/
+    operators/rollup.py; beyond-reference — the reference recomputes every
+    query from raw storage, src/lib.rs:191-218)."""
+    from zx_spark.operators.rollup import build_rollup, coarsen_rollup, rollup_answer
+
+    ev = _events(spark, sf_dir).withColumn(
+        "g_event_type", F.coalesce(F.col("event_type").cast("string"), F.lit(NIL))
+    )
+    r5m = build_rollup(
+        ev, ["value"], ["g_event_type"], granularity_s=300, rate_col=None,
+        distinct_sketch=False,
+    )
+    hourly = coarsen_rollup(r5m, 300, 3600, group_cols=["g_event_type"])
+    sel = [
+        Select("value", Aggregate.SUM),
+        Select("value", Aggregate.COUNT),
+        Select("value", Aggregate.MIN),
+        Select("value", Aggregate.MAX),
+        Select("value", Aggregate.MEAN),
+    ]
+    out = rollup_answer(hourly, sel, group_cols=["g_event_type"], empty_sentinels=False)
+    return _round(_floor_windows(out), {"sum__value": 3, "mean__value": 6})
 
 
 def q_a8_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +780,57 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (zx_spark/streaming/joins.py) with BATCH
+    PARITY: the events table streams as both sides (right side re-staged
+    with a derived value), inner-joined on user_id within [ts, ts+600 s].
+    Inner mode emits exactly the matched pairs, so the availableNow drain
+    equals the batch BETWEEN self-join the DuckDB oracle computes. Two
+    files per side force cross-micro-batch matches through the join's
+    watermarked state buffer."""
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid
+
+    from zx_spark.streaming.joins import streaming_interval_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    stage = _tf.mkdtemp(prefix="zx_sjoin_")
+    lp, rp, cp = f"{stage}/l", f"{stage}/r", f"{stage}/cp"
+    ev.repartition(2).write.parquet(lp)
+    ev.select(
+        "user_id", "ts", F.round(F.col("value") * 2, 6).alias("mark_value")
+    ).repartition(2).write.parquet(rp)
+    sl = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(lp)
+    )
+    sr = (
+        spark.readStream.schema("user_id bigint, ts timestamp, mark_value double")
+        .option("maxFilesPerTrigger", 1).parquet(rp)
+    )
+    out = streaming_interval_join(
+        sl, sr, on=["user_id"], before_s=0, after_s=600, watermark="1 minute"
+    )
+    name = f"zx_sjoin_{uuid.uuid4().hex[:8]}"
+    (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", cp).trigger(availableNow=True)
+        .start().awaitTermination()
+    )
+    _shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("ts").cast("double"), 6).alias("l_ts"),
+        "value",
+        F.round(F.col("r_ts").cast("double"), 6).alias("r_ts"),
+        F.col("r_mark_value").alias("mark_value"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode features posexploded to (doc_id, feature_no, feature_value)
     scalar rows — the driver canonicalizer can't hash array columns."""
@@ -910,15 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_p50": _agg_query(Select("value", Aggregate.P50), {"p50__value": 6}),
         "a8_raw": q_a8_raw,
         "a9_heatmap": q_a9_heatmap,
-        "a1_sum_weighted": _weighted_agg_query(
-            Select("value", Aggregate.SUM), {"sum__value": 2}
-        ),
-        "a4_count_weighted": _weighted_agg_query(
-            Select("value", Aggregate.COUNT), {"count__value": 2}
-        ),
-        "a6_mean_weighted": _weighted_agg_query(
-            Select("value", Aggregate.MEAN), {"mean__value": 6}
-        ),
+        "a_weighted_suite": q_a_weighted_suite,
+        # Beyond-reference scale operators (rollup + stream-stream join)
+        "rollup_hourly_agg": q_rollup_hourly,
+        "streaming_interval_join": q_streaming_interval_join,
         # LLM pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
         "sampling_suite": q_sampling_suite,
@@ -1305,28 +1388,46 @@ def oracle_sql() -> dict[str, str]:
             "FROM w CROSS JOIN b "
             "LEFT JOIN c ON c.g_event_type = w.g_event_type AND c.bin_no = b.bin_no"
         ),
-        "a1_sum_weighted": (
+        "a_weighted_suite": (
+            # A1/A4/A6 weighted in one grouped pass; MEAN truncates the
+            # rate to an integer (reference parses it as isize,
+            # src/lib.rs:643-646).
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "
             f"{_WINDOW_COLS}, "
-            f"round(sum(coalesce(value, 0) * {_RATE_SQL}), 2) AS sum__value "
-            "FROM events GROUP BY coalesce(event_type, '__nil')"
-        ),
-        "a4_count_weighted": (
-            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
-            f"{_WINDOW_COLS}, "
+            f"round(sum(coalesce(value, 0) * {_RATE_SQL}), 2) AS sum__value, "
             f"round(sum(CASE WHEN value IS NOT NULL THEN {_RATE_SQL} ELSE 0 END), 2) "
-            "AS count__value "
-            "FROM events GROUP BY coalesce(event_type, '__nil')"
-        ),
-        "a6_mean_weighted": (
-            # MEAN truncates the rate to an integer (reference parses it as
-            # isize, src/lib.rs:643-646).
-            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
-            f"{_WINDOW_COLS}, "
+            "AS count__value, "
             f"round(sum(CASE WHEN value IS NOT NULL THEN value * floor({_RATE_SQL}) END) "
             f"/ sum(CASE WHEN value IS NOT NULL THEN floor({_RATE_SQL}) END), 6) "
             "AS mean__value "
             "FROM events GROUP BY coalesce(event_type, '__nil')"
+        ),
+        "rollup_hourly_agg": (
+            # The oracle computes the DIRECT hourly windowed aggregate; the
+            # Spark side answers it from 5-minute rollup partials coarsened
+            # to hourly — equality proves the continuous-aggregate path
+            # end-to-end (mergeable partials, no avg-of-avgs).
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            f"{_WINDOW_COLS}, "
+            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
+            "sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)::double "
+            "AS count__value, "
+            "min(value) AS min__value, "
+            "max(value) AS max__value, "
+            "round(avg(value), 6) AS mean__value "
+            "FROM events "
+            "GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 3600)"
+        ),
+        "streaming_interval_join": (
+            # Batch twin of the watermarked stream-stream interval join:
+            # every (event, mark) pair on the same user within [ts, ts+600s].
+            "SELECT l.event_id AS event_id, l.user_id AS user_id, "
+            "round(epoch(l.ts), 6) AS l_ts, round(l.value, 6) AS value, "
+            "round(epoch(r.ts), 6) AS r_ts, "
+            "round(round(r.value, 6) * 2, 6) AS mark_value "
+            "FROM events l JOIN events r ON l.user_id = r.user_id "
+            "AND epoch(r.ts) >= epoch(l.ts) "
+            "AND epoch(r.ts) <= epoch(l.ts) + 600"
         ),
         "w1_faithful_windows": (
             # The reference's sequential data-aligned recurrence as a

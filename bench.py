@@ -47,6 +47,10 @@ HEADLINE = [
     # (md5-per-token, ~5.5s at sf0.1); dedup_minhash_pairs is the
     # production near-dup path the bench measures.
     "sampling_suite",
+    # added r4: continuous-aggregate path (build 5m partials → coarsen to
+    # hourly → finalize). Streaming rows stay un-benched (drain cost is
+    # source staging, not engine time).
+    "rollup_hourly_agg",
 ]
 
 

@@ -20,7 +20,11 @@ def _files(path):
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return read_table(spark, SF_DIR, "events").cache()
+    # unpersist on teardown: a cached plan for this exact read would be
+    # substituted (InMemoryRelation) into other tests' plan assertions.
+    df = read_table(spark, SF_DIR, "events").cache()
+    yield df
+    df.unpersist()
 
 
 def test_compact_partitioned_store(spark, events, tmp_path):

@@ -35,23 +35,29 @@ EXACT_SELECTS = [
 @pytest.fixture(scope="module")
 def events(spark):
     # g_event_type mirrors compile_query's __nil group-key materialization
-    # so rollup output columns line up with the compiler's.
-    return (
+    # so rollup output columns line up with the compiler's. Unpersist on
+    # teardown so the cached plan can't be substituted into other tests'
+    # plan-shape assertions.
+    df = (
         read_table(spark, SF_DIR, "events")
         .withColumn("g_event_type", F.coalesce(F.col("event_type"), F.lit("__nil")))
         .cache()
     )
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def base_rollup(events):
-    return build_rollup(
+    df = build_rollup(
         events,
         value_cols=["value"],
         group_cols=["g_event_type"],
         granularity_s=BASE_S,
         rate_col=None,
     ).cache()
+    yield df
+    df.unpersist()
 
 
 def _by_key(rows, aliases):
