@@ -157,6 +157,54 @@ def test_rollup_is_small_and_validates(events, base_rollup):
         build_rollup(events, value_cols=["value"], granularity_s=0)
 
 
+def test_streaming_rollup_sink_matches_batch_build(spark, events, base_rollup, tmp_path):
+    """foreachBatch-appended partials, merged on read (and after
+    compaction), equal the one-shot batch rollup — late data and batch
+    boundaries are invisible to mergeable partials."""
+    from zx_spark.operators.rollup import compact_rollup, read_merged_rollup, rollup_sink
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    # 4 source files → 4 micro-batches with maxFilesPerTrigger=1, so the
+    # same (group, bucket) accretes partial rows across batches.
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rollup_sink(
+        stream, store, value_cols=["value"], group_cols=["g_event_type"],
+        granularity_s=BASE_S, rate_col=None,
+        checkpoint_dir=str(tmp_path / "cp"), available_now=True,
+    ).awaitTermination()
+
+    raw = spark.read.parquet(store)
+    assert raw.count() > base_rollup.count()  # duplicate buckets pre-merge
+
+    aliases = [s.alias for s in EXACT_SELECTS]
+    want = _by_key(
+        rollup_answer(base_rollup, EXACT_SELECTS, group_cols=["g_event_type"]).collect(),
+        aliases,
+    )
+
+    def check(rollup_df):
+        got = _by_key(
+            rollup_answer(rollup_df, EXACT_SELECTS, group_cols=["g_event_type"]).collect(),
+            aliases,
+        )
+        assert set(got) == set(want)
+        for k in want:
+            for g, w in zip(got[k], want[k]):
+                assert g == pytest.approx(w, rel=1e-9)
+
+    check(read_merged_rollup(spark, store, group_cols=["g_event_type"]))
+    compact_rollup(spark, store, group_cols=["g_event_type"])
+    compacted = spark.read.parquet(store)
+    assert compacted.count() == base_rollup.count()  # one row per bucket
+    check(compacted)
+
+
 def test_rollup_answer_scans_only_rollup(spark, base_rollup, tmp_path):
     """Answering from a stored rollup reads the rollup parquet, not events —
     and the finalize is a pure projection (no shuffle, no Python)."""

@@ -177,6 +177,72 @@ def coarsen_rollup(
     return _merge(rollup, list(group_cols or []), bucket.cast("double"))
 
 
+def rollup_sink(
+    stream: DataFrame,
+    path: str,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    granularity_s: float = 300.0,
+    rate_col: str | None = "sample_rate",
+    distinct_sketch: bool = True,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Maintain a rollup store FROM A STREAM: each micro-batch aggregates
+    to its own partial rows and APPENDS them (``foreachBatch``) —
+    mergeability does the rest at read time (``read_merged_rollup``).
+
+    This needs no stateful streaming operator, no watermark, and drops
+    nothing: a late event just appends another partial row for its
+    (group, bucket), merged on read. State is zero (vs a watermarked
+    streaming agg whose store holds every open window), at the cost of
+    duplicate bucket rows between compactions — bounded by batches ×
+    groups, reclaimed by ``compact_rollup``. Returns the started
+    StreamingQuery."""
+    kw = dict(
+        value_cols=value_cols, group_cols=group_cols, ts_col=ts_col,
+        granularity_s=granularity_s, rate_col=rate_col,
+        distinct_sketch=distinct_sketch,
+    )
+
+    def _batch(df: DataFrame, _epoch: int) -> None:
+        build_rollup(df, **kw).write.mode("append").parquet(path)
+
+    w = stream.writeStream.foreachBatch(_batch)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_merged_rollup(
+    spark, path: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Read an append-maintained rollup store, merging duplicate
+    (group, bucket) partial rows (one shuffle over the tiny rollup)."""
+    return merge_rollups(spark.read.parquet(path), group_cols=group_cols)
+
+
+def compact_rollup(spark, path: str, group_cols: list[str] | None = None) -> None:
+    """Rewrite an append-accreted rollup store to one row per
+    (group, bucket) — the periodic maintenance that bounds merge-on-read
+    cost. Two-rename swap, same crash-safety contract as
+    ``storage.compact_store``."""
+    import os
+    import shutil
+
+    merged = read_merged_rollup(spark, path, group_cols)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def rollup_answer(
     rollup: DataFrame,
     selects: list[Select],
