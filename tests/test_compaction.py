@@ -71,3 +71,52 @@ def test_compact_validation(spark, tmp_path):
         compact_store(spark, str(tmp_path / "missing"))
     with pytest.raises(ValueError, match="positive"):
         compact_store(spark, str(tmp_path / "missing"), target_file_mb=0)
+
+
+def test_compact_nested_partition_layout(spark, events, tmp_path):
+    """Multi-level partition layouts (day=…/type=…) survive compaction —
+    discovery walks to the leaf instead of reading one directory level."""
+    path = str(tmp_path / "nested")
+    df = events.drop("props").withColumn("event_date", F.to_date("ts"))
+    for _ in range(2):
+        df.repartition(6).write.mode("append").partitionBy(
+            "event_date", "event_type"
+        ).parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    leaf_dirs_before = sorted(glob.glob(f"{path}/event_date=*/event_type=*"))
+    assert leaf_dirs_before  # sanity: the second level exists
+
+    compact_store(spark, path, target_file_mb=128)
+
+    assert sorted(glob.glob(f"{path}/event_date=*/event_type=*")) == leaf_dirs_before
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # Pruning works on BOTH levels of the compacted store.
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "click")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_compact_recovers_from_interrupted_swap(spark, events, tmp_path):
+    """A dead prior compaction (stale __compact_old, with or without the
+    store itself) heals on the next call instead of failing the rename."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "store")
+    events.drop("props").repartition(4).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # Crash point A: died during final cleanup — old is leftover garbage.
+    shutil.copytree(path, path + "__compact_old")
+    report = compact_store(spark, path, target_file_mb=256)
+    assert report["files_after"] == 1
+    assert not os.path.exists(path + "__compact_old")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    # Crash point B: died between the renames — old IS the store.
+    os.rename(path, path + "__compact_old")
+    report = compact_store(spark, path, target_file_mb=256)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before

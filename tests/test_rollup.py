@@ -4,6 +4,7 @@ and the rollup must actually be small."""
 
 from __future__ import annotations
 
+import glob
 import math
 
 import pytest
@@ -114,7 +115,6 @@ def test_merge_rollups_is_incremental_maintenance(events, base_rollup):
 def test_hll_distinct_survives_merge(events, base_rollup):
     """Sketch-backed distinct stays within tolerance after coarsening —
     the mergeable path exact COUNT_DISTINCT cannot take."""
-    coarse = coarsen_rollup(base_rollup, BASE_S, COARSE_S, group_cols=["g_event_type"])
     sel = [Select("user_id", Aggregate.COUNT_DISTINCT_APPROX)]
     rolled = build_rollup(
         events, value_cols=["user_id"], group_cols=["g_event_type"],
@@ -199,8 +199,20 @@ def test_streaming_rollup_sink_matches_batch_build(spark, events, base_rollup, t
                 assert g == pytest.approx(w, rel=1e-9)
 
     check(read_merged_rollup(spark, store, group_cols=["g_event_type"]))
+
+    # At-least-once replay: re-delivering a micro-batch overwrites its
+    # epoch directory instead of double-counting (foreachBatch retries).
+    epochs = sorted(glob.glob(f"{store}/epoch=*"))
+    assert len(epochs) == 4
+    replay = spark.read.parquet(epochs[0])
+    replay.write.mode("overwrite").parquet(str(tmp_path / "replay_stage"))
+    spark.read.parquet(str(tmp_path / "replay_stage")).write.mode(
+        "overwrite"
+    ).parquet(epochs[0])
+    check(read_merged_rollup(spark, store, group_cols=["g_event_type"]))
+
     compact_rollup(spark, store, group_cols=["g_event_type"])
-    compacted = spark.read.parquet(store)
+    compacted = read_merged_rollup(spark, store, group_cols=["g_event_type"])
     assert compacted.count() == base_rollup.count()  # one row per bucket
     check(compacted)
 

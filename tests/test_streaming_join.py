@@ -125,6 +125,19 @@ def test_left_outer_emits_unmatched_after_watermark(spark, sources, tmp_path):
     assert ("c", _ts(10), None) in rows
 
 
+def test_right_ts_as_equality_key_resolves(spark, sources):
+    """right_ts doubling as an equality key keeps its un-prefixed name —
+    the interval condition must reference it there, not as r_ts."""
+    lp, rp = sources
+    out = streaming_interval_join(
+        _stream(spark, lp), _stream(spark, rp),
+        on=["key", "ts"], before_s=0, after_s=60, watermark="5 seconds",
+    )
+    # Accessing the schema forces analysis — this raised UNRESOLVED_COLUMN
+    # for r_ts before the fix.
+    assert set(out.columns) == {"key", "ts", "value", "r_value"}
+
+
 def test_validation(spark, sources):
     lp, rp = sources
     l, r = _stream(spark, lp), _stream(spark, rp)

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zx_spark.model import Aggregate, Select
-from zx_spark.operators.aggregates import F64_MAX, F64_MIN
+from zx_spark.operators.aggregates import F64_MAX, F64_MIN, _rate
 from zx_spark.operators.windows import WINDOW_NO, with_aligned_windows
 
 BUCKET = "bucket_start"
@@ -73,12 +73,6 @@ ROLLUP_AGGREGATES = (
 )
 
 
-def _rate(df: DataFrame, rate_col: str | None):
-    if rate_col is None or rate_col not in df.columns:
-        return F.lit(1.0)
-    return F.coalesce(F.col(f"`{rate_col}`").cast("double"), F.lit(1.0))
-
-
 def build_rollup(
     df: DataFrame,
     value_cols: list[str],
@@ -97,10 +91,18 @@ def build_rollup(
     if granularity_s <= 0:
         raise ValueError(f"granularity must be positive, got {granularity_s}s")
     group_cols = list(group_cols or [])
+    if rate_col is not None and rate_col not in df.columns:
+        if rate_col == "sample_rate":
+            rate_col = None  # default convention, compiler.py:86-87
+        else:
+            # An explicitly-requested weight column that doesn't exist
+            # must fail loudly — a silently unweighted rollup is wrong
+            # in a way no downstream check can see.
+            raise ValueError(f"rate_col {rate_col!r} not in {df.columns}")
     df = with_aligned_windows(df, ts_col, granularity_s).withColumnRenamed(
         WINDOW_NO, BUCKET
     )
-    r = _rate(df, rate_col)
+    r = _rate(rate_col)
     ts_unix = F.col(f"`{ts_col}`").cast("double")
 
     aggs = [
@@ -190,24 +192,34 @@ def rollup_sink(
     available_now: bool = False,
 ):
     """Maintain a rollup store FROM A STREAM: each micro-batch aggregates
-    to its own partial rows and APPENDS them (``foreachBatch``) —
-    mergeability does the rest at read time (``read_merged_rollup``).
+    to its own partial rows and writes them to an epoch-keyed
+    subdirectory (``foreachBatch``) — mergeability does the rest at read
+    time (``read_merged_rollup``).
 
     This needs no stateful streaming operator, no watermark, and drops
-    nothing: a late event just appends another partial row for its
+    nothing: a late event just lands another partial row for its
     (group, bucket), merged on read. State is zero (vs a watermarked
     streaming agg whose store holds every open window), at the cost of
     duplicate bucket rows between compactions — bounded by batches ×
-    groups, reclaimed by ``compact_rollup``. Returns the started
-    StreamingQuery."""
+    groups, reclaimed by ``compact_rollup``.
+
+    Exactly-once despite foreachBatch's at-least-once contract: each
+    batch OVERWRITES ``path/epoch=<batch_id>``, so a micro-batch replay
+    after a crash-before-checkpoint rewrites the same directory instead
+    of appending a double-counting duplicate. The checkpoint and the
+    store are one unit: deleting the checkpoint without clearing the
+    store leaves stale high-numbered epochs behind if the rerun batches
+    differently. Returns the started StreamingQuery."""
     kw = dict(
         value_cols=value_cols, group_cols=group_cols, ts_col=ts_col,
         granularity_s=granularity_s, rate_col=rate_col,
         distinct_sketch=distinct_sketch,
     )
 
-    def _batch(df: DataFrame, _epoch: int) -> None:
-        build_rollup(df, **kw).write.mode("append").parquet(path)
+    def _batch(df: DataFrame, epoch: int) -> None:
+        build_rollup(df, **kw).write.mode("overwrite").parquet(
+            f"{path.rstrip('/')}/epoch={int(epoch)}"
+        )
 
     w = stream.writeStream.foreachBatch(_batch)
     if checkpoint_dir:
@@ -220,27 +232,32 @@ def rollup_sink(
 def read_merged_rollup(
     spark, path: str, group_cols: list[str] | None = None
 ) -> DataFrame:
-    """Read an append-maintained rollup store, merging duplicate
-    (group, bucket) partial rows (one shuffle over the tiny rollup)."""
-    return merge_rollups(spark.read.parquet(path), group_cols=group_cols)
+    """Read a stream-maintained rollup store, merging duplicate
+    (group, bucket) partial rows across epochs (one shuffle over the
+    tiny rollup). The ``epoch`` partition column is bookkeeping, not
+    data — dropped before the merge."""
+    from zx_spark.storage import _recover_swap
+
+    _recover_swap(path)
+    df = spark.read.parquet(path)
+    if "epoch" in df.columns:
+        df = df.drop("epoch")
+    return merge_rollups(df, group_cols=group_cols)
 
 
 def compact_rollup(spark, path: str, group_cols: list[str] | None = None) -> None:
-    """Rewrite an append-accreted rollup store to one row per
+    """Rewrite an epoch-accreted rollup store to one row per
     (group, bucket) — the periodic maintenance that bounds merge-on-read
-    cost. Two-rename swap, same crash-safety contract as
+    cost. The merged result lands under the reserved ``epoch=-1``
+    directory so later stream batches (epochs ≥ 0) keep accreting next
+    to it. Two-rename swap with the same crash-recovery contract as
     ``storage.compact_store``."""
-    import os
-    import shutil
+    from zx_spark.storage import _finish_swap, _swap_paths
 
     merged = read_merged_rollup(spark, path, group_cols)
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    tmp, _ = _swap_paths(path)
+    merged.write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
+    _finish_swap(path)
 
 
 def rollup_answer(

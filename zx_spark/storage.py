@@ -189,14 +189,19 @@ def compact_store(
     in place at the target file size and preserves the partition layout
     (so partition pruning keeps working).
 
-    Plan shape: ONE shuffle keyed on the partition columns (each
-    partition's rows converge to one task), with ``maxRecordsPerFile``
-    splitting oversized partitions at write time — sized from the store's
-    own measured bytes/row, so the knob is real on-disk MB, not a row
-    guess. Unpartitioned stores repartition to ``ceil(bytes/target)``.
+    Plan shape: one count pass sizes each partition, then ONE shuffle
+    keyed on (partition columns, salt) — the salt modulus per partition
+    value is ``ceil(partition_rows / rows_per_target_file)``, so a cold
+    day compacts in one task while a hot 1-TB day fans out across many
+    tasks (one task per output file), never funneling a whole partition
+    through a single executor. ``maxRecordsPerFile`` still caps file
+    size — both knobs are sized from the store's own measured bytes/row,
+    so ``target_file_mb`` is real on-disk MB, not a row guess.
+    Unpartitioned stores repartition to ``ceil(bytes/target)``.
 
     The rewrite goes to a sibling temp dir, then swaps via two renames —
-    crash-safe for the data (both copies exist until the final rename)
+    crash-safe for the data (both copies exist until the final rename;
+    an interrupted run is healed on the next call by ``_recover_swap``)
     but not concurrent-writer-safe: pause appends during the swap (same
     contract as every non-transactional lake compactor; a table format
     with optimistic commits is the 100 TB answer for concurrent writers).
@@ -206,7 +211,6 @@ def compact_store(
     import glob
     import math
     import os
-    import shutil
 
     if target_file_mb <= 0:
         raise ValueError(f"target_file_mb must be positive, got {target_file_mb}")
@@ -214,20 +218,14 @@ def compact_store(
     def _parts(p: str) -> list[str]:
         return sorted(glob.glob(f"{p}/**/*.parquet", recursive=True))
 
+    _recover_swap(path)
     before = _parts(path)
     if not before:
         raise ValueError(f"no parquet files under {path}")
     total_bytes = sum(os.path.getsize(f) for f in before)
 
     if partition_cols is None:
-        # key=value subdirectories are Spark's partition layout.
-        partition_cols = sorted(
-            {
-                e.split("=", 1)[0]
-                for e in os.listdir(path)
-                if "=" in e and os.path.isdir(os.path.join(path, e))
-            }
-        )
+        partition_cols = _discover_partition_cols(path)
     df = spark.read.parquet(path)
     rows = df.count()
     if rows == 0:
@@ -235,26 +233,124 @@ def compact_store(
                 "bytes": total_bytes, "rows": 0}
     max_records = max(1, int(target_file_mb * 2**20 * rows / total_bytes))
 
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
     if partition_cols:
-        out = df.repartition(*[F.col(c) for c in partition_cols])
+        # Per-partition salt: spread each partition value over exactly as
+        # many tasks as it needs output files. The per-value row counts
+        # are a tiny aggregate, broadcast back onto the data.
+        counts = (
+            df.groupBy(*partition_cols)
+            .count()
+            .withColumn(
+                "__salt_mod",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("count") / F.lit(max_records))
+                ).cast("int"),
+            )
+            .drop("count")
+        )
+        hashable = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in partition_cols
+            and not isinstance(f.dataType, T.MapType)
+        ]
+        salt = (
+            F.pmod(F.xxhash64(*[F.col(f"`{c}`") for c in hashable]), F.col("__salt_mod"))
+            if hashable
+            else F.lit(0)
+        )
+        n_tasks = max(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(total_bytes / (target_file_mb * 2**20)),
+        )
+        out = (
+            df.join(F.broadcast(counts), partition_cols)
+            .withColumn("__salt", salt)
+            .repartition(n_tasks, *[F.col(c) for c in partition_cols], F.col("__salt"))
+            .drop("__salt", "__salt_mod")
+        )
         writer = out.write.partitionBy(*partition_cols)
     else:
         out = df.repartition(max(1, math.ceil(total_bytes / (target_file_mb * 2**20))))
         writer = out.write
+    tmp, _ = _swap_paths(path)
     writer.mode("overwrite").option("maxRecordsPerFile", max_records).parquet(tmp)
 
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _finish_swap(path)
     return {
         "files_before": len(before),
         "files_after": len(_parts(path)),
         "bytes": total_bytes,
         "rows": rows,
     }
+
+
+def _swap_paths(path: str) -> tuple[str, str]:
+    """(tmp, old) sibling paths for the compaction two-rename swap; the
+    tmp dir is pre-cleaned so a dead prior rewrite can't pollute ours."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    return tmp, old
+
+
+def _recover_swap(path: str) -> None:
+    """Heal an interrupted prior compaction before touching the store.
+
+    Crash points and their remedies: died during the final cleanup →
+    ``path`` is the new data and ``__compact_old`` is removable garbage;
+    died between the two renames → ``path`` is missing and
+    ``__compact_old`` IS the store, so restore it."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__compact_old"
+    if not os.path.exists(old):
+        return
+    if os.path.exists(path):
+        shutil.rmtree(old)
+    else:
+        os.rename(old, path)
+
+
+def _finish_swap(path: str) -> None:
+    """path -> old, tmp -> path, drop old (call after writing tmp)."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def _discover_partition_cols(path: str) -> list[str]:
+    """Walk ``key=value`` directory levels to the leaf files — Spark
+    partition layouts nest (day=…/region=…), so one readdir at the root
+    sees only the first level and a rewrite from it would silently
+    flatten the deeper ones."""
+    import os
+
+    cols: list[str] = []
+    p = path
+    while True:
+        subs = [
+            e
+            for e in sorted(os.listdir(p))
+            if "=" in e and os.path.isdir(os.path.join(p, e))
+        ]
+        if not subs:
+            return cols
+        keys = {e.split("=", 1)[0] for e in subs}
+        if len(keys) != 1:
+            raise ValueError(
+                f"inconsistent partition directories under {p}: {sorted(keys)}"
+            )
+        cols.append(keys.pop())
+        p = os.path.join(p, subs[0])
 
 
 def write_events(

@@ -67,7 +67,10 @@ def streaming_interval_join(
         right_prefix + right_ts if right_ts not in on else right_ts, watermark
     ).alias("r")
 
-    rt = f"r.`{right_prefix + right_ts}`"
+    # Key columns keep their name (renames excludes keys) — if right_ts
+    # is itself an equality key, reference it un-prefixed.
+    rt_name = right_ts if right_ts in on else right_prefix + right_ts
+    rt = f"r.`{rt_name}`"
     lt = f"l.`{left_ts}`"
     cond = reduce(
         lambda a, b: a & b,
