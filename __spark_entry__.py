@@ -218,14 +218,19 @@ def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes. Verifies build→coarsen→finalize end-to-end (zx_spark/
     operators/rollup.py; beyond-reference — the reference recomputes every
     query from raw storage, src/lib.rs:191-218)."""
-    from zx_spark.operators.rollup import build_rollup, coarsen_rollup, rollup_answer
+    from zx_spark.operators.rollup import (
+        QUANTILE_BINS,
+        build_rollup,
+        coarsen_rollup,
+        rollup_answer,
+    )
 
     ev = _events(spark, sf_dir).withColumn(
         "g_event_type", F.coalesce(F.col("event_type").cast("string"), F.lit(NIL))
     )
     r5m = build_rollup(
         ev, ["value"], ["g_event_type"], granularity_s=300, rate_col=None,
-        distinct_sketch=False,
+        distinct_sketch=False, quantile_bins=QUANTILE_BINS,
     )
     hourly = coarsen_rollup(r5m, 300, 3600, group_cols=["g_event_type"])
     sel = [
@@ -234,9 +239,13 @@ def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         Select("value", Aggregate.MIN),
         Select("value", Aggregate.MAX),
         Select("value", Aggregate.MEAN),
+        Select("value", Aggregate.P50_APPROX),
     ]
     out = rollup_answer(hourly, sel, group_cols=["g_event_type"], empty_sentinels=False)
-    return _round(_floor_windows(out), {"sum__value": 3, "mean__value": 6})
+    return _round(
+        _floor_windows(out),
+        {"sum__value": 3, "mean__value": 6, "p50_approx__value": 6},
+    )
 
 
 def q_a8_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,17 +1415,46 @@ def oracle_sql() -> dict[str, str]:
             # The oracle computes the DIRECT hourly windowed aggregate; the
             # Spark side answers it from 5-minute rollup partials coarsened
             # to hourly — equality proves the continuous-aggregate path
-            # end-to-end (mergeable partials, no avg-of-avgs).
-            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
-            f"{_WINDOW_COLS}, "
-            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
-            "sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)::double "
-            "AS count__value, "
-            "min(value) AS min__value, "
-            "max(value) AS max__value, "
-            "round(avg(value), 6) AS mean__value "
-            "FROM events "
-            "GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 3600)"
+            # end-to-end (mergeable partials, no avg-of-avgs). p50_approx
+            # is the histogram-partial estimate, reproduced here from raw
+            # events with the same 32-bin domain + within-bin
+            # interpolation (rollup.py QUANTILE_BINS / _hist_quantile) —
+            # coarsening invariance makes it identical, not just close.
+            "WITH direct AS ("
+            "  SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "    floor(epoch(ts) / 3600) AS b, "
+            f"   {_WINDOW_COLS}, "
+            "    round(sum(coalesce(value, 0)), 3) AS sum__value, "
+            "    sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)::double "
+            "      AS count__value, "
+            "    min(value) AS min__value, "
+            "    max(value) AS max__value, "
+            "    round(avg(value), 6) AS mean__value "
+            "  FROM events GROUP BY 1, 2"
+            "), binned AS ("
+            "  SELECT coalesce(event_type, '__nil') AS g, "
+            "    floor(epoch(ts) / 3600) AS b, "
+            "    least(greatest(floor(value / 31.25), 0), 31)::int AS bin "
+            "  FROM events WHERE value IS NOT NULL"
+            "), counts AS ("
+            "  SELECT g, b, bin, count(*)::double AS c "
+            "  FROM binned GROUP BY g, b, bin"
+            "), cum AS ("
+            "  SELECT g, b, bin, c, "
+            "    sum(c) OVER (PARTITION BY g, b ORDER BY bin) AS cum, "
+            "    sum(c) OVER (PARTITION BY g, b) AS total "
+            "  FROM counts"
+            "), p50 AS ("
+            "  SELECT g, b, "
+            "    0.0 + 31.25 * (bin + (total * 0.5 - (cum - c)) / c) AS est "
+            "  FROM cum WHERE cum >= total * 0.5 AND c > 0 "
+            "  QUALIFY row_number() OVER (PARTITION BY g, b ORDER BY bin) = 1"
+            ") "
+            "SELECT d.g_event_type, d.window_start, d.window_end, "
+            "  d.sum__value, d.count__value, d.min__value, d.max__value, "
+            "  d.mean__value, round(p.est, 6) AS p50_approx__value "
+            "FROM direct d LEFT JOIN p50 p "
+            "  ON d.g_event_type = p.g AND d.b = p.b"
         ),
         "streaming_interval_join": (
             # Batch twin of the watermarked stream-stream interval join:

@@ -217,6 +217,60 @@ def test_streaming_rollup_sink_matches_batch_build(spark, events, base_rollup, t
     check(compacted)
 
 
+def test_p50_approx_from_histogram_partials(spark, events):
+    """Quantiles from per-bin count partials: estimate within one bin
+    width of the discrete median (the ⌈n/2⌉-th order statistic — the
+    histogram's bound target) at BOTH granularities (bin sums coarsen
+    losslessly), and a domain mismatch fails loudly."""
+    from zx_spark.operators.rollup import QUANTILE_BINS
+
+    lo, hi, nb = QUANTILE_BINS
+    bin_w = (hi - lo) / nb
+    r5m = build_rollup(
+        events, ["value"], ["g_event_type"], granularity_s=BASE_S,
+        rate_col=None, distinct_sketch=False, quantile_bins=QUANTILE_BINS,
+    )
+    sel = [Select("value", Aggregate.P50_APPROX)]
+
+    for rollup_df, gran in ((r5m, BASE_S),
+                            (coarsen_rollup(r5m, BASE_S, COARSE_S,
+                                            group_cols=["g_event_type"]), COARSE_S)):
+        got = {
+            (r["g_event_type"], r["window_start"] // gran): r["p50_approx__value"]
+            for r in rollup_answer(
+                rollup_df, sel, group_cols=["g_event_type"]
+            ).collect()
+        }
+        vals = {
+            (r["g_event_type"], r["b"]): sorted(r["vs"])
+            for r in events.groupBy(
+                "g_event_type",
+                F.floor(F.col("ts").cast("double") / gran).alias("b"),
+            )
+            .agg(F.collect_list(F.col("value").cast("double")).alias("vs"))
+            .collect()
+        }
+        assert set(got) == set(vals)
+        for k, vs in vals.items():
+            if not vs:  # all-null window
+                assert got[k] is None
+            else:
+                want = vs[math.ceil(0.5 * len(vs)) - 1]  # percentile_disc
+                assert abs(got[k] - want) <= bin_w, (k, got[k], want)
+
+    with pytest.raises(ValueError, match="no 64-bin histogram"):
+        rollup_answer(
+            r5m, [Select("value", Aggregate.P50_APPROX, params=(lo, hi, 64))],
+            group_cols=["g_event_type"],
+        )
+    no_hist = build_rollup(
+        events, ["value"], ["g_event_type"], granularity_s=BASE_S,
+        rate_col=None, distinct_sketch=False,
+    )
+    with pytest.raises(ValueError, match="no 32-bin histogram"):
+        rollup_answer(no_hist, sel, group_cols=["g_event_type"])
+
+
 def test_rollup_answer_scans_only_rollup(spark, base_rollup, tmp_path):
     """Answering from a stored rollup reads the rollup parquet, not events —
     and the finalize is a pure projection (no shuffle, no Python)."""

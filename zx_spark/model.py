@@ -62,6 +62,11 @@ class Aggregate(enum.Enum):
     COUNT_DISTINCT_APPROX = "count_distinct_approx"
     MEAN = "mean"
     P50 = "p50"
+    # Scale variant beyond the reference: mergeable quantile estimate
+    # (percentile_approx sketch on raw events; equi-width histogram
+    # partials + interpolation when answered from a rollup). ``params``
+    # carries the histogram domain ``(lo, hi, bins)`` on the rollup path.
+    P50_APPROX = "p50_approx"
     RAW = "raw"
     HEATMAP = "heatmap"
 

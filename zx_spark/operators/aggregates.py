@@ -94,6 +94,10 @@ def agg_expr(
         expr = num / den
     elif a is Aggregate.P50:
         expr = F.expr(f"percentile(cast(`{sel.column}` as double), 0.5)")
+    elif a is Aggregate.P50_APPROX:
+        # Mergeable sketch — the 100 TB path (exact percentile buffers
+        # every value per group; the sketch is bounded-memory).
+        expr = approx_quantiles(sel.column, [0.5])[0]
     elif a is Aggregate.RAW:
         expr = F.sort_array(F.collect_list(x))
     elif a is Aggregate.HEATMAP:

@@ -21,6 +21,11 @@ that every re-aggregation is itself a partial-aggregatable expression:
         sketches are the ONLY mergeable distinct representation; exact
         COUNT_DISTINCT and exact P50 are NOT derivable from a rollup and
         must run on the raw events (documented, not silently approximated).
+    P50_APPROX -> equi-width histogram bin counts (merge: per-bin SUM;
+        opt-in via ``quantile_bins``) — finalized by within-bin linear
+        interpolation, error bounded by one bin width. The same
+        pre-aggregate-then-interpolate shape every downsampling TSDB uses
+        for quantiles-over-rollups.
 
 Incremental maintenance falls out of mergeability: rollup(new_events) can
 be unioned with the stored rollup and re-merged (``merge_rollups``) — no
@@ -33,6 +38,8 @@ reporting the first/last *event* timestamp per window (src/lib.rs:702-708).
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +66,7 @@ _MERGE_BY_SUFFIX = {
     "hll": lambda c: F.hll_union_agg(c, True),
 }
 _MERGE_SHARED = {N_ROWS: F.sum, FIRST_TS: F.min, LAST_TS: F.max}
+_QBIN = re.compile(r"q\d+")  # histogram bin-count columns, <v>__q<i>
 
 # Aggregates a rollup can answer exactly (vs agg_expr on raw events), plus
 # the sketch-backed approximate distinct. Exact COUNT_DISTINCT / P50 / RAW /
@@ -70,7 +78,13 @@ ROLLUP_AGGREGATES = (
     Aggregate.COUNT,
     Aggregate.MEAN,
     Aggregate.COUNT_DISTINCT_APPROX,
+    Aggregate.P50_APPROX,
 )
+
+# Default histogram domain for quantile partials — matches the HEATMAP
+# default domain (aggregates.py) with a finer grid, since quantile error
+# is one bin width.
+QUANTILE_BINS = (0.0, 1000.0, 32)
 
 
 def build_rollup(
@@ -81,12 +95,20 @@ def build_rollup(
     granularity_s: float = 300.0,
     rate_col: str | None = "sample_rate",
     distinct_sketch: bool = True,
+    quantile_bins: tuple[float, float, int] | None = None,
 ) -> DataFrame:
     """One pass over the events → per-(group, bucket) mergeable partials.
 
     One shuffle keyed on (group_cols, bucket) with map-side partial
     aggregation — the same cost as a single windowed aggregate query, paid
     once and amortized over every query answered from the rollup.
+
+    ``quantile_bins=(lo, hi, bins)`` additionally stores per-bin row
+    counts (``<v>__q<i>`` columns — plain SUMs, so they merge and coarsen
+    like everything else), enabling ``P50_APPROX`` answers. Counts are
+    unweighted rows, matching exact P50's semantics (reference percentile
+    ignores the sample rate, aggregates.py:95-96). Values outside
+    [lo, hi) clamp into the edge bins — size the domain to the data.
     """
     if granularity_s <= 0:
         raise ValueError(f"granularity must be positive, got {granularity_s}s")
@@ -129,6 +151,24 @@ def build_rollup(
             # lgConfigK=12 ≈ 1.6KB/sketch, ~2.5% rsd — mergeable across
             # buckets AND groups, unlike any exact-distinct representation.
             aggs.append(F.hll_sketch_agg(col.cast("string"), 12).alias(f"{v}__hll"))
+        if quantile_bins is not None:
+            lo, hi, nb = quantile_bins
+            if not (hi > lo and int(nb) > 0):
+                raise ValueError(f"bad quantile domain {quantile_bins}")
+            width = (float(hi) - float(lo)) / int(nb)
+            b_idx = F.least(
+                F.greatest(F.floor((x - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
+                F.lit(int(nb) - 1),
+            )
+            for b in range(int(nb)):
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.when(x.isNotNull() & (b_idx == b), 1).otherwise(0)),
+                        F.lit(0),
+                    )
+                    .cast("double")
+                    .alias(f"{v}__q{b}")
+                )
     return df.groupBy(*group_cols, BUCKET).agg(*aggs)
 
 
@@ -142,9 +182,12 @@ def _merge(df: DataFrame, group_cols: list[str], bucket_col) -> DataFrame:
             aggs.append(_MERGE_SHARED[c](F.col(c)).alias(c))
             continue
         suffix = c.rsplit("__", 1)[-1]
-        if suffix not in _MERGE_BY_SUFFIX:
+        if suffix in _MERGE_BY_SUFFIX:
+            aggs.append(_MERGE_BY_SUFFIX[suffix](F.col(c)).alias(c))
+        elif _QBIN.fullmatch(suffix):
+            aggs.append(F.sum(F.col(c)).alias(c))  # histogram bin counts
+        else:
             raise ValueError(f"unknown rollup column {c!r}")
-        aggs.append(_MERGE_BY_SUFFIX[suffix](F.col(c)).alias(c))
     return df.groupBy(*group_cols, bucket_col.alias(BUCKET)).agg(*aggs)
 
 
@@ -260,6 +303,43 @@ def compact_rollup(spark, path: str, group_cols: list[str] | None = None) -> Non
     _finish_swap(path)
 
 
+def _hist_quantile(rollup: DataFrame, v: str, domain: tuple, q: float):
+    """Quantile estimate from ``<v>__q<i>`` bin counts: find the first bin
+    whose cumulative count crosses q·total, interpolate linearly inside
+    it. Pure Catalyst (a chain of whens over the bin columns) — no
+    shuffle, no Python. The estimate lands in the bin holding the
+    ⌈q·n⌉-th order statistic, i.e. within one bin width of
+    ``percentile_disc(q)`` for in-domain data (the *interpolating*
+    percentile can sit further away in tiny windows, when the two middle
+    values straddle bins). ``domain`` must be the ``quantile_bins`` the
+    rollup was built with."""
+    lo, hi, nb = domain
+    lo, hi, nb = float(lo), float(hi), int(nb)
+    missing = [b for b in range(nb) if f"{v}__q{b}" not in rollup.columns]
+    if missing or f"{v}__q{nb}" in rollup.columns:
+        raise ValueError(
+            f"rollup has no {nb}-bin histogram for {v!r} — build_rollup "
+            f"with quantile_bins=({lo}, {hi}, {nb}) (Select.params must "
+            "match the build domain)"
+        )
+    width = (hi - lo) / nb
+    bins = [F.coalesce(F.col(f"`{v}__q{b}`"), F.lit(0.0)) for b in range(nb)]
+    cums, acc = [], F.lit(0.0)
+    for b in bins:
+        acc = acc + b
+        cums.append(acc)
+    total = cums[-1]
+    target = total * F.lit(q)
+    # Reverse-built when-chain: the OUTERMOST condition is bin 0, so the
+    # first crossing wins; empty bins are skipped (same cumulative).
+    expr = F.lit(None).cast("double")
+    for b in reversed(range(nb)):
+        prev = cums[b - 1] if b else F.lit(0.0)
+        est = F.lit(lo) + F.lit(width) * (F.lit(b) + (target - prev) / bins[b])
+        expr = F.when((cums[b] >= target) & (bins[b] > 0), est).otherwise(expr)
+    return F.when(total > 0, expr)
+
+
 def rollup_answer(
     rollup: DataFrame,
     selects: list[Select],
@@ -297,6 +377,8 @@ def rollup_answer(
                 expr = F.coalesce(expr, F.lit(F64_MIN))
         elif s.aggregate is Aggregate.MEAN:
             expr = F.col(f"{v}__mean_num") / F.col(f"{v}__mean_den")
+        elif s.aggregate is Aggregate.P50_APPROX:
+            expr = _hist_quantile(rollup, v, s.params or QUANTILE_BINS, 0.5)
         else:  # COUNT_DISTINCT_APPROX
             expr = (
                 F.hll_sketch_estimate(F.col(f"{v}__hll")) + F.col(f"{v}__any_null")
