@@ -231,6 +231,7 @@ def rollup_sink(
     granularity_s: float = 300.0,
     rate_col: str | None = "sample_rate",
     distinct_sketch: bool = True,
+    quantile_bins: tuple[float, float, int] | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = False,
 ):
@@ -256,7 +257,7 @@ def rollup_sink(
     kw = dict(
         value_cols=value_cols, group_cols=group_cols, ts_col=ts_col,
         granularity_s=granularity_s, rate_col=rate_col,
-        distinct_sketch=distinct_sketch,
+        distinct_sketch=distinct_sketch, quantile_bins=quantile_bins,
     )
 
     def _batch(df: DataFrame, epoch: int) -> None:
