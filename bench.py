@@ -51,6 +51,8 @@ HEADLINE = [
     # hourly → finalize). Streaming rows stay un-benched (drain cost is
     # source staging, not engine time).
     "rollup_hourly_agg",
+    # added r4: gap-filled sparse series (spine generate + 3 window fills).
+    "w_gapfill",
 ]
 
 
