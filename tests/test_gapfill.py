@@ -4,6 +4,8 @@ are untouched, and each fill mode produces its documented values."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from zx_spark.compiler import compile_query
@@ -80,6 +82,73 @@ def test_validation(sparse):
         gapfill(sparse, "window_start", G, ["g"], {"v": "null"}, max_buckets=3)
     with pytest.raises(ValueError, match="max_buckets"):
         gapfill(sparse, "window_start", G, ["g"], start=0.0, end=1e12)
+
+
+def _reference_gapfill(obs: dict[int, float | None], mode: str):
+    """Pure-Python transcription over one group: obs maps bucket_no ->
+    value for observed buckets; returns bucket_no -> filled value over
+    the dense [min, max] span."""
+    lo, hi = min(obs), max(obs)
+    out = {}
+    for n in range(lo, hi + 1):
+        if n in obs and obs[n] is not None:
+            out[n] = obs[n]
+            continue
+        if mode == "zero":
+            out[n] = 0.0
+        elif mode == "null":
+            out[n] = None
+        elif mode == "locf":
+            prev = [m for m in obs if m <= n and obs[m] is not None]
+            out[n] = obs[max(prev)] if prev else None
+        else:  # linear
+            prev = [m for m in obs if m <= n and obs[m] is not None]
+            nxt = [m for m in obs if m > n and obs[m] is not None]
+            if prev and nxt:
+                p, q = max(prev), min(nxt)
+                out[n] = obs[p] + (obs[q] - obs[p]) * (n - p) / (q - p)
+            else:
+                out[n] = None
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=-50, max_value=50),
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=1, max_size=12,
+    ),
+    mode=st.sampled_from(["null", "zero", "locf", "linear"]),
+)
+def test_gapfill_matches_reference_model(spark, obs, mode):
+    """Distributed gapfill ≡ a pure-Python per-group transcription on
+    arbitrary sparse series (random buckets, NULL-valued observations,
+    every fill mode)."""
+    rows = [("g", BASE + n * G, v) for n, v in obs.items()]
+    df = spark.createDataFrame(rows, "g string, window_start double, v double")
+    got = _by_key(gapfill(df, "window_start", G, ["g"], {"v": mode}))
+    want = _reference_gapfill(obs, mode)
+    assert {b for _, b in got} == set(want)
+    for (_, b), v in got.items():
+        if want[b] is None:
+            assert v is None, (b, v)
+        else:
+            assert v == pytest.approx(want[b]), (b, v, want[b])
+
+
+def test_gapfill_plan_stays_jvm(sparse):
+    """No fill runs in Python and the spine is a distributed Generate,
+    not a driver-built range. (Join strategy is AQE's call: broadcast on
+    real parquet stats — asserted via the driver-row audit — SMJ on
+    statless tiny test frames.)"""
+    plan = (
+        gapfill(sparse, "window_start", G, ["g"],
+                {"v": "linear"})._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Generate explode(sequence" in plan
 
 
 def test_gapfill_over_compiled_query(spark):
