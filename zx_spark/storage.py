@@ -327,6 +327,120 @@ def _finish_swap(path: str) -> None:
     shutil.rmtree(old)
 
 
+def cluster_store(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_file_mb: float = 128.0,
+    zorder: bool = False,
+    zorder_bits: int = 8,
+) -> dict:
+    """Rewrite a parquet store CLUSTERED on ``cols`` so the reader can
+    skip row groups (and whole files) whose min/max statistics exclude a
+    predicate — the data-layout lever that turns a full 100 TB scan into
+    a few-gigabyte one for selective filters, with zero query-side
+    changes (parquet stat pruning is automatic).
+
+    Two layouts:
+
+    - ``zorder=False`` (default): range-cluster — ``repartitionByRange``
+      + ``sortWithinPartitions`` on ``cols``. Min/max spans become tight
+      on the LEADING column (and secondarily within ties). The right
+      choice when one column dominates the filters.
+    - ``zorder=True``: interleave the bits of per-column quantile-bucket
+      ranks (``zorder_bits`` per column) into a Z-order key and
+      range-cluster on that — every listed column gets bounded row-group
+      spans, so filters on ANY of them skip. Numeric columns only (a
+      hash-bucketed string would not tighten the raw column's min/max
+      stats). Bucket ranks use a uniform grid over the column's
+      [p1, p99] (one driver-side approxQuantile per column — a handful
+      of doubles); heavy skew inside the grid softens, but never breaks,
+      the clustering.
+
+    Same swap/crash-recovery contract as ``compact_store``. Returns
+    ``{files, row_groups, rows}`` for the rewritten store.
+    """
+    import glob
+    import math
+
+    if not cols:
+        raise ValueError("cluster_store needs at least one column")
+    _recover_swap(path)
+    df = spark.read.parquet(path)
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"cluster column {c!r} not in {df.columns}")
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    import os
+
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    rows = df.count()
+    if rows == 0:
+        return {"files": len(files), "row_groups": 0, "rows": 0}
+    max_records = max(1, int(target_file_mb * 2**20 * rows / total_bytes))
+    n_tasks = max(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(total_bytes / (target_file_mb * 2**20)),
+    )
+
+    if zorder:
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.DecimalType)
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, numeric):
+                raise ValueError(
+                    f"zorder needs numeric columns, {c!r} is "
+                    f"{df.schema[c].dataType.simpleString()} — use "
+                    "zorder=False (range-cluster) for strings/timestamps"
+                )
+        nb = 1 << zorder_bits
+        ranks = []
+        for c in cols:
+            q01, q99 = df.stat.approxQuantile(c, [0.01, 0.99], 0.001)
+            if q99 <= q01:  # constant-ish column: every row in bucket 0
+                ranks.append(F.lit(0))
+                continue
+            x = F.col(f"`{c}`").cast("double")
+            r = F.floor((x - F.lit(q01)) / F.lit((q99 - q01) / nb))
+            ranks.append(
+                F.when(x.isNull(), F.lit(0))
+                .otherwise(F.least(F.greatest(r, F.lit(0)), F.lit(nb - 1)))
+                .cast("long")
+            )
+        # Interleave: bit i of column j lands at position i*len(cols)+j —
+        # the classic Morton code, generalized to N columns.
+        zkey = F.lit(0).cast("long")
+        for i in range(zorder_bits):
+            for j, r in enumerate(ranks):
+                bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+                zkey = zkey + F.shiftleft(bit, i * len(cols) + j)
+        out = (
+            df.withColumn("__zkey", zkey)
+            .repartitionByRange(n_tasks, F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    else:
+        out = df.repartitionByRange(
+            n_tasks, *[F.col(f"`{c}`") for c in cols]
+        ).sortWithinPartitions(*cols)
+
+    tmp, _ = _swap_paths(path)
+    out.write.mode("overwrite").option("maxRecordsPerFile", max_records).parquet(tmp)
+    _finish_swap(path)
+
+    new_files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    try:
+        import pyarrow.parquet as pq
+
+        rgs = sum(pq.ParquetFile(f).metadata.num_row_groups for f in new_files)
+    except Exception:  # pragma: no cover - pyarrow always present here
+        rgs = -1
+    return {"files": len(new_files), "row_groups": rgs, "rows": rows}
+
+
 def _discover_partition_cols(path: str) -> list[str]:
     """Walk ``key=value`` directory levels to the leaf files — Spark
     partition layouts nest (day=…/region=…), so one readdir at the root
