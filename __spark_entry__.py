@@ -38,6 +38,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events")
 
 
+def _with_ts_normalized(df: DataFrame) -> DataFrame:
+    """Raw-parquet `ts` → session-zoned TIMESTAMP, whatever the store
+    flavor: bigint nanos (nanosAsLong), naive micros (TIMESTAMP_NTZ), or
+    already a TimestampType. Streaming sources bypass read_table, so they
+    need the same normalization applied post-load."""
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _events_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + a genuinely sparse column (NULL for 'view' rows) so the
     __nil/EXISTS semantics are exercised at driver scale."""
@@ -714,11 +729,8 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _tf.mkdtemp(prefix="zx_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(raw_schema)
-        .load(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _with_ts_normalized(
+        spark.readStream.format("parquet").schema(raw_schema).load(stage)
     )
     q = Query(
         selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
@@ -759,9 +771,10 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw_schema = batch.schema
-    # Driver testdata stores ts as raw TIMESTAMP(NANOS) (arrives as
-    # bigint under nanosAsLong); other stores (e.g. make_scale_store
-    # output) have a real TimestampType column. Handle both.
+    # Driver testdata `ts` flavor varies by generation: bigint nanos
+    # (nanosAsLong), naive micros (TIMESTAMP_NTZ), or TimestampType.
+    # The tail literal must match the RAW schema; the stream itself is
+    # normalized post-load by _with_ts_normalized.
     ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
     # One tail row per event_type (incl. NULL → the __nil group), 1e6 s
     # past the global max — far beyond any 600 s gap.
@@ -804,8 +817,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .load(stage)
     )
-    if ts_is_long:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _with_ts_normalized(stream)
     result = streaming_session_agg(
         stream, group_by=["event_type"], gap_s=600.0, ts_col="ts",
         value_col="value", watermark="0 seconds",

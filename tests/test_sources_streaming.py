@@ -105,6 +105,42 @@ def test_epoch_unit_heuristic(spark):
     assert abs(got["ns"] - (base_s + 0.123456)) < 1e-9  # nanos truncate to micros
 
 
+def test_ts_flavors_normalize_identically(spark, tmp_path):
+    # The driver's parquet `ts` flavor has varied across generations:
+    # bigint nanos, naive micros (TIMESTAMP_NTZ), and zoned TIMESTAMP.
+    # read_table and read_parquet_events must land every flavor on the
+    # same session-zoned TimestampType instant (session tz pinned UTC).
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zx_spark.sources import read_parquet_events
+    from zx_spark.storage import read_table
+
+    base_us = 1_704_067_200_123_456  # 2024-01-01 00:00:00.123456 UTC
+    naive = dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    flavors = {
+        "nanos": pa.table(
+            {"id": [1], "ts": pa.array([base_us * 1000], pa.timestamp("ns"))}
+        ),
+        "ntz": pa.table({"id": [1], "ts": pa.array([naive], pa.timestamp("us"))}),
+        "ltz": pa.table(
+            {"id": [1], "ts": pa.array([naive], pa.timestamp("us", tz="UTC"))}
+        ),
+    }
+    for name, tbl in flavors.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / f"{name}.parquet"))
+        got = read_table(spark, str(d), name)
+        assert got.schema["ts"].dataType.typeName() == "timestamp", name
+        assert got.collect()[0]["ts"].timestamp() == base_us / 1e6, name
+        got2 = read_parquet_events(spark, str(d / f"{name}.parquet"))
+        assert got2.schema["ts"].dataType.typeName() == "timestamp", name
+        assert got2.collect()[0]["ts"].timestamp() == base_us / 1e6, name
+
+
 def test_streaming_session_agg_stateful(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): sessions close
     either when a later event arrives past the gap (A) or when the

@@ -28,6 +28,10 @@ def _normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     col = F.col(f"`{ts_col}`")
     if isinstance(dt, T.TimestampType):
         return df
+    if isinstance(dt, T.TimestampNTZType):
+        # naive timestamp: interpret in the session zone (pinned UTC) so
+        # epoch casts stay legal and oracle-comparable
+        return df.withColumn(ts_col, col.cast("timestamp"))
     if isinstance(dt, (T.LongType, T.IntegerType)):
         # Heuristic epoch unit by magnitude: > 1e16 → nanos (the driver's
         # own parquet format arrives as bigint nanos under nanosAsLong),

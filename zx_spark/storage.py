@@ -88,9 +88,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(path)
+    types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
     for col in _nanos_timestamp_cols(path):
-        if isinstance(dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[col], T.LongType):
+        if isinstance(types[col], T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    # Parquet micros TIMESTAMP with isAdjustedToUTC=false arrives as
+    # TIMESTAMP_NTZ; with the session pinned to UTC, casting to the
+    # session-zoned TIMESTAMP is value-identical to DuckDB's naive read,
+    # and keeps every downstream epoch cast (`ts.cast("double")`,
+    # F.window(...).start.cast("double")) legal.
+    for col, dt in types.items():
+        if isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(f"`{col}`").cast("timestamp"))
     return df
 
 
