@@ -30,6 +30,10 @@ def get_spark(app_name: str = "zx_spark", extra_conf: dict | None = None) -> Spa
         # it as bigint nanos with this flag (storage.read_table normalizes to
         # a micros TIMESTAMP, matching DuckDB's nanos→micros truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive-micros parquet timestamps (isAdjustedToUTC=false) read as
+        # plain TimestampType (session tz = UTC) instead of TIMESTAMP_NTZ:
+        # no cast nodes in plans, epoch casts legal, DuckDB-identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("ZX_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

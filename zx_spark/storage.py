@@ -85,6 +85,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # literals parse in UTC regardless.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     df = spark.read.parquet(path)
