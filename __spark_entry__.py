@@ -712,6 +712,53 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with DETERMINISTICALLY PLANTED PII (the
+    synthetic corpus contains none naturally, which would make the row
+    vacuous — same planted-construction trick as emb_near_pairs_lsh):
+    doc_id % 7 picks which PII type is appended, built identically in the
+    DuckDB oracle, so per-type counts AND the md5 of the redacted text
+    verify the full sequential regex pipeline value-for-value."""
+    from zx_spark.functions.pii import PII_TYPES, with_pii_scrubbed
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.concat(F.lit(" contact user"), d, F.lit("@example.com")))
+            .when(d % 7 == 1, F.concat(F.lit(" from 10."), d % 256, F.lit(".0.1 logged")))
+            .when(d % 7 == 2, F.lit(" ssn 123-45-6789 on file"))
+            .when(d % 7 == 3, F.lit(" card 4111-1111-1111-1111 charged"))
+            .when(d % 7 == 4, F.concat(F.lit(" call +1415555"), F.lpad(d % 10000, 4, "0")))
+            .otherwise(F.lit("")),
+        ),
+    )
+    out = with_pii_scrubbed(planted)
+    return out.select(
+        "doc_id",
+        *[F.col(f"pii_n_{t}").alias(f"n_{t}") for t in PII_TYPES],
+        F.col("pii_n_total").alias("n_pii"),
+        F.md5(F.col("pii_redacted")).alias("redacted_md5"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a REALISTIC leak: the 'benchmark' is
+    40-word excerpts of every doc_id % 10 == 3 document (an eval set drawn
+    from the same crawl), probed against the FULL corpus — each excerpted
+    document flags on its own excerpt, and near-duplicates of it flag too.
+    Broadcast probe + one per-doc aggregation (decontaminate.py)."""
+    from zx_spark.operators.decontaminate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    bench = docs.filter(F.col("doc_id") % 10 == 3).select(
+        F.array_join(F.slice(toks, 1, 40), " ").alias("text")
+    )
+    return decontaminate(docs, bench, text_col="text", id_col="doc_id", n=5)
+
+
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: stream the events parquet through the
     watermarked windowed aggregation with an availableNow drain — complete-
@@ -1021,24 +1068,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # S1 scan + F1 comparators (12 comparators in 6 paired rows)
         "s1_time_scan": q_s1_time_scan,
-        "f1_eq_ne": _filter_pair_query(
+        # 10 of the 12 comparators in ONE multi-arm row (arms a..j);
+        # EXISTS/NOT_EXISTS stay separate (they need the tagged frame).
+        # Merged from three rows in r4 to free registry slots for the
+        # PII-scrub and decontamination pipelines under the 50-cap.
+        "f1_comparators": _filter_multi_query(
             Condition("event_type", Cmp.EQ, "click"),
             Condition("event_type", Cmp.NE, "click"),
-        ),
-        "f1_order_cmps": _filter_multi_query(
             Condition("value", Cmp.GT, 90.0),
             Condition("value", Cmp.LT, 10.0),
             Condition("value", Cmp.GTE, 90.0),
             Condition("value", Cmp.LTE, 10.0),
-        ),
-        "f1_exists_pair": _filter_pair_query(
-            Condition("tag", Cmp.EXISTS), Condition("tag", Cmp.NOT_EXISTS), tagged=True
-        ),
-        "f1_string_cmps": _filter_multi_query(
             Condition("event_type", Cmp.STARTS_WITH, "c"),
             Condition("event_type", Cmp.NOT_STARTS_WITH, "c"),
             Condition("props", Cmp.CONTAINS, '"k": 7'),
             Condition("props", Cmp.NOT_CONTAINS, '"k": 7'),
+        ),
+        "f1_exists_pair": _filter_pair_query(
+            Condition("tag", Cmp.EXISTS), Condition("tag", Cmp.NOT_EXISTS), tagged=True
         ),
         # G1 / W1 / O1 / Q2
         "g1_group_nil": q_g1_group_nil,
@@ -1081,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_counts": q_text_lang_counts,
         "text_tfidf": q_text_tfidf,
         "doc_fingerprints": q_doc_fingerprints,
+        "text_pii_redact": q_text_pii_redact,
+        "decontaminate_ngrams": q_decontaminate,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_shapes": q_multimodal_shapes,
         "streaming_windowed_agg": q_streaming_windowed,
@@ -1123,6 +1172,63 @@ def _lang_scores() -> str:
         f"len(list_filter({_TOKS}, t -> list_contains({_DE_STOP}, t))) AS s_de, "
         f"len(list_filter({_TOKS}, t -> list_contains({_FR_STOP}, t))) AS s_fr, "
         f"len(list_filter({_TOKS}, t -> list_contains({_ES_STOP}, t))) AS s_es"
+    )
+
+
+def _pii_oracle() -> str:
+    """Full DuckDB twin of q_text_pii_redact: identical planted PII per
+    doc_id % 7 arm, then the SAME sequential count-and-replace pass built
+    from zx_spark.functions.pii.PII_PATTERNS (single source of truth for
+    the regexes on both engines), md5 of the final redacted text."""
+    from zx_spark.functions.pii import PII_PATTERNS
+
+    plant = (
+        "SELECT doc_id, text || CASE "
+        "WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' "
+        "WHEN doc_id % 7 = 1 THEN ' from 10.' || (doc_id % 256) || '.0.1 logged' "
+        "WHEN doc_id % 7 = 2 THEN ' ssn 123-45-6789 on file' "
+        "WHEN doc_id % 7 = 3 THEN ' card 4111-1111-1111-1111 charged' "
+        "WHEN doc_id % 7 = 4 THEN ' call +1415555' || lpad((doc_id % 10000)::VARCHAR, 4, '0') "
+        "ELSE '' END AS text FROM documents"
+    )
+    cur = "coalesce(text, '')"
+    cnts = []
+    for typ, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        cnts.append(f"len(regexp_extract_all({cur}, '{p}')) AS n_{typ}")
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    total = " + ".join(f"n_{typ}" for typ, _, _ in PII_PATTERNS)
+    return (
+        f"WITH p AS ({plant}), "
+        f"s AS (SELECT doc_id, {', '.join(cnts)}, md5({cur}) AS redacted_md5 FROM p) "
+        f"SELECT doc_id, {', '.join('n_' + t for t, _, _ in PII_PATTERNS)}, "
+        f"({total}) AS n_pii, redacted_md5 FROM s"
+    )
+
+
+def _decontaminate_oracle(n: int = 5, excerpt_words: int = 40) -> str:
+    """DuckDB twin of q_decontaminate: benchmark = first-``excerpt_words``
+    token runs of doc_id % 10 == 3 documents, distinct md5-60-bit
+    ``n``-gram hashes broadcast-probed against every document's distinct
+    hash set, per-doc overlap counts + contamination ratio."""
+    shingle = (
+        "CASE WHEN len(w) > 0 THEN "
+        f"list_transform(generate_series(0, greatest(len(w)-{n}, 0)), "
+        f"i -> array_to_string(w[i+1:i+{n}], ' ')) ELSE [''] END"
+    )
+    h = "s -> ('0x'||substr(md5(s),1,15))::bigint"
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents), "
+        f"bt AS (SELECT w[1:{excerpt_words}] AS w FROM toks WHERE doc_id % 10 = 3), "
+        f"bsh AS (SELECT {shingle} AS sh FROM bt), "
+        f"bh AS (SELECT DISTINCT unnest(list_transform(sh, {h})) AS h FROM bsh), "
+        f"dsh AS (SELECT doc_id, {shingle} AS sh FROM toks), "
+        f"dh AS (SELECT doc_id, list_distinct(list_transform(sh, {h})) AS hs FROM dsh), "
+        "dx AS (SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h FROM dh), "
+        "hits AS (SELECT doc_id, count(*) AS n_overlap, any_value(n_ngrams) AS n_ngrams "
+        "FROM dx JOIN bh USING (h) GROUP BY doc_id) "
+        "SELECT doc_id, n_overlap, n_ngrams, "
+        "round(n_overlap::double / n_ngrams, 6) AS contamination FROM hits"
     )
 
 
@@ -1331,21 +1437,21 @@ def oracle_sql() -> dict[str, str]:
         "s1_time_scan": _FILTER_ORACLE.format(
             pred=f"epoch(ts) >= {T0} AND epoch(ts) <= {T1}"
         ),
-        "f1_eq_ne": _filter_arms_oracle(
-            "event_type = 'click'", "event_type != 'click'"
-        ),
-        "f1_order_cmps": _filter_arms_oracle(
-            "value > 90.0", "value < 10.0", "value >= 90.0", "value <= 10.0"
-        ),
-        "f1_exists_pair": _filter_arms_oracle(
-            "nullif(event_type, 'view') IS NOT NULL",
-            "nullif(event_type, 'view') IS NULL",
-        ),
-        "f1_string_cmps": _filter_arms_oracle(
+        "f1_comparators": _filter_arms_oracle(
+            "event_type = 'click'",
+            "event_type != 'click'",
+            "value > 90.0",
+            "value < 10.0",
+            "value >= 90.0",
+            "value <= 10.0",
             "starts_with(event_type, 'c')",
             "event_type IS NOT NULL AND NOT starts_with(event_type, 'c')",
             "contains(props, '\"k\": 7')",
             "props IS NOT NULL AND NOT contains(props, '\"k\": 7')",
+        ),
+        "f1_exists_pair": _filter_arms_oracle(
+            "nullif(event_type, 'view') IS NOT NULL",
+            "nullif(event_type, 'view') IS NULL",
         ),
         "g1_group_nil": (
             "SELECT coalesce(nullif(event_type, 'view'), '__nil') AS g_tag, "
@@ -1621,6 +1727,8 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) >= 0.6"
         ),
         "emb_near_pairs_lsh": _rp_lsh_oracle(),
+        "text_pii_redact": _pii_oracle(),
+        "decontaminate_ngrams": _decontaminate_oracle(),
         "ann_cosine_suite": (
             "WITH c AS (SELECT vec_id, round(embedding[1]::double / "
             "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) AS cosine "

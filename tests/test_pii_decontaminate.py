@@ -1,0 +1,124 @@
+"""PII scrub and benchmark decontamination: detection/redaction values,
+NULL behavior, sequential-claim semantics, and the decontamination
+overlap math — plus plan shape (map-side, broadcast probe)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zx_spark.functions.pii import PII_TYPES, with_pii_scrubbed
+from zx_spark.operators.decontaminate import decontaminate, drop_contaminated
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (1, "mail jo.doe+x@ex-a.co.uk or admin@x.io, ip 10.0.255.7 ssn 123-45-6789"),
+        (2, "card 4111-1111-1111-1111 and 4111111111111111 call +14155552671"),
+        (3, "no pii just words 1234 12.5"),
+        (4, None),
+        (5, "us-style 415-555.1234 and 999.999.999.999"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_detection_and_redaction(pii_df):
+    got = {r["doc_id"]: r for r in with_pii_scrubbed(pii_df).collect()}
+    assert got[1]["pii_redacted"] == "mail <EMAIL> or <EMAIL>, ip <IP> ssn <SSN>"
+    assert got[1]["pii_n_email"] == 2
+    assert got[1]["pii_n_ipv4"] == 1
+    assert got[1]["pii_n_ssn"] == 1
+    assert got[1]["pii_n_total"] == 4
+    assert got[2]["pii_n_credit_card"] == 2
+    assert got[2]["pii_n_phone"] == 1
+    assert got[2]["pii_redacted"] == "card <CC> and <CC> call <PHONE>"
+    assert got[3]["pii_n_total"] == 0
+    assert got[3]["pii_redacted"] == got[3]["text"]
+
+
+def test_pii_null_text(pii_df):
+    r = with_pii_scrubbed(pii_df).filter("doc_id = 4").collect()[0]
+    assert r["pii_redacted"] is None
+    assert r["pii_n_total"] == 0
+    for t in PII_TYPES:
+        assert r[f"pii_n_{t}"] == 0
+
+
+def test_pii_counts_equal_tokens_in_redacted(pii_df):
+    # sequential claim: n_<type> is exactly the number of <TYPE> tokens
+    # present in the final redacted text (no span claimed twice)
+    out = with_pii_scrubbed(pii_df).filter("text IS NOT NULL").collect()
+    token = {"email": "<EMAIL>", "ipv4": "<IP>", "ssn": "<SSN>",
+             "credit_card": "<CC>", "phone": "<PHONE>"}
+    for r in out:
+        for t in PII_TYPES:
+            assert r[f"pii_n_{t}"] == r["pii_redacted"].count(token[t]), (
+                r["doc_id"], t)
+
+
+def test_pii_is_narrow_plan(pii_df):
+    plan = with_pii_scrubbed(pii_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.fixture(scope="module")
+def corpus_bench(spark):
+    # benchmark doc B shares a 5-gram run with corpus docs 10 (verbatim
+    # copy) and 11 (partial); doc 12 is clean.
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # full copy
+            (11, "xx alpha beta gamma delta epsilon yy zz ww vv uu"),  # one 5-gram
+            (12, "completely different words with no shared runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, bench
+
+
+def test_decontaminate_flags_overlap(corpus_bench):
+    corpus, bench = corpus_bench
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=5).collect()}
+    assert set(got) == {10, 11}
+    # doc 10 is a verbatim copy: every one of its shingles is in the benchmark
+    assert got[10]["n_overlap"] == got[10]["n_ngrams"]
+    assert got[10]["contamination"] == 1.0
+    # doc 11 shares exactly the one aligned 5-gram run
+    assert got[11]["n_overlap"] == 1
+    assert 0 < got[11]["contamination"] < 1
+
+
+def test_decontaminate_min_overlap_threshold(corpus_bench):
+    corpus, bench = corpus_bench
+    got = decontaminate(corpus, bench, n=5, min_overlap=2).collect()
+    assert {r["doc_id"] for r in got} == {10}
+
+
+def test_drop_contaminated(corpus_bench):
+    corpus, bench = corpus_bench
+    kept = drop_contaminated(corpus, bench, n=5)
+    assert [r["doc_id"] for r in kept.collect()] == [12]
+
+
+def test_decontaminate_broadcast_probe(corpus_bench):
+    corpus, bench = corpus_bench
+    plan = (
+        decontaminate(corpus, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles to probe
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_validates_args(corpus_bench):
+    corpus, bench = corpus_bench
+    with pytest.raises(ValueError):
+        decontaminate(corpus, bench, n=0)
+    with pytest.raises(ValueError):
+        decontaminate(corpus, bench, min_overlap=0)

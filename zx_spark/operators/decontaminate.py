@@ -1,0 +1,114 @@
+"""Benchmark decontamination — n-gram overlap between a training corpus
+and an evaluation/benchmark set.
+
+The standard pretraining-hygiene step: any training document sharing
+enough word n-grams with a benchmark document is flagged (and usually
+dropped) so downstream eval numbers aren't contaminated. The reference
+engine has nothing like it (SURVEY §2.2); it belongs to the
+beyond-reference LLM-pipeline layer.
+
+Distributed shape (the part that must survive 100 TB):
+
+- the benchmark side is *small* (eval sets are thousands of documents,
+  not billions) — its distinct shingle-hash set is built once and
+  BROADCAST, so the corpus-side probe is a map-side hash join: the 100 TB
+  corpus is never shuffled to find hits;
+- corpus documents are shingled and hashed with the same md5-derived
+  60-bit hash as fingerprinting/minhash (``('0x'||substr(md5(s),1,15))::
+  bigint`` — ANSI-SQL-reproducible, so the driver oracle verifies the
+  whole pipeline value-for-value);
+- the only shuffle is the final per-document aggregation of hit counts,
+  keyed on the document id — already unique, no skew;
+- output is one row per *contaminated* document (inner probe), so the
+  result volume is proportional to contamination, not corpus size.
+
+Reference citation: none — absent surface; hash construction shared with
+operators/dedup.py:268-275 and functions/text.py document_fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zx_spark.functions.text import word_shingles
+
+
+def _shingle_hashes(text_col: str, n: int):
+    """Distinct md5-60-bit hashes of the n-word shingles of ``text_col``
+    (the same construction the DuckDB oracle reproduces)."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(F.col(f"`{text_col}`"), n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Flag corpus documents sharing ≥ ``min_overlap`` distinct n-gram
+    hashes with any benchmark document.
+
+    Returns one row per contaminated document:
+    ``(id_col, n_overlap, n_ngrams, contamination)`` where ``n_overlap``
+    counts the document's distinct shingle hashes that appear anywhere in
+    the benchmark, ``n_ngrams`` its total distinct shingle hashes, and
+    ``contamination = round(n_overlap / n_ngrams, 6)``.
+
+    To *apply* the filter, anti-join the corpus against this result on
+    ``id_col`` (see ``drop_contaminated``).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    bench_grams = (
+        benchmark.select(F.explode(_shingle_hashes(text_col, n)).alias("__h"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(f"`{id_col}`"), _shingle_hashes(text_col, n).alias("__hs")
+    ).select(
+        F.col(f"`{id_col}`"),
+        F.size("__hs").alias("n_ngrams"),
+        F.explode("__hs").alias("__h"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.first("n_ngrams").alias("n_ngrams"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return hits.select(
+        F.col(f"`{id_col}`"),
+        F.col("n_overlap"),
+        F.col("n_ngrams"),
+        F.round(F.col("n_overlap") / F.col("n_ngrams"), 6).alias("contamination"),
+    )
+
+
+def drop_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """The applied form: corpus minus contaminated documents (left
+    anti-join on the flag set — the flag set is small, so this is a
+    broadcast anti-join at scale)."""
+    flagged = decontaminate(corpus, benchmark, text_col, id_col, n, min_overlap)
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )
