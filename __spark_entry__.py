@@ -682,14 +682,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.functions.text import text_quality
+    from zx_spark.functions.text import repetition_signals, text_quality
 
     q = text_quality(F.col("text"))
+    r = repetition_signals(F.col("text"))
     return _docs(spark, sf_dir).select(
         "doc_id",
         q["stopword_ratio"].alias("stopword_ratio"),
         q["upper_ratio"].alias("upper_ratio"),
         q["quality_score"].alias("quality_score"),
+        r["dup_line_fraction"].alias("dup_line_fraction"),
+        r["dup_token_fraction"].alias("dup_token_fraction"),
     )
 
 
@@ -1767,14 +1770,23 @@ def oracle_sql() -> dict[str, str]:
             f"len({_TOKS}) AS n_tokens, "
             "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) AS n_punct, "
             "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
-            f"len(list_filter({_TOKS}, t -> list_contains({_EN_STOP}, t))) AS n_stop "
+            f"len(list_filter({_TOKS}, t -> list_contains({_EN_STOP}, t))) AS n_stop, "
+            f"len(list_distinct({_TOKS})) AS n_distinct_tokens, "
+            "list_filter(list_transform(string_split_regex(text, '\\n'), l -> trim(l)), "
+            "l -> l != '') AS lines "
             "FROM documents) "
             "SELECT doc_id, "
             "round(n_stop::double / greatest(n_tokens, 1), 4) AS stopword_ratio, "
             "round(n_upper::double / greatest(n_chars, 1), 4) AS upper_ratio, "
             "round((least(n_tokens::double / 50.0, 1.0) "
             " + (1.0 - least(n_punct::double / greatest(n_chars, 1) * 4.0, 1.0)) "
-            " + least(n_stop::double / greatest(n_tokens, 1) * 4.0, 1.0)) / 3.0, 4) AS quality_score "
+            " + least(n_stop::double / greatest(n_tokens, 1) * 4.0, 1.0)) / 3.0, 4) AS quality_score, "
+            "round(CASE WHEN len(lines) > 0 THEN "
+            "1.0 - len(list_distinct(lines))::double / len(lines) ELSE 0.0 END, 4) "
+            "AS dup_line_fraction, "
+            "round(CASE WHEN n_tokens > 0 THEN "
+            "1.0 - n_distinct_tokens::double / n_tokens ELSE 0.0 END, 4) "
+            "AS dup_token_fraction "
             "FROM q"
         ),
         "text_lang_counts": (

@@ -122,3 +122,43 @@ def test_decontaminate_validates_args(corpus_bench):
         decontaminate(corpus, bench, n=0)
     with pytest.raises(ValueError):
         decontaminate(corpus, bench, min_overlap=0)
+
+
+def test_repetition_signals(spark):
+    from zx_spark.functions.text import repetition_signals
+
+    rows = [
+        (1, "menu\nmenu\nmenu\nabout us"),        # 2 distinct / 4 lines
+        (2, "spam spam spam spam"),                # 1 distinct / 4 tokens
+        (3, "all words here are different"),       # no repetition
+        (4, ""),                                   # empty: both 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = repetition_signals(F.col("text"))
+    got = {
+        x["doc_id"]: x
+        for x in df.select(
+            "doc_id",
+            r["dup_line_fraction"].alias("dl"),
+            r["dup_token_fraction"].alias("dt"),
+        ).collect()
+    }
+    assert got[1]["dl"] == 0.5
+    assert got[2]["dt"] == 0.75
+    assert got[3]["dl"] == 0.0 and got[3]["dt"] == 0.0
+    assert got[4]["dl"] == 0.0 and got[4]["dt"] == 0.0
+
+
+def test_top_ngram_fraction(spark):
+    from zx_spark.functions.text import top_ngram_fraction
+
+    rows = [
+        (1, "a b a b a b"),     # 2-grams: ab ba ab ba ab -> top 3/5
+        (2, "x y z w"),         # all distinct -> 1/3
+        (3, "solo"),            # < n tokens: whole text is one shingle -> 1/1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["top_2gram_fraction"] for r in top_ngram_fraction(df).collect()}
+    assert got[1] == 0.6
+    assert abs(got[2] - 1 / 3) < 1e-6
+    assert got[3] == 1.0

@@ -47,6 +47,29 @@ def test_pipeline_deterministic(spark, docs):
     assert a == b and a
 
 
+def test_pipeline_pii_and_decontamination_stages(spark, docs):
+    # plant an email on a known doc; use another doc's 30-word excerpt as
+    # the "benchmark" so decontamination must drop that doc.
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 1, F.concat(F.col("text"), F.lit(" mail me a@b.co"))
+        ).otherwise(F.col("text")),
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    bench = planted.filter(F.col("doc_id") == 2).select(
+        F.array_join(F.slice(toks, 1, 30), " ").alias("text")
+    )
+    out = curate_corpus(planted, scrub_pii=True, benchmark=bench)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert "pii_n_total" in out.columns
+    assert 2 not in rows  # contaminated by its own excerpt
+    assert rows[1]["text"].endswith("mail me <EMAIL>")
+    assert rows[1]["pii_n_total"] == 1
+    # dedup ran over the SCRUBBED text (column replaced before hashing)
+    assert "pii_redacted" not in out.columns
+
+
 def test_near_dup_stage_drops_planted_duplicate(spark, docs):
     # plant a near-duplicate of doc 0 (append one token) with a high id
     src = docs.select("doc_id", "text")

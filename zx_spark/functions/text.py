@@ -109,6 +109,68 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) > 0, shingles).otherwise(F.array(F.lit("")))
 
 
+def repetition_signals(text: Column) -> Column:
+    """Struct of repetition-based quality signals (the cheap, map-side
+    subset of the published pretraining-filter heuristics):
+
+    - ``dup_line_fraction``: 1 − distinct/total over trimmed non-empty
+      lines — boilerplate and scraped-menu pages score high;
+    - ``dup_token_fraction``: 1 − distinct/total over tokens — degenerate
+      keyword-stuffed text scores high.
+
+    Both are O(len) array expressions (no shuffle, no Python). The
+    per-n-gram top-frequency signal needs a per-doc aggregation — see
+    ``top_ngram_fraction`` for the DataFrame form."""
+    toks = _tokens(text)
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_toks = F.size(toks)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    dup_tok = F.when(
+        n_toks > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_toks,
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        F.round(dup_line, 4).alias("dup_line_fraction"),
+        F.round(dup_tok, 4).alias("dup_token_fraction"),
+    )
+
+
+def top_ngram_fraction(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document fraction of n-grams claimed by the single most
+    frequent n-gram (the Gopher-style "top n-gram" repetition filter).
+
+    Needs per-(doc, gram) counting, so unlike ``repetition_signals`` it
+    is a DataFrame op: explode → two hash aggregations keyed on the
+    unique doc id (no skew) — scales as a pair of map-side-combined
+    shuffles, never a per-doc Python loop."""
+    grams = word_shingles(F.col(f"`{text_col}`"), n)
+    ex = df.select(
+        F.col(f"`{id_col}`"), F.size(grams).alias("__n"), F.explode(grams).alias("__g")
+    )
+    per_gram = ex.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c"), F.first("__n").alias("__n")
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(F.max("__c").alias("__top"), F.first("__n").alias("__n"))
+        .select(
+            F.col(f"`{id_col}`"),
+            F.round(F.col("__top") / F.col("__n"), 6).alias(
+                f"top_{n}gram_fraction"
+            ),
+        )
+    )
+
+
 def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-(doc, token) TF-IDF weights: ``tf = count(token in doc) /
     n_tokens(doc)``, ``idf = ln(N_docs / doc_freq(token))``, rounded to 6dp.

@@ -6,11 +6,14 @@ shuffle downstream sees the smallest possible corpus:
 
 1. quality gate     — pure Catalyst projection, no shuffle
 2. language gate    — pure Catalyst projection, no shuffle
-3. exact dedup      — one hash shuffle (min-id semi-join)
-4. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
+3. PII scrub        — map-side regex redaction, no shuffle
+4. exact dedup      — one hash shuffle (min-id semi-join)
+5. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
                       corpus; greedy keep-lowest-id per pair
-5. hash sample      — map-side filter
-6. train/test split — map-side bucket assignment
+6. decontamination  — broadcast n-gram probe vs the benchmark set
+                      (corpus never shuffles to be probed)
+7. hash sample      — map-side filter
+8. train/test split — map-side bucket assignment
 
 Every stage is deterministic (hash-keyed, fixed seeds), so the curated
 corpus is reproducible row-for-row across runs, retries, and cluster
@@ -27,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from zx_spark.functions.pii import PII_TYPES, with_pii_scrubbed
 from zx_spark.functions.text import language_id, text_quality
+from zx_spark.operators.decontaminate import drop_contaminated
 from zx_spark.operators.dedup import exact_dedup, near_dup_pairs
 from zx_spark.operators.sampling import hash_sample, train_test_split
 
@@ -38,19 +43,26 @@ def curate_corpus(
     id_col: str = "doc_id",
     quality_min: float | None = None,
     languages: list[str] | None = None,
+    scrub_pii: bool = False,
     near_dup_threshold: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_ngram: int = 5,
     sample_rate: float | None = None,
     split_weights: list[float] | None = None,
     seed: int = 0,
     hash_method: str = "md5",
 ) -> DataFrame:
-    """Filter → dedup → sample → split, any stage skippable via None.
+    """Filter → scrub → dedup → decontaminate → sample → split, any stage
+    skippable (None / False).
 
     Adds ``lang`` when ``languages`` is given and ``split`` when
-    ``split_weights`` is given; otherwise returns the input columns.
-    ``hash_method='xx64'`` switches every hashing stage (MinHash,
-    sampling, split) to xxhash64 for max throughput (md5 default keeps
-    them SQL-verifiable)."""
+    ``split_weights`` is given; ``scrub_pii=True`` REPLACES ``text_col``
+    with its redacted form (and adds ``pii_n_total``) before any hashing
+    stage, so duplicate detection keys on the scrubbed text a trained
+    model would actually see. ``benchmark`` drops documents sharing
+    ``decontaminate_ngram``-gram hashes with it. ``hash_method='xx64'``
+    switches every hashing stage (MinHash, sampling, split) to xxhash64
+    for max throughput (md5 default keeps them SQL-verifiable)."""
     out = df
     if quality_min is not None:
         out = out.filter(
@@ -59,6 +71,12 @@ def curate_corpus(
     if languages is not None:
         out = out.withColumn("lang", language_id(F.col(text_col))).filter(
             F.col("lang").isin(list(languages))
+        )
+    if scrub_pii:
+        out = (
+            with_pii_scrubbed(out, text_col)
+            .withColumn(text_col, F.col("pii_redacted"))
+            .drop("pii_redacted", *[f"pii_n_{t}" for t in PII_TYPES])
         )
     out = exact_dedup(out, text_col, id_col)
     if near_dup_threshold is not None:
@@ -69,6 +87,10 @@ def curate_corpus(
             F.greatest("id_a", "id_b").alias(id_col)
         ).distinct()
         out = out.join(drop, on=id_col, how="left_anti")
+    if benchmark is not None:
+        out = drop_contaminated(
+            out, benchmark, text_col, id_col, n=decontaminate_ngram
+        )
     if sample_rate is not None:
         out = hash_sample(out, sample_rate, id_col, seed=seed, hash_method=hash_method)
     if split_weights is not None:
