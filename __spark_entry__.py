@@ -708,10 +708,15 @@ def q_text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.functions.text import document_fingerprint
+    from zx_spark.functions.text import fingerprint_from_tokens, tokenize
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.size(document_fingerprint(F.col("text"))).alias("n_fingerprints")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.size(fingerprint_from_tokens(F.col("__toks"))).alias("n_fingerprints"),
+        )
     )
 
 

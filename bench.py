@@ -53,6 +53,11 @@ HEADLINE = [
     "rollup_hourly_agg",
     # added r4: gap-filled sparse series (spine generate + 3 window fills).
     "w_gapfill",
+    # added r4: curation additions (first measurement pins them) — PII
+    # regex scrub (map-side) and benchmark decontamination (broadcast
+    # n-gram probe).
+    "text_pii_redact",
+    "decontaminate_ngrams",
 ]
 
 

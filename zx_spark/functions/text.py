@@ -97,16 +97,36 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), 0))
 
 
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokens (the shared tokenizer). Materialize
+    this as a NAMED COLUMN in its own select before any per-position
+    consumer (``shingles_from_tokens``) — a projection boundary whose
+    alias is referenced more than once survives Catalyst's
+    CollapseProject, so the text is tokenized once per row instead of
+    once per shingle position (measured ~6× on the driver documents)."""
+    return _tokens(text)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from an ALREADY MATERIALIZED token-array column —
+    the fast path every shingle consumer should use (see ``tokenize``).
+    Documents shorter than ``n`` words yield their whole (joined) text as
+    one shingle so they still participate in dedup."""
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.lit("")))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (the unit for MinHash / Jaccard dedup).
-    Documents shorter than ``n`` words yield their whole text as one
-    shingle so they still participate in dedup."""
-    toks = _tokens(text)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(F.size(toks) > 0, shingles).otherwise(F.array(F.lit("")))
+    """Array of n-word shingles straight from text — convenience form.
+    In a hot path, prefer ``tokenize`` in its own select +
+    ``shingles_from_tokens``: inlined here, the tokenizer expression is
+    re-evaluated per shingle position by Catalyst."""
+    return shingles_from_tokens(_tokens(text), n)
 
 
 def repetition_signals(text: Column) -> Column:
@@ -152,9 +172,22 @@ def top_ngram_fraction(
     is a DataFrame op: explode → two hash aggregations keyed on the
     unique doc id (no skew) — scales as a pair of map-side-combined
     shuffles, never a per-doc Python loop."""
-    grams = word_shingles(F.col(f"`{text_col}`"), n)
-    ex = df.select(
-        F.col(f"`{id_col}`"), F.size(grams).alias("__n"), F.explode(grams).alias("__g")
+    ex = (
+        df.select(
+            F.col(f"`{id_col}`"), tokenize(F.col(f"`{text_col}`")).alias("__toks")
+        )
+        .select(
+            F.col(f"`{id_col}`"),
+            shingles_from_tokens(F.col("__toks"), n).alias("__grams"),
+        )
+        .select(
+            F.col(f"`{id_col}`"),
+            F.size("__grams").alias("__n"),
+            # outer + null-filter: keeps InferFiltersFromGenerate from
+            # pushing a re-derived size() filter below the projections
+            F.explode_outer("__grams").alias("__g"),
+        )
+        .filter(F.col("__g").isNotNull())
     )
     per_gram = ex.groupBy(id_col, "__g").agg(
         F.count(F.lit(1)).alias("__c"), F.first("__n").alias("__n")
@@ -181,9 +214,20 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     when it fits) → cross join with the single-row corpus count
     (broadcast). No collect, no window over the whole corpus.
     """
-    toks = _tokens(F.col(text_col))
-    ex = df.select(
-        F.col(id_col), F.size(toks).alias("__n_toks"), F.explode(toks).alias("token")
+    # Materialize the token array behind a projection boundary (see
+    # tokenize), and explode_outer + null-filter instead of a plain
+    # explode: InferFiltersFromGenerate would otherwise push a
+    # size(tokens) > 0 filter below the projection, re-tokenizing every
+    # row at the scan. A null token only arises from an empty array, so
+    # the post-filter restores inner-explode semantics exactly.
+    ex = (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").alias("__n_toks"),
+            F.explode_outer("__toks").alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
     )
     tf = ex.groupBy(id_col, "token", "__n_toks").agg(F.count(F.lit(1)).alias("__cnt"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
@@ -276,9 +320,16 @@ def document_fingerprint(text: Column, n: int = 5, mod: int = 8) -> Column:
     verify it) and keep the deterministic 1/``mod`` sample
     (``hash % mod == 0``), sorted. Near-identical documents share most
     fingerprint hashes; the sample keeps the array O(len/mod).
-    """
+    Hot path: ``fingerprint_from_tokens`` over a materialized token
+    column (see ``tokenize``)."""
+    return fingerprint_from_tokens(_tokens(text), n, mod)
+
+
+def fingerprint_from_tokens(toks: Column, n: int = 5, mod: int = 8) -> Column:
+    """``document_fingerprint`` from an already materialized token-array
+    column — tokenizes once per row instead of once per shingle."""
     hashes = F.transform(
-        word_shingles(text, n),
+        shingles_from_tokens(toks, n),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
     kept = F.filter(hashes, lambda h: F.pmod(h, F.lit(mod)) == 0)

@@ -31,18 +31,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zx_spark.functions.text import word_shingles
+from zx_spark.functions.text import shingles_from_tokens, tokenize
+from zx_spark.util import spread as _spread  # one shared guard + docstring
 
 
-def _shingle_hashes(text_col: str, n: int):
-    """Distinct md5-60-bit hashes of the n-word shingles of ``text_col``
-    (the same construction the DuckDB oracle reproduces)."""
-    return F.array_distinct(
-        F.transform(
-            word_shingles(F.col(f"`{text_col}`"), n),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        )
-    )
+def _with_shingle_hashes(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    """Adds ``out`` = distinct md5-60-bit hashes of the n-word shingles
+    of ``text_col`` (the construction the DuckDB oracle reproduces).
+    Tokenizes through a projection boundary so the text splits once per
+    row, not once per shingle position (see functions.text.tokenize)."""
+    return df.withColumn("__toks", tokenize(F.col(f"`{text_col}`"))).withColumn(
+        out,
+        F.array_distinct(
+            F.transform(
+                shingles_from_tokens(F.col("__toks"), n),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ),
+    ).drop("__toks")
 
 
 def decontaminate(
@@ -69,16 +75,24 @@ def decontaminate(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_overlap < 1:
         raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    # explode_outer, not explode: InferFiltersFromGenerate turns a plain
+    # explode into a `size(arr) > 0` filter that Catalyst pushes below
+    # the repartition — re-evaluating the whole tokenize+shingle+md5
+    # chain on the UNSPREAD single-partition scan (measured 4s of the
+    # 4.5s total). The hash array is never empty by construction (an
+    # empty doc shingles to ['']), so outer semantics are identical.
     bench_grams = (
-        benchmark.select(F.explode(_shingle_hashes(text_col, n)).alias("__h"))
+        _with_shingle_hashes(_spread(benchmark), text_col, n, "__hs")
+        .select(F.explode_outer("__hs").alias("__h"))
         .distinct()
     )
-    doc_grams = corpus.select(
-        F.col(f"`{id_col}`"), _shingle_hashes(text_col, n).alias("__hs")
-    ).select(
+    # CPU-bound md5-per-shingle pass: spread a narrow source across the
+    # cluster first (a small parquet file is ONE partition otherwise and
+    # the whole corpus hashes on a single core).
+    doc_grams = _with_shingle_hashes(_spread(corpus), text_col, n, "__hs").select(
         F.col(f"`{id_col}`"),
         F.size("__hs").alias("n_ngrams"),
-        F.explode("__hs").alias("__h"),
+        F.explode_outer("__hs").alias("__h"),
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "__h")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from zx_spark.functions.text import word_shingles
+from zx_spark.functions.text import shingles_from_tokens, tokenize, word_shingles
 
 
 from zx_spark.util import spread as _spread  # one shared guard + docstring
@@ -112,11 +112,21 @@ def minhash_signature(
     at 5k docs. Products stay < 2^62, so no overflow under ANSI mode. The
     naive per-seed formulation (num_hashes separate ``array_min`` passes)
     re-builds the shingle array once per seed — measured ~6× slower."""
+    return minhash_from_shingles(
+        word_shingles(text, shingle_n), num_hashes, hash_method
+    )
+
+
+def minhash_from_shingles(
+    shingles: Column, num_hashes: int = 32, hash_method: str = "md5"
+) -> Column:
+    """Signature from a shingle-array expression — pass
+    ``shingles_from_tokens`` over a MATERIALIZED token column here (see
+    functions.text.tokenize) so the tokenizer runs once per row, not once
+    per shingle position."""
     a_arr = F.array(*[F.lit(a).cast("long") for a in _MINHASH_A[:num_hashes]])
     b_arr = F.array(*[F.lit(b).cast("long") for b in _MINHASH_B[:num_hashes]])
-    hashed = F.transform(
-        word_shingles(text, shingle_n), lambda sh: base_hash(sh, hash_method)
-    )
+    hashed = F.transform(shingles, lambda sh: base_hash(sh, hash_method))
     return F.aggregate(
         hashed,
         F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes),
@@ -184,9 +194,17 @@ def minhash_candidate_pairs(
         raise ValueError(
             f"bands must divide num_hashes (got num_hashes={num_hashes}, bands={bands})"
         )
-    sigs = _spread(df).select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n, hash_method).alias("minhash"),
+    sigs = (
+        _spread(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            minhash_from_shingles(
+                shingles_from_tokens(F.col("__toks"), shingle_n),
+                num_hashes,
+                hash_method,
+            ).alias("minhash"),
+        )
     )
     banded = minhash_bands(sigs, id_col, "minhash", bands)
     a = banded.alias("a")
@@ -217,8 +235,15 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs only (two broadcast-able
     hash joins back to the shingle sets — never all-pairs)."""
-    sets_df = _spread(df).select(
-        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    sets_df = (
+        _spread(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_from_tokens(F.col("__toks"), shingle_n)
+            ).alias("sh"),
+        )
     )
     out = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
