@@ -1626,7 +1626,7 @@ def oracle_sql() -> dict[str, str]:
             # end-to-end (mergeable partials, no avg-of-avgs). p50_approx
             # is the histogram-partial estimate, reproduced here from raw
             # events with the same 32-bin domain + within-bin
-            # interpolation (rollup.py QUANTILE_BINS / _hist_quantile) —
+            # interpolation (rollup.py QUANTILE_BINS / _hist_quantile_est) —
             # coarsening invariance makes it identical, not just close.
             "WITH direct AS ("
             "  SELECT coalesce(event_type, '__nil') AS g_event_type, "

@@ -304,16 +304,17 @@ def compact_rollup(spark, path: str, group_cols: list[str] | None = None) -> Non
     _finish_swap(path)
 
 
-def _hist_quantile(rollup: DataFrame, v: str, domain: tuple, q: float):
-    """Quantile estimate from ``<v>__q<i>`` bin counts: find the first bin
-    whose cumulative count crosses q·total, interpolate linearly inside
-    it. Pure Catalyst (a chain of whens over the bin columns) — no
-    shuffle, no Python. The estimate lands in the bin holding the
-    ⌈q·n⌉-th order statistic, i.e. within one bin width of
-    ``percentile_disc(q)`` for in-domain data (the *interpolating*
-    percentile can sit further away in tiny windows, when the two middle
-    values straddle bins). ``domain`` must be the ``quantile_bins`` the
-    rollup was built with."""
+def _hist_quantile_cols(rollup: DataFrame, v: str, domain: tuple) -> tuple:
+    """Helper-column expressions for a histogram quantile over the
+    ``<v>__q<i>`` bin counts: ``(arr_expr, cum_of)`` where ``arr_expr``
+    packs the bins into one array and ``cum_of(arr_col)`` is its
+    cumulative-sum array (ONE aggregate pass; left-to-right additions —
+    the same fp association as a chained sum). Materialize both as named
+    columns before calling ``_hist_quantile_est`` — that keeps the whole
+    quantile plan O(bins) expression nodes. The previous when-chain
+    formulation inlined the full cumulative sum into every branch
+    (~bins² nodes), costing ~2 s of driver-side analysis per fresh plan
+    at 32 bins."""
     lo, hi, nb = domain
     lo, hi, nb = float(lo), float(hi), int(nb)
     missing = [b for b in range(nb) if f"{v}__q{b}" not in rollup.columns]
@@ -323,22 +324,62 @@ def _hist_quantile(rollup: DataFrame, v: str, domain: tuple, q: float):
             f"with quantile_bins=({lo}, {hi}, {nb}) (Select.params must "
             "match the build domain)"
         )
+    arr = F.array(*[F.coalesce(F.col(f"`{v}__q{b}`"), F.lit(0.0)) for b in range(nb)])
+
+    def cum_of(arr_col: Column) -> Column:
+        return F.aggregate(
+            arr_col,
+            F.array().cast("array<double>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) > 0, F.element_at(acc, -1)).otherwise(
+                        F.lit(0.0)
+                    )
+                    + x
+                ),
+            ),
+        )
+
+    return arr, cum_of
+
+
+def _hist_quantile_est(
+    arr_col: Column, cum_col: Column, domain: tuple, q: float
+) -> Column:
+    """Quantile estimate from materialized bin/cumulative arrays: find
+    the first bin whose cumulative count crosses q·total (empty bins
+    skipped), interpolate linearly inside it. Pure Catalyst — no shuffle,
+    no Python. The estimate lands in the bin holding the ⌈q·n⌉-th order
+    statistic, i.e. within one bin width of ``percentile_disc(q)`` for
+    in-domain data (the *interpolating* percentile can sit further away
+    in tiny windows, when the two middle values straddle bins)."""
+    lo, hi, nb = domain
+    lo, hi, nb = float(lo), float(hi), int(nb)
     width = (hi - lo) / nb
-    bins = [F.coalesce(F.col(f"`{v}__q{b}`"), F.lit(0.0)) for b in range(nb)]
-    cums, acc = [], F.lit(0.0)
-    for b in bins:
-        acc = acc + b
-        cums.append(acc)
-    total = cums[-1]
+    total = F.element_at(cum_col, nb)
     target = total * F.lit(q)
-    # Reverse-built when-chain: the OUTERMOST condition is bin 0, so the
-    # first crossing wins; empty bins are skipped (same cumulative).
-    expr = F.lit(None).cast("double")
-    for b in reversed(range(nb)):
-        prev = cums[b - 1] if b else F.lit(0.0)
-        est = F.lit(lo) + F.lit(width) * (F.lit(b) + (target - prev) / bins[b])
-        expr = F.when((cums[b] >= target) & (bins[b] > 0), est).otherwise(expr)
-    return F.when(total > 0, expr)
+    prev_of = lambda i: F.when(i > 1, F.element_at(cum_col, i - 1)).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
+    found = F.aggregate(
+        F.sequence(F.lit(1), F.lit(nb)),
+        F.lit(None).cast("double"),
+        lambda acc, i: F.coalesce(
+            acc,
+            F.when(
+                (F.element_at(cum_col, i) >= target)
+                & (F.element_at(arr_col, i) > 0),
+                F.lit(lo)
+                + F.lit(width)
+                * (
+                    (i - F.lit(1)).cast("double")
+                    + (target - prev_of(i)) / F.element_at(arr_col, i)
+                ),
+            ),
+        ),
+    )
+    return F.when(total > 0, found)
 
 
 def rollup_answer(
@@ -352,6 +393,16 @@ def rollup_answer(
     first/last event ts in the bucket, src/lib.rs:702-708). The input scan
     is the (tiny) rollup table; the raw events are never touched."""
     group_cols = list(group_cols or [])
+    # Materialize quantile helper arrays (bins, cumulative) as named
+    # columns FIRST — projection boundaries that keep the quantile
+    # expression O(bins); see _hist_quantile_cols.
+    for s in selects:
+        if s.aggregate is Aggregate.P50_APPROX:
+            v = s.column
+            arr, cum_of = _hist_quantile_cols(rollup, v, s.params or QUANTILE_BINS)
+            rollup = rollup.withColumn(f"__qarr_{v}", arr).withColumn(
+                f"__qcum_{v}", cum_of(F.col(f"__qarr_{v}"))
+            )
     cols = [F.col(c) for c in group_cols] + [
         F.col(FIRST_TS).alias("window_start"),
         F.col(LAST_TS).alias("window_end"),
@@ -379,7 +430,12 @@ def rollup_answer(
         elif s.aggregate is Aggregate.MEAN:
             expr = F.col(f"{v}__mean_num") / F.col(f"{v}__mean_den")
         elif s.aggregate is Aggregate.P50_APPROX:
-            expr = _hist_quantile(rollup, v, s.params or QUANTILE_BINS, 0.5)
+            expr = _hist_quantile_est(
+                F.col(f"__qarr_{v}"),
+                F.col(f"__qcum_{v}"),
+                s.params or QUANTILE_BINS,
+                0.5,
+            )
         else:  # COUNT_DISTINCT_APPROX
             expr = (
                 F.hll_sketch_estimate(F.col(f"{v}__hll")) + F.col(f"{v}__any_null")
