@@ -149,6 +149,46 @@ def test_repetition_signals(spark):
     assert got[4]["dl"] == 0.0 and got[4]["dt"] == 0.0
 
 
+def test_dup_components_chain_and_clique(spark):
+    from zx_spark.operators.dedup import dup_components
+
+    # chain 1-2-3 (1 and 3 never paired), separate pair 10-11, isolated
+    # pairs 20-21 / 21-22 / 20-22 (clique)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dup_components_long_chain_converges(spark):
+    from zx_spark.operators.dedup import dup_components
+
+    # a 12-node path graph needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in dup_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_drop_by_components_vs_greedy(spark):
+    from zx_spark.operators.dedup import drop_by_components
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    # 1-3 and 2-3 paired; greedy per-pair drop keeps {1, 2}; components
+    # collapse {1,2,3} to the min id 1. Doc 9 untouched.
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in drop_by_components(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 9]
+
+
 def test_top_ngram_fraction(spark):
     from zx_spark.functions.text import top_ngram_fraction
 

@@ -47,6 +47,20 @@ def test_pipeline_deterministic(spark, docs):
     assert a == b and a
 
 
+def test_pipeline_component_mode(spark):
+    # chain a~b, b~c (c differs from a beyond threshold in principle but
+    # identical here): components keep only the min id of the cluster
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, base + " x y"), (9, "totally other words here now")],
+        "doc_id long, text string",
+    )
+    kept = curate_corpus(docs, near_dup_threshold=0.7, near_dup_mode="components")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 9]
+    with pytest.raises(ValueError):
+        curate_corpus(docs, near_dup_threshold=0.7, near_dup_mode="nope")
+
+
 def test_pipeline_pii_and_decontamination_stages(spark, docs):
     # plant an email on a known doc; use another doc's 30-word excerpt as
     # the "benchmark" so decontamination must drop that doc.

@@ -414,3 +414,74 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: ``(doc_id,
+    component)`` where ``component`` is the minimum id reachable through
+    any chain of pairs — the union-find clustering web-scale dedup
+    pipelines apply to MinHash pairs (keep ONE document per cluster,
+    not merely the lower id of each pair; a~b, b~c collapses all three
+    even though a and c were never a pair).
+
+    Iterative label propagation, Spark-shaped: each round every node
+    takes the min of its label and its neighbors' labels — two shuffles
+    per round (join on node, min-agg), label count strictly shrinks, and
+    the loop exits as soon as a round changes nothing. Rounds needed =
+    the graph's label-propagation diameter (duplicate clusters are
+    near-cliques, so 2-3 in practice; ``max_iter`` bounds adversarial
+    chains). ``localCheckpoint`` truncates the growing lineage each
+    round — without it the plan doubles per iteration. The driver-side
+    loop is control flow only; all data movement stays distributed.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # every node's new label: min over itself and its neighbors
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            neighbor_min.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def drop_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster-level near-dup removal: keep the minimum id of every
+    connected component, drop the rest (the aggressive standard for
+    web-scale corpora). The drop set is small relative to the corpus, so
+    the anti-join broadcasts."""
+    comps = dup_components(pairs, id_a, id_b, max_iter)
+    drop = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from zx_spark.functions.pii import PII_TYPES, with_pii_scrubbed
 from zx_spark.functions.text import language_id, text_quality
 from zx_spark.operators.decontaminate import drop_contaminated
-from zx_spark.operators.dedup import exact_dedup, near_dup_pairs
+from zx_spark.operators.dedup import drop_by_components, exact_dedup, near_dup_pairs
 from zx_spark.operators.sampling import hash_sample, train_test_split
 
 
@@ -45,6 +45,7 @@ def curate_corpus(
     languages: list[str] | None = None,
     scrub_pii: bool = False,
     near_dup_threshold: float | None = None,
+    near_dup_mode: str = "pairs",
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 5,
     sample_rate: float | None = None,
@@ -83,10 +84,21 @@ def curate_corpus(
         pairs = near_dup_pairs(
             out, text_col, id_col, threshold=near_dup_threshold, hash_method=hash_method
         )
-        drop = pairs.select(
-            F.greatest("id_a", "id_b").alias(id_col)
-        ).distinct()
-        out = out.join(drop, on=id_col, how="left_anti")
+        if near_dup_mode == "components":
+            # union-find clustering: ONE survivor per connected component
+            # (a~b, b~c collapses all three) — the aggressive web-corpus
+            # standard; see dedup.dup_components
+            out = drop_by_components(out, pairs, id_col)
+        elif near_dup_mode == "pairs":
+            # greedy per-pair: drop the higher id of each verified pair
+            drop = pairs.select(
+                F.greatest("id_a", "id_b").alias(id_col)
+            ).distinct()
+            out = out.join(drop, on=id_col, how="left_anti")
+        else:
+            raise ValueError(
+                f"near_dup_mode must be 'pairs' or 'components', got {near_dup_mode!r}"
+            )
     if benchmark is not None:
         out = drop_contaminated(
             out, benchmark, text_col, id_col, n=decontaminate_ngram
