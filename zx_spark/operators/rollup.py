@@ -44,7 +44,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zx_spark.model import Aggregate, Select
+from zx_spark.model import NIL, Aggregate, Select
 from zx_spark.operators.aggregates import F64_MAX, F64_MIN, _rate
 from zx_spark.operators.windows import WINDOW_NO, with_aligned_windows
 
@@ -442,3 +442,165 @@ def rollup_answer(
             ).cast("double")
         cols.append(expr.alias(s.alias))
     return rollup.select(*cols)
+
+
+# ------------------------------------------------------- query routing
+#
+# The materialized-view half of the continuous-aggregate story: given a
+# stored rollup and a compiled-query shape, answer from the (tiny) rollup
+# when the query is exactly expressible over it, fall back to the raw
+# events otherwise. The routing rules are CONSERVATIVE — a query routes
+# only when the rollup answer provably equals compile_query's answer
+# (granularity nests, aggregates mergeable, group keys covered, time
+# bounds on bucket edges); everything else falls back loudly via the
+# returned reason string, never silently approximates.
+#
+# One documented boundary nuance: compile_query's scan is INCLUSIVE of
+# t_end (reference src/lib.rs:305-331), but a rollup cannot see inside a
+# bucket, so routing excludes the bucket starting exactly at t_end. The
+# two differ only for an event whose timestamp equals t_end to the
+# microsecond; queries that must honor that point should not route.
+
+
+def build_query_rollup(
+    events: DataFrame,
+    value_cols: list[str],
+    group_by: list[str],
+    ts_col: str = "ts",
+    granularity_s: float = 300.0,
+    rate_col: str | None = "sample_rate",
+    **kwargs,
+) -> DataFrame:
+    """Build a rollup keyed exactly the way ``compile_query`` groups:
+    ``g_<col>`` string aliases with the ``__nil`` missing-value
+    convention — so ``answer_query_from_rollup`` output matches the
+    compiler's column-for-column."""
+    from zx_spark.compiler import group_alias
+
+    keys = []
+    for c in group_by:
+        a = group_alias(c)
+        events = events.withColumn(
+            a, F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(NIL))
+        )
+        keys.append(a)
+    return build_rollup(
+        events, value_cols, keys, ts_col, granularity_s, rate_col, **kwargs
+    )
+
+
+def rollup_route_reason(
+    rollup: DataFrame,
+    q,
+    rollup_granularity_s: float,
+    rollup_group_cols: list[str],
+) -> str | None:
+    """``None`` when ``q`` is exactly answerable from the rollup, else a
+    human-readable fallback reason (also the test/debug surface)."""
+    from zx_spark.compiler import group_alias
+
+    if not q.selects:
+        return "no selects"
+    if q.conditions:
+        return "row-level conditions need the raw events"
+    if q.granularity_s is not None and q.window_mode != "aligned":
+        return f"window_mode {q.window_mode!r} is not bucket-composable"
+    for s in q.selects:
+        if s.aggregate not in ROLLUP_AGGREGATES:
+            return f"{s.aggregate.value} is not rollup-answerable"
+        v = s.column
+        if f"{v}__sum_wx" not in rollup.columns:
+            return f"rollup has no partials for column {v!r}"
+        if s.aggregate is Aggregate.P50_APPROX and f"{v}__q0" not in rollup.columns:
+            return f"rollup built without quantile_bins for {v!r}"
+        if (
+            s.aggregate is Aggregate.COUNT_DISTINCT_APPROX
+            and f"{v}__hll" not in rollup.columns
+        ):
+            return f"rollup built without distinct_sketch for {v!r}"
+    keys = [group_alias(c) for c in q.group_by]
+    missing = [k for k in keys if k not in rollup_group_cols]
+    if missing:
+        return f"group keys {missing} not in rollup keys {rollup_group_cols}"
+    if q.granularity_s is not None:
+        ratio = q.granularity_s / rollup_granularity_s
+        if ratio != int(ratio) or ratio < 1:
+            return (
+                f"granularity {q.granularity_s}s does not nest rollup "
+                f"buckets of {rollup_granularity_s}s"
+            )
+    align = q.granularity_s or rollup_granularity_s
+    for name, t in (("t_start", q.t_start), ("t_end", q.t_end)):
+        if t is not None and float(t) % align != 0:
+            return f"{name}={t} is not on a {align}s bucket edge"
+    return None
+
+
+def answer_query_from_rollup(
+    rollup: DataFrame,
+    q,
+    rollup_granularity_s: float,
+    rollup_group_cols: list[str],
+    empty_sentinels: bool = True,
+) -> DataFrame | None:
+    """The rollup answer for ``q``, or ``None`` when it must fall back
+    (see ``rollup_route_reason``). Scans only the rollup — the raw events
+    are never touched."""
+    from zx_spark.compiler import group_alias
+
+    if rollup_route_reason(rollup, q, rollup_granularity_s, rollup_group_cols):
+        return None
+    keys = [group_alias(c) for c in q.group_by]
+    r = rollup
+    if q.t_start is not None:
+        r = r.filter(F.col(BUCKET) >= float(q.t_start))
+    if q.t_end is not None:
+        r = r.filter(F.col(BUCKET) < float(q.t_end))
+    # a finer-keyed rollup answers a coarser grouping: drop the extra
+    # keys and let the re-merge aggregate the partials over them
+    extra = [c for c in rollup_group_cols if c not in keys]
+    if extra:
+        r = r.drop(*extra)
+    if q.granularity_s is not None:
+        if (
+            q.granularity_s != rollup_granularity_s
+            or set(keys) != set(rollup_group_cols)
+        ):
+            r = coarsen_rollup(r, rollup_granularity_s, q.granularity_s, keys)
+    else:
+        # one window per group (run_sorted-style): merge every bucket
+        r = _merge(r, keys, F.lit(0.0).cast("double"))
+    return rollup_answer(
+        r, q.selects, group_cols=keys, empty_sentinels=empty_sentinels
+    )
+
+
+def run_with_rollup(
+    events: DataFrame,
+    q,
+    rollup: DataFrame,
+    rollup_granularity_s: float,
+    rollup_group_cols: list[str],
+    id_col: str = "id",
+    ts_col: str = "ts",
+    rate_col: str | None = "sample_rate",
+    empty_sentinels: bool = True,
+) -> DataFrame:
+    """Transparent routing: the rollup answer when exact, otherwise
+    ``compile_query`` over the raw events — the standard
+    materialized-view rewrite, done explicitly."""
+    out = answer_query_from_rollup(
+        rollup, q, rollup_granularity_s, rollup_group_cols, empty_sentinels
+    )
+    if out is not None:
+        return out
+    from zx_spark.compiler import compile_query
+
+    return compile_query(
+        events,
+        q,
+        id_col=id_col,
+        ts_col=ts_col,
+        rate_col=rate_col,
+        empty_sentinels=empty_sentinels,
+    )
