@@ -95,6 +95,48 @@ def test_routed_equals_compiled_time_bounds(events, rollup):
     assert _norm(routed) == _norm(direct)
 
 
+def test_routed_eq_ne_conditions(events, rollup):
+    for cond in (
+        Condition("event_type", Cmp.EQ, "click"),
+        Condition("event_type", Cmp.NE, "click"),
+    ):
+        q = Query(
+            selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
+            conditions=[cond],
+            group_by=["event_type"],
+            granularity_s=3600.0,
+        )
+        routed = answer_query_from_rollup(rollup, q, BASE, KEYS, empty_sentinels=False)
+        assert routed is not None, cond
+        direct = compile_query(
+            events, q, id_col="event_id", rate_col=None, empty_sentinels=False
+        )
+        assert _norm(routed) == _norm(direct), cond
+
+
+def test_routed_int_eq_condition_on_extra_key(events):
+    # int-valued EQ on a key the query doesn't group by
+    r2 = build_query_rollup(
+        events, ["value"], ["event_type", "user_id"], granularity_s=BASE,
+        rate_col=None,
+    )
+    some_uid = int(events.select("user_id").first()["user_id"])
+    q = Query(
+        selects=[Select("value", Aggregate.SUM)],
+        conditions=[Condition("user_id", Cmp.EQ, some_uid)],
+        group_by=["event_type"],
+        granularity_s=3600.0,
+    )
+    routed = answer_query_from_rollup(
+        r2, q, BASE, ["g_event_type", "g_user_id"], empty_sentinels=False
+    )
+    assert routed is not None
+    direct = compile_query(
+        events, q, id_col="event_id", rate_col=None, empty_sentinels=False
+    )
+    assert _norm(routed) == _norm(direct)
+
+
 def test_fallback_reasons(rollup):
     base = dict(selects=SEL, group_by=["event_type"], granularity_s=3600.0)
     cases = [
@@ -103,7 +145,9 @@ def test_fallback_reasons(rollup):
         (Query(**{**base, "selects": [Select("props", Aggregate.SUM)]}), "no partials"),
         (Query(**{**base, "group_by": ["user_id"]}), "not in rollup keys"),
         (Query(**{**base, "t_start": 1704153601.0}), "bucket edge"),
-        (Query(**{**base, "conditions": [Condition("event_type", Cmp.EQ, "click")]}), "raw events"),
+        (Query(**{**base, "conditions": [Condition("value", Cmp.GT, 5.0)]}), "raw events"),
+        (Query(**{**base, "conditions": [Condition("props", Cmp.EQ, "x")]}), "not a rollup group key"),
+        (Query(**{**base, "conditions": [Condition("event_type", Cmp.EQ, 1.5)]}), "canonical string form"),
         (Query(**{**base, "selects": []}), "no selects"),
         (
             Query(**{**base, "selects": [Select("value", Aggregate.P50_APPROX)]}),

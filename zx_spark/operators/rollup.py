@@ -44,7 +44,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zx_spark.model import NIL, Aggregate, Select
+from zx_spark.model import NIL, Aggregate, Cmp, Select
 from zx_spark.operators.aggregates import F64_MAX, F64_MIN, _rate
 from zx_spark.operators.windows import WINDOW_NO, with_aligned_windows
 
@@ -501,8 +501,21 @@ def rollup_route_reason(
 
     if not q.selects:
         return "no selects"
-    if q.conditions:
-        return "row-level conditions need the raw events"
+    for c in q.conditions:
+        # EQ/NE on a rollup group key routes: the key is
+        # coalesce(cast(col as string), '__nil'), NULL rows land on
+        # '__nil', and correct EQ/NE are NULL-rejecting — so filtering
+        # the key column is row-for-row equivalent. Values stay limited
+        # to str/int (canonical string forms); float reprs can diverge
+        # from Spark's cast.
+        if c.cmp not in (Cmp.EQ, Cmp.NE):
+            return f"condition {c.cmp.value} on {c.column!r} needs the raw events"
+        if group_alias(c.column) not in rollup_group_cols:
+            return f"condition column {c.column!r} is not a rollup group key"
+        if not isinstance(c.value, (str, int)) or isinstance(c.value, bool):
+            return f"condition value {c.value!r} has no canonical string form"
+        if str(c.value) == NIL:
+            return f"condition value collides with the {NIL!r} sentinel"
     if q.granularity_s is not None and q.window_mode != "aligned":
         return f"window_mode {q.window_mode!r} is not bucket-composable"
     for s in q.selects:
@@ -556,6 +569,12 @@ def answer_query_from_rollup(
         r = r.filter(F.col(BUCKET) >= float(q.t_start))
     if q.t_end is not None:
         r = r.filter(F.col(BUCKET) < float(q.t_end))
+    for c in q.conditions:  # EQ/NE on group keys (validated above)
+        ga = F.col(group_alias(c.column))
+        if c.cmp is Cmp.EQ:
+            r = r.filter(ga == str(c.value))
+        else:
+            r = r.filter((ga != str(c.value)) & (ga != NIL))
     # a finer-keyed rollup answers a coarser grouping: drop the extra
     # keys and let the re-merge aggregate the partials over them
     extra = [c for c in rollup_group_cols if c not in keys]
