@@ -454,3 +454,108 @@ def test_ivf_lloyd_exhaustive_probe_equals_bruteforce(spark):
         r["vec_id"] for r in ivf_topk(assigned, centers, q, k=5, nprobe=4).collect()
     ]
     assert approx == exact
+
+
+def test_pq_exact_on_reconstructible_vectors(spark):
+    """Vectors built FROM a small set of subvector values quantize
+    losslessly, so ADC scores equal exact dots and PQ top-k == brute
+    force — the correctness core, independent of recall tuning."""
+    import itertools
+    import random
+
+    from zx_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rnd = random.Random(7)
+    # 4 subspaces x 4 distinct subvector values (8 dims each)
+    vocab = [[[round(rnd.uniform(-1, 1), 3) for _ in range(8)] for _ in range(4)]
+             for _ in range(4)]
+    rows = []
+    for i, combo in enumerate(itertools.product(range(4), repeat=4)):
+        vec = [x for s, c in enumerate(combo) for x in vocab[s][c]]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=4, k=4, iters=4)
+    codes = pq_encode(df, books)
+    q = rows[137][1]
+    approx = [r["vec_id"] for r in pq_topk(codes, books, q, 10).collect()]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    # dot-product order equals cosine order here? Not in general — compare
+    # against exact DOT ranking instead.
+    import numpy as np
+
+    X = np.array([v for _, v in rows])
+    dots = X @ np.array(q)
+    expect = list(np.argsort(-dots, kind="stable")[:10])
+    assert approx == [int(x) for x in expect]
+
+
+def test_pq_recall_and_shape_on_driver_embeddings(spark):
+    from zx_spark.operators.similarity import pq_encode, pq_topk, pq_train
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=3)
+    books2 = pq_train(emb, m=8, k=16, iters=3)
+    assert books == books2  # deterministic
+    codes = pq_encode(emb, books)
+    row = codes.first()
+    assert len(row["pq_codes"]) == 8
+    assert dict(codes.dtypes)["pq_codes"] == "array<tinyint>"
+
+    q = emb.orderBy("vec_id").first()["embedding"]
+    q = [float(x) for x in q]
+    approx = {r["vec_id"] for r in pq_topk(codes, books, q, 10).collect()}
+
+    import numpy as np
+
+    X = np.array(emb.orderBy("vec_id").select("embedding").rdd.map(lambda r: r[0]).collect())
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    dots = X @ np.array(q)
+    exact = {ids[i] for i in np.argsort(-dots)[:10]}
+    recall = len(approx & exact) / 10
+    assert recall >= 0.3, recall  # coarse codes on random data; floor pins sanity
+    assert ids[0] in approx  # the query's own vector must surface
+
+
+def test_pq_rerank_beats_plain_adc(spark):
+    import numpy as np
+
+    from zx_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train,
+    )
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=3)
+    codes = pq_encode(emb, books).cache()
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows])
+
+    def recall(fn):
+        hits = []
+        for qi in range(0, 100, 25):
+            q = [float(x) for x in X[qi]]
+            approx = {r["vec_id"] for r in fn(q).collect()}
+            sims = (X @ np.array(q)) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+            exact = {ids[i] for i in np.argsort(-sims)[:10]}
+            hits.append(len(approx & exact) / 10)
+        return sum(hits) / len(hits)
+
+    r_adc = recall(lambda q: pq_topk(codes, books, q, 10))
+    r_rr = recall(lambda q: pq_topk_rerank(codes, emb, books, q, 10, shortlist=100))
+    assert r_rr >= r_adc  # exact re-rank can only help
+    assert r_rr >= 0.5, (r_adc, r_rr)
+    # re-rank output is exact-cosine-ordered (cosine col, desc)
+    q = [float(x) for x in X[0]]
+    out = pq_topk_rerank(codes, emb, books, q, 10, shortlist=100).collect()
+    sims = [r["cosine"] for r in out]
+    assert sims == sorted(sims, reverse=True)

@@ -433,3 +433,188 @@ def ivf_centers_numpy(
                 new[c] = _r6(X[mask].mean(axis=0))
         centers = new
     return centers
+
+
+# ------------------------------------------------------ product quantization
+#
+# The billion-vector compression path: split each d-dim vector into m
+# subvectors, learn k centers per subspace (independent Lloyd runs, all in
+# ONE aggregation per iteration via posexplode), store each vector as m
+# tinyint codes (d×4 bytes → m bytes: 32× at d=64, m=8). Search uses
+# asymmetric distance computation (ADC): the query builds an m×k table of
+# per-subspace dot products ON THE DRIVER (tiny), embeds it as a literal
+# array, and every stored vector's score is m table lookups — a pure
+# codegen'd expression, no Python, no decompression, no shuffle before
+# the final top-k merge. Reference has no vector surface (SURVEY §2.2);
+# this extends the ANN family (brute-force / RP-LSH / IVF) with the
+# memory-bound scale path; compose with IVF cell pruning for both.
+
+
+def _pq_sub(v: Column, s: int, sub: int) -> Column:
+    return F.slice(v, s * sub + 1, sub)
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Learn PQ codebooks: ``codebooks[s][j]`` = center ``j`` of subspace
+    ``s``. Deterministic (init = subvectors of the k smallest ids,
+    centers rounded to 6 dp per step, empty codes keep their center) —
+    the same engine-reproducible Lloyd discipline as ``ivf_build_lloyd``.
+    Each iteration is ONE distributed pass: assign all m codes per row
+    (literal-center argmin), posexplode to (subspace, code), one grouped
+    avg. Driver holds only the m×k×(d/m) codebook floats."""
+    if dim is None:
+        dim = len(df.select(F.col(vec_col)).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if not 1 <= k <= 256:
+        raise ValueError(f"k must fit a tinyint code, got {k}")
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    # Seed each subspace with k DISTINCT subvectors (canonical array
+    # order). Seeding from the k smallest ids is degenerate: rows that
+    # share leading subvectors make duplicate centers, and Lloyd can
+    # never split a duplicated center. Fewer than k distinct values →
+    # cycle them (the extra centers stay empty and harmless).
+    codebooks = []
+    for s in range(m):
+        sv = _pq_sub(v, s, sub)
+        seeds = [
+            [round(float(x), 6) for x in r["__s"]]
+            for r in df.select(sv.alias("__s")).distinct().orderBy("__s").limit(k).collect()
+        ]
+        if not seeds:
+            raise ValueError("cannot train PQ on an empty table")
+        codebooks.append([seeds[j % len(seeds)] for j in range(k)])
+    for _ in range(iters):
+        codes = _pq_codes_expr(v, codebooks, sub)
+        ex = df.select(v.alias("__v"), F.posexplode(codes).alias("s", "code"))
+        means = (
+            ex.groupBy("s", "code")
+            .agg(
+                *[
+                    F.avg(
+                        F.element_at(F.col("__v"), F.col("s") * sub + i + 1)
+                    ).alias(f"a{i}")
+                    for i in range(sub)
+                ]
+            )
+            .collect()
+        )
+        got = {
+            (int(r["s"]), int(r["code"])): [
+                round(float(r[f"a{i}"]), 6) for i in range(sub)
+            ]
+            for r in means
+        }
+        codebooks = [
+            [got.get((s, j), codebooks[s][j]) for j in range(k)] for s in range(m)
+        ]
+    return codebooks
+
+
+def _pq_codes_expr(v: Column, codebooks: list, sub: int) -> Column:
+    """array<tinyint> of per-subspace argmin codes over literal centers.
+    Scores are ``|c|² − 2·v·c`` — the ``|v|²`` term of the squared
+    distance is constant across centers, so dropping it leaves the
+    argmin unchanged and removes k redundant self-dots per subspace."""
+    parts = []
+    for s, centers in enumerate(codebooks):
+        sv = _pq_sub(v, s, sub)
+        dists = F.array(
+            *[
+                F.lit(float(sum(x * x for x in c)))
+                - 2.0 * _dot(sv, F.array(*[F.lit(float(x)) for x in c]))
+                for c in centers
+            ]
+        )
+        parts.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint")
+        )
+    return F.array(*parts)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, codes) — m tinyint codes per vector. Narrow projection, no
+    shuffle; write this instead of the raw vectors for a 4·d/m× smaller
+    store (32× at d=64, m=8)."""
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col), _pq_codes_expr(v, codebooks, sub).alias(out_col)
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list,
+    query: list[float],
+    k_results: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Approximate top-k by ADC dot product: score = Σ_s table[s][code_s]
+    where the m×k table of query-subvector · center dots is computed
+    driver-side and embedded as one flat literal array. The per-row cost
+    is m array lookups (pure codegen); the only movement is the
+    TakeOrdered top-k merge — same shape as ``cosine_topk``."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    table = []
+    for s in range(m):
+        q_sub = query[s * sub : (s + 1) * sub]
+        for j in range(k):
+            table.append(
+                round(sum(float(a) * float(b) for a, b in zip(q_sub, codebooks[s][j])), 9)
+            )
+    t = F.array(*[F.lit(x) for x in table])
+    codes = F.col(codes_col)
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(t, s * k + F.element_at(codes, s + 1).cast("int") + 1),
+    )
+    return (
+        codes_df.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k_results)
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    codebooks: list,
+    query: list[float],
+    k_results: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """The production PQ shape: ADC over the compressed codes builds a
+    ``shortlist`` of candidates, then ONLY those ids are re-ranked with
+    exact cosine against the raw vectors — a broadcast semi-join, so the
+    full-precision store is touched for `shortlist` rows, not scanned.
+    Recall is set by the shortlist/k ratio instead of code resolution;
+    the scan stays memory-bound on m bytes/vector."""
+    short = pq_topk(
+        codes_df, codebooks, query, shortlist, id_col, codes_col
+    ).select(id_col)
+    cand = vectors_df.join(F.broadcast(short), id_col)
+    return cosine_topk(cand, query, k=k_results, vec_col=vec_col, id_col=id_col)
