@@ -559,3 +559,36 @@ def test_pq_rerank_beats_plain_adc(spark):
     out = pq_topk_rerank(codes, emb, books, q, 10, shortlist=100).collect()
     sims = [r["cosine"] for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_exhaustive_probe_equals_bruteforce(spark):
+    """IVF-PQ composition: with every cell probed and a corpus-wide
+    shortlist, the exact re-rank makes the pipeline equal brute force —
+    pins that the cell routing and code plumbing lose nothing."""
+    from zx_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_lloyd,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assigned, centers = ivf_build_lloyd(emb, n_cells=8, iters=3)
+    books = pq_train(emb, m=8, k=16, iters=2)
+    codes = pq_encode(assigned, books, keep_cols=["ivf_cell"])
+    assert set(codes.columns) == {"vec_id", "pq_codes", "ivf_cell"}
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    n = emb.count()
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ivfpq_topk(codes, emb, centers, books, q,
+                            k_results=10, nprobe=8, shortlist=n).collect()
+    ]
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=10).collect()]
+    assert got == want
+    # a partial probe still returns k results from the probed cells
+    part = ivfpq_topk(codes, emb, centers, books, q,
+                      k_results=10, nprobe=2, shortlist=100).collect()
+    assert len(part) == 10

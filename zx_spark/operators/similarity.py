@@ -547,14 +547,18 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "pq_codes",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes) — m tinyint codes per vector. Narrow projection, no
-    shuffle; write this instead of the raw vectors for a 4·d/m× smaller
-    store (32× at d=64, m=8)."""
+    """(id, codes[, keep_cols…]) — m tinyint codes per vector. Narrow
+    projection, no shuffle; write this instead of the raw vectors for a
+    4·d/m× smaller store (32× at d=64, m=8). ``keep_cols`` carries
+    layout columns through (e.g. the IVF cell for an IVF-PQ store)."""
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     return df.select(
-        F.col(id_col), _pq_codes_expr(v, codebooks, sub).alias(out_col)
+        F.col(id_col),
+        _pq_codes_expr(v, codebooks, sub).alias(out_col),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
@@ -618,3 +622,40 @@ def pq_topk_rerank(
     ).select(id_col)
     cand = vectors_df.join(F.broadcast(short), id_col)
     return cosine_topk(cand, query, k=k_results, vec_col=vec_col, id_col=id_col)
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    centers,
+    codebooks: list,
+    query: list[float],
+    k_results: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """The standard IVF-PQ layout end-to-end: probe the ``nprobe``
+    nearest coarse cells (driver-side argsort over the tiny center
+    matrix), ADC-score ONLY the probed cells' m-byte codes, then
+    exact-cosine re-rank the shortlist against the full-precision store.
+
+    ``codes_df`` must carry ``cell_col`` — encode with
+    ``pq_encode(assigned, ..., keep_cols=[cell_col])`` over the
+    IVF-assigned frame and store partitioned by cell
+    (``write_ivf_store``), so the cell filter is Parquet partition
+    pruning: a probe touches nprobe/n_cells of the compressed store and
+    ``shortlist`` rows of the raw one. With ``nprobe = n_cells`` and
+    ``shortlist >= corpus``, the result equals brute-force cosine top-k
+    exactly (pinned in tests)."""
+    C = np.asarray(centers, dtype=np.float64)
+    d2 = ((C - np.asarray(query, dtype=np.float64)) ** 2).sum(axis=1)
+    cells = [int(x) for x in np.argsort(d2, kind="stable")[:nprobe]]
+    probed = codes_df.filter(F.col(cell_col).isin(cells))
+    short = pq_topk(
+        probed, codebooks, query, shortlist, id_col, codes_col
+    ).select(id_col)
+    cand = vectors_df.join(F.broadcast(short), id_col)
+    return cosine_topk(cand, query, k=k_results, id_col=id_col)
