@@ -1,17 +1,25 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Three tiers, all deterministic:
+The tiers, all deterministic:
 
 - ``cosine_topk``        — brute-force exact top-k (the correctness
-                           baseline; one scan + one small top-k reduce).
+                           baseline; one scan + one small top-k reduce);
+                           ``cosine_topk_batch`` amortizes one scan over
+                           Q queries (Arrow + numpy matmul).
 - ``rp_lsh_*``           — random-hyperplane LSH: sign-bit bucket keys from
                            seeded hyperplanes; near-dup pairs come from a
                            bucket equi-join (never all-pairs).
-- ``ivf_build/ivf_topk`` — IVF coarse index via Spark ML KMeans: search
-                           only the ``nprobe`` nearest cells — the 100 TB
-                           path (prunes the scan by cluster id, which a
-                           Parquet layout partitioned by cell turns into
-                           partition pruning).
+- ``ivf_build/ivf_topk`` — IVF coarse index (Spark ML KMeans, or the
+                           engine-reproducible ``ivf_build_lloyd``):
+                           search only the ``nprobe`` nearest cells —
+                           cell-partitioned storage turns the probe into
+                           Parquet partition pruning.
+- ``quantize_embeddings``— int8 storage (4-8× scan bytes, cosine is
+                           scale-invariant).
+- ``pq_*`` / ``ivfpq_topk`` — product quantization: m-byte codes (32× at
+                           d=64), ADC literal-table scoring, shortlist +
+                           exact re-rank; composed with IVF cells for
+                           the standard billion-vector layout.
 
 Dot products/norms use ``F.zip_with`` + ``F.aggregate`` — JVM-side, no
 Python in the scan.
