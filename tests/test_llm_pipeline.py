@@ -592,3 +592,12 @@ def test_ivfpq_exhaustive_probe_equals_bruteforce(spark):
     part = ivfpq_topk(codes, emb, centers, books, q,
                       k_results=10, nprobe=2, shortlist=100).collect()
     assert len(part) == 10
+    # pruned re-rank (cell-partitioned raw store) stays exact: shortlist
+    # ids live in probed cells by construction
+    got_pruned = [
+        (r["vec_id"], r["cosine"])
+        for r in ivfpq_topk(codes, assigned, centers, books, q,
+                            k_results=10, nprobe=8, shortlist=n,
+                            vectors_cell_col="ivf_cell").collect()
+    ]
+    assert got_pruned == want

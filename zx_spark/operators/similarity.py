@@ -644,6 +644,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
     cell_col: str = "ivf_cell",
+    vectors_cell_col: str | None = None,
 ) -> DataFrame:
     """The standard IVF-PQ layout end-to-end: probe the ``nprobe``
     nearest coarse cells (driver-side argsort over the tiny center
@@ -654,10 +655,14 @@ def ivfpq_topk(
     ``pq_encode(assigned, ..., keep_cols=[cell_col])`` over the
     IVF-assigned frame and store partitioned by cell
     (``write_ivf_store``), so the cell filter is Parquet partition
-    pruning: a probe touches nprobe/n_cells of the compressed store and
-    ``shortlist`` rows of the raw one. With ``nprobe = n_cells`` and
-    ``shortlist >= corpus``, the result equals brute-force cosine top-k
-    exactly (pinned in tests)."""
+    pruning: a probe touches nprobe/n_cells of the compressed store.
+    When the RAW store is cell-partitioned too, pass
+    ``vectors_cell_col`` and the re-rank lookup prunes to the probed
+    cells as well (every shortlist id lives there by construction) —
+    without it the semi-join must scan the full raw store to find
+    ``shortlist`` rows. With ``nprobe = n_cells`` and ``shortlist >=
+    corpus``, the result equals brute-force cosine top-k exactly
+    (pinned in tests)."""
     C = np.asarray(centers, dtype=np.float64)
     d2 = ((C - np.asarray(query, dtype=np.float64)) ** 2).sum(axis=1)
     cells = [int(x) for x in np.argsort(d2, kind="stable")[:nprobe]]
@@ -665,5 +670,7 @@ def ivfpq_topk(
     short = pq_topk(
         probed, codebooks, query, shortlist, id_col, codes_col
     ).select(id_col)
+    if vectors_cell_col is not None:
+        vectors_df = vectors_df.filter(F.col(vectors_cell_col).isin(cells))
     cand = vectors_df.join(F.broadcast(short), id_col)
     return cosine_topk(cand, query, k=k_results, id_col=id_col)
