@@ -84,3 +84,78 @@ def test_validation(spark, corpus):
         stratified_sample(corpus, ["lang"], 0, "doc_id")
     with pytest.raises(ValueError):
         train_test_split(corpus, [], "doc_id")
+
+
+def test_mix_by_rates_downsample_and_epochs(spark):
+    from zx_spark.operators.sampling import mix_by_rates
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_by_rates(df, "source", {"a": 0.5, "b": 2.5}, "doc_id",
+                       copy_col="copy_no")
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(got["a"] - 500) < 60          # ~0.5 of 1000
+    assert abs(got["b"] - 2500) < 60         # ~2.5 epochs of 1000
+    # copies are numbered 1..n per key and deterministic
+    per_key = out.filter("source = 'b'").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy_no").alias("mx")).collect()
+    assert all(r["n"] == r["mx"] and r["n"] in (2, 3) for r in per_key)
+    again = mix_by_rates(df, "source", {"a": 0.5, "b": 2.5}, "doc_id",
+                         copy_col="copy_no")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mix_by_rates_default_drops_unlisted(spark):
+    from zx_spark.operators.sampling import mix_by_rates
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "doc_id long, source string"
+    )
+    out = mix_by_rates(df, "source", {"a": 1.0}, "doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1]  # b and NULL dropped
+
+
+def test_mix_to_proportions_downsample_only(spark):
+    from zx_spark.operators.sampling import mix_to_proportions
+
+    rows = [(i, "big" if i < 3000 else "small") for i in range(3500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed, rates = mix_to_proportions(
+        df, "source", {"big": 0.5, "small": 0.5}, "doc_id"
+    )
+    assert rates["small"] == 1.0 and 0 < rates["big"] < 0.2
+    got = {r["source"]: r["cnt"] for r in
+           mixed.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # scarcest source caps the total; proportions ~50/50
+    assert got["small"] == 500
+    assert abs(got["big"] - 500) < 60
+    assert "mix_copy_no" not in mixed.columns  # no duplication
+
+
+def test_mix_to_proportions_upsample_keeps_total(spark):
+    from zx_spark.operators.sampling import mix_to_proportions
+
+    rows = [(i, "big" if i < 3000 else "small") for i in range(3500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed, rates = mix_to_proportions(
+        df, "source", {"big": 0.5, "small": 0.5}, "doc_id", allow_upsample=True
+    )
+    assert rates["small"] > 1.0  # scarce source repeats
+    total = mixed.count()
+    assert abs(total - 3500) < 120  # corpus size preserved (~)
+    got = {r["source"]: r["cnt"] for r in
+           mixed.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(got["big"] - got["small"]) < 130
+
+
+def test_mix_validates(spark):
+    from zx_spark.operators.sampling import mix_by_rates, mix_to_proportions
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        mix_by_rates(df, "source", {"a": -0.1}, "doc_id")
+    with pytest.raises(ValueError):
+        mix_to_proportions(df, "source", {}, "doc_id")
+    with pytest.raises(ValueError):
+        mix_to_proportions(df, "source", {"nope": 1.0}, "doc_id")

@@ -129,3 +129,108 @@ def train_test_split(
     for i in range(len(bounds) - 1, -1, -1):
         expr = F.when(b < bounds[i], F.lit(i)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def mix_by_rates(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    hash_method: str = "md5",
+    default_rate: float = 0.0,
+    copy_col: str | None = None,
+) -> DataFrame:
+    """Per-group sampling/duplication rates — the data-MIXING primitive
+    (so a training corpus hits target source proportions / epochs):
+
+    - rate <= 1  → deterministic hash-sample of the group (map-side
+      filter, same keep-set semantics as ``hash_sample``);
+    - rate > 1   → every row repeats ``floor(rate)`` times and the
+      fractional remainder is hash-sampled — "2.3 epochs of source X".
+      Repeats come from exploding a tiny per-row sequence; ``copy_col``
+      (optional) numbers the copies so downstream shuffles can
+      de-collide them.
+
+    Everything is a Catalyst expression on a stable key hash: no
+    shuffle, reproducible across runs/retries/cluster layouts. Groups
+    not named in ``rates`` get ``default_rate`` (0.0 = dropped — make
+    the corpus composition explicit)."""
+    for g, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {g!r} must be >= 0, got {r}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+    rate = F.lit(float(default_rate))
+    for g, r in rates.items():
+        rate = F.when(F.col(f"`{group_col}`") == g, F.lit(float(r))).otherwise(rate)
+    b = _bucket(F.col(key_col), seed, hash_method)
+    frac_keep = b < ((rate - F.floor(rate)) * _BUCKETS).cast("long")
+    n_copies = (
+        F.floor(rate).cast("int") + F.when(frac_keep, 1).otherwise(0)
+    )
+    out = (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            copy_col or "__copy_no",
+            F.explode(F.sequence(F.lit(1), F.col("__n_copies"))),
+        )
+        .drop("__n_copies")
+    )
+    return out if copy_col else out.drop("__copy_no")
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    group_col: str,
+    proportions: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    hash_method: str = "md5",
+    allow_upsample: bool = False,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Derive per-group rates that land the corpus on target
+    ``proportions`` and apply them. Returns ``(mixed_df, rates)`` so the
+    mix is auditable.
+
+    Downsample-only (default): the achievable total is limited by the
+    scarcest source (``count_g / p_g`` minimized), every other group is
+    thinned to match — no row is duplicated. ``allow_upsample=True``
+    keeps the corpus size instead and lets scarce sources repeat
+    (epoch-style). One count aggregation on the group key; the apply
+    step is ``mix_by_rates`` (map-side)."""
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    if any(p < 0 for p in proportions.values()):
+        raise ValueError(f"proportions must be >= 0: {proportions}")
+    total_p = float(sum(proportions.values()))
+    if total_p <= 0:
+        raise ValueError("proportions must sum to > 0")
+    norm = {g: p / total_p for g, p in proportions.items()}
+    counts = {
+        r[group_col]: r["count"]
+        for r in df.groupBy(group_col).count().collect()
+        if r[group_col] in norm
+    }
+    missing = [g for g, p in norm.items() if p > 0 and not counts.get(g)]
+    if missing:
+        raise ValueError(f"groups {missing} have no rows to mix from")
+    if allow_upsample:
+        target_total = float(sum(counts.values()))
+    else:
+        target_total = min(counts[g] / p for g, p in norm.items() if p > 0)
+    rates = {
+        g: (norm[g] * target_total / counts[g]) if counts.get(g) else 0.0
+        for g in norm
+    }
+    if not allow_upsample:
+        # guard fp drift: downsample-only must never exceed 1
+        rates = {g: min(1.0, r) for g, r in rates.items()}
+    return (
+        mix_by_rates(
+            df, group_col, rates, key_col, seed, hash_method,
+            copy_col="mix_copy_no" if allow_upsample else None,
+        ),
+        rates,
+    )
