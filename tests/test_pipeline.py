@@ -101,3 +101,23 @@ def test_pipeline_plan_no_cartesian(spark, docs):
         docs, quality_min=0.2, near_dup_threshold=0.8, split_weights=[0.9, 0.1]
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pipeline_mixing_stage(spark, docs):
+    out = curate_corpus(
+        docs, mix_proportions={"src0": 0.6, "src1": 0.4}, mix_group_col="source"
+    )
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert set(got) == {"src0", "src1"}  # unlisted sources dropped
+    total = sum(got.values())
+    assert abs(got["src0"] / total - 0.6) < 0.15  # small groups, coarse hash
+
+
+def test_token_budget(spark, docs):
+    from zx_spark.functions.text import token_budget
+
+    per_source = {r["source"]: r for r in token_budget(docs, group_col="source").collect()}
+    assert all(r["n_tokens"] > r["n_docs"] for r in per_source.values())
+    whole = token_budget(docs).collect()[0]
+    assert whole["n_docs"] == docs.count()
+    assert whole["n_tokens"] == sum(r["n_tokens"] for r in per_source.values())

@@ -129,6 +129,23 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(_tokens(text), n)
 
 
+def token_budget(
+    df: DataFrame, text_col: str = "text", group_col: str | None = None
+) -> DataFrame:
+    """Token accounting under the BPE-ish counter: (group,) n_docs,
+    n_tokens — the numbers a data-mixing plan budgets against ("how many
+    tokens does each source contribute?"). One hash aggregation; the
+    count itself is a single codegen'd expression per row."""
+    cnt = bpe_ish_token_count(F.coalesce(F.col(f"`{text_col}`"), F.lit("")))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(cnt).cast("long").alias("n_tokens"),
+    ]
+    if group_col is None:
+        return df.agg(*aggs)
+    return df.groupBy(group_col).agg(*aggs)
+
+
 def repetition_signals(text: Column) -> Column:
     """Struct of repetition-based quality signals (the cheap, map-side
     subset of the published pretraining-filter heuristics):

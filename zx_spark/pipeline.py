@@ -12,8 +12,11 @@ shuffle downstream sees the smallest possible corpus:
                       corpus; greedy keep-lowest-id per pair
 6. decontamination  — broadcast n-gram probe vs the benchmark set
                       (corpus never shuffles to be probed)
-7. hash sample      — map-side filter
-8. train/test split — map-side bucket assignment
+7. source mixing    — one count agg + map-side per-group rates
+                      (downsample-only here; upsampling belongs after
+                      the split)
+8. hash sample      — map-side filter
+9. train/test split — map-side bucket assignment
 
 Every stage is deterministic (hash-keyed, fixed seeds), so the curated
 corpus is reproducible row-for-row across runs, retries, and cluster
@@ -34,7 +37,11 @@ from zx_spark.functions.pii import PII_TYPES, with_pii_scrubbed
 from zx_spark.functions.text import language_id, text_quality
 from zx_spark.operators.decontaminate import drop_contaminated
 from zx_spark.operators.dedup import drop_by_components, exact_dedup, near_dup_pairs
-from zx_spark.operators.sampling import hash_sample, train_test_split
+from zx_spark.operators.sampling import (
+    hash_sample,
+    mix_to_proportions,
+    train_test_split,
+)
 
 
 def curate_corpus(
@@ -48,6 +55,8 @@ def curate_corpus(
     near_dup_mode: str = "pairs",
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 5,
+    mix_proportions: dict[str, float] | None = None,
+    mix_group_col: str = "source",
     sample_rate: float | None = None,
     split_weights: list[float] | None = None,
     seed: int = 0,
@@ -102,6 +111,14 @@ def curate_corpus(
     if benchmark is not None:
         out = drop_contaminated(
             out, benchmark, text_col, id_col, n=decontaminate_ngram
+        )
+    if mix_proportions is not None:
+        # downsample-only: mixing must not duplicate rows ahead of the
+        # leak-proof split (a repeated key would land whole in one split,
+        # skewing sizes; epoch-style upsampling belongs after splitting)
+        out, _ = mix_to_proportions(
+            out, mix_group_col, mix_proportions, id_col,
+            seed=seed, hash_method=hash_method,
         )
     if sample_rate is not None:
         out = hash_sample(out, sample_rate, id_col, seed=seed, hash_method=hash_method)
