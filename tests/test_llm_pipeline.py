@@ -601,3 +601,23 @@ def test_ivfpq_exhaustive_probe_equals_bruteforce(spark):
                             vectors_cell_col="ivf_cell").collect()
     ]
     assert got_pruned == want
+
+
+def test_pq_encode_numpy_equals_jvm(spark):
+    from zx_spark.operators.similarity import pq_encode, pq_train
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=2)
+    jvm = {r["vec_id"]: list(r["pq_codes"])
+           for r in pq_encode(emb, books, method="jvm").collect()}
+    npy = {r["vec_id"]: list(r["pq_codes"])
+           for r in pq_encode(emb, books, method="numpy").collect()}
+    assert jvm == npy
+    with_keep = pq_encode(emb.withColumn("cell", emb.vec_id % 4), books,
+                          keep_cols=["cell"], method="numpy")
+    assert set(with_keep.columns) == {"vec_id", "pq_codes", "cell"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_encode(emb, books, method="nope")
