@@ -621,3 +621,18 @@ def test_pq_encode_numpy_equals_jvm(spark):
 
     with _pytest.raises(ValueError):
         pq_encode(emb, books, method="nope")
+
+
+def test_pq_train_rejects_k_above_signed_tinyint(spark):
+    import pytest as _pytest
+
+    from zx_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="signed tinyint"):
+        pq_train(df, m=2, k=200, dim=8)
+    # 128 (max code 127) is still allowed
+    books = pq_train(df, m=2, k=128, iters=1, dim=8)
+    assert len(books[0]) == 128

@@ -202,3 +202,23 @@ def test_top_ngram_fraction(spark):
     assert got[1] == 0.6
     assert abs(got[2] - 1 / 3) < 1e-6
     assert got[3] == 1.0
+
+
+def test_dup_components_warns_when_not_converged(spark):
+    import pytest as _pytest
+
+    from zx_spark.operators.dedup import dup_components
+
+    # a 10-node chain needs more than 2 min-label rounds to collapse
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with _pytest.warns(RuntimeWarning, match="max_iter=2"):
+        dup_components(pairs, max_iter=2).collect()
+    # converged runs stay silent
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {r["doc_id"]: r["component"] for r in dup_components(pairs).collect()}
+    assert set(got.values()) == {0}

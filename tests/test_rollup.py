@@ -285,3 +285,43 @@ def test_rollup_answer_scans_only_rollup(spark, base_rollup, tmp_path):
     assert "events" not in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_p50_approx_repeated_select_no_helper_collision(spark, events):
+    """Helper columns are keyed by select index: repeating P50_APPROX in
+    one select list (and mixing it with other columns' quantiles) must
+    not cross-wire the bin arrays (ADVICE r4)."""
+    from zx_spark.operators.rollup import QUANTILE_BINS
+
+    r5m = build_rollup(
+        events, ["value", "user_id"], ["g_event_type"], granularity_s=BASE_S,
+        rate_col=None, distinct_sketch=False, quantile_bins=QUANTILE_BINS,
+    )
+    single_v = {
+        (r["g_event_type"], r["window_start"]): r["p50_approx__value"]
+        for r in rollup_answer(
+            r5m, [Select("value", Aggregate.P50_APPROX)], group_cols=["g_event_type"]
+        ).collect()
+    }
+    single_u = {
+        (r["g_event_type"], r["window_start"]): r["p50_approx__user_id"]
+        for r in rollup_answer(
+            r5m, [Select("user_id", Aggregate.P50_APPROX)], group_cols=["g_event_type"]
+        ).collect()
+    }
+    both = rollup_answer(
+        r5m,
+        [
+            Select("value", Aggregate.P50_APPROX),
+            Select("user_id", Aggregate.P50_APPROX),
+            Select("value", Aggregate.P50_APPROX),
+        ],
+        group_cols=["g_event_type"],
+    )
+    assert both.columns.count("p50_approx__value") == 2
+    for r in both.collect():
+        k = (r["g_event_type"], r["window_start"])
+        vals = [r[i] for i in range(len(both.columns))]
+        got_v1, got_u, got_v2 = vals[-3], vals[-2], vals[-1]
+        assert got_v1 == single_v[k] == got_v2
+        assert got_u == single_u[k]

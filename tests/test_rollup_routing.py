@@ -198,3 +198,80 @@ def test_route_drops_extra_group_key(events, spark):
     direct = compile_query(events, q, id_col="event_id", rate_col=None,
                            empty_sentinels=False)
     assert _norm(routed) == _norm(direct)
+
+
+def test_boundary_event_at_t_end_falls_back(spark):
+    # compile_query's scan is CLOSED-right (ts <= t_end) but buckets are
+    # open-right; with an event at exactly t_end the router must detect
+    # it (first_ts == t_end in the bucket starting at t_end) and fall
+    # back so run_with_rollup still matches the raw answer.
+    t_end = 1704067200.0  # bucket edge for both 300s and 3600s
+    rows = [
+        (1, t_end - 600.0, "a", 10.0),
+        (2, t_end - 1.0, "a", 20.0),
+        (3, t_end, "a", 40.0),  # ON the boundary
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    r = build_query_rollup(ev, ["value"], ["event_type"], granularity_s=BASE,
+                           rate_col=None)
+    q = Query(
+        selects=[Select("value", Aggregate.SUM)],
+        group_by=["event_type"],
+        granularity_s=3600.0,
+        t_start=t_end - 3600.0,
+        t_end=t_end,
+    )
+    reason = rollup_route_reason(r, q, BASE, KEYS)
+    assert reason and "exactly t_end" in reason
+    assert answer_query_from_rollup(r, q, BASE, KEYS) is None
+    out = run_with_rollup(ev, q, r, BASE, KEYS, id_col="event_id", rate_col=None)
+    direct = compile_query(ev, q, id_col="event_id", rate_col=None)
+    assert _norm(out) == _norm(direct)  # includes the boundary event (70.0)
+    # and with NO event on the boundary, the same query routes
+    ev2 = ev.filter(F.col("event_id") != 3)
+    r2 = build_query_rollup(ev2, ["value"], ["event_type"], granularity_s=BASE,
+                            rate_col=None)
+    assert rollup_route_reason(r2, q, BASE, KEYS) is None
+
+
+def test_float_raw_dtype_condition_falls_back(events):
+    # EQ routing compares stringified keys; a float raw column casts
+    # 7 -> '7.0' so key comparison diverges from the native one — the
+    # dtype stashed at build time must reject it.
+    r = build_query_rollup(
+        events, ["value"], ["event_type", "value"], granularity_s=BASE,
+        rate_col=None,
+    )
+    ks = ["g_event_type", "g_value"]
+    q = Query(
+        selects=[Select("value", Aggregate.SUM)],
+        conditions=[Condition("value", Cmp.EQ, 7)],
+        group_by=["event_type"],
+        granularity_s=3600.0,
+    )
+    reason = rollup_route_reason(r, q, BASE, ks)
+    assert reason and "raw dtype" in reason
+    # string / integer raw columns still route
+    q_str = Query(
+        selects=[Select("value", Aggregate.SUM)],
+        conditions=[Condition("event_type", Cmp.EQ, "click")],
+        group_by=["event_type"],
+        granularity_s=3600.0,
+    )
+    assert rollup_route_reason(r, q_str, BASE, ks) is None
+
+
+def test_raw_dtype_metadata_survives_parquet(events, rollup, spark, tmp_path):
+    # the dtype guard must hold for STORED rollups, not just in-session
+    store = str(tmp_path / "r.parquet")
+    rollup.write.mode("overwrite").parquet(store)
+    stored = spark.read.parquet(store)
+    md = stored.schema["g_event_type"].metadata
+    assert md.get("zx_raw_dtype") == "string"

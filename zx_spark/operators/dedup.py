@@ -448,6 +448,7 @@ def dup_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         # every node's new label: min over itself and its neighbors
         neighbor_min = (
@@ -465,6 +466,20 @@ def dup_components(
         labels = neighbor_min
         if changed == 0:
             break
+    if changed:
+        # A chain whose propagation diameter exceeds max_iter would return
+        # partially-merged components — drop_by_components would then keep
+        # more than one survivor per true cluster with no visible signal.
+        import warnings
+
+        warnings.warn(
+            f"dup_components stopped after max_iter={max_iter} rounds with "
+            f"{changed} labels still changing — components are PARTIALLY "
+            "merged; raise max_iter for chains with a longer propagation "
+            "diameter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 

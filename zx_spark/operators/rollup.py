@@ -395,19 +395,22 @@ def rollup_answer(
     group_cols = list(group_cols or [])
     # Materialize quantile helper arrays (bins, cumulative) as named
     # columns FIRST — projection boundaries that keep the quantile
-    # expression O(bins); see _hist_quantile_cols.
-    for s in selects:
+    # expression O(bins); see _hist_quantile_cols. Helper columns are
+    # keyed by SELECT INDEX, not just column name: two P50_APPROX
+    # selects on the same column with different params must not
+    # overwrite each other's bin domains.
+    for i, s in enumerate(selects):
         if s.aggregate is Aggregate.P50_APPROX:
             v = s.column
             arr, cum_of = _hist_quantile_cols(rollup, v, s.params or QUANTILE_BINS)
-            rollup = rollup.withColumn(f"__qarr_{v}", arr).withColumn(
-                f"__qcum_{v}", cum_of(F.col(f"__qarr_{v}"))
+            rollup = rollup.withColumn(f"__qarr_{v}_{i}", arr).withColumn(
+                f"__qcum_{v}_{i}", cum_of(F.col(f"__qarr_{v}_{i}"))
             )
     cols = [F.col(c) for c in group_cols] + [
         F.col(FIRST_TS).alias("window_start"),
         F.col(LAST_TS).alias("window_end"),
     ]
-    for s in selects:
+    for i, s in enumerate(selects):
         v = s.column
         if s.aggregate not in ROLLUP_AGGREGATES:
             raise ValueError(
@@ -431,8 +434,8 @@ def rollup_answer(
             expr = F.col(f"{v}__mean_num") / F.col(f"{v}__mean_den")
         elif s.aggregate is Aggregate.P50_APPROX:
             expr = _hist_quantile_est(
-                F.col(f"__qarr_{v}"),
-                F.col(f"__qcum_{v}"),
+                F.col(f"__qarr_{v}_{i}"),
+                F.col(f"__qcum_{v}_{i}"),
                 s.params or QUANTILE_BINS,
                 0.5,
             )
@@ -477,11 +480,21 @@ def build_query_rollup(
     compiler's column-for-column."""
     from zx_spark.compiler import group_alias
 
+    dtypes = dict(events.dtypes)
     keys = []
     for c in group_by:
         a = group_alias(c)
+        # Stash the RAW column dtype in the key's field metadata (survives
+        # groupBy and Spark's parquet round-trip): EQ/NE routing compares
+        # the stringified key, which only matches compile_query's native
+        # comparison for string/integer raw columns — rollup_route_reason
+        # reads this to reject e.g. float columns where `col == 7` matches
+        # 7.0 natively but key '7.0' != '7'.
         events = events.withColumn(
-            a, F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(NIL))
+            a,
+            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(NIL)).alias(
+                a, metadata={"zx_raw_dtype": dtypes.get(c, "")}
+            ),
         )
         keys.append(a)
     return build_rollup(
@@ -510,12 +523,33 @@ def rollup_route_reason(
         # from Spark's cast.
         if c.cmp not in (Cmp.EQ, Cmp.NE):
             return f"condition {c.cmp.value} on {c.column!r} needs the raw events"
-        if group_alias(c.column) not in rollup_group_cols:
+        ga = group_alias(c.column)
+        if ga not in rollup_group_cols:
             return f"condition column {c.column!r} is not a rollup group key"
         if not isinstance(c.value, (str, int)) or isinstance(c.value, bool):
             return f"condition value {c.value!r} has no canonical string form"
         if str(c.value) == NIL:
             return f"condition value collides with the {NIL!r} sentinel"
+        # The stringified key only reproduces compile_query's NATIVE
+        # comparison for string/integer raw columns (a float column casts
+        # 7 -> '7.0', so key '7.0' != str(7)). build_query_rollup stashes
+        # the raw dtype in field metadata; when present and not
+        # string/integral, fall back. Keys built by hand carry no
+        # metadata — then the existing str/int value limit applies.
+        if ga in rollup.columns:
+            raw_dtype = (rollup.schema[ga].metadata or {}).get("zx_raw_dtype")
+            if raw_dtype and raw_dtype not in (
+                "string",
+                "tinyint",
+                "smallint",
+                "int",
+                "bigint",
+            ):
+                return (
+                    f"condition column {c.column!r} has raw dtype "
+                    f"{raw_dtype!r} — stringified key comparison diverges "
+                    "from the native comparison"
+                )
     if q.granularity_s is not None and q.window_mode != "aligned":
         return f"window_mode {q.window_mode!r} is not bucket-composable"
     for s in q.selects:
@@ -546,6 +580,24 @@ def rollup_route_reason(
     for name, t in (("t_start", q.t_start), ("t_end", q.t_end)):
         if t is not None and float(t) % align != 0:
             return f"{name}={t} is not on a {align}s bucket edge"
+    if q.t_end is not None:
+        # compile_query's scan is INCLUSIVE of t_end (reference
+        # src/lib.rs:305-331) but the routed filter is BUCKET < t_end; the
+        # two differ only when an event's ts equals t_end to the
+        # microsecond. t_end is on a base-bucket edge (checked above), so
+        # such an event necessarily lands in the bucket STARTING at t_end
+        # with first_ts == t_end exactly. Probe that one bucket (pruned
+        # scan of the tiny rollup) and fall back when a boundary event
+        # provably exists — routing stays exact, never approximate.
+        te = float(q.t_end)
+        boundary = rollup.filter(
+            (F.col(BUCKET) == te) & (F.col(FIRST_TS) == te)
+        ).limit(1)
+        if boundary.count() > 0:
+            return (
+                f"an event at exactly t_end={q.t_end} exists — the "
+                "closed-right boundary is not expressible from buckets"
+            )
     return None
 
 

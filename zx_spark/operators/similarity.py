@@ -482,8 +482,11 @@ def pq_train(
         dim = len(df.select(F.col(vec_col)).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    if not 1 <= k <= 256:
-        raise ValueError(f"k must fit a tinyint code, got {k}")
+    if not 1 <= k <= 128:
+        # Codes are stored as SIGNED tinyint (JVM cast + np.int8): codes
+        # 128..255 would wrap negative and silently index the wrong ADC
+        # table entry in pq_topk, so 128 (max code 127) is the hard cap.
+        raise ValueError(f"k must fit a signed tinyint code (1..128), got {k}")
     sub = dim // m
     v = F.col(vec_col).cast("array<double>")
     # Seed each subspace with k DISTINCT subvectors (canonical array
