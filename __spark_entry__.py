@@ -632,18 +632,53 @@ def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k over the deterministic Lloyd quantizer
-    (similarity.ivf_build_lloyd): every communicated center is rounded to
-    6 decimals, so the DuckDB oracle re-derives the IDENTICAL centers from
-    the raw parquet (ivf_centers_numpy) and the whole pipeline —
-    assignment, nprobe cell pruning, exact in-cell cosine top-k — is
-    hash-verified. The Spark-ML-KMeans variant (ivf_build) remains the
-    library alternative, pinned by tests."""
-    from zx_spark.operators.similarity import ivf_build_lloyd, ivf_topk
+    """IVF + PQ ANN suite as one three-arm driver row, all over
+    deterministic engine-reproducible quantizers (every communicated
+    center rounded to 6 dp, so numpy twins re-derive them bit-identically
+    from the raw parquet and the DuckDB oracle embeds them as literals):
+
+    - ``ivf``    — Lloyd IVF coarse quantizer, nprobe cell pruning, exact
+      in-cell cosine top-k (hash-verified since r4).
+    - ``pq_adc`` — product quantization: per-subspace argmin codes
+      (pq_encode, pure Catalyst) scored by ADC table lookups (pq_topk);
+      the oracle recomputes codes + the same left-associated table sum.
+    - ``ivfpq``  — the production composition (ivfpq_topk): probe nprobe
+      cells, ADC-shortlist 50 within them, exact-cosine re-rank pruned to
+      the probed cells.
+
+    The Spark-ML-KMeans variant (ivf_build) remains the library
+    alternative, pinned by tests."""
+    from zx_spark.operators.similarity import (
+        ivf_build_lloyd,
+        ivf_topk,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
 
     emb = _emb(spark, sf_dir)
     assigned, centers = ivf_build_lloyd(emb, n_cells=8, iters=5, dim=64)
-    return ivf_topk(assigned, centers, ANN_QUERY_VEC, k=10, nprobe=4)
+    ivf = ivf_topk(assigned, centers, ANN_QUERY_VEC, k=10, nprobe=4).select(
+        F.lit("ivf").alias("arm"), "vec_id", F.col("cosine").alias("score")
+    )
+    books = pq_train(emb, m=8, k=16, iters=3, dim=64)
+    codes = pq_encode(assigned, books, keep_cols=["ivf_cell"])
+    adc = pq_topk(codes, books, ANN_QUERY_VEC, k_results=10).select(
+        F.lit("pq_adc").alias("arm"), "vec_id", F.col("adc_score").alias("score")
+    )
+    ivfpq = ivfpq_topk(
+        codes,
+        assigned,
+        centers,
+        books,
+        ANN_QUERY_VEC,
+        k_results=10,
+        nprobe=4,
+        shortlist=50,
+        vectors_cell_col="ivf_cell",
+    ).select(F.lit("ivfpq").alias("arm"), "vec_id", F.col("cosine").alias("score"))
+    return ivf.unionByName(adc).unionByName(ivfpq)
 
 
 def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,24 +1421,45 @@ def _sampling_oracle() -> str:
     )
 
 
-def _ivf_oracle(n_cells: int = 8, iters: int = 5, nprobe: int = 4, k: int = 10) -> str:
-    """The FULL IVF ANN pipeline in DuckDB SQL — possible because the
-    Lloyd quantizer (similarity.ivf_build_lloyd) rounds every communicated
-    center to 6 decimals, so ``ivf_centers_numpy`` re-derives bit-identical
-    centers from the raw parquet without Spark. Those centers are embedded
-    as double literals: assignment = argmin of the |v|^2 - 2v.c + |c|^2
-    expansion (list_position → first-index ties, same as Spark's
-    array_position), probe cells from the shared ``probe_cells`` helper on
-    the identical centers, exact cosine top-k within them. The parquet
-    path defaults to the driver's fixed sf0.01 correctness scale;
-    ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides it so
+def _ivf_pq_oracle(
+    n_cells: int = 8,
+    iters: int = 5,
+    nprobe: int = 4,
+    k: int = 10,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_iters: int = 3,
+    shortlist: int = 50,
+) -> str:
+    """The FULL IVF + PQ ANN suite in DuckDB SQL — possible because both
+    quantizers round every communicated center to 6 decimals, so
+    ``ivf_centers_numpy`` / ``pq_codebooks_numpy`` re-derive bit-identical
+    centers/codebooks from the raw parquet without Spark. Those are
+    embedded as double literals:
+
+    - assignment / PQ encoding = argmin of the |v|² − 2v·c + |c|²
+      expansion (list_position → first-index ties, same as Spark's
+      array_position);
+    - ADC scoring = the same driver-side m×k dot-product table (9-dp
+      rounded literals) summed LEFT-ASSOCIATED in subspace order —
+      bit-identical fp to ``pq_topk``'s sequential fold;
+    - ivfpq = probed-cell ADC shortlist (ordered by 6-dp-rounded score,
+      vec_id — Spark shortlists on the rounded score too) then exact
+      cosine re-rank.
+
+    The parquet path defaults to the driver's fixed sf0.01 correctness
+    scale; ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides it so
     tools/check_correctness.py stays usable at other sf dirs."""
     import os
 
     import numpy as np
     import pyarrow.parquet as pq
 
-    from zx_spark.operators.similarity import ivf_centers_numpy, probe_cells
+    from zx_spark.operators.similarity import (
+        ivf_centers_numpy,
+        pq_codebooks_numpy,
+        probe_cells,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
@@ -1413,30 +1469,67 @@ def _ivf_oracle(n_cells: int = 8, iters: int = 5, nprobe: int = 4, k: int = 10) 
     except OSError:
         # Missing testdata must fail ONLY this query's comparison, not
         # blow up the whole oracle_sql() dict.
-        return "SELECT NULL::BIGINT AS vec_id, NULL::DOUBLE AS cosine WHERE false"
-    centers = ivf_centers_numpy(
-        t["vec_id"].to_numpy(),
-        np.array(t["embedding"].to_pylist(), dtype=np.float64),
-        n_cells,
-        iters,
-    )
+        return (
+            "SELECT NULL::VARCHAR AS arm, NULL::BIGINT AS vec_id, "
+            "NULL::DOUBLE AS score WHERE false"
+        )
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    centers = ivf_centers_numpy(t["vec_id"].to_numpy(), X, n_cells, iters)
     cells = probe_cells(centers, ANN_QUERY_VEC, nprobe)
+    books = pq_codebooks_numpy(X, pq_m, pq_k, pq_iters)
+    dim = X.shape[1]
+    sub = dim // pq_m
 
-    def center_lit(c) -> str:
+    def lst(c) -> str:
         return "[" + ", ".join(repr(float(x)) for x in c) + "]"
 
     dists = ", ".join(
-        f"(list_dot_product(v, v) - 2*list_dot_product(v, {center_lit(c)}) "
+        f"(list_dot_product(v, v) - 2*list_dot_product(v, {lst(c)}) "
         f"+ {float(sum(x * x for x in c))!r})"
         for c in centers
     )
+    # per-subspace PQ codes: |c|² − 2·sv·c argmin over literal centers
+    # (the constant |sv|² term is dropped, same as _pq_codes_expr)
+    code_exprs = []
+    for s in range(pq_m):
+        sv = f"v[{s * sub + 1}:{(s + 1) * sub}]"
+        dl = ", ".join(
+            f"({float(sum(x * x for x in c))!r} - 2*list_dot_product({sv}, {lst(c)}))"
+            for c in books[s]
+        )
+        code_exprs.append(f"list_position([{dl}], list_min([{dl}])) - 1 AS c{s}")
+    # ADC table: m×k query-subvector · center dots, 9-dp rounded — the
+    # identical literals pq_topk embeds
+    table = []
+    for s in range(pq_m):
+        q_sub = ANN_QUERY_VEC[s * sub : (s + 1) * sub]
+        for j in range(pq_k):
+            table.append(
+                round(sum(float(a) * float(b) for a, b in zip(q_sub, books[s][j])), 9)
+            )
+    adc_sum = "0.0" + "".join(
+        f" + t[{s * pq_k} + c{s} + 1]" for s in range(pq_m)
+    )
+    in_cells = ", ".join(str(c) for c in cells)
+    cos = "round(v[1] / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6)"
     return (
         "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
         f"d AS (SELECT vec_id, v, [{dists}] AS dl FROM base), "
-        "a AS (SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell FROM d) "
-        "SELECT vec_id, round(v[1] / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6) AS cosine "
-        f"FROM a WHERE cell IN ({', '.join(str(c) for c in cells)}) "
-        f"ORDER BY cosine DESC, vec_id LIMIT {k}"
+        "a AS (SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell FROM d), "
+        f"codes AS (SELECT vec_id, v, cell, {', '.join(code_exprs)} FROM a), "
+        f"tbl AS (SELECT {lst(table)} AS t), "
+        f"adc AS (SELECT vec_id, cell, round({adc_sum}, 6) AS score FROM codes, tbl), "
+        f"ivf_arm AS (SELECT 'ivf' AS arm, vec_id, {cos} AS score "
+        f"FROM a WHERE cell IN ({in_cells}) ORDER BY score DESC, vec_id LIMIT {k}), "
+        "pq_arm AS (SELECT 'pq_adc' AS arm, vec_id, score FROM adc "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        f"short AS (SELECT vec_id FROM adc WHERE cell IN ({in_cells}) "
+        f"ORDER BY score DESC, vec_id LIMIT {shortlist}), "
+        f"ivfpq_arm AS (SELECT 'ivfpq' AS arm, a.vec_id, {cos} AS score "
+        f"FROM a JOIN short USING (vec_id) WHERE cell IN ({in_cells}) "
+        f"ORDER BY score DESC, vec_id LIMIT {k}) "
+        "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
+        "UNION ALL SELECT * FROM ivfpq_arm"
     )
 
 
@@ -1746,7 +1839,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'threshold' AS arm, vec_id, cosine FROM c WHERE cosine >= 0.25"
         ),
-        "ann_ivf_topk": _ivf_oracle(),
+        "ann_ivf_topk": _ivf_pq_oracle(),
         "streaming_sessions": (
             # Batch parity: the availableNow drain + far-future tail per
             # key closes every REAL session, so the streaming append

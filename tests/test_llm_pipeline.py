@@ -636,3 +636,22 @@ def test_pq_train_rejects_k_above_signed_tinyint(spark):
     # 128 (max code 127) is still allowed
     books = pq_train(df, m=2, k=128, iters=1, dim=8)
     assert len(books[0]) == 128
+
+
+def test_pq_codebooks_numpy_twin_matches_spark(spark):
+    """pq_codebooks_numpy must re-derive pq_train's codebooks
+    BIT-IDENTICALLY from the raw parquet — the property the DuckDB
+    oracle's literal embedding (driver row ann_ivf_topk, pq arms)
+    rests on."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from zx_spark.operators.similarity import pq_codebooks_numpy, pq_train
+    from zx_spark.storage import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=3)
+    t = pq_.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    assert pq_codebooks_numpy(X, m=8, k=16, iters=3) == books

@@ -462,6 +462,45 @@ def _pq_sub(v: Column, s: int, sub: int) -> Column:
     return F.slice(v, s * sub + 1, sub)
 
 
+def pq_codebooks_numpy(
+    X: "np.ndarray", m: int, k: int, iters: int = 5
+) -> list[list[list[float]]]:
+    """Driver-side twin of ``pq_train`` — same seeding (distinct
+    subvectors in canonical lexicographic array order, cycled to k), same
+    argmin (|c|² − 2·v·c expansion, first-index ties), same per-(subspace,
+    code) mean, same 6-decimal Python ``round`` of every communicated
+    center. Used by tests to pin Spark ≡ numpy and by the DuckDB oracle to
+    re-derive the codebooks from the raw parquet without a SparkSession
+    (the same discipline as ``ivf_centers_numpy``)."""
+
+    def _r6(vec) -> list[float]:
+        return [round(float(t), 6) for t in vec]
+
+    X = np.asarray(X, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        seeds = [_r6(row) for row in np.unique(Xs, axis=0)[:k]]
+        codebooks.append([seeds[j % len(seeds)] for j in range(k)])
+    for _ in range(iters):
+        new = [[codebooks[s][j] for j in range(k)] for s in range(m)]
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            C = np.asarray(codebooks[s], dtype=np.float64)
+            scores = (C**2).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+            codes = scores.argmin(axis=1)  # first index on ties
+            for j in range(k):
+                mask = codes == j
+                if mask.any():
+                    new[s][j] = _r6(Xs[mask].mean(axis=0))
+        codebooks = new
+    return codebooks
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",
