@@ -481,6 +481,11 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
 
 
+# Mix-arm rates for sampling_suite, shared by Spark and the oracle:
+# upsample / downsample / unity over three driver sources.
+MIX_RATES = {"src0": 2.3, "src1": 0.4, "src2": 1.0}
+
+
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three deterministic-sampling operators in one driver row
     (registry is capped at 50; dedup_exact_kept was folded into
@@ -491,12 +496,19 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       split, both map-side filters, no join), aggregated per split id.
     - ``strat`` arm: stratified_sample n=10 per source (binding: every
       source has 25 docs at sf0.01), aggregated per source.
+    - ``mix`` arm: mix_by_rates data mixing over three sources — an
+      epoch-style upsample (2.3: every doc twice + a 0.3 hash-sampled
+      third copy), a downsample (0.4) and a keep-all (1.0), all other
+      sources dropped (default_rate=0) — aggregated per
+      (source, copy_no) so the oracle pins WHICH docs got WHICH copy
+      counts.
 
     The md5 bucket (sampling._bucket) makes every keep/drop decision
     reproducible in the DuckDB oracle value-for-value; id_sum checksums
     WHICH rows survived, not just how many."""
     from zx_spark.operators.sampling import (
         hash_sample,
+        mix_by_rates,
         stratified_sample,
         train_test_split,
     )
@@ -528,7 +540,25 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
-    return split_agg.unionByName(strat_agg)
+    mix_agg = (
+        mix_by_rates(
+            _docs(spark, sf_dir).select("doc_id", "source"),
+            "source",
+            MIX_RATES,
+            "doc_id",
+            seed=11,
+            copy_col="copy_no",
+        )
+        .groupBy("source", "copy_no")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("mix").alias("part_kind"),
+            F.concat_ws(":", F.col("source"), F.col("copy_no")).alias("part_key"),
+            "n_docs",
+            "id_sum",
+        )
+    )
+    return split_agg.unionByName(strat_agg).unionByName(mix_agg)
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,6 +1433,15 @@ def _sampling_oracle() -> str:
 
     b = split_bounds([0.8, 0.1, 0.1])
     rate_cut = int(0.25 * _BUCKETS)
+    import math
+
+    whens = []
+    for g, rate in MIX_RATES.items():
+        base = int(math.floor(rate))
+        cut = int((float(rate) - float(math.floor(rate))) * _BUCKETS)
+        frac = f" + CASE WHEN {bucket(11)} < {cut} THEN 1 ELSE 0 END" if cut else ""
+        whens.append(f"WHEN source = '{g}' THEN {base}{frac}")
+    mix_case = " ".join(whens)
     return (
         # split arm: hash_sample(0.25, seed 13) → train_test_split(seed 7)
         f"WITH samp AS (SELECT doc_id FROM documents WHERE {bucket(13)} < {rate_cut}), "
@@ -1416,8 +1455,22 @@ def _sampling_oracle() -> str:
         f"ORDER BY {bucket(3)}, doc_id) AS rn FROM documents), "
         "strat_agg AS (SELECT 'strat' AS part_kind, source AS part_key, "
         "count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum FROM r WHERE rn <= 10 "
-        "GROUP BY source) "
-        "SELECT * FROM split_agg UNION ALL SELECT * FROM strat_agg"
+        "GROUP BY source), "
+        # mix arm: mix_by_rates(MIX_RATES, seed 11) — n_copies =
+        # floor(rate) + [bucket < frac-cutoff], copies numbered by a
+        # lateral generate_series. Cutoffs are precomputed with the SAME
+        # IEEE double ops as the Spark expression ((rate − floor)·1e6
+        # truncated), since DuckDB's double→bigint cast ROUNDS.
+        f"mx AS (SELECT doc_id, source, CASE {mix_case} ELSE 0 END AS n_copies "
+        "FROM documents), "
+        "mixed AS (SELECT doc_id, source, "
+        "unnest(range(1, n_copies + 1)) AS copy_no FROM mx), "
+        "mix_agg AS (SELECT 'mix' AS part_kind, "
+        "source || ':' || copy_no::VARCHAR AS part_key, "
+        "count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum FROM mixed "
+        "GROUP BY 1, 2) "
+        "SELECT * FROM split_agg UNION ALL SELECT * FROM strat_agg "
+        "UNION ALL SELECT * FROM mix_agg"
     )
 
 

@@ -159,3 +159,51 @@ def test_mix_validates(spark):
         mix_to_proportions(df, "source", {}, "doc_id")
     with pytest.raises(ValueError):
         mix_to_proportions(df, "source", {"nope": 1.0}, "doc_id")
+
+
+def test_mix_to_proportions_token_weighted(spark):
+    """Token-proportion mixing (weight_col / precomputed counts): where
+    doc- and token-proportions disagree, the token target is hit and the
+    derived rates differ from the doc-count mix; counts= skips the extra
+    corpus aggregation but yields the identical mix."""
+    from zx_spark.functions.text import token_budget
+    from zx_spark.operators.sampling import mix_to_proportions
+
+    rows = [(i, "A", "tok " * 100) for i in range(200)] + [
+        (i, "B", "tok " * 10) for i in range(200, 2200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from zx_spark.functions.text import bpe_ish_token_count
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("n_tok", bpe_ish_token_count(F.col("text")))
+    props = {"A": 0.25, "B": 0.75}
+
+    mixed_tok, rates_tok = mix_to_proportions(
+        df, "source", props, "doc_id", seed=5, weight_col="n_tok"
+    )
+    _, rates_doc = mix_to_proportions(df, "source", props, "doc_id", seed=5)
+    # doc- and token-based rates must disagree on this corpus
+    assert abs(rates_tok["A"] - rates_doc["A"]) > 0.1
+    assert rates_doc["A"] == 1.0 and abs(rates_doc["B"] - 0.3) < 0.01
+    assert rates_tok["B"] == 1.0 and abs(rates_tok["A"] - 1 / 3) < 0.01
+    # achieved TOKEN share ~ target (hash-sampling noise at 200 docs)
+    got = {
+        r["source"]: r["n_tokens"]
+        for r in token_budget(mixed_tok, group_col="source").collect()
+    }
+    share_a = got["A"] / (got["A"] + got["B"])
+    assert 0.18 < share_a < 0.32, share_a
+    # precomputed counts (the token_budget a mixing plan already ran)
+    # produce the identical mix with zero extra passes
+    budget = {
+        r["source"]: r["n_tokens"]
+        for r in token_budget(df, group_col="source").collect()
+    }
+    mixed_pre, rates_pre = mix_to_proportions(
+        df, "source", props, "doc_id", seed=5, counts=budget
+    )
+    assert rates_pre == rates_tok
+    assert sorted(r["doc_id"] for r in mixed_pre.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in mixed_tok.select("doc_id").collect()
+    )

@@ -189,6 +189,8 @@ def mix_to_proportions(
     seed: int = 0,
     hash_method: str = "md5",
     allow_upsample: bool = False,
+    counts: dict[str, float] | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict[str, float]]:
     """Derive per-group rates that land the corpus on target
     ``proportions`` and apply them. Returns ``(mixed_df, rates)`` so the
@@ -198,21 +200,43 @@ def mix_to_proportions(
     scarcest source (``count_g / p_g`` minimized), every other group is
     thinned to match — no row is duplicated. ``allow_upsample=True``
     keeps the corpus size instead and lets scarce sources repeat
-    (epoch-style). One count aggregation on the group key; the apply
-    step is ``mix_by_rates`` (map-side)."""
+    (epoch-style). The apply step is ``mix_by_rates`` (map-side).
+
+    Proportions are measured in whatever unit the group sizes are:
+
+    - default — row counts (one count aggregation over ``df``);
+    - ``weight_col`` — ``sum(weight_col)`` per group instead, e.g. a
+      token-count column → TOKEN-proportion mixing, the unit real
+      pretraining mixes target (rates stay per-ROW keep probabilities,
+      so the achieved token share matches in expectation — exact only
+      when weights are uniform within a group);
+    - ``counts`` — precomputed sizes (e.g. ``token_budget``'s n_tokens
+      per source, which a real mixing plan computes anyway): skips the
+      aggregation entirely, so mixing adds ZERO extra passes over a
+      100 TB corpus."""
     if not proportions:
         raise ValueError("proportions must be non-empty")
     if any(p < 0 for p in proportions.values()):
         raise ValueError(f"proportions must be >= 0: {proportions}")
+    if counts is not None and weight_col is not None:
+        raise ValueError("pass counts OR weight_col, not both")
     total_p = float(sum(proportions.values()))
     if total_p <= 0:
         raise ValueError("proportions must sum to > 0")
     norm = {g: p / total_p for g, p in proportions.items()}
-    counts = {
-        r[group_col]: r["count"]
-        for r in df.groupBy(group_col).count().collect()
-        if r[group_col] in norm
-    }
+    if counts is not None:
+        counts = {g: float(c) for g, c in counts.items() if g in norm}
+    else:
+        size = (
+            F.count(F.lit(1))
+            if weight_col is None
+            else F.sum(F.col(f"`{weight_col}`").cast("double"))
+        )
+        counts = {
+            r[group_col]: float(r["__size"])
+            for r in df.groupBy(group_col).agg(size.alias("__size")).collect()
+            if r[group_col] in norm and r["__size"] is not None
+        }
     missing = [g for g, p in norm.items() if p > 0 and not counts.get(g)]
     if missing:
         raise ValueError(f"groups {missing} have no rows to mix from")
