@@ -302,6 +302,99 @@ def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate subsystem as one three-arm driver row,
+    every arm independently answering the SAME hourly query the DuckDB
+    oracle computes directly from raw events:
+
+    - ``batch``  — build 5m partials → coarsen to hourly → finalize
+      (q_rollup_hourly, hash-verified since r4; kept in BENCH_COMPAT so
+      headline timings stay comparable).
+    - ``routed`` — materialized-view routing end-to-end:
+      ``run_with_rollup`` takes the logical Query, decides via
+      rollup_route_reason that the rollup answers it exactly, and
+      answers WITHOUT touching the raw events (scan-shape asserted in
+      tests/test_rollup_routing.py).
+    - ``stream`` — streaming maintenance: drain the events through
+      ``rollup_sink`` (availableNow, 4 micro-batches via
+      maxFilesPerTrigger) into an epoch-keyed store, merge epochs on
+      read, coarsen, finalize — pins that a stream-maintained store
+      answers identically to a one-shot batch build."""
+    import tempfile
+
+    from zx_spark.model import Query
+    from zx_spark.operators.rollup import (
+        QUANTILE_BINS,
+        build_rollup,
+        coarsen_rollup,
+        read_merged_rollup,
+        rollup_answer,
+        rollup_sink,
+        run_with_rollup,
+    )
+
+    sel = [
+        Select("value", Aggregate.SUM),
+        Select("value", Aggregate.COUNT),
+        Select("value", Aggregate.MIN),
+        Select("value", Aggregate.MAX),
+        Select("value", Aggregate.MEAN),
+        Select("value", Aggregate.P50_APPROX),
+    ]
+
+    def shape(df: DataFrame, arm: str) -> DataFrame:
+        out = _round(
+            _floor_windows(df),
+            {"sum__value": 3, "mean__value": 6, "p50_approx__value": 6},
+        )
+        return out.select(F.lit(arm).alias("arm"), *out.columns)
+
+    ev = _events(spark, sf_dir).withColumn(
+        "g_event_type", F.coalesce(F.col("event_type").cast("string"), F.lit(NIL))
+    )
+    r5m = build_rollup(
+        ev, ["value"], ["g_event_type"], granularity_s=300, rate_col=None,
+        distinct_sketch=False, quantile_bins=QUANTILE_BINS,
+    )
+    hourly = coarsen_rollup(r5m, 300, 3600, group_cols=["g_event_type"])
+    batch = shape(
+        rollup_answer(hourly, sel, group_cols=["g_event_type"], empty_sentinels=False),
+        "batch",
+    )
+
+    q = Query(selects=sel, group_by=["event_type"], granularity_s=3600.0)
+    routed = shape(
+        run_with_rollup(
+            ev, q, r5m, 300.0, ["g_event_type"],
+            id_col="event_id", rate_col=None, empty_sentinels=False,
+        ),
+        "routed",
+    )
+
+    tmp = tempfile.mkdtemp(prefix="zx_rollup_suite_")
+    src, store, cp = f"{tmp}/src", f"{tmp}/store", f"{tmp}/cp"
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream_in = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rollup_sink(
+        stream_in, store, value_cols=["value"], group_cols=["g_event_type"],
+        granularity_s=300, rate_col=None, distinct_sketch=False,
+        quantile_bins=QUANTILE_BINS, checkpoint_dir=cp, available_now=True,
+    ).awaitTermination()
+    merged = read_merged_rollup(spark, store, group_cols=["g_event_type"])
+    stream = shape(
+        rollup_answer(
+            coarsen_rollup(merged, 300, 3600, group_cols=["g_event_type"]),
+            sel, group_cols=["g_event_type"], empty_sentinels=False,
+        ),
+        "stream",
+    )
+    return batch.unionByName(routed).unionByName(stream)
+
+
 def q_a8_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 RAW through the real aggregate (sorted collect_list), then
     exploded to scalar rows — the driver's canonicalizer can't hash
@@ -1185,7 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_heatmap": q_a9_heatmap,
         "a_weighted_suite": q_a_weighted_suite,
         # Beyond-reference scale operators (rollup + stream-stream join)
-        "rollup_hourly_agg": q_rollup_hourly,
+        "rollup_hourly_agg": q_rollup_suite,
         "streaming_interval_join": q_streaming_interval_join,
         # LLM pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -1224,6 +1317,10 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Kept for baseline continuity after the registry merge into
     # ann_cosine_suite (bench HEADLINE still times the pure top-k).
     "ann_topk": q_ann_topk,
+    # Pure batch continuous-aggregate path — the driver row became the
+    # three-arm q_rollup_suite (batch/routed/stream) in r5; the bench
+    # keeps timing the engine path, not streaming source staging.
+    "rollup_hourly_agg": q_rollup_hourly,
 }
 
 
@@ -1804,11 +1901,14 @@ def oracle_sql() -> dict[str, str]:
             "  FROM cum WHERE cum >= total * 0.5 AND c > 0 "
             "  QUALIFY row_number() OVER (PARTITION BY g, b ORDER BY bin) = 1"
             ") "
-            "SELECT d.g_event_type, d.window_start, d.window_end, "
+            # three arms (batch / routed / stream) must all equal the one
+            # direct answer — the Spark side computes each independently
+            "SELECT a.arm, d.g_event_type, d.window_start, d.window_end, "
             "  d.sum__value, d.count__value, d.min__value, d.max__value, "
             "  d.mean__value, round(p.est, 6) AS p50_approx__value "
             "FROM direct d LEFT JOIN p50 p "
-            "  ON d.g_event_type = p.g AND d.b = p.b"
+            "  ON d.g_event_type = p.g AND d.b = p.b "
+            "CROSS JOIN (VALUES ('batch'), ('routed'), ('stream')) AS a(arm)"
         ),
         "streaming_interval_join": (
             # Batch twin of the watermarked stream-stream interval join:
