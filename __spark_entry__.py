@@ -1278,7 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_heatmap": q_a9_heatmap,
         "a_weighted_suite": q_a_weighted_suite,
         # Beyond-reference scale operators (rollup + stream-stream join)
-        "rollup_hourly_agg": q_rollup_suite,
+        "rollup_suite": q_rollup_suite,
         "streaming_interval_join": q_streaming_interval_join,
         # LLM pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -1862,7 +1862,7 @@ def oracle_sql() -> dict[str, str]:
             "AS mean__value "
             "FROM events GROUP BY coalesce(event_type, '__nil')"
         ),
-        "rollup_hourly_agg": (
+        "rollup_suite": (
             # The oracle computes the DIRECT hourly windowed aggregate; the
             # Spark side answers it from 5-minute rollup partials coarsened
             # to hourly — equality proves the continuous-aggregate path
