@@ -828,15 +828,33 @@ def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.functions.text import bpe_ish_token_count
+    """Per-doc text statistics + document chunking, one row per doc.
+    The chunk columns pin chunk_documents (functions/text.py) value-for-
+    value: n_chunks, total chunk tokens, and a 60-bit-md5 checksum over
+    every chunk's TEXT — the oracle re-derives the same windows (64
+    tokens, 16 overlap) in SQL, so boundaries, overlap and remainder
+    handling are all hash-verified, not just counted."""
+    from zx_spark.functions.text import bpe_ish_token_count, chunk_documents
 
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
-    return _docs(spark, sf_dir).select(
+    stats = _docs(spark, sf_dir).select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
+    ch = chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        chunk_tokens=64,
+        overlap_tokens=16,
+    )
+    chk = F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 15), 16, 10).cast("long")
+    agg = ch.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+        F.sum(chk).alias("chunk_md5_sum"),
+    )
+    return stats.join(agg, "doc_id")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2011,10 +2029,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY coalesce(event_type, '__nil'), wno"
         ),
         "text_stats": (
-            "SELECT doc_id, length(text) AS n_chars, "
+            # chunk windows re-derived in SQL exactly as chunk_documents
+            # builds them: stride 48 = 64 − 16, n_chunks =
+            # ceil(max(n_toks − overlap, 1) / stride) with n_toks >= 1,
+            # remainder window short, empty doc -> one empty chunk
+            "WITH t AS (SELECT doc_id, text, "
+            f"list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), "
+            "tk -> tk != '') AS toks FROM documents), "
+            "c AS (SELECT doc_id, toks, "
+            "ceil(greatest(greatest(len(toks), 1) - 16, 1) / 48.0)::bigint "
+            "AS nck FROM t), "
+            "u AS (SELECT doc_id, toks, "
+            "unnest(range(0, (nck - 1) * 48 + 1, 48)) AS s FROM c), "
+            "ch AS (SELECT doc_id, "
+            "array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text, "
+            "greatest(least(len(toks) - s, 64), 0) AS n_tok FROM u), "
+            "agg AS (SELECT doc_id, count(*) AS n_chunks, "
+            "sum(n_tok)::bigint AS chunk_tokens, "
+            "sum(('0x' || substr(md5(chunk_text), 1, 15))::bigint)::bigint "
+            "AS chunk_md5_sum FROM ch GROUP BY doc_id) "
+            "SELECT d.doc_id, length(d.text) AS n_chars, "
             f"len({_TOKS}) AS n_tokens, "
-            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe_tokens "
-            "FROM documents"
+            "len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) "
+            "AS n_bpe_tokens, a.n_chunks, a.chunk_tokens, a.chunk_md5_sum "
+            "FROM documents d JOIN agg a USING (doc_id)"
         ),
         "text_quality": (
             "WITH q AS (SELECT doc_id, length(text) AS n_chars, "
