@@ -595,6 +595,10 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       sources dropped (default_rate=0) — aggregated per
       (source, copy_no) so the oracle pins WHICH docs got WHICH copy
       counts.
+    - ``budget`` arm: token_budget per source — the per-source token
+      totals a mixing plan budgets against (functions/text.py). In this
+      arm the ``id_sum`` column carries n_tokens (the row's checksum
+      quantity), not a doc-id sum.
 
     The md5 bucket (sampling._bucket) makes every keep/drop decision
     reproducible in the DuckDB oracle value-for-value; id_sum checksums
@@ -651,7 +655,21 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
-    return split_agg.unionByName(strat_agg).unionByName(mix_agg)
+    from zx_spark.functions.text import token_budget
+
+    budget_agg = token_budget(
+        _docs(spark, sf_dir).select("source", "text"), group_col="source"
+    ).select(
+        F.lit("budget").alias("part_kind"),
+        F.col("source").alias("part_key"),
+        F.col("n_docs"),
+        F.col("n_tokens").alias("id_sum"),
+    )
+    return (
+        split_agg.unionByName(strat_agg)
+        .unionByName(mix_agg)
+        .unionByName(budget_agg)
+    )
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,9 +1601,15 @@ def _sampling_oracle() -> str:
         "mix_agg AS (SELECT 'mix' AS part_kind, "
         "source || ':' || copy_no::VARCHAR AS part_key, "
         "count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum FROM mixed "
-        "GROUP BY 1, 2) "
+        "GROUP BY 1, 2), "
+        # budget arm: token_budget per source (id_sum carries n_tokens)
+        "budget_agg AS (SELECT 'budget' AS part_kind, source AS part_key, "
+        "count(*) AS n_docs, "
+        "sum(len(regexp_extract_all(coalesce(text, ''), "
+        "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')))::BIGINT AS id_sum "
+        "FROM documents GROUP BY source) "
         "SELECT * FROM split_agg UNION ALL SELECT * FROM strat_agg "
-        "UNION ALL SELECT * FROM mix_agg"
+        "UNION ALL SELECT * FROM mix_agg UNION ALL SELECT * FROM budget_agg"
     )
 
 
