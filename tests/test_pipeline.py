@@ -121,3 +121,36 @@ def test_token_budget(spark, docs):
     whole = token_budget(docs).collect()[0]
     assert whole["n_docs"] == docs.count()
     assert whole["n_tokens"] == sum(r["n_tokens"] for r in per_source.values())
+
+
+def test_pipeline_mixing_in_tokens(spark):
+    from zx_spark.functions.text import token_budget
+
+    # sources whose doc- and token-proportions disagree hard: A has few
+    # long docs, B many short ones (texts unique per doc — curate_corpus
+    # always exact-dedups first)
+    rows = [(i, "A", f"u{i} " + "tok " * 100) for i in range(60)] + [
+        (i, "B", f"u{i} " + "tok " * 10) for i in range(60, 660)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    props = {"A": 0.5, "B": 0.5}
+    by_tok = curate_corpus(
+        corpus, mix_proportions=props, mix_in_tokens=True, seed=2
+    )
+    got = {
+        r["source"]: r["n_tokens"]
+        for r in token_budget(by_tok, group_col="source").collect()
+    }
+    share = got["A"] / (got["A"] + got["B"])
+    assert 0.38 < share < 0.62, share  # token share ~ 50/50
+    # doc-count mixing on the same corpus lands far from token parity:
+    # equal DOC counts means A holds ~10x B's tokens
+    by_doc = curate_corpus(corpus, mix_proportions=props, seed=2)
+    got_doc = {
+        r["source"]: r["n_tokens"]
+        for r in token_budget(by_doc, group_col="source").collect()
+    }
+    share_doc = got_doc["A"] / (got_doc["A"] + got_doc["B"])
+    assert share_doc > 0.75, share_doc
+    # the helper weight column never leaks into the output
+    assert "__mix_n_tokens" not in by_tok.columns

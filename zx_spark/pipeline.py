@@ -12,7 +12,8 @@ shuffle downstream sees the smallest possible corpus:
                       corpus; greedy keep-lowest-id per pair
 6. decontamination  — broadcast n-gram probe vs the benchmark set
                       (corpus never shuffles to be probed)
-7. source mixing    — one count agg + map-side per-group rates
+7. source mixing    — one size agg (doc counts, or token totals with
+                      ``mix_in_tokens``) + map-side per-group rates
                       (downsample-only here; upsampling belongs after
                       the split)
 8. hash sample      — map-side filter
@@ -57,6 +58,7 @@ def curate_corpus(
     decontaminate_ngram: int = 5,
     mix_proportions: dict[str, float] | None = None,
     mix_group_col: str = "source",
+    mix_in_tokens: bool = False,
     sample_rate: float | None = None,
     split_weights: list[float] | None = None,
     seed: int = 0,
@@ -115,11 +117,27 @@ def curate_corpus(
     if mix_proportions is not None:
         # downsample-only: mixing must not duplicate rows ahead of the
         # leak-proof split (a repeated key would land whole in one split,
-        # skewing sizes; epoch-style upsampling belongs after splitting)
-        out, _ = mix_to_proportions(
-            out, mix_group_col, mix_proportions, id_col,
-            seed=seed, hash_method=hash_method,
-        )
+        # skewing sizes; epoch-style upsampling belongs after splitting).
+        # mix_in_tokens=True measures proportions in BPE-ish tokens (what
+        # pretraining actually budgets) instead of document counts — the
+        # per-group size aggregation weighs each doc by its token count.
+        if mix_in_tokens:
+            from zx_spark.functions.text import bpe_ish_token_count
+
+            tok = "__mix_n_tokens"
+            out, _ = mix_to_proportions(
+                out.withColumn(
+                    tok, bpe_ish_token_count(F.coalesce(F.col(text_col), F.lit("")))
+                ),
+                mix_group_col, mix_proportions, id_col,
+                seed=seed, hash_method=hash_method, weight_col=tok,
+            )
+            out = out.drop(tok)
+        else:
+            out, _ = mix_to_proportions(
+                out, mix_group_col, mix_proportions, id_col,
+                seed=seed, hash_method=hash_method,
+            )
     if sample_rate is not None:
         out = hash_sample(out, sample_rate, id_col, seed=seed, hash_method=hash_method)
     if split_weights is not None:
