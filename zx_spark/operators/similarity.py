@@ -532,16 +532,34 @@ def pq_train(
     # order). Seeding from the k smallest ids is degenerate: rows that
     # share leading subvectors make duplicate centers, and Lloyd can
     # never split a duplicated center. Fewer than k distinct values →
-    # cycle them (the extra centers stay empty and harmless).
+    # cycle them (the extra centers stay empty and harmless). All m
+    # subspaces seed in ONE job (posexplode → distinct → per-subspace
+    # row_number ≤ k) instead of m separate distinct scans — identical
+    # seeds (same lexicographic array order; pinned by the
+    # pq_codebooks_numpy twin test).
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.posexplode(F.array(*[_pq_sub(v, s, sub) for s in range(m)])).alias(
+            "__pq_s", "__pq_sv"
+        )
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("__pq_s").orderBy(F.col("__pq_sv"))
+    )
+    by_s: dict[int, dict[int, list[float]]] = {}
+    for r in ex.withColumn("__pq_rn", rn).filter(F.col("__pq_rn") <= k).collect():
+        # keyed by the window rank so seeds keep the RAW lexicographic
+        # order (rounding first could reorder near-equal subvectors and
+        # diverge from the pq_codebooks_numpy twin)
+        by_s.setdefault(int(r["__pq_s"]), {})[int(r["__pq_rn"])] = [
+            round(float(x), 6) for x in r["__pq_sv"]
+        ]
+    if not by_s:
+        raise ValueError("cannot train PQ on an empty table")
     codebooks = []
     for s in range(m):
-        sv = _pq_sub(v, s, sub)
-        seeds = [
-            [round(float(x), 6) for x in r["__s"]]
-            for r in df.select(sv.alias("__s")).distinct().orderBy("__s").limit(k).collect()
-        ]
-        if not seeds:
-            raise ValueError("cannot train PQ on an empty table")
+        seeds = [sv for _, sv in sorted(by_s[s].items())]
         codebooks.append([seeds[j % len(seeds)] for j in range(k)])
     for _ in range(iters):
         codes = _pq_codes_expr(v, codebooks, sub)
