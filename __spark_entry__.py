@@ -4,12 +4,13 @@
 one callable per implemented operator from SURVEY.md §2 plus the
 LLM-data-pipeline surface; ``oracle_sql()`` gives the DuckDB-equivalent SQL
 for every SQL-expressible query (the driver compares row-count + schema +
-order-insensitive value hash at sf0.01). 49 of 50 queries are
+order-insensitive value hash at sf0.01). All 50 queries are
 hash-verified — the hashing-based pipelines (MinHash, SimHash,
-fingerprints, RP-LSH, multimodal decode) deliberately use md5-derived /
-literal-embedded constructions so DuckDB reproduces them value-for-value.
-The one rows-only entry is ann_ivf_topk (Spark ML KMeans — genuinely not
-expressible in SQL), as the contract allows.
+fingerprints, RP-LSH, multimodal decode, sampling/mixing) deliberately
+use md5-derived / literal-embedded constructions so DuckDB reproduces
+them value-for-value, and the iterative quantizer fits (Lloyd IVF, PQ
+codebooks) round every communicated center to 6 dp so numpy twins
+re-derive them bit-identically for literal embedding in the oracle.
 
 Float discipline: every order-dependent float aggregate is rounded (3-6 dp)
 on BOTH sides; window timestamps are floored to whole-second BIGINTs so no

@@ -275,3 +275,33 @@ def test_raw_dtype_metadata_survives_parquet(events, rollup, spark, tmp_path):
     stored = spark.read.parquet(store)
     md = stored.schema["g_event_type"].metadata
     assert md.get("zx_raw_dtype") == "string"
+
+
+def test_assume_no_boundary_event_skips_probe(spark):
+    # the opt-out knob routes WITHOUT the boundary probe even when an
+    # event sits on t_end — open-right semantics, explicitly acknowledged
+    t_end = 1704067200.0
+    rows = [(1, t_end - 600.0, "a", 10.0), (2, t_end, "a", 40.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string, value double"
+    ).select(
+        "event_id", F.timestamp_seconds(F.col("sec")).alias("ts"),
+        "event_type", "value",
+    )
+    r = build_query_rollup(ev, ["value"], ["event_type"], granularity_s=BASE,
+                           rate_col=None)
+    q = Query(
+        selects=[Select("value", Aggregate.SUM)],
+        group_by=["event_type"],
+        granularity_s=3600.0,
+        t_end=t_end,
+    )
+    assert rollup_route_reason(r, q, BASE, KEYS) is not None  # probe fires
+    assert rollup_route_reason(
+        r, q, BASE, KEYS, assume_no_boundary_event=True
+    ) is None
+    routed = answer_query_from_rollup(
+        r, q, BASE, KEYS, empty_sentinels=False, assume_no_boundary_event=True
+    )
+    got = routed.collect()
+    assert len(got) == 1 and got[0]["sum__value"] == 10.0  # open-right

@@ -507,9 +507,19 @@ def rollup_route_reason(
     q,
     rollup_granularity_s: float,
     rollup_group_cols: list[str],
+    assume_no_boundary_event: bool = False,
 ) -> str | None:
     """``None`` when ``q`` is exactly answerable from the rollup, else a
-    human-readable fallback reason (also the test/debug surface)."""
+    human-readable fallback reason (also the test/debug surface).
+
+    ``assume_no_boundary_event=True`` skips the t_end boundary probe (a
+    pruned one-bucket scan of the rollup — exact but one Spark job per
+    routed query): opt in when the caller KNOWS no event timestamp can
+    sit exactly on a bucket edge (e.g. microsecond-resolution event
+    times make edge collision measure-zero) or in a high-QPS routing
+    layer where the probe cost matters; the routed answer then follows
+    the documented open-right boundary instead of being provably
+    closed-right-equal."""
     from zx_spark.compiler import group_alias
 
     if not q.selects:
@@ -580,7 +590,7 @@ def rollup_route_reason(
     for name, t in (("t_start", q.t_start), ("t_end", q.t_end)):
         if t is not None and float(t) % align != 0:
             return f"{name}={t} is not on a {align}s bucket edge"
-    if q.t_end is not None:
+    if q.t_end is not None and not assume_no_boundary_event:
         # compile_query's scan is INCLUSIVE of t_end (reference
         # src/lib.rs:305-331) but the routed filter is BUCKET < t_end; the
         # two differ only when an event's ts equals t_end to the
@@ -607,13 +617,17 @@ def answer_query_from_rollup(
     rollup_granularity_s: float,
     rollup_group_cols: list[str],
     empty_sentinels: bool = True,
+    assume_no_boundary_event: bool = False,
 ) -> DataFrame | None:
     """The rollup answer for ``q``, or ``None`` when it must fall back
     (see ``rollup_route_reason``). Scans only the rollup — the raw events
     are never touched."""
     from zx_spark.compiler import group_alias
 
-    if rollup_route_reason(rollup, q, rollup_granularity_s, rollup_group_cols):
+    if rollup_route_reason(
+        rollup, q, rollup_granularity_s, rollup_group_cols,
+        assume_no_boundary_event,
+    ):
         return None
     keys = [group_alias(c) for c in q.group_by]
     r = rollup
@@ -656,12 +670,14 @@ def run_with_rollup(
     ts_col: str = "ts",
     rate_col: str | None = "sample_rate",
     empty_sentinels: bool = True,
+    assume_no_boundary_event: bool = False,
 ) -> DataFrame:
     """Transparent routing: the rollup answer when exact, otherwise
     ``compile_query`` over the raw events — the standard
     materialized-view rewrite, done explicitly."""
     out = answer_query_from_rollup(
-        rollup, q, rollup_granularity_s, rollup_group_cols, empty_sentinels
+        rollup, q, rollup_granularity_s, rollup_group_cols, empty_sentinels,
+        assume_no_boundary_event,
     )
     if out is not None:
         return out
