@@ -963,41 +963,68 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming path: stream the events parquet through the
-    watermarked windowed aggregation with an availableNow drain — complete-
-    mode output equals the batch aligned-window result, so it oracles."""
+    """Structured Streaming path, two arms sharing one DuckDB oracle (the
+    batch aligned-window aggregate over the events table):
+
+    - ``direct``: stream the events parquet through the watermarked
+      windowed aggregation with an availableNow drain — complete-mode
+      output equals the batch result.
+    - ``dedup``: every event is delivered TWICE (the parquet staged under
+      two names — an at-least-once source) and the stream runs
+      ``streaming_exact_dedup`` (content-hash
+      dropDuplicatesWithinWatermark) CHAINED before the same aggregation.
+      Matching the single-delivery oracle proves the ingestion dedup
+      actually dropped every duplicate — sums would double otherwise."""
+    import os
+    import shutil as _shutil
     import tempfile
     import uuid
 
     from zx_spark.streaming import run_available_now, streaming_windowed_agg
+    from zx_spark.streaming.dedup import streaming_exact_dedup
 
-    import os
-    import tempfile as _tf
-
-    # The file streaming source requires a directory; stage the single
-    # parquet file behind a symlink in a temp dir.
-    stage = _tf.mkdtemp(prefix="zx_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = _with_ts_normalized(
-        spark.readStream.format("parquet").schema(raw_schema).load(stage)
-    )
     q = Query(
         selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
         group_by=["event_type"],
         granularity_s=86400,
     )
-    result = streaming_windowed_agg(stream, q, rate_col=None)
-    name = f"zx_stream_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
-    run_available_now(result, name, ckpt)
-    # Memory sink holds the rows; don't leak the staged source/checkpoint
-    # across driver rounds.
-    import shutil as _shutil
 
-    for d in (stage, ckpt):
+    def drain(result) -> DataFrame:
+        name = f"zx_stream_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
+        run_available_now(result, name, ckpt)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        return spark.table(name)
+
+    # direct arm — the file streaming source requires a directory; stage
+    # the single parquet file behind a symlink in a temp dir.
+    stage1 = tempfile.mkdtemp(prefix="zx_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage1}/events.parquet")
+    stream = _with_ts_normalized(
+        spark.readStream.format("parquet").schema(raw_schema).load(stage1)
+    )
+    direct = drain(streaming_windowed_agg(stream, q, rate_col=None))
+
+    # dedup arm — double delivery, content-hash dedup chained before the
+    # agg (watermark set ONCE by the dedup; the agg inherits it)
+    stage2 = tempfile.mkdtemp(prefix="zx_stream_dup_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage2}/a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage2}/b.parquet")
+    doubled = _with_ts_normalized(
+        spark.readStream.format("parquet").schema(raw_schema).load(stage2)
+    )
+    content = F.concat_ws("|", F.col("event_id"), F.col("value"), F.col("props"))
+    dd = streaming_exact_dedup(
+        doubled.withColumn("__content", content), "__content", watermark="30 days"
+    ).drop("__content", "content_hash")
+    deduped = drain(streaming_windowed_agg(dd, q, rate_col=None, watermark=None))
+
+    for d in (stage1, stage2):
         _shutil.rmtree(d, ignore_errors=True)
-    out = spark.table(name)
+    out = direct.select(F.lit("direct").alias("arm"), *direct.columns).unionByName(
+        deduped.select(F.lit("dedup").alias("arm"), *deduped.columns)
+    )
     return _round(out, {"sum__value": 3})
 
 
@@ -2180,12 +2207,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"
         ),
         "streaming_windowed_agg": (
-            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            # both arms (direct; double-delivered + ingestion-dedup) must
+            # equal the SINGLE-delivery batch aggregate
+            "WITH d AS (SELECT coalesce(event_type, '__nil') AS g_event_type, "
             "(floor(epoch(ts) / 86400) * 86400)::double AS window_start, "
             "((floor(epoch(ts) / 86400) + 1) * 86400)::double AS window_end, "
             "round(sum(coalesce(value, 0)), 3) AS sum__value, "
             "CAST(count(value) AS DOUBLE) AS count__value "
-            "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 86400)"
+            "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 86400)) "
+            "SELECT a.arm, d.* FROM d "
+            "CROSS JOIN (VALUES ('direct'), ('dedup')) AS a(arm)"
         ),
     }
     o.update(PASSTHROUGH_SQL)

@@ -345,3 +345,60 @@ def test_streaming_weighted_agg_matches_batch(spark, tmp_path):
     bat = compile_query(batch, q, id_col="id", rate_col="sample_rate")
     brow = {r["g_service"]: r["sum__v"] for r in bat.collect()}
     assert brow["a"] == 50.0 and brow["b"] == 9.0
+
+
+def test_chained_dedup_then_windowed_agg(spark, tmp_path):
+    """Stateful chaining: ingestion dedup feeding the windowed aggregation
+    in ONE streaming query (watermark set once by the dedup, inherited by
+    the agg via watermark=None — Spark disallows redefining it). Every
+    row is delivered twice; the chained result must equal the
+    single-delivery batch aggregate."""
+    import uuid
+
+    from zx_spark.model import Aggregate, Query, Select
+    from zx_spark.streaming import run_available_now, streaming_windowed_agg
+    from zx_spark.streaming.dedup import streaming_exact_dedup
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, float(1_700_000_000 + 60 * i), f"g{i % 3}", float(i)) for i in range(30)
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string, value double"
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "event_type", "value"
+    )
+    df.coalesce(1).write.parquet(f"{src}/a.parquet")
+    df.coalesce(1).write.parquet(f"{src}/b.parquet")  # double delivery
+    stream = (
+        spark.readStream.schema(df.schema).option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    content = F.concat_ws("|", "event_id", "value")
+    dd = streaming_exact_dedup(
+        stream.withColumn("__c", content), "__c", watermark="2 hours"
+    ).drop("__c", "content_hash")
+    q = Query(
+        selects=[Select("value", Aggregate.SUM)], group_by=["event_type"],
+        granularity_s=600,
+    )
+    name = f"chain_{uuid.uuid4().hex[:6]}"
+    run_available_now(
+        streaming_windowed_agg(dd, q, rate_col=None, watermark=None),
+        name, str(tmp_path / "ck"),
+    )
+    got = {
+        (r["g_event_type"], r["window_start"]): r["sum__value"]
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["g_event_type"], float(r["w"])): r["s"]
+        for r in df.groupBy(
+            "event_type", (F.floor(F.col("ts").cast("double") / 600) * 600).alias("w")
+        )
+        .agg(F.sum("value").alias("s"))
+        .withColumnRenamed("event_type", "g_event_type")
+        .collect()
+    }
+    assert got == want  # doubles collapsed, windows identical

@@ -40,14 +40,19 @@ def streaming_windowed_agg(
     q: Query,
     ts_col: str = "ts",
     rate_col: str | None = "sample_rate",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Incremental version of ``compile_query`` for aligned windows.
 
     Output: group keys (``g_<col>``, __nil-coalesced), ``window_start``/
     ``window_end`` (bucket bounds as unix seconds — a stream cannot know
     per-window first/last event ts until the window closes), one column per
-    select aliased as in the batch path."""
+    select aliased as in the batch path.
+
+    ``watermark=None`` inherits the UPSTREAM watermark instead of setting
+    one — required when chaining stateful operators (e.g.
+    ``streaming_exact_dedup`` → this agg): Spark disallows redefining the
+    watermark mid-query."""
     if q.granularity_s is None:
         raise ValueError("streaming aggregation needs a granularity")
     if rate_col is not None and rate_col not in stream.columns:
@@ -55,7 +60,7 @@ def streaming_windowed_agg(
     from zx_spark.compiler import group_alias
 
     keys = []
-    df = stream.withWatermark(ts_col, watermark)
+    df = stream if watermark is None else stream.withWatermark(ts_col, watermark)
     for c in q.group_by:
         a = group_alias(c)  # same rule as batch — parity tests depend on it
         df = df.withColumn(a, F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(NIL)))
