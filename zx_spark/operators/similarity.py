@@ -64,7 +64,9 @@ def cosine_topk(
     One distributed projection + Spark's TakeOrdered (per-partition top-k,
     then a k-sized merge on the driver) — no full sort, no shuffle of the
     data itself."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # one array-literal NODE per vector (not d F.lit nodes) — identical
+    # values, ~d× smaller expression trees for Catalyst to analyze
+    q = F.lit([float(v) for v in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
         _spread(df).select(F.col(id_col), F.round(sim, 6).alias("cosine"))
@@ -183,7 +185,7 @@ def rp_lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> 
     v = vec.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        h = F.array(*[F.lit(float(x)) for x in plane])
+        h = F.lit([float(x) for x in plane])
         bit = F.when(_dot(v, h) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
@@ -295,7 +297,7 @@ def ivf_topk(
     nearest the query (computed driver-side on the tiny centers array),
     then exact cosine within them."""
     cells = probe_cells(centers, query_vec, nprobe)
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    qcol = F.lit([float(v) for v in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), qcol)
     return (
         assigned.filter(F.col("ivf_cell").isin(cells))
@@ -328,7 +330,7 @@ def ivf_topk(
 def _sqdist_lit(v: Column, center: list[float]) -> Column:
     """Squared L2 distance to a literal center via the expansion
     |v|^2 - 2*v.c + |c|^2 (the same formula the DuckDB oracle uses)."""
-    c = F.array(*[F.lit(float(x)) for x in center])
+    c = F.lit([float(x) for x in center])
     c2 = float(sum(x * x for x in center))
     return _dot(v, v) - 2.0 * _dot(v, c) + F.lit(c2)
 
@@ -353,9 +355,27 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest center (argmin squared distance,
     first index on ties) — a pure codegen'd expression over broadcast
-    literal centers; no shuffle, no Python."""
+    literal centers; no shuffle, no Python.
+
+    The centers travel as ONE flattened array literal and the k scores
+    come from a ``transform`` loop over slices — expression-tree size
+    O(1) in k·d (vs k explicit distance expressions, whose Catalyst
+    analysis/codegen dominated the fit at k·d ≈ 512). The per-element fp
+    ops are identical (same zip_with/aggregate fold per center), so
+    assignments — and therefore the numpy-twin/oracle contract — are
+    unchanged (pinned by tests)."""
+    k = len(centers)
+    dim = len(centers[0])
+    flat = F.lit([float(x) for c in centers for x in c])
+    c2 = F.lit([float(sum(x * x for x in c)) for c in centers])
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_sqdist_lit(v, c) for c in centers])
+    # |v|^2 - 2 v.c_j + |c_j|^2 per center j (the oracle's expansion)
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: _dot(v, v)
+        - 2.0 * _dot(v, F.slice(flat, j * dim + 1, dim))
+        + F.element_at(c2, j + 1),
+    )
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return df.withColumn(cell_col, cell)
 
@@ -592,16 +612,21 @@ def _pq_codes_expr(v: Column, codebooks: list, sub: int) -> Column:
     """array<tinyint> of per-subspace argmin codes over literal centers.
     Scores are ``|c|² − 2·v·c`` — the ``|v|²`` term of the squared
     distance is constant across centers, so dropping it leaves the
-    argmin unchanged and removes k redundant self-dots per subspace."""
+    argmin unchanged and removes k redundant self-dots per subspace.
+    Each subspace's centers travel as one flattened array literal with a
+    ``transform`` loop over slices (O(1) expression size in k·sub; same
+    per-element fp ops as explicit per-center dots, so codes are
+    bit-identical — pinned by the numpy-twin test)."""
+    k = len(codebooks[0])
     parts = []
     for s, centers in enumerate(codebooks):
         sv = _pq_sub(v, s, sub)
-        dists = F.array(
-            *[
-                F.lit(float(sum(x * x for x in c)))
-                - 2.0 * _dot(sv, F.array(*[F.lit(float(x)) for x in c]))
-                for c in centers
-            ]
+        flat = F.lit([float(x) for c in centers for x in c])
+        c2 = F.lit([float(sum(x * x for x in c)) for c in centers])
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.element_at(c2, j + 1)
+            - 2.0 * _dot(sv, F.slice(flat, j * sub + 1, sub)),
         )
         parts.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint")
@@ -701,7 +726,7 @@ def pq_topk(
             table.append(
                 round(sum(float(a) * float(b) for a, b in zip(q_sub, codebooks[s][j])), 9)
             )
-    t = F.array(*[F.lit(x) for x in table])
+    t = F.lit([float(x) for x in table])
     codes = F.col(codes_col)
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
