@@ -124,8 +124,10 @@ def minhash_from_shingles(
     ``shingles_from_tokens`` over a MATERIALIZED token column here (see
     functions.text.tokenize) so the tokenizer runs once per row, not once
     per shingle position."""
-    a_arr = F.array(*[F.lit(a).cast("long") for a in _MINHASH_A[:num_hashes]])
-    b_arr = F.array(*[F.lit(b).cast("long") for b in _MINHASH_B[:num_hashes]])
+    # single array-literal nodes (not num_hashes lit nodes each) — same
+    # long values, smaller expression tree for Catalyst
+    a_arr = F.lit(list(_MINHASH_A[:num_hashes])).cast("array<long>")
+    b_arr = F.lit(list(_MINHASH_B[:num_hashes])).cast("array<long>")
     hashed = F.transform(shingles, lambda sh: base_hash(sh, hash_method))
     return F.aggregate(
         hashed,

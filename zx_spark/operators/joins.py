@@ -46,7 +46,7 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left/semi/anti joins, got {how!r}")
     b = big.withColumn(SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"))
     s = small.withColumn(
-        SALT, F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+        SALT, F.explode(F.lit(list(range(salts))).cast("array<int>"))
     )
     out = b.join(s, on=[on, SALT], how=how)
     return out.drop(SALT)
