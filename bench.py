@@ -46,6 +46,9 @@ HEADLINE = [
     # deliberately NOT here: it is the SQL-expressible oracle twin
     # (md5-per-token, ~5.5s at sf0.1); dedup_minhash_pairs is the
     # production near-dup path the bench measures.
+    # r5: sampling_suite gained mix + token-budget arms (two more verified
+    # sub-queries in the same row) — its r4-pinned 0.42s grew to ~0.65s
+    # from the added WORK, not a regression of the original arms.
     "sampling_suite",
     # added r4: continuous-aggregate path (build 5m partials → coarsen to
     # hourly → finalize). Streaming rows stay un-benched (drain cost is
