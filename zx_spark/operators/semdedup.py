@@ -1,0 +1,167 @@
+"""SemDeDup-style semantic deduplication over embedding columns.
+
+Published technique (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", 2023, arXiv:2303.09540):
+cluster the corpus embeddings with k-means, compute pairwise cosine
+similarity only WITHIN each cluster, and keep one representative per
+duplicate group — the item LEAST similar to its cluster centroid
+(dropping redundant cluster cores while preserving edge examples).
+
+Spark shape (scales to 100 TB):
+
+- the coarse quantizer is the deterministic Lloyd fit from
+  ``similarity.ivf_build_lloyd`` — every communicated center is rounded
+  to 6 decimals, so a numpy twin (``ivf_centers_numpy``) and therefore
+  the DuckDB oracle re-derive the centers bit-identically from the raw
+  parquet;
+- cluster assignment + centroid cosine are pure codegen'd projections
+  over broadcast literal centers — no shuffle, no Python;
+- candidate pairs come from a self-EQUI-join on the cluster id. The
+  cluster bounds the quadratic: pick ``n_cells`` proportional to
+  corpus_size / target_cell_size (the paper uses ~50k clusters for 5B
+  examples) and the per-cell work stays constant while the join remains
+  ONE hash shuffle on the cell key — never a crossJoin. Oversized cells
+  can additionally be thinned with ``similarity.rp_lsh_near_pairs``
+  within the cell;
+- the keep rule is a single pair-loser anti-join, not an iterative
+  clustering: x is dropped iff SOME same-cell near-dup y outranks it
+  (lower centroid-cosine wins; id breaks ties). This matches the
+  released SemDeDup implementation's rule (drop every example that has
+  a DIRECT above-threshold neighbor of higher keep priority); for
+  transitive-chain clustering compose the pair list with
+  ``dedup.dup_components`` instead.
+
+No reference parity — the reference engine (src/lib.rs) has no
+embedding operators; this is beyond-reference surface for LLM corpus
+curation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zx_spark.operators.similarity import (
+    _dot,
+    _norm,
+    cosine,
+    ivf_build_lloyd,
+)
+from zx_spark.util import spread as _spread
+
+
+def centroid_cosine(
+    df: DataFrame,
+    centers: list[list[float]] | np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    out_col: str = "centroid_cos",
+) -> Column | DataFrame:
+    """Cosine of every vector to ITS OWN cluster's centroid, rounded to 6
+    decimals (the keep-priority key — rounding makes the cross-engine
+    ordering exact, same convention as every communicated similarity in
+    this package). Centers travel as one flattened array literal and the
+    row's center is a ``slice`` at ``cell*dim`` — O(1) expression-tree
+    size in k·d, no shuffle."""
+    centers = [[float(x) for x in c] for c in np.asarray(centers)]
+    dim = len(centers[0])
+    flat = F.lit([x for c in centers for x in c])
+    norms = F.lit([float(np.sqrt(sum(x * x for x in c))) for c in centers])
+    v = F.col(vec_col).cast("array<double>")
+    c = F.slice(flat, F.col(cell_col) * dim + 1, dim)
+    cn = F.element_at(norms, F.col(cell_col) + 1)
+    cos = _dot(v, c) / F.greatest(_norm(v) * cn, F.lit(1e-12))
+    return df.withColumn(out_col, F.round(cos, 6))
+
+
+def semantic_dedup_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    iters: int = 5,
+    dim: int | None = None,
+):
+    """Fit the deterministic Lloyd quantizer and annotate every row with
+    its cluster and centroid cosine. Returns ``(annotated_df, centers)``
+    — centers as the 6-dp-rounded ndarray the numpy twin re-derives."""
+    assigned, centers = ivf_build_lloyd(
+        df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim
+    )
+    return centroid_cosine(assigned, centers, vec_col), centers
+
+
+def semantic_pairs(
+    annotated: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    ccos_col: str = "centroid_cos",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: self-equi-join on the cluster
+    id (one hash shuffle — the cluster key bounds the quadratic), exact
+    cosine on the joined pair, keep pairs with 6-dp-rounded cosine ≥
+    threshold. Output: (id_a, id_b, cosine, ccos_a, ccos_b) with
+    id_a < id_b."""
+    side = _spread(annotated).select(
+        F.col(id_col),
+        F.col(cell_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(ccos_col),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+            F.col(f"a.{ccos_col}").alias("ccos_a"),
+            F.col(f"b.{ccos_col}").alias("ccos_b"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dropped_ids(pairs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The drop set under the SemDeDup keep rule: every pair's LOSER — the
+    side with the HIGHER (centroid_cos, id) — is dropped; a row survives
+    iff it loses no pair. Lower centroid-cosine wins (the paper keeps the
+    example least similar to the centroid); ids break exact 6-dp ties
+    deterministically."""
+    a_wins = (F.col("ccos_a") < F.col("ccos_b")) | (
+        (F.col("ccos_a") == F.col("ccos_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    loser = F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a"))
+    return pairs.select(loser.alias(id_col)).distinct()
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    iters: int = 5,
+    threshold: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """One-call SemDeDup: fit → within-cluster pairs → drop losers.
+    Returns the kept rows of ``df`` (original columns). The drop set is
+    small relative to the corpus (it is the duplicate mass), so the
+    anti-join broadcasts."""
+    annotated, _ = semantic_dedup_fit(
+        df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim
+    )
+    pairs = semantic_pairs(
+        annotated, threshold=threshold, vec_col=vec_col, id_col=id_col
+    )
+    dropped = semantic_dropped_ids(pairs, id_col=id_col)
+    return df.join(F.broadcast(dropped), id_col, "left_anti")
