@@ -824,13 +824,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RP-LSH near-pair detection, self-seeded: the driver's random-ish
+    """Embedding near-dup suite, self-seeded: the driver's random-ish
     embeddings contain no cosine-0.9 pairs, so union each vector with a
-    deterministically perturbed copy (vec_id + 1_000_000). The LSH path
-    then provably finds the planted near-pairs (cosine ≈ 0.999) — a
-    non-vacuous end-to-end exercise of bucketing, multi-table union, and
-    cosine verification. Planted-pair recall is asserted in
-    tests/test_llm_pipeline.py."""
+    deterministically perturbed copy (vec_id + 1_000_000). Three arms:
+
+    - ``rp_lsh``   — RP-LSH bucket join + exact-cosine verify finds the
+      planted near-pairs (cosine ≈ 0.998); recall asserted in
+      tests/test_llm_pipeline.py.
+    - ``sem_pair`` — SemDeDup-style within-cluster pairs (semdedup.py):
+      deterministic Lloyd cells bound the self-join; the oracle re-derives
+      the 6-dp-rounded centers with the numpy twin and embeds them as
+      literals (the same construction ann_ivf_topk hash-verifies).
+    - ``sem_drop`` — the SemDeDup drop set (each pair's loser: higher
+      (centroid_cos, id)); id_b/score are NULL on this arm.
+    """
+    from zx_spark.operators.semdedup import (
+        semantic_dedup_fit,
+        semantic_dropped_ids,
+        semantic_pairs,
+    )
     from zx_spark.operators.similarity import rp_lsh_near_pairs
 
     emb = _emb(spark, sf_dir).select(
@@ -843,7 +855,22 @@ def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: x + F.lit(0.01) * (F.pmod(i, F.lit(5)).cast("double") - F.lit(2.0)) / F.lit(2.0),
         ).alias("embedding"),
     )
-    return rp_lsh_near_pairs(emb.unionByName(planted), dim=64, threshold=0.9)
+    allv = emb.unionByName(planted)
+    lsh = rp_lsh_near_pairs(allv, dim=64, threshold=0.9).select(
+        F.lit("rp_lsh").alias("arm"), "id_a", "id_b", F.col("cosine").alias("score")
+    )
+    annotated, _ = semantic_dedup_fit(allv, n_cells=8, iters=5, dim=64)
+    sp = semantic_pairs(annotated, threshold=0.95)
+    sem = sp.select(
+        F.lit("sem_pair").alias("arm"), "id_a", "id_b", F.col("cosine").alias("score")
+    )
+    drop = semantic_dropped_ids(sp).select(
+        F.lit("sem_drop").alias("arm"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return lsh.unionByName(sem).unionByName(drop)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1531,16 +1558,36 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
 
 
 def _rp_lsh_oracle(
-    n_planes: int = 12, n_tables: int = 3, dim: int = 64, threshold: float = 0.9
+    n_planes: int = 12,
+    n_tables: int = 3,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    iters: int = 5,
+    sem_threshold: float = 0.95,
 ) -> str:
-    """The FULL RP-LSH near-pair pipeline in DuckDB SQL — possible because
-    the hyperplanes are seeded numpy constants embedded as literals on
-    BOTH engines (similarity.py _hyperplanes): plant perturbed copies,
-    sign-bit buckets per table, bucket equi-join, exact cosine verify.
-    Float note: bucket bits and cosines are computed from identical double
-    literals; a sign/rounding flip would need |dot| within ~1e-15 of zero
-    (hyperplane dots are O(1)) — negligible."""
-    from zx_spark.operators.similarity import _hyperplanes
+    """The FULL embedding near-dup suite in DuckDB SQL:
+
+    - ``rp_lsh`` arm — possible because the hyperplanes are seeded numpy
+      constants embedded as literals on BOTH engines (similarity.py
+      _hyperplanes): plant perturbed copies, sign-bit buckets per table,
+      bucket equi-join, exact cosine verify. Float note: bucket bits and
+      cosines are computed from identical double literals; a sign/rounding
+      flip would need |dot| within ~1e-15 of zero (hyperplane dots are
+      O(1)) — negligible.
+    - ``sem_pair``/``sem_drop`` arms — SemDeDup over the same planted
+      union: ivf_centers_numpy re-derives the 6-dp-rounded Lloyd centers
+      from the raw parquet + a pure-Python twin of the perturbation
+      (pinned Spark≡numpy by tests/test_semdedup.py), so cluster
+      assignment, centroid cosine (literal per-center norms), the
+      within-cell pair join, and the pair-loser drop rule are all plain
+      SQL over literal centers."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zx_spark.operators.similarity import _hyperplanes, ivf_centers_numpy
 
     def plane_lit(p) -> str:
         return "[" + ", ".join(repr(float(x)) for x in p) + "]"
@@ -1557,6 +1604,52 @@ def _rp_lsh_oracle(
     case_arms = " ".join(
         f"WHEN {t} THEN b{t}" for t in range(n_tables - 1)
     )
+
+    # SemDeDup centers: numpy twin over (base + python-perturbed) union —
+    # bit-identical to Spark's ivf_build_lloyd on the planted union.
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    except OSError:
+        return (
+            "SELECT NULL::VARCHAR AS arm, NULL::BIGINT AS id_a, "
+            "NULL::BIGINT AS id_b, NULL::DOUBLE AS score WHERE false"
+        )
+    ids = t["vec_id"].to_numpy()
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    pert = np.array(
+        [
+            [v + (0.01 * ((i % 5) - 2.0)) / 2.0 for i, v in enumerate(row)]
+            for row in X.tolist()
+        ]
+    )
+    centers = ivf_centers_numpy(
+        np.concatenate([ids, ids + 1_000_000]), np.vstack([X, pert]), n_cells, iters
+    )
+
+    def lst(c) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    dists = ", ".join(
+        f"(list_dot_product(v, v) - 2*list_dot_product(v, {lst(c)}) "
+        f"+ {float(sum(x * x for x in c))!r})"
+        for c in centers
+    )
+    # per-cell centroid cosine: literal center + literal norm (np.sqrt of
+    # the python left-assoc sum — the identical doubles semdedup.py embeds)
+    ccos_arms = " ".join(
+        f"WHEN {j} THEN round(list_dot_product(v, {lst(c)}) / "
+        f"greatest(sqrt(list_dot_product(v, v)) * "
+        f"{float(np.sqrt(sum(x * x for x in c)))!r}, 1e-12), 6)"
+        for j, c in enumerate(centers)
+    )
+    pair_cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), "
+        "1e-12), 6)"
+    )
     return (
         "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
         "planted AS (SELECT vec_id + 1000000 AS vec_id, "
@@ -1572,8 +1665,22 @@ def _rp_lsh_oracle(
         "greatest(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), "
         "1e-12), 6) AS cosine "
         "FROM ex a JOIN ex b ON a.table_no = b.table_no AND a.bucket = b.bucket "
-        "AND a.vec_id < b.vec_id) "
-        f"SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}"
+        "AND a.vec_id < b.vec_id), "
+        f"dl AS (SELECT vec_id, v, [{dists}] AS dists FROM allv), "
+        "asg AS (SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell "
+        "FROM dl), "
+        f"cc AS (SELECT vec_id, v, cell, CASE cell {ccos_arms} END AS ccos FROM asg), "
+        "sp AS (SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"{pair_cos} AS score, a.ccos AS ccos_a, b.ccos AS ccos_b "
+        "FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id) "
+        f"WHERE score >= {sem_threshold}), "
+        "dropped AS (SELECT DISTINCT CASE WHEN (ccos_a < ccos_b) OR "
+        "(ccos_a = ccos_b AND id_a < id_b) THEN id_b ELSE id_a END AS id_a FROM sp) "
+        f"SELECT 'rp_lsh' AS arm, id_a, id_b, cosine AS score FROM cand "
+        f"WHERE cosine >= {threshold} "
+        "UNION ALL SELECT 'sem_pair' AS arm, id_a, id_b, score FROM sp "
+        "UNION ALL SELECT 'sem_drop' AS arm, id_a, NULL::BIGINT AS id_b, "
+        "NULL::DOUBLE AS score FROM dropped"
     )
 
 

@@ -186,6 +186,7 @@ def test_rp_lsh_finds_planted_pairs(spark):
     found = {
         (r["id_a"], r["id_b"])
         for r in entry.q_emb_near_pairs_lsh(spark, sf_dir).collect()
+        if r["arm"] == "rp_lsh"
     }
     n_vecs = read_table(spark, sf_dir, "embeddings").count()
     planted = {(i, i + 1_000_000) for (i,) in
