@@ -974,19 +974,35 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination with a REALISTIC leak: the 'benchmark' is
-    40-word excerpts of every doc_id % 10 == 3 document (an eval set drawn
-    from the same crawl), probed against the FULL corpus — each excerpted
-    document flags on its own excerpt, and near-duplicates of it flag too.
-    Broadcast probe + one per-doc aggregation (decontaminate.py)."""
-    from zx_spark.operators.decontaminate import decontaminate
+    """Corpus n-gram hygiene, two arms sharing the shingle construction:
+
+    - ``bench``  — benchmark decontamination with a REALISTIC leak: the
+      'benchmark' is 40-word excerpts of every doc_id % 10 == 3 document
+      (an eval set drawn from the same crawl), probed against the FULL
+      corpus — each excerpted document flags on its own excerpt, and
+      near-duplicates of it flag too. Broadcast probe + one per-doc
+      aggregation (decontaminate.py).
+    - ``boiler`` — corpus-INTERNAL repeated n-grams (boilerplate): 5-gram
+      shingles appearing in ≥2 distinct documents, rejoined to flag each
+      document's repeated-shingle load (boilerplate_fractions)."""
+    from zx_spark.operators.decontaminate import boilerplate_fractions, decontaminate
 
     docs = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     bench = docs.filter(F.col("doc_id") % 10 == 3).select(
         F.array_join(F.slice(toks, 1, 40), " ").alias("text")
     )
-    return decontaminate(docs, bench, text_col="text", id_col="doc_id", n=5)
+    dec = decontaminate(docs, bench, text_col="text", id_col="doc_id", n=5).select(
+        F.lit("bench").alias("arm"),
+        "doc_id",
+        "n_overlap",
+        "n_ngrams",
+        F.col("contamination").alias("ratio"),
+    )
+    boiler = boilerplate_fractions(
+        docs, text_col="text", id_col="doc_id", n=5, min_docs=2
+    ).select(F.lit("boiler").alias("arm"), "doc_id", "n_overlap", "n_ngrams", "ratio")
+    return dec.unionByName(boiler)
 
 
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1467,11 +1483,12 @@ def _pii_oracle() -> str:
     )
 
 
-def _decontaminate_oracle(n: int = 5, excerpt_words: int = 40) -> str:
-    """DuckDB twin of q_decontaminate: benchmark = first-``excerpt_words``
-    token runs of doc_id % 10 == 3 documents, distinct md5-60-bit
-    ``n``-gram hashes broadcast-probed against every document's distinct
-    hash set, per-doc overlap counts + contamination ratio."""
+def _decontaminate_oracle(n: int = 5, excerpt_words: int = 40, min_docs: int = 2) -> str:
+    """DuckDB twin of q_decontaminate, both arms over ONE shingle scan:
+    ``bench`` = first-``excerpt_words`` token runs of doc_id % 10 == 3
+    documents, distinct md5-60-bit ``n``-gram hashes probed against every
+    document's distinct hash set; ``boiler`` = hashes whose document
+    frequency ≥ ``min_docs`` probed the same way."""
     shingle = (
         "CASE WHEN len(w) > 0 THEN "
         f"list_transform(generate_series(0, greatest(len(w)-{n}, 0)), "
@@ -1487,9 +1504,15 @@ def _decontaminate_oracle(n: int = 5, excerpt_words: int = 40) -> str:
         f"dh AS (SELECT doc_id, list_distinct(list_transform(sh, {h})) AS hs FROM dsh), "
         "dx AS (SELECT doc_id, len(hs) AS n_ngrams, unnest(hs) AS h FROM dh), "
         "hits AS (SELECT doc_id, count(*) AS n_overlap, any_value(n_ngrams) AS n_ngrams "
-        "FROM dx JOIN bh USING (h) GROUP BY doc_id) "
-        "SELECT doc_id, n_overlap, n_ngrams, "
-        "round(n_overlap::double / n_ngrams, 6) AS contamination FROM hits"
+        "FROM dx JOIN bh USING (h) GROUP BY doc_id), "
+        f"boilh AS (SELECT h FROM (SELECT h, count(*) AS n_docs FROM dx GROUP BY h) "
+        f"WHERE n_docs >= {min_docs}), "
+        "bhits AS (SELECT doc_id, count(*) AS n_overlap, any_value(n_ngrams) AS n_ngrams "
+        "FROM dx JOIN boilh USING (h) GROUP BY doc_id) "
+        "SELECT 'bench' AS arm, doc_id, n_overlap, n_ngrams, "
+        "round(n_overlap::double / n_ngrams, 6) AS ratio FROM hits "
+        "UNION ALL SELECT 'boiler' AS arm, doc_id, n_overlap, n_ngrams, "
+        "round(n_overlap::double / n_ngrams, 6) AS ratio FROM bhits"
     )
 
 

@@ -222,3 +222,59 @@ def test_dup_components_warns_when_not_converged(spark):
         warnings.simplefilter("error")
         got = {r["doc_id"]: r["component"] for r in dup_components(pairs).collect()}
     assert set(got.values()) == {0}
+
+
+# ---------------------------------------------------------------- boilerplate
+
+
+@pytest.fixture(scope="module")
+def boiler_corpus(spark):
+    footer = "all rights reserved by the example site network"
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + footer),
+        (2, "zeta eta theta iota kappa " + footer),
+        (3, "lambda mu nu xi omicron " + footer),
+        (4, "unique words only appear here once nothing shared"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_shingles_are_the_shared_footer(spark, boiler_corpus):
+    from zx_spark.operators.decontaminate import boilerplate_shingles
+
+    got = boilerplate_shingles(boiler_corpus, n=5, min_docs=3).collect()
+    # the 8-word footer has 4 distinct 5-gram windows fully inside it;
+    # every one appears in docs 1-3 and nowhere else
+    assert len(got) == 4
+    assert all(r["n_docs"] == 3 for r in got)
+
+
+def test_boilerplate_fractions_flag_footer_docs_only(spark, boiler_corpus):
+    from zx_spark.operators.decontaminate import boilerplate_fractions
+
+    got = {r["doc_id"]: r for r in boilerplate_fractions(
+        boiler_corpus, n=5, min_docs=3).collect()}
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        # 13 tokens -> 9 distinct 5-grams; 4 of them are footer windows
+        assert r["n_ngrams"] == 9
+        assert r["n_overlap"] == 4
+        assert abs(r["ratio"] - 4 / 9) < 1e-6
+
+
+def test_drop_boilerplate_docs_threshold(spark, boiler_corpus):
+    from zx_spark.operators.decontaminate import drop_boilerplate_docs
+
+    kept = {r["doc_id"] for r in drop_boilerplate_docs(
+        boiler_corpus, n=5, min_docs=3, max_ratio=0.4).collect()}
+    assert kept == {4}  # footer docs are 4/9 > 0.4 boilerplate
+    kept_all = {r["doc_id"] for r in drop_boilerplate_docs(
+        boiler_corpus, n=5, min_docs=3, max_ratio=0.5).collect()}
+    assert kept_all == {1, 2, 3, 4}
+
+
+def test_boilerplate_validates_min_docs(spark, boiler_corpus):
+    from zx_spark.operators.decontaminate import boilerplate_shingles
+
+    with pytest.raises(ValueError, match="min_docs"):
+        boilerplate_shingles(boiler_corpus, min_docs=1)

@@ -111,6 +111,93 @@ def decontaminate(
     )
 
 
+def boilerplate_shingles(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-internal repeated n-grams: the distinct shingle hashes that
+    appear in ≥ ``min_docs`` DISTINCT documents — boilerplate (headers,
+    footers, licenses, templated spans) in the C4/RefinedWeb sense.
+
+    One document-frequency aggregation: per-doc distinct hashes are
+    computed map-side (array_distinct before the explode), so the shuffle
+    carries one row per (partition, distinct shingle) and the agg output
+    is ∝ the distinct-shingle vocabulary, not the corpus. Returns
+    ``(shingle_hash, n_docs)``."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    doc_grams = _with_shingle_hashes(_spread(corpus), text_col, n, "__hs").select(
+        F.col(f"`{id_col}`"), F.explode_outer("__hs").alias("shingle_hash")
+    )
+    return (
+        doc_grams.groupBy("shingle_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_fractions(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate load: for every document containing at
+    least one corpus-repeated n-gram, ``(id_col, n_overlap, n_ngrams,
+    ratio)`` — distinct repeated shingles in the doc, its total distinct
+    shingles, and their ratio. The inverse of ``decontaminate``: the probe
+    set comes from the corpus's OWN document-frequency statistics instead
+    of an external benchmark.
+
+    Scale shape: two hash shuffles (the DF agg keyed on shingle hash, the
+    per-doc hit agg keyed on the unique id) plus the probe join. The
+    boilerplate set is NOT force-broadcast — it is corpus-dependent
+    (unlike a benchmark set, it can be large on templated crawls); AQE
+    picks broadcast when it fits. Output ∝ boilerplate incidence."""
+    boiler = boilerplate_shingles(corpus, text_col, id_col, n, min_docs).select(
+        F.col("shingle_hash").alias("__h")
+    )
+    doc_grams = _with_shingle_hashes(_spread(corpus), text_col, n, "__hs").select(
+        F.col(f"`{id_col}`"),
+        F.size("__hs").alias("n_ngrams"),
+        F.explode_outer("__hs").alias("__h"),
+    )
+    return (
+        doc_grams.join(boiler, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.first("n_ngrams").alias("n_ngrams"),
+        )
+        .select(
+            F.col(f"`{id_col}`"),
+            "n_overlap",
+            "n_ngrams",
+            F.round(F.col("n_overlap") / F.col("n_ngrams"), 6).alias("ratio"),
+        )
+    )
+
+
+def drop_boilerplate_docs(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """The applied form: drop documents whose boilerplate ratio exceeds
+    ``max_ratio`` (mostly-templated pages); keep the rest."""
+    heavy = boilerplate_fractions(corpus, text_col, id_col, n, min_docs).filter(
+        F.col("ratio") > max_ratio
+    )
+    return corpus.join(heavy.select(id_col), id_col, "left_anti")
+
+
 def drop_contaminated(
     corpus: DataFrame,
     benchmark: DataFrame,
