@@ -759,18 +759,33 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k + threshold scan as one two-arm driver row
-    (identical column shapes; merged to free a registry slot for
-    streaming_sessions under the 50-query cap). The pure top-k callable
-    stays in BENCH_COMPAT so headline timings remain comparable with the
-    pinned baseline."""
+    """Brute-force cosine top-k + threshold scan + int8-quantized top-k as
+    one three-arm driver row (identical column shapes; merged to free
+    registry slots under the 50-query cap). The pure top-k callable stays
+    in BENCH_COMPAT so headline timings remain comparable with the pinned
+    baseline.
+
+    The ``int8`` arm drives quantize_embeddings (similarity.py) end to
+    end: per-vector symmetric quantization ``round(v / (max|v|/127))`` to
+    tinyint, then exact top-k over the QUANTIZED arrays — the 4-8×
+    scan-byte reduction path for a 100 TB vector store. The encode is
+    pure SQL (the oracle reproduces it), and because the squared int
+    sums are exact in doubles there is no fp-order hazard at all."""
+    from zx_spark.operators.similarity import cosine_topk, quantize_embeddings
+
     topk = q_ann_topk(spark, sf_dir).select(
         F.lit("topk").alias("arm"), "vec_id", "cosine"
     )
     thr = q_ann_cosine_threshold(spark, sf_dir).select(
         F.lit("threshold").alias("arm"), "vec_id", "cosine"
     )
-    return topk.unionByName(thr)
+    q8 = quantize_embeddings(_emb(spark, sf_dir)).select(
+        "vec_id", F.col("q_embedding").alias("embedding")
+    )
+    int8 = cosine_topk(q8, ANN_QUERY_VEC, k=10).select(
+        F.lit("int8").alias("arm"), "vec_id", "cosine"
+    )
+    return topk.unionByName(thr).unionByName(int8)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2184,13 +2199,25 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_redact": _pii_oracle(),
         "decontaminate_ngrams": _decontaminate_oracle(),
         "ann_cosine_suite": (
+            # int8 arm: the quantize_embeddings construction —
+            # scale = max|v|/127, q = round(v/scale); integer squared sums
+            # are exact in doubles, so the cosine needs no fp-order care
             "WITH c AS (SELECT vec_id, round(embedding[1]::double / "
             "sqrt(list_aggregate(list_transform(embedding, x -> x::double * x::double), 'sum')), 6) AS cosine "
-            "FROM embeddings) "
+            "FROM embeddings), "
+            "q8 AS (SELECT vec_id, list_transform(embedding, x -> round(x::double / "
+            "(greatest(list_max(list_transform(embedding, y -> abs(y::double))), 1e-12) "
+            "/ 127.0))) AS qe FROM embeddings), "
+            "i8 AS (SELECT vec_id, round(qe[1] / "
+            "greatest(sqrt(list_aggregate(list_transform(qe, x -> x * x), 'sum')), 1e-12), 6) "
+            "AS cosine FROM q8) "
             "SELECT 'topk' AS arm, vec_id, cosine FROM "
             "(SELECT * FROM c ORDER BY cosine DESC, vec_id LIMIT 10) "
             "UNION ALL "
-            "SELECT 'threshold' AS arm, vec_id, cosine FROM c WHERE cosine >= 0.25"
+            "SELECT 'threshold' AS arm, vec_id, cosine FROM c WHERE cosine >= 0.25 "
+            "UNION ALL "
+            "SELECT 'int8' AS arm, vec_id, cosine FROM "
+            "(SELECT * FROM i8 ORDER BY cosine DESC, vec_id LIMIT 10)"
         ),
         "ann_ivf_topk": _ivf_pq_oracle(),
         "streaming_sessions": (
