@@ -919,17 +919,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals + the trained NB classifier score
+    (functions/classify.py): the model is trained IN the query on the
+    corpus's own lang labels (one distributed count agg, exact integer
+    micro-log-odds), scored as a pure Catalyst fold. The oracle re-trains
+    the identical model with the pure-Python twin from the raw parquet —
+    so training and scoring are both hash-verified end to end."""
+    from zx_spark.functions.classify import nb_score, nb_train
     from zx_spark.functions.text import repetition_signals, text_quality
 
+    docs = _docs(spark, sf_dir)
+    model = nb_train(
+        docs.withColumn("label", F.col("lang") == "en"), "text", "label"
+    )
     q = text_quality(F.col("text"))
     r = repetition_signals(F.col("text"))
-    return _docs(spark, sf_dir).select(
+    return docs.select(
         "doc_id",
         q["stopword_ratio"].alias("stopword_ratio"),
         q["upper_ratio"].alias("upper_ratio"),
         q["quality_score"].alias("quality_score"),
         r["dup_line_fraction"].alias("dup_line_fraction"),
         r["dup_token_fraction"].alias("dup_token_fraction"),
+        nb_score(F.col("text"), model).alias("nb_en_logodds"),
     )
 
 
@@ -1495,6 +1507,35 @@ def _pii_oracle() -> str:
         f"s AS (SELECT doc_id, {', '.join(cnts)}, md5({cur}) AS redacted_md5 FROM p) "
         f"SELECT doc_id, {', '.join('n_' + t for t, _, _ in PII_PATTERNS)}, "
         f"({total}) AS n_pii, redacted_md5 FROM s"
+    )
+
+
+def _nb_score_sql(n_buckets: int = 256) -> str:
+    """SQL expression for the NB classifier score column — the weights
+    come from nb_train_python (functions/classify.py) re-deriving the
+    model from the raw parquet INDEPENDENTLY of Spark: exact integer
+    (bucket, label) counts → micro-log-odds literals. Scoring is an
+    order-free bigint sum (exact on both engines) divided once."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from zx_spark.functions.classify import MICRO, nb_train_python
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    except OSError:
+        return "NULL::DOUBLE"
+    model = nb_train_python(
+        list(zip(t["text"].to_pylist(), (l == "en" for l in t["lang"].to_pylist()))),
+        n_buckets=n_buckets,
+    )
+    wlit = "[" + ", ".join(str(int(x)) for x in model["weights_micro"]) + "]"
+    return (
+        f"round((coalesce(list_aggregate(list_transform({_TOKS}, "
+        f"t -> ({wlit})[((('0x'||substr(md5(t),1,15))::bigint % {n_buckets}) + 1)::int]), "
+        f"'sum'), 0) + {int(model['prior_micro'])})::double / {float(MICRO)!r}, 6)"
     )
 
 
@@ -2271,7 +2312,8 @@ def oracle_sql() -> dict[str, str]:
             f"len(list_filter({_TOKS}, t -> list_contains({_EN_STOP}, t))) AS n_stop, "
             f"len(list_distinct({_TOKS})) AS n_distinct_tokens, "
             "list_filter(list_transform(string_split_regex(text, '\\n'), l -> trim(l)), "
-            "l -> l != '') AS lines "
+            "l -> l != '') AS lines, "
+            f"{_nb_score_sql()} AS nb_en_logodds "
             "FROM documents) "
             "SELECT doc_id, "
             "round(n_stop::double / greatest(n_tokens, 1), 4) AS stopword_ratio, "
@@ -2284,7 +2326,8 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_line_fraction, "
             "round(CASE WHEN n_tokens > 0 THEN "
             "1.0 - n_distinct_tokens::double / n_tokens ELSE 0.0 END, 4) "
-            "AS dup_token_fraction "
+            "AS dup_token_fraction, "
+            "nb_en_logodds "
             "FROM q"
         ),
         "text_lang_counts": (
