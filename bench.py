@@ -38,6 +38,10 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "ann_topk",
+    # r5 session 2: text_quality gained the NB classifier column (train
+    # IN the query + literal-fold scoring) — ~0.28s → ~0.95s from the
+    # added WORK, not a regression; decontaminate_ngrams gained the
+    # boilerplate arm (~1.48s → ~1.75s), same reason.
     "text_quality",
     # added r3 (no r2 baseline entry — first measurement pins them)
     "asof_join_marks",

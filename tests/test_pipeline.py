@@ -154,3 +154,47 @@ def test_pipeline_mixing_in_tokens(spark):
     assert share_doc > 0.75, share_doc
     # the helper weight column never leaks into the output
     assert "__mix_n_tokens" not in by_tok.columns
+
+
+def test_pipeline_classifier_gate(spark, docs):
+    from zx_spark.functions.classify import nb_train
+
+    labeled = docs.withColumn("label", F.col("lang") == "en")
+    model = nb_train(labeled, "text", "label")
+    out = curate_corpus(docs, classifier_model=model, classifier_min_logodds=-0.5)
+    n, n0 = out.count(), docs.count()
+    assert 0 < n < n0  # the gate actually cuts, but not everything
+
+
+def test_pipeline_boilerplate_stage(spark):
+    footer = "all rights reserved by the example site network"
+    rows = [(i, "web", f"doc {i} unique words number {i * 7} " + footer) for i in range(6)]
+    rows.append((99, "web", "completely original text with no shared template at all"))
+    corpus = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curate_corpus(
+        corpus, boilerplate_max_ratio=0.2, boilerplate_min_docs=3
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 99 in kept  # the original doc survives
+    assert all(i not in kept for i in range(6))  # templated docs dropped
+
+
+def test_pipeline_semantic_dedup_stage(spark):
+    # two docs with near-identical embeddings + one distinct: SemDeDup
+    # keeps one of the near pair; a doc without an embedding row passes.
+    base = [0.1 * (i % 7) + 0.05 for i in range(16)]
+    near = [v + 0.001 for v in base]
+    far = [1.0 if i == 3 else 0.01 for i in range(16)]
+    corpus = spark.createDataFrame(
+        [(1, "first text"), (2, "second text"), (3, "third text"), (4, "no embedding")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, embedding array<double>"
+    )
+    out = curate_corpus(
+        corpus, embeddings=emb, semantic_threshold=0.99, semantic_n_cells=2
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 4 in kept and 3 in kept
+    assert len(kept & {1, 2}) == 1  # exactly one of the near pair survives

@@ -395,6 +395,7 @@ def ivf_build_lloyd(
     if dim is None:
         dim = len(df.select(F.col(vec_col)).first()[0])
     centers = ivf_init_centers(df, vec_col, id_col, n_cells)
+    n_cells = len(centers)  # fewer vectors than requested cells
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         assigned = ivf_assign(df, centers, vec_col)

@@ -5,19 +5,28 @@ Stage order is the 100 TB order — cheap map-side filters first so every
 shuffle downstream sees the smallest possible corpus:
 
 1. quality gate     — pure Catalyst projection, no shuffle
-2. language gate    — pure Catalyst projection, no shuffle
-3. PII scrub        — map-side regex redaction, no shuffle
-4. exact dedup      — one hash shuffle (min-id semi-join)
-5. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
+2. classifier gate  — trained NB score (functions/classify.py), pure
+                      Catalyst literal-array fold, no shuffle
+3. language gate    — pure Catalyst projection, no shuffle
+4. PII scrub        — map-side regex redaction, no shuffle
+5. boilerplate drop — corpus-internal repeated-n-gram load (two keyed
+                      aggs + probe join); runs BEFORE doc dedup so
+                      template spans repeated by duplicates still count
+                      as repeated (the C4 order: span-level hygiene,
+                      then document identity)
+6. exact dedup      — one hash shuffle (min-id semi-join)
+7. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
                       corpus; greedy keep-lowest-id per pair
-6. decontamination  — broadcast n-gram probe vs the benchmark set
+8. semantic dedup   — SemDeDup over a supplied embedding table
+                      (cluster-bounded pair join, keep-least-central)
+9. decontamination  — broadcast n-gram probe vs the benchmark set
                       (corpus never shuffles to be probed)
-7. source mixing    — one size agg (doc counts, or token totals with
+10. source mixing   — one size agg (doc counts, or token totals with
                       ``mix_in_tokens``) + map-side per-group rates
                       (downsample-only here; upsampling belongs after
                       the split)
-8. hash sample      — map-side filter
-9. train/test split — map-side bucket assignment
+11. hash sample     — map-side filter
+12. train/test split — map-side bucket assignment
 
 Every stage is deterministic (hash-keyed, fixed seeds), so the curated
 corpus is reproducible row-for-row across runs, retries, and cluster
@@ -50,10 +59,19 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     quality_min: float | None = None,
+    classifier_model: dict | None = None,
+    classifier_min_logodds: float = 0.0,
     languages: list[str] | None = None,
     scrub_pii: bool = False,
+    boilerplate_max_ratio: float | None = None,
+    boilerplate_min_docs: int = 2,
+    boilerplate_ngram: int = 5,
     near_dup_threshold: float | None = None,
     near_dup_mode: str = "pairs",
+    embeddings: DataFrame | None = None,
+    embedding_vec_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    semantic_n_cells: int = 64,
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 5,
     mix_proportions: dict[str, float] | None = None,
@@ -74,11 +92,24 @@ def curate_corpus(
     model would actually see. ``benchmark`` drops documents sharing
     ``decontaminate_ngram``-gram hashes with it. ``hash_method='xx64'``
     switches every hashing stage (MinHash, sampling, split) to xxhash64
-    for max throughput (md5 default keeps them SQL-verifiable)."""
+    for max throughput (md5 default keeps them SQL-verifiable).
+
+    ``classifier_model`` (an ``nb_train`` dict) gates on the trained
+    score; ``boilerplate_max_ratio`` drops documents whose repeated-
+    n-gram load exceeds it; ``embeddings`` (``(id_col, embedding_vec_col)``
+    rows joining the corpus on ``id_col``) enables SemDeDup — documents
+    without an embedding row pass through unexamined."""
     out = df
     if quality_min is not None:
         out = out.filter(
             text_quality(F.col(text_col))["quality_score"] >= quality_min
+        )
+    if classifier_model is not None:
+        from zx_spark.functions.classify import nb_score
+
+        out = out.filter(
+            nb_score(F.col(text_col), classifier_model)
+            > F.lit(float(classifier_min_logodds))
         )
     if languages is not None:
         out = out.withColumn("lang", language_id(F.col(text_col))).filter(
@@ -89,6 +120,17 @@ def curate_corpus(
             with_pii_scrubbed(out, text_col)
             .withColumn(text_col, F.col("pii_redacted"))
             .drop("pii_redacted", *[f"pii_n_{t}" for t in PII_TYPES])
+        )
+    if boilerplate_max_ratio is not None:
+        from zx_spark.operators.decontaminate import drop_boilerplate_docs
+
+        out = drop_boilerplate_docs(
+            out,
+            text_col,
+            id_col,
+            n=boilerplate_ngram,
+            min_docs=boilerplate_min_docs,
+            max_ratio=boilerplate_max_ratio,
         )
     out = exact_dedup(out, text_col, id_col)
     if near_dup_threshold is not None:
@@ -110,6 +152,28 @@ def curate_corpus(
             raise ValueError(
                 f"near_dup_mode must be 'pairs' or 'components', got {near_dup_mode!r}"
             )
+    if embeddings is not None:
+        from zx_spark.operators.semdedup import (
+            semantic_dedup_fit,
+            semantic_dropped_ids,
+            semantic_pairs,
+        )
+
+        # SemDeDup over the SURVIVING corpus's embeddings only (semi-join
+        # first so already-dropped docs don't pull survivors down with
+        # them); docs without an embedding row pass through unexamined.
+        emb = embeddings.join(out.select(id_col), id_col, "left_semi")
+        annotated, _ = semantic_dedup_fit(
+            emb, vec_col=embedding_vec_col, id_col=id_col,
+            n_cells=semantic_n_cells,
+        )
+        pairs = semantic_pairs(
+            annotated, threshold=semantic_threshold,
+            vec_col=embedding_vec_col, id_col=id_col,
+        )
+        out = out.join(
+            F.broadcast(semantic_dropped_ids(pairs, id_col)), id_col, "left_anti"
+        )
     if benchmark is not None:
         out = drop_contaminated(
             out, benchmark, text_col, id_col, n=decontaminate_ngram
