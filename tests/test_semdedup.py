@@ -141,3 +141,20 @@ def test_determinism_across_runs(spark, fitted):
     assert sorted(r["vec_id"] for r in a.select("vec_id").collect()) == sorted(
         r["vec_id"] for r in b.select("vec_id").collect()
     )
+
+
+def test_kmeans_method_drops_planted_dups_too(spark):
+    # throughput path: Spark ML KMeans cells instead of the deterministic
+    # Lloyd fit — same pair/drop semantics, no oracle reproducibility
+    allv = _with_planted(spark)
+    kept = semantic_dedup(
+        allv, n_cells=8, threshold=0.95, dim=64, method="kmeans"
+    )
+    n = kept.count()
+    assert 500 <= n <= 520  # ~497 of 1000 dropped, same as the lloyd path
+
+
+def test_fit_rejects_unknown_method(spark):
+    allv = _with_planted(spark)
+    with pytest.raises(ValueError, match="method"):
+        semantic_dedup_fit(allv, method="dbscan")

@@ -46,6 +46,7 @@ from zx_spark.operators.similarity import (
     _dot,
     _norm,
     cosine,
+    ivf_build,
     ivf_build_lloyd,
 )
 from zx_spark.util import spread as _spread
@@ -82,13 +83,27 @@ def semantic_dedup_fit(
     n_cells: int = 8,
     iters: int = 5,
     dim: int | None = None,
+    method: str = "lloyd",
 ):
-    """Fit the deterministic Lloyd quantizer and annotate every row with
-    its cluster and centroid cosine. Returns ``(annotated_df, centers)``
-    — centers as the 6-dp-rounded ndarray the numpy twin re-derives."""
-    assigned, centers = ivf_build_lloyd(
-        df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim
-    )
+    """Fit the coarse quantizer and annotate every row with its cluster
+    and centroid cosine. Returns ``(annotated_df, centers)``.
+
+    ``method='lloyd'`` (default): the deterministic 6-dp-rounded Lloyd
+    fit — engine-reproducible (numpy twin / DuckDB oracle), but cluster
+    assignment costs O(k·d) per row in fold expressions, which dominates
+    at large k. ``method='kmeans'``: Spark ML KMeans — the throughput
+    choice for production-scale cell counts (the paper runs ~50k
+    clusters), JVM-vectorized, at the cost of oracle reproducibility —
+    the same md5-vs-xx64 tradeoff the dedup hashes expose."""
+    if method == "kmeans":
+        assigned, centers = ivf_build(df, vec_col=vec_col, n_cells=n_cells)
+        centers = [[round(float(x), 6) for x in c] for c in centers]
+    elif method == "lloyd":
+        assigned, centers = ivf_build_lloyd(
+            df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim
+        )
+    else:
+        raise ValueError(f"method must be 'lloyd' or 'kmeans', got {method!r}")
     return centroid_cosine(assigned, centers, vec_col), centers
 
 
@@ -152,13 +167,15 @@ def semantic_dedup(
     iters: int = 5,
     threshold: float = 0.95,
     dim: int | None = None,
+    method: str = "lloyd",
 ) -> DataFrame:
     """One-call SemDeDup: fit → within-cluster pairs → drop losers.
     Returns the kept rows of ``df`` (original columns). The drop set is
     small relative to the corpus (it is the duplicate mass), so the
     anti-join broadcasts."""
     annotated, _ = semantic_dedup_fit(
-        df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim
+        df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim,
+        method=method,
     )
     pairs = semantic_pairs(
         annotated, threshold=threshold, vec_col=vec_col, id_col=id_col
