@@ -919,19 +919,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality signals + the trained NB classifier score
-    (functions/classify.py): the model is trained IN the query on the
-    corpus's own lang labels (one distributed count agg, exact integer
-    micro-log-odds), scored as a pure Catalyst fold. The oracle re-trains
-    the identical model with the pure-Python twin from the raw parquet —
-    so training and scoring are both hash-verified end to end."""
+    """Heuristic quality signals + two trained corpus gates, all scored
+    in one projection:
+
+    - ``nb_en_logodds`` — the NB classifier (functions/classify.py),
+      trained IN the query on the corpus's own lang labels (one
+      distributed count agg, exact integer micro-log-odds).
+    - ``lm_avg_logprob`` — the hashed bigram LM perplexity signal
+      (functions/lm.py, CCNet-style), trained IN the query on the corpus
+      itself (one distributed bigram-count agg, exact integer
+      micro-log-probs).
+
+    Both models are re-derived by pure-Python twins from the raw parquet
+    on the oracle side, so training AND scoring are hash-verified end to
+    end."""
     from zx_spark.functions.classify import nb_score, nb_train
+    from zx_spark.functions.lm import lm_score, lm_train
     from zx_spark.functions.text import repetition_signals, text_quality
 
     docs = _docs(spark, sf_dir)
     model = nb_train(
         docs.withColumn("label", F.col("lang") == "en"), "text", "label"
     )
+    lm = lm_train(docs, n_buckets=1024, alpha=0.1)
     q = text_quality(F.col("text"))
     r = repetition_signals(F.col("text"))
     return docs.select(
@@ -942,6 +952,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["dup_line_fraction"].alias("dup_line_fraction"),
         r["dup_token_fraction"].alias("dup_token_fraction"),
         nb_score(F.col("text"), model).alias("nb_en_logodds"),
+        lm_score(F.col("text"), lm).alias("lm_avg_logprob"),
     )
 
 
@@ -1536,6 +1547,40 @@ def _nb_score_sql(n_buckets: int = 256) -> str:
         f"round((coalesce(list_aggregate(list_transform({_TOKS}, "
         f"t -> ({wlit})[((('0x'||substr(md5(t),1,15))::bigint % {n_buckets}) + 1)::int]), "
         f"'sum'), 0) + {int(model['prior_micro'])})::double / {float(MICRO)!r}, 6)"
+    )
+
+
+def _lm_score_sql(n_buckets: int = 1024, alpha: float = 0.1) -> str:
+    """SQL expression for the bigram-LM average log-prob column — the
+    two micro-log arrays come from lm_train_python (functions/lm.py)
+    re-deriving the model from the raw parquet INDEPENDENTLY of Spark:
+    exact integer bigram/context bucket counts → micro-log literals.
+    Scoring replays the BOS convention and the order-free bigint sum,
+    divided once — exact on both engines. Expects a ``toks`` column
+    (the shared ``_TOKS`` tokenization) in scope."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from zx_spark.functions.lm import MICRO, lm_train_python
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    except OSError:
+        return "NULL::DOUBLE"
+    model = lm_train_python(t["text"].to_pylist(), n_buckets=n_buckets, alpha=alpha)
+    lb = "[" + ", ".join(str(int(x)) for x in model["logbi_micro"]) + "]"
+    lc = "[" + ", ".join(str(int(x)) for x in model["logctx_micro"]) + "]"
+    b = lambda s: f"((('0x'||substr(md5({s}),1,15))::bigint % {n_buckets}) + 1)::int"  # noqa: E731
+    prev = "(CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END)"
+    pair = prev + " || ' ' || toks[i]"
+    return (
+        "CASE WHEN len(toks) > 0 THEN "
+        "round(list_aggregate(list_transform(generate_series(1, len(toks)), "
+        f"i -> ({lb})[{b(pair)}] "
+        f"- ({lc})[{b(prev)}]), 'sum')::double "
+        f"/ ({float(MICRO)!r} * len(toks)), 6) END"
     )
 
 
@@ -2313,8 +2358,9 @@ def oracle_sql() -> dict[str, str]:
             f"len(list_distinct({_TOKS})) AS n_distinct_tokens, "
             "list_filter(list_transform(string_split_regex(text, '\\n'), l -> trim(l)), "
             "l -> l != '') AS lines, "
-            f"{_nb_score_sql()} AS nb_en_logodds "
-            "FROM documents) "
+            f"{_nb_score_sql()} AS nb_en_logodds, "
+            f"{_lm_score_sql()} AS lm_avg_logprob "
+            f"FROM (SELECT *, {_TOKS} AS toks FROM documents)) "
             "SELECT doc_id, "
             "round(n_stop::double / greatest(n_tokens, 1), 4) AS stopword_ratio, "
             "round(n_upper::double / greatest(n_chars, 1), 4) AS upper_ratio, "
@@ -2327,7 +2373,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN n_tokens > 0 THEN "
             "1.0 - n_distinct_tokens::double / n_tokens ELSE 0.0 END, 4) "
             "AS dup_token_fraction, "
-            "nb_en_logodds "
+            "nb_en_logodds, lm_avg_logprob "
             "FROM q"
         ),
         "text_lang_counts": (
