@@ -770,7 +770,15 @@ def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tinyint, then exact top-k over the QUANTIZED arrays — the 4-8×
     scan-byte reduction path for a 100 TB vector store. The encode is
     pure SQL (the oracle reproduces it), and because the squared int
-    sums are exact in doubles there is no fp-order hazard at all."""
+    sums are exact in doubles there is no fp-order hazard at all.
+
+    The ``pca`` arm drives the PCA reduction (operators/reduce.py) end
+    to end: fit on the corpus via EXACT integer moments (order-free —
+    no rounding discipline needed at all), project corpus AND query to
+    out_dim=16, top-k in the reduced space. The oracle re-derives the
+    identical model with pca_fit_numpy from raw parquet and replays the
+    bigint projection + cosine in SQL."""
+    from zx_spark.operators.reduce import pca_fit, pca_topk
     from zx_spark.operators.similarity import cosine_topk, quantize_embeddings
 
     topk = q_ann_topk(spark, sf_dir).select(
@@ -779,13 +787,18 @@ def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = q_ann_cosine_threshold(spark, sf_dir).select(
         F.lit("threshold").alias("arm"), "vec_id", "cosine"
     )
-    q8 = quantize_embeddings(_emb(spark, sf_dir)).select(
+    emb = _emb(spark, sf_dir)
+    q8 = quantize_embeddings(emb).select(
         "vec_id", F.col("q_embedding").alias("embedding")
     )
     int8 = cosine_topk(q8, ANN_QUERY_VEC, k=10).select(
         F.lit("int8").alias("arm"), "vec_id", "cosine"
     )
-    return topk.unionByName(thr).unionByName(int8)
+    model = pca_fit(emb, out_dim=16, dim=64)
+    pca = pca_topk(emb, model, ANN_QUERY_VEC, k=10).select(
+        F.lit("pca").alias("arm"), "vec_id", "cosine"
+    )
+    return topk.unionByName(thr).unionByName(int8).unionByName(pca)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,6 +1597,58 @@ def _lm_score_sql(n_buckets: int = 1024, alpha: float = 0.1) -> str:
     )
 
 
+def _pca_cte_sql(out_dim: int = 16, dim: int = 64) -> str:
+    """CTE block for the ann_cosine_suite ``pca`` arm — the model comes
+    from pca_fit_numpy (operators/reduce.py) re-deriving PCA from the raw
+    parquet INDEPENDENTLY of Spark: micro-quantized vectors → EXACT
+    integer moments (order-free, so bit-identical to the distributed fit
+    by construction) → one eigh → micro-integer components/offsets
+    embedded as literals. Projection replays the bigint dot − offset,
+    one double division; cosine replays the sequential fold + 1e-12
+    guard of similarity.cosine."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from zx_spark.operators.reduce import pca_fit_numpy, pca_project_py
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    except OSError:
+        return ", pc AS (SELECT vec_id, NULL::DOUBLE AS cosine FROM embeddings)"
+    model = pca_fit_numpy(t["embedding"].to_pylist(), out_dim=out_dim)
+    qp = pca_project_py(ANN_QUERY_VEC, model)
+    # Explicit scalar arithmetic, not list-literal indexing: a nested
+    # literal inside a lambda is re-constructed per element in DuckDB
+    # (measured 137s vs <1s on 500 rows). Integer dot sums are exact so
+    # + order is free; the double cosine folds replicate Spark's
+    # left-associated aggregate(zip_with) starting from 0.0.
+    pv_exprs = []
+    for comp, off in zip(model["components_micro"], model["offsets_micro2"]):
+        dot = " + ".join(
+            f"qv[{i + 1}]*{int(c)}" for i, c in enumerate(comp) if int(c) != 0
+        ) or "0"
+        pv_exprs.append(f"(({dot}) - {int(off)})::double / 1000000000000.0")
+    pv = "[" + ", ".join(pv_exprs) + "]"
+    num = "0.0 + " + " + ".join(
+        f"pv[{k + 1}]*{float(x)!r}" for k, x in enumerate(qp)
+    )
+    pnorm = "sqrt(0.0 + " + " + ".join(
+        f"pv[{k + 1}]*pv[{k + 1}]" for k in range(out_dim)
+    ) + ")"
+    qnorm = "sqrt(0.0 + " + " + ".join(
+        f"{float(x)!r}*{float(x)!r}" for x in qp
+    ) + ")"
+    return (
+        ", pq0 AS (SELECT vec_id, list_transform(embedding, "
+        "x -> round(x::double * 1000000)::bigint) AS qv FROM embeddings), "
+        f"pp AS (SELECT vec_id, {pv} AS pv FROM pq0), "
+        f"pc AS (SELECT vec_id, round(({num}) "
+        f"/ greatest({pnorm} * {qnorm}, 1e-12), 6) AS cosine FROM pp)"
+    )
+
+
 def _decontaminate_oracle(n: int = 5, excerpt_words: int = 40, min_docs: int = 2) -> str:
     """DuckDB twin of q_decontaminate, both arms over ONE shingle scan:
     ``bench`` = first-``excerpt_words`` token runs of doc_id % 10 == 3
@@ -2296,14 +2361,18 @@ def oracle_sql() -> dict[str, str]:
             "/ 127.0))) AS qe FROM embeddings), "
             "i8 AS (SELECT vec_id, round(qe[1] / "
             "greatest(sqrt(list_aggregate(list_transform(qe, x -> x * x), 'sum')), 1e-12), 6) "
-            "AS cosine FROM q8) "
-            "SELECT 'topk' AS arm, vec_id, cosine FROM "
+            "AS cosine FROM q8)"
+            + _pca_cte_sql()
+            + " SELECT 'topk' AS arm, vec_id, cosine FROM "
             "(SELECT * FROM c ORDER BY cosine DESC, vec_id LIMIT 10) "
             "UNION ALL "
             "SELECT 'threshold' AS arm, vec_id, cosine FROM c WHERE cosine >= 0.25 "
             "UNION ALL "
             "SELECT 'int8' AS arm, vec_id, cosine FROM "
-            "(SELECT * FROM i8 ORDER BY cosine DESC, vec_id LIMIT 10)"
+            "(SELECT * FROM i8 ORDER BY cosine DESC, vec_id LIMIT 10) "
+            "UNION ALL "
+            "SELECT 'pca' AS arm, vec_id, cosine FROM "
+            "(SELECT * FROM pc ORDER BY cosine DESC, vec_id LIMIT 10)"
         ),
         "ann_ivf_topk": _ivf_pq_oracle(),
         "streaming_sessions": (
