@@ -951,10 +951,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zx_spark.functions.text import repetition_signals, text_quality
 
     docs = _docs(spark, sf_dir)
-    model = nb_train(
-        docs.withColumn("label", F.col("lang") == "en"), "text", "label"
-    )
-    lm = lm_train(docs, n_buckets=1024, alpha=0.1)
+    # the two trainings are independent single-job aggregations — run
+    # them as concurrent Spark jobs (local[32] has idle slots; on a
+    # cluster the scheduler interleaves stages the same way)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        nb_f = pool.submit(
+            nb_train, docs.withColumn("label", F.col("lang") == "en"),
+            "text", "label",
+        )
+        lm_f = pool.submit(lm_train, docs, n_buckets=1024, alpha=0.1)
+        model, lm = nb_f.result(), lm_f.result()
     q = text_quality(F.col("text"))
     r = repetition_signals(F.col("text"))
     return docs.select(

@@ -42,6 +42,11 @@ HEADLINE = [
     # IN the query + literal-fold scoring) — ~0.28s → ~0.95s from the
     # added WORK, not a regression; decontaminate_ngrams gained the
     # boilerplate arm (~1.48s → ~1.75s), same reason.
+    # r5 session 3: text_quality also trains + scores the bigram LM
+    # perplexity gate (functions/lm.py) in-query — ~0.95s → ~2.4s, again
+    # added verified WORK (a second model; 270k bigrams md5-bucketed
+    # twice for oracle reproducibility). Both trainings are single-job
+    # aggs run as concurrent Spark jobs.
     "text_quality",
     # added r3 (no r2 baseline entry — first measurement pins them)
     "asof_join_marks",

@@ -84,22 +84,29 @@ def nb_train(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
+    # ONE scan, ONE shuffle, ONE job: a NULL sentinel element prepended
+    # to every document's token array becomes the per-label DOC counter
+    # (bucket(NULL) is NULL, which groups apart from every real bucket),
+    # so token counts and doc counts ride the same map-side-combined agg
+    # instead of two separate actions.
+    marked = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.coalesce(toks, F.array().cast("array<string>")),  # NULL text is still a doc
+    )
     counts = (
-        df.select(F.col(label_col).alias("__lab"), F.explode(toks).alias("__t"))
+        df.select(F.col(label_col).alias("__lab"), F.explode(marked).alias("__t"))
         .groupBy(_bucket(F.col("__t"), n_buckets).alias("__b"), "__lab")
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     )
     pos = [0] * n_buckets
     neg = [0] * n_buckets
+    docs = {True: 0, False: 0}
     for r in counts:
-        (pos if r["__lab"] else neg)[int(r["__b"])] = int(r["__n"])
-    docs = {
-        bool(r["__lab"]): int(r["__n"])
-        for r in df.groupBy(F.col(label_col).alias("__lab"))
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
-    }
+        if r["__b"] is None:
+            docs[bool(r["__lab"])] = int(r["__n"])
+        else:
+            (pos if r["__lab"] else neg)[int(r["__b"])] = int(r["__n"])
     return _weights_from_counts(pos, neg, docs.get(True, 0), docs.get(False, 0), alpha)
 
 

@@ -113,23 +113,34 @@ def lm_train(
     two-row-per-bigram agg. Returns the model dict (two micro-log
     integer arrays), byte-identical to ``lm_train_python`` on the same
     rows."""
-    ex = df.select(F.explode(_pairs(F.col(text_col))).alias("__p"))
-    # one exploded frame, two keyed counts unioned pre-shuffle: kind 0 =
-    # context bucket, kind 1 = bigram bucket — a single 2·n_buckets-row
-    # hash agg instead of two corpus-scale passes
-    keyed = ex.select(
-        F.lit(0).alias("__k"),
-        _bucket(F.col("__p.prev"), n_buckets).alias("__b"),
-    ).unionAll(
-        ex.select(
-            F.lit(1).alias("__k"),
-            _bucket(
-                F.concat_ws(" ", F.col("__p.prev"), F.col("__p.cur")), n_buckets
-            ).alias("__b"),
+    # ONE corpus scan, ONE explode, ONE map-side-combined shuffle of
+    # ≤ 2·n_buckets rows per partition: each bigram emits its context
+    # bucket (kind 0) and bigram bucket (kind 1) from a single
+    # evaluation of the bigram walk (flatten of per-pair 2-arrays —
+    # Catalyst does not CSE across separate transform branches, so a
+    # concat of two transforms would derive the walk twice)
+    both = F.flatten(
+        F.transform(
+            _pairs(F.col(text_col)),
+            lambda p: F.array(
+                F.struct(
+                    F.lit(0).alias("__k"),
+                    _bucket(p["prev"], n_buckets).alias("__b"),
+                ),
+                F.struct(
+                    F.lit(1).alias("__k"),
+                    _bucket(
+                        F.concat_ws(" ", p["prev"], p["cur"]), n_buckets
+                    ).alias("__b"),
+                ),
+            ),
         )
     )
     counts = (
-        keyed.groupBy("__k", "__b").agg(F.count(F.lit(1)).alias("__n")).collect()
+        df.select(F.explode(both).alias("__kb"))
+        .groupBy(F.col("__kb.__k").alias("__k"), F.col("__kb.__b").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
     )
     bi = [0] * n_buckets
     ctx = [0] * n_buckets
