@@ -928,7 +928,32 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("chunk_tokens"),
         F.sum(chk).alias("chunk_md5_sum"),
     )
-    return stats.join(agg, "doc_id")
+    # line-level boilerplate scrub (decontaminate.scrub_repeated_lines)
+    # over DETERMINISTICALLY PLANTED boilerplate lines — the synthetic
+    # corpus is single-line with no repeated lines, which would make the
+    # arm vacuous (same planted-construction trick as text_pii_redact):
+    # doc_id % 3 picks a shared footer / footer+newsletter / unique tail
+    # line, built identically in the DuckDB oracle. The REWRITTEN text is
+    # pinned by md5, so the hot-line statistics, the drop rule,
+    # order/whitespace preservation and the rejoin are all hash-verified.
+    from zx_spark.operators.decontaminate import scrub_repeated_lines
+
+    d = F.col("doc_id")
+    footer = "(c) example corp all rights reserved"
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(d % 3 == 0, F.lit(footer))
+            .when(d % 3 == 1, F.lit("subscribe to our newsletter\n" + footer))
+            .otherwise(F.concat(F.lit("unique line "), d.cast("string"))),
+        ).alias("text"),
+    )
+    scr = scrub_repeated_lines(planted, min_docs=2).select(
+        "doc_id", F.md5("scrubbed").alias("scrub_md5"), "n_lines_dropped"
+    )
+    return stats.join(agg, "doc_id").join(scr, "doc_id")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2419,12 +2444,34 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT doc_id, count(*) AS n_chunks, "
             "sum(n_tok)::bigint AS chunk_tokens, "
             "sum(('0x' || substr(md5(chunk_text), 1, 15))::bigint)::bigint "
-            "AS chunk_md5_sum FROM ch GROUP BY doc_id) "
+            "AS chunk_md5_sum FROM ch GROUP BY doc_id), "
+            # line scrub twin over the SAME planted boilerplate: per-doc
+            # DISTINCT trimmed non-empty lines → group on the md5-60-bit
+            # hash (same key Spark groups on) → hot set as ONE sorted
+            # array → map-side filter + rejoin
+            "pl AS (SELECT doc_id, text || chr(10) || CASE "
+            "WHEN doc_id % 3 = 0 THEN '(c) example corp all rights reserved' "
+            "WHEN doc_id % 3 = 1 THEN 'subscribe to our newsletter' || chr(10) "
+            "|| '(c) example corp all rights reserved' "
+            "ELSE 'unique line ' || doc_id END AS text FROM documents), "
+            "dl AS (SELECT unnest(list_distinct(list_filter(list_transform("
+            "string_split(text, chr(10)), l -> trim(l)), x -> x != ''))) AS tl "
+            "FROM pl), "
+            "hot AS (SELECT h FROM (SELECT ('0x'||substr(md5(tl),1,15))::bigint AS h "
+            "FROM dl) GROUP BY h HAVING count(*) >= 2), "
+            "hb AS (SELECT coalesce(list_sort(list(h)), []) AS hl FROM hot), "
+            "scl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pl), "
+            "sck AS (SELECT doc_id, ls, list_filter(ls, l -> trim(l) = '' OR "
+            "NOT list_contains(hl, ('0x'||substr(md5(trim(l)),1,15))::bigint)) AS kept "
+            "FROM scl, hb), "
+            "sc AS (SELECT doc_id, md5(array_to_string(kept, chr(10))) AS scrub_md5, "
+            "len(ls) - len(kept) AS n_lines_dropped FROM sck) "
             "SELECT d.doc_id, length(d.text) AS n_chars, "
             f"len({_TOKS}) AS n_tokens, "
             "len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) "
-            "AS n_bpe_tokens, a.n_chunks, a.chunk_tokens, a.chunk_md5_sum "
-            "FROM documents d JOIN agg a USING (doc_id)"
+            "AS n_bpe_tokens, a.n_chunks, a.chunk_tokens, a.chunk_md5_sum, "
+            "sc.scrub_md5, sc.n_lines_dropped "
+            "FROM documents d JOIN agg a USING (doc_id) JOIN sc USING (doc_id)"
         ),
         "text_quality": (
             "WITH q AS (SELECT doc_id, length(text) AS n_chars, "

@@ -213,3 +213,124 @@ def drop_contaminated(
     return corpus.join(
         F.broadcast(flagged.select(id_col)), id_col, "left_anti"
     )
+
+
+# ---------------------------------------------------- line-level scrub
+#
+# CCNet/RefinedWeb-style LINE deduplication: a line whose trimmed form
+# appears in >= min_docs distinct documents is boilerplate (nav bars,
+# footers, cookie banners) and is REMOVED from every document, rewriting
+# the text — the surgical counterpart of drop_boilerplate_docs (which
+# drops whole documents). Same two-phase shape as the shingle paths: one
+# corpus-statistics aggregation, then a map-side rewrite.
+
+
+def repeated_line_hashes(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Document frequency of trimmed non-empty lines, thresholded:
+    ``(line_hash, n_docs)`` for lines in >= ``min_docs`` distinct
+    documents. One explode of per-doc DISTINCT lines + one hash agg
+    keyed on the md5-60-bit line hash (shuffle ∝ distinct lines, never
+    corpus bytes; grouping on the hash, not the line, keeps shuffle rows
+    fixed-width — the oracle groups on the same hash)."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    tl = F.array_distinct(
+        F.filter(
+            # explicit lambda: passing F.trim directly would receive the
+            # (element, index) pair and become two-arg TRIM
+            F.transform(F.split(F.col(f"`{text_col}`"), "\n"), lambda l: F.trim(l)),
+            lambda t: t != F.lit(""),
+        )
+    )
+    return (
+        _spread(corpus)
+        .select(F.explode(tl).alias("__l"))
+        .select(
+            F.conv(F.substring(F.md5("__l"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("line_hash")
+        )
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def scrub_repeated_lines(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    out_col: str = "scrubbed",
+    dropped_col: str = "n_lines_dropped",
+    method: str = "broadcast",
+) -> DataFrame:
+    """Rewrite every document with its corpus-repeated lines removed:
+    adds ``out_col`` (the scrubbed text — original line order and
+    whitespace-only lines preserved, lines rejoined with ``\\n``) and
+    ``dropped_col``. NULL text stays NULL.
+
+    ``method='broadcast'`` (default): the hot-line hash set is collected
+    into ONE sorted array literal and cross-joined as a broadcast
+    single-row frame (the text.py corpus-count trick), so the rewrite is
+    a pure map-side array filter — no reassembly shuffle at all. Right
+    whenever the hot set fits an array (it is the *boilerplate
+    vocabulary*, naturally ≪ corpus; membership is a linear array scan
+    per line, fine to ~100k hot lines).
+
+    ``method='join'``: fully unbounded — posexplode lines, anti-join the
+    hot set (AQE picks broadcast when it fits), reassemble per document.
+    Costs one corpus-sized reassembly shuffle; use it only when the hot
+    set genuinely cannot travel as an array."""
+    hot = repeated_line_hashes(corpus, text_col, id_col, min_docs)
+    lines = F.split(F.col(f"`{text_col}`"), "\n")
+    lh = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    if method == "broadcast":
+        hot_row = hot.agg(F.sort_array(F.collect_list("line_hash")).alias("__hot"))
+        kept = F.filter(
+            lines,
+            lambda l: (F.trim(l) == F.lit(""))
+            | ~F.array_contains(F.col("__hot"), lh(F.trim(l))),
+        )
+        return (
+            corpus.crossJoin(F.broadcast(hot_row))
+            .withColumn(out_col, F.array_join(kept, "\n"))
+            .withColumn(dropped_col, F.size(lines) - F.size(kept))
+            .drop("__hot")
+        )
+    if method != "join":
+        raise ValueError(f"method must be 'broadcast' or 'join', got {method!r}")
+    ex = _spread(corpus).select(
+        F.col(f"`{id_col}`").alias("__sid"),
+        F.posexplode_outer(lines).alias("__pos", "__line"),
+    )
+    kept_rows = ex.join(
+        hot.select(F.col("line_hash").alias("__h")),
+        lh(F.trim(F.col("__line"))) == F.col("__h"),
+        "left_anti",
+    )
+    reassembled = kept_rows.groupBy("__sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            "\n",
+        ).alias("__scrub"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    joined = corpus.join(
+        reassembled, F.col(f"`{id_col}`") == F.col("__sid"), "left"
+    ).drop("__sid")
+    not_null = F.col(f"`{text_col}`").isNotNull()
+    return joined.withColumn(
+        out_col, F.when(not_null, F.coalesce(F.col("__scrub"), F.lit("")))
+    ).withColumn(
+        dropped_col,
+        F.when(not_null, F.size(lines) - F.coalesce(F.col("__kept"), F.lit(0))),
+    ).drop("__scrub", "__kept")
