@@ -198,3 +198,62 @@ def test_pipeline_semantic_dedup_stage(spark):
     kept = {r["doc_id"] for r in out.collect()}
     assert 4 in kept and 3 in kept
     assert len(kept & {1, 2}) == 1  # exactly one of the near pair survives
+
+
+def test_pipeline_lm_gate_stage(spark, docs):
+    from zx_spark.functions.lm import lm_score_python, lm_train_python
+
+    # train on the corpus, gate just below doc 1's own score: doc 1 must
+    # survive, a planted gibberish doc must not
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    m = lm_train_python([t for _, t in rows], n_buckets=512)
+    gib = "zzq qqz xkcd frobnicate zorp vwxyz"
+    planted = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(999999, gib)], "doc_id long, text string")
+    )
+    # gate just above the gibberish doc's own score: the kept set must be
+    # EXACTLY the docs the python twin scores at/above the gate
+    gate = lm_score_python(gib, m) + 1e-6
+    out = curate_corpus(planted, lm_model=m, lm_min_avg_logprob=gate)
+    ids = {r.doc_id for r in out.collect()}
+    expected = {
+        i for i, t in rows + [(999999, gib)] if lm_score_python(t, m) >= gate
+    }
+    assert ids == expected
+    assert 999999 not in ids and ids
+    with pytest.raises(ValueError):
+        curate_corpus(docs, lm_model=m)  # threshold required
+
+
+def test_pipeline_line_scrub_stage(spark):
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha body\n" + footer),
+            (2, "beta body\n" + footer),
+            (3, "gamma body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(docs, scrub_lines=True)
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert texts == {1: "alpha body", 2: "beta body", 3: "gamma body"}
+    assert "scrubbed" not in out.columns and "n_lines_dropped" not in out.columns
+
+
+def test_pipeline_scrub_feeds_dedup(spark):
+    # after scrubbing the shared footer, docs 1/2 become EXACT duplicates
+    # and exact dedup keeps only the lower id — proving the rewrite
+    # happens before the hashing stages
+    footer = "(c) same footer everywhere"
+    docs = spark.createDataFrame(
+        [
+            (1, "same body\n" + footer + " one"),
+            (2, "same body\n" + footer + " two"),
+            (3, footer + " one\nother body\n" + footer + " two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(docs, scrub_lines=True)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3]

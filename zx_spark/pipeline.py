@@ -7,26 +7,31 @@ shuffle downstream sees the smallest possible corpus:
 1. quality gate     — pure Catalyst projection, no shuffle
 2. classifier gate  — trained NB score (functions/classify.py), pure
                       Catalyst literal-array fold, no shuffle
-3. language gate    — pure Catalyst projection, no shuffle
-4. PII scrub        — map-side regex redaction, no shuffle
-5. boilerplate drop — corpus-internal repeated-n-gram load (two keyed
+3. LM perplexity gate — trained bigram-LM score (functions/lm.py,
+                      CCNet-style), pure Catalyst fold, no shuffle
+4. language gate    — pure Catalyst projection, no shuffle
+5. PII scrub        — map-side regex redaction, no shuffle
+6. line scrub       — corpus-repeated lines REMOVED from every text
+                      (one hot-set agg + map-side rewrite); before any
+                      hashing stage so dedup keys on the scrubbed text
+7. boilerplate drop — corpus-internal repeated-n-gram load (two keyed
                       aggs + probe join); runs BEFORE doc dedup so
                       template spans repeated by duplicates still count
                       as repeated (the C4 order: span-level hygiene,
                       then document identity)
-6. exact dedup      — one hash shuffle (min-id semi-join)
-7. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
+8. exact dedup      — one hash shuffle (min-id semi-join)
+9. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
                       corpus; greedy keep-lowest-id per pair
-8. semantic dedup   — SemDeDup over a supplied embedding table
+10. semantic dedup  — SemDeDup over a supplied embedding table
                       (cluster-bounded pair join, keep-least-central)
-9. decontamination  — broadcast n-gram probe vs the benchmark set
+11. decontamination — broadcast n-gram probe vs the benchmark set
                       (corpus never shuffles to be probed)
-10. source mixing   — one size agg (doc counts, or token totals with
+12. source mixing   — one size agg (doc counts, or token totals with
                       ``mix_in_tokens``) + map-side per-group rates
                       (downsample-only here; upsampling belongs after
                       the split)
-11. hash sample     — map-side filter
-12. train/test split — map-side bucket assignment
+13. hash sample     — map-side filter
+14. train/test split — map-side bucket assignment
 
 Every stage is deterministic (hash-keyed, fixed seeds), so the curated
 corpus is reproducible row-for-row across runs, retries, and cluster
@@ -61,8 +66,12 @@ def curate_corpus(
     quality_min: float | None = None,
     classifier_model: dict | None = None,
     classifier_min_logodds: float = 0.0,
+    lm_model: dict | None = None,
+    lm_min_avg_logprob: float | None = None,
     languages: list[str] | None = None,
     scrub_pii: bool = False,
+    scrub_lines: bool = False,
+    line_scrub_min_docs: int = 2,
     boilerplate_max_ratio: float | None = None,
     boilerplate_min_docs: int = 2,
     boilerplate_ngram: int = 5,
@@ -111,6 +120,14 @@ def curate_corpus(
             nb_score(F.col(text_col), classifier_model)
             > F.lit(float(classifier_min_logodds))
         )
+    if lm_model is not None:
+        from zx_spark.functions.lm import lm_filter
+
+        if lm_min_avg_logprob is None:
+            raise ValueError("lm_model requires lm_min_avg_logprob")
+        out = lm_filter(
+            out, lm_model, text_col, min_avg_logprob=lm_min_avg_logprob
+        )
     if languages is not None:
         out = out.withColumn("lang", language_id(F.col(text_col))).filter(
             F.col("lang").isin(list(languages))
@@ -120,6 +137,16 @@ def curate_corpus(
             with_pii_scrubbed(out, text_col)
             .withColumn(text_col, F.col("pii_redacted"))
             .drop("pii_redacted", *[f"pii_n_{t}" for t in PII_TYPES])
+        )
+    if scrub_lines:
+        from zx_spark.operators.decontaminate import scrub_repeated_lines
+
+        out = (
+            scrub_repeated_lines(
+                out, text_col, id_col, min_docs=line_scrub_min_docs
+            )
+            .withColumn(text_col, F.col("scrubbed"))
+            .drop("scrubbed", "n_lines_dropped")
         )
     if boilerplate_max_ratio is not None:
         from zx_spark.operators.decontaminate import drop_boilerplate_docs
