@@ -489,3 +489,118 @@ def write_events(
         df = df.withColumn("event_date", F.to_date("ts"))
         writer = df.write.mode("append").partitionBy("event_date")
     writer.format(fmt).save(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> dict:
+    """MERGE (upsert + optional delete) into a parquet store — the CDC /
+    late-correction maintenance primitive next to ``compact_store`` /
+    ``cluster_store``: store rows matching an update key are replaced,
+    unmatched updates are inserted, and updates flagged true in
+    ``delete_col`` remove their matched rows instead.
+
+    Scale shape — **only touched partitions are rewritten**: the distinct
+    partition values present in ``updates`` (a tiny driver-side list —
+    CDC batches touch few partitions) become literal OR/AND predicates,
+    so the store read is partition-pruned, the merge (one anti-join +
+    union) sees only those partitions' rows, and the write uses dynamic
+    partition overwrite — a 100 TB store pays for the partitions it
+    corrects, never a full rewrite. Unpartitioned stores do a full
+    rewrite through the same crash-safe two-rename swap as
+    ``compact_store`` (and share its concurrency contract: pause other
+    writers; a transactional table format is the answer for concurrent
+    ones).
+
+    ``updates`` must carry every store column (plus ``delete_col`` if
+    used; delete rows may leave non-key columns NULL) and at most one
+    row per key. Returns ``{rows_upserted, rows_deleted,
+    partitions_rewritten}`` (-1 = unpartitioned full rewrite).
+    """
+    import os
+    import shutil
+    from functools import reduce
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if partition_cols is None:
+        partition_cols = _discover_partition_cols(path)
+    _recover_swap(path)
+    store = spark.read.parquet(path)
+    missing = [c for c in store.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates is missing store columns {missing}")
+
+    dels = (
+        updates.filter(F.col(f"`{delete_col}`")) if delete_col else None
+    )
+    ins = (
+        updates.filter(
+            ~F.coalesce(F.col(f"`{delete_col}`"), F.lit(False))
+        )
+        if delete_col
+        else updates
+    )
+    n_upserted = ins.count()
+    n_deleted = dels.count() if dels is not None else 0
+
+    if partition_cols:
+        touched = updates.select(*partition_cols).distinct().collect()
+        if not touched:
+            return {"rows_upserted": 0, "rows_deleted": 0, "partitions_rewritten": 0}
+        pred = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda x, y: x & y,
+                    [F.col(f"`{c}`") == F.lit(r[c]) for c in partition_cols],
+                )
+                for r in touched
+            ],
+        )
+        sub = store.filter(pred)
+        merged = sub.join(updates.select(key_cols), key_cols, "left_anti").unionByName(
+            ins.select(store.columns)
+        )
+        # dynamic overwrite only replaces partitions it WRITES: a touched
+        # partition whose rows were all deleted produces no output and
+        # would silently keep its old files. Find those BEFORE the write
+        # (afterwards the lineage would re-read already-replaced files).
+        remaining = {
+            tuple(r) for r in merged.select(*partition_cols).distinct().collect()
+        }
+        (
+            merged.repartition(*[F.col(f"`{c}`") for c in partition_cols])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        for r in touched:
+            if tuple(r) not in remaining:
+                d = os.path.join(
+                    path, *[f"{c}={r[c]}" for c in partition_cols]
+                )
+                shutil.rmtree(d, ignore_errors=True)
+        return {
+            "rows_upserted": n_upserted,
+            "rows_deleted": n_deleted,
+            "partitions_rewritten": len(touched),
+        }
+
+    merged = store.join(updates.select(key_cols), key_cols, "left_anti").unionByName(
+        ins.select(store.columns)
+    )
+    tmp, _ = _swap_paths(path)
+    merged.write.mode("overwrite").parquet(tmp)
+    _finish_swap(path)
+    return {
+        "rows_upserted": n_upserted,
+        "rows_deleted": n_deleted,
+        "partitions_rewritten": -1,
+    }
