@@ -656,3 +656,42 @@ def test_pq_codebooks_numpy_twin_matches_spark(spark):
     t = pq_.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
     X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     assert pq_codebooks_numpy(X, m=8, k=16, iters=3) == books
+
+
+def test_ivf_topk_batch_equals_per_query(spark):
+    """Batch IVF serving (one scan over the union of probed cells,
+    null-gated per-query scoring, per-query window top-k) must return
+    EXACTLY what ivf_topk returns per query — same ids, same order, same
+    cosines — and its scan must prune to the probed cells."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.similarity import (
+        ivf_build_lloyd,
+        ivf_topk,
+        ivf_topk_batch,
+    )
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, centers = ivf_build_lloyd(emb, n_cells=8, iters=3, dim=64)
+    queries = [[1.0] + [0.0] * 63, [0.1] * 64, [(-1.0) ** i for i in range(64)]]
+    batch = ivf_topk_batch(assigned, centers, queries, k=5, nprobe=3)
+    got = {
+        qno: [
+            (r["vec_id"], r["cosine"])
+            for r in batch.filter(F.col("query_no") == qno)
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .collect()
+        ]
+        for qno in range(3)
+    }
+    for qno, q in enumerate(queries):
+        exact = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_topk(assigned, centers, q, k=5, nprobe=3).collect()
+        ]
+        assert got[qno] == exact, qno
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_topk_batch(assigned, centers, [], k=5)

@@ -307,6 +307,66 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centers: np.ndarray,
+    query_vecs: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF serving for a BATCH of queries in ONE scan: each query keeps
+    its own driver-side probe list; the store is read once, pruned to
+    the UNION of all probed cells, and every row is scored only for the
+    queries that probed its cell (a null-gated per-query struct array,
+    exploded to candidates). Returns (query_no, vec_id, cosine), k rows
+    per query — identical values to ``ivf_topk`` per query (same JVM
+    cosine, same 6-dp rounding; pinned in tests).
+
+    Tradeoff vs per-query ``ivf_topk``: one scan + ONE shuffle of the
+    candidate rows (the per-query top-k window) instead of Q pruned
+    scans each ending in a TakeOrdered. Batch wins once Q × scan setup
+    dominates — the online-serving shape; for one or two ad-hoc queries
+    the per-query TakeOrdered path shuffles nothing and wins."""
+    if not query_vecs:
+        raise ValueError("ivf_topk_batch needs at least one query vector")
+    from pyspark.sql import Window
+
+    per_q = [
+        (qno, probe_cells(centers, q, nprobe), [float(x) for x in q])
+        for qno, q in enumerate(query_vecs)
+    ]
+    all_cells = sorted({c for _, cells, _ in per_q for c in cells})
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                F.lit(qno).alias("query_no"),
+                F.when(
+                    F.col("ivf_cell").isin(cells),
+                    F.round(cosine(v, F.lit(q)), 6),
+                ).alias("cosine"),
+            )
+            for qno, cells, q in per_q
+        ]
+    )
+    cand = (
+        _spread(assigned)
+        .filter(F.col("ivf_cell").isin(all_cells))
+        .select(F.col(id_col), F.explode(scored).alias("__s"))
+        .select(id_col, "__s.query_no", "__s.cosine")
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("query_no").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select("query_no", id_col, "cosine")
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic IVF (Lloyd's algorithm over DataFrame ops)
 #
