@@ -98,3 +98,116 @@ def rows_to_events(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """The ``ZX.I`` analog (src/lib.rs:846-856): sparse dict rows → events
     DataFrame. Missing keys become NULL columns (the sparse convention)."""
     return _ensure_id(_normalize_ts(spark.createDataFrame(rows)))
+
+
+def _merge_json_schema(values: list[str]) -> T.StructType:
+    """Union-of-keys schema over sampled JSON strings: scalars type as
+    long/double/boolean/string (conflicts widen to string), nested
+    objects recurse, arrays stay as raw JSON strings (the reference's
+    comma-joined-tags convention keeps list-ish values stringly)."""
+    import json
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None or a == b:
+            return a
+        if isinstance(a, dict) and isinstance(b, dict):
+            return {k: merge(a.get(k), b.get(k)) for k in {*a, *b}}
+        num = {"long", "double"}
+        if {a, b} <= num:
+            return "double"
+        return "string"
+
+    def infer(v):
+        if isinstance(v, dict):
+            return {k: infer(x) for k, x in v.items()}
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        return "string"
+
+    shape: dict | None = None
+    for s in values:
+        try:
+            v = json.loads(s)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(v, dict):
+            shape = merge(shape, infer(v))
+
+    def to_struct(d: dict) -> T.StructType:
+        fields = []
+        for k in sorted(d):
+            t = d[k]
+            if isinstance(t, dict):
+                ft: T.DataType = to_struct(t)
+            else:
+                ft = {
+                    "long": T.LongType(),
+                    "double": T.DoubleType(),
+                    "boolean": T.BooleanType(),
+                }.get(t, T.StringType())
+            fields.append(T.StructField(k, ft))
+        return T.StructType(fields)
+
+    return to_struct(shape or {})
+
+
+def flatten_json_props(
+    df: DataFrame,
+    json_col: str = "props",
+    schema: T.StructType | str | None = None,
+    sample: int = 1000,
+    stringly: bool = False,
+    drop: bool = True,
+) -> DataFrame:
+    """Flatten a JSON-string column into flat DOTTED columns — the
+    reference's ingest convention (clients send pre-flattened
+    ``repo.name`` keys, src/expr.rs:148-157; here nested JSON flattens
+    to the same shape at read time, so ``select sum(props.k) …`` works
+    through the SQL shim end to end).
+
+    ``schema=None`` infers a union-of-keys schema from up to ``sample``
+    distinct values (one tiny collect — a scale TRADEOFF: keys absent
+    from the sample are missed; pass an explicit schema for exactness on
+    a 100 TB ingest). Parsing is one ``from_json`` projection — map-side,
+    no Python. ``stringly=True`` casts every leaf to string, matching
+    the reference's all-strings value model (src/lib.rs:31-32); the
+    default keeps inferred types for Spark-native querying. Malformed
+    JSON rows yield NULLs (never fail the ingest)."""
+    col = F.col(f"`{json_col}`")
+    if schema is None:
+        vals = [
+            r[0]
+            for r in df.select(col).filter(col.isNotNull()).distinct().limit(sample).collect()
+        ]
+        schema = _merge_json_schema(vals)
+    parsed = F.from_json(col, schema)
+    st = parsed
+
+    def leaves(t: T.DataType, path: list[str]):
+        if isinstance(t, T.StructType):
+            for f in t.fields:
+                yield from leaves(f.dataType, path + [f.name])
+        else:
+            yield path
+
+    sch = (
+        schema
+        if isinstance(schema, T.StructType)
+        else T._parse_datatype_string(schema)  # type: ignore[attr-defined]
+    )
+    out = df.withColumn("__props", parsed)
+    cols = [F.col(f"`{c}`") for c in df.columns if not (drop and c == json_col)]
+    for path in leaves(sch, []):
+        leaf = F.col("__props")
+        for p in path:
+            leaf = leaf[p]
+        if stringly:
+            leaf = leaf.cast("string")
+        cols.append(leaf.alias(".".join([json_col, *path])))
+    return out.select(*cols)
