@@ -215,8 +215,18 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fractions lands EXACTLY on x.xxxxxx5 boundaries, where Spark
     # (HALF_UP) and DuckDB (half-even) round apart; floor on the
     # identical double is deterministic in both engines.
-    return filled.withColumn(
-        "sum_lin", F.floor(F.col("sum_lin") * 1e6) / 1e6
+    out = filled.withColumn("sum_lin", F.floor(F.col("sum_lin") * 1e6) / 1e6)
+    # derived-series verbs (operators/series.py) over the filled series:
+    # d_zero = raw delta of the zero-filled sum (NULL at each group's
+    # first bucket); rate_locf = PromQL-style counter rate of the locf
+    # series — it DECREASES whenever a lower sum follows, so the
+    # counter-reset branch is exercised and hash-verified. Differences/
+    # divisions of identical pre-rounded doubles need no extra rounding.
+    from zx_spark.operators.series import counter_rate, series_delta
+
+    out = series_delta(out, "sum_zero", "bucket", ["g_event_type"], out_col="d_zero")
+    return counter_rate(
+        out, "sum_locf", "bucket", ["g_event_type"], out_col="rate_locf"
     )
 
 
@@ -2184,14 +2194,26 @@ def oracle_sql() -> dict[str, str]:
             "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
             "    ahead AS (PARTITION BY g_event_type ORDER BY n "
             "      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
-            ") "
+            "), g AS ("
             "SELECT g_event_type, (n * 3600)::double AS bucket, "
             "  coalesce(v, 0.0) AS sum_zero, prev_v AS sum_locf, "
             "  floor(CASE WHEN v IS NOT NULL THEN v "
             "    WHEN prev_n IS NOT NULL AND next_n IS NOT NULL THEN "
             "      prev_v + (next_v - prev_v) * ((n - prev_n) "
             "        / (next_n - prev_n)) END * 1e6) / 1e6 AS sum_lin "
-            "FROM f"
+            "FROM f) "
+            # derived-series twin: raw delta of sum_zero; counter rate of
+            # sum_locf with the reset branch (NULL lag -> NULL; decrease
+            # -> count from current value)
+            "SELECT g_event_type, bucket, sum_zero, sum_locf, sum_lin, "
+            "  sum_zero - lag(sum_zero) OVER w AS d_zero, "
+            "  CASE WHEN lag(sum_locf) OVER w IS NULL "
+            "       OR bucket <= lag(bucket) OVER w THEN NULL "
+            "       ELSE (CASE WHEN sum_locf >= lag(sum_locf) OVER w "
+            "             THEN sum_locf - lag(sum_locf) OVER w "
+            "             ELSE sum_locf END) / (bucket - lag(bucket) OVER w) "
+            "  END AS rate_locf "
+            "FROM g WINDOW w AS (PARTITION BY g_event_type ORDER BY bucket)"
         ),
         "a2_a3_minmax": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "

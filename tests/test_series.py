@@ -1,0 +1,102 @@
+"""Derived series verbs (operators/series.py): delta/increase/rate
+golden values incl. counter resets and gaps, moving average, grouping
+isolation, plan shape (single window exchange, no Python)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zx_spark.operators.series import (
+    counter_increase,
+    counter_rate,
+    moving_avg,
+    series_delta,
+)
+
+ROWS = [
+    # (group, t, v): counter grows 10→25, resets to 3, grows to 9
+    ("a", 0.0, 10.0),
+    ("a", 60.0, 25.0),
+    ("a", 120.0, 3.0),
+    ("a", 180.0, 9.0),
+    ("b", 0.0, 5.0),
+    ("b", 60.0, None),
+    ("b", 120.0, 7.0),
+]
+
+
+@pytest.fixture()
+def series(spark):
+    return spark.createDataFrame(ROWS, "g string, t double, v double")
+
+
+def _by_key(df, col):
+    return {(r["g"], r["t"]): r[col] for r in df.collect()}
+
+
+def test_delta(spark, series):
+    d = _by_key(series_delta(series, "v", "t", ["g"]), "v_delta")
+    assert d[("a", 0.0)] is None  # first sample
+    assert d[("a", 60.0)] == 15.0
+    assert d[("a", 120.0)] == -22.0  # raw delta keeps the reset visible
+    assert d[("b", 60.0)] is None and d[("b", 120.0)] is None  # NULL gap
+
+
+def test_counter_increase_reset(spark, series):
+    d = _by_key(counter_increase(series, "v", "t", ["g"]), "v_increase")
+    assert d[("a", 60.0)] == 15.0
+    assert d[("a", 120.0)] == 3.0  # reset: increase since reset = current
+    assert d[("a", 180.0)] == 6.0
+    assert d[("a", 0.0)] is None
+
+
+def test_counter_rate(spark, series):
+    d = _by_key(counter_rate(series, "v", "t", ["g"]), "v_rate")
+    assert d[("a", 60.0)] == 0.25  # 15 / 60s
+    assert d[("a", 120.0)] == 0.05  # reset: 3 / 60s
+    assert d[("a", 0.0)] is None
+
+
+def test_rate_refuses_nonincreasing_time(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 10.0, 2.0)], "g string, t double, v double"
+    )
+    vals = [r["v_rate"] for r in counter_rate(df, "v", "t", ["g"]).collect()]
+    assert vals == [None, None]  # t not strictly increasing -> no rate
+
+
+def test_moving_avg(spark, series):
+    d = _by_key(moving_avg(series, "v", "t", ["g"], n=2), "v_ma2")
+    assert d[("a", 60.0)] == 17.5
+    assert d[("b", 60.0)] == 5.0  # NULL ignored like SQL AVG
+    with pytest.raises(ValueError):
+        moving_avg(series, "v", "t", ["g"], n=0)
+
+
+def test_compose_with_gapfill(spark):
+    """gapfill then rate: the generated zero-filled bucket yields a reset
+    (0 < prev), and the rate after it counts from zero — gaps never
+    produce NULL-poisoned rates on a filled series."""
+    from zx_spark.operators.gapfill import gapfill
+
+    agg = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 120.0, 4.0)], "g string, bucket double, v double"
+    )
+    filled = gapfill(agg, "bucket", 60.0, ["g"], {"v": "zero"})
+    d = _by_key(
+        counter_rate(filled, "v", "bucket", ["g"]).withColumnRenamed("bucket", "t"),
+        "v_rate",
+    )
+    assert d[("a", 60.0)] == 0.0  # 0 after 10 -> reset to 0, rate 0
+    assert d[("a", 120.0)] == pytest.approx(4.0 / 60.0)
+
+
+def test_plan_single_window_no_python(spark, series):
+    df = counter_rate(
+        series_delta(series, "v", "t", ["g"]), "v", "t", ["g"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # both verbs share one (g) sort
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan

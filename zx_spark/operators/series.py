@@ -1,0 +1,97 @@
+"""Derived time-series operators — the PromQL/observability verbs a
+dashboard runs over windowed aggregates: delta, counter-reset-aware
+increase, per-second rate, moving average.
+
+Beyond-reference in the reference's own domain (its engine stops at the
+windowed aggregate, src/lib.rs:693-718; every monitoring stack then
+derives rates client-side). All pure window functions over
+(group, bucket) — one shuffle+sort on the group key, JVM only, and each
+verb composes with ``gapfill`` (fill first, derive second, so a gap
+doesn't masquerade as a counter reset).
+
+Semantics follow the PromQL conventions:
+
+- ``series_delta``  — ``v − lag(v)``; NULL at each group's first bucket
+  and across NULL neighbors (a gap yields no delta, not a zero).
+- ``counter_increase`` — delta, except a DECREASE means the counter
+  reset and the increase since reset is the current value itself.
+- ``counter_rate`` — increase / elapsed seconds between the two
+  samples; per-second like PromQL ``rate``, adjacent-sample like
+  ``irate`` (range-window extrapolation belongs to the query layer).
+- ``moving_avg`` — mean over the trailing ``n`` buckets (row-based).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _w(group_cols: list[str] | None, order_col: str):
+    return W.partitionBy(*(group_cols or [F.lit(1)])).orderBy(F.col(f"`{order_col}`"))
+
+
+def series_delta(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    w = _w(group_cols, order_col)
+    v = F.col(f"`{value_col}`").cast("double")
+    return df.withColumn(out_col or f"{value_col}_delta", v - F.lag(v).over(w))
+
+
+def counter_increase(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    w = _w(group_cols, order_col)
+    v = F.col(f"`{value_col}`").cast("double")
+    prev = F.lag(v).over(w)
+    inc = F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(v >= prev, v - prev).otherwise(v)  # decrease == counter reset
+    )
+    return df.withColumn(out_col or f"{value_col}_increase", inc)
+
+
+def counter_rate(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-second rate between adjacent samples; ``order_col`` must be
+    unix seconds (e.g. a gapfill bucket)."""
+    w = _w(group_cols, order_col)
+    v = F.col(f"`{value_col}`").cast("double")
+    t = F.col(f"`{order_col}`").cast("double")
+    prev, prev_t = F.lag(v).over(w), F.lag(t).over(w)
+    inc = F.when(v >= prev, v - prev).otherwise(v)
+    rate = F.when(
+        prev.isNull() | prev_t.isNull() | (t <= prev_t),
+        F.lit(None).cast("double"),
+    ).otherwise(inc / (t - prev_t))
+    return df.withColumn(out_col or f"{value_col}_rate", rate)
+
+
+def moving_avg(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    n: int = 5,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing-``n``-bucket mean (row-based, NULLs ignored like SQL
+    AVG) — the dashboard smoothing verb."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = _w(group_cols, order_col).rowsBetween(-(n - 1), W.currentRow)
+    v = F.col(f"`{value_col}`").cast("double")
+    return df.withColumn(out_col or f"{value_col}_ma{n}", F.avg(v).over(w))
