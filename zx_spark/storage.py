@@ -604,3 +604,128 @@ def merge_upsert(
         "rows_deleted": n_deleted,
         "partitions_rewritten": -1,
     }
+
+
+# ------------------------------------------------------- snapshots
+#
+# Dataset versioning for append-only stores — the reproducibility story
+# training pipelines need: a snapshot pins the EXACT parquet file set at
+# a point in time, so a training job reads the same bytes months later
+# even as ingestion keeps appending. A manifest is one JSON file written
+# atomically (tmp + rename); reads list exactly its files (with basePath
+# so partition columns survive).
+#
+# Scope contract (documented, not hidden): snapshots compose with
+# APPEND-style writers (write_events, streaming sinks) — appends never
+# touch old files. The rewrite maintenance ops (compact_store,
+# cluster_store, merge_upsert) replace files and therefore INVALIDATE
+# older snapshots; snapshot again after maintenance. A transactional
+# table format is the 100 TB answer when rewrites must be versioned too.
+
+
+def snapshot_store(path: str) -> int:
+    """Record the store's current parquet file set as the next manifest
+    version; returns the version number."""
+    import glob
+    import json
+    import os
+    import time
+
+    files = sorted(
+        os.path.relpath(f, path)
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    version = max(list_snapshots(path), default=0) + 1
+    manifest = {
+        "version": version,
+        "created_unix": time.time(),
+        "n_files": len(files),
+        "files": files,
+    }
+    tmp = os.path.join(mdir, f".v{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{version}.json"))
+    return version
+
+
+def list_snapshots(path: str) -> list[int]:
+    import glob
+    import os
+    import re
+
+    out = []
+    for f in glob.glob(os.path.join(path, "_manifests", "v*.json")):
+        m = re.fullmatch(r"v(\d+)\.json", os.path.basename(f))
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read EXACTLY the files a manifest pinned (latest version by
+    default) — concurrent appends after the snapshot are invisible.
+    ``basePath`` keeps ``key=value`` partition columns in the schema."""
+    import json
+    import os
+
+    versions = list_snapshots(path)
+    if not versions:
+        raise ValueError(f"no snapshots under {path} (run snapshot_store first)")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"snapshot v{version} not found (have {versions})")
+    with open(os.path.join(path, "_manifests", f"v{version}.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"snapshot v{version} references {len(missing)} missing files "
+            f"(store rewritten since? e.g. {missing[0]}); snapshot again "
+            "after maintenance ops"
+        )
+    if not files:
+        return spark.read.schema("__empty string").parquet(path).limit(0)
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def vacuum_snapshots(path: str, keep: int = 2) -> dict:
+    """Drop all but the newest ``keep`` manifests, then delete data files
+    that only dropped manifests reference. Files referenced by a kept
+    manifest — or by NO manifest (in-flight appends, never snapshotted)
+    — are untouched."""
+    import json
+    import os
+
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    versions = list_snapshots(path)
+    dropped_v, kept_v = versions[:-keep], versions[-keep:]
+
+    def _files(v: int) -> set[str]:
+        with open(os.path.join(path, "_manifests", f"v{v}.json")) as fh:
+            return set(json.load(fh)["files"])
+
+    kept_files: set[str] = set().union(*[_files(v) for v in kept_v]) if kept_v else set()
+    dead: set[str] = set()
+    for v in dropped_v:
+        dead |= _files(v) - kept_files
+    removed = 0
+    for rel in sorted(dead):
+        f = os.path.join(path, rel)
+        if os.path.exists(f):
+            os.remove(f)
+            removed += 1
+    for v in dropped_v:
+        os.remove(os.path.join(path, "_manifests", f"v{v}.json"))
+    return {
+        "manifests_dropped": len(dropped_v),
+        "files_removed": removed,
+        "kept_versions": kept_v,
+    }
