@@ -100,3 +100,29 @@ def test_plan_single_window_no_python(spark, series):
     assert plan.count("Exchange") <= 1  # both verbs share one (g) sort
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_rolling_zscore_and_anomaly_flag(spark):
+    from zx_spark.operators.series import flag_anomalies, rolling_zscore
+
+    rows = [("a", float(t), 10.0) for t in range(6)] + [("a", 6.0, 100.0), ("a", 7.0, 10.0)]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    z = {r["t"]: r["v_zscore"] for r in rolling_zscore(df, "v", "t", ["g"], n=5).collect()}
+    assert z[0.0] is None  # no trailing window
+    assert z[5.0] is None  # flat window: sd == 0 -> NULL, not inf
+    assert z[6.0] is None  # judged against flat baseline -> sd 0
+    assert z[7.0] is not None and abs(z[7.0]) < 3  # spike inflates sd
+    flags = {
+        r["t"]: r["is_anomaly"]
+        for r in flag_anomalies(df, "v", "t", ["g"], n=5, threshold=2.0).collect()
+    }
+    assert flags[0.0] is False and flags[5.0] is False
+    # mixed window: put the spike where the baseline has variance
+    rows2 = [("a", float(t), float(10 + (t % 3))) for t in range(6)] + [("a", 6.0, 100.0)]
+    df2 = spark.createDataFrame(rows2, "g string, t double, v double")
+    f2 = {r["t"]: r["is_anomaly"] for r in flag_anomalies(df2, "v", "t", ["g"], n=5, threshold=3.0).collect()}
+    assert f2[6.0] is True and not any(v for t, v in f2.items() if t < 6.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rolling_zscore(df, "v", "t", ["g"], n=1)

@@ -95,3 +95,59 @@ def moving_avg(
     w = _w(group_cols, order_col).rowsBetween(-(n - 1), W.currentRow)
     v = F.col(f"`{value_col}`").cast("double")
     return df.withColumn(out_col or f"{value_col}_ma{n}", F.avg(v).over(w))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    n: int = 20,
+    out_col: str | None = None,
+) -> DataFrame:
+    """How many trailing-window standard deviations the current sample
+    sits from the trailing mean — the standard streaming anomaly score.
+    The window EXCLUDES the current row (a spike must not raise the
+    baseline it is judged against); NULL until the trailing window has
+    two samples or while its stddev is zero (a first-ever change on a
+    flat series is flagged by ``flag_anomalies``' ``min_periods``
+    instead of dividing by zero)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = _w(group_cols, order_col).rowsBetween(-n, -1)
+    v = F.col(f"`{value_col}`").cast("double")
+    mu, sd = F.avg(v).over(w), F.stddev_samp(v).over(w)
+    return df.withColumn(
+        out_col or f"{value_col}_zscore",
+        F.when(sd > 0, (v - mu) / sd),
+    )
+
+
+def flag_anomalies(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    n: int = 20,
+    threshold: float = 3.0,
+    min_periods: int = 3,
+    out_col: str = "is_anomaly",
+) -> DataFrame:
+    """Boolean anomaly flag: |rolling z-score| > ``threshold`` with at
+    least ``min_periods`` trailing samples (early buckets never flag).
+    One window pass, JVM only — runs inline on a gap-filled series at
+    scan speed."""
+    w = _w(group_cols, order_col).rowsBetween(-n, -1)
+    v = F.col(f"`{value_col}`").cast("double")
+    scored = rolling_zscore(df, value_col, order_col, group_cols, n, "__z")
+    scored = scored.withColumn("__cnt", F.count(v).over(w))
+    return (
+        scored.withColumn(
+            out_col,
+            F.coalesce(
+                (F.abs(F.col("__z")) > threshold) & (F.col("__cnt") >= min_periods),
+                F.lit(False),
+            ),
+        )
+        .drop("__z", "__cnt")
+    )
