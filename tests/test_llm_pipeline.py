@@ -695,3 +695,51 @@ def test_ivf_topk_batch_equals_per_query(spark):
 
     with pytest.raises(ValueError):
         ivf_topk_batch(assigned, centers, [], k=5)
+
+
+def test_hashed_embedding_bridge(spark):
+    """Feature-hashing text vectors: deterministic, L2-normalized, and a
+    working bridge into the vector operators — near-duplicate texts land
+    near each other under cosine while unrelated texts don't."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.functions.text import hashed_embedding
+    from zx_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated legal boilerplate follows here"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", hashed_embedding(F.col("text"), dim=32).alias("emb")
+    )
+    rows = {r["doc_id"]: r["emb"] for r in out.collect()}
+    import math
+
+    assert math.isclose(sum(x * x for x in rows[1]), 1.0, rel_tol=1e-9)
+    assert rows[4] is None  # NULL text -> NULL vector
+    assert all(x == 0.0 for x in rows[5])  # empty text -> zero vector
+    # determinism
+    rows_b = {r["doc_id"]: r["emb"] for r in out.collect()}
+    assert rows == rows_b
+    sim = df.alias("a").crossJoin(df.alias("b")).filter(
+        (F.col("a.doc_id") == 1) & (F.col("b.doc_id").isin(2, 3))
+    ).select(
+        F.col("b.doc_id").alias("other"),
+        cosine(
+            hashed_embedding(F.col("a.text"), 32),
+            hashed_embedding(F.col("b.text"), 32),
+        ).alias("cos"),
+    )
+    s = {r["other"]: r["cos"] for r in sim.collect()}
+    assert s[2] > 0.7 > s[3]
+    # plan: pure Catalyst, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan

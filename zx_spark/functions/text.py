@@ -351,3 +351,45 @@ def fingerprint_from_tokens(toks: Column, n: int = 5, mod: int = 8) -> Column:
     )
     kept = F.filter(hashes, lambda h: F.pmod(h, F.lit(mod)) == 0)
     return F.array_sort(kept)
+
+
+def hashed_embedding(text: Column, dim: int = 64, norm: bool = True) -> Column:
+    """Deterministic feature-hashing embedding: token counts scattered
+    into ``dim`` md5-60-bit buckets with a ±1 sign hash (the classic
+    hashing-trick / SimHash-style text vector), optionally L2-normalized
+    — array<double> ready for every vector operator in the engine
+    (cosine_topk, RP-LSH, IVF/PQ, SemDeDup, PCA).
+
+    The point is the BRIDGE: raw text becomes a queryable vector with no
+    model, no Python, no external service — a pure Catalyst projection
+    (bucket array materialized once per row, then ``dim`` JVM count
+    folds), so text→vector→ANN runs end-to-end at scan speed and the
+    whole path stays ANSI-SQL-reproducible. Swap in a real encoder
+    behind the same column contract when one is available."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = _tokens(text)
+    h = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    # bucket = h % dim; sign from the next hash bit (h div dim parity) so
+    # counts cancel instead of all piling positive (SimHash-style)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(
+                F.pmod(x, F.lit(dim)) == i,
+                F.when(F.pmod(F.floor(x / dim), 2) == 0, 1).otherwise(-1),
+            ).otherwise(0),
+        ).cast("double"),
+    )
+    if norm:
+        n2 = F.sqrt(
+            F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        counts = F.transform(counts, lambda x: x / F.greatest(n2, F.lit(1e-12)))
+    # NULL text -> NULL vector (not an array of NULL elements)
+    return F.when(text.isNotNull(), counts)
