@@ -921,11 +921,24 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zx_spark.functions.text import bpe_ish_token_count, chunk_documents
 
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    # hashed_embedding checksum: Σ round(x·1e6) over the 32-dim hashed
+    # text vector — counts are exact ints and the one normalization
+    # division is the same IEEE op in both engines, so the HALF_UP micro
+    # checksum pins bucketing, sign hash and L2 normalization exactly
+    from zx_spark.functions.text import hashed_embedding
+
+    hemb = hashed_embedding(F.col("text"), dim=32)
+    hsum = F.aggregate(
+        F.transform(hemb, lambda x: F.round(x * 1_000_000).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     stats = _docs(spark, sf_dir).select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        hsum.alias("hemb_checksum"),
     )
     ch = chunk_documents(
         _docs(spark, sf_dir).select("doc_id", "text"),
@@ -2488,12 +2501,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM scl, hb), "
             "sc AS (SELECT doc_id, md5(array_to_string(kept, chr(10))) AS scrub_md5, "
             "len(ls) - len(kept) AS n_lines_dropped FROM sck) "
+            # hashed_embedding twin: token hashes materialized once, 32
+            # signed bucket folds, L2 normalize, HALF_UP micro checksum
+            ", he AS (SELECT doc_id, list_transform(toks, "
+            "t -> ('0x'||substr(md5(t),1,15))::bigint) AS hs "
+            f"FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)), "
+            "hc AS (SELECT doc_id, CASE WHEN hs IS NULL THEN NULL ELSE "
+            "list_transform(range(0, 32), i -> "
+            "coalesce(list_aggregate(list_transform(hs, x -> CASE WHEN x % 32 = i "
+            "THEN (CASE WHEN x % 64 < 32 THEN 1 ELSE -1 END) ELSE 0 END), "
+            "'sum'), 0)::double) END AS cnts FROM he), "
+            "hn AS (SELECT doc_id, sqrt(list_aggregate(list_transform(cnts, "
+            "x -> x * x), 'sum')) AS n2, cnts FROM hc), "
+            "hx AS (SELECT doc_id, list_aggregate(list_transform(cnts, "
+            "x -> round(x / greatest(n2, 1e-12) * 1000000)::bigint), 'sum')::bigint "
+            "AS hemb_checksum FROM hn) "
             "SELECT d.doc_id, length(d.text) AS n_chars, "
             f"len({_TOKS}) AS n_tokens, "
             "len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) "
-            "AS n_bpe_tokens, a.n_chunks, a.chunk_tokens, a.chunk_md5_sum, "
+            "AS n_bpe_tokens, hx.hemb_checksum, "
+            "a.n_chunks, a.chunk_tokens, a.chunk_md5_sum, "
             "sc.scrub_md5, sc.n_lines_dropped "
-            "FROM documents d JOIN agg a USING (doc_id) JOIN sc USING (doc_id)"
+            "FROM documents d JOIN agg a USING (doc_id) JOIN sc USING (doc_id) "
+            "JOIN hx USING (doc_id)"
         ),
         "text_quality": (
             "WITH q AS (SELECT doc_id, length(text) AS n_chars, "

@@ -372,8 +372,11 @@ def hashed_embedding(text: Column, dim: int = 64, norm: bool = True) -> Column:
     h = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    # bucket = h % dim; sign from the next hash bit (h div dim parity) so
-    # counts cancel instead of all piling positive (SimHash-style)
+    # bucket = h % dim; sign from the parity of h div dim so counts
+    # cancel instead of all piling positive (SimHash-style). The parity
+    # is computed as ``h mod 2·dim < dim`` — pure 64-bit integer mod
+    # (``floor(h / dim)`` would route a 60-bit hash through a double and
+    # lose the low bits, making the sign ill-defined cross-engine).
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.aggregate(
@@ -382,7 +385,7 @@ def hashed_embedding(text: Column, dim: int = 64, norm: bool = True) -> Column:
             lambda acc, x: acc
             + F.when(
                 F.pmod(x, F.lit(dim)) == i,
-                F.when(F.pmod(F.floor(x / dim), 2) == 0, 1).otherwise(-1),
+                F.when(F.pmod(x, F.lit(2 * dim)) < dim, 1).otherwise(-1),
             ).otherwise(0),
         ).cast("double"),
     )
