@@ -257,3 +257,26 @@ def test_pipeline_scrub_feeds_dedup(spark):
     out = curate_corpus(docs, scrub_lines=True)
     ids = sorted(r.doc_id for r in out.collect())
     assert ids == [1, 3]
+
+
+def test_pipeline_semantic_from_text(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " dog"),  # near-identical -> same hashed direction
+            (3, "completely different legal boilerplate text follows here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, semantic_from_text=True, semantic_threshold=0.9, semantic_n_cells=2
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 3 in ids and len(ids) == 2  # one of the near-pair dropped
+    with pytest.raises(ValueError, match="not both"):
+        curate_corpus(
+            docs,
+            semantic_from_text=True,
+            embeddings=docs.selectExpr("doc_id", "array(1.0) AS embedding"),
+        )

@@ -79,6 +79,8 @@ def curate_corpus(
     near_dup_mode: str = "pairs",
     embeddings: DataFrame | None = None,
     embedding_vec_col: str = "embedding",
+    semantic_from_text: bool = False,
+    semantic_hash_dim: int = 64,
     semantic_threshold: float = 0.95,
     semantic_n_cells: int = 64,
     benchmark: DataFrame | None = None,
@@ -107,7 +109,11 @@ def curate_corpus(
     score; ``boilerplate_max_ratio`` drops documents whose repeated-
     n-gram load exceeds it; ``embeddings`` (``(id_col, embedding_vec_col)``
     rows joining the corpus on ``id_col``) enables SemDeDup — documents
-    without an embedding row pass through unexamined."""
+    without an embedding row pass through unexamined.
+    ``semantic_from_text=True`` enables SemDeDup with NO embedding table:
+    vectors come from ``hashed_embedding`` (functions/text.py) over the
+    current (scrubbed) text — the model-free bridge; pass a real
+    ``embeddings`` table instead when an encoder exists."""
     out = df
     if quality_min is not None:
         out = out.filter(
@@ -179,6 +185,17 @@ def curate_corpus(
             raise ValueError(
                 f"near_dup_mode must be 'pairs' or 'components', got {near_dup_mode!r}"
             )
+    if semantic_from_text:
+        if embeddings is not None:
+            raise ValueError("pass embeddings OR semantic_from_text, not both")
+        from zx_spark.functions.text import hashed_embedding
+
+        embeddings = out.select(
+            id_col,
+            hashed_embedding(F.col(text_col), dim=semantic_hash_dim).alias(
+                embedding_vec_col
+            ),
+        )
     if embeddings is not None:
         from zx_spark.operators.semdedup import (
             semantic_dedup_fit,
