@@ -43,7 +43,12 @@ def test_score_python_decomposition():
         + m["logbi_micro"][_bucket_py("a b", 32)]
         - m["logctx_micro"][_bucket_py("a", 32)]
     )
-    assert got == round(micro / (MICRO * 2), 6)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = micro / (float(MICRO) * 2)
+    assert got == float(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
 
 
 def test_spark_train_equals_python_twin(spark):

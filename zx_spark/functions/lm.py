@@ -205,7 +205,15 @@ def lm_score(text_col: Column, model: dict) -> Column:
 
 
 def lm_score_python(text: str | None, model: dict) -> float | None:
-    """Driver-side twin of ``lm_score`` for one document (tests)."""
+    """Driver-side twin of ``lm_score`` for one document (tests).
+
+    The finisher replicates the ENGINE discipline exactly: the same IEEE
+    division, then HALF_UP-away-from-zero at 6 dp (Spark F.round /
+    DuckDB round) — Python's built-in banker's ``round`` diverges at
+    exact .5e-6 boundaries (found by hypothesis: micro totals divisible
+    by the token count land there routinely)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     n_buckets = model["n_buckets"]
     toks = (text or "").lower().split()
     if not toks:
@@ -216,7 +224,8 @@ def lm_score_python(text: str | None, model: dict) -> float | None:
         total += model["logbi_micro"][_bucket_py(f"{prev} {cur}", n_buckets)]
         total -= model["logctx_micro"][_bucket_py(prev, n_buckets)]
         prev = cur
-    return round(total / (MICRO * len(toks)), 6)
+    v = total / (float(MICRO) * len(toks))
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
 def perplexity(avg_logprob: Column) -> Column:
