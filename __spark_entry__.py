@@ -924,16 +924,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed_embedding checksum: Σ round(x·1e6) over the 32-dim hashed
     # text vector — counts are exact ints and the one normalization
     # division is the same IEEE op in both engines, so the HALF_UP micro
-    # checksum pins bucketing, sign hash and L2 normalization exactly
-    from zx_spark.functions.text import hashed_embedding
+    # checksum pins bucketing, sign hash and L2 normalization exactly.
+    # DataFrame form = projection boundaries (the inline Column form
+    # re-derives the hash array per count fold; measured ~5×).
+    from zx_spark.functions.text import with_hashed_embedding
 
-    hemb = hashed_embedding(F.col("text"), dim=32)
     hsum = F.aggregate(
-        F.transform(hemb, lambda x: F.round(x * 1_000_000).cast("long")),
+        F.transform(
+            F.col("hashed_emb"), lambda x: F.round(x * 1_000_000).cast("long")
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    stats = _docs(spark, sf_dir).select(
+    stats = with_hashed_embedding(_docs(spark, sf_dir), dim=32).select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),

@@ -743,3 +743,27 @@ def test_hashed_embedding_bridge(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_with_hashed_embedding_equals_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from zx_spark.functions.text import hashed_embedding, with_hashed_embedding
+    from zx_spark.storage import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    a = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id", hashed_embedding(F.col("text"), dim=16).alias("e")
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["hashed_emb"]
+        for r in with_hashed_embedding(docs, dim=16).select(
+            "doc_id", "hashed_emb"
+        ).collect()
+    }
+    assert a == b
+    # temp columns cleaned up
+    assert set(with_hashed_embedding(docs, dim=16).columns) == set(docs.columns) | {"hashed_emb"}

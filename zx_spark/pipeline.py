@@ -188,14 +188,11 @@ def curate_corpus(
     if semantic_from_text:
         if embeddings is not None:
             raise ValueError("pass embeddings OR semantic_from_text, not both")
-        from zx_spark.functions.text import hashed_embedding
+        from zx_spark.functions.text import with_hashed_embedding
 
-        embeddings = out.select(
-            id_col,
-            hashed_embedding(F.col(text_col), dim=semantic_hash_dim).alias(
-                embedding_vec_col
-            ),
-        )
+        embeddings = with_hashed_embedding(
+            out, text_col, dim=semantic_hash_dim, out_col=embedding_vec_col
+        ).select(id_col, embedding_vec_col)
     if embeddings is not None:
         from zx_spark.operators.semdedup import (
             semantic_dedup_fit,
