@@ -767,3 +767,53 @@ def test_with_hashed_embedding_equals_column_form(spark):
     assert a == b
     # temp columns cleaned up
     assert set(with_hashed_embedding(docs, dim=16).columns) == set(docs.columns) | {"hashed_emb"}
+
+
+def test_knn_pairs_exact_at_full_probe_and_composes_with_components(spark):
+    """knn graph: with nprobe = n_cells it equals brute-force k-NN per
+    row (same ids, cosines); edges feed dup_components."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.dedup import dup_components
+    from zx_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_lloyd,
+        knn_pairs,
+    )
+    from zx_spark.storage import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    assigned, centers = ivf_build_lloyd(emb, n_cells=4, iters=2, dim=64)
+    g = knn_pairs(assigned, centers, k=3, nprobe=4)
+    got = {
+        r["vec_id"]: (r["neighbor_id"], r["cosine"])
+        for r in g.filter(F.col("cosine").isNotNull()).collect()
+        if True
+    }
+    # spot-check 5 rows against per-query brute force (excluding self)
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    by_q = {}
+    for r in g.collect():
+        by_q.setdefault(r["vec_id"], []).append((r["neighbor_id"], r["cosine"]))
+    for qid in list(rows)[:5]:
+        exact = [
+            (r["vec_id"], r["cosine"])
+            for r in cosine_topk(
+                emb.filter(F.col("vec_id") != qid), list(rows[qid]), k=3
+            ).collect()
+        ]
+        assert sorted(by_q[qid], key=lambda t: (-t[1], t[0])) == exact, qid
+    # graph edges -> connected components machinery accepts them
+    comps = dup_components(
+        g.filter(F.col("cosine") > 0.9).select(
+            F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+        )
+    )
+    assert comps.count() >= 0  # composes without error
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        knn_pairs(assigned, centers, k=3, nprobe=9)

@@ -868,3 +868,81 @@ def ivfpq_topk(
         vectors_df = vectors_df.filter(F.col(vectors_cell_col).isin(cells))
     cand = vectors_df.join(F.broadcast(short), id_col)
     return cosine_topk(cand, query, k=k_results, id_col=id_col)
+
+
+def knn_pairs(
+    assigned: DataFrame,
+    centers,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """k-NN GRAPH over the corpus: for EVERY vector, its ``k`` nearest
+    neighbors (by cosine) among the vectors of its ``nprobe`` nearest
+    IVF cells — the all-pairs building block for graph-based dedup
+    (feed the edges to ``dedup.dup_components``), clustering, and
+    diversity analysis.
+
+    Spark shape: each row's probe list is a pure JVM expression over the
+    broadcast literal centers (sort cells by squared distance, slice
+    nprobe — no driver round-trip per row, unlike the single-query
+    ``probe_cells``); exploding it fans each query out nprobe× into an
+    EQUI-join on the probed cell (one hash shuffle, bounded by cell
+    size × nprobe — never a crossJoin), then a per-query window keeps
+    the top ``k``. With ``nprobe = n_cells`` the graph is exact
+    brute-force k-NN (pinned in tests); fewer probes trade recall for
+    a nprobe/n_cells fraction of the join volume."""
+    from pyspark.sql import Window
+
+    C = [[float(x) for x in c] for c in np.asarray(centers)]
+    n_cells = len(C)
+    if not 1 <= nprobe <= n_cells:
+        raise ValueError(f"nprobe must be in 1..{n_cells}, got {nprobe}")
+    dim = len(C[0])
+    flat = F.lit([x for c in C for x in c])
+    c2 = F.lit([float(sum(x * x for x in c)) for c in C])
+    v = F.col(vec_col).cast("array<double>")
+    # per-row probe list: cells sorted by |c|^2 - 2 v.c (the |v|^2 term
+    # is constant per row), ties by cell id via the struct sort
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda j: F.struct(
+            (
+                F.element_at(c2, j + 1)
+                - 2.0 * _dot(v, F.slice(flat, j * dim + 1, dim))
+            ).alias("d"),
+            j.alias("c"),
+        ),
+    )
+    probes = F.slice(
+        F.transform(F.array_sort(scored), lambda s: s["c"]), 1, nprobe
+    )
+    q = _spread(assigned).select(
+        F.col(id_col).alias("__qid"),
+        v.alias("__qv"),
+        F.explode(probes).alias("__pc"),
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        F.col(cell_col).alias("__cc"),
+    )
+    pairs = (
+        q.join(cand, q["__pc"] == cand["__cc"])
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__cid").alias("neighbor_id"),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
