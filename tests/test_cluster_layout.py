@@ -90,3 +90,26 @@ def test_cluster_validation(spark, events, tmp_path):
         cluster_store(spark, path, ["nope"])
     with pytest.raises(ValueError, match="numeric"):
         cluster_store(spark, path, ["event_type"], zorder=True)
+
+
+def test_store_stats_reports_skippability(spark, tmp_path):
+    import pytest
+
+    from zx_spark.storage import cluster_store, store_stats
+
+    p = str(tmp_path / "stats_store")
+    spark.range(0, 20000).selectExpr(
+        "id AS k", "cast(id % 97 AS double) AS v"
+    ).repartition(8).write.parquet(p)
+    pre = store_stats(p, columns=["k", "v"])
+    assert pre["files"] >= 8 and pre["rows"] == 20000
+    assert pre["columns"]["k"]["min"] == 0 and pre["columns"]["k"]["max"] == 19999
+    # random layout: k ranges overlap heavily across groups
+    assert pre["columns"]["k"]["overlap_fraction"] > 0.8
+    cluster_store(spark, p, ["k"], target_file_mb=1.0)
+    post = store_stats(p, columns=["k"])
+    # range clustering makes k row groups (nearly) disjoint
+    assert post["columns"]["k"]["overlap_fraction"] < 0.3
+    assert post["rows"] == 20000
+    with pytest.raises(ValueError):
+        store_stats(str(tmp_path / "missing"))

@@ -729,3 +729,72 @@ def vacuum_snapshots(path: str, keep: int = 2) -> dict:
         "files_removed": removed,
         "kept_versions": kept_v,
     }
+
+
+def store_stats(path: str, columns: list[str] | None = None) -> dict:
+    """Data-skipping diagnostics from parquet FOOTERS only (no data
+    read): per-store file/row-group/byte totals plus per-column row-group
+    min/max summaries — the observability for ``cluster_store`` /
+    ``compact_store`` decisions ("is this store skippable on ts?" /
+    "how fragmented is it?"). At 100 TB footers are KBs per file; the
+    driver-side loop is bounded by file count, which compaction keeps
+    sane (and which this util is how you notice it isn't).
+
+    Returns ``{files, row_groups, rows, bytes, avg_rows_per_group,
+    columns: {col: {n_groups, overlap_fraction, min, max}}}`` where
+    ``overlap_fraction`` estimates how UNskippable the column is: the
+    mean fraction of OTHER row groups each group's [min, max] range
+    overlaps (1.0 → every predicate touches every group; ~0 →
+    range-clustered, pruning works)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    n_groups = 0
+    rows = 0
+    nbytes = 0
+    ranges: dict[str, list[tuple]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_groups += md.num_row_groups
+        rows += md.num_rows
+        nbytes += md.serialized_size
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            nbytes += rg.total_byte_size
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                name = col.path_in_schema
+                if columns is not None and name not in columns:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                ranges.setdefault(name, []).append((st.min, st.max))
+    out_cols = {}
+    for name, rs in ranges.items():
+        overlap = 0.0
+        if len(rs) > 1:
+            n_overlap = 0
+            for i, (lo, hi) in enumerate(rs):
+                for j, (lo2, hi2) in enumerate(rs):
+                    if i != j and not (hi < lo2 or hi2 < lo):
+                        n_overlap += 1
+            overlap = n_overlap / (len(rs) * (len(rs) - 1))
+        out_cols[name] = {
+            "n_groups": len(rs),
+            "overlap_fraction": round(overlap, 4),
+            "min": min(lo for lo, _ in rs),
+            "max": max(hi for _, hi in rs),
+        }
+    return {
+        "files": len(files),
+        "row_groups": n_groups,
+        "rows": rows,
+        "bytes": nbytes,
+        "avg_rows_per_group": rows // max(n_groups, 1),
+        "columns": out_cols,
+    }
