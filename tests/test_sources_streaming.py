@@ -402,3 +402,95 @@ def test_chained_dedup_then_windowed_agg(spark, tmp_path):
         .collect()
     }
     assert got == want  # doubles collapsed, windows identical
+
+
+def test_streaming_anomaly_flags_batch_parity(spark, tmp_path):
+    """Second custom stateful operator (streaming/anomaly.py): bucket
+    sums finalize under the watermark and score against the trailing
+    finalized history — every emitted row must match the BATCH verb
+    (series.flag_anomalies over the same aligned bucket sums)."""
+    import time as _time
+
+    from zx_spark.streaming.anomaly import streaming_anomaly_flags
+
+    src = str(tmp_path / "an_src")
+    os.makedirs(src)
+    schema = "id long, service string, v double, ts timestamp"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "id long, service string, v double, ts_s long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        import glob, shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(part, dst)
+        return dst
+
+    B = 1_000_000
+    rid = [0]
+
+    def rows_for(bucket_no, per_event, n_events=2):
+        out = []
+        for j in range(n_events):
+            rid[0] += 1
+            out.append((rid[0], "A", float(per_event), B + bucket_no * 10 + j))
+        return out
+
+    # buckets 0..5: mild variation (sums 10,12,10,14,10,12); bucket 6: spike
+    baseline = [5.0, 6.0, 5.0, 7.0, 5.0, 6.0]
+    f1 = write_file("b1", [r for i, p in enumerate(baseline) for r in rows_for(i, p)])
+    _time.sleep(0.05)
+    f2 = write_file("b2", rows_for(6, 100.0))  # spike bucket: sum 200
+    _time.sleep(0.05)
+    f3 = write_file("b3", rows_for(50, 5.0))  # far future: finalizes 0..6
+    for i, f in enumerate([f1, f2, f3]):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    result = streaming_anomaly_flags(
+        stream, group_by=["service"], bucket_s=10.0, n=5, threshold=3.0,
+        min_periods=3, ts_col="ts", value_col="v", watermark="0 seconds",
+    )
+    run_available_now(result, "an_out", str(tmp_path / "an_ckpt"), output_mode="append")
+    got = {
+        r["bucket"]: (r["sum__value"], r["is_anomaly"], r["zscore"])
+        for r in spark.table("an_out").collect()
+    }
+    # buckets 0..6 finalized; far-future bucket still open -> absent
+    assert sorted(got) == [float(i * 10 + B) for i in range(7)]
+
+    # batch twin over the SAME events
+    from zx_spark.operators.series import flag_anomalies, rolling_zscore
+
+    ev = spark.read.parquet(src)
+    agg = (
+        ev.groupBy(
+            F.lit("A").alias("g"),
+            (F.floor(F.col("ts").cast("double") / 10) * 10).alias("bucket"),
+        )
+        .agg(F.sum("v").alias("s"))
+    )
+    batch = flag_anomalies(
+        rolling_zscore(agg, "s", "bucket", ["g"], n=5, out_col="z"),
+        "s", "bucket", ["g"], n=5, threshold=3.0, min_periods=3,
+    )
+    expect = {
+        r["bucket"]: (r["s"], r["is_anomaly"], r["z"]) for r in batch.collect()
+    }
+    for b, (s, flag, z) in got.items():
+        es, eflag, ez = expect[b]
+        assert s == es and flag == eflag, b
+        if z is None or ez is None:
+            assert z == ez, b
+        else:
+            assert abs(z - ez) < 1e-9, b
+    # the spike bucket is the ONE anomaly
+    assert [b for b, (_, f_, _) in got.items() if f_] == [B + 60.0]

@@ -7,6 +7,7 @@ expressed as an incremental streaming query with watermarked late-data
 handling — the shape a 100 TB observability pipeline actually runs."""
 
 from zx_spark.streaming.dedup import streaming_exact_dedup
+from zx_spark.streaming.anomaly import streaming_anomaly_flags
 from zx_spark.streaming.sessions import streaming_session_agg
 from zx_spark.streaming.windowed import (
     run_available_now,
@@ -18,6 +19,7 @@ __all__ = [
     "run_available_now",
     "stream_events",
     "streaming_exact_dedup",
+    "streaming_anomaly_flags",
     "streaming_session_agg",
     "streaming_windowed_agg",
 ]
