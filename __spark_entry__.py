@@ -897,7 +897,7 @@ def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = rp_lsh_near_pairs(allv, dim=64, threshold=0.9).select(
         F.lit("rp_lsh").alias("arm"), "id_a", "id_b", F.col("cosine").alias("score")
     )
-    annotated, _ = semantic_dedup_fit(allv, n_cells=8, iters=5, dim=64)
+    annotated, centers = semantic_dedup_fit(allv, n_cells=8, iters=5, dim=64)
     sp = semantic_pairs(annotated, threshold=0.95)
     sem = sp.select(
         F.lit("sem_pair").alias("arm"), "id_a", "id_b", F.col("cosine").alias("score")
@@ -908,7 +908,20 @@ def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id_b"),
         F.lit(None).cast("double").alias("score"),
     )
-    return lsh.unionByName(sem).unionByName(drop)
+    # knn arm (r5 session 3): the k-NN GRAPH over the same Lloyd cells —
+    # per-row JVM probe list (2 nearest cells), cell equi-join, top-2
+    # neighbors per vector; the oracle replays the probe sort (same
+    # no-|v|² distance expression), join and window over the twin-derived
+    # literal centers.
+    from zx_spark.operators.similarity import knn_pairs
+
+    knn = knn_pairs(annotated, centers, k=2, nprobe=2).select(
+        F.lit("knn").alias("arm"),
+        F.col("vec_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cosine").alias("score"),
+    )
+    return lsh.unionByName(sem).unionByName(drop).unionByName(knn)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1885,6 +1898,10 @@ def _rp_lsh_oracle(
         f"+ {float(sum(x * x for x in c))!r})"
         for c in centers
     )
+    knn_dists = ", ".join(
+        f"({float(sum(x * x for x in c))!r} - 2*list_dot_product(v, {lst(c)}))"
+        for c in centers
+    )
     # per-cell centroid cosine: literal center + literal norm (np.sqrt of
     # the python left-assoc sum — the identical doubles semdedup.py embeds)
     ccos_arms = " ".join(
@@ -1917,6 +1934,13 @@ def _rp_lsh_oracle(
         f"dl AS (SELECT vec_id, v, [{dists}] AS dists FROM allv), "
         "asg AS (SELECT vec_id, v, list_position(dists, list_min(dists)) - 1 AS cell "
         "FROM dl), "
+        # knn probe list: the SAME |c|^2 - 2 v.c expression knn_pairs
+        # sorts (no |v|^2 term — adding a constant could flip fp-close
+        # orderings), struct-sorted by (distance, cell), first nprobe=2
+        f"dk AS (SELECT vec_id, v, [{knn_dists}] AS d2 FROM allv), "
+        "qx AS (SELECT vec_id AS qid, v AS qv, unnest(list_transform(list_sort("
+        "list_transform(generate_series(1, " f"{n_cells}" "), "
+        "j -> {'d': d2[j], 'c': j - 1})), s -> s.c)[1:2]) AS pc FROM dk), "
         f"cc AS (SELECT vec_id, v, cell, CASE cell {ccos_arms} END AS ccos FROM asg), "
         "sp AS (SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         f"{pair_cos} AS score, a.ccos AS ccos_a, b.ccos AS ccos_b "
@@ -1924,11 +1948,20 @@ def _rp_lsh_oracle(
         f"WHERE score >= {sem_threshold}), "
         "dropped AS (SELECT DISTINCT CASE WHEN (ccos_a < ccos_b) OR "
         "(ccos_a = ccos_b AND id_a < id_b) THEN id_b ELSE id_a END AS id_a FROM sp) "
+        ", kn0 AS (SELECT qx.qid, cc.vec_id AS nid, "
+        "round(list_dot_product(qx.qv, cc.v) / "
+        "greatest(sqrt(list_dot_product(qx.qv, qx.qv)) * "
+        "sqrt(list_dot_product(cc.v, cc.v)), 1e-12), 6) AS score "
+        "FROM qx JOIN cc ON cc.cell = qx.pc AND cc.vec_id != qx.qid), "
+        "kn AS (SELECT qid, nid, score FROM (SELECT qid, nid, score, "
+        "row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn "
+        "FROM kn0) WHERE rn <= 2) "
         f"SELECT 'rp_lsh' AS arm, id_a, id_b, cosine AS score FROM cand "
         f"WHERE cosine >= {threshold} "
         "UNION ALL SELECT 'sem_pair' AS arm, id_a, id_b, score FROM sp "
         "UNION ALL SELECT 'sem_drop' AS arm, id_a, NULL::BIGINT AS id_b, "
-        "NULL::DOUBLE AS score FROM dropped"
+        "NULL::DOUBLE AS score FROM dropped "
+        "UNION ALL SELECT 'knn' AS arm, qid AS id_a, nid AS id_b, score FROM kn"
     )
 
 

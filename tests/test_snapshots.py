@@ -18,7 +18,10 @@ from zx_spark.storage import (
 
 
 def _write(spark, path, rows, mode="append"):
-    spark.createDataFrame(rows, "k long, v string").write.mode(mode).parquet(path)
+    # one part file per write: the removal/backup tests pick files by glob
+    spark.createDataFrame(rows, "k long, v string").coalesce(1).write.mode(
+        mode
+    ).parquet(path)
 
 
 def test_snapshot_pins_file_set_across_appends(spark, tmp_path):
