@@ -858,7 +858,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=50,
         vectors_cell_col="ivf_cell",
     ).select(F.lit("ivfpq").alias("arm"), "vec_id", F.col("cosine").alias("score"))
-    return ivf.unionByName(adc).unionByName(ivfpq)
+    # batch-serving arms (r5 session 3): ivf_topk_batch answers BOTH
+    # basis queries in one union-pruned scan; per-query rows must equal
+    # the single-query path — the oracle reruns each query's probe set
+    # (same driver-side probe_cells over the twin-derived centers)
+    from zx_spark.operators.similarity import ivf_topk_batch
+
+    e2 = [0.0, 1.0] + [0.0] * 62
+    batch = ivf_topk_batch(
+        assigned, centers, [ANN_QUERY_VEC, e2], k=10, nprobe=4
+    ).select(
+        F.concat(F.lit("ivfb_q"), F.col("query_no").cast("string")).alias("arm"),
+        "vec_id",
+        F.col("cosine").alias("score"),
+    )
+    return ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
 
 
 def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,6 +2098,8 @@ def _ivf_pq_oracle(
     X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     centers = ivf_centers_numpy(t["vec_id"].to_numpy(), X, n_cells, iters)
     cells = probe_cells(centers, ANN_QUERY_VEC, nprobe)
+    e2 = [0.0, 1.0] + [0.0] * 62
+    cells_q1 = probe_cells(centers, e2, nprobe)
     books = pq_codebooks_numpy(X, pq_m, pq_k, pq_iters)
     dim = X.shape[1]
     sub = dim // pq_m
@@ -2135,9 +2151,18 @@ def _ivf_pq_oracle(
         f"ORDER BY score DESC, vec_id LIMIT {shortlist}), "
         f"ivfpq_arm AS (SELECT 'ivfpq' AS arm, a.vec_id, {cos} AS score "
         f"FROM a JOIN short USING (vec_id) WHERE cell IN ({in_cells}) "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        # batch arms: per-query probe sets from the SAME probe_cells over
+        # the twin centers; scoring identical to the single-query arm
+        f"b0 AS (SELECT 'ivfb_q0' AS arm, vec_id, {cos} AS score "
+        f"FROM a WHERE cell IN ({in_cells}) ORDER BY score DESC, vec_id LIMIT {k}), "
+        "b1 AS (SELECT 'ivfb_q1' AS arm, vec_id, "
+        "round(v[2] / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6) AS score "
+        f"FROM a WHERE cell IN ({', '.join(str(c) for c in cells_q1)}) "
         f"ORDER BY score DESC, vec_id LIMIT {k}) "
         "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
-        "UNION ALL SELECT * FROM ivfpq_arm"
+        "UNION ALL SELECT * FROM ivfpq_arm "
+        "UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1"
     )
 
 
