@@ -769,8 +769,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k + threshold scan + int8-quantized top-k as
-    one three-arm driver row (identical column shapes; merged to free
+    """Brute-force cosine top-k + threshold scan + int8-quantized top-k +
+    PCA-reduced top-k as one four-arm driver row (identical column
+    shapes; merged to free
     registry slots under the 50-query cap). The pure top-k callable stays
     in BENCH_COMPAT so headline timings remain comparable with the pinned
     baseline.
@@ -812,7 +813,8 @@ def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ ANN suite as one three-arm driver row, all over
+    """IVF + PQ ANN suite as one five-arm driver row (ivf / pq_adc /
+    ivfpq / ivfb_q0 / ivfb_q1), all over
     deterministic engine-reproducible quantizers (every communicated
     center rounded to 6 dp, so numpy twins re-derive them bit-identically
     from the raw parquet and the DuckDB oracle embeds them as literals):
@@ -878,7 +880,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup suite, self-seeded: the driver's random-ish
     embeddings contain no cosine-0.9 pairs, so union each vector with a
-    deterministically perturbed copy (vec_id + 1_000_000). Three arms:
+    deterministically perturbed copy (vec_id + 1_000_000). Four arms:
 
     - ``rp_lsh``   — RP-LSH bucket join + exact-cosine verify finds the
       planted near-pairs (cosine ≈ 0.998); recall asserted in
