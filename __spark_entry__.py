@@ -225,9 +225,26 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zx_spark.operators.series import counter_rate, series_delta
 
     out = series_delta(out, "sum_zero", "bucket", ["g_event_type"], out_col="d_zero")
-    return counter_rate(
+    out = counter_rate(
         out, "sum_locf", "bucket", ["g_event_type"], out_col="rate_locf"
     )
+    # anomaly verbs (operators/series.py) over the zero-filled series:
+    # z6 = trailing-6-bucket z-score (window EXCLUDES the current row,
+    # NULL while <2 trailing samples or flat window); anom = |z| > 2.5
+    # with >= 3 trailing samples. The z-score divides by a windowed
+    # stddev whose internal accumulation order differs between engines
+    # (~ulp), so it is ROUNDED to 4 dp on both sides; the boolean uses
+    # the raw z with threshold 2.5, far from every observed |z| at
+    # sf0.01/sf0.1 (nearest gap > 0.002, checked when the arm landed;
+    # 6 / 203 buckets flag, so the TRUE branch is exercised).
+    from zx_spark.operators.series import flag_anomalies, rolling_zscore
+
+    out = rolling_zscore(out, "sum_zero", "bucket", ["g_event_type"], n=6, out_col="z6")
+    out = flag_anomalies(
+        out, "sum_zero", "bucket", ["g_event_type"],
+        n=6, threshold=2.5, min_periods=3, out_col="anom",
+    )
+    return out.withColumn("z6", F.round(F.col("z6"), 4))
 
 
 def _agg_query(sel: Select | list[Select], rounds: dict[str, int]):
@@ -676,10 +693,31 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs"),
         F.col("n_tokens").alias("id_sum"),
     )
+    # wsamp arm: weighted_sample_n — 120 docs (24% of the sf0.01 corpus)
+    # sampled WITHOUT replacement proportional to n_chars
+    # (Efraimidis-Spirakis priority ln(u)/w over the md5 bucket),
+    # aggregated per source; id_sum pins WHICH docs won.
+    from zx_spark.operators.sampling import weighted_sample_n
+
+    wsamp_agg = (
+        weighted_sample_n(
+            _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+            120, "n_chars", "doc_id", seed=17,
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("wsamp").alias("part_kind"),
+            F.col("source").alias("part_key"),
+            "n_docs",
+            "id_sum",
+        )
+    )
     return (
         split_agg.unionByName(strat_agg)
         .unionByName(mix_agg)
         .unionByName(budget_agg)
+        .unionByName(wsamp_agg)
     )
 
 
@@ -2039,9 +2077,21 @@ def _sampling_oracle() -> str:
         "count(*) AS n_docs, "
         "sum(len(regexp_extract_all(coalesce(text, ''), "
         "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')))::BIGINT AS id_sum "
-        "FROM documents GROUP BY source) "
+        "FROM documents GROUP BY source), "
+        # wsamp arm: weighted_sample_n(120, w=n_chars, seed 17) —
+        # Efraimidis-Spirakis priority ln((bucket+0.5)/1e6)/w, top 120
+        # by (priority DESC, doc_id)
+        f"wp AS (SELECT doc_id, source, "
+        f"ln(({bucket(17)} + 0.5) / {float(_BUCKETS)}) / n_chars AS pri "
+        "FROM documents WHERE n_chars > 0), "
+        "wtop AS (SELECT doc_id, source FROM wp "
+        "ORDER BY pri DESC, doc_id LIMIT 120), "
+        "wsamp_agg AS (SELECT 'wsamp' AS part_kind, source AS part_key, "
+        "count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum FROM wtop "
+        "GROUP BY source) "
         "SELECT * FROM split_agg UNION ALL SELECT * FROM strat_agg "
-        "UNION ALL SELECT * FROM mix_agg UNION ALL SELECT * FROM budget_agg"
+        "UNION ALL SELECT * FROM mix_agg UNION ALL SELECT * FROM budget_agg "
+        "UNION ALL SELECT * FROM wsamp_agg"
     )
 
 
@@ -2288,8 +2338,20 @@ def oracle_sql() -> dict[str, str]:
             "       ELSE (CASE WHEN sum_locf >= lag(sum_locf) OVER w "
             "             THEN sum_locf - lag(sum_locf) OVER w "
             "             ELSE sum_locf END) / (bucket - lag(bucket) OVER w) "
-            "  END AS rate_locf "
-            "FROM g WINDOW w AS (PARTITION BY g_event_type ORDER BY bucket)"
+            "  END AS rate_locf, "
+            # anomaly twin: trailing-6 z-score over a frame EXCLUDING the
+            # current row (rounded 4dp — stddev accumulation order differs
+            # ~ulp between engines), |z| > 2.5 flag with >= 3 samples
+            "  round(CASE WHEN stddev_samp(sum_zero) OVER w6 > 0 THEN "
+            "    (sum_zero - avg(sum_zero) OVER w6) "
+            "      / stddev_samp(sum_zero) OVER w6 END, 4) AS z6, "
+            "  coalesce(abs(CASE WHEN stddev_samp(sum_zero) OVER w6 > 0 THEN "
+            "    (sum_zero - avg(sum_zero) OVER w6) "
+            "      / stddev_samp(sum_zero) OVER w6 END) > 2.5 "
+            "    AND count(sum_zero) OVER w6 >= 3, false) AS anom "
+            "FROM g WINDOW w AS (PARTITION BY g_event_type ORDER BY bucket), "
+            "  w6 AS (PARTITION BY g_event_type ORDER BY bucket "
+            "    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)"
         ),
         "a2_a3_minmax": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "

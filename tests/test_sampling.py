@@ -207,3 +207,72 @@ def test_mix_to_proportions_token_weighted(spark):
     assert sorted(r["doc_id"] for r in mixed_pre.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in mixed_tok.select("doc_id").collect()
     )
+
+
+# ------------------------------------------------- weighted sampling (A-ES)
+
+
+def _py_priority(key, weight, seed):
+    """Pure-Python twin of weighted_sample_n's priority: md5 bucket ->
+    u in (0,1) -> ln(u)/w (Efraimidis-Spirakis)."""
+    import hashlib, math
+
+    b = int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:15], 16) % 1_000_000
+    return math.log((b + 0.5) / 1_000_000.0) / weight
+
+
+def test_weighted_sample_exact_top_n_vs_python_twin(spark):
+    from zx_spark.operators.sampling import weighted_sample_n
+
+    rows = [(i, float(1 + i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: double")
+    got = {
+        r.doc_id
+        for r in weighted_sample_n(df, 40, "n_tokens", "doc_id", seed=5).collect()
+    }
+    want = {
+        k
+        for k, _ in sorted(
+            rows, key=lambda t: (-_py_priority(t[0], t[1], 5), t[0])
+        )[:40]
+    }
+    assert got == want and len(got) == 40
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from zx_spark.operators.sampling import weighted_sample_n
+
+    # 100 heavy rows (w=100) among 900 light (w=1): a 50-row weighted
+    # sample should be dominated by heavy rows (each heavy row carries
+    # 100x the mass); a uniform sample would pick ~5.
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    got = weighted_sample_n(df, 50, "w", "doc_id", seed=1)
+    heavy = got.filter(F.col("doc_id") < 100).count()
+    assert got.count() == 50 and heavy >= 35
+
+
+def test_weighted_sample_strata_null_weights_and_validation(spark):
+    from zx_spark.operators.sampling import weighted_sample_n
+
+    rows = [(i, "a" if i % 2 == 0 else "b", [None, 0.0, 2.0, 5.0][i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, src: string, w: double")
+    out = weighted_sample_n(
+        df, 10, "w", "doc_id", seed=2, strata_cols=["src"], priority_col="pri"
+    )
+    per = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 10, "b": 10}
+    # NULL / zero weights never sampled; priority column exposed & ordered
+    assert out.filter(F.col("w").isNull() | (F.col("w") <= 0)).count() == 0
+    assert "pri" in out.columns
+    # determinism
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in weighted_sample_n(
+            df, 10, "w", "doc_id", seed=2, strata_cols=["src"]
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        weighted_sample_n(df, 0, "w", "doc_id")

@@ -258,3 +258,52 @@ def mix_to_proportions(
         ),
         rates,
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    seed: int = 0,
+    strata_cols: list[str] | None = None,
+    hash_method: str = "md5",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): keep the ``n`` rows with the largest priority
+    ``ln(u) / w``, where ``u`` is the row's stable hash bucket mapped
+    into (0, 1) and ``w`` its weight — inclusion probability is
+    proportional to weight, membership is a pure function of the row
+    (survives retries/re-partitioning, like every sampler here). The
+    pretraining use: "sample N documents proportional to token count"
+    without materializing per-row randomness.
+
+    ``strata_cols`` switches to n PER STRATUM (one shuffle on the strata
+    key, same shape as ``stratified_sample``); global top-n is a
+    TakeOrdered — no full sort, driver holds n rows' worth of keys only.
+    Rows with NULL or non-positive weight are excluded (they carry zero
+    sampling mass). ``priority_col`` exposes the priority for audits.
+
+    The priority is reproducible in ANSI SQL (same md5 bucket +
+    ``ln(u)/w``); ``ln`` differs between engines only in the last ulp,
+    which flips a ranking only when two priorities all but tie —
+    the hash-distinct buckets make that measure-zero, and the
+    (priority, key) tie-break keeps the order total either way."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(f"`{weight_col}`").cast("double")
+    u = (_bucket(F.col(key_col), seed, hash_method) + 0.5) / float(_BUCKETS)
+    pri = F.ln(u) / w
+    out = df.filter(w > 0).withColumn(priority_col or "__wpri", pri)
+    pc = priority_col or "__wpri"
+    if strata_cols:
+        rn = F.row_number().over(
+            Window.partitionBy(*strata_cols).orderBy(
+                F.col(pc).desc(), F.col(key_col)
+            )
+        )
+        out = out.withColumn("__wrn", rn).filter(F.col("__wrn") <= n).drop("__wrn")
+    else:
+        out = out.orderBy(F.col(pc).desc(), F.col(key_col)).limit(n)
+    return out if priority_col else out.drop("__wpri")
