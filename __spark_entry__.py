@@ -597,9 +597,46 @@ ANN_QUERY_VEC = [1.0] + [0.0] * 63  # fixed basis query — deterministic across
 
 
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.operators.dedup import exact_dedup_groups
+    """Two arms (merged r5 — registry capped at 50):
 
-    return exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+    - ``exact``: exact_dedup_groups content-hash groups (key =
+      content_hash, keep_id pins the kept set, dup_count the group
+      size);
+    - ``diff``: diff_snapshots (operators/diffs.py) between documents
+      and an in-query second version — ids % 97 dropped (removed),
+      % 89 rewritten (changed), % 101 re-added under key+1000000
+      (added) — one row per differing key, so the oracle pins exact
+      membership per status, not just counts."""
+    from zx_spark.operators.dedup import exact_dedup_groups
+    from zx_spark.operators.diffs import diff_snapshots
+
+    docs = _docs(spark, sf_dir)
+    exact = exact_dedup_groups(docs, "text", "doc_id").select(
+        F.lit("exact").alias("part_kind"),
+        F.col("content_hash").alias("key"),
+        "keep_id",
+        "dup_count",
+    )
+    old = docs.select("doc_id", "text")
+    base = old.filter((F.col("doc_id") % 97) != 0).withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 89) == 0, F.concat(F.lit("edited:"), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    added = old.filter((F.col("doc_id") % 101) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("added doc "), (F.col("doc_id") + 1000000).cast("string")
+        ).alias("text"),
+    )
+    diff = diff_snapshots(old, base.unionByName(added), "doc_id").select(
+        F.lit("diff").alias("part_kind"),
+        F.col("diff_status").alias("key"),
+        F.col("doc_id").alias("keep_id"),
+        F.lit(1).cast("long").alias("dup_count"),
+    )
+    return exact.unionByName(diff)
 
 
 # Mix-arm rates for sampling_suite, shared by Spark and the oracle:
@@ -2517,8 +2554,29 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY b.g, b.wno, b.win_start"
         ),
         "dedup_exact_groups": (
-            "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
-            "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+            # exact arm: content-hash groups; diff arm: full-outer diff
+            # vs an in-query second version (%97 removed, %89 changed,
+            # %101 re-added) — hash equality on one text column reduces
+            # to text equality, so the oracle compares text directly
+            "SELECT 'exact' AS part_kind, md5(text) AS key, "
+            "min(doc_id) AS keep_id, count(*) AS dup_count "
+            "FROM documents GROUP BY md5(text) "
+            "UNION ALL "
+            "SELECT 'diff' AS part_kind, "
+            "CASE WHEN ot IS NULL THEN 'added' WHEN nt IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS key, doc_id AS keep_id, 1::BIGINT AS dup_count "
+            "FROM ("
+            "  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "    o.text AS ot, n.text AS nt "
+            "  FROM documents o FULL OUTER JOIN ("
+            "    SELECT doc_id, CASE WHEN doc_id % 89 = 0 "
+            "      THEN 'edited:' || text ELSE text END AS text "
+            "    FROM documents WHERE doc_id % 97 <> 0 "
+            "    UNION ALL "
+            "    SELECT doc_id + 1000000, 'added doc ' || (doc_id + 1000000) "
+            "    FROM documents WHERE doc_id % 101 = 0"
+            "  ) n ON o.doc_id = n.doc_id"
+            ") WHERE ot IS NULL OR nt IS NULL OR ot <> nt"
         ),
         "sampling_suite": _sampling_oracle(),
         "dedup_minhash_pairs": _minhash_oracle(),

@@ -35,6 +35,10 @@ HEADLINE = [
     "sql_tpch_q3_segment_revenue",
     "sql_tpch_q5_region_revenue",
     "sql_window_first_order",
+    # r5 session 4: dedup_exact_groups gained the snapshot-diff arm
+    # (full-outer fingerprint join vs an in-query second version) and
+    # sampling_suite the weighted-sample arm; w_gapfill two anomaly
+    # columns — small added verified WORK on those rows.
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "ann_topk",
