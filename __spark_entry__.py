@@ -1040,12 +1040,28 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # normalization arm: the corpus is ASCII, so decomposed sequences,
+    # a control char and whitespace runs are PLANTED on doc_id % 31
+    # ("Cafe"+U+0301 composes to é, "NAIVE"+U+0308 to Ë, BEL is
+    # stripped, tab + double space squash) — normalize_text ∘
+    # nfc_normalized is then md5-pinned, verifying compose + lower +
+    # control-strip + squash ordering against DuckDB's nfc_normalize.
+    from zx_spark.functions.text import nfc_normalized, normalize_text
+
+    planted_norm = F.when(
+        (F.col("doc_id") % 31) == 0,
+        F.concat(
+            F.lit("Cafe\u0301 \u0007 NAIVE\u0308\tX  "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
     stats = with_hashed_embedding(_docs(spark, sf_dir), dim=32).select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         hsum.alias("hemb_checksum"),
+        F.md5(normalize_text(nfc_normalized(planted_norm))).alias("norm_md5"),
     )
     ch = chunk_documents(
         _docs(spark, sf_dir).select("doc_id", "text"),
@@ -2703,6 +2719,14 @@ def oracle_sql() -> dict[str, str]:
             f"len({_TOKS}) AS n_tokens, "
             "len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) "
             "AS n_bpe_tokens, hx.hemb_checksum, "
+            # normalization twin over the same planted prefix: NFC
+            # compose, lower, strip control (except \t\n\r), squash+trim
+            "md5(trim(regexp_replace(regexp_replace(lower(nfc_normalize("
+            "CASE WHEN d.doc_id % 31 = 0 THEN "
+            "'Cafe' || chr(769) || ' ' || chr(7) || ' NAIVE' || chr(776) "
+            "|| chr(9) || 'X  ' || d.text ELSE d.text END)), "
+            "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
+            "'\\s+', ' ', 'g'))) AS norm_md5, "
             "a.n_chunks, a.chunk_tokens, a.chunk_md5_sum, "
             "sc.scrub_md5, sc.n_lines_dropped "
             "FROM documents d JOIN agg a USING (doc_id) JOIN sc USING (doc_id) "

@@ -817,3 +817,51 @@ def test_knn_pairs_exact_at_full_probe_and_composes_with_components(spark):
 
     with _pt.raises(ValueError):
         knn_pairs(assigned, centers, k=3, nprobe=9)
+
+
+def test_normalize_text_and_nfc(spark):
+    """normalize_text: lower + control-strip + whitespace squash, with
+    \t\n\r treated as whitespace (squashed), not control (stripped);
+    nfc_normalized composes decomposed sequences so they hash together
+    with their composed forms."""
+    import pytest
+    from zx_spark.functions.text import nfc_normalized, normalize_text
+
+    rows = [
+        (1, "  Hello\tWORLD\n\nx  "),
+        (2, "a\u0007b\u0000c"),          # control chars stripped, no glue-space
+        (3, None),
+        (4, "Cafe\u0301 latte"),          # decomposed e + U+0301
+        (5, "Caf\u00e9 LATTE"),           # composed
+    ]
+    df = spark.createDataFrame(rows, "id: long, t: string")
+    out = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", normalize_text(nfc_normalized(F.col("t"))).alias("n")
+        ).collect()
+    }
+    assert out[1] == "hello world x"
+    assert out[2] == "abc"
+    assert out[3] is None
+    assert out[4] == out[5] == "caf\u00e9 latte"  # NFC + lower unify them
+    # without NFC the decomposed form stays distinct (the reason the
+    # step exists)
+    raw = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_text(F.col("t")).alias("n")).collect()
+    }
+    assert raw[4] != raw[5]
+    # knobs off = passthrough of that step
+    keep = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id",
+            normalize_text(
+                F.col("t"), lower=False, strip_control=False, squash_whitespace=False
+            ).alias("n"),
+        ).collect()
+    }
+    assert keep[1] == "  Hello\tWORLD\n\nx  "
+    with pytest.raises(ValueError):
+        df.select(nfc_normalized(F.col("t"), form="NFX"))

@@ -97,6 +97,65 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), 0))
 
 
+# Control characters EXCEPT \t\n\r (those are whitespace — squashing
+# handles them; stripping them first would glue words together).
+_CONTROL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    text: Column,
+    lower: bool = True,
+    strip_control: bool = True,
+    squash_whitespace: bool = True,
+) -> Column:
+    """Canonicalize text BEFORE any hash-keyed operator (exact dedup,
+    MinHash, fingerprints): lowercase, strip non-whitespace control
+    characters, collapse whitespace runs to single spaces and trim.
+    Pure JVM expressions — codegen, no shuffle, scan-speed at 100 TB.
+
+    Unicode canonical composition is deliberately a SEPARATE step
+    (``nfc_normalized``): it needs Python (the JVM expression library
+    has no NFC), so compose ``normalize_text(nfc_normalized(c))`` only
+    when the corpus actually carries decomposed sequences."""
+    out = text
+    if lower:
+        out = F.lower(out)
+    if strip_control:
+        out = F.regexp_replace(out, _CONTROL, "")
+    if squash_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+def nfc_normalized(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the one text verb
+    that genuinely needs Python, as an Arrow-batched pandas UDF (the
+    sanctioned slow path; still vectorized transfer, never per-row
+    pickling). Decomposed sequences ("e" + U+0301) and their composed
+    forms ("é") hash apart without this — run it once at ingest,
+    store the normalized text, and every downstream hash operator stays
+    JVM-only."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    import pandas as pd  # noqa: F401 — annotation target for the UDF
+    from pyspark.sql.functions import pandas_udf
+
+    # `from __future__ import annotations` stringifies the hints and
+    # pyspark resolves them against the function's MODULE globals, so
+    # the annotation must be importable there, not a closure local.
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("string")
+    def _nfc(s: "pd.Series") -> "pd.Series":
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _nfc(text)
+
+
 def tokenize(text: Column) -> Column:
     """Lowercased whitespace tokens (the shared tokenizer). Materialize
     this as a NAMED COLUMN in its own select before any per-position
