@@ -1,0 +1,91 @@
+"""Table profiling: exact-mode parity against DuckDB on the driver
+events table, approx-mode sanity, non-atomic column handling, top-k
+frequency ranks, and the one-job plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from zx_spark.operators.profile import profile_table, profile_top_values
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from zx_spark.storage import read_table
+
+    return read_table(spark, SF, "events")
+
+
+def test_profile_exact_matches_duckdb(spark, events):
+    cols = ["event_id", "user_id", "event_type", "value"]
+    got = {
+        r["column"]: (r["n_rows"], r["n_nonnull"], r["n_distinct"], r["min_value"], r["max_value"])
+        for r in profile_table(events, cols, exact_distinct=True).collect()
+    }
+    con = duckdb.connect()
+    for c in cols:
+        n, nn, nd, mn, mx = con.sql(
+            f"SELECT count(*), count({c}), count(DISTINCT {c}), "
+            f"min({c})::VARCHAR, max({c})::VARCHAR "
+            f"FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()
+        g = got[c]
+        assert (g[0], g[1], g[2]) == (n, nn, nd), c
+        if c != "value":  # float-to-string rendering differs; counts suffice
+            assert (g[3], g[4]) == (mn, mx), c
+
+
+def test_profile_approx_and_defaults(spark, events):
+    out = profile_table(events)  # all columns, HLL distinct
+    rows = {r["column"]: r for r in out.collect()}
+    assert set(rows) == set(events.columns)
+    exact = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(events, ["user_id"], exact_distinct=True).collect()
+    }
+    approx = rows["user_id"]["n_distinct"]
+    # HLL within its documented ~2-4% band
+    assert abs(approx - exact["user_id"]) / exact["user_id"] < 0.1
+
+
+def test_profile_non_atomic_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2], "x")], "id: long, arr: array<long>, s: string"
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["arr"]["n_nonnull"] == 1
+    assert rows["arr"]["n_distinct"] is None and rows["arr"]["min_value"] is None
+    assert rows["id"]["min_value"] == "1"
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError):
+        profile_top_values(df, ["arr"])  # nothing atomic selected
+
+
+def test_top_values_ranks_and_ties(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), (None,)], "v: string"
+    )
+    got = [
+        (r["value"], r["n"], r["rank"])
+        for r in profile_top_values(df, ["v"], k=2).orderBy("rank").collect()
+    ]
+    # a and b tie at 2 — value breaks the tie; NULL excluded; c cut by k
+    assert got == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_profile_is_one_aggregation_job(spark, events):
+    plan = (
+        profile_table(events, ["event_id", "value"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # approx mode must not plan an Expand (that is the exact-distinct
+    # shape); one partial+final HashAggregate pair over the scan
+    assert "Expand" not in plan

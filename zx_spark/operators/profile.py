@@ -1,0 +1,127 @@
+"""Table profiling — the one-pass per-column summary (row/null/distinct
+counts, min/max, top values) a pipeline runs before admitting a new
+source: schema drift, null explosions, cardinality surprises and
+constant columns all show up here first.
+
+Beyond-reference (the reference has no metadata/profiling surface);
+the DuckDB ``SUMMARIZE`` / Deequ-style profile, expressed Spark-first.
+
+Scale shape:
+- ``profile_table`` is ONE aggregation job over the scan — every
+  column's counters ride the same partial-agg pass, no shuffle beyond
+  the single-row final merge. Distinct counts default to HLL
+  (``approx_count_distinct``) so the pass stays one-shot at 100 TB;
+  ``exact_distinct=True`` switches to exact COUNT(DISTINCT) — Catalyst
+  plans one Expand over the n profiled columns, fine at audit scale,
+  deliberate at corpus scale.
+- ``profile_top_values`` is the second (optional) pass: explode to
+  (column, value) pairs — map-side, partial-aggregated before the one
+  hash shuffle — then a per-column top-k window. Cost ∝ n_cols × rows,
+  so profile top values on a sample (`hash_sample`) when the corpus is
+  large; frequency ranks are stable under uniform sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# orderable + countable scalar types; complex/binary columns get counts
+# only (min/max/distinct on a map type is an analysis error)
+_ATOMIC = ("string", "boolean", "date", "timestamp", "timestamp_ntz")
+_NUMERIC_PREFIX = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def _is_atomic(dtype: str) -> bool:
+    return dtype.startswith(_NUMERIC_PREFIX) or dtype in _ATOMIC
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Long-format profile, one row per column: ``column, n_rows,
+    n_nonnull, n_distinct, min_value, max_value`` (min/max stringified
+    so heterogeneous columns share one schema; NULL for non-atomic
+    columns, whose distinct count is also NULL)."""
+    cols = list(cols) if cols is not None else df.columns
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns {missing} not in frame")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    structs = []
+    for i, c in enumerate(cols):
+        col = F.col(f"`{c}`")
+        atomic = _is_atomic(dtypes[c])
+        if atomic:
+            nd = (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col)
+            )
+            mn, mx = F.min(col).cast("string"), F.max(col).cast("string")
+        else:
+            nd = F.lit(None).cast("long")
+            mn = mx = F.lit(None).cast("string")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(col).alias("n_nonnull"),
+                nd.cast("long").alias("n_distinct"),
+                mn.alias("min_value"),
+                mx.alias("max_value"),
+            ).alias(f"__prof_{i}")
+        )
+    one = df.agg(*structs)
+    return one.select(
+        F.explode(F.array(*[F.col(f"__prof_{i}") for i in range(len(cols))])).alias(
+            "p"
+        )
+    ).select("p.*")
+
+
+def profile_top_values(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Per-column top-``k`` most frequent values (stringified; NULLs
+    excluded — their count is in ``profile_table``): ``column, value,
+    n, rank``. Ties break on value for determinism."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = list(cols) if cols is not None else df.columns
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols if c not in dtypes]
+    if bad:
+        raise ValueError(f"columns {bad} not in frame")
+    cols = [c for c in cols if _is_atomic(dtypes[c])]
+    if not cols:
+        raise ValueError("no atomic columns to profile")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"`{c}`").cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = (
+        pairs.filter(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("column").orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
