@@ -1,0 +1,144 @@
+"""Funnels and retention cohorts: hand-built journeys with known
+outcomes, a pure-Python reference sweep over the real driver events,
+DuckDB parity for the retention grid, and plan shape (one shuffle)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from zx_spark.operators.funnel import funnel_counts, funnel_steps, retention_cohorts
+
+SF = "/root/testdata/sf0.01"
+STEPS = ["view", "click", "purchase"]
+
+
+def _py_funnel(events, steps, within_s=None):
+    """Reference greedy funnel: earliest valid completion per step."""
+    idx = {s: i for i, s in enumerate(steps)}
+    state = [None] * len(steps)
+    for t, s in sorted(events):
+        i = idx.get(s)
+        if i is None or state[i] is not None:
+            continue
+        if i > 0 and state[i - 1] is None:
+            continue
+        if i > 0 and not t > state[i - 1]:
+            continue
+        if within_s is not None and i > 0 and t > state[0] + within_s:
+            continue
+        state[i] = t
+    done = 0
+    for x in state:
+        if x is None:
+            break
+        done += 1
+    return done, state
+
+
+def test_funnel_hand_cases(spark):
+    rows = [
+        # u1: full journey in order
+        (1, 10.0, "view"), (1, 20.0, "click"), (1, 30.0, "purchase"),
+        # u2: click before view -> only view counts, then purchase needs click after view
+        (2, 10.0, "click"), (2, 20.0, "view"), (2, 30.0, "purchase"),
+        # u3: same-timestamp click (strict ordering -> not counted)
+        (3, 10.0, "view"), (3, 10.0, "click"),
+        # u4: nothing relevant
+        (4, 5.0, "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: double, event_type: string")
+    got = {
+        r["user_id"]: (r["steps_completed"], r["step_ts"])
+        for r in funnel_steps(df, STEPS).collect()
+    }
+    assert got[1] == (3, [10.0, 20.0, 30.0])
+    assert got[2][0] == 1 and got[2][1] == [20.0, None, None]
+    assert got[3] == (1, [10.0, None, None])
+    assert 4 not in got  # no funnel events at all
+    # horizon: u1 with within_s=15 loses the purchase (30 > 10+15)
+    h = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel_steps(df, STEPS, within_s=15.0).collect()
+    }
+    assert h[1] == 2
+    with pytest.raises(ValueError):
+        funnel_steps(df, [])
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["a", "a"])
+    with pytest.raises(ValueError):
+        funnel_steps(df, STEPS, within_s=0)
+
+
+def test_funnel_matches_python_reference_on_driver_events(spark):
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.col("ts").cast("double").alias("ts"), "event_type"
+    )
+    got = {
+        r["user_id"]: (r["steps_completed"], [x for x in r["step_ts"]])
+        for r in funnel_steps(ev, STEPS).collect()
+    }
+    raw = {}
+    for r in ev.collect():
+        raw.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    for u, evs in raw.items():
+        want_done, want_state = _py_funnel(evs, STEPS)
+        if all(s not in STEPS for _, s in evs):
+            assert u not in got
+            continue
+        assert got[u][0] == want_done, u
+        assert got[u][1] == want_state, u
+    # funnel_counts is monotone and consistent with per-user stages
+    fc = {r["stage"]: r["n_users"] for r in funnel_counts(ev, STEPS).collect()}
+    for stage in fc:
+        assert fc[stage] == sum(1 for d, _ in got.values() if d >= stage)
+    assert fc[1] >= fc.get(2, 0) >= fc.get(3, 0)
+
+
+def test_funnel_is_single_shuffle(spark):
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, SF, "events")
+    plan = (
+        funnel_steps(ev, STEPS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # one hash shuffle on the user key
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+
+
+def test_retention_matches_duckdb(spark):
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, SF, "events")
+    got = {
+        (r["cohort_start"], r["offset"]): (r["n_active"], r["retained_frac"])
+        for r in retention_cohorts(ev, bucket_s=86400.0).collect()
+    }
+    want = duckdb.sql(
+        f"""
+        WITH ev AS (SELECT user_id, floor(epoch(ts) / 86400) AS b
+                    FROM read_parquet('{SF}/events.parquet')),
+        first AS (SELECT user_id, min(b) AS cohort FROM ev GROUP BY user_id),
+        act AS (SELECT DISTINCT e.user_id, e.b, f.cohort
+                FROM ev e JOIN first f USING (user_id)),
+        grid AS (SELECT cohort, (b - cohort)::int AS off, count(*) AS n
+                 FROM act GROUP BY 1, 2)
+        SELECT cohort * 86400.0, off, n,
+               round(n / (max(CASE WHEN off = 0 THEN n END)
+                          OVER (PARTITION BY cohort))::double, 6)
+        FROM grid
+        """
+    ).fetchall()
+    assert got == {(c, o): (n, f) for c, o, n, f in want}
+    assert all(
+        got[k][0] <= got[(k[0], 0)][0] for k in got
+    )  # offset-0 is the cohort max
+    with pytest.raises(ValueError):
+        retention_cohorts(ev, bucket_s=0)
