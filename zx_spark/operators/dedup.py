@@ -502,3 +502,133 @@ def drop_by_components(
         F.col("doc_id").alias(id_col)
     )
     return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+# --------------------------------------------- incremental near-dup (daily)
+#
+# The production ingest shape: the historical corpus is SIGNED ONCE and
+# only (id, minhash) survives — ~num_hashes longs per doc instead of the
+# text (a 100 TB corpus becomes a ~100 GB signature store). Each new
+# batch is signed (CPU ∝ batch, not history), banded, and equi-joined
+# against the stored bands; nothing ever re-reads or re-shingles the
+# historical text. Verification uses the signature-estimated Jaccard
+# (the fraction of agreeing minhashes — the unbiased MinHash estimator),
+# which needs no historical text either; callers holding the new batch's
+# text can re-verify new-vs-new survivors with jaccard_pairs.
+
+
+def signature_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    hash_method: str = "md5",
+) -> DataFrame:
+    """(id, minhash) — the persistable signature store. Write with
+    ``df.write.parquet`` (or bucketed by ``id_col`` via
+    storage.write_bucketed); append each ingested batch's signatures so
+    tomorrow's batch joins against today's."""
+    return (
+        _spread(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            minhash_from_shingles(
+                shingles_from_tokens(F.col("__toks"), shingle_n),
+                num_hashes,
+                hash_method,
+            ).alias("minhash"),
+        )
+    )
+
+
+def signature_est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing minhash components
+    (unbiased, stderr ~ 1/sqrt(num_hashes)); pure JVM fold."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(sig_a).cast("double"),
+        6,
+    )
+
+
+def incremental_near_dups(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Near-duplicate matches for a NEW batch against the signature
+    store (and, with ``include_new_pairs``, within the batch itself):
+    ``(new_id, matched_id, is_historical, est_jaccard)`` for every LSH
+    candidate with estimated Jaccard >= ``threshold``.
+
+    Plan: band-explode both sides, equi-join on (band_no, band_hash) —
+    new×old and (optionally) new×new, never old×old, so the shuffle is
+    bounded by the BATCH's bucket membership; distinct; one join back to
+    each side's signatures for the estimator. AQE skew-join splits hot
+    boilerplate buckets. The historical side moves (id, band keys) only."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got num_hashes={num_hashes}, bands={bands})"
+        )
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    bn = minhash_bands(new_sigs, id_col, "minhash", bands)
+    bo = minhash_bands(old_sigs, id_col, "minhash", bands)
+    on = ["band_no", "band_hash"]
+    vs_old = (
+        bn.withColumnRenamed(id_col, "new_id")
+        .join(bo.withColumnRenamed(id_col, "matched_id"), on)
+        .filter(F.col("new_id") != F.col("matched_id"))
+        .select("new_id", "matched_id", F.lit(True).alias("is_historical"))
+    )
+    cands = vs_old
+    if include_new_pairs:
+        a = bn.withColumnRenamed(id_col, "new_id")
+        b = bn.withColumnRenamed(id_col, "matched_id")
+        vs_new = (
+            a.join(b, on)
+            .filter(F.col("new_id") < F.col("matched_id"))
+            .select("new_id", "matched_id", F.lit(False).alias("is_historical"))
+        )
+        cands = cands.unionByName(vs_new)
+    cands = cands.distinct()
+    sn = new_sigs.select(
+        F.col(id_col).alias("new_id"), F.col("minhash").alias("__sig_n")
+    )
+    # matched-side signatures keyed by (id, side) so an id present in
+    # BOTH stores (re-ingest) cannot fan the join out
+    so = (
+        old_sigs.select(
+            F.col(id_col).alias("matched_id"),
+            F.lit(True).alias("is_historical"),
+            F.col("minhash").alias("__sig_m"),
+        )
+    ).unionByName(
+        new_sigs.select(
+            F.col(id_col).alias("matched_id"),
+            F.lit(False).alias("is_historical"),
+            F.col("minhash").alias("__sig_m"),
+        )
+    )
+    est = signature_est_jaccard(F.col("__sig_n"), F.col("__sig_m"))
+    return (
+        cands.join(sn, "new_id")
+        .join(so, ["matched_id", "is_historical"])
+        .select(
+            "new_id",
+            "matched_id",
+            "is_historical",
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
