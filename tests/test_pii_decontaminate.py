@@ -278,3 +278,47 @@ def test_boilerplate_validates_min_docs(spark, boiler_corpus):
 
     with pytest.raises(ValueError, match="min_docs"):
         boilerplate_shingles(boiler_corpus, min_docs=1)
+
+
+# ------------------------------------------- semantic contamination
+
+
+def test_semantic_contamination_planted_and_methods_agree(spark):
+    import numpy as np
+    import pytest
+    from zx_spark.operators.decontaminate import semantic_contamination
+    from zx_spark.storage import read_table
+
+    vecs = read_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # benchmark = scaled copies of three corpus vectors (cosine is scale
+    # invariant -> max_cosine 1.0) plus one orthogonal-ish decoy
+    base = {r["vec_id"]: list(r["embedding"]) for r in vecs.filter(
+        "vec_id in (3, 77, 411)").collect()}
+    bench_rows = [(9000 + i, [x * 2.5 for x in base[k]]) for i, k in enumerate(sorted(base))]
+    decoy = [0.0] * 64
+    decoy[63] = 1.0
+    bench_rows.append((9999, decoy))
+    bench = spark.createDataFrame(bench_rows, "vec_id: long, embedding: array<double>")
+
+    got = {
+        r["vec_id"]: (r["nearest_bench_id"], r["max_cosine"])
+        for r in semantic_contamination(vecs, bench, threshold=0.999).collect()
+    }
+    assert set(base) <= set(got)
+    for i, k in enumerate(sorted(base)):
+        assert got[k][0] == 9000 + i and got[k][1] >= 0.999
+    # numpy and jvm paths agree exactly (rounding included)
+    nv = semantic_contamination(vecs, bench, threshold=0.5, method="numpy")
+    jv = semantic_contamination(vecs, bench, threshold=0.5, method="jvm")
+    a = {(r["vec_id"], r["nearest_bench_id"], r["max_cosine"]) for r in nv.collect()}
+    b = {(r["vec_id"], r["nearest_bench_id"], r["max_cosine"]) for r in jv.collect()}
+    assert a == b and len(a) > 0
+    # jvm path stays JVM-side
+    plan = jv._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+    with pytest.raises(ValueError):
+        semantic_contamination(vecs, bench, threshold=1.5)
+    with pytest.raises(ValueError):
+        semantic_contamination(vecs, bench.limit(0))

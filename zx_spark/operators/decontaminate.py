@@ -28,6 +28,8 @@ operators/dedup.py:268-275 and functions/text.py document_fingerprint.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -334,3 +336,129 @@ def scrub_repeated_lines(
         dropped_col,
         F.when(not_null, F.size(lines) - F.coalesce(F.col("__kept"), F.lit(0))),
     ).drop("__scrub", "__kept")
+
+
+# ------------------------------------------------ semantic contamination
+#
+# The n-gram probe above misses PARAPHRASED leakage (a benchmark answer
+# re-worded in the corpus shares no 5-gram). The embedding-side probe
+# closes that: flag corpus vectors whose cosine against ANY benchmark
+# vector exceeds a threshold. The benchmark is eval-set sized (10^2-10^5
+# rows) and the corpus is the 100 TB side, so the shape mirrors
+# `decontaminate`: the benchmark matrix is broadcast and the corpus is
+# scanned ONCE, map-side, no shuffle — output ∝ contamination.
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str | None = None,
+    bench_id_col: str | None = None,
+    method: str = "numpy",
+) -> DataFrame:
+    """(id, nearest_bench_id, max_cosine) for every corpus vector with
+    ``max_cosine >= threshold`` against the benchmark embeddings.
+
+    ``method="numpy"`` (default): one BLAS matmul per Arrow batch
+    against the broadcast benchmark matrix — the bulk path.
+    ``method="jvm"``: the benchmark travels as one flattened literal
+    array and a transform-loop computes the same scores as pure codegen
+    expressions — no Python anywhere, ANSI-SQL-reproducible for an
+    oracle; right for small benchmarks. Both take the FIRST benchmark
+    index on tied scores; results are identical (pinned in tests).
+
+    Ties/zeros: zero-norm vectors score 0 against everything. The
+    benchmark is collected to the driver — it is an eval set, not a
+    second corpus (guard: 100k rows)."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    bvec = bench_vec_col or vec_col
+    bid = bench_id_col or id_col
+    brows = benchmark.select(F.col(f"`{bid}`"), F.col(f"`{bvec}`")).collect()
+    if not brows:
+        raise ValueError("benchmark is empty")
+    if len(brows) > 100_000:
+        raise ValueError(
+            f"benchmark has {len(brows)} rows — that is a corpus, not an "
+            "eval set; use the pairwise similarity operators instead"
+        )
+    bench_ids = [r[0] for r in brows]
+    B = np.asarray([list(map(float, r[1])) for r in brows], dtype=np.float64)
+    Bn = B / (np.linalg.norm(B, axis=1, keepdims=True) + 1e-12)
+    if method == "jvm":
+        nb, dim = Bn.shape
+        flat = F.lit([float(x) for row in Bn for x in row])
+        ids_lit = F.lit([int(i) for i in bench_ids])
+        v = F.col(f"`{vec_col}`").cast("array<double>")
+        norm = F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        vn = F.transform(v, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda j: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vn,
+                        F.slice(flat, j * dim + 1, dim),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ),
+        )
+        best = F.array_max(F.col("__scores"))
+        first_idx = F.array_position(F.col("__scores"), best)
+        return (
+            corpus.select(
+                F.col(f"`{id_col}`"), scored.alias("__scores")
+            )
+            .select(
+                F.col(f"`{id_col}`"),
+                F.element_at(ids_lit, first_idx.cast("int")).alias(
+                    "nearest_bench_id"
+                ),
+                best.alias("max_cosine"),
+            )
+            .filter(F.col("max_cosine") >= threshold)
+        )
+    if method != "numpy":
+        raise ValueError(f"method must be 'numpy' or 'jvm', got {method!r}")
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    src_id_field = [f for f in corpus.schema.fields if f.name == id_col][0]
+    out_schema = T.StructType(
+        [
+            src_id_field,
+            T.StructField("nearest_bench_id", src_id_field.dataType),
+            T.StructField("max_cosine", T.DoubleType()),
+        ]
+    )
+    bids = np.asarray(bench_ids)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+            S = np.round(Xn @ Bn.T, 6)
+            j = np.argmax(S, axis=1)  # first index on ties
+            mx = S[np.arange(len(S)), j]
+            keep = mx >= threshold
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "nearest_bench_id": bids[j[keep]],
+                    "max_cosine": mx[keep],
+                }
+            )
+
+    return _spread(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
