@@ -280,3 +280,57 @@ def test_pipeline_semantic_from_text(spark):
             semantic_from_text=True,
             embeddings=docs.selectExpr("doc_id", "array(1.0) AS embedding"),
         )
+
+
+def test_pipeline_normalize_history_and_semantic_decon_stages(spark, docs):
+    from zx_spark.operators.dedup import signature_table
+    from zx_spark.functions.text import with_hashed_embedding
+
+    # normalization: casing/whitespace variants of the same doc dedup
+    # together only when the stage is on
+    base = docs.limit(0)
+    rows = [
+        (1, "The Quick   Brown Fox jumps over the dog", "s"),
+        (2, "the quick brown fox JUMPS over the dog", "s"),
+        (3, "entirely different content for the corpus here", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    off = curate_corpus(df)
+    on = curate_corpus(df, normalize=True)
+    assert off.count() == 3  # exact dedup misses the variants
+    assert on.count() == 2 and {r["doc_id"] for r in on.collect()} == {1, 3}
+    # normalized text is what survives
+    assert "quick brown fox" in on.filter("doc_id = 1").collect()[0]["text"]
+
+    # history dedup: a stored signature table knocks out re-ingested docs
+    hist_rows = [(100, "The Quick   Brown Fox jumps over the dog", "s")]
+    hist = spark.createDataFrame(hist_rows, "doc_id: long, text: string, source: string")
+    hist_sigs = signature_table(
+        curate_corpus(hist, normalize=True).select("doc_id", "text"), "text", "doc_id"
+    )
+    kept = curate_corpus(
+        df, normalize=True, history_signatures=hist_sigs, history_threshold=0.9
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {3}
+
+    # semantic benchmark decontamination via hashed embeddings: a
+    # benchmark row embedding-identical to doc 3 removes it
+    bench_emb = with_hashed_embedding(
+        spark.createDataFrame(
+            [(900, "entirely different content for the corpus here")],
+            "doc_id: long, text: string",
+        ),
+        "text",
+    ).select("doc_id", "hashed_emb")
+    out = curate_corpus(
+        df,
+        normalize=True,
+        semantic_from_text=True,
+        semantic_threshold=1.01,  # disable SemDeDup pair drops
+        embedding_vec_col="hashed_emb",
+        benchmark_embeddings=bench_emb,
+        semantic_contamination_threshold=0.999,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    with pytest.raises(ValueError):
+        curate_corpus(df, benchmark_embeddings=bench_emb)  # no corpus embeddings

@@ -10,28 +10,37 @@ shuffle downstream sees the smallest possible corpus:
 3. LM perplexity gate — trained bigram-LM score (functions/lm.py,
                       CCNet-style), pure Catalyst fold, no shuffle
 4. language gate    — pure Catalyst projection, no shuffle
-5. PII scrub        — map-side regex redaction, no shuffle
-6. line scrub       — corpus-repeated lines REMOVED from every text
+5. normalization    — lower/control/whitespace canonicalization (+
+                      optional NFC) so every hashing stage below keys
+                      on canonical text; after the case-sensitive
+                      quality gates, map-side
+6. PII scrub        — map-side regex redaction, no shuffle
+7. line scrub       — corpus-repeated lines REMOVED from every text
                       (one hot-set agg + map-side rewrite); before any
                       hashing stage so dedup keys on the scrubbed text
-7. boilerplate drop — corpus-internal repeated-n-gram load (two keyed
+8. boilerplate drop — corpus-internal repeated-n-gram load (two keyed
                       aggs + probe join); runs BEFORE doc dedup so
                       template spans repeated by duplicates still count
                       as repeated (the C4 order: span-level hygiene,
                       then document identity)
-8. exact dedup      — one hash shuffle (min-id semi-join)
-9. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
+9. exact dedup      — one hash shuffle (min-id semi-join)
+10. near-dup removal — MinHash-LSH bucketed pairs on the already-thinned
                       corpus; greedy keep-lowest-id per pair
-10. semantic dedup  — SemDeDup over a supplied embedding table
+11. semantic dedup  — SemDeDup over a supplied embedding table
                       (cluster-bounded pair join, keep-least-central)
-11. decontamination — broadcast n-gram probe vs the benchmark set
-                      (corpus never shuffles to be probed)
-12. source mixing   — one size agg (doc counts, or token totals with
+12. history dedup   — incremental near-dup vs a STORED signature
+                      table (daily-ingest shape: history is never
+                      re-read, only this batch signs)
+13. decontamination — broadcast n-gram probe vs the benchmark set
+                      (corpus never shuffles to be probed), plus the
+                      embedding-cosine probe vs benchmark embeddings
+                      for paraphrased leakage
+14. source mixing   — one size agg (doc counts, or token totals with
                       ``mix_in_tokens``) + map-side per-group rates
                       (downsample-only here; upsampling belongs after
                       the split)
-13. hash sample     — map-side filter
-14. train/test split — map-side bucket assignment
+15. hash sample     — map-side filter
+16. train/test split — map-side bucket assignment
 
 Every stage is deterministic (hash-keyed, fixed seeds), so the curated
 corpus is reproducible row-for-row across runs, retries, and cluster
@@ -83,8 +92,14 @@ def curate_corpus(
     semantic_hash_dim: int = 64,
     semantic_threshold: float = 0.95,
     semantic_n_cells: int = 64,
+    normalize: bool = False,
+    normalize_nfc: bool = False,
+    history_signatures: DataFrame | None = None,
+    history_threshold: float = 0.5,
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 5,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_contamination_threshold: float = 0.9,
     mix_proportions: dict[str, float] | None = None,
     mix_group_col: str = "source",
     mix_in_tokens: bool = False,
@@ -138,6 +153,16 @@ def curate_corpus(
         out = out.withColumn("lang", language_id(F.col(text_col))).filter(
             F.col("lang").isin(list(languages))
         )
+    if normalize:
+        # canonicalize BEFORE every hashing stage (scrubs, boilerplate,
+        # dedup all key on text) but AFTER the case-sensitive quality
+        # gates; NFC is the optional Python step (see functions.text)
+        from zx_spark.functions.text import nfc_normalized, normalize_text
+
+        t = F.col(text_col)
+        if normalize_nfc:
+            t = nfc_normalized(t)
+        out = out.withColumn(text_col, normalize_text(t))
     if scrub_pii:
         out = (
             with_pii_scrubbed(out, text_col)
@@ -215,10 +240,47 @@ def curate_corpus(
         out = out.join(
             F.broadcast(semantic_dropped_ids(pairs, id_col)), id_col, "left_anti"
         )
+    if history_signatures is not None:
+        # cross-batch dedup: drop docs near-duplicating the HISTORICAL
+        # corpus — only this batch is signed, history moves as (id,
+        # band keys), new-vs-new was already handled above
+        from zx_spark.operators.dedup import (
+            incremental_near_dups,
+            signature_table,
+        )
+
+        batch_sigs = signature_table(
+            out, text_col, id_col, hash_method=hash_method
+        )
+        hits = incremental_near_dups(
+            batch_sigs,
+            history_signatures,
+            id_col=id_col,
+            threshold=history_threshold,
+            include_new_pairs=False,
+        ).select(F.col("new_id").alias(id_col)).distinct()
+        out = out.join(hits, id_col, "left_anti")
     if benchmark is not None:
         out = drop_contaminated(
             out, benchmark, text_col, id_col, n=decontaminate_ngram
         )
+    if benchmark_embeddings is not None:
+        if embeddings is None and not semantic_from_text:
+            raise ValueError(
+                "benchmark_embeddings needs corpus embeddings "
+                "(pass embeddings or semantic_from_text=True)"
+            )
+        from zx_spark.operators.decontaminate import semantic_contamination
+
+        emb = embeddings.join(out.select(id_col), id_col, "left_semi")
+        leaks = semantic_contamination(
+            emb,
+            benchmark_embeddings,
+            threshold=semantic_contamination_threshold,
+            vec_col=embedding_vec_col,
+            id_col=id_col,
+        ).select(id_col).distinct()
+        out = out.join(F.broadcast(leaks), id_col, "left_anti")
     if mix_proportions is not None:
         # downsample-only: mixing must not duplicate rows ahead of the
         # leak-proof split (a repeated key would land whole in one split,
