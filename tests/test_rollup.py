@@ -325,3 +325,73 @@ def test_p50_approx_repeated_select_no_helper_collision(spark, events):
         got_v1, got_u, got_v2 = vals[-3], vals[-2], vals[-1]
         assert got_v1 == single_v[k] == got_v2
         assert got_u == single_u[k]
+
+
+def test_quantile_approx_p90_raw_and_rollup_paths(spark):
+    """QUANTILE_APPROX: percentile_approx on raw events; histogram
+    interpolation from rollup partials — both within a bin width of the
+    exact order statistic, and P50_APPROX == QUANTILE_APPROX(0.5)."""
+    import pytest
+    from zx_spark.compiler import compile_query
+    from zx_spark.model import Aggregate, Query, Select
+    from zx_spark.operators.rollup import (
+        build_rollup,
+        rollup_answer,
+        _merge,
+    )
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.01", "events")
+    q90 = Query(
+        selects=[Select("value", Aggregate.QUANTILE_APPROX, params=(0.9,))],
+        group_by=["event_type"],
+    )
+    raw = {
+        r["g_event_type"]: r["p90_approx__value"]
+        for r in compile_query(ev, q90, id_col="event_id", rate_col=None).collect()
+    }
+    exact = {
+        r["event_type"]: r["p90"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.9)").alias("p90"))
+        .collect()
+        if r["event_type"] is not None
+    }
+    for k, want in exact.items():
+        assert abs(raw[k] - want) / max(abs(want), 1) < 0.05, k
+
+    # rollup path: p90 and p50 from the same histogram partials
+    evg = ev.withColumn(
+        "g_event_type", F.coalesce(F.col("event_type").cast("string"), F.lit("__nil"))
+    )
+    r5m = build_rollup(
+        evg, ["value"], ["g_event_type"], granularity_s=300, rate_col=None,
+        distinct_sketch=False, quantile_bins=(0.0, 1000.0, 32),
+    )
+    merged = _merge(r5m.drop("bucket"), ["g_event_type"], F.lit(0.0).cast("double"))
+    out = rollup_answer(
+        merged,
+        [
+            Select("value", Aggregate.QUANTILE_APPROX, params=(0.9, 0.0, 1000.0, 32)),
+            Select("value", Aggregate.P50_APPROX),
+            Select("value", Aggregate.QUANTILE_APPROX, params=(0.5,)),
+        ],
+        group_cols=["g_event_type"],
+    )
+    bin_w = 1000.0 / 32
+    for r in out.collect():
+        g = r["g_event_type"]
+        if g == "__nil" or g not in exact:
+            continue
+        assert abs(r["p90_approx__value"] - exact[g]) <= 2 * bin_w, g
+        # same q -> same estimate regardless of enum spelling
+        assert r["p50_approx__value"] == pytest.approx(
+            r["p50_approx__value_2"] if "p50_approx__value_2" in out.columns
+            else r[out.columns[-1]], rel=1e-12
+        )
+    with pytest.raises(ValueError):
+        compile_query(
+            ev,
+            Query(selects=[Select("value", Aggregate.QUANTILE_APPROX)]),
+            id_col="event_id", rate_col=None,
+        )

@@ -67,6 +67,12 @@ class Aggregate(enum.Enum):
     # partials + interpolation when answered from a rollup). ``params``
     # carries the histogram domain ``(lo, hi, bins)`` on the rollup path.
     P50_APPROX = "p50_approx"
+    # Generalized quantile (beyond the reference's P50-only surface):
+    # ``params`` LEADS with q in (0, 1) — (q,) on the raw path
+    # (percentile_approx sketch), (q, lo, hi, bins) on the rollup path
+    # (histogram domain defaults to QUANTILE_BINS). P90/P99 for
+    # latency-style dashboards.
+    QUANTILE_APPROX = "quantile_approx"
     RAW = "raw"
     HEATMAP = "heatmap"
 
@@ -102,7 +108,13 @@ class Select:
 
     @property
     def alias(self) -> str:
-        """SQL-safe flat alias for DataFrame results."""
+        """SQL-safe flat alias for DataFrame results. QUANTILE_APPROX
+        folds q into the name (``p90_approx__col``) so two quantiles of
+        one column coexist in a result frame."""
+        if self.aggregate is Aggregate.QUANTILE_APPROX and self.params:
+            q = float(self.params[0])
+            qtag = f"p{q * 100:g}".replace(".", "_")
+            return f"{qtag}_approx__{self.column}".replace(".", "_")
         return f"{self.aggregate.value}__{self.column}".replace(".", "_")
 
 

@@ -98,6 +98,13 @@ def agg_expr(
         # Mergeable sketch — the 100 TB path (exact percentile buffers
         # every value per group; the sketch is bounded-memory).
         expr = approx_quantiles(sel.column, [0.5])[0]
+    elif a is Aggregate.QUANTILE_APPROX:
+        if not sel.params or not 0.0 < float(sel.params[0]) < 1.0:
+            raise ValueError(
+                f"QUANTILE_APPROX needs params=(q, ...) with 0 < q < 1, "
+                f"got {sel.params!r}"
+            )
+        expr = approx_quantiles(sel.column, [float(sel.params[0])])[0]
     elif a is Aggregate.RAW:
         expr = F.sort_array(F.collect_list(x))
     elif a is Aggregate.HEATMAP:

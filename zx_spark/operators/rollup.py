@@ -79,7 +79,23 @@ ROLLUP_AGGREGATES = (
     Aggregate.MEAN,
     Aggregate.COUNT_DISTINCT_APPROX,
     Aggregate.P50_APPROX,
+    Aggregate.QUANTILE_APPROX,
 )
+
+
+def _quantile_q_domain(s) -> tuple:
+    """(q, histogram domain) for a quantile select: P50_APPROX carries
+    the domain in ``params``; QUANTILE_APPROX leads with q, then the
+    optional domain."""
+    if s.aggregate is Aggregate.P50_APPROX:
+        return 0.5, tuple(s.params or QUANTILE_BINS)
+    if not s.params or not 0.0 < float(s.params[0]) < 1.0:
+        raise ValueError(
+            f"QUANTILE_APPROX needs params=(q, ...) with 0 < q < 1, "
+            f"got {s.params!r}"
+        )
+    domain = tuple(s.params[1:]) if len(s.params) > 1 else QUANTILE_BINS
+    return float(s.params[0]), domain
 
 # Default histogram domain for quantile partials — matches the HEATMAP
 # default domain (aggregates.py) with a finer grid, since quantile error
@@ -400,9 +416,10 @@ def rollup_answer(
     # selects on the same column with different params must not
     # overwrite each other's bin domains.
     for i, s in enumerate(selects):
-        if s.aggregate is Aggregate.P50_APPROX:
+        if s.aggregate in (Aggregate.P50_APPROX, Aggregate.QUANTILE_APPROX):
             v = s.column
-            arr, cum_of = _hist_quantile_cols(rollup, v, s.params or QUANTILE_BINS)
+            _, domain = _quantile_q_domain(s)
+            arr, cum_of = _hist_quantile_cols(rollup, v, domain)
             rollup = rollup.withColumn(f"__qarr_{v}_{i}", arr).withColumn(
                 f"__qcum_{v}_{i}", cum_of(F.col(f"__qarr_{v}_{i}"))
             )
@@ -432,12 +449,13 @@ def rollup_answer(
                 expr = F.coalesce(expr, F.lit(F64_MIN))
         elif s.aggregate is Aggregate.MEAN:
             expr = F.col(f"{v}__mean_num") / F.col(f"{v}__mean_den")
-        elif s.aggregate is Aggregate.P50_APPROX:
+        elif s.aggregate in (Aggregate.P50_APPROX, Aggregate.QUANTILE_APPROX):
+            q, domain = _quantile_q_domain(s)
             expr = _hist_quantile_est(
                 F.col(f"__qarr_{v}_{i}"),
                 F.col(f"__qcum_{v}_{i}"),
-                s.params or QUANTILE_BINS,
-                0.5,
+                domain,
+                q,
             )
         else:  # COUNT_DISTINCT_APPROX
             expr = (
@@ -568,7 +586,10 @@ def rollup_route_reason(
         v = s.column
         if f"{v}__sum_wx" not in rollup.columns:
             return f"rollup has no partials for column {v!r}"
-        if s.aggregate is Aggregate.P50_APPROX and f"{v}__q0" not in rollup.columns:
+        if (
+            s.aggregate in (Aggregate.P50_APPROX, Aggregate.QUANTILE_APPROX)
+            and f"{v}__q0" not in rollup.columns
+        ):
             return f"rollup built without quantile_bins for {v!r}"
         if (
             s.aggregate is Aggregate.COUNT_DISTINCT_APPROX
