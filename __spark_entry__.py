@@ -368,12 +368,16 @@ def q_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         Select("value", Aggregate.MAX),
         Select("value", Aggregate.MEAN),
         Select("value", Aggregate.P50_APPROX),
+        # r5 s4: generalized quantile from the SAME stored histogram
+        # partials — one rollup serves every q
+        Select("value", Aggregate.QUANTILE_APPROX, params=(0.9,)),
     ]
 
     def shape(df: DataFrame, arm: str) -> DataFrame:
         out = _round(
             _floor_windows(df),
-            {"sum__value": 3, "mean__value": 6, "p50_approx__value": 6},
+            {"sum__value": 3, "mean__value": 6, "p50_approx__value": 6,
+             "p90_approx__value": 6},
         )
         return out.select(F.lit(arm).alias("arm"), *out.columns)
 
@@ -2512,14 +2516,21 @@ def oracle_sql() -> dict[str, str]:
             "    0.0 + 31.25 * (bin + (total * 0.5 - (cum - c)) / c) AS est "
             "  FROM cum WHERE cum >= total * 0.5 AND c > 0 "
             "  QUALIFY row_number() OVER (PARTITION BY g, b ORDER BY bin) = 1"
+            "), p90 AS ("
+            "  SELECT g, b, "
+            "    0.0 + 31.25 * (bin + (total * 0.9 - (cum - c)) / c) AS est "
+            "  FROM cum WHERE cum >= total * 0.9 AND c > 0 "
+            "  QUALIFY row_number() OVER (PARTITION BY g, b ORDER BY bin) = 1"
             ") "
             # three arms (batch / routed / stream) must all equal the one
             # direct answer — the Spark side computes each independently
             "SELECT a.arm, d.g_event_type, d.window_start, d.window_end, "
             "  d.sum__value, d.count__value, d.min__value, d.max__value, "
-            "  d.mean__value, round(p.est, 6) AS p50_approx__value "
+            "  d.mean__value, round(p.est, 6) AS p50_approx__value, "
+            "  round(p9.est, 6) AS p90_approx__value "
             "FROM direct d LEFT JOIN p50 p "
             "  ON d.g_event_type = p.g AND d.b = p.b "
+            "LEFT JOIN p90 p9 ON d.g_event_type = p9.g AND d.b = p9.b "
             "CROSS JOIN (VALUES ('batch'), ('routed'), ('stream')) AS a(arm)"
         ),
         "streaming_interval_join": (
