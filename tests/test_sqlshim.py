@@ -169,3 +169,21 @@ def test_passthrough_grouping_sets_having_except(spark):
         "select k from shim_t except select k from shim_t where k = 'a'",
     ).collect()
     assert [r["k"] for r in exc] == ["b"]
+
+
+def test_pnn_percentile_dialect_extension(spark):
+    """pNN select items (beyond the reference fn table) parse to the
+    mergeable QUANTILE_APPROX aggregate; p50 stays the reference-exact
+    percentile."""
+    import pytest
+    from zx_spark.model import Aggregate
+    from zx_spark.sqlshim.translate import ZxSqlError, parse_zx_sql
+
+    q = parse_zx_sql("select p90(value), p99(value) group by event_type")
+    assert [s.aggregate for s in q.selects] == [Aggregate.QUANTILE_APPROX] * 2
+    assert [s.params for s in q.selects] == [(0.9,), (0.99,)]
+    assert parse_zx_sql("select p50(value)").selects[0].aggregate is Aggregate.P50
+    with pytest.raises(ZxSqlError):
+        parse_zx_sql("select p0(value)")
+    with pytest.raises(ZxSqlError):
+        parse_zx_sql("select q90(value)")

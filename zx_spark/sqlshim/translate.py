@@ -208,9 +208,17 @@ def _parse_item(item: str) -> Select:
         # Bare identifier → Raw (src/expr.rs:120-125).
         return Select(m.group("bare"), Aggregate.RAW)
     fn, arg = m.group("fn"), m.group("arg")
-    if fn not in _FUNCS:
-        raise ZxSqlError(f"unknown function {fn!r} (src/expr.rs:129-139)")
-    return Select(arg, _FUNCS[fn])
+    if fn in _FUNCS:
+        return Select(arg, _FUNCS[fn])
+    # dialect extension beyond the reference fn table: pNN percentiles
+    # (p90, p99, ...) -> the mergeable QUANTILE_APPROX aggregate; pNN
+    # answers route through rollups (operators/rollup.py) like P50_APPROX
+    pm = re.fullmatch(r"p(\d{1,2})", fn)
+    if pm and fn != "p50" and int(pm.group(1)) > 0:
+        return Select(
+            arg, Aggregate.QUANTILE_APPROX, params=(int(pm.group(1)) / 100.0,)
+        )
+    raise ZxSqlError(f"unknown function {fn!r} (src/expr.rs:129-139)")
 
 
 def _require_ident(s: str) -> str:
