@@ -96,3 +96,27 @@ def test_fingerprint_projected_below_join(spark, snaps):
     plan = diff_snapshots(old, new, "id")._jdf.queryExecution().executedPlan().toString()
     # join operates on the md5 projection; txt/val never cross the join
     assert "md5" in plan and "FullOuter" in plan
+
+
+def test_diff_store_versions(spark, tmp_path):
+    from zx_spark.operators.diffs import diff_store_versions
+    from zx_spark.storage import snapshot_store
+
+    path = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id: long, v: string"
+    ).write.parquet(path)
+    v1 = snapshot_store(path)
+    spark.createDataFrame([(3, "c")], "id: long, v: string").write.mode(
+        "append"
+    ).parquet(path)
+    v2 = snapshot_store(path)
+    got = {
+        r["id"]: r["diff_status"]
+        for r in diff_store_versions(spark, path, "id", v1, v2).collect()
+    }
+    assert got == {3: "added"}
+    # latest-by-default sees the same; diffing a version against itself
+    # is empty
+    assert diff_store_versions(spark, path, "id", v1).count() == 1
+    assert diff_store_versions(spark, path, "id", v2, v2).count() == 0

@@ -110,3 +110,24 @@ def diff_summary(
         .groupBy("diff_status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def diff_store_versions(
+    spark,
+    path: str,
+    key_cols: list[str] | str,
+    old_version: int,
+    new_version: int | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data view between two SNAPSHOT VERSIONS of one store
+    (storage.snapshot_store manifests): what an append-only ingest added
+    — or, for keyed re-ingests, changed — between ``old_version`` and
+    ``new_version`` (latest by default). Composes ``read_snapshot`` +
+    ``diff_snapshots``; each side reads exactly its manifest's files, so
+    the diff is reproducible months later regardless of appends since."""
+    from zx_spark.storage import read_snapshot
+
+    old = read_snapshot(spark, path, old_version)
+    new = read_snapshot(spark, path, new_version)
+    return diff_snapshots(old, new, key_cols, compare_cols)
