@@ -118,3 +118,69 @@ def test_counter_increase_never_negative(spark, vals):
             assert inc == cur - prev
         else:
             assert inc == cur  # reset counts from current value
+
+
+# ------------------------------------------- session-4 property tests
+
+
+_VAL = st.one_of(st.none(), st.integers(min_value=0, max_value=3).map(str))
+_ROWS = st.dictionaries(
+    st.integers(min_value=0, max_value=15), st.tuples(_VAL, _VAL),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_ROWS, _ROWS)
+def test_diff_matches_dict_reference(spark, old_rows, new_rows):
+    """diff_snapshots == the obvious dict diff, for arbitrary keyed
+    tables with NULLs in compare columns."""
+    from zx_spark.operators.diffs import diff_snapshots
+
+    schema = "id: long, a: string, b: string"
+    old = spark.createDataFrame([(k, *v) for k, v in old_rows.items()], schema)
+    new = spark.createDataFrame([(k, *v) for k, v in new_rows.items()], schema)
+    got = {
+        r["id"]: r["diff_status"]
+        for r in diff_snapshots(old, new, "id", include_unchanged=True).collect()
+    }
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want[k] = "added"
+        elif k not in new_rows:
+            want[k] = "removed"
+        elif old_rows[k] != new_rows[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.floats(0.5, 50.0)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 10),
+    st.integers(0, 3),
+)
+def test_weighted_sample_matches_python_twin_property(spark, rows, n, seed):
+    """weighted_sample_n's kept set == the Python A-ES twin for random
+    weights/sizes/seeds (n may exceed the population)."""
+    import hashlib, math
+
+    from zx_spark.operators.sampling import weighted_sample_n
+
+    df = spark.createDataFrame(rows, "k: long, w: double")
+    got = {r["k"] for r in weighted_sample_n(df, n, "w", "k", seed=seed).collect()}
+
+    def pri(k, w):
+        b = int(hashlib.md5(f"{k}:{seed}".encode()).hexdigest()[:15], 16) % 1_000_000
+        return math.log((b + 0.5) / 1_000_000.0) / w
+
+    want = {
+        k for k, _ in sorted(rows, key=lambda t: (-pri(*t), t[0]))[:n]
+    }
+    assert got == want
