@@ -126,3 +126,48 @@ def test_rolling_zscore_and_anomaly_flag(spark):
 
     with _pt.raises(ValueError):
         rolling_zscore(df, "v", "t", ["g"], n=1)
+
+
+def test_ewma_matches_python_twin_and_validates(spark):
+    import pytest
+    from zx_spark.operators.series import ewma
+
+    rows = [
+        ("g", t, [None, 5.0, 8.0, 2.0, 11.0, None, 3.0, 7.0][t])
+        for t in range(8)
+    ]
+    df = spark.createDataFrame(rows, "g: string, t: long, v: double")
+    got = {
+        r["t"]: r["v_ewma"]
+        for r in ewma(df, "v", "t", ["g"], alpha=0.4, n=4).collect()
+    }
+
+    def py_ewma(vals, alpha):
+        num = den = 0.0
+        w = 1.0
+        for x in vals:  # newest first
+            num += w * x
+            den += w
+            w *= 1 - alpha
+        return num / den if den else None
+
+    series = [r[2] for r in rows]
+    for t in range(8):
+        frame = [x for x in series[max(0, t - 3): t + 1] if x is not None]
+        want = py_ewma(list(reversed(frame)), 0.4)
+        if want is None:
+            assert got[t] is None
+        else:
+            assert got[t] == pytest.approx(want, rel=1e-12), t
+    # recency bias: after a jump the EWMA sits closer to the new value
+    # than the plain mean does
+    jump = [1.0] * 6 + [10.0]
+    dfj = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(jump)], "g: string, t: long, v: double"
+    )
+    last = ewma(dfj, "v", "t", ["g"], alpha=0.5, n=7).orderBy("t").collect()[-1]
+    assert last["v_ewma"] > (sum(jump) / len(jump))
+    with pytest.raises(ValueError):
+        ewma(df, "v", "t", alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma(df, "v", "t", n=0)

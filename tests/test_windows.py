@@ -107,3 +107,43 @@ def test_segmenter_schema_not_mutated(spark):
     seg = with_faithful_windows(df, [], "id", "ts", 10)
     assert WINDOW_NO in seg.columns
     assert df.schema.jsonValue() == before
+
+
+def test_hopping_windows_match_builtin_f_window(spark):
+    """with_hopping_windows row-for-row equals Spark's F.window(w, s)
+    expansion on the driver events, for two (width, slide) shapes."""
+    import pytest
+    from zx_spark.operators.windows import with_hopping_windows
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts"
+    )
+    for w, s in [(3600.0, 900.0), (600.0, 300.0)]:
+        got = {
+            (r["event_id"], r["hop_start"])
+            for r in with_hopping_windows(ev, "ts", w, s).collect()
+        }
+        want = {
+            (r["event_id"], r["w"]["start"].timestamp())
+            for r in ev.select(
+                "event_id", F.window("ts", f"{int(w)} seconds", f"{int(s)} seconds").alias("w")
+            ).collect()
+        }
+        assert got == want and len(got) == ev.count() * int(w / s)
+    # an overlapping aggregate over hops == per-window filter sums
+    agg = (
+        with_hopping_windows(ev, "ts", 3600.0, 1800.0)
+        .groupBy("hop_start")
+        .count()
+    )
+    one = agg.orderBy("hop_start").limit(3).collect()[-1]
+    lo, hi = one["hop_start"], one["hop_start"] + 3600.0
+    direct = ev.filter(
+        (F.col("ts").cast("double") >= lo) & (F.col("ts").cast("double") < hi)
+    ).count()
+    assert one["count"] == direct
+    with pytest.raises(ValueError):
+        with_hopping_windows(ev, "ts", 100.0, 300.0)
+    with pytest.raises(ValueError):
+        with_hopping_windows(ev, "ts", 100.0, 33.0)

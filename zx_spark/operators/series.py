@@ -151,3 +151,44 @@ def flag_anomalies(
         )
         .drop("__z", "__cnt")
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.3,
+    n: int = 50,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average (the dashboard smoothing
+    verb with recency bias): the ADJUSTED form
+    ``y_t = Σ_j (1-α)^j x_{t-j} / Σ_j (1-α)^j`` over the trailing ``n``
+    non-null samples. Truncating at ``n`` bounds memory and loses at
+    most ``(1-α)^n`` of the weight mass (< 1e-7 at the defaults) —
+    the exact recursive EWMA is order-sequential and does not
+    parallelize; this form is one window pass + an O(n) JVM fold per
+    row, no Python. NULL until the trailing window has a sample."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = _w(group_cols, order_col).rowsBetween(-(n - 1), W.currentRow)
+    v = F.col(f"`{value_col}`").cast("double")
+    # collect_list over an ordered frame preserves frame order and
+    # skips NULLs; reverse -> newest first, weights decay with age
+    vals = F.reverse(F.collect_list(v).over(w))
+    acc = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(0.0).alias("num"), F.lit(0.0).alias("den"), F.lit(1.0).alias("w")
+        ),
+        lambda a, x: F.struct(
+            (a["num"] + a["w"] * x).alias("num"),
+            (a["den"] + a["w"]).alias("den"),
+            (a["w"] * (1.0 - alpha)).alias("w"),
+        ),
+        lambda a: F.when(a["den"] > 0, a["num"] / a["den"]),
+    )
+    return df.withColumn(out_col or f"{value_col}_ewma", acc)

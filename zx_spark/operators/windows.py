@@ -167,3 +167,56 @@ def with_faithful_windows(
     )
     assignments = seg.select(id_col, WINDOW_NO, WINDOW_START_TS, WINDOW_END_TS)
     return df.join(assignments, on=id_col, how="inner")
+
+
+def with_hopping_windows(
+    df: DataFrame,
+    ts_col: str,
+    width_s: float,
+    slide_s: float,
+    window_col: str = "hop_start",
+) -> DataFrame:
+    """Hopping (sliding) windows beyond the reference's tumbling-only
+    surface: each row is replicated into every epoch-aligned window of
+    ``width_s`` seconds that covers it, windows starting every
+    ``slide_s`` (slide <= width; slide == width degenerates to
+    ``with_aligned_windows``). The added column is the covering
+    window's start (unix seconds, double) — group by it + your keys
+    for overlapping aggregates (rate-over-last-hour-every-5-min).
+
+    Spark shape: a row fans out into exactly ``width/slide`` rows via
+    ``explode(sequence(...))`` — a narrow map-side generate identical
+    in cost to Spark's own ``F.window(ts, w, s)`` expansion (this
+    column-level form composes with the engine's compiled queries and
+    is pinned row-for-row against ``F.window`` in tests). Partial
+    aggregation still applies after the fan-out; state at 100 TB is
+    ∝ groups × (width/slide), same as any hopping aggregation."""
+    if width_s <= 0 or slide_s <= 0:
+        raise ValueError(f"width_s and slide_s must be > 0, got {width_s}, {slide_s}")
+    if slide_s > width_s:
+        raise ValueError(
+            f"slide_s {slide_s} > width_s {width_s} would DROP events "
+            "falling between windows — use sampling instead of gapped windows"
+        )
+    w_ms = int(round(width_s * 1000))
+    s_ms = int(round(slide_s * 1000))
+    if w_ms % s_ms != 0:
+        raise ValueError(
+            f"width_s must be a multiple of slide_s (got {width_s}, {slide_s}) "
+            "for epoch-aligned hops"
+        )
+    t_ms = (F.col(f"`{ts_col}`").cast("double") * 1000).cast("long")
+    # last window start <= ts is floor(ts/s)*s; the first covering start
+    # is that minus (width/slide - 1) hops (clipped windows at negative
+    # starts are kept — F.window does the same for the epoch origin)
+    last = F.floor(t_ms / s_ms) * s_ms
+    n_hops = w_ms // s_ms
+    starts = F.sequence(
+        last - (n_hops - 1) * s_ms, last, F.lit(s_ms)
+    )
+    covering = F.filter(starts, lambda st: (t_ms >= st) & (t_ms < st + w_ms))
+    # generators cannot nest inside expressions — scale to seconds in
+    # the array, then explode stands alone
+    return df.withColumn(
+        window_col, F.explode(F.transform(covering, lambda st: st / 1000.0))
+    )
