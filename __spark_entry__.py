@@ -244,7 +244,19 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "sum_zero", "bucket", ["g_event_type"],
         n=6, threshold=2.5, min_periods=3, out_col="anom",
     )
-    return out.withColumn("z6", F.round(F.col("z6"), 4))
+    # EWMA smoothing arm (series.ewma): alpha = 0.5 makes every weight
+    # an exact power of two, and both engines fold newest-first in the
+    # same order — the 6dp round is belt-and-braces, the doubles match
+    # exactly.
+    from zx_spark.operators.series import ewma
+
+    out = ewma(
+        out, "sum_zero", "bucket", ["g_event_type"],
+        alpha=0.5, n=6, out_col="ewma_zero",
+    )
+    return out.withColumn("z6", F.round(F.col("z6"), 4)).withColumn(
+        "ewma_zero", F.round(F.col("ewma_zero"), 6)
+    )
 
 
 def _agg_query(sel: Select | list[Select], rounds: dict[str, int]):
@@ -2405,10 +2417,18 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(abs(CASE WHEN stddev_samp(sum_zero) OVER w6 > 0 THEN "
             "    (sum_zero - avg(sum_zero) OVER w6) "
             "      / stddev_samp(sum_zero) OVER w6 END) > 2.5 "
-            "    AND count(sum_zero) OVER w6 >= 3, false) AS anom "
+            "    AND count(sum_zero) OVER w6 >= 3, false) AS anom, "
+            # EWMA twin: newest-first power-of-two weights over the
+            # trailing-6 frame INCLUDING the current row
+            "  round(list_sum(list_transform(list_reverse(list(sum_zero) OVER w6c), "
+            "      (x, i) -> x * power(0.5, i - 1))) / "
+            "    list_sum(list_transform(list_reverse(list(sum_zero) OVER w6c), "
+            "      (x, i) -> power(0.5, i - 1))), 6) AS ewma_zero "
             "FROM g WINDOW w AS (PARTITION BY g_event_type ORDER BY bucket), "
             "  w6 AS (PARTITION BY g_event_type ORDER BY bucket "
-            "    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)"
+            "    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), "
+            "  w6c AS (PARTITION BY g_event_type ORDER BY bucket "
+            "    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)"
         ),
         "a2_a3_minmax": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "
