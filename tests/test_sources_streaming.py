@@ -494,3 +494,41 @@ def test_streaming_anomaly_flags_batch_parity(spark, tmp_path):
             assert abs(z - ez) < 1e-9, b
     # the spike bucket is the ONE anomaly
     assert [b for b, (_, f_, _) in got.items() if f_] == [B + 60.0]
+
+
+def test_read_evolving_parquet_merges_and_contracts(spark, tmp_path):
+    import pytest
+
+    from zx_spark.sources.readers import read_evolving_parquet
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id: long, v: string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id: long, v: string, score: double"
+    ).write.mode("append").parquet(p)
+    df = read_evolving_parquet(spark, p, {"id": "bigint", "score": "double"})
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}  # early file surfaces NULL score
+    with pytest.raises(ValueError, match="MISSING"):
+        read_evolving_parquet(spark, p, {"nope": "double"})
+    with pytest.raises(ValueError, match="want string"):
+        read_evolving_parquet(spark, p, {"score": "string"})
+
+
+def test_read_json_permissive_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+    from zx_spark.sources.readers import read_json_permissive
+
+    p = str(tmp_path / "in.json")
+    with open(p, "w") as fh:
+        fh.write('{"id": 1, "v": "ok"}\n')
+        fh.write('{"id": broken!!\n')
+        fh.write('{"id": 3, "v": "fine"}\n')
+        fh.write('not json at all\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = read_json_permissive(spark, p, schema)
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    bad_lines = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_lines) == 2 and "not json at all" in bad_lines

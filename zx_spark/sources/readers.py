@@ -211,3 +211,66 @@ def flatten_json_props(
             leaf = leaf.cast("string")
         cols.append(leaf.alias(".".join([json_col, *path])))
     return out.select(*cols)
+
+
+def read_evolving_parquet(
+    spark: SparkSession, path: str, expect_cols: dict[str, str] | None = None
+) -> DataFrame:
+    """Read a parquet store whose schema EVOLVED across appends
+    (columns added over time): ``mergeSchema`` unions every file's
+    footer schema, so early files surface the later columns as NULL —
+    the additive-evolution contract a long-lived ingest needs.
+    ``expect_cols`` (name → dtype) optionally asserts the merged
+    schema contains each, failing fast with the actual schema instead
+    of letting a misspelled column NULL its way through a pipeline.
+
+    Scale note: mergeSchema reads EVERY file's footer at planning time
+    — fine for daily appends, noticeable on a million-file store; after
+    compaction (storage.compact_store) all files share one schema and
+    the default single-footer read is enough."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expect_cols:
+        have = dict(df.dtypes)
+        problems = [
+            f"{c}: want {t}, have {have.get(c, 'MISSING')}"
+            for c, t in expect_cols.items()
+            if have.get(c) != t
+        ]
+        if problems:
+            raise ValueError(
+                f"schema contract violated: {problems}; merged schema: {df.dtypes}"
+            )
+    return df
+
+
+def read_json_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON ingest that QUARANTINES malformed lines instead of failing
+    the job or silently dropping them: returns ``(good, bad)`` where
+    ``bad`` carries the raw offending line in ``corrupt_col``. The
+    standard PERMISSIVE-mode pattern with the two outcomes split so a
+    pipeline can land good rows and route the quarantine to operators.
+
+    One scan feeds both frames lazily; a malformed-input rate worth
+    alerting on is ``bad.count() / (good.count() + bad.count())`` —
+    wire it to the drift monitor's null checks for continuous ingest."""
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark requires caching/materializing before referencing only the
+    # corrupt column (the lazy parser would otherwise prune the fields
+    # it needs to decide corruption)
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
