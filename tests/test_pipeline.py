@@ -334,3 +334,19 @@ def test_pipeline_normalize_history_and_semantic_decon_stages(spark, docs):
     assert {r["doc_id"] for r in out.collect()} == {1}
     with pytest.raises(ValueError):
         curate_corpus(df, benchmark_embeddings=bench_emb)  # no corpus embeddings
+
+
+def test_curation_audit_per_source(spark):
+    from zx_spark.pipeline import curation_audit
+
+    before = spark.createDataFrame(
+        [(i, "src_a" if i < 6 else "src_b", "alpha beta gamma"[: 5 + i]) for i in range(10)],
+        "doc_id: long, source: string, text: string",
+    )
+    # keep only even src_a docs; drop src_b entirely
+    after = before.filter("source = 'src_a' AND doc_id % 2 = 0")
+    rep = {r["source"]: r for r in curation_audit(before, after).collect()}
+    assert rep["src_a"]["docs_before"] == 6 and rep["src_a"]["docs_after"] == 3
+    assert rep["src_a"]["doc_keep_rate"] == 0.5
+    assert rep["src_b"]["docs_after"] == 0 and rep["src_b"]["token_keep_rate"] == 0.0
+    assert rep["src_a"]["tokens_after"] <= rep["src_a"]["tokens_before"]

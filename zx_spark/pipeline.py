@@ -312,3 +312,49 @@ def curate_corpus(
             out, split_weights, id_col, seed=seed, hash_method=hash_method
         )
     return out
+
+
+def curation_audit(
+    before: DataFrame,
+    after: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The report a curation run logs: per-``group_col`` document and
+    token counts before vs after, with keep rates — the numbers that
+    say WHICH sources the gates actually ate. Two aggregations (one per
+    side), joined on the group; sources dropped entirely still appear
+    (outer join, zeros). Token unit = the BPE-ish counter
+    (functions.text.token_budget), the same unit mixing budgets use."""
+    from zx_spark.functions.text import token_budget
+
+    b = token_budget(
+        before.select(group_col, text_col), group_col=group_col
+    ).select(
+        F.col(group_col),
+        F.col("n_docs").alias("docs_before"),
+        F.col("n_tokens").alias("tokens_before"),
+    )
+    a = token_budget(
+        after.select(group_col, text_col), group_col=group_col
+    ).select(
+        F.col(group_col),
+        F.col("n_docs").alias("docs_after"),
+        F.col("n_tokens").alias("tokens_after"),
+    )
+    j = b.join(a, group_col, "full_outer").na.fill(
+        {"docs_before": 0, "tokens_before": 0, "docs_after": 0, "tokens_after": 0}
+    )
+    return j.select(
+        group_col,
+        "docs_before",
+        "docs_after",
+        "tokens_before",
+        "tokens_after",
+        F.round(
+            F.col("docs_after") / F.greatest(F.col("docs_before"), F.lit(1)), 6
+        ).alias("doc_keep_rate"),
+        F.round(
+            F.col("tokens_after") / F.greatest(F.col("tokens_before"), F.lit(1)), 6
+        ).alias("token_keep_rate"),
+    )
