@@ -865,3 +865,33 @@ def test_normalize_text_and_nfc(spark):
     assert keep[1] == "  Hello\tWORLD\n\nx  "
     with pytest.raises(ValueError):
         df.select(nfc_normalized(F.col("t"), form="NFX"))
+
+
+def test_pq_topk_batch_equals_per_query(spark):
+    """Batched ADC serving == per-query pq_topk (rounding, ordering and
+    tie-breaks included), one scan for all queries."""
+    import pytest
+    from zx_spark.operators.similarity import pq_encode, pq_topk, pq_topk_batch, pq_train
+    from zx_spark.storage import read_table
+
+    vecs = read_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cb = pq_train(vecs, m=8, k=8, iters=2)
+    codes = pq_encode(vecs, cb).cache()
+    queries = [
+        [1.0] + [0.0] * 63,
+        [0.0] * 32 + [1.0] + [0.0] * 31,
+        [0.5] * 64,
+    ]
+    batch = pq_topk_batch(codes, cb, queries, k_results=7).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_no"], []).append((r["vec_id"], r["adc_score"]))
+    for qno, q in enumerate(queries):
+        want = [(r["vec_id"], r["adc_score"]) for r in pq_topk(codes, cb, q, 7).collect()]
+        assert got[qno] == want, qno
+    with pytest.raises(ValueError):
+        pq_topk_batch(codes, cb, [])
+    with pytest.raises(ValueError):
+        pq_topk_batch(codes, cb, [[1.0] * 10])

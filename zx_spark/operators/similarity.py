@@ -946,3 +946,88 @@ def knn_pairs(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def pq_topk_batch(
+    codes_df: DataFrame,
+    codebooks: list,
+    query_vecs: list[list[float]],
+    k_results: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """ADC top-k for a BATCH of queries in ONE scan of the m-byte codes
+    — the compressed-serving analog of ``cosine_topk_batch``: all Q
+    ADC tables (Q × m × k dot products, computed driver-side) ride
+    into a single Arrow pass; scoring is a vectorized table-gather per
+    subspace, local top-k per partition, and only partitions × Q × k
+    candidate rows shuffle to the final per-query window. Returns
+    (query_no, id, adc_score) — k rows per query, identical to running
+    ``pq_topk`` once per query (pinned in tests, same 6dp rounding and
+    (score desc, id) order)."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if not query_vecs:
+        raise ValueError("pq_topk_batch needs at least one query vector")
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dims = {len(q) for q in query_vecs}
+    if dims != {m * sub}:
+        raise ValueError(
+            f"query dims {sorted(dims)} must equal m*sub = {m * sub}"
+        )
+    # tables[q, s, j] = q_sub(s) . codebooks[s][j], rounded like pq_topk
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    Q = np.asarray(query_vecs, dtype=np.float64).reshape(len(query_vecs), m, sub)
+    tables = np.round(np.einsum("qms,mks->qmk", Q, C), 9)  # (Q, m, k)
+    n_q = len(query_vecs)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_no", T.IntegerType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_score", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf[codes_col].to_list(), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            # gather per subspace: scores[n, q] = sum_s tables[q, s, codes[n, s]]
+            scores = np.zeros((len(codes), n_q), dtype=np.float64)
+            for s in range(m):
+                scores += tables[:, s, codes[:, s]].T  # (n, q)
+            scores = np.round(scores, 6)
+            for qno in range(n_q):
+                sc = scores[:, qno]
+                order = np.lexsort((ids, -sc))[:k_results]
+                best.append(
+                    pd.DataFrame(
+                        {"query_no": qno, id_col: ids[order], "adc_score": sc[order]}
+                    )
+                )
+        if best:
+            allb = pd.concat(best, ignore_index=True)
+            allb = allb.sort_values(
+                ["query_no", "adc_score", id_col], ascending=[True, False, True]
+            )
+            yield allb.groupby("query_no", group_keys=False).head(k_results)
+
+    cand = _spread(codes_df.select(id_col, codes_col)).mapInPandas(
+        local_topk, out_schema
+    )
+    w = Window.partitionBy("query_no").orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_results)
+        .drop("__rn")
+    )
