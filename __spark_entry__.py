@@ -1665,6 +1665,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Stable single-comparator callables for bench.py (timings comparable with
 # the round-2 pinned baseline, which timed f1_contains alone).
+def _bench_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: 3-step funnel + conversion report over events
+    (operators/funnel.py; single user-key shuffle JVM fold)."""
+    from zx_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+def _bench_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: snapshot diff of documents vs an in-query second
+    version (operators/diffs.py; fingerprint-narrow full-outer join)."""
+    from zx_spark.operators.diffs import diff_snapshots
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    new = old.filter((F.col("doc_id") % 97) != 0).withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 89) == 0, F.concat(F.lit("x"), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return diff_snapshots(old, new, "doc_id")
+
+
+def _bench_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: one-pass all-column profile of events
+    (operators/profile.py; HLL distinct, no Expand)."""
+    from zx_spark.operators.profile import profile_table
+
+    return profile_table(_events(spark, sf_dir))
+
+
+def _bench_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: incremental near-dup of half the corpus against the
+    other half's signature table (operators/dedup.py; signing CPU +
+    band join)."""
+    from zx_spark.operators.dedup import incremental_near_dups, signature_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = signature_table(docs.filter("doc_id % 2 = 0"), "text", "doc_id")
+    new = signature_table(docs.filter("doc_id % 2 = 1"), "text", "doc_id")
+    return incremental_near_dups(new, old, threshold=0.5)
+
+
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
     # Kept for baseline continuity after the registry merge into
@@ -1674,6 +1719,13 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # three-arm q_rollup_suite (batch/routed/stream) in r5; the bench
     # keeps timing the engine path, not streaming source staging.
     "rollup_hourly_agg": q_rollup_hourly,
+    # r5 s4 operators measured by the bench (no registry slot — the 50
+    # rows are full; each is in-test-verified instead). First
+    # measurement pins their baselines.
+    "op_funnel_counts": _bench_funnel,
+    "op_snapshot_diff": _bench_diff,
+    "op_profile_events": _bench_profile,
+    "op_incremental_dedup": _bench_incr_dedup,
 }
 
 

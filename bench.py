@@ -74,6 +74,14 @@ HEADLINE = [
     # n-gram probe).
     "text_pii_redact",
     "decontaminate_ngrams",
+    # added r5 s4 (first measurement pins them): session-4 operators
+    # without registry slots — funnel (one user-key shuffle), snapshot
+    # diff (fingerprint full-outer join), table profile (one agg pass),
+    # incremental near-dup (batch signing + band join vs stored sigs).
+    "op_funnel_counts",
+    "op_snapshot_diff",
+    "op_profile_events",
+    "op_incremental_dedup",
 ]
 
 
