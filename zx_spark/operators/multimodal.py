@@ -198,3 +198,112 @@ def sample_frames(
         F.col(id_col),
         F.posexplode(frames).alias("frame_no", "frame"),
     )
+
+
+# --------------------------------------------------- header-level probing
+#
+# REAL media parsing with no external decoder: container headers (PNG
+# IHDR, GIF logical screen descriptor, JPEG SOF segments, WAV fmt chunk)
+# are stdlib byte arithmetic. This upgrades ingest from "trust the
+# upstream metadata" to "verify it from the bytes" — corrupt payloads,
+# mislabeled formats and absurd dimensions are caught at the scan,
+# before any (expensive, plugged-in) pixel decoder runs.
+
+_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def probe_media_bytes(payload: bytes) -> dict:
+    """Parse one payload's container header (pure stdlib; driver-side
+    twin of the distributed probe). Returns the _PROBE_SCHEMA fields;
+    ``format`` None and ``valid`` False when no known magic matches or
+    the header is truncated/corrupt."""
+    import struct
+
+    out = {
+        "format": None, "width": None, "height": None,
+        "sample_rate": None, "n_channels": None,
+        "n_bytes": len(payload) if payload is not None else 0,
+        "valid": False,
+    }
+    if not payload:
+        return out
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            # IHDR is always the first chunk: length(4) type(4) W(4) H(4)
+            if payload[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", payload[16:24])
+                out.update(format="png", width=w, height=h, valid=True)
+        elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            out.update(format="gif", width=w, height=h, valid=True)
+        elif payload[:2] == b"\xff\xd8":
+            # JPEG: walk segments to the first SOF0-SOF15 frame header
+            i = 2
+            while i + 9 <= len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    out.update(format="jpeg", width=w, height=h, valid=True)
+                    break
+                i += 2 + seg_len
+        elif (
+            payload[:4] == b"RIFF"
+            and len(payload) >= 36
+            and payload[8:12] == b"WAVE"
+        ):
+            # fmt chunk: channels @22(2 LE), sample rate @24(4 LE)
+            if payload[12:16] == b"fmt ":
+                ch = struct.unpack("<H", payload[22:24])[0]
+                sr = struct.unpack("<I", payload[24:28])[0]
+                out.update(
+                    format="wav", sample_rate=sr, n_channels=ch, valid=True
+                )
+    except (struct.error, IndexError):
+        pass  # truncated header -> invalid, never an executor error
+    return out
+
+
+def probe_media(
+    df: DataFrame, payload_col: str = "media", out_col: str = "probe"
+) -> DataFrame:
+    """Distributed header probe: adds ``out_col`` STRUCT(format, width,
+    height, sample_rate, n_channels, n_bytes, valid) parsed FROM THE
+    BYTES. Arrow-batched mapInPandas, narrow (no shuffle) — header
+    parsing touches ≤ a few hundred bytes per row regardless of payload
+    size. Use it to validate upstream metadata::
+
+        probed = probe_media(df, "media")
+        bad = probed.filter(~F.col("probe.valid")
+                            | (F.col("probe.width") != F.col("media_meta.width")))
+    """
+    src = df.schema.fields
+    out_schema = T.StructType([*src, T.StructField(out_col, _PROBE_SCHEMA)])
+    names = [f.name for f in src]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                probe_media_bytes(b) for b in pdf[payload_col]
+            ]
+            yield pdf[names + [out_col]]
+
+    return df.mapInPandas(run, out_schema)
