@@ -532,3 +532,54 @@ def test_read_json_permissive_quarantines_bad_lines(spark, tmp_path):
     assert {r["id"] for r in good.collect()} == {1, 3}
     bad_lines = [r["_corrupt_record"] for r in bad.collect()]
     assert len(bad_lines) == 2 and "not json at all" in bad_lines
+
+
+def test_streaming_hopping_agg_matches_batch_hops(spark, tmp_path):
+    """streaming_windowed_agg(slide_s=...) over availableNow == the
+    batch hopping-window aggregate (operators.windows
+    .with_hopping_windows) on the same data."""
+    from zx_spark.model import Aggregate, Query, Select
+    from zx_spark.operators.windows import with_hopping_windows
+    from zx_spark.sources.readers import read_parquet_events
+    from zx_spark.streaming.windowed import (
+        run_available_now,
+        streaming_windowed_agg,
+    )
+
+    src = str(tmp_path / "src")
+    ev = read_parquet_events(spark, "/root/testdata/sf0.001/events.parquet")
+    ev.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = Query(
+        selects=[Select("value", Aggregate.SUM)],
+        group_by=["event_type"],
+        granularity_s=3600.0,
+    )
+    out = streaming_windowed_agg(stream, q, rate_col=None, slide_s=900.0)
+    run_available_now(out, "hop_out", str(tmp_path / "ck"))
+    got = {
+        (r["g_event_type"], r["window_start"]): round(r["sum__value"], 6)
+        for r in spark.table("hop_out").collect()
+    }
+    batch = (
+        with_hopping_windows(
+            spark.read.parquet(src), "ts", 3600.0, 900.0
+        )
+        .groupBy(
+            F.coalesce(F.col("event_type").cast("string"), F.lit("__nil")).alias("g"),
+            "hop_start",
+        )
+        .agg(F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("s"))
+    )
+    want = {
+        (r["g"], r["hop_start"]): round(r["s"], 6) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_windowed_agg(stream, q, slide_s=1000.0)  # not a divisor

@@ -41,8 +41,13 @@ def streaming_windowed_agg(
     ts_col: str = "ts",
     rate_col: str | None = "sample_rate",
     watermark: str | None = "10 minutes",
+    slide_s: float | None = None,
 ) -> DataFrame:
     """Incremental version of ``compile_query`` for aligned windows.
+    ``slide_s`` (< granularity) switches to HOPPING windows — each event
+    lands in width/slide overlapping buckets, state ∝ open windows ×
+    that factor; batch twin = operators.windows.with_hopping_windows
+    (parity-pinned in tests).
 
     Output: group keys (``g_<col>``, __nil-coalesced), ``window_start``/
     ``window_end`` (bucket bounds as unix seconds — a stream cannot know
@@ -65,7 +70,18 @@ def streaming_windowed_agg(
         a = group_alias(c)  # same rule as batch — parity tests depend on it
         df = df.withColumn(a, F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(NIL)))
         keys.append(a)
-    win = F.window(F.col(ts_col), f"{int(round(q.granularity_s * 1000))} milliseconds")
+    w_ms = int(round(q.granularity_s * 1000))
+    if slide_s is None:
+        win = F.window(F.col(ts_col), f"{w_ms} milliseconds")
+    else:
+        s_ms = int(round(slide_s * 1000))
+        if s_ms <= 0 or s_ms > w_ms or w_ms % s_ms != 0:
+            raise ValueError(
+                f"slide_s must divide granularity_s (got {slide_s}, {q.granularity_s})"
+            )
+        win = F.window(
+            F.col(ts_col), f"{w_ms} milliseconds", f"{s_ms} milliseconds"
+        )
     aggs = [agg_expr(s, rate_col=rate_col) for s in q.selects]
     out = df.groupBy(win.alias("__w"), *keys).agg(*aggs)
     return out.select(
