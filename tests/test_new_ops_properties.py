@@ -184,3 +184,32 @@ def test_weighted_sample_matches_python_twin_property(spark, rows, n, seed):
         k for k, _ in sorted(rows, key=lambda t: (-pri(*t), t[0]))[:n]
     }
     assert got == want
+
+
+def test_session4_operators_handle_empty_inputs(spark):
+    """Every session-4 operator degrades to an empty (or all-zero
+    profile) result on empty inputs instead of erroring — the property
+    an automated pipeline needs when a filter chain eats everything."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([], "doc_id: long, text: string, source: string, n_chars: int")
+    ev = spark.createDataFrame([], "user_id: long, ts: double, event_type: string")
+
+    from zx_spark.operators.funnel import funnel_counts, retention_cohorts
+    assert funnel_counts(ev, ["a", "b"]).count() == 0
+    assert retention_cohorts(ev).count() == 0
+    from zx_spark.operators.diffs import diff_snapshots
+    assert diff_snapshots(docs, docs, "doc_id").count() == 0
+    from zx_spark.operators.profile import profile_table
+    prof = {r["column"]: r["n_rows"] for r in profile_table(docs).collect()}
+    assert set(prof) == set(docs.columns) and set(prof.values()) == {0}
+    from zx_spark.operators.sampling import weighted_sample_n
+    assert weighted_sample_n(docs, 5, "n_chars", "doc_id").count() == 0
+    from zx_spark.operators.dedup import incremental_near_dups, signature_table
+    sigs = signature_table(docs, "text", "doc_id")
+    assert incremental_near_dups(sigs, sigs).count() == 0
+    from zx_spark.operators.windows import with_hopping_windows
+    assert with_hopping_windows(ev, "ts", 100.0, 50.0).count() == 0
+    from zx_spark.streaming.drift import baseline_profile, profile_drift
+    rep = profile_drift(baseline_profile(docs), baseline_profile(docs))
+    assert rep.filter("any_drift").count() == 0
