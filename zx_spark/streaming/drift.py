@@ -57,7 +57,11 @@ def profile_drift(
     flags + ``any_drift``. Tiny frames — this is metadata math."""
     b = baseline.select(
         F.col("column"),
-        (1 - F.col("n_nonnull") / F.col("n_rows")).alias("__b_null_frac"),
+        # greatest(n_rows, 1): an all-filtered-away profile reads as
+        # zero nulls, not an ANSI divide-by-zero
+        (1 - F.col("n_nonnull") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+            "__b_null_frac"
+        ),
         F.col("n_distinct").alias("__b_distinct"),
         F.col("n_nonnull").alias("__b_nonnull"),
         F.col("min_value").try_cast("double").alias("__b_min"),
@@ -67,7 +71,9 @@ def profile_drift(
         F.col("column"),
         F.col("n_rows"),
         F.col("n_nonnull").alias("__c_nonnull"),
-        (1 - F.col("n_nonnull") / F.col("n_rows")).alias("null_frac"),
+        (1 - F.col("n_nonnull") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+            "null_frac"
+        ),
         F.col("n_distinct"),
         F.col("min_value"),
         F.col("max_value"),
