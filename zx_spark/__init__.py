@@ -16,6 +16,22 @@ from zx_spark.compiler import compile_query, run_query, run_sorted
 from zx_spark.session import get_spark
 
 
+# Lazy top-level exports: attribute name -> (module, attr). Keeps
+# `import zx_spark` light while the common verbs stay one import away.
+_LAZY = {
+    "curate_corpus": ("zx_spark.pipeline", "curate_corpus"),
+    "curation_audit": ("zx_spark.pipeline", "curation_audit"),
+    "profile_table": ("zx_spark.operators.profile", "profile_table"),
+    "diff_snapshots": ("zx_spark.operators.diffs", "diff_snapshots"),
+    "diff_summary": ("zx_spark.operators.diffs", "diff_summary"),
+    "plan_report": ("zx_spark.plan", "plan_report"),
+    "assert_scaling_plan": ("zx_spark.plan", "assert_scaling_plan"),
+    "key_skew_report": ("zx_spark.plan", "key_skew_report"),
+    "write_training_shards": ("zx_spark.export", "write_training_shards"),
+    "read_training_shards": ("zx_spark.export", "read_training_shards"),
+}
+
+
 def __getattr__(name):
     # Lazy facade/shim exports — keep `import zx_spark` light.
     if name == "ZX":
@@ -26,6 +42,11 @@ def __getattr__(name):
         import zx_spark.sqlshim as _shim
 
         return getattr(_shim, name)
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(f"module 'zx_spark' has no attribute {name!r}")
 
 
