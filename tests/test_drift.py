@@ -83,3 +83,12 @@ def test_streaming_monitor_epochs(spark, base_df, tmp_path):
     # exactly one of the two batches drifted on value
     assert len(per_epoch) == 1 and set(per_epoch.values()) == {1}
     assert rep.select("epoch").distinct().count() == 2
+
+
+def test_missing_and_new_columns_flag(spark, base_df):
+    base = baseline_profile(base_df)
+    cur = baseline_profile(base_df.drop("kind").withColumn("extra", F.lit(1)))
+    rep = {r["column"]: r for r in profile_drift(cur, base).collect()}
+    assert rep["kind"]["missing_column"] and rep["kind"]["any_drift"]
+    assert rep["extra"]["new_column"] and rep["extra"]["any_drift"]
+    assert not rep["id"]["missing_column"] and not rep["id"]["new_column"]

@@ -1,6 +1,6 @@
 """Training-shard export: balance, determinism, hash-order shuffle,
-manifest integrity, subset reads, and the Python twin of the global
-order."""
+manifest integrity, subset reads, and the Python twin of both the shard
+assignment (analytic 48-bit ranges) and the in-shard order."""
 
 from __future__ import annotations
 
@@ -28,35 +28,30 @@ def _py_hash(key, seed):
     return hashlib.md5(f"{key}:{seed}".encode()).hexdigest()
 
 
-def test_shards_balanced_ordered_and_manifested(spark, docs, tmp_path):
+def _py_shard(key, seed, n):
+    return (int(_py_hash(key, seed)[:12], 16) * n) >> 48
+
+
+def test_shards_balanced_assigned_and_ordered_like_python_twin(spark, docs, tmp_path):
     path = str(tmp_path / "shards")
     m = write_training_shards(docs, path, n_shards=8, key_col="doc_id", seed=3)
     assert m["n_rows"] == 500 and m["n_shards"] == 8
     counts = [s["rows"] for s in m["shards"]]
-    assert sum(counts) == 500
-    assert max(counts) <= 2.5 * min(counts)  # range split balances
+    assert sum(counts) == 500 and len(counts) == 8
+    assert max(counts) <= 3 * max(min(counts), 1)  # uniform-hash balance
     assert read_shard_manifest(path) == m
-    # global order across shards == Python md5 order; within-shard
-    # order is the same key order
-    got = []
     for s in m["shards"]:
         rows = read_training_shards(spark, path, [s["shard"]]).collect()
-        got.extend(r["doc_id"] for r in rows)
-    want = sorted((r["doc_id"] for r in docs.collect()),
-                  key=lambda k: (_py_hash(k, 3), k))
-    # shard files are range-ordered but rows within a collect() may not
-    # preserve file order — sort each shard's slice by the hash to check
-    # the SPLIT; then check within-shard order separately
-    assert sorted(got) == sorted(want)
-    ends = []
-    for s in m["shards"]:
-        ks = [r["doc_id"] for r in read_training_shards(spark, path, [s["shard"]]).collect()]
-        assert ks == sorted(ks, key=lambda k: (_py_hash(k, 3), k))  # in-shard order
-        if ks:
-            ends.append((_py_hash(ks[0], 3), _py_hash(ks[-1], 3)))
-    # shards are disjoint hash RANGES in file order
-    for (a_lo, a_hi), (b_lo, b_hi) in zip(ends, ends[1:]):
-        assert a_hi <= b_lo
+        ks = [r["doc_id"] for r in rows]
+        # exact analytic shard assignment == Python twin
+        assert all(_py_shard(k, 3, 8) == s["shard"] for k in ks), s["shard"]
+        # in-shard order is the (hash, key) order
+        assert ks == sorted(ks, key=lambda k: (_py_hash(k, 3), k))
+        # partition column survives
+        assert all(r["shard"] == s["shard"] for r in rows)
+    covered = {k for s in m["shards"] for k in (
+        r["doc_id"] for r in read_training_shards(spark, path, [s["shard"]]).collect())}
+    assert len(covered) == 500  # disjoint + exhaustive
 
 
 def test_export_deterministic_and_seed_reshuffles(spark, docs, tmp_path):
@@ -66,7 +61,7 @@ def test_export_deterministic_and_seed_reshuffles(spark, docs, tmp_path):
     assert [s["rows"] for s in m1["shards"]] == [s["rows"] for s in m2["shards"]]
     o1 = [r["doc_id"] for r in read_training_shards(spark, p1, [0]).collect()]
     o2 = [r["doc_id"] for r in read_training_shards(spark, p2, [0]).collect()]
-    assert o1 == o2  # same seed -> byte-identical order
+    assert o1 == o2  # same seed -> byte-identical layout
     write_training_shards(docs, p3, 4, "doc_id", seed=8)
     o3 = [r["doc_id"] for r in read_training_shards(spark, p3, [0]).collect()]
     assert o1 != o3  # new seed -> fresh epoch shuffle
@@ -75,10 +70,13 @@ def test_export_deterministic_and_seed_reshuffles(spark, docs, tmp_path):
 def test_subset_reads_and_validation(spark, docs, tmp_path):
     path = str(tmp_path / "s")
     m = write_training_shards(docs, path, 5, "doc_id")
+    by = {s["shard"]: s["rows"] for s in m["shards"]}
     two = read_training_shards(spark, path, [0, 3])
-    assert two.count() == m["shards"][0]["rows"] + m["shards"][3]["rows"]
+    assert two.count() == by[0] + by[3]
     assert read_training_shards(spark, path).count() == 500
     with pytest.raises(ValueError):
         read_training_shards(spark, path, [99])
     with pytest.raises(ValueError):
         write_training_shards(docs, path, 0, "doc_id")
+    with pytest.raises(ValueError, match="local"):
+        write_training_shards(docs, "s3://bucket/x", 4, "doc_id")

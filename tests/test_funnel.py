@@ -16,26 +16,49 @@ STEPS = ["view", "click", "purchase"]
 
 
 def _py_funnel(events, steps, within_s=None):
-    """Reference greedy funnel: earliest valid completion per step."""
+    """Reference funnel. Without a horizon: earliest-completion greedy.
+    With one: the max-anchor DP (slot 0 re-anchors on every step-1
+    event; deeper slots adopt a feasible later-anchored lineage) —
+    mirrors funnel_steps exactly."""
     idx = {s: i for i, s in enumerate(steps)}
-    state = [None] * len(steps)
+    k = len(steps)
+    if within_s is None:
+        state = [None] * k
+        for t, s in sorted(events):
+            i = idx.get(s)
+            if i is None or state[i] is not None:
+                continue
+            if i > 0 and (state[i - 1] is None or not t > state[i - 1]):
+                continue
+            state[i] = t
+        done = 0
+        for x in state:
+            if x is None:
+                break
+            done += 1
+        return done, state
+    anchors = [None] * k
+    times = [None] * k
     for t, s in sorted(events):
         i = idx.get(s)
-        if i is None or state[i] is not None:
+        if i is None:
             continue
-        if i > 0 and state[i - 1] is None:
+        if i == 0:
+            anchors[0] = times[0] = t
             continue
-        if i > 0 and not t > state[i - 1]:
+        if anchors[i - 1] is None:
             continue
-        if within_s is not None and i > 0 and t > state[0] + within_s:
+        if not (t > times[i - 1] and t <= anchors[i - 1] + within_s):
             continue
-        state[i] = t
+        if anchors[i] is None or anchors[i - 1] > anchors[i]:
+            anchors[i] = anchors[i - 1]
+            times[i] = t
     done = 0
-    for x in state:
+    for x in times:
         if x is None:
             break
         done += 1
-    return done, state
+    return done, times
 
 
 def test_funnel_hand_cases(spark):
@@ -64,6 +87,25 @@ def test_funnel_hand_cases(spark):
         for r in funnel_steps(df, STEPS, within_s=15.0).collect()
     }
     assert h[1] == 2
+    # RE-ANCHORING (the windowed-funnel case): the first attempt
+    # expires, the user starts over and converts — counts
+    rows2 = [
+        (9, 0.0, "view"), (9, 50.0, "view"), (9, 55.0, "click"),
+        (9, 58.0, "purchase"),
+        # u10: only the SECOND view anchors a valid click
+        (10, 0.0, "view"), (10, 20.0, "view"), (10, 25.0, "click"),
+    ]
+    df2 = spark.createDataFrame(rows2, "user_id: long, ts: double, event_type: string")
+    h2 = {
+        r["user_id"]: (r["steps_completed"], r["step_ts"])
+        for r in funnel_steps(df2, STEPS, within_s=10.0).collect()
+    }
+    assert h2[9][0] == 3 and h2[9][1] == [50.0, 55.0, 58.0]
+    assert h2[10][0] == 2 and h2[10][1][0] == 20.0
+    # the Python twin agrees on these
+    for uid in (9, 10):
+        evs = [(t, s) for u, t, s in rows2 if u == uid]
+        assert _py_funnel(evs, STEPS, within_s=10.0)[0] == h2[uid][0]
     with pytest.raises(ValueError):
         funnel_steps(df, [])
     with pytest.raises(ValueError):
@@ -92,6 +134,15 @@ def test_funnel_matches_python_reference_on_driver_events(spark):
             continue
         assert got[u][0] == want_done, u
         assert got[u][1] == want_state, u
+    # horizon mode: the max-anchor DP agrees with its twin over every
+    # driver user too
+    goth = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel_steps(ev, STEPS, within_s=400.0).collect()
+    }
+    for u, evs in raw.items():
+        if u in goth:
+            assert goth[u] == _py_funnel(evs, STEPS, within_s=400.0)[0], u
     # funnel_counts is monotone and consistent with per-user stages
     fc = {r["stage"]: r["n_users"] for r in funnel_counts(ev, STEPS).collect()}
     for stage in fc:

@@ -322,3 +322,22 @@ def test_semantic_contamination_planted_and_methods_agree(spark):
         semantic_contamination(vecs, bench, threshold=1.5)
     with pytest.raises(ValueError):
         semantic_contamination(vecs, bench.limit(0))
+
+
+def test_semantic_contamination_string_bench_ids_jvm(spark):
+    """Eval-set ids are commonly strings — the jvm literal path must
+    accept them (and reject mixed-type id columns loudly)."""
+    import pytest
+    from zx_spark.operators.decontaminate import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id: long, embedding: array<double>"
+    )
+    bench = spark.createDataFrame(
+        [("mmlu_00421", [2.0, 0.0])], "bid: string, embedding: array<double>"
+    )
+    for method in ("jvm", "numpy"):
+        got = semantic_contamination(
+            corpus, bench, threshold=0.99, bench_id_col="bid", method=method
+        ).collect()
+        assert [(r["vec_id"], r["nearest_bench_id"]) for r in got] == [(1, "mmlu_00421")], method

@@ -350,3 +350,15 @@ def test_curation_audit_per_source(spark):
     assert rep["src_a"]["doc_keep_rate"] == 0.5
     assert rep["src_b"]["docs_after"] == 0 and rep["src_b"]["token_keep_rate"] == 0.0
     assert rep["src_a"]["tokens_after"] <= rep["src_a"]["tokens_before"]
+
+
+def test_curation_audit_custom_text_col(spark):
+    from zx_spark.pipeline import curation_audit
+
+    df = spark.createDataFrame(
+        [(1, "s", "alpha beta"), (2, "s", "gamma")],
+        "doc_id: long, source: string, body: string",
+    )
+    rep = curation_audit(df, df.limit(1), text_col="body").collect()[0]
+    assert rep["docs_before"] == 2 and rep["docs_after"] == 1
+    assert rep["tokens_before"] == 3

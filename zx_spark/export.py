@@ -5,25 +5,66 @@ stat-ing the store.
 
 Why pre-shuffle at export: training wants examples in hash-random order,
 and a loader that shuffles 100 TB itself needs either a giant buffer or
-multi-pass IO. A deterministic global order by ``md5(id)`` gives every
-run (and every resume) the SAME shuffle for free — the property that
-makes "epoch 2 starts at shard 741, row 12000" a meaningful checkpoint.
+multi-pass IO. A deterministic global order by ``md5(key:seed)`` gives
+every run (and every resume) the SAME shuffle for free — the property
+that makes "epoch 2 starts at shard 741, row 12000" a meaningful
+checkpoint.
 
-Spark shape: ONE range-partitioning shuffle on the hash key
-(``repartitionByRange`` samples the key distribution, so shards come
-out row-balanced without a driver-side histogram), rows sorted by the
-hash within each shard (``sortWithinPartitions`` — no extra exchange),
-one file per shard via the partition writer. At 100 TB this is exactly
-one full-data shuffle — the same cost any shuffled-materialization
-pays — and nothing collects on the driver except the per-shard counts
-for the manifest."""
+Shard boundaries are ANALYTIC, not sampled: md5 is uniform, so shard
+``i`` is exactly the hash range ``[i/n, (i+1)/n)`` of the 48-bit hash
+prefix. (``repartitionByRange`` would balance too, but its
+RangePartitioner SAMPLES boundary keys with a run-dependent seed — two
+runs could split borderline rows differently, breaking the resume
+contract at real scale. Analytic ranges are a pure function of the
+row.) Hash uniformity makes the shards row-balanced to ~±1/sqrt(rows
+per shard).
+
+Spark shape: ONE hash shuffle on the shard id (every row of a shard
+lands in one task; a task holding two shard values still writes one
+file per shard via the partitioned writer), rows sorted by (hash, key)
+within each shard. Nothing collects on the driver; the manifest is
+footer metadata only.
+
+Store scope: manifests are written with local filesystem I/O — the same
+contract as storage.py's snapshot manifests. Distributed URIs
+(s3://, hdfs://) fail loudly instead of writing a manifest beside the
+wrong filesystem."""
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _HASH = "__shard_hash"
+_HASH_BITS = 48  # 48-bit prefix: h * n_shards stays far inside int64
+
+
+def _require_local(path: str) -> None:
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+        "file://"
+    ):
+        raise ValueError(
+            f"{path!r} is not a local/file path — the shard manifest is "
+            "written with local filesystem I/O (same scope as storage.py "
+            "snapshots); mount the store or write the manifest via your "
+            "object-store client"
+        )
+
+
+def _shard_expr(key, seed: int, n_shards: int):
+    h = F.md5(
+        F.concat(
+            F.coalesce(key.cast("string"), F.lit("__null__")), F.lit(f":{seed}")
+        )
+    )
+    # EXACT integer boundary math: shard = (h48 * n) >> 48 — no float
+    # division whose rounding could flip a borderline row, and
+    # h48 * n_shards stays inside int64 for any sane shard count
+    h48 = F.conv(F.substring(h, 1, _HASH_BITS // 4), 16, 10).cast("long")
+    shard = F.shiftright(h48 * F.lit(n_shards), _HASH_BITS).cast("int")
+    return h, shard
 
 
 def write_training_shards(
@@ -33,29 +74,31 @@ def write_training_shards(
     key_col: str,
     seed: int = 0,
 ) -> dict:
-    """Write ``n_shards`` hash-shuffled parquet shards + ``_shards.json``.
+    """Write ``n_shards`` hash-shuffled parquet shards
+    (``shard=<i>/part-*.parquet``) + ``_shards.json``.
 
-    Every row's position is a pure function of ``(key, seed)``: rows are
-    globally ordered by ``md5(key:seed)`` (ties by key), range-split
-    into ``n_shards`` balanced shards, one file per shard. Re-running
-    with the same inputs reproduces byte-identical order; a different
-    ``seed`` is a fresh epoch-level shuffle of the same corpus.
+    Every row's shard AND position are a pure function of
+    ``(key, seed)``: shard = the analytic md5 range, order = (hash, key)
+    within the shard. Re-running with the same inputs reproduces the
+    identical layout; a different ``seed`` is a fresh epoch-level
+    shuffle of the same corpus.
 
     Returns the manifest dict: ``{n_shards, n_rows, seed, key_col,
-    shards: [{shard, rows}, ...]}``."""
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shards: [{shard, dir, rows}, ...]}`` (an empty hash range writes no
+    directory and is omitted — only possible when shards ≫ rows)."""
+    if not 1 <= n_shards <= 32768:
+        raise ValueError(f"n_shards must be in 1..32768, got {n_shards}")
+    _require_local(path)
     key = F.col(f"`{key_col}`")
-    h = F.md5(
-        F.concat(
-            F.coalesce(key.cast("string"), F.lit("__null__")), F.lit(f":{seed}")
-        )
+    h, shard = _shard_expr(key, seed, n_shards)
+    arranged = (
+        df.withColumn(_HASH, h)
+        .withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), F.col(_HASH), key)
+        .drop(_HASH)
     )
-    hashed = df.withColumn(_HASH, h)
-    arranged = hashed.repartitionByRange(
-        n_shards, F.col(_HASH), key
-    ).sortWithinPartitions(F.col(_HASH), key)
-    arranged.drop(_HASH).write.mode("overwrite").parquet(path)
+    arranged.write.mode("overwrite").partitionBy("shard").parquet(path)
     # manifest from the written store (counts observed, not assumed) —
     # footer reads only, no Spark jobs
     import glob
@@ -64,15 +107,22 @@ def write_training_shards(
 
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
     shards = []
     total = 0
-    for i, f in enumerate(files):
-        n = pq.ParquetFile(f).metadata.num_rows
-        shards.append({"shard": i, "file": os.path.basename(f), "rows": n})
+    for d in sorted(
+        glob.glob(os.path.join(path, "shard=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    ):
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+        shards.append(
+            {"shard": int(d.rsplit("=", 1)[1]), "dir": os.path.basename(d), "rows": n}
+        )
         total += n
     manifest = {
-        "n_shards": len(files),
+        "n_shards": n_shards,
         "n_rows": total,
         "seed": seed,
         "key_col": key_col,
@@ -89,6 +139,7 @@ def read_shard_manifest(path: str) -> dict:
     import json
     import os
 
+    _require_local(path)
     with open(os.path.join(path, "_shards.json")) as fh:
         return json.load(fh)
 
@@ -98,14 +149,19 @@ def read_training_shards(
 ) -> DataFrame:
     """Read the export — all shards, or an explicit subset (a loader
     resuming mid-epoch, or a worker reading its assignment). Subsets
-    read ONLY those files (no full listing scan)."""
+    read ONLY those shard directories (no full listing scan); the
+    ``shard`` column survives as a partition column either way."""
     import os
 
     if shards is None:
-        return spark.read.parquet(path)
+        return spark.read.option("basePath", path).parquet(path)
     m = read_shard_manifest(path)
-    by_no = {s["shard"]: s["file"] for s in m["shards"]}
+    by_no = {s["shard"]: s["dir"] for s in m["shards"]}
     missing = [s for s in shards if s not in by_no]
     if missing:
-        raise ValueError(f"shards {missing} not in manifest (0..{m['n_shards']-1})")
-    return spark.read.parquet(*[os.path.join(path, by_no[s]) for s in shards])
+        raise ValueError(
+            f"shards {missing} not in manifest (have {sorted(by_no)})"
+        )
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, by_no[s]) for s in shards]
+    )

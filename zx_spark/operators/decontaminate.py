@@ -391,7 +391,14 @@ def semantic_contamination(
     if method == "jvm":
         nb, dim = Bn.shape
         flat = F.lit([float(x) for row in Bn for x in row])
-        ids_lit = F.lit([int(i) for i in bench_ids])
+        # ids keep their own type (string eval-set ids are common); a
+        # mixed-type id column cannot form one literal array
+        id_types = {type(i) for i in bench_ids}
+        if len(id_types) > 1:
+            raise ValueError(
+                f"benchmark ids mix types {sorted(t.__name__ for t in id_types)}"
+            )
+        ids_lit = F.lit(list(bench_ids))
         v = F.col(f"`{vec_col}`").cast("array<double>")
         norm = F.sqrt(
             F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
@@ -434,10 +441,13 @@ def semantic_contamination(
     from pyspark.sql import types as T
 
     src_id_field = [f for f in corpus.schema.fields if f.name == id_col][0]
+    # the nearest id is a BENCHMARK id — its type, not the corpus id's
+    # (string eval-set ids against integer corpus ids are common)
+    bench_id_field = [f for f in benchmark.schema.fields if f.name == bid][0]
     out_schema = T.StructType(
         [
             src_id_field,
-            T.StructField("nearest_bench_id", src_id_field.dataType),
+            T.StructField("nearest_bench_id", bench_id_field.dataType),
             T.StructField("max_cosine", T.DoubleType()),
         ]
     )

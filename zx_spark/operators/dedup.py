@@ -582,6 +582,18 @@ def incremental_near_dups(
         )
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    # A history store signed with a DIFFERENT num_hashes would band-join
+    # to nothing and the dedup stage would silently pass every duplicate
+    # — verify both sides' actual signature widths against the config
+    # (two first()-row probes, trivial next to the join).
+    for side, sigs in (("new", new_sigs), ("old", old_sigs)):
+        row = sigs.select(F.size("minhash").alias("n")).first()
+        if row is not None and row["n"] != num_hashes:
+            raise ValueError(
+                f"{side} signatures have {row['n']} minhashes but "
+                f"num_hashes={num_hashes} — the stores were signed with "
+                "different parameters and would silently never match"
+            )
     bn = minhash_bands(new_sigs, id_col, "minhash", bands)
     bo = minhash_bands(old_sigs, id_col, "minhash", bands)
     on = ["band_no", "band_hash"]

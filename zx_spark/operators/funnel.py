@@ -38,12 +38,25 @@ def funnel_steps(
     """Per-user furthest funnel stage: one row per user with
     ``steps_completed`` (0..len(steps)) and ``step_ts`` (completion
     timestamp per reached step, NULL beyond). A step counts only
-    STRICTLY AFTER the previous step's completion time (the EARLIEST
-    valid completion is taken, the standard greedy funnel — greedy is
-    optimal here: taking the earliest possible step time never excludes
-    a later completion that a different choice would allow);
-    ``within_s`` bounds the whole journey: step k counts only while
-    ``ts <= first_step_ts + within_s``."""
+    STRICTLY AFTER the previous step's completion time.
+
+    Without ``within_s``, the EARLIEST valid completion is taken (the
+    standard greedy funnel — optimal there: the earliest step time
+    never excludes a completion another choice would allow).
+
+    With ``within_s`` the journey must fit ``[anchor, anchor + T]``
+    where the anchor is SOME step-1 occurrence — a user whose first
+    attempt expires but who starts over and converts COUNTS (the
+    windowed-funnel answer). Greedy earliest-anchor undercounts that
+    user, so this mode runs a max-anchor dynamic program instead: slot
+    0 re-anchors to each later step-1 event, and a deeper slot adopts a
+    later-anchored lineage when one completes it — a later anchor only
+    relaxes the remaining deadline, so prefix reachability is exact.
+    ``step_ts[i]`` reports slot i's adopted lineage; the DEEPEST slot's
+    lineage is always a valid journey. (Tie nuance: events sharing a
+    timestamp never chain, and an adopted lineage's later completion
+    time can suppress a same-timestamp follow-up a discarded lineage
+    would have allowed.)"""
     if not steps:
         raise ValueError("steps must be non-empty")
     if len(set(steps)) != len(steps):
@@ -63,35 +76,65 @@ def funnel_steps(
     per_user = ev.groupBy("__u").agg(
         F.sort_array(F.collect_list(F.struct("__t", "__s"))).alias("__evs")
     )
-    # fold the time-sorted events through a k-slot state array:
-    # state[i] = earliest completion time of step i (NULL = not reached)
-    init = F.array(*[F.lit(None).cast("double") for _ in range(k)])
+    if within_s is None:
+        # earliest-completion greedy: state[i] = earliest completion
+        # time of step i (NULL = not reached), set once
+        init = F.array(*[F.lit(None).cast("double") for _ in range(k)])
 
-    def _advance(acc: Column, e: Column) -> Column:
-        slots = []
-        for i in range(k):
-            prev_done = (
-                F.lit(True) if i == 0 else F.element_at(acc, i).isNotNull()
-            )
-            prev_t = F.lit(0.0) if i == 0 else F.element_at(acc, i)
-            in_horizon = (
-                F.lit(True)
-                if within_s is None
-                else F.when(
-                    F.lit(i == 0), F.lit(True)
-                ).otherwise(e["__t"] <= F.element_at(acc, 1) + F.lit(float(within_s)))
-            )
-            take = (
-                F.element_at(acc, i + 1).isNull()
-                & (e["__s"] == i)
-                & prev_done
-                & (e["__t"] > prev_t if i > 0 else F.lit(True))
-                & in_horizon
-            )
-            slots.append(F.when(take, e["__t"]).otherwise(F.element_at(acc, i + 1)))
-        return F.array(*slots)
+        def _advance(acc: Column, e: Column) -> Column:
+            slots = []
+            for i in range(k):
+                prev_done = (
+                    F.lit(True) if i == 0 else F.element_at(acc, i).isNotNull()
+                )
+                prev_t = F.lit(0.0) if i == 0 else F.element_at(acc, i)
+                take = (
+                    F.element_at(acc, i + 1).isNull()
+                    & (e["__s"] == i)
+                    & prev_done
+                    & (e["__t"] > prev_t if i > 0 else F.lit(True))
+                )
+                slots.append(
+                    F.when(take, e["__t"]).otherwise(F.element_at(acc, i + 1))
+                )
+            return F.array(*slots)
 
-    state = F.aggregate(F.col("__evs"), init, _advance)
+        state = F.aggregate(F.col("__evs"), init, _advance)
+    else:
+        # max-anchor DP: per slot keep (anchor, completion time) of the
+        # latest-anchored lineage reaching it — slot 0 re-anchors on
+        # every step-1 event, slot i>0 adopts a feasible lineage with a
+        # strictly later anchor than its current one
+        T = float(within_s)
+        null_arr = F.array(*[F.lit(None).cast("double") for _ in range(k)])
+        init = F.struct(null_arr.alias("a"), null_arr.alias("t"))
+
+        def _advance(acc: Column, e: Column) -> Column:
+            anchors, times = acc["a"], acc["t"]
+            new_a, new_t = [], []
+            for i in range(k):
+                cur_a = F.element_at(anchors, i + 1)
+                cur_t = F.element_at(times, i + 1)
+                if i == 0:
+                    take = e["__s"] == 0
+                    new_a.append(F.when(take, e["__t"]).otherwise(cur_a))
+                    new_t.append(F.when(take, e["__t"]).otherwise(cur_t))
+                else:
+                    prev_a = F.element_at(anchors, i)
+                    prev_t = F.element_at(times, i)
+                    feasible = (
+                        prev_a.isNotNull()
+                        & (e["__s"] == i)
+                        & (e["__t"] > prev_t)
+                        & (e["__t"] <= prev_a + F.lit(T))
+                    )
+                    better = cur_a.isNull() | (prev_a > cur_a)
+                    take = feasible & better
+                    new_a.append(F.when(take, prev_a).otherwise(cur_a))
+                    new_t.append(F.when(take, e["__t"]).otherwise(cur_t))
+            return F.struct(F.array(*new_a).alias("a"), F.array(*new_t).alias("t"))
+
+        state = F.aggregate(F.col("__evs"), init, _advance)["t"]
     done = F.aggregate(
         F.transform(state, lambda x: F.when(x.isNotNull(), 1).otherwise(0)),
         F.lit(0),

@@ -329,14 +329,14 @@ def curation_audit(
     from zx_spark.functions.text import token_budget
 
     b = token_budget(
-        before.select(group_col, text_col), group_col=group_col
+        before.select(group_col, text_col), text_col=text_col, group_col=group_col
     ).select(
         F.col(group_col),
         F.col("n_docs").alias("docs_before"),
         F.col("n_tokens").alias("tokens_before"),
     )
     a = token_budget(
-        after.select(group_col, text_col), group_col=group_col
+        after.select(group_col, text_col), text_col=text_col, group_col=group_col
     ).select(
         F.col(group_col),
         F.col("n_docs").alias("docs_after"),

@@ -44,7 +44,10 @@ def plan_report(df: DataFrame) -> dict:
         )
     )
     return {
-        "n_exchanges": count(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)"),
+        # standalone Exchange nodes of ANY partitioning (hash, range,
+        # round-robin, single) — \bExchange\b cannot match inside
+        # BroadcastExchange/ReusedExchange (no word boundary there)
+        "n_exchanges": count(r"\bExchange\b"),
         "n_broadcast_exchanges": count(r"BroadcastExchange"),
         "n_sorts": count(r"\bSort \["),
         "n_python": count(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"),

@@ -51,7 +51,10 @@ def profile_drift(
       a unique column's distinct count legitimately grows with the
       batch);
     - ``range_drift``   — numeric min/max escaped the baseline range
-      (strings excluded: lexicographic range says little).
+      (strings excluded: lexicographic range says little);
+    - ``missing_column`` / ``new_column`` — the batch's profile lost or
+      gained a column vs the baseline (full-outer join, so a silently
+      renamed upstream field flags instead of vanishing).
 
     Output: one row per column with both profiles' numbers and boolean
     flags + ``any_drift``. Tiny frames — this is metadata math."""
@@ -78,7 +81,12 @@ def profile_drift(
         F.col("min_value"),
         F.col("max_value"),
     )
-    j = c.join(b, "column", "inner")
+    # FULL outer: a column missing from the batch (upstream stopped
+    # emitting / renamed it) or newly appearing is itself drift — an
+    # inner join would silently blind the monitor to exactly that
+    j = c.join(b, "column", "full_outer")
+    missing = F.col("n_rows").isNull()
+    appeared = F.col("__b_nonnull").isNull() & F.col("n_rows").isNotNull()
     null_drift = (
         F.abs(F.col("null_frac") - F.col("__b_null_frac")) > null_frac_tol
     )
@@ -111,10 +119,16 @@ def profile_drift(
         F.coalesce(null_drift, F.lit(False)).alias("null_drift"),
         F.coalesce(distinct_drift, F.lit(False)).alias("distinct_drift"),
         F.coalesce(range_drift, F.lit(False)).alias("range_drift"),
+        missing.alias("missing_column"),
+        appeared.alias("new_column"),
     )
     return out.withColumn(
         "any_drift",
-        F.col("null_drift") | F.col("distinct_drift") | F.col("range_drift"),
+        F.col("null_drift")
+        | F.col("distinct_drift")
+        | F.col("range_drift")
+        | F.col("missing_column")
+        | F.col("new_column"),
     )
 
 
