@@ -1,0 +1,106 @@
+"""Streaming funnel: availableNow drain over time-ordered micro-batches
+equals the batch funnel operator (both modes), progress emits are
+monotone, and state stays O(k)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zx_spark.operators.funnel import funnel_steps
+from zx_spark.streaming.funnel import streaming_funnel
+
+SF = "/root/testdata/sf0.01"
+STEPS = ["view", "click", "purchase"]
+
+
+def _drain(spark, src, tmp_path, name, **kw):
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_funnel(stream, STEPS, **kw)
+    (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    return spark.table(name)
+
+
+@pytest.mark.parametrize("within_s", [None, 400.0])
+def test_streaming_equals_batch_under_time_order(spark, tmp_path, within_s):
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.col("ts").cast("double").alias("ts"), "event_type"
+    )
+    # three time-ordered micro-batches (cross-batch event-time order
+    # holds -> exact batch parity per the documented contract)
+    lo, hi = [r[0] for r in ev.agg(F.min("ts"), F.max("ts")).collect()[0:1]][0], None
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    c1, c2 = mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3
+    src = str(tmp_path / f"src_{within_s}")
+    ev.filter(F.col("ts") < c1).coalesce(1).write.parquet(src)
+    ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("ts") >= c2).coalesce(1).write.mode("append").parquet(src)
+    import os
+
+    import pyarrow.parquet as pq
+
+    # file mtimes define trigger order — pin them to EVENT-TIME order
+    # (part-file names don't reflect write order across appends)
+    def min_ts(f):
+        tbl = pq.read_table(os.path.join(src, f), columns=["ts"])
+        return min(tbl.column("ts").to_pylist())
+
+    files = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")), key=min_ts
+    )
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    name = f"funnel_out_{'h' if within_s else 'n'}"
+    got_all = _drain(spark, src, tmp_path, name, within_s=within_s, watermark=None).collect()
+    # latest emit per user == batch operator state
+    latest = {}
+    for r in got_all:
+        u = int(r["user_id"])
+        if u not in latest or r["steps_completed"] >= latest[u][0]:
+            latest[u] = (r["steps_completed"], list(r["step_ts"]))
+    want = {
+        r["user_id"]: (
+            r["steps_completed"],
+            [x for x in r["step_ts"] if x is not None],  # streaming emits the prefix
+        )
+        for r in funnel_steps(ev, STEPS, within_s=within_s).collect()
+    }
+    assert latest == want and len(want) > 0
+    # progress is monotone per user across emits
+    seen: dict[int, int] = {}
+    for r in got_all:
+        u = int(r["user_id"])
+        assert r["steps_completed"] >= seen.get(u, 0)
+        seen[u] = r["steps_completed"]
+
+
+def test_streaming_funnel_validates(spark, tmp_path):
+    src = str(tmp_path / "v")
+    spark.createDataFrame(
+        [(1, 1.0, "view")], "user_id: long, ts: double, event_type: string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(ValueError):
+        streaming_funnel(stream, [])
+    with pytest.raises(ValueError):
+        streaming_funnel(stream, ["a", "a"])
+    with pytest.raises(ValueError):
+        streaming_funnel(stream, STEPS, within_s=-1)
