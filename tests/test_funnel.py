@@ -193,3 +193,39 @@ def test_retention_matches_duckdb(spark):
     )  # offset-0 is the cohort max
     with pytest.raises(ValueError):
         retention_cohorts(ev, bucket_s=0)
+
+
+def test_funnel_matches_duckdb_sql_twin(spark):
+    """Without a horizon the greedy funnel is plain SQL (sequential
+    filtered mins) — pin funnel_steps against DuckDB on the driver
+    events, value-for-value."""
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.col("ts").cast("double").alias("ts"), "event_type"
+    )
+    got = {
+        r["user_id"]: (r["steps_completed"], [x for x in r["step_ts"]])
+        for r in funnel_steps(ev, STEPS).collect()
+    }
+    want = {}
+    for uid, t1, t2, t3 in duckdb.sql(
+        f"""
+        WITH ev AS (SELECT user_id, epoch(ts) AS ts, event_type
+                    FROM read_parquet('{SF}/events.parquet')),
+        a AS (SELECT user_id, min(ts) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        b AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN a USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY e.user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN b USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY e.user_id)
+        SELECT a.user_id, a.t1, b.t2, c.t3
+        FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+        """
+    ).fetchall():
+        done = 1 + (t2 is not None) + (t3 is not None)
+        want[uid] = (done, [t1, t2, t3])
+    # users whose only funnel events are non-'view' appear in got with
+    # 0 steps but not in the SQL twin's anchor set
+    got_anchored = {u: v for u, v in got.items() if v[0] >= 1}
+    assert got_anchored == want and len(want) > 100
