@@ -1491,7 +1491,33 @@ def q_multimodal_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
-    return resized.join(frames, "doc_id")
+    # probe arm (r5 s4): REAL header parsing hash-verified end-to-end —
+    # a minimal PNG (signature + IHDR) is BUILT in-query with planted
+    # per-doc dimensions, probe_media (operators/multimodal.py) parses
+    # the bytes back in its Arrow pass, and the oracle recomputes the
+    # planted dims arithmetically; any parsing defect breaks the hash.
+    from zx_spark.operators.multimodal import probe_media
+
+    d = F.col("doc_id")
+    w = (d % 1000 + 1).cast("int")
+    h = ((d * 7) % 1000 + 1).cast("int")
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a0000000d49484452"),  # sig + IHDR len/type
+        F.lpad(F.lower(F.hex(w)), 8, "0"),
+        F.lpad(F.lower(F.hex(h)), 8, "0"),
+        F.lit("08020000"),
+    )
+    probed = probe_media(
+        _docs(spark, sf_dir).select("doc_id", F.unhex(png_hex).alias("media")),
+        "media",
+    ).select(
+        "doc_id",
+        F.col("probe.format").alias("probe_fmt"),
+        F.col("probe.width").alias("png_w"),
+        F.col("probe.height").alias("png_h"),
+        F.col("probe.valid").alias("probe_valid"),
+    )
+    return resized.join(frames, "doc_id").join(probed, "doc_id")
 
 
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2890,9 +2916,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_shapes": (
             # Resize contract (every doc → exactly width*height bytes) +
-            # frame-sampling count, one row per doc.
+            # frame-sampling count + the PNG probe arm: the oracle
+            # recomputes the PLANTED dimensions arithmetically — the
+            # Spark side must parse them back out of the bytes it built
             "SELECT doc_id, 256::int AS n_bytes, "
-            "greatest(floor(octet_length(encode(text)) / 64)::int, 1)::bigint AS n_frames "
+            "greatest(floor(octet_length(encode(text)) / 64)::int, 1)::bigint AS n_frames, "
+            "'png' AS probe_fmt, "
+            "(doc_id % 1000 + 1)::int AS png_w, "
+            "((doc_id * 7) % 1000 + 1)::int AS png_h, "
+            "true AS probe_valid "
             "FROM documents"
         ),
         "asof_join_marks": (
