@@ -6,18 +6,24 @@ State per user is O(k): the k completion timestamps (plus k anchors in
 horizon mode) — never the events. Each micro-batch folds its per-user
 events in event-time order through exactly the batch operator's
 recurrence (earliest-completion greedy without ``within_s``; the
-max-anchor re-anchoring DP with it), and emits the user's row whenever
-the furthest stage ADVANCES — append-mode progress records a dashboard
-consumes as "latest per user".
+max-anchor re-anchoring DP with it), and emits the user's row ONLY
+when the furthest stage ADVANCES (state still persists silent
+re-anchors) — append-mode progress records a dashboard consumes as
+"latest per user"; sink volume ∝ stage advances, never raw events.
 
 Late-data contract (same as streaming/sessions.py): events are folded
 in event-time order WITHIN a batch; an event arriving in a later batch
 than its timestamp warranted cannot retro-enable a completion an
 earlier fold already passed over. Under cross-batch event-time order
-(or a watermark-sized reorder buffer upstream) the final state equals
-the batch operator row-for-row — pinned in tests. steps_completed is
-monotone per user by construction, so a consumer keeping the latest
-emit never regresses."""
+(or a watermark-sized reorder buffer upstream) the final
+``steps_completed`` equals the batch operator's for every user — pinned
+in tests; without a horizon the emitted ``step_ts`` matches too. In
+horizon mode a silent re-anchor after the last advance updates STATE
+but emits nothing, so the last emitted ``step_ts`` is the
+advance-time lineage while the batch operator reports the final
+re-anchored one — same furthest stage, possibly different witness
+times. steps_completed is monotone per user by construction, so a
+consumer keeping the latest emit never regresses."""
 
 from __future__ import annotations
 
@@ -94,11 +100,20 @@ def streaming_funnel(
     k = len(steps)
     idx = {s: i for i, s in enumerate(steps)}
     wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
-    src = wm.select(
+    # the WATERMARKED column itself must survive into the stateful
+    # operator's input or Spark builds no late-event filter (the same
+    # rule streaming/sessions.py follows) — keep it alongside the
+    # double-cast copy the fold uses
+    cols = [
         F.col(f"`{user_col}`").alias("__u"),
         F.col(f"`{ts_col}`").cast("double").alias("__t"),
         F.col(f"`{step_col}`").alias("__s"),
-    ).filter(F.col("__s").isin(list(steps)) & F.col("__t").isNotNull())
+    ]
+    if watermark is not None:
+        cols.append(F.col(f"`{ts_col}`"))
+    src = wm.select(*cols).filter(
+        F.col("__s").isin(list(steps)) & F.col("__t").isNotNull()
+    )
 
     out_schema = T.StructType(
         [
@@ -128,8 +143,10 @@ def streaming_funnel(
         # prefix IS the state — padded back to k slots for the fold
         if state.exists:
             st_times, st_anchors = state.get
+            done_before = len(st_times)
             times, anchors = _pad(st_times), _pad(st_anchors)
         else:
+            done_before = 0
             times, anchors = [None] * k, [None] * k
         evs = []
         for pdf in pdfs:
@@ -141,9 +158,12 @@ def streaming_funnel(
             tp = _prefix(times)
             # horizon mode: anchors' fill pattern mirrors times'
             state.update((tp, _prefix(anchors)))
+            if len(tp) <= done_before:
+                return  # state moved (re-anchor) but no stage advance
             yield pd.DataFrame(
                 {
-                    user_col: [str(key[0])],
+                    # a null key stays null (batch-twin parity), not 'None'
+                    user_col: [str(key[0]) if key[0] is not None else None],
                     "steps_completed": [len(tp)],
                     "step_ts": [tp],
                 }

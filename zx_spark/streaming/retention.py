@@ -54,12 +54,19 @@ def streaming_retention_pairs(
             f"max_tracked_buckets must be >= 1, got {max_tracked_buckets}"
         )
     wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
-    src = wm.select(
+    # keep the watermarked column in the stateful operator's input so
+    # the late-event filter actually applies (sessions.py rule)
+    cols = [
         F.col(f"`{user_col}`").alias("__u"),
         F.floor(F.col(f"`{ts_col}`").cast("double") / bucket_s)
         .cast("long")
         .alias("__b"),
-    ).filter(F.col("__u").isNotNull() & F.col("__b").isNotNull())
+    ]
+    if watermark is not None:
+        cols.append(F.col(f"`{ts_col}`"))
+    src = wm.select(*cols).filter(
+        F.col("__u").isNotNull() & F.col("__b").isNotNull()
+    )
 
     out_schema = T.StructType(
         [

@@ -60,10 +60,15 @@ def streaming_top_values(
     if m < k:
         raise ValueError(f"m must be >= k, got m={m}, k={k}")
     wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
-    src = wm.select(
+    # keep the watermarked column in the stateful operator's input so
+    # the late-event filter actually applies (sessions.py rule)
+    cols = [
         F.col(f"`{group_col}`").cast("string").alias("__g"),
         F.col(f"`{value_col}`").cast("string").alias("__v"),
-    ).filter(F.col("__v").isNotNull())
+    ]
+    if watermark is not None:
+        cols.append(F.col(f"`{ts_col}`"))
+    src = wm.select(*cols).filter(F.col("__v").isNotNull())
 
     out_schema = T.StructType(
         [
@@ -103,7 +108,10 @@ def streaming_top_values(
         top = items[:k]
         yield pd.DataFrame(
             {
-                group_col: [str(key[0])] * len(top),
+                # a null group stays null, not the string 'None'
+                group_col: [
+                    str(key[0]) if key[0] is not None else None
+                ] * len(top),
                 "value": [v for v, _ in top],
                 "count": [c for _, c in top],
                 "overcount": [overs[v] for v, _ in top],
