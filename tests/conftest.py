@@ -15,3 +15,36 @@ def spark():
     os.environ.setdefault("ZX_SHUFFLE_PARTITIONS", "4")
     s = get_spark("zx_spark_tests")
     yield s
+
+
+def drain_memory_sink(out, name: str, checkpoint_dir: str, output_mode: str = "append", timeout_s: int = 120):
+    """Shared availableNow drain into a memory table (the streaming test
+    pattern repeated across test files — one definition here)."""
+    (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(timeout_s)
+    )
+    return out.sparkSession.table(name)
+
+
+def pin_file_mtimes_by_event_time(src: str, ts_col: str = "ts") -> None:
+    """Order a file-source directory's trigger sequence by EVENT time:
+    part-file names don't reflect append order, so maxFilesPerTrigger
+    tests pin mtimes from each file's min timestamp."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def min_ts(f):
+        col = pq.read_table(os.path.join(src, f), columns=[ts_col]).column(ts_col)
+        return min(col.to_pylist())
+
+    files = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")), key=min_ts
+    )
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))

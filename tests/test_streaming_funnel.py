@@ -16,21 +16,15 @@ STEPS = ["view", "click", "purchase"]
 
 
 def _drain(spark, src, tmp_path, name, **kw):
+    from tests.conftest import drain_memory_sink
+
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.format("parquet").schema(schema)
         .option("maxFilesPerTrigger", 1).load(src)
     )
     out = streaming_funnel(stream, STEPS, **kw)
-    (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination(120)
-    )
-    return spark.table(name)
+    return drain_memory_sink(out, name, str(tmp_path / f"ck_{name}"))
 
 
 @pytest.mark.parametrize("within_s", [None, 400.0])
@@ -50,21 +44,9 @@ def test_streaming_equals_batch_under_time_order(spark, tmp_path, within_s):
         "append"
     ).parquet(src)
     ev.filter(F.col("ts") >= c2).coalesce(1).write.mode("append").parquet(src)
-    import os
+    from tests.conftest import pin_file_mtimes_by_event_time
 
-    import pyarrow.parquet as pq
-
-    # file mtimes define trigger order — pin them to EVENT-TIME order
-    # (part-file names don't reflect write order across appends)
-    def min_ts(f):
-        tbl = pq.read_table(os.path.join(src, f), columns=["ts"])
-        return min(tbl.column("ts").to_pylist())
-
-    files = sorted(
-        (f for f in os.listdir(src) if f.endswith(".parquet")), key=min_ts
-    )
-    for i, f in enumerate(files):
-        os.utime(os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    pin_file_mtimes_by_event_time(src)
 
     name = f"funnel_out_{'h' if within_s else 'n'}"
     got_all = _drain(spark, src, tmp_path, name, within_s=within_s, watermark=None).collect()
@@ -110,17 +92,9 @@ def test_reanchor_without_advance_emits_nothing(spark, tmp_path):
         spark.createDataFrame([(u, t, s)], df.schema).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-    import os
+    from tests.conftest import pin_file_mtimes_by_event_time
 
-    import pyarrow.parquet as pq
-
-    def min_ts(f):
-        return min(pq.read_table(os.path.join(src, f), columns=["ts"]).column("ts").to_pylist())
-
-    for i, f in enumerate(sorted(
-        (f for f in os.listdir(src) if f.endswith(".parquet")), key=min_ts
-    )):
-        os.utime(os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    pin_file_mtimes_by_event_time(src)
     out = _drain(spark, src, tmp_path, "ra_out", within_s=100.0, watermark=None)
     # exactly ONE emit: the first view advances 0 -> 1; later re-anchors
     # are silent

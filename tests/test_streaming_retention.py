@@ -24,15 +24,9 @@ def _drain(spark, src, tmp_path, name, **kw):
         .option("maxFilesPerTrigger", 1).load(src)
     )
     out = streaming_retention_pairs(stream, bucket_s=BUCKET, watermark=None, **kw)
-    (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination(120)
-    )
-    return spark.table(name)
+    from tests.conftest import drain_memory_sink
+
+    return drain_memory_sink(out, name, str(tmp_path / f"ck_{name}"))
 
 
 def test_streamed_pairs_aggregate_to_batch_grid(spark, tmp_path):
@@ -46,15 +40,9 @@ def test_streamed_pairs_aggregate_to_batch_grid(spark, tmp_path):
     src = str(tmp_path / "src")
     ev.filter(F.col("ts") < c1).coalesce(1).write.parquet(src)
     ev.filter(F.col("ts") >= c1).coalesce(1).write.mode("append").parquet(src)
-    import pyarrow.parquet as pq
+    from tests.conftest import pin_file_mtimes_by_event_time
 
-    def min_ts(f):
-        return min(pq.read_table(os.path.join(src, f), columns=["ts"]).column("ts").to_pylist())
-
-    for i, f in enumerate(sorted(
-        (f for f in os.listdir(src) if f.endswith(".parquet")), key=min_ts
-    )):
-        os.utime(os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    pin_file_mtimes_by_event_time(src)
 
     pairs = _drain(spark, src, tmp_path, "ret_pairs")
     # no duplicate (user, bucket) emits

@@ -19,15 +19,9 @@ def _drain(spark, src, tmp_path, name, schema, **kw):
         .option("maxFilesPerTrigger", 1).load(src)
     )
     out = streaming_top_values(stream, **kw)
-    (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination(120)
-    )
-    return spark.table(name)
+    from tests.conftest import drain_memory_sink
+
+    return drain_memory_sink(out, name, str(tmp_path / f"ck_{name}"))
 
 
 def test_exact_when_sketch_fits(spark, tmp_path):
