@@ -171,3 +171,50 @@ def test_ewma_matches_python_twin_and_validates(spark):
         ewma(df, "v", "t", alpha=0.0)
     with pytest.raises(ValueError):
         ewma(df, "v", "t", n=0)
+
+
+def test_rolling_quantile_matches_python(spark):
+    import pytest
+    from zx_spark.operators.series import rolling_quantile
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g: string, t: long, v: double"
+    )
+    got = {
+        r["t"]: r["med"]
+        for r in rolling_quantile(df, "v", "t", ["g"], q=0.5, n=3, out_col="med").collect()
+    }
+    import statistics
+
+    for t in range(len(vals)):
+        frame = vals[max(0, t - 2): t + 1]
+        # Spark's exact percentile interpolates like numpy linear
+        import numpy as np
+
+        want = float(np.percentile(frame, 50))
+        assert got[t] == pytest.approx(want, rel=1e-12), t
+    with pytest.raises(ValueError):
+        rolling_quantile(df, "v", "t", q=1.5)
+
+
+def test_robust_zscore_resists_prior_spike(spark):
+    """After a huge earlier spike, the NEXT spike still scores high
+    under MAD (the mean/stddev z-score is masked by the inflated
+    stddev)."""
+    import pytest
+    from zx_spark.operators.series import robust_zscore, rolling_zscore
+
+    vals = [10.0, 10.5, 9.5, 10.0, 500.0, 10.0, 10.5, 9.5, 10.0, 480.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g: string, t: long, v: double"
+    )
+    rz = {r["t"]: r["v_rzscore"] for r in robust_zscore(df, "v", "t", ["g"], n=8).collect()}
+    z = {r["t"]: r["v_zscore"] for r in rolling_zscore(df, "v", "t", ["g"], n=8).collect()}
+    # the second spike at t=9: robust score stays large, classic score
+    # is diluted by the first spike sitting in its window
+    assert rz[9] > 10 * max(z[9], 0.1)
+    # calm rows don't flag
+    assert abs(rz[7]) < 3
+    with pytest.raises(ValueError):
+        robust_zscore(df, "v", "t", n=1)

@@ -192,3 +192,64 @@ def ewma(
         lambda a: F.when(a["den"] > 0, a["num"] / a["den"]),
     )
     return df.withColumn(out_col or f"{value_col}_ewma", acc)
+
+
+def rolling_quantile(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    q: float = 0.5,
+    n: int = 20,
+    out_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Trailing-``n``-bucket quantile (rolling median at the default) —
+    the robust baseline for noisy series. ``exact=True`` uses
+    ``percentile`` (buffers the n-row frame — n is small by
+    construction); ``exact=False`` uses the ``percentile_approx``
+    sketch, the choice for large ``n``. One window pass, JVM only."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = _w(group_cols, order_col).rowsBetween(-(n - 1), W.currentRow)
+    fn = "percentile" if exact else "percentile_approx"
+    expr = F.expr(f"{fn}(cast(`{value_col}` as double), {q})")
+    return df.withColumn(out_col or f"{value_col}_q{q:g}".replace(".", "_"),
+                         expr.over(w))
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    n: int = 20,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Outlier-robust anomaly score: (x − median) / (1.4826 · MAD) over
+    the trailing window EXCLUDING the current row — unlike the
+    mean/stddev ``rolling_zscore``, a single earlier spike cannot
+    inflate the denominator and mask the next one. NULL while the
+    window has < 2 samples or zero MAD (flat window). Two window
+    passes (median of values, then median of |x − med|), JVM only."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = _w(group_cols, order_col).rowsBetween(-n, -1)
+    v = F.col(f"`{value_col}`").cast("double")
+    med = F.expr(f"percentile(cast(`{value_col}` as double), 0.5)").over(w)
+    df = df.withColumn("__rz_med", med)
+    dev_med = F.expr("percentile(abs(cast(`__rz_dev` as double)), 0.5)")
+    df = df.withColumn("__rz_dev", v - F.col("__rz_med"))
+    # MAD needs the median of |x - med_t| for the TRAILING values with
+    # the CURRENT row's med — that is not a plain window over a stored
+    # column. Standard practical form (used by most monitoring stacks):
+    # MAD over the trailing window of each row's own deviation from its
+    # trailing median — one extra window pass, self-consistent, robust.
+    mad = dev_med.over(w)
+    out = df.withColumn(
+        out_col or f"{value_col}_rzscore",
+        F.when(mad > 0, (v - F.col("__rz_med")) / (F.lit(1.4826) * mad)),
+    )
+    return out.drop("__rz_med", "__rz_dev")
