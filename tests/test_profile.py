@@ -89,3 +89,36 @@ def test_profile_is_one_aggregation_job(spark, events):
     # approx mode must not plan an Expand (that is the exact-distinct
     # shape); one partial+final HashAggregate pair over the scan
     assert "Expand" not in plan
+
+
+def test_column_correlations_match_duckdb(spark, events):
+    from zx_spark.operators.profile import column_correlations
+
+    got = {
+        (r["col_a"], r["col_b"]): (r["corr"], r["n"])
+        for r in column_correlations(
+            events, ["event_id", "user_id", "value"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    for (a, b), (c, n) in got.items():
+        want_c, want_n = con.sql(
+            f"SELECT round(corr({a}, {b}), 6), "
+            f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END) "
+            f"FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()
+        assert n == want_n and c == pytest.approx(want_c, abs=2e-6), (a, b)
+    assert len(got) == 3  # C(3,2)
+    # a derived column correlates at ~1
+    d = events.withColumn("v2", F.col("value") * 3 + 1)
+    r = {
+        (x["col_a"], x["col_b"]): x["corr"]
+        for x in column_correlations(d, ["value", "v2"]).collect()
+    }
+    assert r[("value", "v2")] == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        column_correlations(events, ["value"])
+    with pytest.raises(ValueError):
+        column_correlations(events, ["value", "event_type"])
+    with pytest.raises(ValueError):
+        column_correlations(events, ["event_id", "user_id", "value"], max_cols=2)

@@ -125,3 +125,53 @@ def profile_top_values(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def column_correlations(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    max_cols: int = 16,
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregation pass: ``(col_a, col_b, corr, n)`` for every unordered
+    pair — the profiling step that catches accidentally-duplicated or
+    derived columns (|corr| ≈ 1) and dead relationships a model team
+    assumes exist. All C(n,2) ``corr`` accumulators ride the same
+    partial-agg scan, so cost is one pass regardless of pair count;
+    ``max_cols`` guards the quadratic accumulator blowup (profile a
+    projection, not a 500-column table)."""
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = [c for c, t in df.dtypes if t.startswith(_NUMERIC_PREFIX)]
+    bad = [c for c in cols if c not in dtypes]
+    if bad:
+        raise ValueError(f"columns {bad} not in frame")
+    nonnum = [c for c in cols if not dtypes[c].startswith(_NUMERIC_PREFIX)]
+    if nonnum:
+        raise ValueError(f"columns {nonnum} are not numeric")
+    if len(cols) < 2:
+        raise ValueError("need at least two numeric columns")
+    if len(cols) > max_cols:
+        raise ValueError(
+            f"{len(cols)} columns is {len(cols)*(len(cols)-1)//2} pairs — "
+            f"select <= {max_cols} (or raise max_cols deliberately)"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    structs = []
+    for i, (a, b) in enumerate(pairs):
+        ca, cb = F.col(f"`{a}`").cast("double"), F.col(f"`{b}`").cast("double")
+        both = ca.isNotNull() & cb.isNotNull()
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(F.corr(ca, cb), 6).alias("corr"),
+                F.count(F.when(both, 1)).alias("n"),
+            ).alias(f"__corr_{i}")
+        )
+    one = df.agg(*structs)
+    return one.select(
+        F.explode(
+            F.array(*[F.col(f"__corr_{i}") for i in range(len(pairs))])
+        ).alias("p")
+    ).select("p.*")
