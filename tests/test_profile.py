@@ -122,3 +122,37 @@ def test_column_correlations_match_duckdb(spark, events):
         column_correlations(events, ["value", "event_type"])
     with pytest.raises(ValueError):
         column_correlations(events, ["event_id", "user_id", "value"], max_cols=2)
+
+
+def test_check_expectations_gate(spark, events):
+    from zx_spark.operators.profile import check_expectations
+
+    report = check_expectations(
+        events,
+        {
+            "event_id": {"not_null": True, "unique": True},
+            "value": {"null_frac_max": 0.5, "min_at_least": 0.0,
+                      "max_at_most": 1e6},
+            "event_type": {"distinct_at_least": 3, "distinct_at_most": 10},
+        },
+    )
+    rows = {(r["column"], r["rule"]): r["passed"] for r in report.collect()}
+    assert all(rows.values()), rows  # healthy driver data passes everything
+    # planted violations flag with actuals
+    broken = events.withColumn(
+        "value", F.when(F.col("event_id") % 2 == 0, F.col("value"))
+    )
+    rep2 = {
+        (r["column"], r["rule"]): (r["passed"], r["actual"])
+        for r in check_expectations(
+            broken, {"value": {"null_frac_max": 0.1}}
+        ).collect()
+    }
+    ok, actual = rep2[("value", "null_frac_max")]
+    assert not ok and actual > 0.4
+    import pytest
+
+    with pytest.raises(ValueError):
+        check_expectations(events, {})
+    with pytest.raises(ValueError):
+        check_expectations(events, {"value": {"nope": 1}})

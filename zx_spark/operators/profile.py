@@ -175,3 +175,66 @@ def column_correlations(
             F.array(*[F.col(f"__corr_{i}") for i in range(len(pairs))])
         ).alias("p")
     ).select("p.*")
+
+
+def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
+    """Data-contract gate: evaluate declarative per-column rules in ONE
+    profiling pass and return ``(column, rule, expected, actual,
+    passed)`` rows — the Deequ-style check an ingest runs before
+    admitting a batch. Supported rules per column:
+
+    - ``not_null`` (bool) / ``null_frac_max`` (float) — nullability;
+    - ``min_at_least`` / ``max_at_most`` (float) — numeric range;
+    - ``distinct_at_least`` / ``distinct_at_most`` (int) — cardinality
+      (exact distinct, this is a gate not an estimate);
+    - ``unique`` (bool) — n_distinct == n_nonnull.
+
+    Compose with an assert: ``report.filter("NOT passed")`` is empty on
+    a healthy batch (or feed failures to the drift monitor's sink)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    known = {
+        "not_null", "null_frac_max", "min_at_least", "max_at_most",
+        "distinct_at_least", "distinct_at_most", "unique",
+    }
+    for c, rs in rules.items():
+        bad = set(rs) - known
+        if bad:
+            raise ValueError(f"unknown rules {sorted(bad)} for {c!r}")
+    prof = {
+        r["column"]: r
+        for r in profile_table(
+            df, list(rules), exact_distinct=True
+        ).collect()
+    }
+    dtypes = dict(df.dtypes)
+    rows = []
+    for c, rs in rules.items():
+        p = prof[c]
+        n, nn, nd = p["n_rows"], p["n_nonnull"], p["n_distinct"]
+        null_frac = 1 - nn / n if n else 0.0
+        numeric = dtypes[c].startswith(_NUMERIC_PREFIX)
+        if any(r in rs for r in ("min_at_least", "max_at_most")) and not numeric:
+            raise ValueError(f"range rules need a numeric column, {c!r} is {dtypes[c]}")
+        mn = float(p["min_value"]) if numeric and p["min_value"] is not None else None
+        mx = float(p["max_value"]) if numeric and p["max_value"] is not None else None
+        for rule, exp in rs.items():
+            if rule == "not_null":
+                actual, ok = null_frac, (not exp) or nn == n
+            elif rule == "null_frac_max":
+                actual, ok = null_frac, null_frac <= float(exp)
+            elif rule == "min_at_least":
+                actual, ok = mn, mn is None or mn >= float(exp)
+            elif rule == "max_at_most":
+                actual, ok = mx, mx is None or mx <= float(exp)
+            elif rule == "distinct_at_least":
+                actual, ok = nd, nd is not None and nd >= int(exp)
+            elif rule == "distinct_at_most":
+                actual, ok = nd, nd is None or nd <= int(exp)
+            else:  # unique
+                actual, ok = nd, (not exp) or nd == nn
+            rows.append((c, rule, str(exp), None if actual is None else float(actual), bool(ok)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "column: string, rule: string, expected: string, actual: double, passed: boolean"
+    )
