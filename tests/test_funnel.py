@@ -229,3 +229,67 @@ def test_funnel_matches_duckdb_sql_twin(spark):
     # 0 steps but not in the SQL twin's anchor set
     got_anchored = {u: v for u, v in got.items() if v[0] >= 1}
     assert got_anchored == want and len(want) > 100
+
+
+def _py_conversions(events, steps):
+    """Reference: greedy non-overlapping journey counter."""
+    idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+    slots = [None] * k
+    n, last = 0, None
+    for t, s in sorted(events):
+        i = idx.get(s)
+        if i is None or slots[i] is not None:
+            continue
+        if i > 0 and (slots[i - 1] is None or not t > slots[i - 1]):
+            continue
+        slots[i] = t
+        if slots[k - 1] is not None:
+            n += 1
+            last = slots[k - 1]
+            slots = [None] * k
+    return n, last
+
+
+def test_conversion_counts_hand_and_driver_sweep(spark):
+    from zx_spark.operators.funnel import conversion_counts
+    from zx_spark.storage import read_table
+
+    rows = [
+        # u1: two full journeys + a dangling view
+        (1, 1.0, "view"), (1, 2.0, "click"), (1, 3.0, "purchase"),
+        (1, 4.0, "view"), (1, 5.0, "click"), (1, 6.0, "purchase"),
+        (1, 7.0, "view"),
+        # u2: one journey interleaved with noise
+        (2, 1.0, "view"), (2, 1.5, "error"), (2, 2.0, "click"),
+        (2, 9.0, "purchase"),
+        # u3: never completes
+        (3, 1.0, "view"), (3, 2.0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: double, event_type: string")
+    got = {
+        r["user_id"]: (r["n_conversions"], r["last_conversion_ts"])
+        for r in conversion_counts(df, STEPS).collect()
+    }
+    assert got == {1: (2, 6.0), 2: (1, 9.0)}  # u3 filtered (0 conversions)
+
+    # full driver sweep vs the Python twin
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.col("ts").cast("double").alias("ts"), "event_type"
+    )
+    got_all = {
+        r["user_id"]: (r["n_conversions"], r["last_conversion_ts"])
+        for r in conversion_counts(ev, STEPS).collect()
+    }
+    raw = {}
+    for r in ev.collect():
+        raw.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    for u, evs in raw.items():
+        n, last = _py_conversions(evs, STEPS)
+        if n == 0:
+            assert u not in got_all
+        else:
+            assert got_all[u] == (n, last), u
+    assert sum(n for n, _ in got_all.values()) > 100  # repeat journeys exist
+    with pytest.raises(ValueError):
+        conversion_counts(df, [])

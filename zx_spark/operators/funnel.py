@@ -222,3 +222,77 @@ def retention_cohorts(
         "n_active",
         F.round(F.col("n_active") / size, 6).alias("retained_frac"),
     )
+
+
+def conversion_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+) -> DataFrame:
+    """REPEATED conversions per user: how many NON-OVERLAPPING complete
+    journeys (each step strictly after the previous, journeys strictly
+    after each other) the user's event sequence contains, plus the last
+    completion time — repeat-purchase analytics, where ``funnel_steps``
+    stops at the first completion.
+
+    Same single-shuffle JVM fold as ``funnel_steps``: the k-slot state
+    resets each time the last slot fills, bumping a counter. The greedy
+    earliest-completion choice maximizes the number of non-overlapping
+    journeys (classic interval-scheduling argument: finishing a journey
+    at the earliest possible time never excludes a later one)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    k = len(steps)
+    u, t, s = (F.col(f"`{c}`") for c in (user_col, ts_col, step_col))
+    step_idx = F.lit(None).cast("int")
+    for i in range(k - 1, -1, -1):
+        step_idx = F.when(s == steps[i], F.lit(i)).otherwise(step_idx)
+    ev = df.select(
+        u.alias("__u"),
+        t.cast("double").alias("__t"),
+        step_idx.alias("__s"),
+    ).filter(F.col("__s").isNotNull() & F.col("__t").isNotNull())
+    per_user = ev.groupBy("__u").agg(
+        F.sort_array(F.collect_list(F.struct("__t", "__s"))).alias("__evs")
+    )
+    null_arr = F.array(*[F.lit(None).cast("double") for _ in range(k)])
+    init = F.struct(
+        null_arr.alias("slots"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("last"),
+    )
+
+    def _advance(acc: Column, e: Column) -> Column:
+        slots = acc["slots"]
+        new_slots = []
+        for i in range(k):
+            prev_done = (
+                F.lit(True) if i == 0 else F.element_at(slots, i).isNotNull()
+            )
+            prev_t = F.lit(0.0) if i == 0 else F.element_at(slots, i)
+            take = (
+                F.element_at(slots, i + 1).isNull()
+                & (e["__s"] == i)
+                & prev_done
+                & (e["__t"] > prev_t if i > 0 else F.lit(True))
+            )
+            new_slots.append(
+                F.when(take, e["__t"]).otherwise(F.element_at(slots, i + 1))
+            )
+        completed = new_slots[k - 1].isNotNull()
+        return F.struct(
+            F.when(completed, null_arr).otherwise(F.array(*new_slots)).alias("slots"),
+            (acc["n"] + F.when(completed, 1).otherwise(0)).alias("n"),
+            F.when(completed, new_slots[k - 1]).otherwise(acc["last"]).alias("last"),
+        )
+
+    state = F.aggregate(F.col("__evs"), init, _advance)
+    return per_user.select(
+        F.col("__u").alias(user_col),
+        state["n"].alias("n_conversions"),
+        state["last"].alias("last_conversion_ts"),
+    ).filter(F.col("n_conversions") > 0)
