@@ -114,3 +114,43 @@ def test_streaming_funnel_validates(spark, tmp_path):
         streaming_funnel(stream, ["a", "a"])
     with pytest.raises(ValueError):
         streaming_funnel(stream, STEPS, within_s=-1)
+
+
+def test_streaming_conversion_counts_match_batch(spark, tmp_path):
+    from zx_spark.operators.funnel import conversion_counts
+    from zx_spark.storage import read_table
+    from zx_spark.streaming.funnel import streaming_conversion_counts
+    from tests.conftest import drain_memory_sink, pin_file_mtimes_by_event_time
+
+    ev = read_table(spark, SF, "events").select(
+        "user_id", F.col("ts").cast("double").alias("ts"), "event_type"
+    )
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    c1 = mn + (mx - mn) / 2
+    src = str(tmp_path / "cc")
+    ev.filter(F.col("ts") < c1).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= c1).coalesce(1).write.mode("append").parquet(src)
+    pin_file_mtimes_by_event_time(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_conversion_counts(stream, STEPS, watermark=None)
+    got_all = drain_memory_sink(out, "cc_out", str(tmp_path / "cc_ck")).collect()
+    latest = {}
+    for r in got_all:
+        u = int(r["user_id"])
+        cur = latest.get(u, (0, None))
+        if r["n_conversions"] >= cur[0]:
+            latest[u] = (r["n_conversions"], r["last_conversion_ts"])
+    want = {
+        r["user_id"]: (r["n_conversions"], r["last_conversion_ts"])
+        for r in conversion_counts(ev, STEPS).collect()
+    }
+    assert latest == want and len(want) > 50
+    # counts only ever advance across a user's emits
+    seen: dict[int, int] = {}
+    for r in got_all:
+        u = int(r["user_id"])
+        assert r["n_conversions"] > seen.get(u, 0)
+        seen[u] = r["n_conversions"]

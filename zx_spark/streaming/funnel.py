@@ -176,3 +176,93 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_conversion_counts(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Live repeat-conversion counter — the streaming twin of
+    ``operators.funnel.conversion_counts``: per micro-batch the k-slot
+    fold runs with reset-on-completion, and the user's row
+    ``(user, n_conversions, last_conversion_ts)`` is emitted whenever
+    the count ADVANCES. State is the open journey's slot prefix plus
+    two scalars. Same cross-batch event-time-order contract as
+    ``streaming_funnel``."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    k = len(steps)
+    idx = {s: i for i, s in enumerate(steps)}
+    wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
+    cols = [
+        F.col(f"`{user_col}`").alias("__u"),
+        F.col(f"`{ts_col}`").cast("double").alias("__t"),
+        F.col(f"`{step_col}`").alias("__s"),
+    ]
+    if watermark is not None:
+        cols.append(F.col(f"`{ts_col}`"))
+    src = wm.select(*cols).filter(
+        F.col("__s").isin(list(steps)) & F.col("__t").isNotNull()
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.StringType()),
+            T.StructField("n_conversions", T.LongType()),
+            T.StructField("last_conversion_ts", T.DoubleType()),
+        ]
+    )
+    state_schema = "slots array<double>, n long, last double"
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st_slots, n, last = state.get
+            slots = list(st_slots) + [None] * (k - len(st_slots))
+            n = int(n)
+            last = float(last) if last is not None else None
+        else:
+            slots, n, last = [None] * k, 0, None
+        n0 = n
+        evs = []
+        for pdf in pdfs:
+            evs.extend((float(t), idx[s]) for t, s in zip(pdf["__t"], pdf["__s"]))
+        evs.sort()
+        for t, i in evs:
+            if slots[i] is not None:
+                continue
+            if i > 0 and (slots[i - 1] is None or not t > slots[i - 1]):
+                continue
+            slots[i] = t
+            if slots[k - 1] is not None:
+                n += 1
+                last = slots[k - 1]
+                slots = [None] * k
+        prefix = []
+        for x in slots:
+            if x is None:
+                break
+            prefix.append(x)
+        state.update((prefix, n, last))
+        if n > n0:
+            yield pd.DataFrame(
+                {
+                    user_col: [str(key[0]) if key[0] is not None else None],
+                    "n_conversions": [n],
+                    "last_conversion_ts": [last],
+                }
+            )
+
+    return src.groupBy("__u").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
