@@ -22,11 +22,15 @@ def _py_funnel(events, steps, within_s=None):
     mirrors funnel_steps exactly."""
     idx = {s: i for i, s in enumerate(steps)}
     k = len(steps)
+    # sort by (t, step INDEX) — the operators sort structs of
+    # (__t, __s), so same-timestamp ties order by index, not step name
+    ordered = sorted(
+        ((t, idx[s]) for t, s in events if s in idx), key=lambda e: e
+    )
     if within_s is None:
         state = [None] * k
-        for t, s in sorted(events):
-            i = idx.get(s)
-            if i is None or state[i] is not None:
+        for t, i in ordered:
+            if state[i] is not None:
                 continue
             if i > 0 and (state[i - 1] is None or not t > state[i - 1]):
                 continue
@@ -39,10 +43,7 @@ def _py_funnel(events, steps, within_s=None):
         return done, state
     anchors = [None] * k
     times = [None] * k
-    for t, s in sorted(events):
-        i = idx.get(s)
-        if i is None:
-            continue
+    for t, i in ordered:
         if i == 0:
             anchors[0] = times[0] = t
             continue
@@ -232,14 +233,16 @@ def test_funnel_matches_duckdb_sql_twin(spark):
 
 
 def _py_conversions(events, steps):
-    """Reference: greedy non-overlapping journey counter."""
+    """Reference: greedy non-overlapping journey counter (ties ordered
+    by step index like the operator's struct sort)."""
     idx = {s: i for i, s in enumerate(steps)}
     k = len(steps)
     slots = [None] * k
     n, last = 0, None
-    for t, s in sorted(events):
-        i = idx.get(s)
-        if i is None or slots[i] is not None:
+    for t, i in sorted(
+        ((t, idx[s]) for t, s in events if s in idx), key=lambda e: e
+    ):
+        if slots[i] is not None:
             continue
         if i > 0 and (slots[i - 1] is None or not t > slots[i - 1]):
             continue

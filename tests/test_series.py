@@ -185,8 +185,6 @@ def test_rolling_quantile_matches_python(spark):
         r["t"]: r["med"]
         for r in rolling_quantile(df, "v", "t", ["g"], q=0.5, n=3, out_col="med").collect()
     }
-    import statistics
-
     for t in range(len(vals)):
         frame = vals[max(0, t - 2): t + 1]
         # Spark's exact percentile interpolates like numpy linear

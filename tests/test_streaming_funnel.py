@@ -148,9 +148,13 @@ def test_streaming_conversion_counts_match_batch(spark, tmp_path):
         for r in conversion_counts(ev, STEPS).collect()
     }
     assert latest == want and len(want) > 50
-    # counts only ever advance across a user's emits
-    seen: dict[int, int] = {}
+    # each emit carries a strictly larger count than any other emit of
+    # that user (memory-sink row order is not guaranteed — compare the
+    # per-user count SETS, which must be duplicate-free and end at the
+    # batch answer)
+    per_user: dict[int, list] = {}
     for r in got_all:
-        u = int(r["user_id"])
-        assert r["n_conversions"] > seen.get(u, 0)
-        seen[u] = r["n_conversions"]
+        per_user.setdefault(int(r["user_id"]), []).append(r["n_conversions"])
+    for u, counts in per_user.items():
+        assert len(set(counts)) == len(counts), u
+        assert max(counts) == want[u][0], u

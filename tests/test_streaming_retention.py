@@ -4,8 +4,6 @@ re-delivered buckets emit once; validation."""
 
 from __future__ import annotations
 
-import os
-
 import pytest
 
 from pyspark.sql import functions as F

@@ -32,8 +32,14 @@ _ATOMIC = ("string", "boolean", "date", "timestamp", "timestamp_ntz")
 _NUMERIC_PREFIX = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
 
 
+def _is_numeric(dtype: str) -> bool:
+    # startswith alone would also catch "interval day to second" via
+    # the "int" prefix — intervals are ordered but not correlatable
+    return dtype.startswith(_NUMERIC_PREFIX) and not dtype.startswith("interval")
+
+
 def _is_atomic(dtype: str) -> bool:
-    return dtype.startswith(_NUMERIC_PREFIX) or dtype in _ATOMIC
+    return _is_numeric(dtype) or dtype in _ATOMIC
 
 
 def profile_table(
@@ -142,13 +148,15 @@ def column_correlations(
     projection, not a 500-column table)."""
     dtypes = dict(df.dtypes)
     if cols is None:
-        cols = [c for c, t in df.dtypes if t.startswith(_NUMERIC_PREFIX)]
+        cols = [c for c, t in df.dtypes if _is_numeric(t)]
     bad = [c for c in cols if c not in dtypes]
     if bad:
         raise ValueError(f"columns {bad} not in frame")
-    nonnum = [c for c in cols if not dtypes[c].startswith(_NUMERIC_PREFIX)]
+    nonnum = [c for c in cols if not _is_numeric(dtypes[c])]
     if nonnum:
         raise ValueError(f"columns {nonnum} are not numeric")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"cols must be distinct, got {cols}")
     if len(cols) < 2:
         raise ValueError("need at least two numeric columns")
     if len(cols) > max_cols:
@@ -213,7 +221,7 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
         p = prof[c]
         n, nn, nd = p["n_rows"], p["n_nonnull"], p["n_distinct"]
         null_frac = 1 - nn / n if n else 0.0
-        numeric = dtypes[c].startswith(_NUMERIC_PREFIX)
+        numeric = _is_numeric(dtypes[c])
         if any(r in rs for r in ("min_at_least", "max_at_most")) and not numeric:
             raise ValueError(f"range rules need a numeric column, {c!r} is {dtypes[c]}")
         mn = float(p["min_value"]) if numeric and p["min_value"] is not None else None
@@ -224,9 +232,11 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
             elif rule == "null_frac_max":
                 actual, ok = null_frac, null_frac <= float(exp)
             elif rule == "min_at_least":
-                actual, ok = mn, mn is None or mn >= float(exp)
+                # an all-NULL column FAILS a range rule (no data cannot
+                # satisfy a range — same posture as distinct_at_least)
+                actual, ok = mn, mn is not None and mn >= float(exp)
             elif rule == "max_at_most":
-                actual, ok = mx, mx is None or mx <= float(exp)
+                actual, ok = mx, mx is not None and mx <= float(exp)
             elif rule == "distinct_at_least":
                 actual, ok = nd, nd is not None and nd >= int(exp)
             elif rule == "distinct_at_most":

@@ -73,6 +73,23 @@ def _fold(
     return changed
 
 
+def _prep_stream(
+    stream: DataFrame,
+    keep_cols: list,
+    ts_col: str,
+    watermark: str | None,
+):
+    """Watermark + projection shared by the funnel-family operators.
+    The WATERMARKED column itself must survive into the stateful
+    operator's input or Spark builds no late-event filter (the
+    streaming/sessions.py rule)."""
+    wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
+    cols = list(keep_cols)
+    if watermark is not None:
+        cols.append(F.col(f"`{ts_col}`"))
+    return wm.select(*cols)
+
+
 def streaming_funnel(
     stream: DataFrame,
     steps: list[str],
@@ -99,21 +116,16 @@ def streaming_funnel(
         raise ValueError(f"within_s must be > 0, got {within_s}")
     k = len(steps)
     idx = {s: i for i, s in enumerate(steps)}
-    wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
-    # the WATERMARKED column itself must survive into the stateful
-    # operator's input or Spark builds no late-event filter (the same
-    # rule streaming/sessions.py follows) — keep it alongside the
-    # double-cast copy the fold uses
-    cols = [
-        F.col(f"`{user_col}`").alias("__u"),
-        F.col(f"`{ts_col}`").cast("double").alias("__t"),
-        F.col(f"`{step_col}`").alias("__s"),
-    ]
-    if watermark is not None:
-        cols.append(F.col(f"`{ts_col}`"))
-    src = wm.select(*cols).filter(
-        F.col("__s").isin(list(steps)) & F.col("__t").isNotNull()
-    )
+    src = _prep_stream(
+        stream,
+        [
+            F.col(f"`{user_col}`").alias("__u"),
+            F.col(f"`{ts_col}`").cast("double").alias("__t"),
+            F.col(f"`{step_col}`").alias("__s"),
+        ],
+        ts_col,
+        watermark,
+    ).filter(F.col("__s").isin(list(steps)) & F.col("__t").isNotNull())
 
     out_schema = T.StructType(
         [
@@ -199,17 +211,16 @@ def streaming_conversion_counts(
         raise ValueError(f"steps must be distinct, got {steps}")
     k = len(steps)
     idx = {s: i for i, s in enumerate(steps)}
-    wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
-    cols = [
-        F.col(f"`{user_col}`").alias("__u"),
-        F.col(f"`{ts_col}`").cast("double").alias("__t"),
-        F.col(f"`{step_col}`").alias("__s"),
-    ]
-    if watermark is not None:
-        cols.append(F.col(f"`{ts_col}`"))
-    src = wm.select(*cols).filter(
-        F.col("__s").isin(list(steps)) & F.col("__t").isNotNull()
-    )
+    src = _prep_stream(
+        stream,
+        [
+            F.col(f"`{user_col}`").alias("__u"),
+            F.col(f"`{ts_col}`").cast("double").alias("__t"),
+            F.col(f"`{step_col}`").alias("__s"),
+        ],
+        ts_col,
+        watermark,
+    ).filter(F.col("__s").isin(list(steps)) & F.col("__t").isNotNull())
     out_schema = T.StructType(
         [
             T.StructField(user_col, T.StringType()),
@@ -234,16 +245,23 @@ def streaming_conversion_counts(
         for pdf in pdfs:
             evs.extend((float(t), idx[s]) for t, s in zip(pdf["__t"], pdf["__s"]))
         evs.sort()
+        changed = False
+        # the slot recurrence mirrors _fold's no-horizon branch plus the
+        # reset-on-completion — keep the four sites (operators/funnel.py
+        # fold, its _py twin, _fold above, this loop) in lockstep
         for t, i in evs:
             if slots[i] is not None:
                 continue
             if i > 0 and (slots[i - 1] is None or not t > slots[i - 1]):
                 continue
             slots[i] = t
+            changed = True
             if slots[k - 1] is not None:
                 n += 1
                 last = slots[k - 1]
                 slots = [None] * k
+        if not changed:
+            return  # nothing folded — skip the state-store write
         prefix = []
         for x in slots:
             if x is None:
