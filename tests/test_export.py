@@ -80,3 +80,21 @@ def test_subset_reads_and_validation(spark, docs, tmp_path):
         write_training_shards(docs, path, 0, "doc_id")
     with pytest.raises(ValueError, match="local"):
         write_training_shards(docs, "s3://bucket/x", 4, "doc_id")
+
+
+def test_file_uri_export_writes_manifest(spark, docs, tmp_path):
+    """ADVICE r5: file:// URIs passed _require_local but the manifest
+    glob/open treated 'file:' as a literal directory — the shard write
+    succeeded, then the manifest step found zero shards and crashed.
+    The scheme must be stripped for every local I/O call."""
+    import os
+
+    plain = str(tmp_path / "viauri")
+    m = write_training_shards(docs, "file://" + plain, 4, "doc_id", seed=1)
+    assert m["n_rows"] == 500 and len(m["shards"]) == 4
+    assert os.path.exists(os.path.join(plain, "_shards.json"))
+    # manifest reads accept both spellings
+    assert read_shard_manifest("file://" + plain) == read_shard_manifest(plain) == m
+    assert read_training_shards(spark, "file://" + plain, [0]).count() == m["shards"][0]["rows"]
+    with pytest.raises(ValueError, match="absolute"):
+        write_training_shards(docs, "file://relative/x", 4, "doc_id")

@@ -341,3 +341,22 @@ def test_semantic_contamination_string_bench_ids_jvm(spark):
             corpus, bench, threshold=0.99, bench_id_col="bid", method=method
         ).collect()
         assert [(r["vec_id"], r["nearest_bench_id"]) for r in got] == [(1, "mmlu_00421")], method
+    # ADVICE r5: mixed int/str benchmark ids must be rejected on BOTH
+    # paths (previously only jvm checked) — np.asarray would silently
+    # stringify the numpy path's ids and then clash with the declared
+    # bench_id_field dtype in the Arrow output schema. Spark columns are
+    # homogeneously typed, so present the mixed collect through a patch
+    # of the collect boundary and assert the hoisted guard fires.
+    import unittest.mock as mock
+
+    concrete = type(bench.select("bid"))  # pyspark 4 concrete DataFrame class
+    for method in ("jvm", "numpy"):
+        with mock.patch.object(
+            concrete,
+            "collect",
+            lambda self: [("mmlu_1", [2.0, 0.0]), (7, [0.0, 2.0])],
+        ):
+            with pytest.raises(ValueError, match="mix types"):
+                semantic_contamination(
+                    corpus, bench, threshold=0.5, bench_id_col="bid", method=method
+                )

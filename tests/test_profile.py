@@ -156,3 +156,19 @@ def test_check_expectations_gate(spark, events):
         check_expectations(events, {})
     with pytest.raises(ValueError):
         check_expectations(events, {"value": {"nope": 1}})
+
+
+def test_check_expectations_non_atomic_cardinality_raises(spark):
+    """ADVICE r5: n_distinct is NULL for complex-typed columns, which
+    made distinct_at_most silently PASS while distinct_at_least failed
+    on the same column — all cardinality/unique rules must now raise,
+    matching the range rules' explicit error."""
+    from zx_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame([(1, [1, 2])], "id: long, arr: array<long>")
+    for rule in ("distinct_at_most", "distinct_at_least", "unique"):
+        with pytest.raises(ValueError, match="atomic"):
+            check_expectations(df, {"arr": {rule: 1 if rule != "unique" else True}})
+    # nullability rules remain fine on complex columns
+    rep = check_expectations(df, {"arr": {"not_null": True}}).collect()
+    assert rep[0]["passed"]

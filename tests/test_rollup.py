@@ -374,7 +374,6 @@ def test_quantile_approx_p90_raw_and_rollup_paths(spark):
         [
             Select("value", Aggregate.QUANTILE_APPROX, params=(0.9, 0.0, 1000.0, 32)),
             Select("value", Aggregate.P50_APPROX),
-            Select("value", Aggregate.QUANTILE_APPROX, params=(0.5,)),
         ],
         group_cols=["g_event_type"],
     )
@@ -384,14 +383,24 @@ def test_quantile_approx_p90_raw_and_rollup_paths(spark):
         if g == "__nil" or g not in exact:
             continue
         assert abs(r["p90_approx__value"] - exact[g]) <= 2 * bin_w, g
-        # same q -> same estimate regardless of enum spelling
-        assert r["p50_approx__value"] == pytest.approx(
-            r["p50_approx__value_2"] if "p50_approx__value_2" in out.columns
-            else r[out.columns[-1]], rel=1e-12
-        )
+        assert r["p50_approx__value"] is not None
     with pytest.raises(ValueError):
         compile_query(
             ev,
             Query(selects=[Select("value", Aggregate.QUANTILE_APPROX)]),
             id_col="event_id", rate_col=None,
+        )
+    # ADVICE r5: QUANTILE_APPROX(0.5) would alias to 'p50_approx__value',
+    # silently duplicating P50_APPROX's column — both paths must reject it
+    with pytest.raises(ValueError, match="P50_APPROX"):
+        compile_query(
+            ev,
+            Query(selects=[Select("value", Aggregate.QUANTILE_APPROX, params=(0.5,))]),
+            id_col="event_id", rate_col=None,
+        )
+    with pytest.raises(ValueError, match="P50_APPROX"):
+        rollup_answer(
+            merged,
+            [Select("value", Aggregate.QUANTILE_APPROX, params=(0.5,))],
+            group_cols=["g_event_type"],
         )

@@ -41,16 +41,27 @@ _HASH = "__shard_hash"
 _HASH_BITS = 48  # 48-bit prefix: h * n_shards stays far inside int64
 
 
-def _require_local(path: str) -> None:
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
-        "file://"
-    ):
+def _require_local(path: str) -> str:
+    """Validate the store path is local and return its plain-filesystem
+    form: ``file://`` URIs are accepted (Spark writes them fine) but the
+    manifest step uses glob/open, which treat ``file:`` as a literal
+    directory — so the scheme is stripped here, once, and every local
+    I/O call uses the returned path."""
+    if path.startswith("file://"):
+        local = path[len("file://") :]
+        if not local.startswith("/"):
+            raise ValueError(
+                f"{path!r}: file:// URIs must be absolute (file:///...)"
+            )
+        return local
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
         raise ValueError(
             f"{path!r} is not a local/file path — the shard manifest is "
             "written with local filesystem I/O (same scope as storage.py "
             "snapshots); mount the store or write the manifest via your "
             "object-store client"
         )
+    return path
 
 
 def _shard_expr(key, seed: int, n_shards: int):
@@ -88,7 +99,7 @@ def write_training_shards(
     directory and is omitted — only possible when shards ≫ rows)."""
     if not 1 <= n_shards <= 32768:
         raise ValueError(f"n_shards must be in 1..32768, got {n_shards}")
-    _require_local(path)
+    local_path = _require_local(path)
     key = F.col(f"`{key_col}`")
     h, shard = _shard_expr(key, seed, n_shards)
     arranged = (
@@ -110,7 +121,7 @@ def write_training_shards(
     shards = []
     total = 0
     for d in sorted(
-        glob.glob(os.path.join(path, "shard=*")),
+        glob.glob(os.path.join(local_path, "shard=*")),
         key=lambda p: int(p.rsplit("=", 1)[1]),
     ):
         n = sum(
@@ -128,10 +139,10 @@ def write_training_shards(
         "key_col": key_col,
         "shards": shards,
     }
-    tmp = os.path.join(path, "._shards.json.tmp")
+    tmp = os.path.join(local_path, "._shards.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(path, "_shards.json"))
+    os.rename(tmp, os.path.join(local_path, "_shards.json"))
     return manifest
 
 
@@ -139,8 +150,8 @@ def read_shard_manifest(path: str) -> dict:
     import json
     import os
 
-    _require_local(path)
-    with open(os.path.join(path, "_shards.json")) as fh:
+    local_path = _require_local(path)
+    with open(os.path.join(local_path, "_shards.json")) as fh:
         return json.load(fh)
 
 

@@ -104,6 +104,14 @@ def agg_expr(
                 f"QUANTILE_APPROX needs params=(q, ...) with 0 < q < 1, "
                 f"got {sel.params!r}"
             )
+        if float(sel.params[0]) == 0.5:
+            # q=0.5 would alias to 'p50_approx__<col>', colliding with
+            # P50_APPROX on the same column — reject rather than emit
+            # silent duplicate column names
+            raise ValueError(
+                "QUANTILE_APPROX with q=0.5 duplicates P50_APPROX's "
+                "alias — use Aggregate.P50_APPROX instead"
+            )
         expr = approx_quantiles(sel.column, [float(sel.params[0])])[0]
     elif a is Aggregate.RAW:
         expr = F.sort_array(F.collect_list(x))

@@ -386,18 +386,21 @@ def semantic_contamination(
             "eval set; use the pairwise similarity operators instead"
         )
     bench_ids = [r[0] for r in brows]
+    # ids keep their own type (string eval-set ids are common); a mixed-
+    # type id column can neither form one jvm literal array NOR survive
+    # np.asarray (which would silently coerce ints to strings and then
+    # conflict with the declared bench_id_field dtype) — validate once,
+    # before either method branch
+    id_types = {type(i) for i in bench_ids}
+    if len(id_types) > 1:
+        raise ValueError(
+            f"benchmark ids mix types {sorted(t.__name__ for t in id_types)}"
+        )
     B = np.asarray([list(map(float, r[1])) for r in brows], dtype=np.float64)
     Bn = B / (np.linalg.norm(B, axis=1, keepdims=True) + 1e-12)
     if method == "jvm":
         nb, dim = Bn.shape
         flat = F.lit([float(x) for row in Bn for x in row])
-        # ids keep their own type (string eval-set ids are common); a
-        # mixed-type id column cannot form one literal array
-        id_types = {type(i) for i in bench_ids}
-        if len(id_types) > 1:
-            raise ValueError(
-                f"benchmark ids mix types {sorted(t.__name__ for t in id_types)}"
-            )
         ids_lit = F.lit(list(bench_ids))
         v = F.col(f"`{vec_col}`").cast("array<double>")
         norm = F.sqrt(

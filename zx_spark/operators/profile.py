@@ -224,6 +224,18 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
         numeric = _is_numeric(dtypes[c])
         if any(r in rs for r in ("min_at_least", "max_at_most")) and not numeric:
             raise ValueError(f"range rules need a numeric column, {c!r} is {dtypes[c]}")
+        # n_distinct is NULL for non-atomic (complex-typed) columns — a
+        # cardinality gate on one must fail loudly in BOTH directions,
+        # not silently pass distinct_at_most; same posture as the range
+        # rules' explicit error above
+        if (
+            any(r in rs for r in ("distinct_at_least", "distinct_at_most", "unique"))
+            and p["n_distinct"] is None
+        ):
+            raise ValueError(
+                f"cardinality/unique rules need an atomic column, "
+                f"{c!r} is {dtypes[c]} (n_distinct unavailable)"
+            )
         mn = float(p["min_value"]) if numeric and p["min_value"] is not None else None
         mx = float(p["max_value"]) if numeric and p["max_value"] is not None else None
         for rule, exp in rs.items():

@@ -94,6 +94,13 @@ def _quantile_q_domain(s) -> tuple:
             f"QUANTILE_APPROX needs params=(q, ...) with 0 < q < 1, "
             f"got {s.params!r}"
         )
+    if float(s.params[0]) == 0.5:
+        # same alias-collision guard as aggregates.py — q=0.5 would
+        # shadow P50_APPROX's 'p50_approx__<col>' column name
+        raise ValueError(
+            "QUANTILE_APPROX with q=0.5 duplicates P50_APPROX's alias — "
+            "use Aggregate.P50_APPROX instead"
+        )
     domain = tuple(s.params[1:]) if len(s.params) > 1 else QUANTILE_BINS
     return float(s.params[0]), domain
 

@@ -165,11 +165,14 @@ def ewma(
     """Exponentially weighted moving average (the dashboard smoothing
     verb with recency bias): the ADJUSTED form
     ``y_t = Σ_j (1-α)^j x_{t-j} / Σ_j (1-α)^j`` over the trailing ``n``
-    non-null samples. Truncating at ``n`` bounds memory and loses at
-    most ``(1-α)^n`` of the weight mass (< 1e-7 at the defaults) —
-    the exact recursive EWMA is order-sequential and does not
-    parallelize; this form is one window pass + an O(n) JVM fold per
-    row, no Python. NULL until the trailing window has a sample."""
+    ROWS (NULLs inside the frame are skipped, so a gappy series
+    averages fewer than ``n`` samples). Truncating the frame at ``n``
+    rows bounds memory and, when the frame is full of samples, loses at
+    most ``(1-α)^n`` of the weight mass (< 1e-7 at the defaults; a
+    frame with k < n samples loses ``(1-α)^k``) — the exact recursive
+    EWMA is order-sequential and does not parallelize; this form is one
+    window pass + an O(n) JVM fold per row, no Python. NULL until the
+    trailing frame has a sample."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if n < 1:
