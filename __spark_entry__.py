@@ -165,12 +165,101 @@ def q_s1_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 hash group-by + ``__nil`` (reference src/lib.rs:754-770), plus
+    the profiling subsystem as extra arms (r6 — registry capped at 50,
+    so operators/profile.py lands as tagged rows in this events row):
+
+    - group rows — the original G1 arm, values unchanged since r1;
+    - ``profile:<col>`` — per-column n_rows/n_nonnull/exact-distinct
+      (one partial-agg pass, profile_table);
+    - ``profile:<col>:range`` — numeric min/max;
+    - ``profile:event_type:str_range:<min>:<max>`` — string extremes
+      pinned in the key itself (engine-neutral: lexicographic ASCII);
+    - ``corr:<a>:<b>`` — one-pass Pearson (column_correlations) vs
+      DuckDB ``corr()``;
+    - ``expect:<col>:<rule>`` — check_expectations gate rows: passed
+      bit in window_start, actual in sum__value, BOTH re-derived by the
+      oracle from raw parquet (no echo).
+
+    All arms share the row's (g_tag, window_start, window_end,
+    sum__value, count__value) shape; the 'profile:'/'corr:'/'expect:'
+    key prefixes cannot collide with event-type group tags."""
     q = Query(
         selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
         group_by=["tag"],
     )
     out = compile_query(_events_tagged(spark, sf_dir), q, id_col="event_id", rate_col=None)
-    return _round(_floor_windows(out), {"sum__value": 3})
+    group = _round(_floor_windows(out), {"sum__value": 3})
+
+    from zx_spark.operators.profile import (
+        check_expectations,
+        column_correlations,
+        profile_table,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    zero = F.lit(0).cast("long")
+    dnull = F.lit(None).cast("double")
+    prof = profile_table(ev, exact_distinct=True)
+    counts = prof.select(
+        F.concat(F.lit("profile:"), F.col("column")).alias("g_tag"),
+        F.col("n_rows").alias("window_start"),
+        F.col("n_nonnull").alias("window_end"),
+        F.col("n_distinct").cast("double").alias("sum__value"),
+        dnull.alias("count__value"),
+    )
+    rng = prof.filter(F.col("column").isin("event_id", "user_id", "value")).select(
+        F.concat(F.lit("profile:"), F.col("column"), F.lit(":range")).alias("g_tag"),
+        zero.alias("window_start"),
+        zero.alias("window_end"),
+        F.round(F.col("min_value").cast("double"), 6).alias("sum__value"),
+        F.round(F.col("max_value").cast("double"), 6).alias("count__value"),
+    )
+    srng = prof.filter(F.col("column") == "event_type").select(
+        F.concat_ws(
+            ":", F.lit("profile"), F.col("column"), F.lit("str_range"),
+            F.col("min_value"), F.col("max_value"),
+        ).alias("g_tag"),
+        zero.alias("window_start"),
+        zero.alias("window_end"),
+        dnull.alias("sum__value"),
+        dnull.alias("count__value"),
+    )
+    corr = column_correlations(ev, ["event_id", "user_id", "value"]).select(
+        F.concat(F.lit("corr:"), F.col("col_a"), F.lit(":"), F.col("col_b")).alias(
+            "g_tag"
+        ),
+        zero.alias("window_start"),
+        zero.alias("window_end"),
+        F.col("corr").alias("sum__value"),
+        F.col("n").cast("double").alias("count__value"),
+    )
+    exp = check_expectations(ev, EXPECT_RULES).select(
+        F.concat(F.lit("expect:"), F.col("column"), F.lit(":"), F.col("rule")).alias(
+            "g_tag"
+        ),
+        F.col("passed").cast("long").alias("window_start"),
+        zero.alias("window_end"),
+        F.round(F.col("actual"), 6).alias("sum__value"),
+        dnull.alias("count__value"),
+    )
+    return (
+        group.unionByName(counts)
+        .unionByName(rng)
+        .unionByName(srng)
+        .unionByName(corr)
+        .unionByName(exp)
+    )
+
+
+# Expectation rules for the g1 expect arm, shared by Spark and the
+# oracle's re-derivation (both sides compute passed/actual from raw
+# data — no outcome is assumed).
+EXPECT_RULES = {
+    "event_id": {"not_null": True, "unique": True},
+    "value": {"null_frac_max": 0.5, "min_at_least": 0.0, "max_at_most": 1e6},
+    "event_type": {"distinct_at_least": 3, "distinct_at_most": 64},
+}
 
 
 def q_w1_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2365,6 +2454,82 @@ def _ivf_pq_oracle(
     )
 
 
+def _g1_profile_oracle() -> str:
+    """g1_group_nil: the original G1 group arm plus the profiling
+    subsystem arms (operators/profile.py), every value re-derived from
+    raw parquet — exact distincts, Pearson corr, and the expectation
+    gate's passed/actual recomputed by SQL, not echoed."""
+    parts = [
+        # original G1 arm, unchanged since round 1
+        "SELECT coalesce(nullif(event_type, 'view'), '__nil') AS g_tag, "
+        f"{_WINDOW_COLS}, "
+        "round(sum(coalesce(value, 0)), 3) AS sum__value, "
+        "CAST(count(value) AS DOUBLE) AS count__value "
+        "FROM events GROUP BY coalesce(nullif(event_type, 'view'), '__nil')"
+    ]
+    for c in ("event_id", "user_id", "event_type", "value"):
+        parts.append(
+            f"SELECT 'profile:{c}', count(*)::bigint, count({c})::bigint, "
+            f"count(DISTINCT {c})::double, NULL::double FROM events"
+        )
+    for c in ("event_id", "user_id", "value"):
+        parts.append(
+            f"SELECT 'profile:{c}:range', 0::bigint, 0::bigint, "
+            f"round(min({c})::double, 6), round(max({c})::double, 6) FROM events"
+        )
+    parts.append(
+        "SELECT 'profile:event_type:str_range:' || min(event_type) || ':' || "
+        "max(event_type), 0::bigint, 0::bigint, NULL::double, NULL::double "
+        "FROM events"
+    )
+    for a, b in (("event_id", "user_id"), ("event_id", "value"), ("user_id", "value")):
+        parts.append(
+            f"SELECT 'corr:{a}:{b}', 0::bigint, 0::bigint, "
+            f"round(corr({a}, {b}), 6), "
+            f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END)::double "
+            "FROM events"
+        )
+    # expectation gate rows (EXPECT_RULES): passed bit in window_start,
+    # actual in sum__value — the null_frac division is ::double/int like
+    # the operator's pure-Python 1 - nn/n
+    expect = {
+        "event_id:not_null": (
+            "CASE WHEN count(event_id) = count(*) THEN 1 ELSE 0 END",
+            "round(1 - count(event_id)::double / count(*), 6)",
+        ),
+        "event_id:unique": (
+            "CASE WHEN count(DISTINCT event_id) = count(event_id) THEN 1 ELSE 0 END",
+            "round(count(DISTINCT event_id)::double, 6)",
+        ),
+        "value:null_frac_max": (
+            "CASE WHEN 1 - count(value)::double / count(*) <= 0.5 THEN 1 ELSE 0 END",
+            "round(1 - count(value)::double / count(*), 6)",
+        ),
+        "value:min_at_least": (
+            "CASE WHEN min(value) >= 0.0 THEN 1 ELSE 0 END",
+            "round(min(value), 6)",
+        ),
+        "value:max_at_most": (
+            "CASE WHEN max(value) <= 1e6 THEN 1 ELSE 0 END",
+            "round(max(value), 6)",
+        ),
+        "event_type:distinct_at_least": (
+            "CASE WHEN count(DISTINCT event_type) >= 3 THEN 1 ELSE 0 END",
+            "round(count(DISTINCT event_type)::double, 6)",
+        ),
+        "event_type:distinct_at_most": (
+            "CASE WHEN count(DISTINCT event_type) <= 64 THEN 1 ELSE 0 END",
+            "round(count(DISTINCT event_type)::double, 6)",
+        ),
+    }
+    for key, (passed, actual) in expect.items():
+        parts.append(
+            f"SELECT 'expect:{key}', ({passed})::bigint, 0::bigint, "
+            f"{actual}, NULL::double FROM events"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {
         "s1_time_scan": _FILTER_ORACLE.format(
@@ -2386,13 +2551,7 @@ def oracle_sql() -> dict[str, str]:
             "nullif(event_type, 'view') IS NOT NULL",
             "nullif(event_type, 'view') IS NULL",
         ),
-        "g1_group_nil": (
-            "SELECT coalesce(nullif(event_type, 'view'), '__nil') AS g_tag, "
-            f"{_WINDOW_COLS}, "
-            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
-            "CAST(count(value) AS DOUBLE) AS count__value "
-            "FROM events GROUP BY coalesce(nullif(event_type, 'view'), '__nil')"
-        ),
+        "g1_group_nil": _g1_profile_oracle(),
         "w1_aligned_windows": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "
             f"{_WINDOW_COLS}, "
