@@ -374,10 +374,28 @@ def _weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Funnel steps for the a_weighted_suite funnel arm — event_type values
+# present in the driver events table, ordered as a user journey.
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
 def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A4/A6 §2.5 sample-rate weighting — all three weighted aggregates
     in ONE grouped pass (merged from three registry rows to stay under the
-    driver's 50-query cap while keeping each aggregate hash-verified)."""
+    driver's 50-query cap while keeping each aggregate hash-verified).
+
+    r6 arms (registry capped at 50, so the event-sequence analytics land
+    here, in the events row they belong to):
+
+    - ``funnel:<step>`` — funnel_counts over view→click→purchase
+      (operators/funnel.py k-slot JVM fold, ONE user-key shuffle): stage
+      in window_start, users-reaching-stage in count__value, conversion
+      vs stage 1 in sum__value. The DuckDB oracle re-derives the greedy
+      funnel as sequential filtered mins — an INDEPENDENT formulation of
+      the same semantics, not an echo.
+    - ``retention`` rows — retention_cohorts daily grid: cohort start
+      seconds in window_start, offset in window_end, active users in
+      count__value, retained fraction in sum__value."""
     q = Query(
         selects=[
             Select("value", Aggregate.SUM),
@@ -389,9 +407,34 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = compile_query(
         _weighted_events(spark, sf_dir), q, id_col="event_id", rate_col="sample_rate"
     )
-    return _round(
+    wagg = _round(
         _floor_windows(out), {"sum__value": 2, "count__value": 2, "mean__value": 6}
     )
+
+    from zx_spark.operators.funnel import funnel_counts, retention_cohorts
+
+    ev = _events(spark, sf_dir)
+    dnull = F.lit(None).cast("double")
+    # NULL user_ids form a pseudo-user group in funnel_steps (groupBy
+    # keeps null keys); the oracle's USING-join formulation drops them —
+    # exclude them explicitly so both sides count real users
+    fun = funnel_counts(ev.filter(F.col("user_id").isNotNull()), FUNNEL_STEPS).select(
+        F.concat(F.lit("funnel:"), F.col("step")).alias("g_event_type"),
+        F.col("stage").cast("long").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        F.col("conversion").alias("sum__value"),
+        F.col("n_users").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
+    ret = retention_cohorts(ev, bucket_s=86400.0).select(
+        F.lit("retention").alias("g_event_type"),
+        F.col("cohort_start").cast("long").alias("window_start"),
+        F.col("offset").cast("long").alias("window_end"),
+        F.col("retained_frac").alias("sum__value"),
+        F.col("n_active").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
+    return wagg.unionByName(fun).unionByName(ret)
 
 
 def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2454,6 +2497,66 @@ def _ivf_pq_oracle(
     )
 
 
+def _weighted_funnel_oracle() -> str:
+    """a_weighted_suite: the A1/A4/A6 weighted arm (MEAN truncates the
+    rate to an integer, reference src/lib.rs:643-646) plus the funnel
+    and retention arms. The funnel oracle is an INDEPENDENT greedy
+    formulation — sequential filtered mins (earliest step-1, earliest
+    later step-2, ...) — equivalent to the operator's k-slot fold by
+    the greedy-exchange argument; the retention oracle is the plain
+    first-seen × later-activity grid."""
+    wagg = (
+        "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+        f"{_WINDOW_COLS}, "
+        f"round(sum(coalesce(value, 0) * {_RATE_SQL}), 2) AS sum__value, "
+        f"round(sum(CASE WHEN value IS NOT NULL THEN {_RATE_SQL} ELSE 0 END), 2) "
+        "AS count__value, "
+        f"round(sum(CASE WHEN value IS NOT NULL THEN value * floor({_RATE_SQL}) END) "
+        f"/ sum(CASE WHEN value IS NOT NULL THEN floor({_RATE_SQL}) END), 6) "
+        "AS mean__value "
+        "FROM events GROUP BY coalesce(event_type, '__nil')"
+    )
+    steps = ["view", "click", "purchase"]  # == FUNNEL_STEPS
+    funnel_ctes = (
+        "fev AS (SELECT user_id, epoch(ts) AS fts, event_type FROM events "
+        "        WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        f"fa AS (SELECT user_id, min(fts) AS t1 FROM fev "
+        f"       WHERE event_type = '{steps[0]}' GROUP BY user_id), "
+        f"fb AS (SELECT e.user_id, min(e.fts) AS t2 FROM fev e JOIN fa USING (user_id) "
+        f"       WHERE e.event_type = '{steps[1]}' AND e.fts > fa.t1 GROUP BY e.user_id), "
+        f"fc AS (SELECT e.user_id, min(e.fts) AS t3 FROM fev e JOIN fb USING (user_id) "
+        f"       WHERE e.event_type = '{steps[2]}' AND e.fts > fb.t2 GROUP BY e.user_id), "
+        "fn AS (SELECT (SELECT count(*) FROM fa) AS n1, "
+        "              (SELECT count(*) FROM fb) AS n2, "
+        "              (SELECT count(*) FROM fc) AS n3)"
+    )
+    funnel_rows = " UNION ALL ".join(
+        f"SELECT 'funnel:{step}', {i + 1}::bigint, 0::bigint, "
+        f"round(n{i + 1}::double / n1, 6), n{i + 1}::double, NULL::double "
+        f"FROM fn WHERE n{i + 1} > 0"
+        for i, step in enumerate(steps)
+    )
+    retention_ctes = (
+        "rev AS (SELECT user_id, floor(epoch(ts) / 86400) AS b FROM events "
+        "        WHERE user_id IS NOT NULL), "
+        "rfirst AS (SELECT user_id, min(b) AS cohort FROM rev GROUP BY user_id), "
+        "ract AS (SELECT DISTINCT r.user_id, r.b, f.cohort "
+        "         FROM rev r JOIN rfirst f USING (user_id)), "
+        "rgrid AS (SELECT cohort, (b - cohort)::int AS off, count(*) AS n "
+        "          FROM ract GROUP BY 1, 2)"
+    )
+    retention_rows = (
+        "SELECT 'retention', (cohort * 86400)::bigint, off::bigint, "
+        "round(n::double / (max(CASE WHEN off = 0 THEN n END) "
+        "  OVER (PARTITION BY cohort)), 6), "
+        "n::double, NULL::double FROM rgrid"
+    )
+    return (
+        f"WITH {funnel_ctes}, {retention_ctes} "
+        f"{wagg} UNION ALL {funnel_rows} UNION ALL {retention_rows}"
+    )
+
+
 def _g1_profile_oracle() -> str:
     """g1_group_nil: the original G1 group arm plus the profiling
     subsystem arms (operators/profile.py), every value re-derived from
@@ -2721,20 +2824,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM w CROSS JOIN b "
             "LEFT JOIN c ON c.g_event_type = w.g_event_type AND c.bin_no = b.bin_no"
         ),
-        "a_weighted_suite": (
-            # A1/A4/A6 weighted in one grouped pass; MEAN truncates the
-            # rate to an integer (reference parses it as isize,
-            # src/lib.rs:643-646).
-            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
-            f"{_WINDOW_COLS}, "
-            f"round(sum(coalesce(value, 0) * {_RATE_SQL}), 2) AS sum__value, "
-            f"round(sum(CASE WHEN value IS NOT NULL THEN {_RATE_SQL} ELSE 0 END), 2) "
-            "AS count__value, "
-            f"round(sum(CASE WHEN value IS NOT NULL THEN value * floor({_RATE_SQL}) END) "
-            f"/ sum(CASE WHEN value IS NOT NULL THEN floor({_RATE_SQL}) END), 6) "
-            "AS mean__value "
-            "FROM events GROUP BY coalesce(event_type, '__nil')"
-        ),
+        "a_weighted_suite": _weighted_funnel_oracle(),
         "rollup_suite": (
             # The oracle computes the DIRECT hourly windowed aggregate; the
             # Spark side answers it from 5-minute rollup partials coarsened
