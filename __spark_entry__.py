@@ -343,9 +343,83 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "sum_zero", "bucket", ["g_event_type"],
         alpha=0.5, n=6, out_col="ewma_zero",
     )
-    return out.withColumn("z6", F.round(F.col("z6"), 4)).withColumn(
+    out = out.withColumn("z6", F.round(F.col("z6"), 4)).withColumn(
         "ewma_zero", F.round(F.col("ewma_zero"), 6)
     )
+
+    # ------- stream arm (r6): the streaming gap-fill twin, DRAINED -------
+    # streaming/gapfill.py emits each bucket exactly once when the
+    # event-time watermark closes it, silent buckets as fills. Drain
+    # recipe (deterministic): a sentinel event at
+    # (global_max_bucket + 1)*3600 + delay with watermark delay =
+    # 87600 hours — the delay keeps every data event inside the
+    # watermark whatever the file order, and the sentinel's final
+    # watermark lands exactly on (global_max_bucket + 1)*3600, so ALL
+    # real buckets close and every group flatlines out to the global
+    # max bucket with trailing fills (the EventTimeTimeout path). One
+    # locf-fill drain yields both fills: zero = 0 where is_filled.
+    # Oracle: dense spine per group from its first bucket to the
+    # GLOBAL max bucket, zero + locf — the batch operator's
+    # already-verified SQL with a global hi.
+    import glob
+    import os
+    import tempfile
+
+    from zx_spark.streaming.gapfill import streaming_gapfill
+
+    D_H = 87600  # watermark delay, hours (10 years, whole buckets)
+    src_df = (
+        _events(spark, sf_dir)
+        .filter(F.col("value") > 200)
+        .select("event_type", "ts", "value")
+    )
+    hi = src_df.agg(
+        F.max(F.floor(F.col("ts").cast("double") / 3600).cast("long"))
+    ).collect()[0][0]
+    sentinel_ts = float((int(hi) + 1) * 3600 + D_H * 3600)
+    tmp = tempfile.mkdtemp(prefix="zx_gapfill_stream_")
+    src, cp = f"{tmp}/src", f"{tmp}/cp"
+    src_df.repartition(4).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("__wmdrv", sentinel_ts, 999.0)], "event_type: string, epoch: double, value: double"
+    ).select("event_type", F.to_timestamp("epoch").alias("ts"), "value").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # pin the sentinel file (newest mtime) to sort LAST in the file
+    # source, so no data batch ever runs after the watermark jump
+    newest = max(glob.glob(f"{src}/*.parquet"), key=os.path.getmtime)
+    os.utime(newest, (4102444800, 4102444800))
+    stream_in = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    gf = streaming_gapfill(
+        stream_in, "value", "ts", ["event_type"],
+        granularity_s=3600.0, fill="locf", watermark=f"{D_H} hours",
+    )
+    qname = f"w_gapfill_stream_{os.path.basename(tmp)}"
+    (
+        gf.writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", cp)
+        .trigger(availableNow=True).start().awaitTermination(180)
+    )
+    dnull = F.lit(None).cast("double")
+    stream = (
+        spark.table(qname)
+        .filter(F.col("g_event_type") != "__wmdrv")
+        .select(
+            F.concat(F.lit("stream:"), F.col("g_event_type")).alias("g_event_type"),
+            F.col("bucket"),
+            F.round(
+                F.when(F.col("is_filled"), F.lit(0.0)).otherwise(F.col("sum_value")), 3
+            ).alias("sum_zero"),
+            F.round(F.col("sum_value"), 3).alias("sum_locf"),
+            dnull.alias("sum_lin"),
+            dnull.alias("d_zero"),
+            dnull.alias("rate_locf"),
+            dnull.alias("z6"),
+            F.lit(None).cast("boolean").alias("anom"),
+            dnull.alias("ewma_zero"),
+        )
+    )
+    return out.unionByName(stream)
 
 
 def _agg_query(sel: Select | list[Select], rounds: dict[str, int]):
@@ -2768,7 +2842,29 @@ def oracle_sql() -> dict[str, str]:
             "  w6 AS (PARTITION BY g_event_type ORDER BY bucket "
             "    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), "
             "  w6c AS (PARTITION BY g_event_type ORDER BY bucket "
-            "    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)"
+            "    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) "
+            # stream arm (r6): the drained streaming gap-fill — same agg,
+            # but every group's spine extends to the GLOBAL max bucket
+            # (trailing fills from the event-time timeouts), zero + locf
+            "UNION ALL "
+            "SELECT 'stream:' || sl.g_event_type AS g_event_type, "
+            "  (sl.n * 3600)::double AS bucket, "
+            "  coalesce(sl.v, 0.0) AS sum_zero, sl.locf AS sum_locf, "
+            "  NULL::double AS sum_lin, NULL::double AS d_zero, "
+            "  NULL::double AS rate_locf, NULL::double AS z6, "
+            "  NULL::boolean AS anom, NULL::double AS ewma_zero "
+            "FROM ("
+            "  SELECT sj.g_event_type, sj.n, sj.v, "
+            "    last_value(sj.v IGNORE NULLS) OVER (PARTITION BY sj.g_event_type "
+            "      ORDER BY sj.n ROWS UNBOUNDED PRECEDING) AS locf "
+            "  FROM ("
+            "    SELECT s.g_event_type, s.n, a.v "
+            "    FROM (SELECT g_event_type, "
+            "            unnest(generate_series(lo, (SELECT max(hi) FROM span))) AS n "
+            "          FROM span) s "
+            "    LEFT JOIN agg a USING (g_event_type, n)"
+            "  ) sj"
+            ") sl"
         ),
         "a2_a3_minmax": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "
