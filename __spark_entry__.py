@@ -164,6 +164,18 @@ def q_s1_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _id_set_agg(_scan(_events(spark, sf_dir), q, "ts"))
 
 
+def q_g1_group_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original G1 group arm alone — the r2-pinned bench shape,
+    kept callable so `g1_group_nil` timings stay comparable across
+    rounds while the driver row carries the grown arm set."""
+    q = Query(
+        selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
+        group_by=["tag"],
+    )
+    out = compile_query(_events_tagged(spark, sf_dir), q, id_col="event_id", rate_col=None)
+    return _round(_floor_windows(out), {"sum__value": 3})
+
+
 def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 hash group-by + ``__nil`` (reference src/lib.rs:754-770), plus
     the profiling subsystem as extra arms (r6 — registry capped at 50,
@@ -184,12 +196,7 @@ def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arms share the row's (g_tag, window_start, window_end,
     sum__value, count__value) shape; the 'profile:'/'corr:'/'expect:'
     key prefixes cannot collide with event-type group tags."""
-    q = Query(
-        selects=[Select("value", Aggregate.SUM), Select("value", Aggregate.COUNT)],
-        group_by=["tag"],
-    )
-    out = compile_query(_events_tagged(spark, sf_dir), q, id_col="event_id", rate_col=None)
-    group = _round(_floor_windows(out), {"sum__value": 3})
+    group = q_g1_group_core(spark, sf_dir)
 
     from zx_spark.operators.profile import (
         check_expectations,
@@ -272,13 +279,16 @@ def q_w1_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(_floor_windows(out), {"sum__value": 3})
 
 
-def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_w_gapfill_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled sparse series (zx_spark/operators/gapfill.py): hourly
     SUM over a rare slice (value > 200 keeps ~2% of events, so most
     (group, hour) buckets are EMPTY), then every bucket in each group's
-    span is emitted with zero / locf / linear fills. Beyond-reference in
-    the reference's own domain — its windows only emit buckets that
-    contain events (src/lib.rs:693-718)."""
+    span is emitted with zero / locf / linear fills, plus the derived/
+    anomaly/EWMA series verbs. Beyond-reference in the reference's own
+    domain — its windows only emit buckets that contain events
+    (src/lib.rs:693-718). This is the batch portion (and the bench
+    shape — streaming drains are source staging, not engine time); the
+    driver row `w_gapfill` adds the drained streaming-twin arm."""
     from zx_spark.operators.gapfill import gapfill
 
     q = Query(
@@ -343,9 +353,15 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "sum_zero", "bucket", ["g_event_type"],
         alpha=0.5, n=6, out_col="ewma_zero",
     )
-    out = out.withColumn("z6", F.round(F.col("z6"), 4)).withColumn(
+    return out.withColumn("z6", F.round(F.col("z6"), 4)).withColumn(
         "ewma_zero", F.round(F.col("ewma_zero"), 6)
     )
+
+
+def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The w_gapfill driver row: batch arms (q_w_gapfill_batch) + the
+    drained streaming gap-fill twin as `stream:` rows."""
+    out = q_w_gapfill_batch(spark, sf_dir)
 
     # ------- stream arm (r6): the streaming gap-fill twin, DRAINED -------
     # streaming/gapfill.py emits each bucket exactly once when the
@@ -1942,6 +1958,72 @@ def _bench_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dups(new, old, threshold=0.5)
 
 
+def _bench_text_quality_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only v1 shape of text_quality: the heuristic columns
+    WITHOUT the in-query NB/LM training the row gained in r5 — keeps
+    the name's timings comparable with the r2 pin (BASELINE.md pin
+    table); the grown row is timed as text_quality_v2."""
+    from zx_spark.functions.text import repetition_signals, text_quality
+
+    q = text_quality(F.col("text"))
+    r = repetition_signals(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["upper_ratio"].alias("upper_ratio"),
+        q["quality_score"].alias("quality_score"),
+        r["dup_line_fraction"].alias("dup_line_fraction"),
+        r["dup_token_fraction"].alias("dup_token_fraction"),
+    )
+
+
+def _bench_sampling_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only v1 shape of sampling_suite: split + strat arms only
+    (the r4-pinned content, before the r5 mix/budget/wsamp arms)."""
+    from zx_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+        train_test_split,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    split_agg = (
+        train_test_split(
+            hash_sample(ids, 0.25, "doc_id", seed=13), [0.8, 0.1, 0.1], "doc_id", seed=7
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
+    strat_agg = (
+        stratified_sample(
+            _docs(spark, sf_dir).select("doc_id", "source"), ["source"], 10, "doc_id", seed=3
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
+    return split_agg.select(
+        F.col("split").cast("string").alias("part_key"), "n_docs", "id_sum"
+    ).unionByName(
+        strat_agg.select(F.col("source").alias("part_key"), "n_docs", "id_sum")
+    )
+
+
+def _bench_dedup_exact_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only v1 shape of dedup_exact_groups: the exact-dedup arm
+    only (the r4-pinned content, before the r5 snapshot-diff arm)."""
+    from zx_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _bench_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: daily retention cohort grid over events
+    (operators/funnel.py; two user-keyed aggs, one shuffle reused)."""
+    from zx_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), bucket_s=86400.0)
+
+
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
     # Kept for baseline continuity after the registry merge into
@@ -1958,6 +2040,23 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_snapshot_diff": _bench_diff,
     "op_profile_events": _bench_profile,
     "op_incremental_dedup": _bench_incr_dedup,
+    "op_retention_cohorts": _bench_retention,
+    # ---- versioned pins (r6, VERDICT r5 What's-wrong #2): when a
+    # driver row gains arms, its NAME keeps timing the originally
+    # pinned shape and the grown row pins a fresh _v2 baseline —
+    # measured drift then always means regression, never added work.
+    # BASELINE.md "Per-query pin table" records the lineage.
+    "g1_group_nil": q_g1_group_core,        # r2 shape (group arm only)
+    "g1_group_nil_v2": q_g1_group_nil,      # + profile/corr/expect arms
+    "w_gapfill": q_w_gapfill_batch,         # r5 shape (batch arms; the
+    #   stream-drain arm is source staging, excluded from bench like the
+    #   other streaming rows — the driver correctness row still runs it)
+    "text_quality": _bench_text_quality_v1,  # r2 shape (heuristics only)
+    "text_quality_v2": q_text_quality,       # + in-query NB + LM gates
+    "sampling_suite": _bench_sampling_v1,    # r4 shape (split + strat)
+    "sampling_suite_v2": q_sampling_suite,   # + mix/budget/wsamp arms
+    "dedup_exact_groups": _bench_dedup_exact_v1,  # r4 shape (exact arm)
+    "dedup_exact_groups_v2": q_dedup_exact_groups,  # + snapshot-diff arm
 }
 
 

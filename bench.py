@@ -21,10 +21,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Pin policy (r6): every name times ONE fixed shape forever. When a
+# driver row gains arms, the old name keeps timing the originally
+# pinned shape (via __spark_entry__.BENCH_COMPAT) and the grown row
+# pins a fresh "<name>_v2" baseline at its first measurement — so
+# per-name drift always means regression, never added work. Lineage is
+# documented in BASELINE.md "Per-query pin table". Streaming rows stay
+# un-benched (drain cost is source staging, not engine time).
 HEADLINE = [
     "s1_time_scan",
     "f1_contains",
-    "g1_group_nil",
+    "g1_group_nil",         # r2 pin shape: group arm only (compat)
+    "g1_group_nil_v2",      # r6 pin: + profile/corr/expectations arms
     "w1_aligned_windows",
     "w1_session_windows",
     "a5_count_distinct",
@@ -35,53 +43,41 @@ HEADLINE = [
     "sql_tpch_q3_segment_revenue",
     "sql_tpch_q5_region_revenue",
     "sql_window_first_order",
-    # r5 session 4: dedup_exact_groups gained the snapshot-diff arm
-    # (full-outer fingerprint join vs an in-query second version) and
-    # sampling_suite the weighted-sample arm; w_gapfill two anomaly
-    # columns — small added verified WORK on those rows.
-    "dedup_exact_groups",
+    "dedup_exact_groups",     # r4 pin shape: exact arm only (compat)
+    "dedup_exact_groups_v2",  # r6 pin: + snapshot-diff arm
     "dedup_minhash_pairs",
     "ann_topk",
-    # r5 session 2: text_quality gained the NB classifier column (train
-    # IN the query + literal-fold scoring) — ~0.28s → ~0.95s from the
-    # added WORK, not a regression; decontaminate_ngrams gained the
-    # boilerplate arm (~1.48s → ~1.75s), same reason.
-    # r5 session 3: text_quality also trains + scores the bigram LM
-    # perplexity gate (functions/lm.py) in-query — ~0.95s → ~2.4s, again
-    # added verified WORK (a second model; 270k bigrams md5-bucketed
-    # twice for oracle reproducibility). Both trainings are single-job
-    # aggs run as concurrent Spark jobs.
-    "text_quality",
+    "text_quality",      # r2 pin shape: heuristic columns (compat)
+    "text_quality_v2",   # r6 pin: + in-query NB + bigram-LM training
     # added r3 (no r2 baseline entry — first measurement pins them)
     "asof_join_marks",
     "range_join_incidents",
-    # added r4 (first measurement pins it). jaccard_wordset_pairs is
-    # deliberately NOT here: it is the SQL-expressible oracle twin
-    # (md5-per-token, ~5.5s at sf0.1); dedup_minhash_pairs is the
-    # production near-dup path the bench measures.
-    # r5: sampling_suite gained mix + token-budget arms (two more verified
-    # sub-queries in the same row) — its r4-pinned 0.42s grew to ~0.65s
-    # from the added WORK, not a regression of the original arms.
-    "sampling_suite",
+    # added r4. jaccard_wordset_pairs is deliberately NOT here: it is
+    # the SQL-expressible oracle twin (md5-per-token, ~5.5s at sf0.1);
+    # dedup_minhash_pairs is the production near-dup path.
+    "sampling_suite",     # r4 pin shape: split + strat arms (compat)
+    "sampling_suite_v2",  # r6 pin: + mix/budget/wsamp arms
     # added r4: continuous-aggregate path (build 5m partials → coarsen to
-    # hourly → finalize). Streaming rows stay un-benched (drain cost is
-    # source staging, not engine time).
+    # hourly → finalize).
     "rollup_hourly_agg",
-    # added r4: gap-filled sparse series (spine generate + 3 window fills).
+    # added r4: gap-filled sparse series + derived/anomaly/EWMA verbs
+    # (the r5 shape; the r6 stream-drain arm lives only in the driver
+    # correctness row, per the no-streaming-bench policy above).
     "w_gapfill",
-    # added r4: curation additions (first measurement pins them) — PII
-    # regex scrub (map-side) and benchmark decontamination (broadcast
-    # n-gram probe).
+    # added r4: curation additions — PII regex scrub (map-side) and
+    # benchmark decontamination (broadcast n-gram probe).
     "text_pii_redact",
     "decontaminate_ngrams",
-    # added r5 s4 (first measurement pins them): session-4 operators
-    # without registry slots — funnel (one user-key shuffle), snapshot
-    # diff (fingerprint full-outer join), table profile (one agg pass),
-    # incremental near-dup (batch signing + band join vs stored sigs).
+    # added r5 s4 (first measurement pins them): funnel (one user-key
+    # shuffle), snapshot diff (fingerprint full-outer join), table
+    # profile (one agg pass), incremental near-dup (batch signing +
+    # band join vs stored sigs).
     "op_funnel_counts",
     "op_snapshot_diff",
     "op_profile_events",
     "op_incremental_dedup",
+    # added r6 (first measurement pins it): retention cohort grid.
+    "op_retention_cohorts",
 ]
 
 

@@ -81,6 +81,61 @@ def test_streaming_gapfill_fills_and_matches_batch(spark, tmp_path, fill):
     assert got.groupBy("g_g", "bucket").count().filter("count > 1").count() == 0
 
 
+def test_streaming_gapfill_under_rocksdb_state_store(spark, tmp_path):
+    """r6: the stateful twins run unchanged on Spark's bundled RocksDB
+    state store (streaming/state.py) — same drained output as the
+    default HDFS-backed provider, and the checkpoint actually contains
+    RocksDB artifacts (so the knob demonstrably took effect)."""
+    import glob
+
+    from tests.conftest import drain_memory_sink, pin_file_mtimes_by_event_time
+    from zx_spark.streaming.state import (
+        ROCKSDB_PROVIDER,
+        current_state_provider,
+        use_rocksdb_state,
+    )
+
+    rows1 = [("a", B0 + 10.0, 5.0), ("a", B0 + 70.0, 4.0)]
+    rows2 = [("a", B0 + 250.0, 6.0), ("wmdrv", B0 + 1200.0, 0.0)]
+    src = str(tmp_path / "src_rocks")
+    _mk(spark, rows1).coalesce(1).write.parquet(src)
+    _mk(spark, rows2).coalesce(1).write.mode("append").parquet(src)
+    pin_file_mtimes_by_event_time(src)
+
+    prev = use_rocksdb_state(spark)
+    assert current_state_provider(spark) == ROCKSDB_PROVIDER
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1).load(src)
+        )
+        out = streaming_gapfill(
+            stream, "value", "ts", ["g"], granularity_s=G, fill="locf",
+            watermark="0 seconds",
+        )
+        ck = str(tmp_path / "ck_rocks")
+        got = drain_memory_sink(out, "gf_rocks", ck)
+        a = {
+            int((r["bucket"] - B0) // G): (r["sum_value"], r["n_events"], r["is_filled"])
+            for r in got.filter("g_g = 'a'").collect()
+        }
+        # identical semantics to the HDFS-provider drain above
+        assert a[0] == (5.0, 1, False) and a[1] == (4.0, 1, False)
+        assert a[2] == (4.0, 0, True) and a[3] == (4.0, 0, True)
+        assert a[4] == (6.0, 1, False)
+        # RocksDB state artifacts present in the checkpoint (the HDFS
+        # provider writes .delta files; RocksDB uploads .zip/.changelog)
+        arts = glob.glob(f"{ck}/state/**/*", recursive=True)
+        assert any(p.endswith((".zip", ".changelog")) for p in arts), arts[:10]
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_streaming_gapfill_validates(spark):
     df = _mk(spark, [("a", B0, 1.0)])
     stream = None

@@ -9,6 +9,7 @@ handling — the shape a 100 TB observability pipeline actually runs."""
 from zx_spark.streaming.dedup import streaming_exact_dedup
 from zx_spark.streaming.anomaly import streaming_anomaly_flags
 from zx_spark.streaming.sessions import streaming_session_agg
+from zx_spark.streaming.state import current_state_provider, use_rocksdb_state
 from zx_spark.streaming.windowed import (
     run_available_now,
     stream_events,
@@ -16,10 +17,12 @@ from zx_spark.streaming.windowed import (
 )
 
 __all__ = [
+    "current_state_provider",
     "run_available_now",
     "stream_events",
     "streaming_exact_dedup",
     "streaming_anomaly_flags",
     "streaming_session_agg",
     "streaming_windowed_agg",
+    "use_rocksdb_state",
 ]
