@@ -207,7 +207,16 @@ def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
     zero = F.lit(0).cast("long")
     dnull = F.lit(None).cast("double")
-    prof = profile_table(ev, exact_distinct=True)
+    # ONE exact-distinct profile pass: the collected rows feed the
+    # counts/range arms (re-lifted as a tiny local frame) AND the
+    # expectation gate via check_expectations(profile=...) — without
+    # the reuse the Expand-heavy exact-distinct scan would run twice
+    prof_rows = profile_table(ev, exact_distinct=True).collect()
+    prof = spark.createDataFrame(
+        prof_rows,
+        "column: string, n_rows: long, n_nonnull: long, n_distinct: long, "
+        "min_value: string, max_value: string",
+    )
     counts = prof.select(
         F.concat(F.lit("profile:"), F.col("column")).alias("g_tag"),
         F.col("n_rows").alias("window_start"),
@@ -241,7 +250,7 @@ def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("corr").alias("sum__value"),
         F.col("n").cast("double").alias("count__value"),
     )
-    exp = check_expectations(ev, EXPECT_RULES).select(
+    exp = check_expectations(ev, EXPECT_RULES, profile=prof_rows).select(
         F.concat(F.lit("expect:"), F.col("column"), F.lit(":"), F.col("rule")).alias(
             "g_tag"
         ),

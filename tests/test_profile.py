@@ -158,6 +158,23 @@ def test_check_expectations_gate(spark, events):
         check_expectations(events, {"value": {"nope": 1}})
 
 
+def test_check_expectations_reuses_supplied_profile(spark, events):
+    """r6: a caller already profiling a batch can hand the collected
+    rows to check_expectations — identical report, no second
+    exact-distinct pass; a profile missing a rule column raises."""
+    from zx_spark.operators.profile import check_expectations
+
+    rules = {"event_id": {"unique": True}, "value": {"max_at_most": 1e9}}
+    rows = profile_table(events, ["event_id", "value"], exact_distinct=True).collect()
+    direct = sorted(map(tuple, check_expectations(events, rules).collect()))
+    reused = sorted(
+        map(tuple, check_expectations(events, rules, profile=rows).collect())
+    )
+    assert direct == reused
+    with pytest.raises(ValueError, match="lacks rule columns"):
+        check_expectations(events, {"user_id": {"unique": True}}, profile=rows)
+
+
 def test_check_expectations_non_atomic_cardinality_raises(spark):
     """ADVICE r5: n_distinct is NULL for complex-typed columns, which
     made distinct_at_most silently PASS while distinct_at_least failed

@@ -185,7 +185,9 @@ def column_correlations(
     ).select("p.*")
 
 
-def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
+def check_expectations(
+    df: DataFrame, rules: dict, profile: list | None = None
+) -> DataFrame:
     """Data-contract gate: evaluate declarative per-column rules in ONE
     profiling pass and return ``(column, rule, expected, actual,
     passed)`` rows — the Deequ-style check an ingest runs before
@@ -196,6 +198,12 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
     - ``distinct_at_least`` / ``distinct_at_most`` (int) — cardinality
       (exact distinct, this is a gate not an estimate);
     - ``unique`` (bool) — n_distinct == n_nonnull.
+
+    ``profile``: collected ``profile_table(df, cols,
+    exact_distinct=True)`` rows to reuse — a caller already profiling
+    the batch shares ONE scan instead of paying the exact-distinct
+    pass twice (it must cover every rule column; exact distincts, or
+    cardinality gates would silently become estimates).
 
     Compose with an assert: ``report.filter("NOT passed")`` is empty on
     a healthy batch (or feed failures to the drift monitor's sink)."""
@@ -209,12 +217,14 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
         bad = set(rs) - known
         if bad:
             raise ValueError(f"unknown rules {sorted(bad)} for {c!r}")
-    prof = {
-        r["column"]: r
-        for r in profile_table(
-            df, list(rules), exact_distinct=True
-        ).collect()
-    }
+    if profile is None:
+        profile = profile_table(df, list(rules), exact_distinct=True).collect()
+    prof = {r["column"]: r for r in profile}
+    missing_cols = [c for c in rules if c not in prof]
+    if missing_cols:
+        raise ValueError(
+            f"supplied profile lacks rule columns {missing_cols}"
+        )
     dtypes = dict(df.dtypes)
     rows = []
     for c, rs in rules.items():
