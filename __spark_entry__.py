@@ -1751,10 +1751,32 @@ def q_multimodal_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.join(frames, "doc_id").join(probed, "doc_id")
 
 
-def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zx_spark.functions.text import tf_idf_top_terms
+# BM25 arm queries for the text_tfidf row — fixed strings so the DuckDB
+# oracle's VALUES term table matches _query_terms(q) exactly.
+BM25_QUERIES = {"q0": "fast hash join", "q1": "slow scan"}
 
-    return tf_idf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=5)
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-terms per doc, plus (r6) a ``bm25:`` arm: top-8 BM25
+    keyword-search hits per query (operators/search.py — broadcast
+    term-set filter at the scan, window doc-frequency over candidate
+    postings only, per-query top-k; the corpus never shuffles). Arm rows
+    are tagged ``token = 'bm25:<query_id>:r<rank>'`` so the rank is
+    hash-verified too; the oracle re-derives BM25 from the raw parquet
+    with the Lucene idf form ``ln(1+(N-df+.5)/(df+.5))``."""
+    from zx_spark.functions.text import tf_idf_top_terms
+    from zx_spark.operators.search import bm25_search
+
+    docs = _docs(spark, sf_dir)
+    tfidf = tf_idf_top_terms(docs, "text", "doc_id", k=5)
+    bm25 = bm25_search(docs, BM25_QUERIES, "text", "doc_id", k=8).select(
+        "doc_id",
+        F.concat(
+            F.lit("bm25:"), F.col("query_id"), F.lit(":r"), F.col("rank")
+        ).alias("token"),
+        F.col("bm25").alias("tfidf"),
+    )
+    return tfidf.unionByName(bm25)
 
 
 def _events_keyed_secs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3354,7 +3376,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY tfidf DESC, token) AS rn FROM sc) "
-            "SELECT doc_id, token, tfidf FROM r WHERE rn <= 5"
+            "SELECT doc_id, token, tfidf FROM r WHERE rn <= 5 "
+            # r6 bm25 arm: independent BM25 re-derivation (Lucene idf,
+            # k1=1.2 b=0.75 folded to the 2.2/0.25/0.75 literals), rank
+            # encoded in the token tag so ordering is hash-checked.
+            "UNION ALL "
+            "SELECT doc_id, 'bm25:' || query_id || ':r' || rank AS token, "
+            "bm25 AS tfidf FROM ("
+            "WITH q(query_id, token) AS (VALUES "
+            "('q0','fast'),('q0','hash'),('q0','join'),"
+            "('q1','slow'),('q1','scan')), "
+            f"btoks AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "bstats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl "
+            "FROM btoks), "
+            "bex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token "
+            "FROM btoks), "
+            "btf AS (SELECT doc_id, token, any_value(dl) AS dl, "
+            "count(*) AS tf FROM bex "
+            "WHERE token IN (SELECT DISTINCT token FROM q) "
+            "GROUP BY doc_id, token), "
+            "bdf AS (SELECT token, count(*) AS dfc FROM btf GROUP BY token), "
+            "bsc AS (SELECT q.query_id, btf.doc_id, round(sum("
+            "ln(1 + (n_docs - dfc + 0.5) / (dfc + 0.5)) * tf * 2.2 / "
+            "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25 "
+            "FROM btf JOIN bdf USING (token) JOIN q USING (token) "
+            "CROSS JOIN bstats GROUP BY q.query_id, btf.doc_id), "
+            "br AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY bm25 DESC, doc_id ASC) AS rank FROM bsc) "
+            "SELECT query_id, doc_id, bm25, rank FROM br WHERE rank <= 8)"
         ),
         "multimodal_decode": (
             # The fake decoder is deliberately md5-derived (multimodal.py
