@@ -1407,16 +1407,30 @@ def q_text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint counts, plus (r6) the duplicated-span
+    exposure columns: per-doc count/tokens/fraction of maximal ≥8-token
+    runs that occur more than once corpus-wide (operators/spans.py —
+    Lee-et-al-2021 substring dedup at shingle granularity; skew-safe
+    groupBy+join on the shingle hash, gaps-and-islands merge per doc).
+    The oracle re-derives the spans from raw parquet with the same
+    md5-60-bit shingle hash."""
     from zx_spark.functions.text import fingerprint_from_tokens, tokenize
+    from zx_spark.operators.spans import duplicated_span_stats
 
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", tokenize(F.col("text")).alias("__toks"))
-        .select(
-            "doc_id",
-            F.size(fingerprint_from_tokens(F.col("__toks"))).alias("n_fingerprints"),
-        )
+    docs = _docs(spark, sf_dir)
+    fps = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size(fingerprint_from_tokens(F.col("__toks"))).alias("n_fingerprints"),
     )
+    stats = duplicated_span_stats(docs, "text", "doc_id", n=8).select(
+        "doc_id",
+        F.col("dup_spans").cast("long").alias("dup_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.col("dup_fraction").cast("double").alias("dup_fraction"),
+    )
+    return fps.join(stats, "doc_id")
 
 
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,12 +1554,51 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__content", "content_hash")
     deduped = drain(streaming_windowed_agg(dd, q, rate_col=None, watermark=None))
 
-    for d in (stage1, stage2):
+    # topk arm (r6): the streaming heavy-hitters twin (streaming/topk.py
+    # Space-Saving), DRAINED. The value domain is the coarse bucket
+    # floor(value/100) (≤ ~a dozen distinct per group), so m=256 makes
+    # the sketch EXACT and the single-file staging yields exactly one
+    # micro-batch → one emission per group: the drain equals the batch
+    # top-5 bucket counts per event type, which is what the oracle
+    # computes. Rank ties break on the bucket STRING both sides.
+    from zx_spark.streaming.topk import streaming_top_values
+
+    stage3 = tempfile.mkdtemp(prefix="zx_stream_topk_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage3}/events.parquet")
+    tk_src = (
+        _with_ts_normalized(
+            spark.readStream.format("parquet").schema(raw_schema).load(stage3)
+        )
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.coalesce(F.col("event_type"), F.lit(NIL)).alias("etype"),
+            F.floor(F.col("value") / 100).cast("string").alias("bucket"),
+        )
+    )
+    tk_name = f"zx_stream_{uuid.uuid4().hex[:8]}"
+    tk_ckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
+    run_available_now(
+        streaming_top_values(tk_src, "etype", "bucket", k=5, m=256),
+        tk_name, tk_ckpt, output_mode="append",
+    )
+    _shutil.rmtree(tk_ckpt, ignore_errors=True)
+    topk = spark.table(tk_name)
+    dnull = F.lit(None).cast("double")
+    tk = topk.select(
+        F.lit("topk").alias("arm"),
+        F.concat_ws(":", F.col("etype"), F.col("value")).alias("g_event_type"),
+        F.col("rank").cast("double").alias("window_start"),
+        F.col("overcount").cast("double").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("count").cast("double").alias("count__value"),
+    )
+
+    for d in (stage1, stage2, stage3):
         _shutil.rmtree(d, ignore_errors=True)
     out = direct.select(F.lit("direct").alias("arm"), *direct.columns).unionByName(
         deduped.select(F.lit("dedup").alias("arm"), *deduped.columns)
     )
-    return _round(out, {"sum__value": 3})
+    return _round(out, {"sum__value": 3}).unionByName(tk)
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3359,10 +3412,33 @@ def oracle_sql() -> dict[str, str]:
             f"WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents), "
             "sh AS (SELECT doc_id, CASE WHEN len(w) > 0 THEN "
             "list_transform(generate_series(0, greatest(len(w)-5, 0)), "
-            "i -> array_to_string(w[i+1:i+5], ' ')) ELSE [''] END AS sh FROM w) "
-            "SELECT doc_id, len(list_filter(list_transform(sh, s -> "
+            "i -> array_to_string(w[i+1:i+5], ' ')) ELSE [''] END AS sh FROM w), "
+            "fps AS (SELECT doc_id, len(list_filter(list_transform(sh, s -> "
             "('0x'||substr(md5(s),1,15))::bigint), h -> h % 8 = 0)) AS n_fingerprints "
-            "FROM sh"
+            "FROM sh), "
+            # r6 duplicated-span arm (operators/spans.py twin): 8-token
+            # shingles, same md5 60-bit hash, gaps-and-islands merge,
+            # zero-filled per-doc exposure stats.
+            "sp8 AS (SELECT doc_id, i - 1 AS pos, "
+            "('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::bigint AS h "
+            "FROM w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)), "
+            "dup AS (SELECT doc_id, pos FROM sp8 WHERE h IN "
+            "(SELECT h FROM sp8 GROUP BY h HAVING count(*) >= 2)), "
+            "brk AS (SELECT doc_id, pos, CASE WHEN pos > "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 "
+            "THEN 1 ELSE 0 END AS b FROM dup), "
+            "isl AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id "
+            "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM brk), "
+            "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e, "
+            "count(*) AS c FROM isl GROUP BY doc_id, island), "
+            "sstats AS (SELECT doc_id, count(*)::bigint AS dup_spans, "
+            "sum(e - s + 1)::bigint AS dup_tokens FROM spans GROUP BY doc_id) "
+            "SELECT fps.doc_id, n_fingerprints, "
+            "coalesce(dup_spans, 0)::bigint AS dup_spans, "
+            "coalesce(dup_tokens, 0)::bigint AS dup_tokens, "
+            "CASE WHEN len(w) > 0 THEN round(coalesce(dup_tokens, 0) / len(w), 6) "
+            "ELSE 0.0 END AS dup_fraction "
+            "FROM fps JOIN w USING (doc_id) LEFT JOIN sstats USING (doc_id)"
         ),
         "text_tfidf": (
             "WITH ex AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS token "
@@ -3462,7 +3538,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(value) AS DOUBLE) AS count__value "
             "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 86400)) "
             "SELECT a.arm, d.* FROM d "
-            "CROSS JOIN (VALUES ('direct'), ('dedup')) AS a(arm)"
+            "CROSS JOIN (VALUES ('direct'), ('dedup')) AS a(arm) "
+            # r6 topk arm: the drained Space-Saving heavy-hitters twin is
+            # EXACT here (m=256 ≥ distinct buckets), so it must equal the
+            # batch top-5 value-bucket counts per event type; rank in
+            # window_start, overcount (0 — no evictions) in window_end,
+            # ties on the bucket STRING (both engines sort varchar).
+            "UNION ALL "
+            "SELECT 'topk' AS arm, g_event_type || ':' || bucket AS g_event_type, "
+            "rnk::double AS window_start, 0.0 AS window_end, "
+            "NULL::double AS sum__value, cnt::double AS count__value FROM ("
+            "SELECT g_event_type, bucket, cnt, row_number() OVER ("
+            "PARTITION BY g_event_type ORDER BY cnt DESC, bucket) AS rnk FROM ("
+            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "floor(value / 100)::bigint::varchar AS bucket, count(*) AS cnt "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1, 2)) "
+            "WHERE rnk <= 5"
         ),
     }
     o.update(PASSTHROUGH_SQL)

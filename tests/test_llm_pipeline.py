@@ -89,6 +89,44 @@ def test_minhash_near_dup(spark, docs):
     assert all(3 not in p and 5 not in p for p in pairs)  # distinct docs unpaired
 
 
+def test_minhash_agg_engine_identical_to_fold(spark):
+    """The r6 codegen signing engine (explode + groupBy-min) must produce
+    BIT-IDENTICAL signatures to the per-row fold for every doc shape:
+    normal, short (< shingle_n tokens → whole-text shingle), empty and
+    NULL text ('' shingle) — the guarantee that lets candidate_pairs and
+    signature_table switch engines without touching the oracle."""
+    from zx_spark.operators.dedup import minhash_signatures
+    from zx_spark.storage import read_table
+
+    edge = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"), (2, "too short"),
+         (3, ""), (4, None), (5, "   "), (6, "one")],
+        "doc_id long, text string",
+    )
+    real = read_table(spark, "/root/testdata/sf0.001", "documents")
+    for df in (edge, real):
+        a = {r["doc_id"]: list(r["minhash"])
+             for r in minhash_signatures(df, "text", "doc_id", engine="agg").collect()}
+        b = {r["doc_id"]: list(r["minhash"])
+             for r in minhash_signatures(df, "text", "doc_id", engine="fold").collect()}
+        assert a == b and len(a) == df.count()
+    with pytest.raises(ValueError, match="engine"):
+        minhash_signatures(edge, "text", "doc_id", engine="turbo")
+
+
+def test_minhash_agg_engine_plan_is_codegen(spark, docs):
+    """The agg engine's min aggregates must sit inside HashAggregate
+    (codegen), with no higher-order fold left in the signing plan."""
+    from zx_spark.operators.dedup import minhash_signatures
+
+    plan = (
+        minhash_signatures(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan
+    assert "aggregate(" not in plan  # the interpreted fold is gone
+
+
 def test_simhash_near_dup(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
     assert pairs.get((1, 4)) == 0  # identical text → identical signature
