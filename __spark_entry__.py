@@ -1396,14 +1396,61 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID histogram, plus (r6) the classifier-evaluation arm
+    (operators/evaluate.py): the en-stopword micro score (round(1e6 ·
+    en-stopword-fraction), integer — tie-grouping is engine-exact)
+    scored against the ground-truth ``lang == 'en'`` label. Emits
+    tie-aware Mann-Whitney AUC (grouped-by-score rank window — the
+    distinct-score frame, never the corpus, is sorted) and the
+    confusion/precision/recall/F1 at threshold 50000 (5% stopwords),
+    as ``eval:*`` rows with metrics in 1e-6 fixed point. The oracle
+    re-derives score, ranks and confusion from raw parquet."""
     from zx_spark.functions.text import language_id
+    from zx_spark.operators.evaluate import confusion_at, roc_auc
 
-    return (
-        _docs(spark, sf_dir)
-        .select(language_id(F.col("text")).alias("lang_pred"))
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.select(language_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    sw = F.array(*[F.lit(w) for w in
+                   ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"]])
+    score = F.round(
+        F.lit(1e6) * F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        / F.greatest(F.size(toks), F.lit(1))
+    ).cast("long")
+    # null text would give size(null) = -1 on the Spark side but NULL in
+    # SQL — exclude it explicitly so both engines score the same rows
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        score.alias("__s"), (F.col("lang") == "en").alias("__y")
+    )
+    auc_rows = roc_auc(scored, "__s", "__y").select(
+        F.explode(
+            F.create_map(
+                F.lit("eval:auc_micro"), F.round(F.col("auc") * 1e6).cast("long"),
+                F.lit("eval:n_pos"), F.col("n_pos").cast("long"),
+                F.lit("eval:n_neg"), F.col("n_neg").cast("long"),
+            )
+        ).alias("lang_pred", "n")
+    )
+    cm_rows = confusion_at(scored, "__s", "__y", [50000.0]).select(
+        F.explode(
+            F.create_map(
+                F.lit("eval:tp"), F.col("tp").cast("long"),
+                F.lit("eval:fp"), F.col("fp").cast("long"),
+                F.lit("eval:fn"), F.col("fn").cast("long"),
+                F.lit("eval:tn"), F.col("tn").cast("long"),
+                F.lit("eval:prec_micro"), F.round(F.col("precision") * 1e6).cast("long"),
+                F.lit("eval:rec_micro"), F.round(F.col("recall") * 1e6).cast("long"),
+                F.lit("eval:f1_micro"), F.round(F.col("f1") * 1e6).cast("long"),
+            )
+        ).alias("lang_pred", "n")
+    )
+    return base.unionByName(auc_rows).unionByName(cm_rows)
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2108,6 +2155,30 @@ def _bench_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir), bucket_s=86400.0)
 
 
+def _bench_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: exact tie-aware AUC of the heuristic quality score
+    against lang=='en' over documents (operators/evaluate.py — one
+    per-score agg + a bounded distinct-score rank window)."""
+    from zx_spark.functions.text import text_quality
+    from zx_spark.operators.evaluate import roc_auc
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        F.round(text_quality(F.col("text"))["quality_score"] * 1e4)
+        .cast("long").alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return roc_auc(scored, "s", "y")
+
+
+def _bench_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: per-doc duplicated-span exposure over documents
+    (operators/spans.py — shingle-hash agg + join + islands merge)."""
+    from zx_spark.operators.spans import duplicated_span_stats
+
+    return duplicated_span_stats(_docs(spark, sf_dir), "text", "doc_id", n=8)
+
+
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
     # Kept for baseline continuity after the registry merge into
@@ -2125,6 +2196,11 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_profile_events": _bench_profile,
     "op_incremental_dedup": _bench_incr_dedup,
     "op_retention_cohorts": _bench_retention,
+    # r6 (first measurement pins them): exact tie-aware AUC of the
+    # quality score against the lang label (operators/evaluate.py) and
+    # per-doc duplicated-span exposure (operators/spans.py).
+    "op_eval_auc": _bench_eval_auc,
+    "op_dup_spans": _bench_dup_spans,
     # ---- versioned pins (r6, VERDICT r5 What's-wrong #2): when a
     # driver row gains arms, its NAME keeps timing the originally
     # pinned shape and the grown row pins a fresh _v2 baseline —
@@ -3403,7 +3479,43 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es' "
             "WHEN s_en >= s_de AND s_en > 0 THEN 'en' "
             "WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang_pred FROM s) "
-            "SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred"
+            "SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred "
+            # r6 eval arm: en-stopword micro score vs lang=='en' —
+            # tie-aware Mann-Whitney AUC over per-score groups + the
+            # threshold-50000 confusion, metrics in 1e-6 fixed point.
+            "UNION ALL SELECT lang_pred, n FROM ("
+            f"WITH sc AS (SELECT round(1e6 * len(list_filter({_TOKS}, "
+            f"t -> list_contains({_EN_STOP}, t))) / "
+            f"greatest(len({_TOKS}), 1))::bigint AS s, "
+            "(lang = 'en') AS y FROM documents "
+            "WHERE lang IS NOT NULL AND text IS NOT NULL), "
+            "per AS (SELECT s, count(*) AS c, sum(y::int) AS p FROM sc GROUP BY s), "
+            "rk AS (SELECT *, coalesce(sum(c) OVER (ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM per), "
+            "auc AS (SELECT round((sum(p * (below + (c + 1) / 2.0)) - "
+            "sum(p) * (sum(p) + 1) / 2.0) / (sum(p) * sum(c - p)), 6) AS a, "
+            "sum(p)::bigint AS np, sum(c - p)::bigint AS nn FROM rk), "
+            "cm AS (SELECT sum((s >= 50000 AND y)::int)::bigint AS tp, "
+            "sum((s >= 50000 AND NOT y)::int)::bigint AS fp, "
+            "sum((s < 50000 AND y)::int)::bigint AS fn, "
+            "sum((s < 50000 AND NOT y)::int)::bigint AS tn FROM sc) "
+            "SELECT 'eval:auc_micro' AS lang_pred, round(a * 1e6)::bigint AS n FROM auc "
+            "UNION ALL SELECT 'eval:n_pos', np FROM auc "
+            "UNION ALL SELECT 'eval:n_neg', nn FROM auc "
+            "UNION ALL SELECT 'eval:tp', tp FROM cm "
+            "UNION ALL SELECT 'eval:fp', fp FROM cm "
+            "UNION ALL SELECT 'eval:fn', fn FROM cm "
+            "UNION ALL SELECT 'eval:tn', tn FROM cm "
+            "UNION ALL SELECT 'eval:prec_micro', CASE WHEN tp + fp > 0 THEN "
+            "round(round(tp / (tp + fp), 6) * 1e6)::bigint END FROM cm "
+            "UNION ALL SELECT 'eval:rec_micro', CASE WHEN tp + fn > 0 THEN "
+            "round(round(tp / (tp + fn), 6) * 1e6)::bigint END FROM cm "
+            # f1 composes the UNROUNDED precision/recall (matching
+            # confusion_at, which rounds only on output), then 6dp + 1e6
+            "UNION ALL SELECT 'eval:f1_micro', CASE WHEN tp + fp > 0 AND "
+            "tp + fn > 0 AND tp / (tp + fp) + tp / (tp + fn) > 0 THEN "
+            "round(round(2 * (tp / (tp + fp)) * (tp / (tp + fn)) / "
+            "(tp / (tp + fp) + tp / (tp + fn)), 6) * 1e6)::bigint END FROM cm)"
         ),
         "doc_fingerprints": (
             # Same md5-derived 60-bit shingle hash as the Spark side

@@ -78,6 +78,10 @@ HEADLINE = [
     "op_incremental_dedup",
     # added r6 (first measurement pins it): retention cohort grid.
     "op_retention_cohorts",
+    # added r6 (first measurement pins them): exact tie-aware AUC
+    # (evaluate.py) and duplicated-span exposure (spans.py).
+    "op_eval_auc",
+    "op_dup_spans",
 ]
 
 
