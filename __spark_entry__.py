@@ -533,7 +533,59 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_active").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
-    return wagg.unionByName(fun).unionByName(ret)
+
+    # ------- sfunnel arm (r6): the STREAMING funnel twin, DRAINED -------
+    # streaming/funnel.py emits a user's row whenever their furthest
+    # stage advances; a single-file staging makes the availableNow drain
+    # one micro-batch, so each participating user emits exactly their
+    # final stage (max() kept as a safety net). Stage reach aggregated
+    # from the drain must equal the batch funnel — the SAME sequential-
+    # filtered-mins oracle rows, re-tagged 'sfunnel:'.
+    import os
+    import shutil as _sh
+    import tempfile
+    import uuid
+
+    from zx_spark.streaming import run_available_now
+    from zx_spark.streaming.funnel import streaming_funnel
+
+    stage_dir = tempfile.mkdtemp(prefix="zx_sfunnel_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sstream = _with_ts_normalized(
+        spark.readStream.format("parquet").schema(raw_schema).load(stage_dir)
+    ).filter(F.col("user_id").isNotNull())
+    name = f"zx_sfunnel_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
+    run_available_now(
+        streaming_funnel(sstream, FUNNEL_STEPS, watermark=None),
+        name, ckpt, output_mode="append",
+    )
+    for d in (ckpt, stage_dir):
+        _sh.rmtree(d, ignore_errors=True)
+    per_user = spark.table(name).groupBy("user_id").agg(
+        F.max("steps_completed").alias("__mx")
+    )
+    counts = (
+        per_user.select(
+            F.explode(F.sequence(F.lit(1), F.col("__mx"))).alias("__stage")
+        )
+        .groupBy("__stage")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n1 = counts.filter(F.col("__stage") == 1).select(F.col("__n").alias("__n1"))
+    step_names = F.array(*[F.lit(s) for s in FUNNEL_STEPS])
+    sfun = counts.crossJoin(F.broadcast(n1)).select(
+        F.concat(
+            F.lit("sfunnel:"), F.element_at(step_names, F.col("__stage").cast("int"))
+        ).alias("g_event_type"),
+        F.col("__stage").cast("long").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        F.round(F.col("__n") / F.col("__n1"), 6).alias("sum__value"),
+        F.col("__n").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
+    return wagg.unionByName(fun).unionByName(ret).unionByName(sfun)
 
 
 def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2864,9 +2916,12 @@ def _weighted_funnel_oracle() -> str:
         "              (SELECT count(*) FROM fc) AS n3)"
     )
     funnel_rows = " UNION ALL ".join(
-        f"SELECT 'funnel:{step}', {i + 1}::bigint, 0::bigint, "
+        f"SELECT '{tag}:{step}', {i + 1}::bigint, 0::bigint, "
         f"round(n{i + 1}::double / n1, 6), n{i + 1}::double, NULL::double "
         f"FROM fn WHERE n{i + 1} > 0"
+        # 'sfunnel:' (r6): the drained streaming-funnel twin must match
+        # the SAME sequential-filtered-mins derivation row for row
+        for tag in ("funnel", "sfunnel")
         for i, step in enumerate(steps)
     )
     retention_ctes = (
