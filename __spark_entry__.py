@@ -585,7 +585,54 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__n").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
-    return wagg.unionByName(fun).unionByName(ret).unionByName(sfun)
+
+    # ------- sretention arm (r6): the streaming retention twin, DRAINED --
+    # streaming/retention.py emits each (user, activity-bucket) once;
+    # the aggregated grid from the drain must equal the batch cohort
+    # grid — the same first-seen × later-activity oracle, re-tagged.
+    from pyspark.sql import Window as _W
+
+    from zx_spark.streaming.retention import streaming_retention_pairs
+
+    stage_r = tempfile.mkdtemp(prefix="zx_sret_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_r}/events.parquet")
+    rstream = _with_ts_normalized(
+        spark.readStream.format("parquet").schema(raw_schema).load(stage_r)
+    )
+    rname = f"zx_sret_{uuid.uuid4().hex[:8]}"
+    rckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
+    run_available_now(
+        streaming_retention_pairs(
+            rstream, bucket_s=86400.0, watermark=None, max_tracked_buckets=4096
+        ),
+        rname, rckpt, output_mode="append",
+    )
+    for d in (rckpt, stage_r):
+        _sh.rmtree(d, ignore_errors=True)
+    grid = (
+        spark.table(rname)
+        .groupBy("cohort_bucket", "offset")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w0 = _W.partitionBy("cohort_bucket")
+    sret = grid.select(
+        F.lit("sretention").alias("g_event_type"),
+        (F.col("cohort_bucket") * 86400).cast("long").alias("window_start"),
+        F.col("offset").cast("long").alias("window_end"),
+        F.round(
+            F.col("__n")
+            / F.max(F.when(F.col("offset") == 0, F.col("__n"))).over(w0),
+            6,
+        ).alias("sum__value"),
+        F.col("__n").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
+    return (
+        wagg.unionByName(fun)
+        .unionByName(ret)
+        .unionByName(sfun)
+        .unionByName(sret)
+    )
 
 
 def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2933,11 +2980,14 @@ def _weighted_funnel_oracle() -> str:
         "rgrid AS (SELECT cohort, (b - cohort)::int AS off, count(*) AS n "
         "          FROM ract GROUP BY 1, 2)"
     )
+    # 'sretention' (r6): the drained streaming-retention twin must match
+    # the same first-seen × later-activity grid row for row
     retention_rows = (
-        "SELECT 'retention', (cohort * 86400)::bigint, off::bigint, "
+        "SELECT t.tag, (cohort * 86400)::bigint, off::bigint, "
         "round(n::double / (max(CASE WHEN off = 0 THEN n END) "
         "  OVER (PARTITION BY cohort)), 6), "
-        "n::double, NULL::double FROM rgrid"
+        "n::double, NULL::double FROM rgrid "
+        "CROSS JOIN (VALUES ('retention'), ('sretention')) AS t(tag)"
     )
     return (
         f"WITH {funnel_ctes}, {retention_ctes} "
