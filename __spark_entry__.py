@@ -444,7 +444,45 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             dnull.alias("ewma_zero"),
         )
     )
-    return out.unionByName(stream)
+
+    # ------ sanom arm (r6): the streaming ANOMALY twin, DRAINED ------
+    # streaming/anomaly.py scores each watermark-finalized bucket sum
+    # against the key's trailing finalized buckets — gapfill-LESS, so
+    # the oracle twin is the same rolling z over the SPARSE agg rows.
+    # Same staged source + sentinel: its final watermark closes every
+    # real bucket; silent keys flush via EventTimeTimeout. Same z
+    # params as the batch columns (n=6, |z| > 2.5, min_periods=3).
+    from zx_spark.streaming.anomaly import streaming_anomaly_flags
+
+    an_in = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    an = streaming_anomaly_flags(
+        an_in, group_by=["event_type"], bucket_s=3600.0, n=6, threshold=2.5,
+        min_periods=3, ts_col="ts", value_col="value",
+        watermark=f"{D_H} hours",
+    )
+    an_name = f"w_gapfill_sanom_{os.path.basename(tmp)}"
+    (
+        an.writeStream.format("memory").queryName(an_name)
+        .outputMode("append").option("checkpointLocation", f"{tmp}/cp_anom")
+        .trigger(availableNow=True).start().awaitTermination(180)
+    )
+    sanom = (
+        spark.table(an_name)
+        .filter(F.col("g_event_type") != "__wmdrv")
+        .select(
+            F.concat(F.lit("sanom:"), F.col("g_event_type")).alias("g_event_type"),
+            F.col("bucket"),
+            F.round(F.col("sum__value"), 3).alias("sum_zero"),
+            dnull.alias("sum_locf"),
+            dnull.alias("sum_lin"),
+            dnull.alias("d_zero"),
+            dnull.alias("rate_locf"),
+            F.round(F.col("zscore"), 4).alias("z6"),
+            F.col("is_anomaly").alias("anom"),
+            dnull.alias("ewma_zero"),
+        )
+    )
+    return out.unionByName(stream).unionByName(sanom)
 
 
 def _agg_query(sel: Select | list[Select], rounds: dict[str, int]):
@@ -3228,7 +3266,27 @@ def oracle_sql() -> dict[str, str]:
             "          FROM span) s "
             "    LEFT JOIN agg a USING (g_event_type, n)"
             "  ) sj"
-            ") sl"
+            ") sl "
+            # sanom arm (r6): the drained streaming anomaly twin —
+            # gapfill-LESS, so the rolling z runs over the SPARSE agg
+            # rows (same n=6 / |z|>2.5 / min_periods=3 as the batch
+            # columns, same 4dp rounding)
+            "UNION ALL "
+            "SELECT 'sanom:' || z.g_event_type AS g_event_type, "
+            "  (z.n * 3600)::double AS bucket, z.v AS sum_zero, "
+            "  NULL::double AS sum_locf, NULL::double AS sum_lin, "
+            "  NULL::double AS d_zero, NULL::double AS rate_locf, "
+            "  round(z.zr, 4) AS z6, "
+            "  coalesce(abs(z.zr) > 2.5 AND z.cnt >= 3, false) AS anom, "
+            "  NULL::double AS ewma_zero "
+            "FROM ("
+            "  SELECT g_event_type, n, v, "
+            "    CASE WHEN stddev_samp(v) OVER wz > 0 THEN "
+            "      (v - avg(v) OVER wz) / stddev_samp(v) OVER wz END AS zr, "
+            "    count(v) OVER wz AS cnt "
+            "  FROM agg WINDOW wz AS (PARTITION BY g_event_type ORDER BY n "
+            "    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)"
+            ") z"
         ),
         "a2_a3_minmax": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "
