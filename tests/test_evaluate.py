@@ -69,6 +69,57 @@ def test_auc_degenerate_and_nulls(spark):
     assert row["n_pos"] == 1 and row["n_neg"] == 1 and row["auc"] == 1.0
 
 
+def test_binned_null_scores_are_excluded(spark):
+    """NULL scores must be dropped under bins too — F.least(NULL, k) and
+    the hi==lo branch would otherwise misfile them into a real bucket
+    (review finding: n_neg inflated, AUC corrupted)."""
+    df = spark.createDataFrame(
+        [(0.1, False), (0.9, True), (None, False), (0.4, True)],
+        "score double, label boolean",
+    )
+    row = roc_auc(df, "score", "label", bins=10).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (2, 1)
+    assert row["auc"] == 1.0
+    # hi==lo degenerate range with a NULL mixed in
+    const = spark.createDataFrame(
+        [(5.0, True), (5.0, False), (None, True)], "score double, label boolean"
+    )
+    r2 = roc_auc(const, "score", "label", bins=10).collect()[0]
+    assert (r2["n_pos"], r2["n_neg"]) == (1, 1) and r2["auc"] == 0.5
+
+
+def test_pr_curve_cut_is_in_score_units(spark):
+    """cut must be the bucket's lower bound in SCORE units — a caller
+    deploys `score >= cut` directly (review finding: it was the bare
+    bucket index)."""
+    df = spark.createDataFrame(
+        [(0.0, False), (0.5, True), (1.0, True)], "score double, label boolean"
+    )
+    cuts = sorted(r["cut"] for r in pr_curve(df, "score", "label", bins=4).collect())
+    for c in cuts:
+        assert 0.0 <= c <= 1.0, cuts
+    assert cuts[0] == 0.0 and cuts[-1] == pytest.approx(0.75, abs=1e-9)
+
+
+def test_confusion_plan_single_scan(spark):
+    """All thresholds come from ONE aggregation of ONE scan — not a
+    union of per-threshold branches over aggregate copies."""
+    from zx_spark.storage import read_table
+
+    docs = read_table(spark, SF, "documents")
+    from pyspark.sql import functions as F
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    plan = (
+        confusion_at(scored, "s", "y", [100.0, 200.0, 300.0, 400.0])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+
+
 def test_auc_binned_quantization(spark):
     case = CASES[3]
     df = spark.createDataFrame(case, "score double, label boolean")

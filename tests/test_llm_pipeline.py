@@ -112,6 +112,27 @@ def test_minhash_agg_engine_identical_to_fold(spark):
         assert a == b and len(a) == df.count()
     with pytest.raises(ValueError, match="engine"):
         minhash_signatures(edge, "text", "doc_id", engine="turbo")
+    # duplicate and NULL ids must stay ONE SIGNATURE PER ROW — a plain
+    # groupBy(id) would merge them into union-of-shingles signatures
+    # (review finding); the per-row grouping key preserves the fold
+    dup = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (1, "xx yy zz ww"), (None, "pp qq rr"),
+         (None, "ss tt uu")],
+        "doc_id long, text string",
+    )
+    def rows(engine):
+        return sorted(
+            (
+                (r["doc_id"], tuple(r["minhash"]))
+                for r in minhash_signatures(
+                    dup, "text", "doc_id", engine=engine
+                ).collect()
+            ),
+            key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+        )
+
+    a, b = rows("agg"), rows("fold")
+    assert len(a) == 4 and a == b
 
 
 def test_minhash_agg_engine_plan_is_codegen(spark, docs):

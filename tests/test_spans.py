@@ -93,6 +93,19 @@ def test_strip_removes_exactly_span_tokens(spark):
     assert rows[5] == ""
 
 
+def test_strip_preserves_null_text(spark):
+    """NULL text is 'no content', distinct from empty (dedup.exact_dedup
+    contract) — strip must not rewrite it to ''."""
+    df = spark.createDataFrame(
+        [(1, f"a b {_RUN}"), (2, f"c d {_RUN}"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["text_stripped"]
+            for r in strip_duplicated_spans(df, n=8).collect()}
+    assert rows[3] is None
+    assert rows[1] == "a b" and rows[2] == "c d"
+
+
 def test_param_validation(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     with pytest.raises(ValueError):

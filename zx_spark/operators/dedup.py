@@ -157,7 +157,9 @@ def minhash_signatures(
     no documents and the fold's LONG_MAX seed is always dominated):
 
     - ``"agg"`` (default): explode shingles → one base-hash projection →
-      ``groupBy(id).agg(min(affine_i(h)) × num_hashes)`` → array. Every
+      ``groupBy(row-key, id).agg(min(affine_i(h)) × num_hashes)`` (the
+      per-row key preserves the fold's one-signature-per-ROW contract
+      under duplicate or NULL ids) → array. Every
       expression runs inside WHOLE-STAGE CODEGEN (HashAggregate min),
       where the per-row fold runs interpreted — measured **4.6×** faster
       on the signing stage at the 100× store (36.2s → 7.8s; full
@@ -191,14 +193,34 @@ def minhash_signatures(
     # vacuous size()>0 filter that re-builds the shingle array per row
     # (tf_idf's hazard); shingle elements are never NULL, so no filter
     # is needed to restore inner semantics.
+    #
+    # The aggregation groups on a per-ROW key, not id_col: grouping on
+    # the id alone would merge duplicate-id rows (and ALL null-id rows)
+    # into one union-of-shingle-sets signature, silently diverging from
+    # the fold's one-signature-per-row contract. The row key is
+    # monotonically_increasing_id taken BEFORE the explode — its values
+    # are layout-dependent, but it is only a grouping key and is
+    # dropped, so the output (id, minhash) multiset is deterministic.
+    # __rid is materialized in its OWN projection below the Generate so
+    # it is assigned once per input row, never once per exploded shingle
+    with_rid = base.select(
+        F.col(id_col),
+        F.monotonically_increasing_id().alias("__rid"),
+        F.col("__toks"),
+    )
     ex = (
-        base.select(
+        with_rid.select(
             F.col(id_col),
+            F.col("__rid"),
             F.explode_outer(
                 shingles_from_tokens(F.col("__toks"), shingle_n)
             ).alias("__sh"),
         )
-        .select(F.col(id_col), base_hash(F.col("__sh"), hash_method).alias("__h"))
+        .select(
+            F.col(id_col),
+            F.col("__rid"),
+            base_hash(F.col("__sh"), hash_method).alias("__h"),
+        )
     )
     aggs = [
         F.min(
@@ -210,7 +232,7 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return (
-        ex.groupBy(id_col)
+        ex.groupBy("__rid", id_col)
         .agg(*aggs)
         .select(
             F.col(id_col),

@@ -28,28 +28,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _scored(df: DataFrame, score_col: str, label_col: str, bins: int | None):
-    s = F.col(f"`{score_col}`").cast("double")
+def _scored(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int | None,
+    keep_cut: bool = False,
+):
+    raw = F.col(f"`{score_col}`").cast("double")
+    s = raw
+    cut = raw
     if bins is not None:
         if bins < 2:
             raise ValueError(f"bins must be >= 2, got {bins}")
         # quantize into `bins` equal-width buckets over the observed
-        # range; the bucket index becomes the score (ordering-preserving)
-        lo, hi = F.min(s), F.max(s)
+        # range; the bucket index becomes the score (ordering-preserving).
+        # The whole expression is guarded on a non-NULL raw score: both
+        # F.least(NULL, k) and the hi==lo branch would otherwise swallow
+        # the NULL and misfile NULL-score rows into a real bucket.
+        lo, hi = F.min(raw), F.max(raw)
         r = df.agg(lo.alias("__lo"), hi.alias("__hi"))
         df = df.crossJoin(F.broadcast(r))
         width = (F.col("__hi") - F.col("__lo")) / bins
-        s = F.when(
-            F.col("__hi") == F.col("__lo"), F.lit(0)
-        ).otherwise(
-            F.least(
-                F.floor((F.col(f"`{score_col}`") - F.col("__lo")) / width),
-                F.lit(bins - 1),
-            )
+        idx = F.when(
+            raw.isNotNull(),
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((raw - F.col("__lo")) / width), F.lit(bins - 1)
+                )
+            ),
+        )
+        s = idx.cast("double")
+        # the bucket's inclusive lower bound in SCORE units — what a
+        # caller can actually deploy as `score >= cut`
+        cut = F.when(
+            raw.isNotNull(), F.col("__lo") + idx * width
         ).cast("double")
-    return df.select(
-        s.alias("__s"), F.col(f"`{label_col}`").cast("boolean").alias("__y")
-    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    cols = [s.alias("__s"), F.col(f"`{label_col}`").cast("boolean").alias("__y")]
+    if keep_cut:
+        cols.append(cut.alias("__cut"))
+    return df.select(*cols).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
 
 
 def roc_auc(
@@ -119,29 +139,36 @@ def confusion_at(
             F.sum((~pred & ~y).cast("long")).alias(f"__tn{i}"),
         ]
     one = sc.agg(*aggs)
-    rows = []
-    for i, t in enumerate(thresholds):
-        tp, fp = F.col(f"__tp{i}"), F.col(f"__fp{i}")
-        fn, tn = F.col(f"__fn{i}"), F.col(f"__tn{i}")
-        prec = F.when(tp + fp > 0, tp / (tp + fp))
-        rec = F.when(tp + fn > 0, tp / (tp + fn))
-        f1 = F.when(
-            prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
-            2 * prec * rec / (prec + rec),
-        )
-        rows.append(
-            one.select(
+    # One exploded struct array over the SINGLE aggregate row — not a
+    # union of per-threshold branches, which would put N copies of the
+    # corpus aggregation in the plan and lean on exchange reuse to
+    # deduplicate them.
+    per_t = F.array(
+        *[
+            F.struct(
                 F.lit(float(t)).alias("threshold"),
-                tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn"),
-                F.round(prec, round_dp).alias("precision"),
-                F.round(rec, round_dp).alias("recall"),
-                F.round(f1, round_dp).alias("f1"),
+                F.col(f"__tp{i}").alias("tp"),
+                F.col(f"__fp{i}").alias("fp"),
+                F.col(f"__fn{i}").alias("fn"),
+                F.col(f"__tn{i}").alias("tn"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    ex = one.select(F.explode(per_t).alias("r")).select("r.*")
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return ex.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.round(prec, round_dp).alias("precision"),
+        F.round(rec, round_dp).alias("recall"),
+        F.round(f1, round_dp).alias("f1"),
+    )
 
 
 def pr_curve(
@@ -153,21 +180,26 @@ def pr_curve(
 ) -> DataFrame:
     """Precision/recall at every quantized score cut, from ONE histogram
     pass: ``(cut, n_ge, tp, precision, recall)`` where ``cut`` is the
-    bucket's inclusive lower score bound and predictions are
-    ``score >= cut``. Descending-cumulative windows run over ≤ ``bins``
-    rows, never the corpus."""
-    sc = _scored(df, score_col, label_col, bins)
-    per = sc.groupBy(F.col("__s").alias("cut")).agg(
+    bucket's inclusive lower bound in SCORE units (deploy as
+    ``score >= cut``) and recall's denominator is derived from the same
+    ≤ ``bins``-row frame — the corpus is scanned exactly once, and the
+    descending-cumulative windows never see raw rows."""
+    sc = _scored(df, score_col, label_col, bins, keep_cut=True)
+    per = sc.groupBy(F.col("__s"), F.col("__cut").alias("cut")).agg(
         F.count(F.lit(1)).alias("__c"),
         F.sum(F.col("__y").cast("long")).alias("__p"),
     )
-    w = Window.orderBy(F.col("cut").desc()).rowsBetween(
+    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    tot = sc.agg(F.sum(F.col("__y").cast("long")).alias("__npos"))
-    cum = per.withColumn("n_ge", F.sum("__c").over(w)).withColumn(
-        "tp", F.sum("__p").over(w)
-    ).crossJoin(F.broadcast(tot))
+    w_all = Window.orderBy(F.col("__s")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        per.withColumn("n_ge", F.sum("__c").over(w))
+        .withColumn("tp", F.sum("__p").over(w))
+        .withColumn("__npos", F.sum("__p").over(w_all))
+    )
     return cum.select(
         "cut",
         "n_ge",

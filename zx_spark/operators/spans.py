@@ -190,8 +190,14 @@ def strip_duplicated_spans(
             F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
         )
     )
-    joined = df.join(spans, id_col, "left")
-    toks = _tokens(F.col(text_col))
+    # materialize the token array as a NAMED column referenced many
+    # times below — inlining _tokens into the per-position lambda would
+    # re-tokenize the text once per token index (the O(len²) Catalyst
+    # hazard functions.text.tokenize documents)
+    joined = df.join(spans, id_col, "left").withColumn(
+        "__toks", _tokens(F.col(text_col))
+    )
+    toks = F.col("__toks")
     kept = F.filter(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 1),
@@ -205,8 +211,11 @@ def strip_duplicated_spans(
             & (s["i"] <= sp["span_end"]),
         ),
     )
-    stripped = F.when(
+    # NULL text stays NULL (this codebase treats NULL as "no content",
+    # distinct from empty — see dedup.exact_dedup); untouched documents
+    # keep their token stream verbatim
+    stripped = F.when(F.col(f"`{text_col}`").isNull(), F.lit(None).cast("string")).when(
         F.col("__spans").isNull() | (F.size(toks) == 0),
         F.concat_ws(" ", toks),
     ).otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["t"])))
-    return joined.withColumn(out_col, stripped).drop("__spans")
+    return joined.withColumn(out_col, stripped).drop("__spans", "__toks")
