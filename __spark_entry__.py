@@ -1014,13 +1014,39 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("added doc "), (F.col("doc_id") + 1000000).cast("string")
         ).alias("text"),
     )
-    diff = diff_snapshots(old, base.unionByName(added), "doc_id").select(
+    v2 = base.unionByName(added)
+    diff = diff_snapshots(old, v2, "doc_id").select(
         F.lit("diff").alias("part_kind"),
         F.col("diff_status").alias("key"),
         F.col("doc_id").alias("keep_id"),
         F.lit(1).cast("long").alias("dup_count"),
     )
-    return exact.unionByName(diff)
+
+    # ------- psi arm (r6): distribution drift between the versions ----
+    # operators/datadrift.py PSI of the SAME two snapshots the diff arm
+    # compares: text length (numeric, base-quantile bins) and the first
+    # whitespace token (categorical, base top-5 + __other). The edits
+    # ('edited:' prefixes, removals, synthetic adds) shift both
+    # distributions; psi lands as 1e-6 fixed point in keep_id, n_cur in
+    # dup_count. The oracle re-derives edges, categories, bin counts and
+    # the eps-floored fold from raw parquet.
+    from zx_spark.operators.datadrift import categorical_psi, numeric_psi
+
+    b_len = old.select(F.length("text").cast("double").alias("tlen"))
+    c_len = v2.select(F.length("text").cast("double").alias("tlen"))
+    b_tok = old.select(F.split(F.col("text"), r"\s+").getItem(0).alias("tok1"))
+    c_tok = v2.select(F.split(F.col("text"), r"\s+").getItem(0).alias("tok1"))
+    psi_rows = (
+        numeric_psi(b_len, c_len, "tlen", bins=10)
+        .unionByName(categorical_psi(b_tok, c_tok, "tok1", top_k=5))
+        .select(
+            F.lit("psi").alias("part_kind"),
+            F.concat(F.col("column"), F.lit(":"), F.col("kind")).alias("key"),
+            F.round(F.col("psi") * 1e6).cast("long").alias("keep_id"),
+            F.col("n_cur").cast("long").alias("dup_count"),
+        )
+    )
+    return exact.unionByName(diff).unionByName(psi_rows)
 
 
 # Mix-arm rates for sampling_suite, shared by Spark and the oracle:
@@ -2316,6 +2342,20 @@ def _bench_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(_docs(spark, sf_dir), "text", "doc_id", n=8)
 
 
+def _bench_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: PSI drift report (numeric n_chars + categorical lang)
+    between documents and a hash-halved subset of itself
+    (operators/datadrift.py — edges model + one conditional-sum pass per
+    side per column)."""
+    from zx_spark.operators.datadrift import drift_report
+
+    docs = _docs(spark, sf_dir)
+    half = docs.filter(F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10) % 2 == 0)
+    return drift_report(
+        docs, half, numeric_cols=["n_chars"], categorical_cols=["lang"]
+    )
+
+
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
     # Kept for baseline continuity after the registry merge into
@@ -2338,6 +2378,7 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per-doc duplicated-span exposure (operators/spans.py).
     "op_eval_auc": _bench_eval_auc,
     "op_dup_spans": _bench_dup_spans,
+    "op_psi_drift": _bench_psi_drift,
     # ---- versioned pins (r6, VERDICT r5 What's-wrong #2): when a
     # driver row gains arms, its NAME keeps timing the originally
     # pinned shape and the grown row pins a fresh _v2 baseline —
@@ -3468,7 +3509,68 @@ def oracle_sql() -> dict[str, str]:
             "    SELECT doc_id + 1000000, 'added doc ' || (doc_id + 1000000) "
             "    FROM documents WHERE doc_id % 101 = 0"
             "  ) n ON o.doc_id = n.doc_id"
-            ") WHERE ot IS NULL OR nt IS NULL OR ot <> nt"
+            ") WHERE ot IS NULL OR nt IS NULL OR ot <> nt "
+            # psi arm (r6, operators/datadrift.py twin): PSI of text
+            # length (base-quantile bins, strict-lower/inclusive-upper)
+            # and first token (base top-5 + __other) between the same
+            # two versions; eps-floored fold, 1e-6 fixed point.
+            "UNION ALL SELECT part_kind, key, keep_id, dup_count FROM ("
+            "WITH v2 AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 89 = 0 "
+            "    THEN 'edited:' || text ELSE text END AS text "
+            "  FROM documents WHERE doc_id % 97 <> 0 "
+            "  UNION ALL "
+            "  SELECT doc_id + 1000000, 'added doc ' || (doc_id + 1000000) "
+            "  FROM documents WHERE doc_id % 101 = 0"
+            "), bl AS (SELECT length(text)::double AS v FROM documents "
+            "  WHERE text IS NOT NULL), "
+            "cl AS (SELECT length(text)::double AS v FROM v2 "
+            "  WHERE text IS NOT NULL), "
+            "ed AS (SELECT list_transform("
+            "  quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), "
+            "  x -> round(x, 6)) AS e FROM bl), "
+            "bb AS (SELECT len(list_filter((SELECT e FROM ed), x -> v > x)) "
+            "  AS bin, count(*)::double AS c FROM bl GROUP BY 1), "
+            "cb AS (SELECT len(list_filter((SELECT e FROM ed), x -> v > x)) "
+            "  AS bin, count(*)::double AS c FROM cl GROUP BY 1), "
+            "nn AS (SELECT (SELECT count(*)::double FROM bl) AS nb, "
+            "  (SELECT count(*)::double FROM cl) AS nc), "
+            "jn AS (SELECT b.bin, coalesce(bb.c, 0) AS bc, "
+            "  coalesce(cb.c, 0) AS cc "
+            "  FROM (SELECT unnest(generate_series(0, 9)) AS bin) b "
+            "  LEFT JOIN bb USING (bin) LEFT JOIN cb USING (bin)), "
+            "pn AS (SELECT round(sum("
+            "  (greatest(cc / nc, 1e-6) - greatest(bc / nb, 1e-6)) * "
+            "  ln(greatest(cc / nc, 1e-6) / greatest(bc / nb, 1e-6))), 6) "
+            "  AS psi, any_value(nc) AS n_cur FROM jn CROSS JOIN nn), "
+            "bt AS (SELECT string_split_regex(text, '\\s+')[1] AS v "
+            "  FROM documents WHERE text IS NOT NULL), "
+            "ct AS (SELECT string_split_regex(text, '\\s+')[1] AS v "
+            "  FROM v2 WHERE text IS NOT NULL), "
+            "cats AS (SELECT list(v ORDER BY c DESC, v ASC) AS cl FROM ("
+            "  SELECT v, count(*) AS c FROM bt WHERE v IS NOT NULL "
+            "  GROUP BY v ORDER BY c DESC, v ASC LIMIT 5)), "
+            "btc AS (SELECT coalesce(nullif(list_position("
+            "  (SELECT cl FROM cats), v), 0), 6) AS bin, "
+            "  count(*)::double AS c FROM bt WHERE v IS NOT NULL GROUP BY 1), "
+            "ctc AS (SELECT coalesce(nullif(list_position("
+            "  (SELECT cl FROM cats), v), 0), 6) AS bin, "
+            "  count(*)::double AS c FROM ct WHERE v IS NOT NULL GROUP BY 1), "
+            "tnn AS (SELECT (SELECT sum(c) FROM btc) AS nb, "
+            "  (SELECT sum(c) FROM ctc) AS nc), "
+            "tjn AS (SELECT b.bin, coalesce(btc.c, 0) AS bc, "
+            "  coalesce(ctc.c, 0) AS cc "
+            "  FROM (SELECT unnest(generate_series(1, 6)) AS bin) b "
+            "  LEFT JOIN btc USING (bin) LEFT JOIN ctc USING (bin)), "
+            "pt AS (SELECT round(sum("
+            "  (greatest(cc / nc, 1e-6) - greatest(bc / nb, 1e-6)) * "
+            "  ln(greatest(cc / nc, 1e-6) / greatest(bc / nb, 1e-6))), 6) "
+            "  AS psi, any_value(nc) AS n_cur FROM tjn CROSS JOIN tnn) "
+            "SELECT 'psi' AS part_kind, 'tlen:numeric' AS key, "
+            "round(psi * 1e6)::bigint AS keep_id, n_cur::bigint AS dup_count "
+            "FROM pn "
+            "UNION ALL SELECT 'psi', 'tok1:categorical', "
+            "round(psi * 1e6)::bigint, n_cur::bigint FROM pt)"
         ),
         "sampling_suite": _sampling_oracle(),
         "dedup_minhash_pairs": _minhash_oracle(),

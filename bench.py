@@ -82,6 +82,7 @@ HEADLINE = [
     # (evaluate.py) and duplicated-span exposure (spans.py).
     "op_eval_auc",
     "op_dup_spans",
+    "op_psi_drift",
 ]
 
 
