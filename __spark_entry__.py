@@ -1160,11 +1160,45 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
+    # ------- pack arm (r6): sequence packing (operators/packing.py) ----
+    # GPT-style concat packing of documents (len = n_chars, global order
+    # = doc_id, 512-token windows): per-pack membership counts + id_sum
+    # pin every document's pack assignment; the '__splits' row pins
+    # exactly which documents cross a boundary. The oracle re-derives
+    # the global running sum with a window cumsum.
+    from zx_spark.operators.packing import pack_concat
+
+    packed = pack_concat(
+        _docs(spark, sf_dir).select("doc_id", F.col("n_chars").alias("n_tok")),
+        "n_tok", "doc_id", "doc_id", target_len=512, n_parts=8,
+    )
+    pack_agg = (
+        packed.groupBy("first_pack")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("pack").alias("part_kind"),
+            F.col("first_pack").cast("string").alias("part_key"),
+            "n_docs",
+            "id_sum",
+        )
+    )
+    split_rows = (
+        packed.filter(F.col("n_splits") > 0)
+        .agg(F.count("*").alias("n_docs"), F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"))
+        .select(
+            F.lit("pack").alias("part_kind"),
+            F.lit("__splits").alias("part_key"),
+            "n_docs",
+            "id_sum",
+        )
+    )
     return (
         split_agg.unionByName(strat_agg)
         .unionByName(mix_agg)
         .unionByName(budget_agg)
         .unionByName(wsamp_agg)
+        .unionByName(pack_agg)
+        .unionByName(split_rows)
     )
 
 
@@ -2878,10 +2912,27 @@ def _sampling_oracle() -> str:
         "ORDER BY pri DESC, doc_id LIMIT 120), "
         "wsamp_agg AS (SELECT 'wsamp' AS part_kind, source AS part_key, "
         "count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum FROM wtop "
-        "GROUP BY source) "
+        "GROUP BY source), "
+        # pack arm (r6, operators/packing.py twin): concat packing of
+        # n_chars ordered by doc_id into 512-token windows — the global
+        # running sum as a window cumsum; '__splits' pins the
+        # boundary-crossing documents (integer // division = floor,
+        # matching Spark's nonneg truncating cast)
+        "pk AS (SELECT doc_id, n_chars, "
+        "coalesce(sum(n_chars) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ts "
+        "FROM documents), "
+        "pack_agg AS (SELECT 'pack' AS part_kind, "
+        "(ts // 512)::VARCHAR AS part_key, count(*) AS n_docs, "
+        "sum(doc_id)::BIGINT AS id_sum FROM pk GROUP BY ts // 512), "
+        "pack_splits AS (SELECT 'pack' AS part_kind, "
+        "'__splits' AS part_key, count(*) AS n_docs, "
+        "coalesce(sum(doc_id), 0)::BIGINT AS id_sum FROM pk "
+        "WHERE ts // 512 <> (ts + n_chars - 1) // 512) "
         "SELECT * FROM split_agg UNION ALL SELECT * FROM strat_agg "
         "UNION ALL SELECT * FROM mix_agg UNION ALL SELECT * FROM budget_agg "
-        "UNION ALL SELECT * FROM wsamp_agg"
+        "UNION ALL SELECT * FROM wsamp_agg UNION ALL SELECT * FROM pack_agg "
+        "UNION ALL SELECT * FROM pack_splits"
     )
 
 

@@ -29,6 +29,18 @@ _LAZY = {
     "key_skew_report": ("zx_spark.plan", "key_skew_report"),
     "write_training_shards": ("zx_spark.export", "write_training_shards"),
     "read_training_shards": ("zx_spark.export", "read_training_shards"),
+    # r6 additions
+    "bm25_search": ("zx_spark.operators.search", "bm25_search"),
+    "keyword_search": ("zx_spark.operators.search", "keyword_search"),
+    "duplicated_spans": ("zx_spark.operators.spans", "duplicated_spans"),
+    "duplicated_span_stats": ("zx_spark.operators.spans", "duplicated_span_stats"),
+    "strip_duplicated_spans": ("zx_spark.operators.spans", "strip_duplicated_spans"),
+    "roc_auc": ("zx_spark.operators.evaluate", "roc_auc"),
+    "confusion_at": ("zx_spark.operators.evaluate", "confusion_at"),
+    "pr_curve": ("zx_spark.operators.evaluate", "pr_curve"),
+    "numeric_psi": ("zx_spark.operators.datadrift", "numeric_psi"),
+    "categorical_psi": ("zx_spark.operators.datadrift", "categorical_psi"),
+    "drift_report": ("zx_spark.operators.datadrift", "drift_report"),
 }
 
 
