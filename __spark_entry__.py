@@ -1034,8 +1034,11 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b_len = old.select(F.length("text").cast("double").alias("tlen"))
     c_len = v2.select(F.length("text").cast("double").alias("tlen"))
-    b_tok = old.select(F.split(F.col("text"), r"\s+").getItem(0).alias("tok1"))
-    c_tok = v2.select(F.split(F.col("text"), r"\s+").getItem(0).alias("tok1"))
+    # explicit whitespace class: Java's \s includes \x0B, RE2's does not
+    # — pin the same characters in both engines
+    _ws = "[ \\t\\n\\r\\f]+"
+    b_tok = old.select(F.split(F.col("text"), _ws).getItem(0).alias("tok1"))
+    c_tok = v2.select(F.split(F.col("text"), _ws).getItem(0).alias("tok1"))
     psi_rows = (
         numeric_psi(b_len, c_len, "tlen", bins=10)
         .unionByName(categorical_psi(b_tok, c_tok, "tok1", top_k=5))
@@ -3594,9 +3597,9 @@ def oracle_sql() -> dict[str, str]:
             "  (greatest(cc / nc, 1e-6) - greatest(bc / nb, 1e-6)) * "
             "  ln(greatest(cc / nc, 1e-6) / greatest(bc / nb, 1e-6))), 6) "
             "  AS psi, any_value(nc) AS n_cur FROM jn CROSS JOIN nn), "
-            "bt AS (SELECT string_split_regex(text, '\\s+')[1] AS v "
+            "bt AS (SELECT string_split_regex(text, '[ \\t\\n\\r\\f]+')[1] AS v "
             "  FROM documents WHERE text IS NOT NULL), "
-            "ct AS (SELECT string_split_regex(text, '\\s+')[1] AS v "
+            "ct AS (SELECT string_split_regex(text, '[ \\t\\n\\r\\f]+')[1] AS v "
             "  FROM v2 WHERE text IS NOT NULL), "
             "cats AS (SELECT list(v ORDER BY c DESC, v ASC) AS cl FROM ("
             "  SELECT v, count(*) AS c FROM bt WHERE v IS NOT NULL "

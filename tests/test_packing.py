@@ -80,6 +80,27 @@ def test_concat_validation(spark):
         pack_concat(nulls, "n_tok", "ord", "doc_id", 10)
 
 
+def test_concat_rejects_duplicate_keys(spark):
+    """Duplicate (order, id) pairs make token positions nondeterministic
+    (and the default RANGE frame would overlap them) — fail fast."""
+    df = spark.createDataFrame(
+        [(1, 1.0, 4), (1, 1.0, 4), (2, 2.0, 3)], "doc_id long, ord double, n_tok long"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        pack_concat(df, "n_tok", "ord", "doc_id", 10)
+
+
+def test_concat_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, ord double, n_tok long")
+    assert pack_concat(df, "n_tok", "ord", "doc_id", 10, n_parts=4).count() == 0
+
+
+def test_greedy_rejects_null_ids(spark):
+    df = spark.createDataFrame([(None, 3)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="non-NULL"):
+        pack_greedy(df, "n_tok", "doc_id", target_len=10)
+
+
 def test_concat_stats_identities(spark):
     df = spark.createDataFrame(ROWS, "doc_id long, ord double, n_tok long")
     s = pack_concat_stats(df, "n_tok", 10).collect()[0]

@@ -66,6 +66,19 @@ def pack_concat(
             f"pack_concat: {len_col} must be positive and {order_col} "
             "non-NULL for every row"
         )
+    # duplicate (order, id) keys would make the cumsum order — and hence
+    # every downstream token position — nondeterministic; fail fast
+    dup = (
+        df.groupBy(F.col(f"`{order_col}`"), F.col(f"`{id_col}`"))
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"pack_concat: ({order_col}, {id_col}) must be unique per row"
+        )
     # Deterministic range partitioning by LITERAL quantile bounds (the
     # PSI-edges discipline) — repartitionByRange would re-SAMPLE its
     # boundaries on each job, and the prefix offsets collected in the
@@ -73,11 +86,15 @@ def pack_concat(
     # windows over. All rows sharing an order value share a partition,
     # so the (order, id) tie-break never crosses a boundary.
     if n_parts > 1:
+        # approx quantiles, not exact percentile: the output is invariant
+        # to the bucket boundaries, so a mergeable bounded-memory sketch
+        # is free — exact percentile would funnel every distinct order
+        # value into one aggregation buffer at corpus scale
         qs = [i / n_parts for i in range(1, n_parts)]
-        bounds = [
-            float(b)
-            for b in df.agg(F.percentile(ov, F.lit(qs)).alias("b")).collect()[0]["b"]
-        ]
+        row = df.agg(
+            F.percentile_approx(ov, F.lit(qs), F.lit(10000)).alias("b")
+        ).collect()[0]["b"]
+        bounds = [float(b) for b in row] if row is not None else []
         barr = F.lit(bounds).cast("array<double>")
         pid = F.size(F.filter(barr, lambda b: ov > b))
     else:
@@ -94,8 +111,12 @@ def pack_concat(
         acc += tot
     spark = df.sparkSession
     off = spark.createDataFrame(offsets, "__pid int, __poff long")
-    w = Window.partitionBy("__pid").orderBy(
-        F.col(f"`{order_col}`"), F.col(f"`{id_col}`")
+    # explicit ROWS frame: the default RANGE frame would give rows tied
+    # on the order key identical (overlapping) cumulative sums
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(f"`{order_col}`"), F.col(f"`{id_col}`"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
         parted.join(F.broadcast(off), "__pid")
@@ -160,10 +181,20 @@ def pack_greedy(
     import pandas as pd
 
     ln = F.col(f"`{len_col}`").cast("long")
-    too_big = df.filter(ln.isNull() | (ln <= 0) | (ln > target_len)).limit(1).count()
+    too_big = (
+        df.filter(
+            ln.isNull()
+            | (ln <= 0)
+            | (ln > target_len)
+            | F.col(f"`{id_col}`").isNull()
+        )
+        .limit(1)
+        .count()
+    )
     if too_big:
         raise ValueError(
-            f"pack_greedy: every {len_col} must be in [1, {target_len}]"
+            f"pack_greedy: every {len_col} must be in [1, {target_len}] "
+            f"and {id_col} non-NULL"
         )
     salted = df.withColumn(
         "__salt",
