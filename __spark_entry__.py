@@ -1928,12 +1928,82 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (stage, tmp_tail, ckpt):
         _shutil.rmtree(d, ignore_errors=True)
     out = spark.table(name)
-    return out.select(
+    sess = out.select(
         "g_event_type",
         F.floor("window_start").cast("long").alias("window_start"),
         F.floor("window_end").cast("long").alias("window_end"),
         F.round("sum__value", 3).alias("sum__value"),
         "count__value",
+    )
+
+    # ------- drift arm (r6): the streaming drift monitor, DRAINED ------
+    # streaming/drift.py profiles each micro-batch against a pinned
+    # baseline. Two staged files with pinned mtimes make the epochs
+    # deterministic: epoch 0 = the clean documents (no flags), epoch 1 =
+    # a deterministically corrupted copy (lang nulled for doc_id%5!=0 →
+    # null explosion; source → one constant → cardinality collapse; val
+    # = n_chars+100000 → range escape; doc_id untouched → control row).
+    # Only ENGINE-EXACT report fields are emitted (flag booleans as a
+    # bitmask, null_frac, n_rows) — n_distinct is the HLL estimate, and
+    # the planted margins are orders of magnitude away from every
+    # threshold, so the oracle's exact-distinct re-derivation of the
+    # flags matches deterministically.
+    import glob as _glob
+
+    from zx_spark.streaming.drift import baseline_profile, drift_monitor_sink
+
+    DRIFT_COLS = ["doc_id", "lang", "source", "val"]
+    clean = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("double").alias("val")
+    )
+    bad = clean.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("lang")).alias("lang"),
+        F.lit("srcX").alias("source"),
+        (F.col("val") + 100000.0).alias("val"),
+    )
+    droot = _tf.mkdtemp(prefix="zx_drift_")
+    src_d, rep_d, ck_d = f"{droot}/src", f"{droot}/reports", f"{droot}/ck"
+    os.makedirs(src_d)
+    for i, (nm, frame) in enumerate((("a_clean", clean), ("b_bad", bad))):
+        tmp_w = f"{droot}/w_{nm}"
+        frame.coalesce(1).write.parquet(tmp_w)
+        part = _glob.glob(f"{tmp_w}/part-*.parquet")[0]
+        dst = f"{src_d}/{nm}.parquet"
+        _shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    dstream = (
+        spark.readStream.format("parquet")
+        .schema(clean.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_d)
+    )
+    drift_monitor_sink(
+        dstream, rep_d, baseline_profile(clean, DRIFT_COLS), cols=DRIFT_COLS,
+        checkpoint_dir=ck_d, available_now=True,
+    ).awaitTermination(180)
+    reports = spark.read.parquet(rep_d)
+    bit = (
+        F.col("null_drift").cast("long")
+        + F.col("distinct_drift").cast("long") * 2
+        + F.col("range_drift").cast("long") * 4
+        + F.col("missing_column").cast("long") * 8
+        + F.col("new_column").cast("long") * 16
+    )
+    drift = reports.select(
+        F.concat(
+            F.lit("drift:"), F.col("epoch").cast("string"), F.lit(":"),
+            F.col("column"),
+        ).alias("g_event_type"),
+        bit.alias("window_start"),
+        F.col("n_rows").cast("long").alias("window_end"),
+        F.round("null_frac", 6).alias("sum__value"),
+        F.col("any_drift").cast("double").alias("count__value"),
+    )
+    drift_rows = drift.collect()
+    _shutil.rmtree(droot, ignore_errors=True)
+    return sess.unionByName(
+        spark.createDataFrame(drift_rows, drift.schema)
     )
 
 
@@ -3689,7 +3759,55 @@ def oracle_sql() -> dict[str, str]:
             "floor(max(epoch(ts)))::bigint AS window_end, "
             "round(sum(coalesce(value, 0)), 3) AS sum__value, "
             "CAST(count(value) AS DOUBLE) AS count__value "
-            "FROM s GROUP BY coalesce(event_type, '__nil'), wno"
+            "FROM s GROUP BY coalesce(event_type, '__nil'), wno "
+            # drift arm (r6, streaming/drift.py twin): per-(epoch, column)
+            # flag bitmask (null=1, distinct=2, range=4, missing=8,
+            # new=16) in window_start, n_rows in window_end, null_frac in
+            # sum__value, any_drift in count__value. Epoch 0 = clean
+            # documents vs their own baseline (no flags, structurally);
+            # epoch 1 = the planted corruption, flags re-derived from raw
+            # parquet with EXACT distincts — margins vs the HLL side are
+            # orders of magnitude (see the Spark arm comment).
+            "UNION ALL SELECT g_event_type, window_start, window_end, "
+            "sum__value, count__value FROM ("
+            "WITH dn AS (SELECT count(*)::double AS nr FROM documents), "
+            "l0 AS (SELECT count(lang)::double AS nn, "
+            "count(DISTINCT lang)::double AS d FROM documents), "
+            "l1 AS (SELECT count(CASE WHEN doc_id % 5 = 0 THEN lang END)::double AS nn, "
+            "count(DISTINCT CASE WHEN doc_id % 5 = 0 THEN lang END)::double AS d "
+            "FROM documents), "
+            "s0 AS (SELECT count(source)::double AS nn, "
+            "count(DISTINCT source)::double AS d FROM documents), "
+            "v0 AS (SELECT count(n_chars)::double AS nn, "
+            "count(DISTINCT n_chars)::double AS d, min(n_chars)::double AS mn, "
+            "max(n_chars)::double AS mx FROM documents), "
+            "fl AS (SELECT "
+            "  (abs((1 - l1.nn / dn.nr) - (1 - l0.nn / dn.nr)) > 0.1) AS lang_null, "
+            "  (l1.d < least(l0.d, l1.nn) * 0.5 OR "
+            "   (l0.d < 0.5 * l0.nn AND l1.d > l0.d * 1.5)) AS lang_dist, "
+            "  (1 < least(s0.d, dn.nr) * 0.5 OR "
+            "   (s0.d < 0.5 * s0.nn AND 1 > s0.d * 1.5)) AS src_dist, "
+            "  (v0.d < least(v0.d, v0.nn) * 0.5 OR "
+            "   (v0.d < 0.5 * v0.nn AND v0.d > v0.d * 1.5)) AS val_dist, "
+            "  ((v0.mn + 100000 < v0.mn) OR (v0.mx + 100000 > v0.mx)) AS val_range, "
+            "  round(1 - l0.nn / dn.nr, 6) AS lang_nf0, "
+            "  round(1 - l1.nn / dn.nr, 6) AS lang_nf1, "
+            "  dn.nr::bigint AS nrb "
+            "FROM dn, l0, l1, s0, v0) "
+            "SELECT 'drift:0:doc_id' AS g_event_type, 0::bigint AS window_start, "
+            "nrb AS window_end, 0.0 AS sum__value, 0.0 AS count__value FROM fl "
+            "UNION ALL SELECT 'drift:0:lang', 0, nrb, lang_nf0, 0.0 FROM fl "
+            "UNION ALL SELECT 'drift:0:source', 0, nrb, 0.0, 0.0 FROM fl "
+            "UNION ALL SELECT 'drift:0:val', 0, nrb, 0.0, 0.0 FROM fl "
+            "UNION ALL SELECT 'drift:1:doc_id', 0, nrb, 0.0, 0.0 FROM fl "
+            "UNION ALL SELECT 'drift:1:lang', "
+            "lang_null::int + lang_dist::int * 2, nrb, lang_nf1, "
+            "(lang_null OR lang_dist)::int::double FROM fl "
+            "UNION ALL SELECT 'drift:1:source', src_dist::int * 2, nrb, 0.0, "
+            "src_dist::int::double FROM fl "
+            "UNION ALL SELECT 'drift:1:val', "
+            "val_dist::int * 2 + val_range::int * 4, nrb, 0.0, "
+            "(val_dist OR val_range)::int::double FROM fl)"
         ),
         "text_stats": (
             # chunk windows re-derived in SQL exactly as chunk_documents
