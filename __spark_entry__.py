@@ -665,11 +665,32 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__n").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
+    # ------- conv arm (r6): repeat conversions, the LAST carve-out -----
+    # conversion_counts' reset-on-completion k-slot fold is greedy
+    # earliest-completion, which reduces to sequential filtered mins per
+    # journey with strict inequalities and each journey's chain starting
+    # strictly after the previous completion — expressible as a DuckDB
+    # RECURSIVE CTE (nested correlated mins per step, recursion advances
+    # one completed journey per level). Per-user rows pin the exact
+    # conversion count AND the last completion time.
+    from zx_spark.operators.funnel import conversion_counts
+
+    conv = conversion_counts(
+        ev.filter(F.col("user_id").isNotNull()), FUNNEL_STEPS
+    ).select(
+        F.lit("conv").alias("g_event_type"),
+        F.col("user_id").cast("long").alias("window_start"),
+        F.col("n_conversions").cast("long").alias("window_end"),
+        F.round(F.col("last_conversion_ts"), 6).alias("sum__value"),
+        F.col("n_conversions").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
         .unionByName(sfun)
         .unionByName(sret)
+        .unionByName(conv)
     )
 
 
@@ -1205,10 +1226,31 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bench_minhash_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r2-pinned shape: MinHash-LSH pairs only (the registry row
+    grew the components arm in r6 — versioned-pin policy)."""
     from zx_spark.operators.dedup import near_dup_pairs
 
     return near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.5)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, plus (r6) the connected-components
+    arm: dup_components' min-label propagation over the pair graph,
+    emitted as ``(doc_id, component, -1.0)`` tag rows. The oracle
+    re-derives the components from ITS OWN pair set with a recursive
+    transitive-closure CTE (min reachable id) — so the iterative Spark
+    loop is hash-verified against a closed-form derivation, closing the
+    former non-SQL carve-out."""
+    from zx_spark.operators.dedup import dup_components, near_dup_pairs
+
+    pairs = near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.5)
+    comp = dup_components(pairs).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(-1.0).alias("jaccard"),
+    )
+    return pairs.unionByName(comp)
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2502,6 +2544,8 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampling_suite_v2": q_sampling_suite,   # + mix/budget/wsamp arms
     "dedup_exact_groups": _bench_dedup_exact_v1,  # r4 shape (exact arm)
     "dedup_exact_groups_v2": q_dedup_exact_groups,  # + snapshot-diff arm
+    "dedup_minhash_pairs": _bench_minhash_v1,       # r2 shape (pairs only)
+    "dedup_minhash_pairs_v2": q_dedup_minhash_pairs,  # + components arm
 }
 
 
@@ -2720,7 +2764,7 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
         for a, b in zip(_MINHASH_A[:num_hashes], _MINHASH_B[:num_hashes])
     )
     return (
-        f"WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents), "
+        f"WITH RECURSIVE w AS (SELECT doc_id, {_TOKS} AS w FROM documents), "
         "sh AS (SELECT doc_id, CASE WHEN len(w) > 0 THEN "
         "list_transform(generate_series(0, greatest(len(w)-3, 0)), "
         "i -> array_to_string(w[i+1:i+3], ' ')) ELSE [''] END AS sh FROM w), "
@@ -2737,8 +2781,21 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
         "j AS (SELECT id_a, id_b, "
         "round(len(list_intersect(sa.ds, sb.ds))::double / "
         "greatest(len(list_distinct(sa.ds || sb.ds)), 1), 6) AS jaccard "
-        "FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b) "
-        f"SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}"
+        "FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b), "
+        # components arm (r6): recursive transitive closure over the
+        # SAME verified pair set — label = min reachable id; the
+        # UNION (set) member dedups rows so cycles terminate
+        f"qp AS (SELECT id_a, id_b FROM j WHERE jaccard >= {threshold}), "
+        "ed AS (SELECT id_a AS s, id_b AS d FROM qp "
+        "UNION ALL SELECT id_b, id_a FROM qp), "
+        "rch(node, reach) AS ("
+        "  SELECT s, s FROM ed "
+        "  UNION "
+        "  SELECT rch.node, ed.d FROM rch JOIN ed ON ed.s = rch.reach) "
+        f"SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold} "
+        "UNION ALL "
+        "SELECT node AS id_a, min(reach) AS id_b, -1.0 AS jaccard "
+        "FROM rch GROUP BY node"
     )
 
 
@@ -3192,9 +3249,38 @@ def _weighted_funnel_oracle() -> str:
         "n::double, NULL::double FROM rgrid "
         "CROSS JOIN (VALUES ('retention'), ('sretention')) AS t(tag)"
     )
+    # conv arm (r6): the reset-on-completion fold as a RECURSIVE CTE —
+    # each recursion level completes one more journey via nested
+    # correlated step-mins strictly after the previous completion.
+    # NOTE: check_correctness/the driver prepend WITH for shared CTEs;
+    # DuckDB accepts RECURSIVE on a member CTE list via `WITH RECURSIVE`
+    # only at the head, so the whole query is wrapped with RECURSIVE.
+    conv_ctes = (
+        f"cev AS (SELECT user_id, epoch(ts) AS cts, event_type FROM events "
+        f"        WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        f"        AND event_type IN ('{steps[0]}', '{steps[1]}', '{steps[2]}')), "
+        "cj(cuser, cn, cend) AS ("
+        "  SELECT DISTINCT user_id, 0::BIGINT, '-infinity'::DOUBLE FROM cev "
+        "  UNION ALL "
+        "  SELECT cuser, cn + 1, t3 FROM ("
+        "    SELECT cj.cuser, cj.cn, "
+        f"      (SELECT min(p.cts) FROM cev p WHERE p.user_id = cj.cuser "
+        f"         AND p.event_type = '{steps[2]}' AND p.cts > ("
+        f"           SELECT min(c.cts) FROM cev c WHERE c.user_id = cj.cuser "
+        f"             AND c.event_type = '{steps[1]}' AND c.cts > ("
+        f"               SELECT min(v.cts) FROM cev v WHERE v.user_id = cj.cuser "
+        f"                 AND v.event_type = '{steps[0]}' AND v.cts > cj.cend))) AS t3 "
+        "    FROM cj) WHERE t3 IS NOT NULL)"
+    )
+    conv_rows = (
+        "SELECT 'conv', cuser::bigint, max(cn)::bigint, "
+        "round(max(cend), 6), max(cn)::double, NULL::double "
+        "FROM cj GROUP BY cuser HAVING max(cn) > 0"
+    )
     return (
-        f"WITH {funnel_ctes}, {retention_ctes} "
-        f"{wagg} UNION ALL {funnel_rows} UNION ALL {retention_rows}"
+        f"WITH RECURSIVE {funnel_ctes}, {retention_ctes}, {conv_ctes} "
+        f"{wagg} UNION ALL {funnel_rows} UNION ALL {retention_rows} "
+        f"UNION ALL {conv_rows}"
     )
 
 

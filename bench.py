@@ -45,7 +45,8 @@ HEADLINE = [
     "sql_window_first_order",
     "dedup_exact_groups",     # r4 pin shape: exact arm only (compat)
     "dedup_exact_groups_v2",  # r6 pin: + snapshot-diff arm
-    "dedup_minhash_pairs",
+    "dedup_minhash_pairs",     # r2 pin shape: pairs only (compat)
+    "dedup_minhash_pairs_v2",  # r6 pin: + connected-components arm
     "ann_topk",
     "text_quality",      # r2 pin shape: heuristic columns (compat)
     "text_quality_v2",   # r6 pin: + in-query NB + bigram-LM training

@@ -44,6 +44,7 @@ def test_bench_compat_shadows_only_versioned_pins():
         "text_quality",
         "sampling_suite",
         "dedup_exact_groups",
+        "dedup_minhash_pairs",
     }
     for name in overlap:
         assert entry.BENCH_COMPAT[name] is not qs[name], name
