@@ -95,6 +95,18 @@ def test_planted_cross_batch_duplicate(spark):
         incremental_near_dups(sn, so, threshold=1.5)
 
 
+def test_signature_width_mismatch_raises_in_pipeline(spark, docs):
+    """A store signed with different num_hashes must fail LOUDLY when
+    the job runs (in-pipeline assert — the former eager first() probes
+    cost two full signing jobs under the agg engine)."""
+    from zx_spark.operators.dedup import incremental_near_dups, signature_table
+
+    sn = signature_table(docs, "text", "doc_id", num_hashes=32)
+    so = signature_table(docs, "text", "doc_id", num_hashes=16)
+    with pytest.raises(Exception, match="num_hashes"):
+        incremental_near_dups(sn, so, num_hashes=32).collect()
+
+
 def test_estimator_tracks_exact_jaccard(spark, docs):
     """On real near-dup candidates the signature estimator must sit
     close to the exact shingle Jaccard (32 hashes → stderr ~0.09)."""

@@ -669,16 +669,30 @@ def incremental_near_dups(
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     # A history store signed with a DIFFERENT num_hashes would band-join
     # to nothing and the dedup stage would silently pass every duplicate
-    # — verify both sides' actual signature widths against the config
-    # (two first()-row probes, trivial next to the join).
-    for side, sigs in (("new", new_sigs), ("old", old_sigs)):
-        row = sigs.select(F.size("minhash").alias("n")).first()
-        if row is not None and row["n"] != num_hashes:
-            raise ValueError(
-                f"{side} signatures have {row['n']} minhashes but "
-                f"num_hashes={num_hashes} — the stores were signed with "
-                "different parameters and would silently never match"
-            )
+    # — verify every row's signature width INSIDE the pipeline. This was
+    # two first()-row probes through r6, which were trivial against the
+    # fold signing engine (narrow projection → one row evaluated) but
+    # became two FULL signing jobs against the agg engine (an
+    # aggregation cannot short-circuit for first(); measured ~3× on
+    # op_incremental_dedup). The assertion lives in a FILTER condition —
+    # a dropped helper column would let Catalyst prune the check away —
+    # and costs one codegen comparison per row.
+    def _width_checked(sigs: DataFrame, side: str) -> DataFrame:
+        chk = F.assert_true(
+            F.size("minhash") == num_hashes,
+            F.concat(
+                F.lit(
+                    f"{side} signatures width != num_hashes={num_hashes} "
+                    "(stores signed with different parameters would "
+                    "silently never match); got "
+                ),
+                F.size("minhash").cast("string"),
+            ),
+        )
+        return sigs.filter(chk.isNull())
+
+    new_sigs = _width_checked(new_sigs, "new")
+    old_sigs = _width_checked(old_sigs, "old")
     bn = minhash_bands(new_sigs, id_col, "minhash", bands)
     bo = minhash_bands(old_sigs, id_col, "minhash", bands)
     on = ["band_no", "band_hash"]
