@@ -1244,7 +1244,13 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     former non-SQL carve-out."""
     from zx_spark.operators.dedup import dup_components, near_dup_pairs
 
-    pairs = near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.5)
+    # localCheckpoint: dup_components' label-propagation rounds (and the
+    # final union branch) would otherwise re-execute the full signing +
+    # band-join pipeline from raw documents 4-6× — the suite's most
+    # CPU-bound stage, and this is a benched row
+    pairs = near_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.5
+    ).localCheckpoint()
     comp = dup_components(pairs).select(
         F.col("doc_id").alias("id_a"),
         F.col("component").alias("id_b"),
@@ -1990,8 +1996,6 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the planted margins are orders of magnitude away from every
     # threshold, so the oracle's exact-distinct re-derivation of the
     # flags matches deterministically.
-    import glob as _glob
-
     from zx_spark.streaming.drift import baseline_profile, drift_monitor_sink
 
     DRIFT_COLS = ["doc_id", "lang", "source", "val"]
@@ -2020,10 +2024,16 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .load(src_d)
     )
-    drift_monitor_sink(
+    dq = drift_monitor_sink(
         dstream, rep_d, baseline_profile(clean, DRIFT_COLS), cols=DRIFT_COLS,
         checkpoint_dir=ck_d, available_now=True,
-    ).awaitTermination(180)
+    )
+    if not dq.awaitTermination(180):
+        # a partial read + rmtree under a live query would produce a
+        # confusing row-count FAIL and an orphaned crashing stream —
+        # fail loudly instead
+        dq.stop()
+        raise TimeoutError("drift arm: availableNow drain exceeded 180s")
     reports = spark.read.parquet(rep_d)
     bit = (
         F.col("null_drift").cast("long")
