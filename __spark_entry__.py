@@ -685,12 +685,52 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_conversions").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
+
+    # ------- sconv arm (r6): the STREAMING conversion twin, DRAINED ----
+    # streaming/funnel.py streaming_conversion_counts emits a user's row
+    # whenever the count advances; single-file staging → one micro-batch
+    # → each converting user emits exactly their final (n, last_ts)
+    # (max() as a safety net). Must equal the batch fold — the same
+    # recursive-CTE oracle rows, re-tagged. This was the LAST
+    # in-test-only streaming twin.
+    from zx_spark.streaming.funnel import streaming_conversion_counts
+
+    stage_c = tempfile.mkdtemp(prefix="zx_sconv_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_c}/events.parquet")
+    cstream = _with_ts_normalized(
+        spark.readStream.format("parquet").schema(raw_schema).load(stage_c)
+    ).filter(F.col("user_id").isNotNull())
+    cname = f"zx_sconv_{uuid.uuid4().hex[:8]}"
+    cckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
+    run_available_now(
+        streaming_conversion_counts(cstream, FUNNEL_STEPS, watermark=None),
+        cname, cckpt, output_mode="append",
+    )
+    for d in (cckpt, stage_c):
+        _sh.rmtree(d, ignore_errors=True)
+    sconv = (
+        spark.table(cname)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_conversions").alias("__n"),
+            F.max("last_conversion_ts").alias("__last"),
+        )
+        .select(
+            F.lit("sconv").alias("g_event_type"),
+            F.col("user_id").cast("long").alias("window_start"),
+            F.col("__n").cast("long").alias("window_end"),
+            F.round(F.col("__last"), 6).alias("sum__value"),
+            F.col("__n").cast("double").alias("count__value"),
+            dnull.alias("mean__value"),
+        )
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
         .unionByName(sfun)
         .unionByName(sret)
         .unionByName(conv)
+        .unionByName(sconv)
     )
 
 
@@ -3282,10 +3322,13 @@ def _weighted_funnel_oracle() -> str:
         f"                 AND v.event_type = '{steps[0]}' AND v.cts > cj.cend))) AS t3 "
         "    FROM cj) WHERE t3 IS NOT NULL)"
     )
+    # 'sconv' (r6): the drained streaming conversion twin must match the
+    # same recursive derivation row for row
     conv_rows = (
-        "SELECT 'conv', cuser::bigint, max(cn)::bigint, "
+        "SELECT t.tag, cuser::bigint, max(cn)::bigint, "
         "round(max(cend), 6), max(cn)::double, NULL::double "
-        "FROM cj GROUP BY cuser HAVING max(cn) > 0"
+        "FROM cj CROSS JOIN (VALUES ('conv'), ('sconv')) AS t(tag) "
+        "GROUP BY t.tag, cuser HAVING max(cn) > 0"
     )
     return (
         f"WITH RECURSIVE {funnel_ctes}, {retention_ctes}, {conv_ctes} "
