@@ -724,6 +724,21 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             dnull.alias("mean__value"),
         )
     )
+    # ------- path arm (r6): common event paths (operators/paths.py) ----
+    # top-15 length-3 step sequences across users — the "what do people
+    # actually do" counterpart to the prescribed funnel; the oracle
+    # re-derives the per-user ordered sequences, trigram explode and
+    # deterministic top-k in SQL.
+    from zx_spark.operators.paths import common_paths
+
+    path = common_paths(ev, n=3, k=15, id_col="event_id").select(
+        F.concat(F.lit("path:"), F.col("path")).alias("g_event_type"),
+        F.col("n_occurrences").cast("long").alias("window_start"),
+        F.col("n_users").cast("long").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("n_occurrences").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
@@ -731,6 +746,7 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sret)
         .unionByName(conv)
         .unionByName(sconv)
+        .unionByName(path)
     )
 
 
@@ -2555,6 +2571,14 @@ def _bench_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bench_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: top-20 length-3 event paths over events
+    (operators/paths.py — one user shuffle + one path agg)."""
+    from zx_spark.operators.paths import common_paths
+
+    return common_paths(_events(spark, sf_dir), n=3, k=20, id_col="event_id")
+
+
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
     # Kept for baseline continuity after the registry merge into
@@ -2578,6 +2602,7 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_eval_auc": _bench_eval_auc,
     "op_dup_spans": _bench_dup_spans,
     "op_psi_drift": _bench_psi_drift,
+    "op_common_paths": _bench_paths,
     # ---- versioned pins (r6, VERDICT r5 What's-wrong #2): when a
     # driver row gains arms, its NAME keeps timing the originally
     # pinned shape and the grown row pins a fresh _v2 baseline —
@@ -3330,10 +3355,30 @@ def _weighted_funnel_oracle() -> str:
         "FROM cj CROSS JOIN (VALUES ('conv'), ('sconv')) AS t(tag) "
         "GROUP BY t.tag, cuser HAVING max(cn) > 0"
     )
+    # path arm (r6): per-user ordered step sequences → trigram explode →
+    # deterministic top-15 (count desc, path asc)
+    path_ctes = (
+        "pe AS (SELECT user_id, event_type, epoch(ts) AS pt, event_id "
+        "       FROM events WHERE user_id IS NOT NULL "
+        "       AND event_type IS NOT NULL AND ts IS NOT NULL), "
+        "pseq AS (SELECT user_id, "
+        "  list(event_type ORDER BY pt, event_id, event_type) AS steps "
+        "  FROM pe GROUP BY user_id), "
+        "pgr AS (SELECT user_id, array_to_string(steps[i:i+2], '>') AS pth "
+        "  FROM pseq, unnest(generate_series(1, greatest(len(steps) - 2, 0))) "
+        "  AS u(i)), "
+        "ptop AS (SELECT pth, count(*) AS po, count(DISTINCT user_id) AS pu "
+        "  FROM pgr GROUP BY pth ORDER BY po DESC, pth ASC LIMIT 15)"
+    )
+    path_rows = (
+        "SELECT 'path:' || pth, po::bigint, pu::bigint, "
+        "NULL::double, po::double, NULL::double FROM ptop"
+    )
     return (
-        f"WITH RECURSIVE {funnel_ctes}, {retention_ctes}, {conv_ctes} "
+        f"WITH RECURSIVE {funnel_ctes}, {retention_ctes}, {conv_ctes}, "
+        f"{path_ctes} "
         f"{wagg} UNION ALL {funnel_rows} UNION ALL {retention_rows} "
-        f"UNION ALL {conv_rows}"
+        f"UNION ALL {conv_rows} UNION ALL {path_rows}"
     )
 
 

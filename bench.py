@@ -84,6 +84,7 @@ HEADLINE = [
     "op_eval_auc",
     "op_dup_spans",
     "op_psi_drift",
+    "op_common_paths",
 ]
 
 

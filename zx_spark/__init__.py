@@ -41,6 +41,8 @@ _LAZY = {
     "numeric_psi": ("zx_spark.operators.datadrift", "numeric_psi"),
     "categorical_psi": ("zx_spark.operators.datadrift", "categorical_psi"),
     "drift_report": ("zx_spark.operators.datadrift", "drift_report"),
+    "common_paths": ("zx_spark.operators.paths", "common_paths"),
+    "next_step_distribution": ("zx_spark.operators.paths", "next_step_distribution"),
     "pack_concat": ("zx_spark.operators.packing", "pack_concat"),
     "pack_concat_stats": ("zx_spark.operators.packing", "pack_concat_stats"),
     "pack_greedy": ("zx_spark.operators.packing", "pack_greedy"),
