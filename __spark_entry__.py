@@ -585,23 +585,35 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from zx_spark.streaming import run_available_now
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _drain(build, prefix, filter_users=False):
+        """Shared single-file-staging availableNow drain for the three
+        streaming-twin arms; temp dirs are removed even when the drain
+        raises."""
+        stage = tempfile.mkdtemp(prefix=f"zx_{prefix}_")
+        ckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
+        name = f"zx_{prefix}_{uuid.uuid4().hex[:8]}"
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+            st = _with_ts_normalized(
+                spark.readStream.format("parquet").schema(raw_schema).load(stage)
+            )
+            if filter_users:
+                st = st.filter(F.col("user_id").isNotNull())
+            run_available_now(build(st), name, ckpt, output_mode="append")
+        finally:
+            for d in (ckpt, stage):
+                _sh.rmtree(d, ignore_errors=True)
+        return spark.table(name)
+
     from zx_spark.streaming.funnel import streaming_funnel
 
-    stage_dir = tempfile.mkdtemp(prefix="zx_sfunnel_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sstream = _with_ts_normalized(
-        spark.readStream.format("parquet").schema(raw_schema).load(stage_dir)
-    ).filter(F.col("user_id").isNotNull())
-    name = f"zx_sfunnel_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
-    run_available_now(
-        streaming_funnel(sstream, FUNNEL_STEPS, watermark=None),
-        name, ckpt, output_mode="append",
-    )
-    for d in (ckpt, stage_dir):
-        _sh.rmtree(d, ignore_errors=True)
-    per_user = spark.table(name).groupBy("user_id").agg(
+    per_user = _drain(
+        lambda st: streaming_funnel(st, FUNNEL_STEPS, watermark=None),
+        "sfunnel", filter_users=True,
+    ).groupBy("user_id").agg(
         F.max("steps_completed").alias("__mx")
     )
     counts = (
@@ -632,23 +644,13 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from zx_spark.streaming.retention import streaming_retention_pairs
 
-    stage_r = tempfile.mkdtemp(prefix="zx_sret_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_r}/events.parquet")
-    rstream = _with_ts_normalized(
-        spark.readStream.format("parquet").schema(raw_schema).load(stage_r)
-    )
-    rname = f"zx_sret_{uuid.uuid4().hex[:8]}"
-    rckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
-    run_available_now(
-        streaming_retention_pairs(
-            rstream, bucket_s=86400.0, watermark=None, max_tracked_buckets=4096
-        ),
-        rname, rckpt, output_mode="append",
-    )
-    for d in (rckpt, stage_r):
-        _sh.rmtree(d, ignore_errors=True)
     grid = (
-        spark.table(rname)
+        _drain(
+            lambda st: streaming_retention_pairs(
+                st, bucket_s=86400.0, watermark=None, max_tracked_buckets=4096
+            ),
+            "sret",
+        )
         .groupBy("cohort_bucket", "offset")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
@@ -695,21 +697,11 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-test-only streaming twin.
     from zx_spark.streaming.funnel import streaming_conversion_counts
 
-    stage_c = tempfile.mkdtemp(prefix="zx_sconv_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_c}/events.parquet")
-    cstream = _with_ts_normalized(
-        spark.readStream.format("parquet").schema(raw_schema).load(stage_c)
-    ).filter(F.col("user_id").isNotNull())
-    cname = f"zx_sconv_{uuid.uuid4().hex[:8]}"
-    cckpt = tempfile.mkdtemp(prefix="zx_ckpt_")
-    run_available_now(
-        streaming_conversion_counts(cstream, FUNNEL_STEPS, watermark=None),
-        cname, cckpt, output_mode="append",
-    )
-    for d in (cckpt, stage_c):
-        _sh.rmtree(d, ignore_errors=True)
     sconv = (
-        spark.table(cname)
+        _drain(
+            lambda st: streaming_conversion_counts(st, FUNNEL_STEPS, watermark=None),
+            "sconv", filter_users=True,
+        )
         .groupBy("user_id")
         .agg(
             F.max("n_conversions").alias("__n"),

@@ -20,8 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_US = "\x1f"  # unit separator — unambiguous path join for splitting back
-
 
 def user_step_sequences(
     df: DataFrame,
@@ -39,15 +37,20 @@ def user_step_sequences(
     order = [F.col(f"`{ts_col}`").cast("double").alias("__t")]
     if id_col is not None:
         order.append(F.col(f"`{id_col}`").alias("__i"))
-    ev = df.select(
-        F.col(f"`{user_col}`").alias("__u"),
-        F.col(f"`{step_col}`").cast("string").alias("__s"),
-        *order,
-    ).filter(
+    cond = (
         F.col("__u").isNotNull()
         & F.col("__s").isNotNull()
         & F.col("__t").isNotNull()
     )
+    if id_col is not None:
+        # NULL tie-break ids sort FIRST in Spark's sort_array but LAST
+        # in SQL ORDER BY — exclude them so both engines agree
+        cond = cond & F.col("__i").isNotNull()
+    ev = df.select(
+        F.col(f"`{user_col}`").alias("__u"),
+        F.col(f"`{step_col}`").cast("string").alias("__s"),
+        *order,
+    ).filter(cond)
     sort_struct = (
         F.struct("__t", "__i", "__s") if id_col is not None else F.struct("__t", "__s")
     )
@@ -76,7 +79,12 @@ def common_paths(
     """Top-``k`` length-``n`` step paths across all users:
     ``(path, n_occurrences, n_users)``, ordered by occurrences desc then
     path asc (deterministic). ``unique_per_user=True`` counts each path
-    at most once per user (``n_occurrences == n_users``)."""
+    at most once per user (``n_occurrences == n_users``).
+
+    ``sep`` must not occur in step values, or distinct paths collide
+    into one string (e.g. ["a>b","c"] vs ["a","b>c"] under the default
+    ``">"``); pass ``"\\x1f"`` (the unit separator) for arbitrary step
+    taxonomies."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if k < 1:
@@ -91,6 +99,11 @@ def common_paths(
     ).otherwise(F.array().cast("array<string>"))
     if unique_per_user:
         grams = F.array_distinct(grams)
+    # explode_outer + null-filter, not plain explode: Catalyst's
+    # InferFiltersFromGenerate would otherwise push a size(grams) > 0
+    # filter that re-builds the whole n-gram array per row (the tf_idf
+    # hazard); gram elements are never NULL so the filter restores inner
+    # semantics exactly
     ex = (
         seq.select(F.col(user_col).alias("__u"), F.explode_outer(grams).alias("path"))
         .filter(F.col("path").isNotNull())
@@ -113,26 +126,39 @@ def next_step_distribution(
 ) -> DataFrame:
     """Where users go AFTER ``from_step``: ``(next_step, n, frac)`` over
     every adjacent transition out of ``from_step`` (the Markov row a
-    sankey/flow view plots). Derived from the same bigram explode."""
-    # unit-separator join so step values containing spaces or '>' split
-    # back unambiguously
-    pairs = common_paths(
-        df, n=2, k=2**31 - 1, user_col=user_col, ts_col=ts_col,
-        step_col=step_col, id_col=id_col, sep=_US,
+    sankey/flow view plots).
+
+    A direct filtered aggregation — the ``from_step`` filter applies
+    BEFORE the count, so the shuffle carries only matching transitions
+    and no global sort or top-k ever exists in the plan; the total for
+    ``frac`` is a window over the aggregated (≤ distinct next steps)
+    frame, never a second pass over the data."""
+    from pyspark.sql import Window
+
+    seq = user_step_sequences(df, user_col, ts_col, step_col, id_col)
+    bigrams = F.when(
+        F.size("steps") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("steps") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("steps"), i + 1).alias("cur"),
+                F.element_at(F.col("steps"), i + 2).alias("nxt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<cur:string,nxt:string>>"))
+    ex = (
+        seq.select(F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull() & (F.col("bg.cur") == from_step))
     )
-    out = (
-        pairs.withColumn("__parts", F.split("path", _US))
-        .filter(F.col("__parts")[0] == from_step)
-        .select(
-            F.col("__parts")[1].alias("next_step"),
-            F.col("n_occurrences").alias("n"),
-        )
+    agg = ex.groupBy(F.col("bg.nxt").alias("next_step")).agg(
+        F.count(F.lit(1)).alias("n")
     )
-    total = out.agg(F.sum("n").alias("__tot"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        out.crossJoin(F.broadcast(total))
+        agg.withColumn("__tot", F.sum("n").over(w_all))
         .select(
-            "next_step", "n", F.round(F.col("n") / F.col("__tot"), round_dp).alias("frac")
+            "next_step", "n",
+            F.round(F.col("n") / F.col("__tot"), round_dp).alias("frac"),
         )
         .orderBy(F.col("n").desc(), F.col("next_step").asc())
     )
