@@ -1325,7 +1325,16 @@ def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only those sharing a rarest-hash token. Both keys are deterministic
     candidate-generation tradeoffs, IDENTICAL in the DuckDB oracle — a
     qualifying pair can be missed (bucket edge, band disagreement), never
-    wrongly emitted. The recall-exact path is dedup_minhash_pairs."""
+    wrongly emitted. The recall-exact path is dedup_minhash_pairs.
+
+    fuzzy arm (r6): edit_distance_join (PassJoin pigeonhole blocking,
+    operators/joins.py) between the DISTINCT part-name dictionary
+    (id = min partkey per name; the driver's part table repeats few
+    names, so raw rows would only multiply identical pairs) and a
+    deterministically corrupted copy (one char deleted at an md5-derived
+    position, id offset +1_000_000). The blocking is EXACT-recall, so
+    the oracle is the brute-force levenshtein nested loop — rows tagged
+    as jaccard = -100.0 - distance (disjoint from the real [0,1] range)."""
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
@@ -1349,7 +1358,7 @@ def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset"))).cast("double")
     union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset"))).cast("double")
-    return (
+    pairs = (
         a.join(
             b,
             on=[
@@ -1366,6 +1375,39 @@ def q_jaccard_wordset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.6)
     )
+
+    from zx_spark.operators.joins import edit_distance_join
+
+    # Entity-resolution shape: match the DISTINCT name dictionary (the
+    # driver's part table repeats few names thousands of times — joining
+    # raw rows would just multiply identical string pairs quadratically).
+    names = (
+        read_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").cast("long").alias("nid"))
+    )
+    # Deterministic single-char deletion at an md5-derived position —
+    # same 60-bit hex-prefix hash family as the band key above.
+    pos = (
+        F.conv(F.substring(F.md5(F.col("nid").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.length("p_name")
+    ).cast("int")
+    corrupted = names.select(
+        (F.col("nid") + 1000000).alias("cid"),
+        F.concat(
+            F.substring(F.col("p_name"), F.lit(1), pos),
+            F.substring(F.col("p_name"), pos + 2, F.length("p_name")),
+        ).alias("cname"),
+    )
+    fuzzy = edit_distance_join(
+        names, corrupted, "p_name", "cname", "nid", "cid", max_dist=1
+    ).select(
+        F.col("nid").alias("id_a"),
+        F.col("cid").cast("long").alias("id_b"),
+        (F.lit(-100.0) - F.col("distance")).alias("jaccard"),
+    )
+    return pairs.unionByName(fuzzy)
 
 
 def q_ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3889,7 +3931,24 @@ def oracle_sql() -> dict[str, str]:
             "AND a.len_bucket = b.len_bucket AND a.band = b.band "
             "AND a.doc_id < b.doc_id "
             "WHERE round(len(list_intersect(a.tokset, b.tokset))::double / "
-            "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) >= 0.6"
+            "len(list_distinct(list_cat(a.tokset, b.tokset)))::double, 6) >= 0.6 "
+            # fuzzy arm: brute-force levenshtein nested loop — the Spark
+            # side's PassJoin blocking is exact-recall, so the results
+            # must agree row-for-row (length band |Δ|<=1 is a necessary
+            # condition for distance<=1, pure pruning).
+            "UNION ALL "
+            "SELECT n.nid AS id_a, c.cid AS id_b, "
+            "-100.0 - levenshtein(n.p_name, c.cname) AS jaccard "
+            "FROM (SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name) n "
+            "JOIN ("
+            "SELECT nid + 1000000 AS cid, "
+            "substr(p_name, 1, pos) || substr(p_name, pos + 2) AS cname "
+            "FROM (SELECT nid, p_name, "
+            "(('0x'||substr(md5(nid::varchar),1,15))::bigint "
+            "% length(p_name))::int AS pos "
+            "FROM (SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name))) c "
+            "ON abs(length(n.p_name) - length(c.cname)) <= 1 "
+            "AND levenshtein(n.p_name, c.cname) <= 1"
         ),
         "emb_near_pairs_lsh": _rp_lsh_oracle(),
         "text_pii_redact": _pii_oracle(),
