@@ -2275,7 +2275,20 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings only, per-query top-k; the corpus never shuffles). Arm rows
     are tagged ``token = 'bm25:<query_id>:r<rank>'`` so the rank is
     hash-verified too; the oracle re-derives BM25 from the raw parquet
-    with the Lucene idf form ``ln(1+(N-df+.5)/(df+.5))``."""
+    with the Lucene idf form ``ln(1+(N-df+.5)/(df+.5))``.
+
+    bpe arm (r6 s3): the FIRST-8 BPE merges learned from the corpus
+    (functions/bpe.py bpe_train — distributed word counts, driver-side
+    merge loop), emitted as ``doc_id = -rank, token =
+    'bpe:<rank>:<left>+<right>'``. The oracle re-learns the merges
+    INDEPENDENTLY with an unrolled 8-step CTE chain (_bpe_oracle_cte):
+    per step, weighted adjacent-pair counts → argmax with the exact
+    (count desc, pair lexicographic) tie-break → greedy left-to-right
+    merge application via gaps-and-islands parity. This closes the last
+    'iterative ⇒ not SQL-expressible' carve-out: merge learning IS
+    SQL-expressible for any FIXED number of merges — only the unbounded
+    num_merges=200 production setting stays driver-side."""
+    from zx_spark.functions.bpe import bpe_train
     from zx_spark.functions.text import tf_idf_top_terms
     from zx_spark.operators.search import bm25_search
 
@@ -2288,7 +2301,15 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
         F.col("bm25").alias("tfidf"),
     )
-    return tfidf.unionByName(bm25)
+    merges = bpe_train(docs, "text", num_merges=BPE_ORACLE_MERGES)
+    bpe = spark.createDataFrame(
+        [
+            (-(i + 1), f"bpe:{i + 1}:{a}+{b}", float(i + 1))
+            for i, (a, b) in enumerate(merges)
+        ],
+        "doc_id long, token string, tfidf double",
+    )
+    return tfidf.unionByName(bm25).unionByName(bpe)
 
 
 def _events_keyed_secs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2664,6 +2685,72 @@ _WINDOW_COLS = (
 )
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+# text_tfidf bpe arm: merges re-learned by the oracle for this many
+# unrolled steps — the Spark side trains with the same num_merges.
+BPE_ORACLE_MERGES = 8
+
+
+def _bpe_oracle_cte(k: int) -> str:
+    """Independent SQL re-derivation of ``bpe_train`` for a FIXED number
+    of merges — one CTE block per merge step, so 'iterative' does not
+    mean 'not SQL-expressible' (same spirit as the recursive-CTE
+    closures for repeat conversions and connected components; here the
+    bound is static, so plain unrolling suffices and no recursion is
+    needed).
+
+    Per step s over state v{s-1} = (word, cnt, syms LIST):
+    - e: explode adjacent positions; p: weighted pair counts;
+    - b: the argmax pair with bpe_train's exact ordering
+      (count desc, then lexicographically smallest pair) and the
+      min_frequency=2 floor — an empty b makes every later step a
+      no-op, matching the trainer's early stop;
+    - m/k: greedy LEFT-TO-RIGHT application — overlapping matches (runs
+      of 'aaa' under merge (a,a)) resolve by keeping even offsets
+      within each gaps-and-islands run, exactly the trainer's i += 2;
+    - f/v: rebuild syms, dropping positions consumed by a kept merge.
+
+    MATERIALIZED is load-bearing: e{s} and f{s} both read v{s-1}, so
+    inlined CTEs would re-expand the whole chain 2^k times."""
+    parts = [
+        "wc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM ("
+        f"SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w), "
+        "v0 AS MATERIALIZED (SELECT word, cnt, "
+        "list_append(list_transform(range(1, length(word)+1), i -> word[i]), "
+        "'</w>') AS syms FROM wc)"
+    ]
+    for s in range(1, k + 1):
+        v = s - 1
+        parts.append(
+            f", e{s} AS MATERIALIZED (SELECT word, cnt, syms, "
+            f"unnest(range(1, len(syms))) AS i FROM v{v}), "
+            f"p{s} AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS n "
+            f"FROM e{s} GROUP BY 1, 2), "
+            f"b{s} AS MATERIALIZED (SELECT a, b FROM p{s} WHERE n >= 2 "
+            "ORDER BY n DESC, a, b LIMIT 1), "
+            f"m{s} AS (SELECT word, i FROM e{s}, b{s} "
+            f"WHERE syms[i] = b{s}.a AND syms[i+1] = b{s}.b), "
+            f"k{s} AS MATERIALIZED (SELECT word, i FROM ("
+            "SELECT word, i, min(i) OVER (PARTITION BY word, isl) AS i0 "
+            "FROM (SELECT word, i, i - row_number() OVER "
+            f"(PARTITION BY word ORDER BY i) AS isl FROM m{s})) "
+            "WHERE (i - i0) % 2 = 0), "
+            f"f{s} AS (SELECT word, cnt, syms, "
+            f"unnest(range(1, len(syms)+1)) AS i FROM v{v}), "
+            f"v{s} AS MATERIALIZED (SELECT f.word, f.cnt, "
+            "list(CASE WHEN km.i IS NOT NULL THEN f.syms[f.i] || f.syms[f.i+1] "
+            "ELSE f.syms[f.i] END ORDER BY f.i) AS syms "
+            f"FROM f{s} f "
+            f"LEFT JOIN k{s} km ON km.word = f.word AND km.i = f.i "
+            f"LEFT JOIN k{s} kp ON kp.word = f.word AND kp.i = f.i - 1 "
+            "WHERE kp.i IS NULL GROUP BY f.word, f.cnt)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {s} AS rank, a, b FROM b{s}" for s in range(1, k + 1)
+    )
+    return "WITH " + "".join(parts) + " " + sel
+
+
 _EN_STOP = "['the','a','and','of','to','in','is','that','it','for']"
 _DE_STOP = "['der','die','das','und','ist','nicht','ein','mit','für','auf']"
 _FR_STOP = "['le','la','les','et','est','un','une','pour','dans','que']"
@@ -4263,7 +4350,16 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN bstats GROUP BY q.query_id, btf.doc_id), "
             "br AS (SELECT *, row_number() OVER (PARTITION BY query_id "
             "ORDER BY bm25 DESC, doc_id ASC) AS rank FROM bsc) "
-            "SELECT query_id, doc_id, bm25, rank FROM br WHERE rank <= 8)"
+            "SELECT query_id, doc_id, bm25, rank FROM br WHERE rank <= 8) "
+            # r6 s3 bpe arm: the oracle RE-LEARNS the first 8 BPE merges
+            # from raw parquet via the unrolled CTE chain — fully
+            # independent of the Spark trainer's driver loop.
+            "UNION ALL "
+            "SELECT (-rank)::bigint AS doc_id, "
+            "'bpe:' || rank || ':' || a || '+' || b AS token, "
+            "rank::double AS tfidf FROM ("
+            + _bpe_oracle_cte(BPE_ORACLE_MERGES)
+            + ")"
         ),
         "multimodal_decode": (
             # The fake decoder is deliberately md5-derived (multimodal.py

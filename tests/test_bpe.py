@@ -107,3 +107,51 @@ def test_apply_on_driver_corpus_reconstructs(spark):
     for r in got:
         expect = " ".join(r["text"].lower().split())
         assert "".join(r["toks"]).replace(END_OF_WORD, " ").strip() == expect
+
+
+def test_sql_oracle_matches_trainer_on_adversarial_corpus(spark):
+    """The unrolled DuckDB merge-learning oracle (__spark_entry__.
+    _bpe_oracle_cte) vs bpe_train on a corpus built to hit the hard
+    cases the driver corpus may never exercise: overlapping same-symbol
+    runs ('aaaa' under merge (a,a) must pair greedily left-to-right),
+    exact count ties (lexicographic pair tie-break), and a merged token
+    that re-participates in later merges."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    texts = [
+        "aaaa aaaa aa",          # run-parity: (a,a) then (aa,aa)
+        "abab abab ab",          # tie candidates (a,b) vs (b,a)
+        "zz zz zz zz",           # high-count two-char words
+        "aaaa abab zz",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = bpe_train(df, num_merges=6, min_frequency=2)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id bigint, text varchar)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = [
+        (a, b)
+        for _, a, b in con.execute(
+            entry._bpe_oracle_cte(6) + " ORDER BY rank"
+        ).fetchall()
+    ]
+    assert got == want
+    # early stop: a corpus where nothing reaches min_frequency=2 after
+    # the first merges — both sides must truncate identically
+    texts2 = [("xy",), ("qr",)]
+    df2 = spark.createDataFrame([(i, t[0]) for i, t in enumerate(texts2)], "doc_id long, text string")
+    want2 = bpe_train(df2, num_merges=6, min_frequency=2)
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE documents(doc_id bigint, text varchar)")
+    con2.executemany("INSERT INTO documents VALUES (?, ?)", [(i, t[0]) for i, t in enumerate(texts2)])
+    got2 = [
+        (a, b)
+        for _, a, b in con2.execute(
+            entry._bpe_oracle_cte(6) + " ORDER BY rank"
+        ).fetchall()
+    ]
+    assert got2 == want2

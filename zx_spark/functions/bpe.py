@@ -22,9 +22,13 @@ Spark's execution model:
 
 Determinism: training twice on the same data yields byte-identical merge
 lists; encoding is a pure function of (text, merges). Both are pinned by
-tests/test_bpe.py. No SQL oracle — the merge recursion is not
-expressible in ANSI SQL; the driver ledger carries this as test-pinned
-(same carve-out as dup_components).
+tests/test_bpe.py. Merge learning also has a DRIVER-VERIFIED SQL oracle
+for any fixed number of merges: an unrolled per-step CTE chain (pair
+counts → argmax with the exact tie-break → greedy left-to-right
+application via gaps-and-islands parity) re-learns the first K merges
+independently in DuckDB (__spark_entry__._bpe_oracle_cte, the
+``text_tfidf`` bpe arm) — only the unbounded production num_merges
+stays driver-side.
 
 No reference parity — the reference engine (src/lib.rs) has no
 tokenizer; beyond-reference surface for LLM corpus curation.
