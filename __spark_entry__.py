@@ -532,7 +532,11 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       the same semantics, not an echo.
     - ``retention`` rows — retention_cohorts daily grid: cohort start
       seconds in window_start, offset in window_end, active users in
-      count__value, retained fraction in sum__value."""
+      count__value, retained fraction in sum__value.
+    - ``cooc:<a>+<b>`` rows (r6 s3) — within-user event-type
+      co-occurrence support counts (operators/basket.py), oracle =
+      the distinct-distinct equi-join the operator's bounded in-row
+      pair transform replaces (cap included)."""
     q = Query(
         selects=[
             Select("value", Aggregate.SUM),
@@ -731,6 +735,24 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occurrences").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
+    # ------- cooc arm (r6 s3): within-user event-type co-occurrence ----
+    # (operators/basket.py — distinct → per-group lexicographic cap →
+    # in-row pair transform → one pair agg; no self-join). The oracle
+    # re-derives it as the distinct-distinct equi-join it replaces.
+    from zx_spark.operators.basket import cooccurrence_pairs
+
+    cooc = cooccurrence_pairs(
+        ev, "user_id", "event_type", min_count=2, max_items_per_group=64
+    ).select(
+        F.concat(
+            F.lit("cooc:"), F.col("item_a"), F.lit("+"), F.col("item_b")
+        ).alias("g_event_type"),
+        F.col("n_groups").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("n_groups").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
@@ -739,6 +761,7 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(conv)
         .unionByName(sconv)
         .unionByName(path)
+        .unionByName(cooc)
     )
 
 
@@ -3495,11 +3518,28 @@ def _weighted_funnel_oracle() -> str:
         "SELECT 'path:' || pth, po::bigint, pu::bigint, "
         "NULL::double, po::double, NULL::double FROM ptop"
     )
+    # cooc arm (r6 s3): within-user event-type co-occurrence. The oracle
+    # re-derives it as the distinct-distinct equi-join the operator
+    # replaces, INCLUDING the per-group lexicographic-first-64 cap (a
+    # no-op at driver cardinalities, reproduced anyway for fidelity).
+    cooc_ctes = (
+        "qdi AS (SELECT DISTINCT user_id AS qg, event_type AS qi FROM events "
+        "        WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+        "qcap AS (SELECT qg, qi FROM (SELECT qg, qi, row_number() OVER "
+        "        (PARTITION BY qg ORDER BY qi) AS qrn FROM qdi) WHERE qrn <= 64), "
+        "qpairs AS (SELECT a.qi AS qa, b.qi AS qb, count(*) AS qn "
+        "  FROM qcap a JOIN qcap b ON a.qg = b.qg AND a.qi < b.qi "
+        "  GROUP BY 1, 2 HAVING count(*) >= 2)"
+    )
+    cooc_rows = (
+        "SELECT 'cooc:' || qa || '+' || qb, qn::bigint, 0::bigint, "
+        "NULL::double, qn::double, NULL::double FROM qpairs"
+    )
     return (
         f"WITH RECURSIVE {funnel_ctes}, {retention_ctes}, {conv_ctes}, "
-        f"{path_ctes} "
+        f"{path_ctes}, {cooc_ctes} "
         f"{wagg} UNION ALL {funnel_rows} UNION ALL {retention_rows} "
-        f"UNION ALL {conv_rows} UNION ALL {path_rows}"
+        f"UNION ALL {conv_rows} UNION ALL {path_rows} UNION ALL {cooc_rows}"
     )
 
 
