@@ -2714,7 +2714,7 @@ _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 BPE_ORACLE_MERGES = 8
 
 
-def _bpe_oracle_cte(k: int) -> str:
+def _bpe_oracle_cte(k: int, max_vocab: int = 50_000) -> str:
     """Independent SQL re-derivation of ``bpe_train`` for a FIXED number
     of merges — one CTE block per merge step, so 'iterative' does not
     mean 'not SQL-expressible' (same spirit as the recursive-CTE
@@ -2734,10 +2734,17 @@ def _bpe_oracle_cte(k: int) -> str:
     - f/v: rebuild syms, dropping positions consumed by a kept merge.
 
     MATERIALIZED is load-bearing: e{s} and f{s} both read v{s-1}, so
-    inlined CTEs would re-expand the whole chain 2^k times."""
+    inlined CTEs would re-expand the whole chain 2^k times.
+
+    The ``max_vocab`` cap mirrors word_counts()'s TakeOrdered truncation
+    (count desc, word asc — deterministic): without it the two sides
+    would train on different word tables once a corpus exceeds the cap
+    (driver corpora are far below it, but the oracle must reproduce the
+    trainer's contract, not the current data's)."""
     parts = [
         "wc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM ("
-        f"SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w), "
+        f"SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w "
+        f"ORDER BY cnt DESC, word LIMIT {max_vocab}), "
         "v0 AS MATERIALIZED (SELECT word, cnt, "
         "list_append(list_transform(range(1, length(word)+1), i -> word[i]), "
         "'</w>') AS syms FROM wc)"

@@ -155,3 +155,38 @@ def test_sql_oracle_matches_trainer_on_adversarial_corpus(spark):
         ).fetchall()
     ]
     assert got2 == want2
+
+
+def test_sql_oracle_reproduces_max_vocab_cap(spark):
+    """The oracle's wc CTE must truncate to the trainer's max_vocab with
+    the same (count desc, word asc) rule — on a corpus larger than the
+    cap, an uncapped oracle trains on words the trainer never saw."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    # cap = 2 keeps {xy, xz}; the excluded zz/zy still carry enough
+    # (z,</w>) mass to flip the first merge if the cap were missing
+    words = ["xy"] * 9 + ["xz"] * 8 + ["zz"] * 7 + ["zy"] * 7
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = bpe_train(df, num_merges=4, max_vocab=2, min_frequency=2)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id bigint, text varchar)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = [
+        (a, b)
+        for _, a, b in con.execute(
+            entry._bpe_oracle_cte(4, max_vocab=2) + " ORDER BY rank"
+        ).fetchall()
+    ]
+    assert got == want
+    # and the uncapped oracle must differ here, proving the cap binds
+    uncapped = [
+        (a, b)
+        for _, a, b in con.execute(
+            entry._bpe_oracle_cte(4) + " ORDER BY rank"
+        ).fetchall()
+    ]
+    assert uncapped != want

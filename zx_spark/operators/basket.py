@@ -19,9 +19,14 @@ BEFORE any pair is materialized:
 - one final hash aggregation on the pair key with a ``min_count``
   support floor.
 
-Scale shape: two keyed shuffles (distinct + pair agg; the cap window
-reuses the distinct's partitioning when AQE keeps the same key) and a
-bounded explode — no crossJoin, no per-row Python.
+Scale shape: three keyed shuffles — distinct on (group, item), the cap
+window on group (a DIFFERENT key, so this exchange is not elidable;
+the collect_list groupBy after it does reuse the window's
+partitioning), and the pair agg on (item_a, item_b) — plus a bounded
+explode. No crossJoin, no self-join, no per-row Python. The
+memory-bounded cap is worth its extra exchange: the one-shuffle
+alternative (collect_set then truncate) materializes a hot group's
+full distinct-item set on one executor before capping.
 
 Reference scope: the reference engine (src/lib.rs) has no join or
 array machinery; beyond-reference surface for affinity analysis over

@@ -292,10 +292,13 @@ def edit_distance_join(
     Unlike the recall-tradeoff blockings (``jaccard_wordset_pairs``'s
     band key), the pigeonhole is a NECESSARY condition — the result
     equals the brute-force nested loop exactly, which is what the DuckDB
-    oracle runs. Scale shape: two shuffles (segment join, pair distinct)
-    plus one id join-back for the right string; the segment key includes
-    ``(L, i)`` so hot segments spread, and AQE skew-split covers the
-    rest. Cost grows O(k³) per right row — ``max_dist`` is capped at 3;
+    oracle runs. Scale shape: the exploded sides carry only (id,
+    segment key) — fixed-width rows — through the two big shuffles
+    (segment join, pair distinct); both strings join back by id only
+    for the distinct surviving pairs, so string bytes never multiply by
+    the explode factor. The segment key includes ``(L, i)`` so hot
+    segments spread, and AQE skew-split covers the rest. Cost grows
+    O(k³) per right row — ``max_dist`` is capped at 3;
     at that point you want token-level similarity (MinHash) anyway.
 
     Null texts on either side are dropped (they can't match anything).
@@ -359,29 +362,34 @@ def edit_distance_join(
             F.flatten(F.transform(F.sequence(F.lit(-k), F.lit(k)), per_shift))
         )
 
-    lex = (
+    # Both exploded sides carry ONLY (id, join key) — never the text —
+    # so the two big shuffles (segment join, candidate distinct) move
+    # fixed-width rows; each side's string joins back by id once, after
+    # the candidate pair set has collapsed to its distinct survivors.
+    lstr = (
         left.select(F.col(left_id).alias("__ed_lid"), F.col(left_text).alias("__ed_s"))
         .filter(s.isNotNull())
-        .select("__ed_lid", "__ed_s", F.explode(_left_segments()).alias("__ed_k"))
-        .select("__ed_lid", "__ed_s", "__ed_k.slen", "__ed_k.seg_i", "__ed_k.seg")
-    )
-    rex = (
-        right.select(F.col(right_id).alias("__ed_rid"), F.col(right_text).alias("__ed_t"))
-        .filter(t.isNotNull())
-        .select("__ed_rid", F.explode(_right_candidates()).alias("__ed_k"))
-        .select("__ed_rid", "__ed_k.slen", "__ed_k.seg_i", "__ed_k.seg")
-    )
-    candidates = (
-        lex.join(rex, on=["slen", "seg_i", "seg"])
-        .select("__ed_lid", "__ed_s", "__ed_rid")
-        .distinct()
     )
     rstr = (
         right.select(F.col(right_id).alias("__ed_rid"), F.col(right_text).alias("__ed_t"))
         .filter(t.isNotNull())
     )
+    lex = (
+        lstr.select("__ed_lid", F.explode(_left_segments()).alias("__ed_k"))
+        .select("__ed_lid", "__ed_k.slen", "__ed_k.seg_i", "__ed_k.seg")
+    )
+    rex = (
+        rstr.select("__ed_rid", F.explode(_right_candidates()).alias("__ed_k"))
+        .select("__ed_rid", "__ed_k.slen", "__ed_k.seg_i", "__ed_k.seg")
+    )
+    candidates = (
+        lex.join(rex, on=["slen", "seg_i", "seg"])
+        .select("__ed_lid", "__ed_rid")
+        .distinct()
+    )
     return (
-        candidates.join(rstr, on="__ed_rid")
+        candidates.join(lstr, on="__ed_lid")
+        .join(rstr, on="__ed_rid")
         .withColumn("__ed_d", F.levenshtein(s, t, k))
         .filter(F.col("__ed_d") >= 0)
         .select(
