@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from pyspark.sql import functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from zx_spark.operators.basket import cooccurrence_pairs
 
@@ -87,3 +88,35 @@ def test_driver_events_shape(spark):
     out = cooccurrence_pairs(ev, "user_id", "event_type", min_count=2).collect()
     assert all(r["item_a"] < r["item_b"] for r in out)
     assert len(out) >= 1
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=40,
+    ),
+    min_count=st.integers(min_value=1, max_value=3),
+)
+def test_property_equals_brute_force(spark, rows, min_count):
+    import itertools
+
+    df = spark.createDataFrame(rows, "g int, item string")
+    got = sorted(
+        tuple(r)
+        for r in cooccurrence_pairs(df, "g", "item", min_count=min_count).collect()
+    )
+    sets = {}
+    for g, i in rows:
+        sets.setdefault(g, set()).add(i)
+    counts = {}
+    for items in sets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = sorted((a, b, n) for (a, b), n in counts.items() if n >= min_count)
+    assert got == want

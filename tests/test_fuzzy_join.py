@@ -133,3 +133,25 @@ def test_property_equals_brute_force(spark, strings, k):
         if _ed(a, b) <= k
     )
     assert got == want
+
+
+def test_resolve_entities_chains_collapse(spark):
+    """'jon smith' ~ 'john smith' ~ 'john smyth' are pairwise within 1
+    edit of a shared neighbor but the chain ends are 2 apart — all three
+    must still share one entity_id (the minimum id in the chain)."""
+    from zx_spark.operators.joins import resolve_entities
+
+    rows = [
+        (10, "jon smith"),
+        (11, "john smith"),
+        (12, "john smyth"),
+        (20, "alice jones"),
+        (21, "alice jones"),   # exact dup
+        (30, "unrelated name"),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = {r["id"]: r["entity_id"] for r in resolve_entities(df, "name", "id", max_dist=1).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+    # original columns survive
+    cols = resolve_entities(df, "name", "id").columns
+    assert cols == ["id", "name", "entity_id"]

@@ -419,3 +419,32 @@ def edit_distance_dedup_pairs(
         max_dist=max_dist,
     )
     return out.filter(F.col("id_a") < F.col("id_b"))
+
+
+def resolve_entities(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+    max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end entity resolution: fuzzy self-match → connected
+    components → canonical id. Adds an ``entity_id`` column: the minimum
+    id reachable through any CHAIN of ≤``max_dist``-edit matches ("Jon
+    Smith" ~ "John Smith" ~ "John Smyth" collapse to one entity even
+    though the ends are 2 edits apart); records with no fuzzy match keep
+    their own id. Composition of the two scale-safe primitives —
+    ``edit_distance_dedup_pairs`` (exact-recall PassJoin blocking) and
+    ``dup_components`` (label propagation over the PAIR list, never the
+    corpus) — so the iterative part touches only matched ids."""
+    from zx_spark.operators.dedup import dup_components
+
+    pairs = edit_distance_dedup_pairs(df, text_col, id_col, max_dist=max_dist)
+    comp = dup_components(pairs, "id_a", "id_b", max_iter=max_iter).select(
+        F.col("doc_id").alias(id_col), "component"
+    )
+    return (
+        df.join(comp, on=id_col, how="left")
+        .withColumn("entity_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
