@@ -536,7 +536,11 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``cooc:<a>+<b>`` rows (r6 s3) — within-user event-type
       co-occurrence support counts (operators/basket.py), oracle =
       the distinct-distinct equi-join the operator's bounded in-row
-      pair transform replaces (cap included)."""
+      pair transform replaces (cap included).
+    - ``scooc:<a>+<b>`` rows (r6 s3) — the DRAINED streaming twin
+      (streaming/basket.py): single-file staging → one micro-batch →
+      the per-group emitted-once pair set aggregated per pair must
+      equal the same support counts."""
     q = Query(
         selects=[
             Select("value", Aggregate.SUM),
@@ -753,6 +757,34 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_groups").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
+    # ------- scooc arm (r6 s3): the STREAMING co-occurrence twin, ------
+    # DRAINED. Single-file staging → one micro-batch, so the arrival-
+    # order cap cannot bind (5 event types « 64) and the emitted pair
+    # set aggregated per pair must equal the batch support counts — the
+    # SAME qpairs oracle rows, re-tagged 'scooc:'.
+    from zx_spark.streaming.basket import streaming_cooccurrence
+
+    scooc = (
+        _drain(
+            lambda st: streaming_cooccurrence(
+                st, "user_id", "event_type", max_items_per_group=64
+            ),
+            "scooc",
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(
+            F.concat(
+                F.lit("scooc:"), F.col("item_a"), F.lit("+"), F.col("item_b")
+            ).alias("g_event_type"),
+            F.col("__n").alias("window_start"),
+            F.lit(0).cast("long").alias("window_end"),
+            dnull.alias("sum__value"),
+            F.col("__n").cast("double").alias("count__value"),
+            dnull.alias("mean__value"),
+        )
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
@@ -762,6 +794,7 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sconv)
         .unionByName(path)
         .unionByName(cooc)
+        .unionByName(scooc)
     )
 
 
@@ -3538,9 +3571,12 @@ def _weighted_funnel_oracle() -> str:
         "  FROM qcap a JOIN qcap b ON a.qg = b.qg AND a.qi < b.qi "
         "  GROUP BY 1, 2 HAVING count(*) >= 2)"
     )
-    cooc_rows = (
-        "SELECT 'cooc:' || qa || '+' || qb, qn::bigint, 0::bigint, "
+    # 'scooc:' (r6 s3): the drained streaming-co-occurrence twin must
+    # match the SAME support counts row for row
+    cooc_rows = " UNION ALL ".join(
+        f"SELECT '{tag}:' || qa || '+' || qb, qn::bigint, 0::bigint, "
         "NULL::double, qn::double, NULL::double FROM qpairs"
+        for tag in ("cooc", "scooc")
     )
     return (
         f"WITH RECURSIVE {funnel_ctes}, {retention_ctes}, {conv_ctes}, "
