@@ -155,3 +155,14 @@ def test_resolve_entities_chains_collapse(spark):
     # original columns survive
     cols = resolve_entities(df, "name", "id").columns
     assert cols == ["id", "name", "entity_id"]
+
+
+def test_resolve_entities_clash_guard(spark):
+    from zx_spark.operators.joins import resolve_entities
+
+    df = spark.createDataFrame([(1, "x", 9)], "id int, name string, entity_id int")
+    with pytest.raises(ValueError, match="rename them first"):
+        resolve_entities(df, "name", "id")
+    df2 = spark.createDataFrame([(1, "x", 9)], "id int, name string, component int")
+    with pytest.raises(ValueError, match="rename them first"):
+        resolve_entities(df2, "name", "id")

@@ -436,15 +436,23 @@ def resolve_entities(
     their own id. Composition of the two scale-safe primitives —
     ``edit_distance_dedup_pairs`` (exact-recall PassJoin blocking) and
     ``dup_components`` (label propagation over the PAIR list, never the
-    corpus) — so the iterative part touches only matched ids."""
+    corpus) — so the iterative part touches only matched ids. The
+    components table (matched ids only — usually a sliver of the
+    corpus) is broadcast so the corpus itself never shuffles."""
     from zx_spark.operators.dedup import dup_components
 
+    clash = {"entity_id", "component"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"df already has column(s) {sorted(clash)} — the result would "
+            "be ambiguous or silently overwritten; rename them first"
+        )
     pairs = edit_distance_dedup_pairs(df, text_col, id_col, max_dist=max_dist)
     comp = dup_components(pairs, "id_a", "id_b", max_iter=max_iter).select(
         F.col("doc_id").alias(id_col), "component"
     )
     return (
-        df.join(comp, on=id_col, how="left")
+        df.join(F.broadcast(comp), on=id_col, how="left")
         .withColumn("entity_id", F.coalesce("component", F.col(id_col)))
         .drop("component")
     )
