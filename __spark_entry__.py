@@ -1696,6 +1696,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
         ),
     ).otherwise(F.col("text"))
+    # dsir arm (r6 s3): DSIR importance weight (functions/dsir.py) with
+    # the model trained IN the query — target = the corpus's own
+    # lang='en' slice, raw = everything; the oracle re-trains from raw
+    # parquet via the Python twin (_dsir_score_sql), no echo.
+    from zx_spark.functions.dsir import dsir_log_weight, dsir_train
+
+    dsir_model = dsir_train(
+        _docs(spark, sf_dir),
+        _docs(spark, sf_dir).filter(F.col("lang") == "en"),
+        n_buckets=256,
+        alpha=0.1,
+    )
     stats = with_hashed_embedding(_docs(spark, sf_dir), dim=32).select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -1703,6 +1715,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         hsum.alias("hemb_checksum"),
         F.md5(normalize_text(nfc_normalized(planted_norm))).alias("norm_md5"),
+        dsir_log_weight(F.col("text"), dsir_model).alias("dsir_logw"),
     )
     ch = chunk_documents(
         _docs(spark, sf_dir).select("doc_id", "text"),
@@ -2886,6 +2899,47 @@ def _nb_score_sql(n_buckets: int = 256) -> str:
         f"round((coalesce(list_aggregate(list_transform({_TOKS}, "
         f"t -> ({wlit})[((('0x'||substr(md5(t),1,15))::bigint % {n_buckets}) + 1)::int]), "
         f"'sum'), 0) + {int(model['prior_micro'])})::double / {float(MICRO)!r}, 6)"
+    )
+
+
+def _dsir_score_sql(n_buckets: int = 256, alpha: float = 0.1) -> str:
+    """SQL expression for the DSIR log importance weight column — the
+    micro-log-ratio array comes from dsir_train_python (functions/
+    dsir.py) re-deriving the model from the raw parquet INDEPENDENTLY
+    of Spark (target = lang='en' docs, raw = all docs): exact integer
+    feature-bucket counts → one micro-log-ratio literal. Scoring
+    replays the unigram+bigram feature walk and the order-free bigint
+    sum, divided once — exact on both engines. Expects a ``toks``
+    column (the shared ``_TOKS`` tokenization) in scope."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from zx_spark.functions.dsir import MICRO, dsir_train_python
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    except OSError:
+        return "NULL::DOUBLE"
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    model = dsir_train_python(
+        texts,
+        [x for x, lg in zip(texts, langs) if lg == "en"],
+        n_buckets=n_buckets,
+        alpha=alpha,
+    )
+    lr = "[" + ", ".join(str(int(x)) for x in model["logratio_micro"]) + "]"
+    feats = (
+        "list_concat(toks, CASE WHEN len(toks) > 1 THEN "
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+        "ELSE []::varchar[] END)"
+    )
+    return (
+        f"CASE WHEN len(toks) > 0 THEN round(list_aggregate(list_transform({feats}, "
+        f"f -> ({lr})[((('0x'||substr(md5(f),1,15))::bigint % {n_buckets}) + 1)::int]), "
+        f"'sum')::double / {float(MICRO)!r}, 6) END"
     )
 
 
@@ -4228,7 +4282,9 @@ def oracle_sql() -> dict[str, str]:
             "u AS (SELECT doc_id, toks, "
             "unnest(range(0, (nck - 1) * 48 + 1, 48)) AS s FROM c), "
             "ch AS (SELECT doc_id, "
-            "array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text, "
+            # coalesce: an all-whitespace doc has toks = [], and DuckDB
+            # array_to_string([]) is NULL where the operator emits ''
+            "coalesce(array_to_string(toks[s + 1 : s + 64], ' '), '') AS chunk_text, "
             "greatest(least(len(toks) - s, 64), 0) AS n_tok FROM u), "
             "agg AS (SELECT doc_id, count(*) AS n_chunks, "
             "sum(n_tok)::bigint AS chunk_tokens, "
@@ -4253,7 +4309,12 @@ def oracle_sql() -> dict[str, str]:
             "sck AS (SELECT doc_id, ls, list_filter(ls, l -> trim(l) = '' OR "
             "NOT list_contains(hl, ('0x'||substr(md5(trim(l)),1,15))::bigint)) AS kept "
             "FROM scl, hb), "
-            "sc AS (SELECT doc_id, md5(array_to_string(kept, chr(10))) AS scrub_md5, "
+            # coalesce: DuckDB array_to_string([]) is NULL, but the
+            # operator rejoins an all-dropped doc to '' (concat_ws) —
+            # only reachable when a doc's every line is hot (duplicate
+            # full-text lines; exists at sf0.1, not sf0.01)
+            "sc AS (SELECT doc_id, "
+            "md5(coalesce(array_to_string(kept, chr(10)), '')) AS scrub_md5, "
             "len(ls) - len(kept) AS n_lines_dropped FROM sck) "
             # hashed_embedding twin: token hashes materialized once, 32
             # signed bucket folds, L2 normalize, HALF_UP micro checksum
@@ -4283,9 +4344,13 @@ def oracle_sql() -> dict[str, str]:
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'\\s+', ' ', 'g'))) AS norm_md5, "
             "a.n_chunks, a.chunk_tokens, a.chunk_md5_sum, "
-            "sc.scrub_md5, sc.n_lines_dropped "
+            "sc.scrub_md5, sc.n_lines_dropped, ds.dsir_logw "
             "FROM documents d JOIN agg a USING (doc_id) JOIN sc USING (doc_id) "
-            "JOIN hx USING (doc_id)"
+            "JOIN hx USING (doc_id) JOIN "
+            # dsir twin: model re-trained from raw parquet by the Python
+            # twin (_dsir_score_sql), scored over the shared toks CTE
+            f"(SELECT doc_id, {_dsir_score_sql()} AS dsir_logw FROM t) ds "
+            "USING (doc_id)"
         ),
         "text_quality": (
             "WITH q AS (SELECT doc_id, length(text) AS n_chars, "
