@@ -879,11 +879,21 @@ def q_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def shape(df: DataFrame, arm: str) -> DataFrame:
-        out = _round(
-            _floor_windows(df),
-            {"sum__value": 3, "mean__value": 6, "p50_approx__value": 6,
-             "p90_approx__value": 6},
+        out = _floor_windows(df).withColumn(
+            "sum__value", F.round("sum__value", 3)
+        ).withColumn(
+            # mean derived from the ALREADY-3dp-ROUNDED sum and the exact
+            # count: one IEEE division on identical inputs in both
+            # engines. The directly-merged mean is an order-dependent
+            # float sum — the sf0.1 spot-check caught a 1-ulp 6dp
+            # rounding-boundary flake in it (44.569063 vs ...62).
+            "mean__value",
+            F.when(
+                F.col("count__value") > 0,
+                F.round(F.col("sum__value") / F.col("count__value"), 6),
+            ),
         )
+        out = _round(out, {"p50_approx__value": 6, "p90_approx__value": 6})
         return out.select(F.lit(arm).alias("arm"), *out.columns)
 
     ev = _events(spark, sf_dir).withColumn(
@@ -3968,7 +3978,12 @@ def oracle_sql() -> dict[str, str]:
             "      AS count__value, "
             "    min(value) AS min__value, "
             "    max(value) AS max__value, "
-            "    round(avg(value), 6) AS mean__value "
+            # mean from the rounded sum / exact count — the same single
+            # IEEE division the Spark side performs (see shape())
+            "    CASE WHEN sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) > 0 "
+            "    THEN round(round(sum(coalesce(value, 0)), 3) "
+            "      / sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END), 6) "
+            "    END AS mean__value "
             "  FROM events GROUP BY 1, 2"
             "), binned AS ("
             "  SELECT coalesce(event_type, '__nil') AS g, "
