@@ -549,8 +549,21 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         group_by=["event_type"],
     )
+    # Determinism contract (r6 s3): values are quantized to 1/64ths
+    # BEFORE the weighted aggregation. The rates are exact binary
+    # doubles ({1, 1.5, 2, 2.5}), so every value·rate term becomes
+    # m/128 with integer m and the float SUM is exact regardless of
+    # partial-agg order — the sf0.001 sweep caught one group's
+    # unquantized sum landing on the 2dp rounding boundary
+    # (17934.295) with engines on either side. compile_query's
+    # weighted path is still exercised unchanged.
     out = compile_query(
-        _weighted_events(spark, sf_dir), q, id_col="event_id", rate_col="sample_rate"
+        _weighted_events(spark, sf_dir).withColumn(
+            "value", F.round(F.col("value") * 64) / 64
+        ),
+        q,
+        id_col="event_id",
+        rate_col="sample_rate",
     )
     wagg = _round(
         _floor_windows(out), {"sum__value": 2, "count__value": 2, "mean__value": 6}
@@ -3520,13 +3533,17 @@ def _weighted_funnel_oracle() -> str:
     later step-2, ...) — equivalent to the operator's k-slot fold by
     the greedy-exchange argument; the retention oracle is the plain
     first-seen × later-activity grid."""
+    # vq: the 1/64ths quantization matching the Spark side — with the
+    # {1, 1.5, 2, 2.5} rates every term is m/128, so the float sums are
+    # exact and order-free in both engines (see q_a_weighted_suite).
+    vq = "(round(value * 64) / 64)"
     wagg = (
         "SELECT coalesce(event_type, '__nil') AS g_event_type, "
         f"{_WINDOW_COLS}, "
-        f"round(sum(coalesce(value, 0) * {_RATE_SQL}), 2) AS sum__value, "
+        f"round(sum(coalesce({vq}, 0) * {_RATE_SQL}), 2) AS sum__value, "
         f"round(sum(CASE WHEN value IS NOT NULL THEN {_RATE_SQL} ELSE 0 END), 2) "
         "AS count__value, "
-        f"round(sum(CASE WHEN value IS NOT NULL THEN value * floor({_RATE_SQL}) END) "
+        f"round(sum(CASE WHEN value IS NOT NULL THEN {vq} * floor({_RATE_SQL}) END) "
         f"/ sum(CASE WHEN value IS NOT NULL THEN floor({_RATE_SQL}) END), 6) "
         "AS mean__value "
         "FROM events GROUP BY coalesce(event_type, '__nil')"

@@ -856,10 +856,16 @@ def ivfpq_topk(
     without it the semi-join must scan the full raw store to find
     ``shortlist`` rows. With ``nprobe = n_cells`` and ``shortlist >=
     corpus``, the result equals brute-force cosine top-k exactly
-    (pinned in tests)."""
-    C = np.asarray(centers, dtype=np.float64)
-    d2 = ((C - np.asarray(query, dtype=np.float64)) ** 2).sum(axis=1)
-    cells = [int(x) for x in np.argsort(d2, kind="stable")[:nprobe]]
+    (pinned in tests).
+
+    Probing uses ``probe_cells`` (cosine over the centroid matrix) —
+    the SAME rule as ``ivf_topk``/``ivf_topk_batch``. An earlier
+    internal L2 probe agreed with cosine on the driver corpora by
+    coincidence; a tiny degenerate store (the sf0.001 sweep) exposed
+    the two metrics picking different cell sets, diverging from both
+    the oracle and plain IVF's notion of "nearest cells". Final
+    scoring is cosine, so cosine probing is the consistent choice."""
+    cells = [int(c) for c in probe_cells(np.asarray(centers), query, nprobe)]
     probed = codes_df.filter(F.col(cell_col).isin(cells))
     short = pq_topk(
         probed, codebooks, query, shortlist, id_col, codes_col
