@@ -102,3 +102,17 @@ def test_property_engine_equals_twin(spark, raw, tgt):
     assert sorted(got, key=lambda v: (v is None, v)) == sorted(
         want, key=lambda v: (v is None, v)
     )
+
+
+def test_unicode_whitespace_parity(spark):
+    """Engines split on ASCII whitespace only (Java/RE2 \\s); the twins
+    must too — a non-breaking space is PART of a token, not a split."""
+    texts = ["hello world other", "hello world other"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m = dsir_train(df, df, n_buckets=64, alpha=0.5)
+    assert m == dsir_train_python(texts, texts, n_buckets=64, alpha=0.5)
+    got = sorted(
+        r["w"] for r in df.select(dsir_log_weight(F.col("text"), m).alias("w")).collect()
+    )
+    want = sorted(dsir_log_weight_python(t, m) for t in texts)
+    assert got == want

@@ -100,3 +100,11 @@ def test_guard(spark):
     )
     with pytest.raises(ValueError, match="max_items_per_group"):
         streaming_cooccurrence(df, "g", "item", max_items_per_group=1)
+
+
+def test_group_col_clash_guard(spark):
+    df = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as item_a", "cast(value as string) as item"
+    )
+    with pytest.raises(ValueError, match="reserved output"):
+        streaming_cooccurrence(df, "item_a", "item")

@@ -41,6 +41,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# ASCII-whitespace twin tokenizer (functions/hashing.py): word_counts
+# trains on Java-regex \s+ tokens, so the Arrow-side encoder must
+# split the SAME way — Python str.split() would diverge on Unicode
+# whitespace (U+00A0 etc.), tokenizing words the trainer never saw.
+from zx_spark.functions.hashing import toks_py as _bpe_toks_py
+
 END_OF_WORD = "</w>"
 
 
@@ -177,7 +183,7 @@ def _encoder(merges: list[tuple[str, str]]):
         if not text:
             return []
         out: list[str] = []
-        for w in text.lower().split():
+        for w in _bpe_toks_py(text):
             toks = cache.get(w)
             if toks is None:
                 toks = encode_word(w, ranks)

@@ -27,7 +27,6 @@ language filters) alongside text_quality's heuristic signals.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame
@@ -36,18 +35,11 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
-def _bucket(tok: Column, n_buckets: int) -> Column:
-    """md5-60-bit hash bucket of a token — the package-wide ANSI-SQL-
-    reproducible construction (``('0x'||substr(md5(t),1,15))::bigint %
-    n`` on the DuckDB side)."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
-
-
-def _bucket_py(tok: str, n_buckets: int) -> int:
-    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+# Shared package-wide primitives (functions/hashing.py) — see that
+# module's tokenization-parity note.
+from zx_spark.functions.hashing import bucket as _bucket
+from zx_spark.functions.hashing import bucket_py as _bucket_py
+from zx_spark.functions.hashing import toks_py as _toks_py
 
 
 def _weights_from_counts(
@@ -126,7 +118,7 @@ def nb_train_python(
         else:
             n_neg += 1
         side = pos if label else neg
-        for w in (text or "").lower().split():
+        for w in _toks_py(text):
             side[_bucket_py(w, n_buckets)] += 1
     return _weights_from_counts(pos, neg, n_pos, n_neg, alpha)
 

@@ -35,26 +35,18 @@ companion to the NB (classify.py) and bigram-LM (lm.py) gates.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Shared package-wide primitives (functions/hashing.py) — see that
+# module's tokenization-parity note.
+from zx_spark.functions.hashing import bucket as _bucket
+from zx_spark.functions.hashing import bucket_py as _bucket_py
+from zx_spark.functions.hashing import toks_py as _toks_py
+
 MICRO = 1_000_000
-
-
-def _bucket(s: Column, n_buckets: int) -> Column:
-    """md5-60-bit hash bucket — the package-wide ANSI-SQL-reproducible
-    construction (``('0x'||substr(md5(s),1,15))::bigint % n`` in DuckDB)."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
-
-
-def _bucket_py(s: str, n_buckets: int) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % n_buckets
 
 
 def _feature_buckets(text: Column, n_buckets: int) -> Column:
@@ -75,7 +67,7 @@ def _feature_buckets(text: Column, n_buckets: int) -> Column:
 
 
 def _features_py(text: str | None) -> list[str]:
-    toks = (text or "").lower().split()
+    toks = _toks_py(text)
     return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
 
 

@@ -37,7 +37,6 @@ companion to the NB classifier gate (functions/classify.py).
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame
@@ -47,17 +46,12 @@ MICRO = 1_000_000
 BOS = "<s>"
 
 
-def _bucket(s: Column, n_buckets: int) -> Column:
-    """md5-60-bit hash bucket — the package-wide ANSI-SQL-reproducible
-    construction (``('0x'||substr(md5(s),1,15))::bigint % n`` in DuckDB)."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
-
-
-def _bucket_py(s: str, n_buckets: int) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % n_buckets
+# Shared package-wide primitives (functions/hashing.py) — one home for
+# the md5-60-bit bucket and the ASCII-whitespace twin tokenizer, so the
+# NB/LM/DSIR trio cannot drift apart.
+from zx_spark.functions.hashing import bucket as _bucket
+from zx_spark.functions.hashing import bucket_py as _bucket_py
+from zx_spark.functions.hashing import toks_py as _toks_py
 
 
 def _toks(text: Column) -> Column:
@@ -215,7 +209,7 @@ def lm_score_python(text: str | None, model: dict) -> float | None:
     from decimal import ROUND_HALF_UP, Decimal
 
     n_buckets = model["n_buckets"]
-    toks = (text or "").lower().split()
+    toks = _toks_py(text)
     if not toks:
         return None
     total = 0

@@ -427,6 +427,7 @@ def resolve_entities(
     id_col: str,
     max_dist: int = 1,
     max_iter: int = 20,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """End-to-end entity resolution: fuzzy self-match → connected
     components → canonical id. Adds an ``entity_id`` column: the minimum
@@ -438,7 +439,13 @@ def resolve_entities(
     ``dup_components`` (label propagation over the PAIR list, never the
     corpus) — so the iterative part touches only matched ids. The
     components table (matched ids only — usually a sliver of the
-    corpus) is broadcast so the corpus itself never shuffles."""
+    corpus) is broadcast when it has at most ``broadcast_threshold``
+    rows, so the corpus itself never shuffles; on a high-duplication
+    corpus where most records match (components near corpus size) a
+    forced broadcast would hit Spark's 8 GB broadcast cap or OOM the
+    driver, so past the threshold the planner picks the join (the
+    count is one tiny job — comp is already localCheckpointed by the
+    label-propagation rounds)."""
     from zx_spark.operators.dedup import dup_components
 
     clash = {"entity_id", "component"} & set(df.columns)
@@ -451,8 +458,10 @@ def resolve_entities(
     comp = dup_components(pairs, "id_a", "id_b", max_iter=max_iter).select(
         F.col("doc_id").alias(id_col), "component"
     )
+    if comp.count() <= broadcast_threshold:
+        comp = F.broadcast(comp)
     return (
-        df.join(F.broadcast(comp), on=id_col, how="left")
+        df.join(comp, on=id_col, how="left")
         .withColumn("entity_id", F.coalesce("component", F.col(id_col)))
         .drop("component")
     )

@@ -48,6 +48,14 @@ def streaming_cooccurrence(
         raise ValueError(
             f"max_items_per_group must be in [2, 256], got {max_items_per_group}"
         )
+    if group_col in ("item_a", "item_b"):
+        # the output dict would silently overwrite the group column with
+        # pair values (duplicate key) — same guard family as
+        # resolve_entities' clash error
+        raise ValueError(
+            f"group_col {group_col!r} collides with the reserved output "
+            "columns item_a/item_b — alias it first"
+        )
     cap = max_items_per_group
     wm = stream if watermark is None else stream.withWatermark(ts_col, watermark)
     cols = [
