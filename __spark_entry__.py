@@ -2726,6 +2726,41 @@ def _bench_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_paths(_events(spark, sf_dir), n=3, k=20, id_col="event_id")
 
 
+def _bench_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r6 s3): exact-recall edit-distance dedup over the
+    48-char document-text prefix dictionary (operators/joins.py
+    PassJoin blocking — segment equi-join, pair distinct, id
+    join-backs)."""
+    from zx_spark.operators.joins import edit_distance_dedup_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 48).alias("prefix")
+    )
+    return edit_distance_dedup_pairs(docs, "prefix", "doc_id", max_dist=1)
+
+
+def _bench_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r6 s3): within-user event-type co-occurrence
+    (operators/basket.py — distinct, cap window, in-row pair transform,
+    one pair agg)."""
+    from zx_spark.operators.basket import cooccurrence_pairs
+
+    return cooccurrence_pairs(_events(spark, sf_dir), "user_id", "event_type")
+
+
+def _bench_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r6 s3): DSIR train (both corpora, 4096 buckets) +
+    score the corpus (functions/dsir.py — two bucket aggs + a
+    scan-speed literal-array fold)."""
+    from zx_spark.functions.dsir import dsir_log_weight, dsir_train
+
+    docs = _docs(spark, sf_dir)
+    model = dsir_train(docs, docs.filter(F.col("lang") == "en"), n_buckets=4096)
+    return docs.select(
+        "doc_id", dsir_log_weight(F.col("text"), model).alias("logw")
+    )
+
+
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
     # Kept for baseline continuity after the registry merge into
@@ -2750,6 +2785,10 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_dup_spans": _bench_dup_spans,
     "op_psi_drift": _bench_psi_drift,
     "op_common_paths": _bench_paths,
+    # r6 s3 first-measurement pins
+    "op_fuzzy_dedup": _bench_fuzzy_dedup,
+    "op_cooccurrence": _bench_cooc,
+    "op_dsir_score": _bench_dsir,
     # ---- versioned pins (r6, VERDICT r5 What's-wrong #2): when a
     # driver row gains arms, its NAME keeps timing the originally
     # pinned shape and the grown row pins a fresh _v2 baseline —

@@ -85,6 +85,11 @@ HEADLINE = [
     "op_dup_spans",
     "op_psi_drift",
     "op_common_paths",
+    # added r6 s3 (first measurement pins them): exact-recall fuzzy
+    # dedup (PassJoin), co-occurrence pair counts, DSIR train+score.
+    "op_fuzzy_dedup",
+    "op_cooccurrence",
+    "op_dsir_score",
 ]
 
 
