@@ -225,6 +225,24 @@ def test_pipeline_lm_gate_stage(spark, docs):
         curate_corpus(docs, lm_model=m)  # threshold required
 
 
+def test_pipeline_dsir_gate_stage(spark, docs):
+    from zx_spark.functions.dsir import dsir_log_weight_python, dsir_train_python
+
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    texts = [t for _, t in rows]
+    # target = first half of the corpus; gate at the twin-scored median
+    # so the kept set is EXACTLY the python twin's at-or-above slice
+    m = dsir_train_python(texts, texts[: len(texts) // 2], n_buckets=512)
+    scores = sorted(dsir_log_weight_python(t, m) for t in texts)
+    gate = scores[len(scores) // 2]
+    out = curate_corpus(docs, dsir_model=m, dsir_min_logw=gate)
+    ids = {r.doc_id for r in out.collect()}
+    expected = {i for i, t in rows if dsir_log_weight_python(t, m) >= gate}
+    assert ids == expected and ids and len(ids) < len(rows)
+    with pytest.raises(ValueError):
+        curate_corpus(docs, dsir_model=m)  # threshold required
+
+
 def test_pipeline_line_scrub_stage(spark):
     footer = "all rights reserved"
     docs = spark.createDataFrame(

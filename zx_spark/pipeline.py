@@ -77,6 +77,8 @@ def curate_corpus(
     classifier_min_logodds: float = 0.0,
     lm_model: dict | None = None,
     lm_min_avg_logprob: float | None = None,
+    dsir_model: dict | None = None,
+    dsir_min_logw: float | None = None,
     languages: list[str] | None = None,
     scrub_pii: bool = False,
     scrub_lines: bool = False,
@@ -121,7 +123,9 @@ def curate_corpus(
     for max throughput (md5 default keeps them SQL-verifiable).
 
     ``classifier_model`` (an ``nb_train`` dict) gates on the trained
-    score; ``boilerplate_max_ratio`` drops documents whose repeated-
+    score; ``dsir_model`` (a ``dsir_train`` dict) gates on the DSIR log
+    importance weight (target-likeness) with ``dsir_min_logw`` as the
+    floor; ``boilerplate_max_ratio`` drops documents whose repeated-
     n-gram load exceeds it; ``embeddings`` (``(id_col, embedding_vec_col)``
     rows joining the corpus on ``id_col``) enables SemDeDup — documents
     without an embedding row pass through unexamined.
@@ -148,6 +152,20 @@ def curate_corpus(
             raise ValueError("lm_model requires lm_min_avg_logprob")
         out = lm_filter(
             out, lm_model, text_col, min_avg_logprob=lm_min_avg_logprob
+        )
+    if dsir_model is not None:
+        # target-likeness gate (functions/dsir.py): keep documents whose
+        # DSIR log importance weight clears the floor — same map-side
+        # literal-array scoring as the NB/LM gates, so the three trained
+        # filters fuse into one scan. NULL weights (token-less docs)
+        # drop, like the other trained gates' NULL scores.
+        from zx_spark.functions.dsir import dsir_log_weight
+
+        if dsir_min_logw is None:
+            raise ValueError("dsir_model requires dsir_min_logw")
+        out = out.filter(
+            dsir_log_weight(F.col(text_col), dsir_model)
+            >= F.lit(float(dsir_min_logw))
         )
     if languages is not None:
         out = out.withColumn("lang", language_id(F.col(text_col))).filter(
