@@ -1026,7 +1026,9 @@ def q_w1_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(_floor_windows(out), {"sum__value": 3})
 
 
-def q_o1_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bench_o1_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r2-pinned o1 shape (wired ORDER BY over the grouped mean) —
+    also the `top` arm of the grown row."""
     q = Query(
         selects=[Select("value", Aggregate.MEAN)],
         group_by=["event_type"],
@@ -1034,6 +1036,47 @@ def q_o1_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_sorted(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
     return _round(out, {"mean__value": 6})
+
+
+def q_o1_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top arm: the original wired-ORDER-BY grouped mean (O1).
+
+    cube arm (r6): multidim_agg (operators/olap.py) — the all-grouping-
+    sets CUBE over (event_type, value-band) computed in ONE Expand pass
+    instead of 2^d scans; house COUNT/SUM semantics per grouping set,
+    grouping_id bit order pinned against DuckDB's GROUPING() (first dim
+    = MSB). The value band floor(value/100) exercises a derived dim and
+    a genuine '__nil' key (NULL value) alongside rolled-up NULLs."""
+    from zx_spark.operators.olap import multidim_agg
+
+    top = _bench_o1_v1(spark, sf_dir).select(
+        F.lit("top").alias("part_kind"),
+        F.col("g_event_type"),
+        F.lit(None).cast("string").alias("g_vband"),
+        F.lit(None).cast("long").alias("grouping_id"),
+        F.col("mean__value"),
+        F.lit(None).cast("double").alias("count__value"),
+        F.lit(None).cast("double").alias("sum__value"),
+    )
+    ev = _events(spark, sf_dir).withColumn(
+        "vband", F.floor(F.col("value") / F.lit(100.0))
+    )
+    cube = multidim_agg(
+        ev,
+        ["event_type", "vband"],
+        [Select("value", Aggregate.COUNT), Select("value", Aggregate.SUM)],
+        rate_col=None,
+        empty_sentinels=False,
+    ).select(
+        F.lit("cube").alias("part_kind"),
+        F.col("g_event_type"),
+        F.col("g_vband"),
+        F.col("grouping_id").cast("long").alias("grouping_id"),
+        F.lit(None).cast("double").alias("mean__value"),
+        F.col("count__value"),
+        F.round(F.col("sum__value"), 3).alias("sum__value"),
+    )
+    return top.unionByName(cube)
 
 
 def q_q2_sql_zx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2807,6 +2850,8 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups_v2": q_dedup_exact_groups,  # + snapshot-diff arm
     "dedup_minhash_pairs": _bench_minhash_v1,       # r2 shape (pairs only)
     "dedup_minhash_pairs_v2": q_dedup_minhash_pairs,  # + components arm
+    "o1_top_groups": _bench_o1_v1,            # r2 shape (top arm only)
+    "o1_top_groups_v2": q_o1_top_groups,      # + multidim cube arm
 }
 
 
@@ -3825,9 +3870,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY coalesce(event_type, '__nil'), wno"
         ),
         "o1_top_groups": (
-            "SELECT coalesce(event_type, '__nil') AS g_event_type, "
-            "round(avg(value), 6) AS mean__value FROM events "
-            "GROUP BY coalesce(event_type, '__nil')"
+            # top arm: the original grouped mean; cube arm: DuckDB's own
+            # GROUP BY CUBE re-derives every grouping set with
+            # GROUPING() supplying the bit-identical grouping_id
+            "WITH vb AS ("
+            "  SELECT coalesce(event_type, '__nil') AS g_event_type, "
+            "    coalesce(CAST(CAST(floor(value / 100.0) AS BIGINT) AS VARCHAR), '__nil') AS g_vband, "
+            "    value FROM events"
+            ") "
+            "SELECT 'top' AS part_kind, coalesce(event_type, '__nil') AS g_event_type, "
+            "  NULL::VARCHAR AS g_vband, NULL::BIGINT AS grouping_id, "
+            "  round(avg(value), 6) AS mean__value, "
+            "  NULL::DOUBLE AS count__value, NULL::DOUBLE AS sum__value "
+            "FROM events GROUP BY coalesce(event_type, '__nil') "
+            "UNION ALL "
+            "SELECT 'cube', g_event_type, g_vband, "
+            "  GROUPING(g_event_type, g_vband)::BIGINT, NULL::DOUBLE, "
+            "  count(value)::DOUBLE, "
+            "  round(coalesce(sum(coalesce(value, 0)), 0), 3) "
+            "FROM vb GROUP BY CUBE(g_event_type, g_vband)"
         ),
         "q2_sql_zx_dialect": (
             "SELECT coalesce(event_type, '__nil') AS g_event_type, "

@@ -38,6 +38,7 @@ HEADLINE = [
     "a5_count_distinct",
     "a9_heatmap",
     "o1_top_groups",
+    "o1_top_groups_v2",      # r6 pin: + multidim cube arm
     "q2_sql_zx_dialect",
     "sql_tpch_q1_pricing",
     "sql_tpch_q3_segment_revenue",

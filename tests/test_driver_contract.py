@@ -45,6 +45,7 @@ def test_bench_compat_shadows_only_versioned_pins():
         "sampling_suite",
         "dedup_exact_groups",
         "dedup_minhash_pairs",
+        "o1_top_groups",
     }
     for name in overlap:
         assert entry.BENCH_COMPAT[name] is not qs[name], name
