@@ -154,6 +154,33 @@ def _filter_pair_query(cond_a: Condition, cond_b: Condition, tagged: bool = Fals
     return _filter_multi_query(cond_a, cond_b, tagged=tagged)
 
 
+def q_f1_exists_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arms a/b: the EXISTS / NOT_EXISTS comparator pair (F1).
+
+    arms c/d (r6): bloom_semi_join / bloom_anti_join (operators/
+    bloom.py) of the events corpus against the error-event user set —
+    the literal-bitmap prefilter prunes map-side and only bloom-passing
+    rows reach the exact verify join, so any false positive the verify
+    failed to weed out (or any false negative, which Bloom filters
+    cannot produce) would change the id-set checksum against the plain
+    IN / NOT IN oracle. Geometry pinned (m=8192, k=5) so the arm also
+    skips the sizing jobs."""
+    from zx_spark.operators.bloom import bloom_anti_join, bloom_semi_join
+
+    pair = _filter_pair_query(
+        Condition("tag", Cmp.EXISTS), Condition("tag", Cmp.NOT_EXISTS), tagged=True
+    )(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    err_users = ev.filter(F.col("event_type") == "error").select("user_id")
+    semi = _id_set_agg(
+        bloom_semi_join(ev, err_users, "user_id", m_bits=8192, k=5)
+    ).select(F.lit("c").alias("arm"), "*")
+    anti = _id_set_agg(
+        bloom_anti_join(ev, err_users, "user_id", m_bits=8192, k=5)
+    ).select(F.lit("d").alias("arm"), "*")
+    return pair.unionByName(semi).unionByName(anti)
+
+
 # ------------------------------------------------------- core zx queries
 
 
@@ -2550,9 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Condition("props", Cmp.CONTAINS, '"k": 7'),
             Condition("props", Cmp.NOT_CONTAINS, '"k": 7'),
         ),
-        "f1_exists_pair": _filter_pair_query(
-            Condition("tag", Cmp.EXISTS), Condition("tag", Cmp.NOT_EXISTS), tagged=True
-        ),
+        "f1_exists_pair": q_f1_exists_pair,
         # G1 / W1 / O1 / Q2
         "g1_group_nil": q_g1_group_nil,
         "w1_aligned_windows": q_w1_aligned,
@@ -3847,6 +3872,12 @@ def oracle_sql() -> dict[str, str]:
         "f1_exists_pair": _filter_arms_oracle(
             "nullif(event_type, 'view') IS NOT NULL",
             "nullif(event_type, 'view') IS NULL",
+            # c/d: the bloom semi/anti arms are exact, so plain IN /
+            # NOT-IN (NULL-safe: anti keeps NULL-keyed rows, matching
+            # left_anti) re-derives them with no bloom machinery
+            "user_id IN (SELECT user_id FROM events WHERE event_type = 'error')",
+            "user_id IS NULL OR user_id NOT IN (SELECT user_id FROM events "
+            "WHERE event_type = 'error' AND user_id IS NOT NULL)",
         ),
         "g1_group_nil": _g1_profile_oracle(),
         "w1_aligned_windows": (
