@@ -23,6 +23,16 @@ def corpus(spark):
     )
 
 
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from zx_spark.storage import read_table
+
+    return read_table(spark, SF, "documents")
+
+
 def test_hash_sample_deterministic_and_near_rate(spark, corpus):
     a = {r.doc_id for r in hash_sample(corpus, 0.3, "doc_id", seed=7).collect()}
     b = {r.doc_id for r in hash_sample(corpus, 0.3, "doc_id", seed=7).collect()}
@@ -276,3 +286,102 @@ def test_weighted_sample_strata_null_weights_and_validation(spark):
     assert a == b
     with pytest.raises(ValueError):
         weighted_sample_n(df, 0, "w", "doc_id")
+
+
+# ------------------------------------------------------- cap_per_key
+
+
+def _cap_duck(sf, n, seed):
+    import duckdb
+
+    con = duckdb.connect()
+    return {
+        r[0]
+        for r in con.sql(
+            f"SELECT doc_id FROM (SELECT doc_id, row_number() OVER ("
+            f"PARTITION BY source ORDER BY "
+            f"('0x'||substr(md5(doc_id::VARCHAR || ':{seed}'),1,15))::bigint % 1000000, "
+            f"doc_id) AS rn FROM read_parquet('{sf}/documents.parquet')) "
+            f"WHERE rn <= {n}"
+        ).fetchall()
+    }
+
+
+def test_cap_per_key_matches_duckdb(spark, docs):
+    from zx_spark.operators.sampling import cap_per_key
+
+    got = {
+        r["doc_id"]
+        for r in cap_per_key(docs, ["source"], 7, "doc_id", seed=5).collect()
+    }
+    assert got == _cap_duck(SF, 7, 5)
+    # every source capped at 7
+    counts = (
+        cap_per_key(docs, ["source"], 7, "doc_id", seed=5)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert counts and all(r["count"] <= 7 for r in counts)
+
+
+def test_cap_per_key_salted_identical(spark, docs):
+    from zx_spark.operators.sampling import cap_per_key
+
+    plain = {
+        r["doc_id"]
+        for r in cap_per_key(docs, ["source"], 9, "doc_id", seed=2).collect()
+    }
+    for s in (2, 5):
+        salted = {
+            r["doc_id"]
+            for r in cap_per_key(
+                docs, ["source"], 9, "doc_id", seed=2, n_salts=s
+            ).collect()
+        }
+        assert salted == plain, s
+
+
+def test_cap_per_key_priority_col(spark, docs):
+    from zx_spark.operators.sampling import cap_per_key
+
+    kept = cap_per_key(
+        docs, ["source"], 3, "doc_id", priority_col="n_chars", ascending=False
+    )
+    rows = kept.select("source", "n_chars").collect()
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["n_chars"])
+    # per source: the 3 kept are the 3 largest n_chars values
+    full = collections.defaultdict(list)
+    for r in docs.select("source", "n_chars").collect():
+        full[r["source"]].append(r["n_chars"])
+    for s, vals in by_src.items():
+        assert sorted(vals, reverse=True) == sorted(full[s], reverse=True)[:3], s
+
+
+def test_cap_per_key_null_handling(spark):
+    from zx_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (None, "a"), (4, "a")],
+        "doc_id long, src string",
+    )
+    out = cap_per_key(df, ["src"], 2, "doc_id", seed=0).collect()
+    # NULL key group capped like any other; NULL id excluded
+    assert sorted(r["doc_id"] for r in out if r["src"] is None) != []
+    assert all(r["doc_id"] is not None for r in out)
+    assert [r["doc_id"] for r in out if r["src"] == "a"] == [4]
+
+
+def test_cap_per_key_validation(spark, docs):
+    from zx_spark.operators.sampling import cap_per_key
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_per_key(docs, ["source"], 0, "doc_id")
+    with _pytest.raises(ValueError):
+        cap_per_key(docs, ["source"], 5, "doc_id", n_salts=0)

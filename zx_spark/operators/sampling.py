@@ -307,3 +307,68 @@ def weighted_sample_n(
     else:
         out = out.orderBy(F.col(pc).desc(), F.col(key_col)).limit(n)
     return out if priority_col else out.drop("__wpri")
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    id_col: str,
+    seed: int = 0,
+    n_salts: int = 1,
+    hash_method: str = "md5",
+    priority_col: str | None = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """Deterministic per-key quota cap: keep at most ``n`` rows per
+    ``key_cols`` group — the web-corpus "domain cap" primitive (bound
+    any one domain/source/shard's share of the training mix). Which
+    rows survive is a pure function of the data: rank by the stable md5
+    bucket of ``id_col`` (uniform "random" but replayable, same
+    ``_bucket`` family as every sampler here), or by an explicit
+    ``priority_col`` (e.g. a quality score; ``ascending=False`` keeps
+    the highest). Ties always break on ``id_col``, so the order is
+    total and engines agree.
+
+    ``n_salts > 1`` is the hot-key path: one giant key (a crawl's top
+    domain can be 1e8 pages) would otherwise sort in a single window
+    partition. Stage 1 ranks within (key, salt) — salt = a stable hash
+    of the id, so each of the ``n_salts`` sub-partitions is ~1/S of the
+    hot key — and keeps each sub-partition's top ``n``; stage 2 ranks
+    the ≤ n·S survivors per key exactly. The result is IDENTICAL to
+    the unsalted rank: any row in a key's true top ``n`` has at most
+    n-1 rows ahead of it overall, hence at most n-1 ahead of it in its
+    own salt bucket, so stage 1 can never drop it. Cost: two bounded
+    window shuffles instead of one unbounded one.
+
+    NULL keys form their own group (capped like any other); NULL ids
+    are excluded (no stable identity → no replayable decision)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    pri = (
+        F.col(f"`{priority_col}`")
+        if priority_col
+        else _bucket(F.col(f"`{id_col}`"), seed, hash_method)
+    )
+    out = df.filter(F.col(f"`{id_col}`").isNotNull()).withColumn("__cpri", pri)
+    order = [
+        F.col("__cpri").asc() if ascending else F.col("__cpri").desc(),
+        F.col(f"`{id_col}`").asc(),
+    ]
+    if n_salts > 1:
+        salt = _bucket(F.col(f"`{id_col}`"), seed + 1, hash_method) % n_salts
+        w1 = Window.partitionBy(*key_cols, "__csalt").orderBy(*order)
+        out = (
+            out.withColumn("__csalt", salt)
+            .withColumn("__crn", F.row_number().over(w1))
+            .filter(F.col("__crn") <= n)
+            .drop("__csalt", "__crn")
+        )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        out.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= n)
+        .drop("__crn", "__cpri")
+    )
