@@ -133,3 +133,17 @@ def test_single_scan_per_side(spark):
     )
     assert plan.count("FileScan parquet") == 2  # one per side; edges were given
     assert "CartesianProduct" not in plan
+
+
+def test_empty_side_yields_null_psi(spark):
+    """ADVICE r6: a side with zero non-NULL values must not raise a raw
+    ANSI DIVIDE_BY_ZERO — psi is NULL, counts still reported."""
+    base = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "v double"
+    )
+    empty = spark.createDataFrame([(None,)], "v double")
+    row = numeric_psi(base, empty, "v", bins=2).collect()[0]
+    assert row["psi"] is None and row["n_cur"] == 0 and row["n_base"] == 4
+    # explicit edges let the BASE side be the empty one too
+    row2 = numeric_psi(empty, base, "v", bins=2, edges=[2.5]).collect()[0]
+    assert row2["psi"] is None and row2["n_base"] == 0

@@ -191,3 +191,27 @@ def test_concat_plan_no_global_window(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_concat_pack_ids_exact_past_2_53(spark):
+    """ADVICE r6: first_pack/last_pack use integer `div`, not double
+    division — exact even when the global token count exceeds 2^53."""
+    from zx_spark.operators.packing import pack_concat
+
+    big = (1 << 53) + 4097  # not representable as a double
+    df = spark.createDataFrame(
+        [(1, 1, big), (2, 2, 4096), (3, 3, 4096)],
+        "doc_id long, ord long, n_tok long",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_concat(df, "n_tok", "ord", "doc_id", 4096).collect()
+    }
+    starts = {1: 0, 2: big, 3: big + 4096}
+    for i, st in starts.items():
+        r = rows[i]
+        ln = big if i == 1 else 4096
+        assert r["tok_start"] == st
+        assert r["first_pack"] == st // 4096
+        assert r["last_pack"] == (st + ln - 1) // 4096
+        assert r["offset_in_pack"] == st % 4096

@@ -385,3 +385,35 @@ def test_cap_per_key_validation(spark, docs):
         cap_per_key(docs, ["source"], 0, "doc_id")
     with _pytest.raises(ValueError):
         cap_per_key(docs, ["source"], 5, "doc_id", n_salts=0)
+
+
+def test_cap_per_key_null_priority_never_outranks(spark):
+    """ADVICE r6: NULL priorities must sort LAST either direction —
+    they fill leftover quota, never displace a scored row."""
+    from zx_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, "a", 1.0), (4, "a", None)],
+        "doc_id long, src string, score double",
+    )
+    asc = {
+        r["doc_id"]
+        for r in cap_per_key(
+            df, ["src"], 2, "doc_id", priority_col="score", ascending=True
+        ).collect()
+    }
+    desc = {
+        r["doc_id"]
+        for r in cap_per_key(
+            df, ["src"], 2, "doc_id", priority_col="score", ascending=False
+        ).collect()
+    }
+    assert asc == {2, 3} and desc == {2, 3}
+    # NULL-priority rows still fill quota when scored rows run out
+    wide = {
+        r["doc_id"]
+        for r in cap_per_key(
+            df, ["src"], 3, "doc_id", priority_col="score", ascending=True
+        ).collect()
+    }
+    assert wide == {1, 2, 3}  # id tie-break picks doc 1 of the two NULLs

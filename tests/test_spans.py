@@ -182,3 +182,16 @@ def test_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # the shingle-count aggregation must have a map-side partial pass
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_rejects_duplicate_doc_ids(spark):
+    """ADVICE r6: duplicate ids would silently merge two documents'
+    position streams into one gaps-and-islands pass — fail fast."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (1, "a b c d e f g h j")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="unique"):
+        duplicated_spans(df, "text", "doc_id", n=8)
+    with pytest.raises(ValueError, match="unique"):
+        duplicated_span_stats(df, "text", "doc_id", n=8)

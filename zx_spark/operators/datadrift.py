@@ -67,7 +67,11 @@ def _bin_counts(df: DataFrame, col: str, edges: list[float]):
 
 
 def _psi_from_counts(pair: DataFrame, n_bins: int, round_dp: int):
-    """PSI fold over the joined (base-counts, cur-counts) single row."""
+    """PSI fold over the joined (base-counts, cur-counts) single row.
+
+    PSI is NULL when either side has zero non-NULL values — the CASE
+    guard also keeps the proportion divisions out of the taken branch,
+    so ANSI mode never sees a division by zero."""
     terms = []
     for i in range(n_bins):
         pb = F.greatest(
@@ -80,8 +84,9 @@ def _psi_from_counts(pair: DataFrame, n_bins: int, round_dp: int):
     total = terms[0]
     for t in terms[1:]:
         total = total + t
+    both = (F.col("__bn") > 0) & (F.col("__cn") > 0)
     return pair.select(
-        F.round(total, round_dp).alias("psi"),
+        F.round(F.when(both, total), round_dp).alias("psi"),
         F.col("__bn").alias("n_base"),
         F.col("__cn").alias("n_cur"),
     )

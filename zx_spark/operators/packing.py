@@ -122,10 +122,16 @@ def pack_concat(
         parted.join(F.broadcast(off), "__pid")
         .withColumn("__cum_local", F.sum(ln).over(w))
         .withColumn("tok_start", F.col("__poff") + F.col("__cum_local") - ln)
-        .withColumn("first_pack", (F.col("tok_start") / target_len).cast("long"))
+        # integer `div`, not double division: floating /(target_len) is
+        # only exact while the global token count stays below 2^53; the
+        # oracle's integer // must match at any magnitude
+        .withColumn("first_pack", F.expr(f"tok_start div {target_len}L"))
         .withColumn(
             "last_pack",
-            ((F.col("tok_start") + ln - 1) / target_len).cast("long"),
+            F.expr(
+                f"(tok_start + cast(`{len_col}` as long) - 1) "
+                f"div {target_len}L"
+            ),
         )
         .withColumn(
             "offset_in_pack", F.col("tok_start") % target_len

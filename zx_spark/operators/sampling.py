@@ -342,7 +342,9 @@ def cap_per_key(
     window shuffles instead of one unbounded one.
 
     NULL keys form their own group (capped like any other); NULL ids
-    are excluded (no stable identity → no replayable decision)."""
+    are excluded (no stable identity → no replayable decision). NULL
+    priorities sort LAST in either direction — a row with no score can
+    never outrank a scored row, it only fills leftover quota."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if n_salts < 1:
@@ -354,7 +356,11 @@ def cap_per_key(
     )
     out = df.filter(F.col(f"`{id_col}`").isNotNull()).withColumn("__cpri", pri)
     order = [
-        F.col("__cpri").asc() if ascending else F.col("__cpri").desc(),
+        # nulls LAST both ways: under Spark's default nulls-first asc, a
+        # NULL priority would preferentially consume the per-key quota
+        F.col("__cpri").asc_nulls_last()
+        if ascending
+        else F.col("__cpri").desc_nulls_last(),
         F.col(f"`{id_col}`").asc(),
     ]
     if n_salts > 1:

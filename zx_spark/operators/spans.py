@@ -67,6 +67,20 @@ def _dup_positions(
         raise ValueError(
             f"duplicated_spans: min_count must be >= 2, got {min_count}"
         )
+    # duplicate ids would merge two documents' position streams into one
+    # gaps-and-islands pass, silently mixing spans across documents —
+    # fail fast (same discipline as pack_concat)
+    dup = (
+        df.groupBy(F.col(id_col))
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicated_spans: {id_col} must be unique per row"
+        )
     toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
     # docs shorter than n tokens produce an empty sequence → no shingles
     sh = toks.select(
