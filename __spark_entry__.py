@@ -203,7 +203,7 @@ def q_g1_group_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(_floor_windows(out), {"sum__value": 3})
 
 
-def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_g1_group_nil_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 hash group-by + ``__nil`` (reference src/lib.rs:754-770), plus
     the profiling subsystem as extra arms (r6 — registry capped at 50,
     so operators/profile.py lands as tagged rows in this events row):
@@ -295,6 +295,34 @@ def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g1_group_nil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The g1_group_nil driver row (v3, r7): the v2 arm set plus the
+    ``topv:`` arm — profile_top_values (operators/profile.py:93-133),
+    the last in-test-only profiling verb. Per-column top-5 most
+    frequent values over event_type and user_id (value skipped: its
+    float→string formatting is engine-specific), encoded as
+    ``topv:<column>:<value>`` with rank in window_start and the count
+    in sum__value. One explode + partial-agg count + bounded per-column
+    top-k window — the shuffle carries (column, value) pairs, never
+    rows, so the shape holds at corpus scale."""
+    from zx_spark.operators.profile import profile_top_values
+
+    v2 = q_g1_group_nil_v2(spark, sf_dir)
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    zero = F.lit(0).cast("long")
+    dnull = F.lit(None).cast("double")
+    topv = profile_top_values(ev, ["event_type", "user_id"], k=5).select(
+        F.concat_ws(":", F.lit("topv"), F.col("column"), F.col("value")).alias(
+            "g_tag"
+        ),
+        F.col("rank").cast("long").alias("window_start"),
+        zero.alias("window_end"),
+        F.col("n").cast("double").alias("sum__value"),
+        dnull.alias("count__value"),
+    )
+    return v2.unionByName(topv)
+
+
 # Expectation rules for the g1 expect arm, shared by Spark and the
 # oracle's re-derivation (both sides compute passed/actual from raw
 # data — no outcome is assumed).
@@ -313,6 +341,41 @@ def q_w1_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = compile_query(_events(spark, sf_dir), q, id_col="event_id", rate_col=None)
     return _round(_floor_windows(out), {"sum__value": 3})
+
+
+def q_w1_aligned_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The w1_aligned_windows driver row (v2, r7): the tumbling arm
+    plus the ``hop:`` arm — with_hopping_windows (operators/
+    windows.py:172-222), width 2h / slide 1h, so every event fans into
+    exactly two overlapping windows. Row key encodes the hop start
+    (``hop:<event_type>:<start>``); window_start/window_end are the
+    min/max event epochs INSIDE the hop window, the same convention as
+    the tumbling arm. The fan-out is a narrow map-side explode
+    (width/slide = 2 rows per event) and partial aggregation still
+    combines before the shuffle — state ∝ groups × 2, the standard
+    hopping-aggregation cost at any scale."""
+    from zx_spark.operators.windows import with_hopping_windows
+
+    out = q_w1_aligned(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    eps = F.col("ts").cast("double")
+    hop = with_hopping_windows(ev, "ts", 7200.0, 3600.0)
+    hop_rows = hop.groupBy(
+        F.concat(
+            F.lit("hop:"),
+            F.coalesce(F.col("event_type"), F.lit("__nil")),
+            F.lit(":"),
+            F.col("hop_start").cast("long").cast("string"),
+        ).alias("g_event_type")
+    ).agg(
+        F.floor(F.min(eps)).cast("long").alias("window_start"),
+        F.floor(F.max(eps)).cast("long").alias("window_end"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 3).alias(
+            "sum__value"
+        ),
+        F.count("value").cast("double").alias("count__value"),
+    )
+    return out.unionByName(hop_rows)
 
 
 def q_w_gapfill_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,10 +457,35 @@ def q_w_gapfill_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The w_gapfill driver row: batch arms (q_w_gapfill_batch) + the
-    drained streaming gap-fill twin as `stream:` rows."""
+def q_w_gapfill_batch_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch v2 (r7): the r5 batch shape plus the last two in-test-only
+    series verbs as columns — rq6 = trailing-6-bucket rolling MEDIAN
+    (series.rolling_quantile) and rz6 = trailing-6 robust z-score
+    ((x − med) / (1.4826·MAD), series.robust_zscore, frame EXCLUDING
+    the current row). Both run over the zero-filled sum quantized to a
+    1/64 grid (the a_weighted_suite discipline): dyadic inputs make
+    every median interpolation EXACT in doubles, so Spark percentile
+    and DuckDB quantile_cont agree bit-for-bit whatever interpolation
+    association each engine uses, and the rz6 quotient is one IEEE
+    division of identical operands — no rounding step, no boundary
+    hazard."""
+    from zx_spark.operators.series import robust_zscore, rolling_quantile
+
     out = q_w_gapfill_batch(spark, sf_dir)
+    out = out.withColumn("__rqv", F.round(F.col("sum_zero") * 64, 0) / 64)
+    out = rolling_quantile(
+        out, "__rqv", "bucket", ["g_event_type"], q=0.5, n=6, out_col="rq6"
+    )
+    out = robust_zscore(
+        out, "__rqv", "bucket", ["g_event_type"], n=6, out_col="rz6"
+    )
+    return out.drop("__rqv")
+
+
+def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The w_gapfill driver row: batch arms (q_w_gapfill_batch_v2) + the
+    drained streaming gap-fill twin as `stream:` rows."""
+    out = q_w_gapfill_batch_v2(spark, sf_dir)
 
     # ------- stream arm (r6): the streaming gap-fill twin, DRAINED -------
     # streaming/gapfill.py emits each bucket exactly once when the
@@ -469,6 +557,8 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             dnull.alias("z6"),
             F.lit(None).cast("boolean").alias("anom"),
             dnull.alias("ewma_zero"),
+            dnull.alias("rq6"),
+            dnull.alias("rz6"),
         )
     )
 
@@ -507,6 +597,8 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("zscore"), 4).alias("z6"),
             F.col("is_anomaly").alias("anom"),
             dnull.alias("ewma_zero"),
+            dnull.alias("rq6"),
+            dnull.alias("rz6"),
         )
     )
     return out.unionByName(stream).unionByName(sanom)
@@ -1683,7 +1775,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("cosine").alias("score"),
     )
-    return ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
+    # pqb arms (r7): batch ADC serving — all Q query tables ride ONE
+    # Arrow pass over the m-byte codes; per-query rows must equal the
+    # single-query pq_topk (the oracle replays each query's literal
+    # table with the same left-associated subspace sum)
+    from zx_spark.operators.similarity import pq_topk_batch
+
+    pqb = pq_topk_batch(
+        codes, books, [ANN_QUERY_VEC, e2], k_results=10
+    ).select(
+        F.concat(F.lit("pqb_q"), F.col("query_no").cast("string")).alias("arm"),
+        "vec_id",
+        F.col("adc_score").alias("score"),
+    )
+    return (
+        ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
+        .unionByName(pqb)
+    )
 
 
 def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2580,7 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_exists_pair": q_f1_exists_pair,
         # G1 / W1 / O1 / Q2
         "g1_group_nil": q_g1_group_nil,
-        "w1_aligned_windows": q_w1_aligned,
+        "w1_aligned_windows": q_w1_aligned_v2,
         "w1_session_windows": q_w1_session,
         "w1_faithful_windows": q_w1_faithful,
         "w_gapfill": q_w_gapfill,
@@ -2863,10 +2971,14 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # measured drift then always means regression, never added work.
     # BASELINE.md "Per-query pin table" records the lineage.
     "g1_group_nil": q_g1_group_core,        # r2 shape (group arm only)
-    "g1_group_nil_v2": q_g1_group_nil,      # + profile/corr/expect arms
+    "g1_group_nil_v2": q_g1_group_nil_v2,   # r6 shape (+ profile/corr/expect)
+    "g1_group_nil_v3": q_g1_group_nil,      # r7 shape (+ topv arm)
     "w_gapfill": q_w_gapfill_batch,         # r5 shape (batch arms; the
     #   stream-drain arm is source staging, excluded from bench like the
     #   other streaming rows — the driver correctness row still runs it)
+    "w_gapfill_v2": q_w_gapfill_batch_v2,   # r7 batch shape (+ rq6/rz6)
+    "w1_aligned_windows": q_w1_aligned,     # r2 shape (tumbling arm only)
+    "w1_aligned_windows_v2": q_w1_aligned_v2,  # r7 shape (+ hop arm)
     "text_quality": _bench_text_quality_v1,  # r2 shape (heuristics only)
     "text_quality_v2": q_text_quality,       # + in-query NB + LM gates
     "sampling_suite": _bench_sampling_v1,    # r4 shape (split + strat)
@@ -3599,6 +3711,15 @@ def _ivf_pq_oracle(
             table.append(
                 round(sum(float(a) * float(b) for a, b in zip(q_sub, books[s][j])), 9)
             )
+    # second query's ADC table for the pqb batch arms (r7)
+    e2_vec = [0.0, 1.0] + [0.0] * 62
+    table1 = []
+    for s in range(pq_m):
+        q_sub = e2_vec[s * sub : (s + 1) * sub]
+        for j in range(pq_k):
+            table1.append(
+                round(sum(float(a) * float(b) for a, b in zip(q_sub, books[s][j])), 9)
+            )
     adc_sum = "0.0" + "".join(
         f" + t[{s * pq_k} + c{s} + 1]" for s in range(pq_m)
     )
@@ -3627,10 +3748,19 @@ def _ivf_pq_oracle(
         "b1 AS (SELECT 'ivfb_q1' AS arm, vec_id, "
         "round(v[2] / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6) AS score "
         f"FROM a WHERE cell IN ({', '.join(str(c) for c in cells_q1)}) "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        # pqb batch-ADC arms (r7): query 0 reuses the adc scores; query 1
+        # replays the same left-associated sum over ITS literal table
+        f"tbl1 AS (SELECT {lst(table1)} AS t), "
+        f"adc1 AS (SELECT vec_id, round({adc_sum}, 6) AS score FROM codes, tbl1), "
+        "pb0 AS (SELECT 'pqb_q0' AS arm, vec_id, score FROM adc "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        "pb1 AS (SELECT 'pqb_q1' AS arm, vec_id, score FROM adc1 "
         f"ORDER BY score DESC, vec_id LIMIT {k}) "
         "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
         "UNION ALL SELECT * FROM ivfpq_arm "
-        "UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1"
+        "UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1 "
+        "UNION ALL SELECT * FROM pb0 UNION ALL SELECT * FROM pb1"
     )
 
 
@@ -3849,6 +3979,18 @@ def _g1_profile_oracle() -> str:
             f"SELECT 'expect:{key}', ({passed})::bigint, 0::bigint, "
             f"{actual}, NULL::double FROM events"
         )
+    # topv arm (r7): per-column top-5 most frequent values, ties broken
+    # on the stringified value — profile_top_values re-derived with a
+    # windowed row_number over the grouped counts
+    for c in ("event_type", "user_id"):
+        parts.append(
+            f"SELECT 'topv:{c}:' || value, rank::bigint, 0::bigint, "
+            "n::double, NULL::double FROM ("
+            f"  SELECT {c}::varchar AS value, count(*)::bigint AS n, "
+            f"    row_number() OVER (ORDER BY count(*) DESC, {c}::varchar) AS rank "
+            f"  FROM events WHERE {c} IS NOT NULL GROUP BY {c}"
+            ") WHERE rank <= 5"
+        )
     return " UNION ALL ".join(parts)
 
 
@@ -3885,7 +4027,19 @@ def oracle_sql() -> dict[str, str]:
             f"{_WINDOW_COLS}, "
             "round(sum(coalesce(value, 0)), 3) AS sum__value, "
             "CAST(count(value) AS DOUBLE) AS count__value "
-            "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 3600)"
+            "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 3600) "
+            # hop arm (r7): width 2h / slide 1h — every event belongs to
+            # exactly two windows, starts floor(ts/1h)·1h and that minus
+            # 1h; the two-window spine is a cross join against k∈{0,1}
+            "UNION ALL "
+            "SELECT 'hop:' || coalesce(event_type, '__nil') || ':' || "
+            "  ((floor(epoch(ts) / 3600)::bigint - k.k) * 3600)::varchar "
+            "  AS g_event_type, "
+            f"{_WINDOW_COLS}, "
+            "round(sum(coalesce(value, 0)), 3) AS sum__value, "
+            "CAST(count(value) AS DOUBLE) AS count__value "
+            "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k "
+            "GROUP BY 1"
         ),
         "w1_session_windows": (
             "WITH g AS (SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER "
@@ -3977,10 +4131,11 @@ def oracle_sql() -> dict[str, str]:
             "    WHEN prev_n IS NOT NULL AND next_n IS NOT NULL THEN "
             "      prev_v + (next_v - prev_v) * ((n - prev_n) "
             "        / (next_n - prev_n)) END * 1e6) / 1e6 AS sum_lin "
-            "FROM f) "
+            "FROM f), "
             # derived-series twin: raw delta of sum_zero; counter rate of
             # sum_locf with the reset branch (NULL lag -> NULL; decrease
             # -> count from current value)
+            "ser AS ("
             "SELECT g_event_type, bucket, sum_zero, sum_locf, sum_lin, "
             "  sum_zero - lag(sum_zero) OVER w AS d_zero, "
             "  CASE WHEN lag(sum_locf) OVER w IS NULL "
@@ -4004,12 +4159,27 @@ def oracle_sql() -> dict[str, str]:
             "  round(list_sum(list_transform(list_reverse(list(sum_zero) OVER w6c), "
             "      (x, i) -> x * power(0.5, i - 1))) / "
             "    list_sum(list_transform(list_reverse(list(sum_zero) OVER w6c), "
-            "      (x, i) -> power(0.5, i - 1))), 6) AS ewma_zero "
+            "      (x, i) -> power(0.5, i - 1))), 6) AS ewma_zero, "
+            # rq6/rz6 twins (r7): rolling median + robust z over the
+            # 1/64-quantized zero-filled sum — dyadic inputs make every
+            # quantile_cont interpolation EXACT, so no rounding step is
+            # needed and Spark percentile agrees bit-for-bit
+            "  round(sum_zero * 64) / 64 AS qv, "
+            "  quantile_cont(round(sum_zero * 64) / 64, 0.5) OVER w6c AS rq6, "
+            "  quantile_cont(round(sum_zero * 64) / 64, 0.5) OVER w6 AS med6 "
             "FROM g WINDOW w AS (PARTITION BY g_event_type ORDER BY bucket), "
             "  w6 AS (PARTITION BY g_event_type ORDER BY bucket "
             "    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), "
             "  w6c AS (PARTITION BY g_event_type ORDER BY bucket "
-            "    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) "
+            "    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)"
+            "), serd AS (SELECT *, qv - med6 AS dev6 FROM ser"
+            "), serm AS (SELECT *, quantile_cont(abs(dev6), 0.5) OVER ("
+            "  PARTITION BY g_event_type ORDER BY bucket "
+            "  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS mad6 FROM serd) "
+            "SELECT g_event_type, bucket, sum_zero, sum_locf, sum_lin, "
+            "  d_zero, rate_locf, z6, anom, ewma_zero, rq6, "
+            "  CASE WHEN mad6 > 0 THEN (qv - med6) / (1.4826 * mad6) END AS rz6 "
+            "FROM serm "
             # stream arm (r6): the drained streaming gap-fill — same agg,
             # but every group's spine extends to the GLOBAL max bucket
             # (trailing fills from the event-time timeouts), zero + locf
@@ -4019,7 +4189,8 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(sl.v, 0.0) AS sum_zero, sl.locf AS sum_locf, "
             "  NULL::double AS sum_lin, NULL::double AS d_zero, "
             "  NULL::double AS rate_locf, NULL::double AS z6, "
-            "  NULL::boolean AS anom, NULL::double AS ewma_zero "
+            "  NULL::boolean AS anom, NULL::double AS ewma_zero, "
+            "  NULL::double AS rq6, NULL::double AS rz6 "
             "FROM ("
             "  SELECT sj.g_event_type, sj.n, sj.v, "
             "    last_value(sj.v IGNORE NULLS) OVER (PARTITION BY sj.g_event_type "
@@ -4043,7 +4214,8 @@ def oracle_sql() -> dict[str, str]:
             "  NULL::double AS d_zero, NULL::double AS rate_locf, "
             "  round(z.zr, 4) AS z6, "
             "  coalesce(abs(z.zr) > 2.5 AND z.cnt >= 3, false) AS anom, "
-            "  NULL::double AS ewma_zero "
+            "  NULL::double AS ewma_zero, "
+            "  NULL::double AS rq6, NULL::double AS rz6 "
             "FROM ("
             "  SELECT g_event_type, n, v, "
             "    CASE WHEN stddev_samp(v) OVER wz > 0 THEN "

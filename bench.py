@@ -33,7 +33,9 @@ HEADLINE = [
     "f1_contains",
     "g1_group_nil",         # r2 pin shape: group arm only (compat)
     "g1_group_nil_v2",      # r6 pin: + profile/corr/expectations arms
-    "w1_aligned_windows",
+    "g1_group_nil_v3",      # r7 pin: + top-values arm
+    "w1_aligned_windows",   # r2 pin shape: tumbling arm only (compat)
+    "w1_aligned_windows_v2",  # r7 pin: + hopping-windows arm
     "w1_session_windows",
     "a5_count_distinct",
     "a9_heatmap",
@@ -66,6 +68,7 @@ HEADLINE = [
     # (the r5 shape; the r6 stream-drain arm lives only in the driver
     # correctness row, per the no-streaming-bench policy above).
     "w_gapfill",
+    "w_gapfill_v2",   # r7 pin: + rolling-median / robust-z columns
     # added r4: curation additions — PII regex scrub (map-side) and
     # benchmark decontamination (broadcast n-gram probe).
     "text_pii_redact",

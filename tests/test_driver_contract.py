@@ -32,8 +32,10 @@ def test_bench_compat_shadows_only_versioned_pins():
     """r6 pin policy: a BENCH_COMPAT name may shadow a registry row ONLY
     as a versioned pin — the compat entry times the originally pinned
     (v1) shape, a distinct callable from the grown registry row, and the
-    grown row is timed under ``<name>_v2`` (except w_gapfill, whose r6
-    growth is the stream-drain arm, excluded from bench by policy)."""
+    grown row is timed under the highest ``<name>_vN`` (except
+    w_gapfill, whose registry row includes the stream-drain arm —
+    excluded from bench by policy, so its versions pin the batch
+    subsets instead)."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -41,6 +43,7 @@ def test_bench_compat_shadows_only_versioned_pins():
     assert overlap == {
         "g1_group_nil",
         "w_gapfill",
+        "w1_aligned_windows",
         "text_quality",
         "sampling_suite",
         "dedup_exact_groups",
@@ -49,9 +52,19 @@ def test_bench_compat_shadows_only_versioned_pins():
     }
     for name in overlap:
         assert entry.BENCH_COMPAT[name] is not qs[name], name
+        versions = [
+            int(k.rsplit("_v", 1)[1])
+            for k in entry.BENCH_COMPAT
+            if k.startswith(f"{name}_v") and k.rsplit("_v", 1)[1].isdigit()
+        ]
+        assert versions, name
+        latest = f"{name}_v{max(versions)}"
         if name != "w_gapfill":
-            assert f"{name}_v2" in entry.BENCH_COMPAT, name
-            assert entry.BENCH_COMPAT[f"{name}_v2"] is qs[name], name
+            assert entry.BENCH_COMPAT[latest] is qs[name], name
+        # every intermediate version is a distinct frozen callable
+        assert len({id(entry.BENCH_COMPAT[f'{name}_v{v}']) for v in versions}) == len(
+            versions
+        ), name
 
 
 def test_bench_headline_names_resolve():
