@@ -114,3 +114,36 @@ def test_sizing_validation(spark, error_users):
     with pytest.raises(ValueError):
         # absurdly tight fpp forces m past max_bits
         bloom_bitmap(error_users, "user_id", fpp=1e-300, max_bits=1 << 12)
+
+
+@pytest.mark.parametrize(
+    "n,m,k",
+    [
+        (2000, 1 << 14, 5),   # theoretical fpp ~2.0%
+        (2000, 1 << 13, 3),   # ~14%
+        (4000, 1 << 15, 6),   # ~2.0%
+    ],
+)
+def test_measured_fpp_matches_theory(spark, n, m, k):
+    """Property (r7): the md5-derived positions behave like independent
+    uniform hashes — the MEASURED false-positive rate of the
+    ``exact=False`` prefilter over disjoint probe keys lands within a
+    3-sigma-ish band of the textbook (1 - e^{-kn/m})^k, across m/k
+    geometries. Also pins the no-false-negative guarantee."""
+    import math
+
+    probes_n = 20000
+    members = spark.range(n).select(F.col("id").cast("string").alias("key"))
+    probes = spark.range(n, n + probes_n).select(
+        F.col("id").cast("string").alias("key")
+    )
+    # no false negatives: every member passes its own filter
+    kept = bloom_semi_join(members, members, "key", m_bits=m, k=k, exact=False)
+    assert kept.count() == n
+    fp = bloom_semi_join(probes, members, "key", m_bits=m, k=k, exact=False).count()
+    theo = (1.0 - math.exp(-k * n / m)) ** k
+    measured = fp / probes_n
+    sigma = math.sqrt(theo * (1.0 - theo) / probes_n)
+    assert abs(measured - theo) < 4 * sigma + 0.15 * theo, (
+        f"measured fpp {measured:.5f} vs theoretical {theo:.5f} (m={m}, k={k})"
+    )

@@ -187,3 +187,89 @@ def test_pnn_percentile_dialect_extension(spark):
         parse_zx_sql("select p0(value)")
     with pytest.raises(ZxSqlError):
         parse_zx_sql("select q90(value)")
+
+
+# ------------------------- multidim GROUP BY (CUBE/ROLLUP/GROUPING SETS, r7)
+
+
+def test_parse_multidim_group_by():
+    q = parse_zx_sql("select sum(foo) group by cube(x, y)")
+    assert q.group_mode == "cube" and q.group_by == ["x", "y"]
+    q = parse_zx_sql("select sum(foo) group by rollup(x, y)")
+    assert q.group_mode == "rollup" and q.group_by == ["x", "y"]
+    q = parse_zx_sql("select sum(foo) group by grouping sets((x, y), (y), ())")
+    assert q.group_mode == [["x", "y"], ["y"], []]
+    assert q.group_by == ["x", "y"]
+    with pytest.raises(ZxSqlError):
+        parse_zx_sql("select sum(foo) group by grouping sets(())")
+    with pytest.raises(ZxSqlError):
+        parse_zx_sql("select sum(foo) group by grouping sets((x), y)")
+
+
+def test_multidim_requires_aggregates(spark):
+    with pytest.raises(ZxSqlError, match="bare columns"):
+        zx_sql(spark, "select foo group by cube(x, y)", df=zx_fixture(spark))
+    with pytest.raises(ZxSqlError, match="ORDER BY"):
+        zx_sql(
+            spark,
+            "select sum(foo) group by cube(x, y) order by sum(foo)",
+            df=zx_fixture(spark),
+        )
+
+
+def _rows(df):
+    # rolled-up dims are NULL — sort on a None-safe repr key
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_shim_cube_matches_multidim_agg(spark):
+    """The shim's CUBE/ROLLUP/GROUPING SETS spellings must produce the
+    exact one-Expand multidim_agg frame (same __nil conventions, same
+    grouping_id bits) — shim users get the same single-scan plan as API
+    users."""
+    from zx_spark.model import Aggregate, Select
+    from zx_spark.operators.olap import multidim_agg
+
+    df = zx_fixture(spark)
+    sels = [Select("foo", Aggregate.SUM), Select("foo", Aggregate.COUNT)]
+    for spelling, mode in [
+        ("cube(x, y)", "cube"),
+        ("rollup(x, y)", "rollup"),
+        ("grouping sets((x, y), (x), ())", [["x", "y"], ["x"], []]),
+    ]:
+        got = zx_sql(
+            spark, f"select sum(foo), count(foo) group by {spelling}", df=df
+        )
+        exp = multidim_agg(df, ["x", "y"], sels, mode=mode)
+        assert _rows(got) == _rows(exp), spelling
+        assert got.columns == ["g_x", "g_y", "grouping_id", "sum__foo", "count__foo"]
+
+
+def test_shim_cube_values_match_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from zx_spark.storage import ZX_FIXTURE_ROWS
+
+    got = {
+        (r["g_x"], r["g_y"], r["grouping_id"]): r["sum__foo"]
+        for r in zx_sql(
+            spark, "select sum(foo) group by cube(x, y)", df=zx_fixture(spark)
+        ).collect()
+    }
+    pdf = pd.DataFrame(
+        [(x, y, float(foo)) for (_, _, foo, x, y, _) in ZX_FIXTURE_ROWS],
+        columns=["x", "y", "foo"],
+    )
+    con = duckdb.connect()
+    con.register("fx", pdf)
+    exp = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.sql(
+            "WITH t AS (SELECT coalesce(x, '__nil') AS g_x, "
+            "coalesce(y, '__nil') AS g_y, foo FROM fx) "
+            "SELECT g_x, g_y, GROUPING(g_x, g_y)::bigint, sum(foo) "
+            "FROM t GROUP BY CUBE(g_x, g_y)"
+        ).fetchall()
+    }
+    assert got == exp

@@ -146,3 +146,10 @@ class Query:
     t_end: float | None = None  # unix seconds, inclusive
     granularity_s: float | None = None
     window_mode: str = "aligned"
+    # Multi-dimensional grouping (beyond the reference's single tuple,
+    # src/lib.rs:547-556): None = plain GROUP BY; "cube" / "rollup" /
+    # an explicit list of grouping sets routes compilation through
+    # operators/olap.multidim_agg's one-Expand plan. Set by the SQL
+    # shim's GROUP BY CUBE(...) / ROLLUP(...) / GROUPING SETS(...)
+    # spellings.
+    group_mode: str | list[list[str]] | None = None

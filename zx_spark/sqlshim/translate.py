@@ -104,7 +104,7 @@ def parse_zx_sql(
         _apply_condition(q, cond_text, compat)
 
     if "group by" in clauses:
-        q.group_by = [_require_ident(c) for c in _split_commas(clauses["group by"])]
+        _parse_group_by(q, clauses["group by"])
 
     for ob in _split_commas(clauses.get("order by", "")):
         m = re.match(rf"^(?P<key>\w+\(\s*{_IDENT}\s*\)|{_IDENT})(?:\s+(?P<dir>asc|desc))?$", ob)
@@ -148,6 +148,27 @@ def zx_sql(
         return spark.sql(q.sql)
     if df is None:
         raise ZxSqlError("zx-dialect query needs the event DataFrame (df=...)")
+    if q.group_mode is not None:
+        # CUBE / ROLLUP / GROUPING SETS → the one-Expand multidim plan.
+        # Same scan/filter path as compiled queries; time windows and
+        # ORDER BY don't compose with grouping sets in the dialect.
+        from zx_spark.compiler import _scan
+        from zx_spark.model import Aggregate as _Agg
+        from zx_spark.operators.olap import multidim_agg
+
+        if q.order_by:
+            raise ZxSqlError("ORDER BY is not supported with CUBE/ROLLUP")
+        if any(s.aggregate is _Agg.RAW for s in q.selects):
+            raise ZxSqlError("bare columns are not valid with CUBE/ROLLUP")
+        work = _scan(df, q, compile_kwargs.get("ts_col", "ts"))
+        work = apply_conditions(work, q.conditions)
+        return multidim_agg(
+            work,
+            q.group_by,
+            q.selects,
+            mode=q.group_mode,
+            rate_col=compile_kwargs.get("rate_col", "sample_rate"),
+        )
     if q.order_by:
         # ORDER BY routes to aggregate-then-sort (O1) — wired for real,
         # unlike the reference (src/lib.rs:840 ignores it).
@@ -225,6 +246,42 @@ def _require_ident(s: str) -> str:
     if not re.match(rf"^{_IDENT}$", s):
         raise ZxSqlError(f"bad identifier: {s!r}")
     return s
+
+
+def _parse_group_by(q: Query, gb: str) -> None:
+    """Plain dim list, or the multidim spellings — ``CUBE(a, b)``,
+    ``ROLLUP(a, b)``, ``GROUPING SETS((a, b), (a), ())`` — which route
+    compilation through multidim_agg's one-Expand plan (dialect
+    extension; the reference groups by a single tuple only,
+    src/lib.rs:547-556)."""
+    m = re.match(rf"^(cube|rollup)\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)$", gb)
+    if m:
+        q.group_mode = m.group(1)
+        q.group_by = [_require_ident(c) for c in _split_commas(m.group(2))]
+        return
+    m = re.match(r"^grouping\s+sets\s*\(\s*(.*?)\s*\)$", gb)
+    if m:
+        body = m.group(1)
+        sets_txt = re.findall(r"\(([^()]*)\)", body)
+        # reject stray tokens between/around the parenthesized sets
+        leftover = re.sub(r"\(([^()]*)\)", "", body).replace(",", "").strip()
+        if not sets_txt or leftover:
+            raise ZxSqlError(f"bad GROUPING SETS clause: {gb!r}")
+        sets = [[_require_ident(c) for c in _split_commas(s)] for s in sets_txt]
+        dims: list[str] = []
+        for s in sets:
+            for c in s:
+                if c not in dims:
+                    dims.append(c)
+        if not dims:
+            raise ZxSqlError(
+                "GROUPING SETS needs at least one non-empty set "
+                "(the grand total alone is a plain ungrouped aggregate)"
+            )
+        q.group_mode = sets
+        q.group_by = dims
+        return
+    q.group_by = [_require_ident(c) for c in _split_commas(gb)]
 
 
 def _apply_condition(q: Query, text: str, compat: ZxCompat) -> None:
