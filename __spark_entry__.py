@@ -1788,9 +1788,43 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("adc_score").alias("score"),
     )
+    # sivf arm (r7): the streaming vector-index sink, DRAINED — the last
+    # streaming subsystem without a driver arm. Two staged files →
+    # maxFilesPerTrigger=1 gives two epochs through vector_index_sink's
+    # foreachBatch (epoch-keyed overwrite = replay idempotency); serving
+    # ivf_topk from read_vector_index's deduped store must reproduce the
+    # batch ivf arm ROW FOR ROW (same literal centers, same probe set,
+    # same 6-dp cosine) — which is exactly what the oracle re-derives.
+    import tempfile
+
+    from zx_spark.streaming.vectors import read_vector_index, vector_index_sink
+
+    tmp = tempfile.mkdtemp(prefix="zx_vec_stream_")
+    src, store, cp = f"{tmp}/src", f"{tmp}/store", f"{tmp}/cp"
+    half = emb.select("vec_id", "embedding")
+    half.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    half.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_in = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lit_centers = [[float(x) for x in c] for c in centers]
+    vector_index_sink(
+        stream_in, store, lit_centers, checkpoint_dir=cp, available_now=True
+    ).awaitTermination(180)
+    sivf = ivf_topk(
+        read_vector_index(spark, store), centers, ANN_QUERY_VEC, k=10, nprobe=4
+    ).select(
+        F.lit("sivf").alias("arm"), "vec_id", F.col("cosine").alias("score")
+    )
     return (
         ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
-        .unionByName(pqb)
+        .unionByName(pqb).unionByName(sivf)
     )
 
 
@@ -3756,11 +3790,17 @@ def _ivf_pq_oracle(
         "pb0 AS (SELECT 'pqb_q0' AS arm, vec_id, score FROM adc "
         f"ORDER BY score DESC, vec_id LIMIT {k}), "
         "pb1 AS (SELECT 'pqb_q1' AS arm, vec_id, score FROM adc1 "
-        f"ORDER BY score DESC, vec_id LIMIT {k}) "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        # sivf (r7): the drained streaming store holds exactly the corpus
+        # assigned by the same literal centers — serving from it must
+        # equal the batch ivf arm, so the twin IS that derivation re-tagged
+        f"sivf_arm AS (SELECT 'sivf' AS arm, vec_id, {cos} AS score "
+        f"FROM a WHERE cell IN ({in_cells}) ORDER BY score DESC, vec_id LIMIT {k}) "
         "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
         "UNION ALL SELECT * FROM ivfpq_arm "
         "UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1 "
-        "UNION ALL SELECT * FROM pb0 UNION ALL SELECT * FROM pb1"
+        "UNION ALL SELECT * FROM pb0 UNION ALL SELECT * FROM pb1 "
+        "UNION ALL SELECT * FROM sivf_arm"
     )
 
 
