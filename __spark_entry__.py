@@ -2163,16 +2163,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       near-duplicates of it flag too. Broadcast probe + one per-doc
       aggregation (decontaminate.py).
     - ``boiler`` — corpus-INTERNAL repeated n-grams (boilerplate): 5-gram
-      shingles appearing in ≥2 distinct documents, rejoined to flag each
-      document's repeated-shingle load (boilerplate_fractions)."""
-    from zx_spark.operators.decontaminate import boilerplate_fractions, decontaminate
+      shingles appearing in ≥2 distinct documents, flagged per document
+      via the r7 complement plan (boilerplate_fractions).
+
+    r7 restructure (SCALE.md "decontaminate stage profile"): the corpus
+    is shingle-hashed ONCE into a persisted shingle_hash_frame shared by
+    both arms — the stage profile showed the n-gram string construction
+    (not md5) dominates the pass, so the win is hashing once, not a
+    faster hash. Same values, same oracle."""
+    from zx_spark.operators.decontaminate import (
+        boilerplate_fractions,
+        decontaminate,
+        shingle_hash_frame,
+    )
 
     docs = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     bench = docs.filter(F.col("doc_id") % 10 == 3).select(
         F.array_join(F.slice(toks, 1, 40), " ").alias("text")
     )
-    dec = decontaminate(docs, bench, text_col="text", id_col="doc_id", n=5).select(
+    hf = shingle_hash_frame(docs, "text", "doc_id", n=5).persist()
+    dec = decontaminate(
+        docs, bench, text_col="text", id_col="doc_id", n=5, hashed=hf
+    ).select(
         F.lit("bench").alias("arm"),
         "doc_id",
         "n_overlap",
@@ -2180,7 +2193,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contamination").alias("ratio"),
     )
     boiler = boilerplate_fractions(
-        docs, text_col="text", id_col="doc_id", n=5, min_docs=2
+        docs, text_col="text", id_col="doc_id", n=5, min_docs=2, hashed=hf
     ).select(F.lit("boiler").alias("arm"), "doc_id", "n_overlap", "n_ngrams", "ratio")
     return dec.unionByName(boiler)
 

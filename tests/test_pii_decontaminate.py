@@ -360,3 +360,63 @@ def test_semantic_contamination_string_bench_ids_jvm(spark):
                 semantic_contamination(
                     corpus, bench, threshold=0.5, bench_id_col="bid", method=method
                 )
+
+
+def test_boilerplate_complement_equals_join_path(spark):
+    """r7: for min_docs=2 the complement plan (n_overlap = n_ngrams −
+    corpus-unique count, attributed via min(id)) must equal the probe
+    join row for row — on the driver documents AND with a shared
+    pre-hashed frame."""
+    from zx_spark.operators.decontaminate import (
+        boilerplate_fractions,
+        shingle_hash_frame,
+    )
+    from zx_spark.storage import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    hf = shingle_hash_frame(docs, "text", "doc_id", n=5)
+    comp = {
+        r["doc_id"]: (r["n_overlap"], r["n_ngrams"], r["ratio"])
+        for r in boilerplate_fractions(docs, min_docs=2, hashed=hf).collect()
+    }
+    # replicate the join path by forcing min_docs=3 semantics off: call
+    # the join branch directly through min_docs=3 on a doubled corpus is
+    # NOT equivalent — instead rebuild the join plan inline
+    from pyspark.sql import functions as FF
+
+    doc_grams = hf.select("doc_id", "n_ngrams", FF.explode_outer("__hs").alias("__h"))
+    boiler = (
+        doc_grams.groupBy("__h")
+        .agg(FF.count(FF.lit(1)).alias("n_docs"))
+        .filter(FF.col("n_docs") >= 2)
+        .select("__h")
+    )
+    join_path = (
+        doc_grams.join(boiler, "__h")
+        .groupBy("doc_id")
+        .agg(
+            FF.count(FF.lit(1)).alias("n_overlap"),
+            FF.first("n_ngrams").alias("n_ngrams"),
+        )
+    )
+    exp = {
+        r["doc_id"]: (
+            r["n_overlap"],
+            r["n_ngrams"],
+            round(r["n_overlap"] / r["n_ngrams"], 6),
+        )
+        for r in join_path.collect()
+    }
+    assert comp == exp and len(comp) > 0
+
+
+def test_boilerplate_min_docs_3_uses_join_path(spark, boiler_corpus):
+    """min_docs > 2 falls back to the probe join; a shingle in exactly 2
+    docs must NOT count at min_docs=3."""
+    from zx_spark.operators.decontaminate import boilerplate_fractions
+
+    two = boilerplate_fractions(boiler_corpus, min_docs=2).count()
+    three = boilerplate_fractions(boiler_corpus, min_docs=3).count()
+    assert three <= two

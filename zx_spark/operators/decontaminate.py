@@ -53,6 +53,30 @@ def _with_shingle_hashes(df: DataFrame, text_col: str, n: int, out: str) -> Data
     ).drop("__toks")
 
 
+def shingle_hash_frame(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """``(id_col, n_ngrams, __hs)`` — each document's DISTINCT shingle-hash
+    array plus its size, the shared input of every probe in this module.
+
+    Stage-profiled at the 100× store (SCALE.md "decontaminate stage
+    profile", r7): the n-gram STRING construction (slice + concat_ws per
+    position) dominates the pass at ~4.3s/100× — md5 adds only ~1s and
+    an xxhash64 or rotate-xor token-hash combine buys nothing once the
+    interpreted higher-order cost is counted. So the win is not a faster
+    hash but hashing ONCE: build this frame, ``persist()`` it, and pass
+    it to ``decontaminate`` / ``boilerplate_fractions(hashed=...)`` —
+    the driver row went from hashing the corpus three times to once."""
+    return _with_shingle_hashes(_spread(corpus), text_col, n, "__hs").select(
+        F.col(f"`{id_col}`"),
+        F.size("__hs").alias("n_ngrams"),
+        F.col("__hs"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -60,6 +84,7 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 5,
     min_overlap: int = 1,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Flag corpus documents sharing ≥ ``min_overlap`` distinct n-gram
     hashes with any benchmark document.
@@ -71,7 +96,9 @@ def decontaminate(
     ``contamination = round(n_overlap / n_ngrams, 6)``.
 
     To *apply* the filter, anti-join the corpus against this result on
-    ``id_col`` (see ``drop_contaminated``).
+    ``id_col`` (see ``drop_contaminated``). Pass ``hashed`` (a — ideally
+    persisted — ``shingle_hash_frame``) to skip re-hashing a corpus this
+    call shares with other probes.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -88,12 +115,14 @@ def decontaminate(
         .select(F.explode_outer("__hs").alias("__h"))
         .distinct()
     )
-    # CPU-bound md5-per-shingle pass: spread a narrow source across the
-    # cluster first (a small parquet file is ONE partition otherwise and
-    # the whole corpus hashes on a single core).
-    doc_grams = _with_shingle_hashes(_spread(corpus), text_col, n, "__hs").select(
+    # CPU-bound shingle-construction pass: spread a narrow source across
+    # the cluster first (a small parquet file is ONE partition otherwise
+    # and the whole corpus hashes on a single core).
+    if hashed is None:
+        hashed = shingle_hash_frame(corpus, text_col, id_col, n)
+    doc_grams = hashed.select(
         F.col(f"`{id_col}`"),
-        F.size("__hs").alias("n_ngrams"),
+        "n_ngrams",
         F.explode_outer("__hs").alias("__h"),
     )
     hits = (
@@ -119,6 +148,7 @@ def boilerplate_shingles(
     id_col: str = "doc_id",
     n: int = 5,
     min_docs: int = 2,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-internal repeated n-grams: the distinct shingle hashes that
     appear in ≥ ``min_docs`` DISTINCT documents — boilerplate (headers,
@@ -131,7 +161,9 @@ def boilerplate_shingles(
     ``(shingle_hash, n_docs)``."""
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    doc_grams = _with_shingle_hashes(_spread(corpus), text_col, n, "__hs").select(
+    if hashed is None:
+        hashed = shingle_hash_frame(corpus, text_col, id_col, n)
+    doc_grams = hashed.select(
         F.col(f"`{id_col}`"), F.explode_outer("__hs").alias("shingle_hash")
     )
     return (
@@ -147,6 +179,7 @@ def boilerplate_fractions(
     id_col: str = "doc_id",
     n: int = 5,
     min_docs: int = 2,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document boilerplate load: for every document containing at
     least one corpus-repeated n-gram, ``(id_col, n_overlap, n_ngrams,
@@ -155,17 +188,63 @@ def boilerplate_fractions(
     set comes from the corpus's OWN document-frequency statistics instead
     of an external benchmark.
 
-    Scale shape: two hash shuffles (the DF agg keyed on shingle hash, the
-    per-doc hit agg keyed on the unique id) plus the probe join. The
-    boilerplate set is NOT force-broadcast — it is corpus-dependent
-    (unlike a benchmark set, it can be large on templated crawls); AQE
-    picks broadcast when it fits. Output ∝ boilerplate incidence."""
-    boiler = boilerplate_shingles(corpus, text_col, id_col, n, min_docs).select(
-        F.col("shingle_hash").alias("__h")
-    )
-    doc_grams = _with_shingle_hashes(_spread(corpus), text_col, n, "__hs").select(
+    Scale shape (restructured r7 after the SCALE.md stage profile —
+    shingle construction dominates, so the corpus must be hashed ONCE):
+
+    - ``min_docs == 2`` (the default): the COMPLEMENT plan — a shingle
+      is repeated iff it is not corpus-unique, and a corpus-unique
+      shingle's sole document is recoverable as ``min(id)`` of its one
+      (doc, hash) pair. So one document-frequency aggregation yields,
+      per document, its count of UNIQUE shingles, and
+      ``n_overlap = n_ngrams − n_unique`` — no probe join, no second
+      hashing pass, no corpus-sized join shuffle. Measured at the 100×
+      store: 32.2s → ~14s. (Documents with NULL ids would break the
+      min-attribution; ids are required non-NULL here, matching every
+      other id-keyed operator in the package.)
+    - ``min_docs > 2``: shingles with 2 ≤ n_docs < min_docs belong to
+      several documents, so the complement cannot attribute them — fall
+      back to the probe join (AQE picks broadcast when the boilerplate
+      vocabulary fits). Both paths reuse ``hashed`` when given.
+
+    Output ∝ boilerplate incidence."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if hashed is None:
+        hashed = shingle_hash_frame(corpus, text_col, id_col, n)
+    per_doc = hashed.select(F.col(f"`{id_col}`"), "n_ngrams")
+    if min_docs == 2:
+        ex = hashed.select(
+            F.col(f"`{id_col}`").alias("__sid"), F.explode_outer("__hs").alias("__h")
+        )
+        uniq = (
+            ex.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__nd"), F.min("__sid").alias("__only"))
+            .filter(F.col("__nd") == 1)
+            .groupBy("__only")
+            .agg(F.count(F.lit(1)).alias("__n_uniq"))
+        )
+        return (
+            per_doc.join(
+                uniq, F.col(f"`{id_col}`") == F.col("__only"), "left"
+            )
+            .select(
+                F.col(f"`{id_col}`"),
+                (
+                    F.col("n_ngrams") - F.coalesce(F.col("__n_uniq"), F.lit(0))
+                ).alias("n_overlap"),
+                "n_ngrams",
+            )
+            .filter(F.col("n_overlap") >= 1)
+            .withColumn(
+                "ratio", F.round(F.col("n_overlap") / F.col("n_ngrams"), 6)
+            )
+        )
+    boiler = boilerplate_shingles(
+        corpus, text_col, id_col, n, min_docs, hashed=hashed
+    ).select(F.col("shingle_hash").alias("__h"))
+    doc_grams = hashed.select(
         F.col(f"`{id_col}`"),
-        F.size("__hs").alias("n_ngrams"),
+        "n_ngrams",
         F.explode_outer("__hs").alias("__h"),
     )
     return (
