@@ -131,3 +131,39 @@ def test_partition_pruning_on_day_partitioned_store(spark, tmp_path):
     import os
 
     assert any(d.startswith("event_date=") for d in os.listdir(path))
+
+
+def test_boilerplate_complement_plan_has_no_corpus_join(spark):
+    """r7: the min_docs=2 complement plan must contain NO sort-merge
+    join (the corpus-sized probe join it replaced) — only the tiny
+    per-doc left join against the unique-counts frame, which AQE turns
+    into a broadcast."""
+    from zx_spark.operators.decontaminate import boilerplate_fractions
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    plan = _executed(boilerplate_fractions(docs, min_docs=2))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # un-persisted: per-doc branch + exploded DF branch re-scan (callers
+    # persist shingle_hash_frame to collapse these, as the driver row
+    # does) — but never a corpus-sized join re-scan on top
+    assert plan.count("FileScan parquet") <= 3
+
+
+def test_hop_arm_single_shuffle(spark):
+    """r7: the hopping-window aggregate is a narrow map-side fan-out
+    (explode) feeding ONE partially-aggregated shuffle — no join, no
+    extra exchange."""
+    from zx_spark.operators.windows import with_hopping_windows
+
+    ev = read_table(spark, SF, "events")
+    hop = with_hopping_windows(ev, "ts", 7200.0, 3600.0)
+    agg = hop.groupBy("event_type", "hop_start").agg(
+        F.sum("value").alias("s")
+    )
+    plan = _executed(agg)
+    # AQE prints the final plan followed by the initial one — count
+    # shuffles in the FINAL section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert "Generate" in final
