@@ -2984,6 +2984,17 @@ def _bench_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bench_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r7): cross-source n-gram overlap matrix
+    (operators/decontaminate.py source_overlap_matrix — one hashing
+    pass, per-source vocabulary dedup agg, hash-keyed self-join bounded
+    by C(sources, 2) per shingle). Python-twin parity in
+    tests/test_pii_decontaminate.py."""
+    from zx_spark.operators.decontaminate import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir))
+
+
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
     # Kept for baseline continuity after the registry merge into
@@ -3012,6 +3023,8 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_fuzzy_dedup": _bench_fuzzy_dedup,
     "op_cooccurrence": _bench_cooc,
     "op_dsir_score": _bench_dsir,
+    # r7 first-measurement pin
+    "op_source_overlap": _bench_source_overlap,
     # ---- versioned pins (r6, VERDICT r5 What's-wrong #2): when a
     # driver row gains arms, its NAME keeps timing the originally
     # pinned shape and the grown row pins a fresh _v2 baseline —

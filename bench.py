@@ -94,6 +94,9 @@ HEADLINE = [
     "op_fuzzy_dedup",
     "op_cooccurrence",
     "op_dsir_score",
+    # added r7 (first measurement pins them): cross-source n-gram
+    # overlap matrix (data-mixing audit over the documents table).
+    "op_source_overlap",
 ]
 
 

@@ -420,3 +420,94 @@ def test_boilerplate_min_docs_3_uses_join_path(spark, boiler_corpus):
     two = boilerplate_fractions(boiler_corpus, min_docs=2).count()
     three = boilerplate_fractions(boiler_corpus, min_docs=3).count()
     assert three <= two
+
+
+def _py_shingle_hashes(text, n=5):
+    import hashlib
+
+    from zx_spark.functions.hashing import toks_py
+
+    toks = toks_py(text)
+    if not toks:
+        shingles = [""]
+    elif len(toks) < n:
+        shingles = [" ".join(toks)]
+    else:
+        shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return {
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles
+    }
+
+
+def test_source_overlap_matrix_hand_corpus(spark):
+    from zx_spark.operators.decontaminate import source_overlap_matrix
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 5-shingles
+    rows = [
+        (1, "a", f"{run} unique-a one two three four"),
+        (2, "b", f"{run} other words here now then"),
+        (3, "c", "totally different content with no overlap at all here"),
+        (4, "b", "more b-only text that matches nothing else anywhere"),
+        (5, None, run),  # NULL source excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+        for r in source_overlap_matrix(df).collect()
+    }
+    # python twin
+    vocab = {}
+    for _, src, text in ((r[0], r[1], r[2]) for r in rows):
+        if src is None:
+            continue
+        vocab.setdefault(src, set()).update(_py_shingle_hashes(text))
+    exp = {}
+    srcs = sorted(vocab)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            shared = len(vocab[sa] & vocab[sb])
+            if shared:
+                exp[(sa, sb)] = (shared, len(vocab[sa]), len(vocab[sb]))
+    assert got == exp and ("a", "b") in got and ("a", "c") not in got
+
+
+def test_source_overlap_matrix_driver_docs(spark):
+    """Value parity on the real driver documents table vs the pure-Python
+    twin (same tokenizer, same md5-60-bit hashes)."""
+    from collections import defaultdict
+
+    from zx_spark.operators.decontaminate import source_overlap_matrix
+    from zx_spark.storage import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard"],
+        )
+        for r in source_overlap_matrix(docs).collect()
+    }
+    vocab = defaultdict(set)
+    for r in docs.select("source", "text").collect():
+        if r["source"] is not None:
+            vocab[r["source"]].update(_py_shingle_hashes(r["text"]))
+    srcs = sorted(vocab)
+    exp = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            sh = len(vocab[sa] & vocab[sb])
+            if sh:
+                na, nb = len(vocab[sa]), len(vocab[sb])
+                exp[(sa, sb)] = (sh, na, nb, round(sh / (na + nb - sh), 6))
+    assert got == exp and len(got) > 0
+
+
+def test_source_overlap_plan_no_cartesian(spark):
+    from zx_spark.operators.decontaminate import source_overlap_matrix
+    from zx_spark.storage import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    df = source_overlap_matrix(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -263,6 +263,74 @@ def boilerplate_fractions(
     )
 
 
+def source_overlap_matrix(
+    corpus: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus SOURCES — the data-mixing
+    audit question "how much of source A's content reappears in source
+    B?" (mirror sites, syndication, cross-posted boilerplate), answered
+    before sampling weights are assigned so shared mass is not double-
+    counted.
+
+    Returns one row per unordered source pair with any overlap:
+    ``(source_a, source_b, n_shared, n_a, n_b, jaccard)`` —
+    ``n_shared`` distinct n-gram hashes present in both sources'
+    vocabularies, each side's vocabulary size, and
+    ``jaccard = n_shared / (n_a + n_b − n_shared)`` rounded to 6 dp.
+    Source order is lexicographic (``source_a < source_b``); NULL
+    sources are excluded.
+
+    Scale shape: ONE hashing pass (the shingle_hash_frame construction
+    with the source carried through), a (source, hash) dedup agg whose
+    shuffle is ∝ per-source vocabulary (map-side partial combines
+    within-source duplicates), then a self equi-join ON THE HASH whose
+    fan-out per shingle is bounded by C(n_sources, 2) — never
+    data-sized — and a final pair-keyed count. No driver-side state
+    beyond the result matrix."""
+    src = F.col(f"`{source_col}`")
+    hashed = _with_shingle_hashes(
+        _spread(corpus.filter(src.isNotNull())), text_col, n, "__hs"
+    ).select(src.alias("__src"), F.explode_outer("__hs").alias("__h"))
+    sv = hashed.groupBy("__src", "__h").agg(F.count(F.lit(1)).alias("__c")).drop(
+        "__c"
+    )
+    sizes = sv.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    a = sv.select(F.col("__src").alias("source_a"), "__h")
+    b = sv.select(F.col("__src").alias("source_b"), "__h")
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("__src").alias("source_a"), F.col("__n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("__src").alias("source_b"), F.col("__n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def drop_boilerplate_docs(
     corpus: DataFrame,
     text_col: str = "text",
