@@ -180,3 +180,40 @@ def test_input_validation(spark, docs):
             [Select("n_chars", Aggregate.SUM)],
             mode=[["nope"]],
         )
+
+
+def test_cube_equals_union_of_plain_groupbys(spark, docs):
+    """Property (r7): the one-Expand cube frame must equal the union of
+    the 2^d independently-computed plain GROUP BYs — each grouping set's
+    rows match the direct aggregation bit for bit (values, __nil keys,
+    grouping_id)."""
+    sels = [Select("n_chars", Aggregate.SUM), Select("n_chars", Aggregate.COUNT)]
+    dims = ["lang", "source"]
+    cube = multidim_agg(docs, dims, sels, mode="cube")
+    got = {}
+    for r in cube.collect():
+        got[(r["g_lang"], r["g_source"], r["grouping_id"])] = (
+            r["sum__n_chars"], r["count__n_chars"],
+        )
+    exp = {}
+    for gid, keep in [(0, (True, True)), (1, (True, False)), (2, (False, True)), (3, (False, False))]:
+        keys = [
+            F.coalesce(F.col(d).cast("string"), F.lit("__nil")).alias(f"g_{d}")
+            for d, k in zip(dims, keep)
+            if k
+        ]
+        agg = docs.groupBy(*keys).agg(
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("s"),
+            F.count("n_chars").cast("double").alias("c"),
+        ) if keys else docs.agg(
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("s"),
+            F.count("n_chars").cast("double").alias("c"),
+        )
+        for r in agg.collect():
+            key = (
+                r["g_lang"] if keep[0] else None,
+                r["g_source"] if keep[1] else None,
+                gid,
+            )
+            exp[key] = (r["s"], r["c"])
+    assert got == exp
