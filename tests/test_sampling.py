@@ -417,3 +417,67 @@ def test_cap_per_key_null_priority_never_outranks(spark):
         ).collect()
     }
     assert wide == {1, 2, 3}  # id tie-break picks doc 1 of the two NULLs
+
+
+# ------------------------------------------------- leakage_safe_split
+
+
+def test_leakage_safe_split_chains_stay_together(spark):
+    """A near-dup CHAIN a~b, b~c (a and c never a direct pair) must land
+    entirely in one split for every seed; singletons split exactly like
+    the plain per-id splitter."""
+    from zx_spark.operators.sampling import leakage_safe_split, train_test_split
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    for seed in (0, 1, 7):
+        out = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_split(
+                df, [0.5, 0.5], pairs=pairs, seed=seed
+            ).collect()
+        }
+        assert out[1] == out[2] == out[3], seed
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in train_test_split(df, [0.5, 0.5], "doc_id", seed=seed).collect()
+        }
+        for i in (4, 5, 6, 7):
+            assert out[i] == plain[i], (seed, i)
+
+
+def test_leakage_safe_split_driver_docs_no_straddle(spark, docs):
+    """On the real driver documents: no MinHash near-dup pair straddles
+    the boundary, fractions are sane, and the assignment is
+    deterministic. Precomputed pairs and precomputed components must
+    give identical splits."""
+    from zx_spark.operators.dedup import dup_components, near_dup_pairs
+    from zx_spark.operators.sampling import leakage_safe_split
+
+    d = docs.select("doc_id", "text")
+    pairs = near_dup_pairs(d, "text", "doc_id", threshold=0.5)
+    comps = dup_components(pairs)
+    a = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(d, [0.8, 0.2], pairs=pairs, seed=3).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            d, [0.8, 0.2], components=comps, seed=3
+        ).collect()
+    }
+    assert a == b
+    for r in pairs.collect():
+        assert a[r["id_a"]] == a[r["id_b"]], (r["id_a"], r["id_b"])
+    n = len(a)
+    frac0 = sum(1 for s in a.values() if s == 0) / n
+    assert 0.7 < frac0 < 0.9
+    # deterministic re-run
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(d, [0.8, 0.2], pairs=pairs, seed=3).collect()
+    }
+    assert again == a

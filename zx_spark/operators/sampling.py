@@ -131,6 +131,60 @@ def train_test_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    weights: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    components: DataFrame | None = None,
+    threshold: float = 0.8,
+    seed: int = 0,
+    split_col: str = "split",
+    hash_method: str = "md5",
+) -> DataFrame:
+    """``train_test_split`` that near-duplicates cannot straddle: every
+    document is split by its near-dup COMPONENT label (the min id
+    reachable through any chain of pairs) instead of its own id, so a
+    benchmark answer and its paraphrase-by-copy land on the SAME side of
+    the train/val boundary — the leakage mode a plain per-id split
+    cannot prevent (the module docstring's "run dedup first", made
+    first-class).
+
+    Inputs, most-precomputed-first: ``components`` (a ``dup_components``
+    frame, ``(doc_id, component)``), else ``pairs`` (near-dup pairs
+    ``(id_a, id_b)`` from any of the dedup family — MinHash, SimHash,
+    fuzzy, semantic), else both are computed here via
+    ``near_dup_pairs(threshold=...)``. Pipelines that already ran dedup
+    pass what they have and pay nothing twice.
+
+    Scale shape: the component map is ∝ documents-in-duplicate-clusters
+    (a small fraction of the corpus), so the left join is
+    AQE-broadcastable; the split itself stays the same map-side hash
+    expression as ``train_test_split`` — singleton documents hash their
+    own id, so their assignment is IDENTICAL to the plain splitter and
+    adding dedup info never reshuffles the non-duplicated majority."""
+    if components is None:
+        if pairs is None:
+            from zx_spark.operators.dedup import near_dup_pairs
+
+            pairs = near_dup_pairs(
+                df, text_col=text_col, id_col=id_col, threshold=threshold
+            )
+        from zx_spark.operators.dedup import dup_components
+
+        components = dup_components(pairs)
+    comp = components.select(
+        F.col("doc_id").alias("__lnode"), F.col("component").alias("__lcomp")
+    )
+    keyed = df.join(
+        comp, F.col(f"`{id_col}`") == F.col("__lnode"), "left"
+    ).withColumn("__lkey", F.coalesce(F.col("__lcomp"), F.col(f"`{id_col}`")))
+    return train_test_split(
+        keyed, weights, "__lkey", seed, split_col, hash_method
+    ).drop("__lnode", "__lcomp", "__lkey")
+
+
 def mix_by_rates(
     df: DataFrame,
     group_col: str,
