@@ -350,7 +350,9 @@ def q_w1_aligned_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly two overlapping windows. Row key encodes the hop start
     (``hop:<event_type>:<start>``); window_start/window_end are the
     min/max event epochs INSIDE the hop window, the same convention as
-    the tumbling arm. The fan-out is a narrow map-side explode
+    the tumbling arm. NULL-ts events belong to no hop window and are
+    dropped (explode of a NULL sequence emits no rows) — the oracle's
+    hop arm filters ``ts IS NOT NULL`` to pin the same semantics. The fan-out is a narrow map-side explode
     (width/slide = 2 rows per event) and partial aggregation still
     combines before the shuffle — state ∝ groups × 2, the standard
     hopping-aggregation cost at any scale."""
@@ -4096,7 +4098,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY coalesce(event_type, '__nil'), floor(epoch(ts) / 3600) "
             # hop arm (r7): width 2h / slide 1h — every event belongs to
             # exactly two windows, starts floor(ts/1h)·1h and that minus
-            # 1h; the two-window spine is a cross join against k∈{0,1}
+            # 1h; the two-window spine is a cross join against k∈{0,1}.
+            # ts IS NOT NULL matches the Spark arm exactly: a NULL-ts
+            # event belongs to no hop window (explode of a NULL sequence
+            # emits nothing), so the oracle must drop it too instead of
+            # keeping a NULL-keyed group.
             "UNION ALL "
             "SELECT 'hop:' || coalesce(event_type, '__nil') || ':' || "
             "  ((floor(epoch(ts) / 3600)::bigint - k.k) * 3600)::varchar "
@@ -4105,6 +4111,7 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(coalesce(value, 0)), 3) AS sum__value, "
             "CAST(count(value) AS DOUBLE) AS count__value "
             "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k "
+            "WHERE ts IS NOT NULL "
             "GROUP BY 1"
         ),
         "w1_session_windows": (

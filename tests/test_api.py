@@ -90,3 +90,19 @@ def test_sparse_insert_columns_survive(spark, tmp_path):
     assert "rare" in cols
     vals = {r["rare"] for r in zx.events().select("rare").collect()}
     assert vals == {"only_here", None}
+
+
+def test_sql_cube_returns_row_dicts(spark):
+    """r7 review: ZX.sql() used to route CUBE/ROLLUP queries into
+    shape_result, which reads row["window_start"] — a column the
+    multidim frame doesn't have -> ValueError. group_mode queries must
+    take the row-dict path like RAW/ordered queries do."""
+    zx = ZX(spark, events_df=zx_fixture(spark), granularity_s=15)
+    rows = zx.sql("select sum(foo) group by cube(x, y)")
+    assert isinstance(rows, list) and rows
+    assert set(rows[0]) == {"g_x", "g_y", "grouping_id", "sum__foo"}
+    # grand total row present (grouping_id == 3 for 2 dims)
+    assert any(r["grouping_id"] == 3 for r in rows)
+    # and the plain-dialect JSON shape is unaffected
+    shaped = zx.sql("select sum(foo) group by y")
+    assert isinstance(shaped, dict)

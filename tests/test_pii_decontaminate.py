@@ -511,3 +511,18 @@ def test_source_overlap_plan_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_fractions_null_id_fails_fast(spark):
+    """r7 review: under the min_docs=2 complement plan a NULL-id doc
+    cannot be reached by the min(id) attribution and used to come out
+    as ~100% boilerplate. Non-NULL ids are now enforced in-plan."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from zx_spark.operators.decontaminate import boilerplate_fractions
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (None, "eta theta iota kappa lambda mu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="NULL doc_id"):
+        boilerplate_fractions(df, n=5, min_docs=2).collect()

@@ -273,3 +273,31 @@ def test_shim_cube_values_match_duckdb(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_multidim_explicit_granularity_raises(spark):
+    """r7 review: an explicit GRANULARITY clause with CUBE/ROLLUP used to
+    be silently dropped (un-windowed totals for a query that asked for
+    hourly windows) — it must raise like the ORDER BY case. The session
+    DEFAULT granularity (no clause in the text) must still be fine."""
+    df = zx_fixture(spark)
+    with pytest.raises(ZxSqlError, match="GRANULARITY"):
+        zx_sql(spark, "select sum(foo) granularity 1h group by cube(x, y)", df=df)
+    # no explicit clause -> the (ignored-for-cube) session default is fine
+    assert zx_sql(
+        spark, "select sum(foo) group by cube(x)", df=df, granularity_s=3600.0
+    ).count() > 0
+
+
+def test_multidim_without_rate_col(spark):
+    """r7 review: the multidim branch must apply the same rate_col
+    existence guard as compile_query — a frame with no sample_rate
+    column used to crash with UNRESOLVED_COLUMN through the cube path
+    while working through plain GROUP BY."""
+    df = zx_fixture(spark).drop("sample_rate")
+    plain = zx_sql(spark, "select sum(foo) group by x", df=df, granularity_s=None)
+    cubed = zx_sql(spark, "select sum(foo) group by cube(x)", df=df)
+    assert plain.count() > 0
+    rows = {r["g_x"]: r["sum__foo"] for r in cubed.filter("grouping_id = 0").collect()}
+    want = {r["g_x"]: r["sum__foo"] for r in plain.collect()}
+    assert rows == want

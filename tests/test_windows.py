@@ -147,3 +147,56 @@ def test_hopping_windows_match_builtin_f_window(spark):
         with_hopping_windows(ev, "ts", 100.0, 300.0)
     with pytest.raises(ValueError):
         with_hopping_windows(ev, "ts", 100.0, 33.0)
+
+
+def test_hopping_windows_drop_null_ts_and_match_oracle_shape(spark):
+    """r7 review: the hop driver arm and its DuckDB oracle must agree on
+    NULL-ts events. Spark drops them (explode of a NULL sequence emits
+    nothing); the oracle now filters ts IS NOT NULL. Pin both engines on
+    a frame that actually contains a NULL ts (the driver testdata has
+    none, so the divergence was latent)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from zx_spark.operators.windows import with_hopping_windows
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, t0, "a", 10.0),
+        (2, t0 + dt.timedelta(hours=1), "a", 20.0),
+        (3, None, "a", 40.0),          # must appear in NO hop window
+        (4, t0 + dt.timedelta(minutes=90), None, 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    hop = with_hopping_windows(ev, "ts", 7200.0, 3600.0)
+    assert hop.filter("event_id = 3").count() == 0
+    got = {
+        (r["k"], r["s"]): r["v"]
+        for r in hop.groupBy(
+            F.coalesce("event_type", F.lit("__nil")).alias("k"),
+            F.col("hop_start").cast("long").alias("s"),
+        )
+        .agg(F.round(F.sum("value"), 3).alias("v"))
+        .collect()
+    }
+    pdf = pd.DataFrame(
+        [(i, ts, et, v) for (i, ts, et, v) in rows],
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    exp = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(
+            "SELECT coalesce(event_type, '__nil') AS k, "
+            "((floor(epoch(ts) / 3600)::bigint - k.k) * 3600) AS s, "
+            "round(sum(value), 3) AS v "
+            "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert got == exp

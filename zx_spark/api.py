@@ -81,6 +81,7 @@ class ZX:
         out = self.df(text)
         if (
             isinstance(parsed, Query)
+            and parsed.group_mode is None  # multidim frames have no window_start
             and not parsed.order_by
             and any(s.aggregate is not Aggregate.RAW for s in parsed.selects)
         ):

@@ -153,3 +153,7 @@ class Query:
     # shim's GROUP BY CUBE(...) / ROLLUP(...) / GROUPING SETS(...)
     # spellings.
     group_mode: str | list[list[str]] | None = None
+    # True iff the query text carried an explicit GRANULARITY clause (vs
+    # inheriting the session default). Grouping-set queries don't window,
+    # so an explicit clause there must raise instead of being dropped.
+    granularity_explicit: bool = False

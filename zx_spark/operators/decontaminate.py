@@ -199,8 +199,9 @@ def boilerplate_fractions(
       ``n_overlap = n_ngrams − n_unique`` — no probe join, no second
       hashing pass, no corpus-sized join shuffle. Measured at the 100×
       store: 32.2s → ~14s. (Documents with NULL ids would break the
-      min-attribution; ids are required non-NULL here, matching every
-      other id-keyed operator in the package.)
+      min-attribution; non-NULL ids are ENFORCED in-plan — a scan-speed
+      raise_error, not a validation pass — matching pack_concat's and
+      duplicated_spans' fail-fast discipline.)
     - ``min_docs > 2``: shingles with 2 ≤ n_docs < min_docs belong to
       several documents, so the complement cannot attribute them — fall
       back to the probe join (AQE picks broadcast when the boilerplate
@@ -213,8 +214,23 @@ def boilerplate_fractions(
         hashed = shingle_hash_frame(corpus, text_col, id_col, n)
     per_doc = hashed.select(F.col(f"`{id_col}`"), "n_ngrams")
     if min_docs == 2:
+        # A NULL id cannot be reached by the min(id) attribution below, so
+        # a NULL-id doc would silently come out as ~100% boilerplate.
+        # Enforce the docstring's non-NULL precondition IN the plan
+        # (scan-speed per-row check, no extra validation pass) — same
+        # fail-fast discipline as pack_concat / duplicated_spans.
+        idc = F.col(f"`{id_col}`")
+        guarded = F.when(idc.isNotNull(), idc).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"boilerplate_fractions: NULL {id_col} cannot be "
+                    "attributed under the min_docs=2 complement plan"
+                ).cast("string")
+            )
+        )
+        per_doc = hashed.select(guarded.alias(id_col), "n_ngrams")
         ex = hashed.select(
-            F.col(f"`{id_col}`").alias("__sid"), F.explode_outer("__hs").alias("__h")
+            guarded.alias("__sid"), F.explode_outer("__hs").alias("__h")
         )
         uniq = (
             ex.groupBy("__h")
@@ -295,9 +311,7 @@ def source_overlap_matrix(
     hashed = _with_shingle_hashes(
         _spread(corpus.filter(src.isNotNull())), text_col, n, "__hs"
     ).select(src.alias("__src"), F.explode_outer("__hs").alias("__h"))
-    sv = hashed.groupBy("__src", "__h").agg(F.count(F.lit(1)).alias("__c")).drop(
-        "__c"
-    )
+    sv = hashed.select("__src", "__h").distinct()
     sizes = sv.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
     a = sv.select(F.col("__src").alias("source_a"), "__h")
     b = sv.select(F.col("__src").alias("source_b"), "__h")

@@ -119,6 +119,7 @@ def parse_zx_sql(
 
     if "granularity" in clauses:
         q.granularity_s = _parse_duration(clauses["granularity"].strip())
+        q.granularity_explicit = True
     return q
 
 
@@ -158,16 +159,25 @@ def zx_sql(
 
         if q.order_by:
             raise ZxSqlError("ORDER BY is not supported with CUBE/ROLLUP")
+        if q.granularity_explicit:
+            # Silently returning un-windowed totals when the user asked
+            # for hourly windows would be a wrong-answer trap; fail like
+            # the ORDER BY case does.
+            raise ZxSqlError("GRANULARITY is not supported with CUBE/ROLLUP")
         if any(s.aggregate is _Agg.RAW for s in q.selects):
             raise ZxSqlError("bare columns are not valid with CUBE/ROLLUP")
         work = _scan(df, q, compile_kwargs.get("ts_col", "ts"))
         work = apply_conditions(work, q.conditions)
+        rate_col = compile_kwargs.get("rate_col", "sample_rate")
+        if rate_col is not None and rate_col not in df.columns:
+            # same guard compile_query/run_sorted apply (compiler.py)
+            rate_col = None
         return multidim_agg(
             work,
             q.group_by,
             q.selects,
             mode=q.group_mode,
-            rate_col=compile_kwargs.get("rate_col", "sample_rate"),
+            rate_col=rate_col,
         )
     if q.order_by:
         # ORDER BY routes to aggregate-then-sort (O1) — wired for real,
