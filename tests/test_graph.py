@@ -1,0 +1,214 @@
+"""PageRank (operators/graph.py): numpy-twin parity, closed-form checks,
+dangling/weighted/isolated handling, early-stop, and the
+centrality-canonical composition with dup_components."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _numpy_pagerank(edges, n_nodes, damping, iters, weights=None, node_ids=None):
+    """Independent power-iteration twin, same formula as the operator:
+    r' = (1-d)/N + d*(sum contrib + dangling_mass/N)."""
+    nodes = sorted(node_ids) if node_ids is not None else sorted(
+        {u for u, _ in edges} | {v for _, v in edges}
+    )
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = weights if weights is not None else [1.0] * len(edges)
+    out_w = np.zeros(n)
+    for (u, _), ww in zip(edges, w):
+        out_w[idx[u]] += ww
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        m = np.zeros(n)
+        for (u, v), ww in zip(edges, w):
+            if weights is not None:
+                m[idx[v]] += r[idx[u]] * ww / out_w[idx[u]]
+            else:
+                m[idx[v]] += r[idx[u]] / out_w[idx[u]]
+        dm = r[out_w == 0].sum()
+        r = (1.0 - damping) / n + damping * (m + dm / n)
+    return dict(zip(nodes, r))
+
+
+def _edges_df(spark, edges, weights=None):
+    if weights is not None:
+        return spark.createDataFrame(
+            [(u, v, w) for (u, v), w in zip(edges, weights)],
+            "src long, dst long, w double",
+        )
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_cycle_graph_is_uniform(spark):
+    """On a directed n-cycle every node is structurally identical —
+    ranks must be exactly 1/n at every iteration."""
+    from zx_spark.operators.graph import pagerank
+
+    n = 7
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), iters=4).collect()}
+    assert len(got) == n
+    for v in got.values():
+        assert abs(v - 1.0 / n) < 1e-12
+
+
+def test_matches_numpy_twin_random_graph(spark):
+    """Seeded random digraph with a dangling node and a hub — operator
+    equals the independent numpy power iteration to fp noise."""
+    from zx_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(42)
+    n = 40
+    edges = sorted({
+        (int(rng.randint(0, n)), int(rng.randint(0, n)))
+        for _ in range(120)
+    })
+    edges = [(u, v) for u, v in edges if u != v and u != 39]  # 39 dangles
+    edges += [(i, 0) for i in range(1, 6)]  # node 0 is a hub
+    edges = sorted(set(edges))
+    want = _numpy_pagerank(edges, n, 0.85, 6)
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), iters=6).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    assert got[0] > 1.0 / n  # the added in-edges lift the hub above uniform
+
+
+def test_weighted_matches_numpy_twin(spark):
+    from zx_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    weights = [3.0, 1.0, 2.0, 5.0]
+    want = _numpy_pagerank(edges, 3, 0.85, 5, weights=weights)
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges, weights), weight_col="w", iters=5).collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # weight 3 edge pulls more mass to 2 than unweighted would
+    unw = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), iters=5).collect()}
+    assert got[2] > unw[2]
+
+
+def test_isolated_node_via_nodes_param(spark):
+    """A node with no edges at all still receives teleport + dangling
+    redistribution mass (it IS dangling: no out-edges)."""
+    from zx_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1)]
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "node long")
+    want = _numpy_pagerank(edges, 3, 0.85, 4, node_ids=[1, 2, 99])
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), nodes=nodes, iters=4).collect()}
+    assert set(got) == {1, 2, 99}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    assert got[99] < got[1]
+
+
+def test_tol_early_stop_converges(spark):
+    """With tol set, the loop stops early and lands within tol-ish of
+    the long-run fixed point."""
+    from zx_spark.operators.graph import pagerank
+
+    edges = [(i, (i + 1) % 5) for i in range(5)] + [(0, 2), (3, 1)]
+    df = _edges_df(spark, edges)
+    fixed = {r["node"]: r["rank"] for r in pagerank(df, iters=60).collect()}
+    early = {r["node"]: r["rank"] for r in pagerank(
+        df, iters=60, tol=1e-10).collect()}
+    for k in fixed:
+        assert abs(early[k] - fixed[k]) < 1e-8, k
+
+
+def test_validates_args_and_nulls(spark):
+    from zx_spark.operators.graph import pagerank
+
+    df = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    # a NULL endpoint drops the whole edge; a node mentioned only by
+    # NULL edges is absent unless supplied via nodes=
+    withnull = spark.createDataFrame(
+        [(1, 2), (2, 1), (None, 3), (3, None)], "src long, dst long"
+    )
+    got = {r["node"] for r in pagerank(withnull, iters=2).collect()}
+    assert got == {1, 2}
+    nodes = spark.createDataFrame([(3,)], "node long")
+    got = {r["node"] for r in pagerank(withnull, nodes=nodes, iters=2).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_centrality_canonical_picks_hub_per_component(spark):
+    """Two components: a star (center 10) and a pair. The star center
+    must be canonical; exactly one canonical per component."""
+    from zx_spark.operators.graph import centrality_canonical
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (10, 12), (10, 13), (50, 51)], "id_a long, id_b long"
+    )
+    rows = centrality_canonical(pairs, iters=8).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert set(by_comp) == {10, 50}
+    star = {r["node"]: r for r in by_comp[10]}
+    assert star[10]["is_canonical"] and star[10]["rank"] == max(
+        r["rank"] for r in by_comp[10]
+    )
+    assert sum(r["is_canonical"] for r in by_comp[10]) == 1
+    assert sum(r["is_canonical"] for r in by_comp[50]) == 1
+
+
+def test_pagerank_matches_duckdb_unrolled_cte(spark):
+    """Cross-engine pin: 3 unrolled power iterations in DuckDB equal the
+    operator on the same seeded graph (the construction the driver's
+    `pr` arm oracle uses)."""
+    import duckdb
+
+    from zx_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    edges = sorted({(int(rng.randint(0, 20)), int(rng.randint(0, 20)))
+                    for _ in range(60)})
+    edges = [(u, v) for u, v in edges if u != v]
+    got = {
+        r["node"]: round(r["rank"], 6)
+        for r in pagerank(_edges_df(spark, edges), iters=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    step = (
+        "SELECT n.node, (1.0-0.85)/(SELECT n FROM nn) + 0.85*("
+        "coalesce(s.m, 0.0) + (SELECT dm FROM {dm}) / (SELECT n FROM nn)) AS r "
+        "FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(p.r/od.od) AS m "
+        "FROM e JOIN {prev} p ON p.node = e.src JOIN od ON od.src = e.src "
+        "GROUP BY e.dst) s USING (node)"
+    )
+    dang = (
+        "SELECT coalesce(sum(p.r), 0.0) AS dm FROM {prev} p "
+        "LEFT JOIN od ON od.src = p.node WHERE od.src IS NULL"
+    )
+    sql = (
+        "WITH nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "nn AS (SELECT count(*)::double AS n FROM nodes), "
+        "od AS (SELECT src, count(*)::double AS od FROM e GROUP BY src), "
+        "pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes), "
+        + ", ".join(
+            f"dm{t} AS MATERIALIZED ({dang.format(prev=f'pr{t}')}), "
+            f"pr{t + 1} AS MATERIALIZED ("
+            + step.format(prev=f"pr{t}", dm=f"dm{t}")
+            + ")"
+            for t in range(3)
+        )
+        + " SELECT node, round(r, 6) FROM pr3"
+    )
+    want = dict(con.sql(sql).fetchall())
+    assert got == want

@@ -1,0 +1,185 @@
+"""PageRank — link-style centrality over an edge list, Pregel-shaped.
+
+The curation use: after near-dup detection builds a graph (MinHash pairs,
+k-NN neighbors), centrality picks the CANONICAL document per
+neighborhood — the best-connected exemplar — instead of dedup.py's
+lexicographic min-id winner, and centrality-weighted sampling keeps
+"hub" documents that many near-variants orbit. Classic public algorithm
+(Brin & Page 1998; the damped power iteration).
+
+Distributed shape (what survives 100 TB):
+
+- Each iteration is exactly two data-sized shuffles: ranks ⋈ edges on
+  the source key (the edge frame — with out-degrees attached — is
+  computed ONCE, persisted, and reused every iteration), then a hash
+  aggregation on the destination key with map-side partial combine.
+  That is the Pregel/GraphX cost model re-expressed as DataFrames.
+- The rank frame is node-sized, never edge-sized, and is
+  localCheckpoint-ed each iteration so the lineage stays O(1) instead
+  of growing by two joins per iteration (same discipline as
+  dedup.dup_components' label propagation).
+- Dangling-node mass (nodes with no out-edges) is a SINGLE-ROW frame
+  broadcast back in — the only driver-sized state besides the node
+  count. When the graph has no dangling nodes (checked once, one cheap
+  anti-join count), the per-iteration mass machinery is skipped
+  entirely.
+- Optional ``tol`` early-stop costs one max-abs-delta aggregation per
+  iteration — worth it when convergence beats the iteration budget.
+
+Reference scope note: the reference engine (src/lib.rs) has no graph
+surface; this operator belongs to the beyond-reference curation family
+next to dedup.py (whose connected components it composes with).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    weight_col: str | None = None,
+    nodes: DataFrame | None = None,
+    tol: float | None = None,
+) -> DataFrame:
+    """Damped PageRank over a directed edge list → ``(node, rank)``.
+
+    ``r_{t+1}(v) = (1-d)/N + d * (Σ_{(u→v)} r_t(u)·w(u→v)/W(u) + D_t/N)``
+
+    where ``W(u)`` is u's out-degree (sum of weights when ``weight_col``
+    is given) and ``D_t`` the total rank mass sitting on dangling nodes.
+    Ranks sum to 1 every iteration. ``nodes`` (one ``node`` column) may
+    add isolated vertices beyond those mentioned by edges. ``tol`` stops
+    early once ``max_v |r_{t+1}(v) − r_t(v)| < tol``.
+
+    The per-edge contribution is computed as ``rank/W`` then summed —
+    NOT pre-folded into ``rank·(1/W)`` — so independent re-derivations
+    (the driver's unrolled-CTE oracle, the numpy twin in tests) match
+    bit-for-bit modulo summation order.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    s, d = F.col(f"`{src_col}`"), F.col(f"`{dst_col}`")
+    e = edges.filter(s.isNotNull() & d.isNotNull()).select(
+        s.alias("__src"),
+        d.alias("__dst"),
+        *(
+            [F.col(f"`{weight_col}`").cast("double").alias("__w")]
+            if weight_col is not None
+            else []
+        ),
+    )
+    node_frame = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    if nodes is not None:
+        node_frame = node_frame.unionByName(
+            nodes.select(F.col("node")).filter(F.col("node").isNotNull())
+        ).distinct()
+    node_frame = node_frame.persist()
+    n = node_frame.count()  # driver scalar: one cheap distinct-count job
+    if n == 0:
+        return node_frame.withColumn("rank", F.lit(None).cast("double"))
+
+    wexpr = F.col("__w") if weight_col is not None else F.lit(1.0)
+    out = e.groupBy("__src").agg(F.sum(wexpr).alias("__od"))
+    # out-degree rides along on every edge so each iteration is ONE join
+    ew = e.join(out, "__src").persist()
+
+    dangling = node_frame.join(
+        out.select(F.col("__src").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = dangling.limit(1).count() > 0  # checked once, not per iter
+
+    base = (1.0 - damping) / n
+    ranks = node_frame.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["__src"] == ranks["node"])
+            .select(
+                F.col("__dst").alias("node"),
+                ((F.col("rank") * wexpr if weight_col is not None else F.col("rank")) / F.col("__od")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__m"))
+        )
+        new = node_frame.join(contrib, "node", "left").select(
+            "node", F.coalesce(F.col("__m"), F.lit(0.0)).alias("__m")
+        )
+        if has_dangling:
+            dm = (
+                ranks.join(dangling, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+            )
+            # single-row broadcast — the same stat-frame crossJoin shape
+            # evaluate.py / datadrift.py use
+            new = new.crossJoin(F.broadcast(dm)).select(
+                "node",
+                (F.col("__m") + F.col("__dm") / F.lit(float(n))).alias("__m"),
+            )
+        new = new.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.col("__m")).alias("rank"),
+        )
+        new = new.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new.join(ranks.withColumnRenamed("rank", "__prev"), "node")
+                .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("__d"))
+                .collect()[0]["__d"]
+            )
+            ranks = new
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new
+    for frame in (ew, dangling, node_frame):
+        frame.unpersist()
+    return ranks
+
+
+def centrality_canonical(
+    pairs: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per near-dup component, the PageRank-central member as canonical:
+    ``(node, component, rank, is_canonical)``.
+
+    Composes the package's two graph passes: ``dedup.dup_components``
+    labels each connected component (min-label propagation) and
+    PageRank over the SYMMETRIZED pair graph scores members; the
+    component's max-rank node (ties → min id) is the exemplar to keep.
+    Both passes are edge-list shuffles — nothing is collected."""
+    from zx_spark.operators.dedup import dup_components
+
+    a, b = F.col(f"`{id_a}`"), F.col(f"`{id_b}`")
+    sym = pairs.select(a.alias("src"), b.alias("dst")).unionByName(
+        pairs.select(b.alias("src"), a.alias("dst"))
+    )
+    pr = pagerank(sym, damping=damping, iters=iters)
+    comp = dup_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("rank").desc(), F.col("node")
+    )
+    return (
+        pr.join(comp, "node")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("node", "component", "rank", "is_canonical")
+    )
