@@ -1884,13 +1884,37 @@ def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal centers.
     from zx_spark.operators.similarity import knn_pairs
 
-    knn = knn_pairs(annotated, centers, k=2, nprobe=2).select(
+    knn_raw = knn_pairs(annotated, centers, k=2, nprobe=2)
+    knn = knn_raw.select(
         F.lit("knn").alias("arm"),
         F.col("vec_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
         F.col("cosine").alias("score"),
     )
-    return lsh.unionByName(sem).unionByName(drop).unionByName(knn)
+    # pr arm (r7): PageRank centrality over the SAME k-NN digraph
+    # (operators/graph.py) — 5 damped power iterations, two shuffles
+    # each; every vector is a query so the graph has no dangling nodes
+    # and the operator's one-time anti-join check skips the dangling
+    # machinery. The oracle re-runs the identical iteration as five
+    # unrolled MATERIALIZED CTE steps over the kn edge list (same
+    # base + d*sum(r/od) association, so values agree to fp noise,
+    # rounded 6dp on both sides).
+    from zx_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        knn_raw.select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ),
+        iters=5,
+    ).select(
+        F.lit("pr").alias("arm"),
+        F.col("node").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.round("rank", 6).alias("score"),
+    )
+    return (
+        lsh.unionByName(sem).unionByName(drop).unionByName(knn).unionByName(pr)
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2997,6 +3021,31 @@ def _bench_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(_docs(spark, sf_dir))
 
 
+def _bench_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r7): PageRank (operators/graph.py) over the
+    symmetrized user↔event_type co-engagement graph — one distinct to
+    build the edge list, then 5 damped power iterations. Symmetric ⇒
+    no dangling nodes ⇒ the LAZY iteration path: the whole run is one
+    job plus two scalar setup jobs, with the persisted edge frame
+    reused across iterations (iters=1 vs iters=5 measured within
+    noise at sf0.1 — the row times graph-build + scan, as it should;
+    iteration cost only matters at real edge counts). The
+    driver-verified twin is the `pr` arm of emb_near_pairs_lsh."""
+    from zx_spark.operators.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    b = ev.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("user_id").cast("string").alias("u"),
+        F.concat(F.lit("et:"), F.col("event_type")).alias("t"),
+    ).distinct()
+    edges = b.select(F.col("u").alias("src"), F.col("t").alias("dst")).unionByName(
+        b.select(F.col("t").alias("src"), F.col("u").alias("dst"))
+    )
+    return pagerank(edges, iters=5)
+
+
 BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_contains": _filter_query(Condition("props", Cmp.CONTAINS, '"k": 7')),
     # Kept for baseline continuity after the registry merge into
@@ -3025,8 +3074,9 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_fuzzy_dedup": _bench_fuzzy_dedup,
     "op_cooccurrence": _bench_cooc,
     "op_dsir_score": _bench_dsir,
-    # r7 first-measurement pin
+    # r7 first-measurement pins
     "op_source_overlap": _bench_source_overlap,
+    "op_pagerank": _bench_pagerank,
     # ---- versioned pins (r6, VERDICT r5 What's-wrong #2): when a
     # driver row gains arms, its NAME keeps timing the originally
     # pinned shape and the grown row pins a fresh _v2 baseline —
@@ -3583,12 +3633,32 @@ def _rp_lsh_oracle(
         "kn AS (SELECT qid, nid, score FROM (SELECT qid, nid, score, "
         "row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn "
         "FROM kn0) WHERE rn <= 2) "
+        # pr arm: 5 unrolled damped power iterations over the kn edge
+        # list. Every vector is a qid (out-degree 2, no dangling), so
+        # each step is exactly base + 0.85*coalesce(sum(r/od), 0) — the
+        # association the Spark operator uses. MATERIALIZED stops the
+        # chain re-inlining (round-6 BPE lesson).
+        ", prn AS (SELECT qid AS node FROM kn UNION SELECT nid FROM kn), "
+        "pnn AS (SELECT count(*)::double AS n FROM prn), "
+        "pod AS (SELECT qid, count(*)::double AS od FROM kn GROUP BY qid), "
+        "pr0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM pnn) AS r FROM prn), "
+        + " ".join(
+            f"pr{t + 1} AS MATERIALIZED (SELECT n.node, "
+            "(1.0-0.85)/(SELECT n FROM pnn) + 0.85*coalesce(s.m, 0.0) AS r "
+            "FROM prn n LEFT JOIN (SELECT kn.nid AS node, "
+            f"sum(p.r/pod.od) AS m FROM kn JOIN pr{t} p ON p.node = kn.qid "
+            "JOIN pod ON pod.qid = kn.qid GROUP BY kn.nid) s USING (node)),"
+            for t in range(5)
+        ).rstrip(",")
+        + " "
         f"SELECT 'rp_lsh' AS arm, id_a, id_b, cosine AS score FROM cand "
         f"WHERE cosine >= {threshold} "
         "UNION ALL SELECT 'sem_pair' AS arm, id_a, id_b, score FROM sp "
         "UNION ALL SELECT 'sem_drop' AS arm, id_a, NULL::BIGINT AS id_b, "
         "NULL::DOUBLE AS score FROM dropped "
-        "UNION ALL SELECT 'knn' AS arm, qid AS id_a, nid AS id_b, score FROM kn"
+        "UNION ALL SELECT 'knn' AS arm, qid AS id_a, nid AS id_b, score FROM kn "
+        "UNION ALL SELECT 'pr' AS arm, node AS id_a, NULL::BIGINT AS id_b, "
+        "round(r, 6) AS score FROM pr5"
     )
 
 

@@ -95,8 +95,11 @@ HEADLINE = [
     "op_cooccurrence",
     "op_dsir_score",
     # added r7 (first measurement pins them): cross-source n-gram
-    # overlap matrix (data-mixing audit over the documents table).
+    # overlap matrix (data-mixing audit over the documents table), and
+    # PageRank over the symmetrized user-event co-engagement graph
+    # (edge build + 5 power iterations, lazy no-dangling path).
     "op_source_overlap",
+    "op_pagerank",
 ]
 
 
