@@ -7,19 +7,28 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _numpy_pagerank(edges, n_nodes, damping, iters, weights=None, node_ids=None):
+def _numpy_pagerank(edges, n_nodes, damping, iters, weights=None, node_ids=None,
+                    seeds=None):
     """Independent power-iteration twin, same formula as the operator:
-    r' = (1-d)/N + d*(sum contrib + dangling_mass/N)."""
+    r' = (1-d)·t + d*(sum contrib + dangling_mass·t), t uniform or
+    concentrated on seeds."""
     nodes = sorted(node_ids) if node_ids is not None else sorted(
         {u for u, _ in edges} | {v for _, v in edges}
     )
+    if seeds is not None:
+        nodes = sorted(set(nodes) | set(seeds))
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
+    tp = np.full(n, 1.0 / n)
+    if seeds is not None:
+        tp = np.zeros(n)
+        for sd in seeds:
+            tp[idx[sd]] = 1.0 / len(seeds)
     w = weights if weights is not None else [1.0] * len(edges)
     out_w = np.zeros(n)
     for (u, _), ww in zip(edges, w):
         out_w[idx[u]] += ww
-    r = np.full(n, 1.0 / n)
+    r = tp.copy()
     for _ in range(iters):
         m = np.zeros(n)
         for (u, v), ww in zip(edges, w):
@@ -28,7 +37,7 @@ def _numpy_pagerank(edges, n_nodes, damping, iters, weights=None, node_ids=None)
             else:
                 m[idx[v]] += r[idx[u]] / out_w[idx[u]]
         dm = r[out_w == 0].sum()
-        r = (1.0 - damping) / n + damping * (m + dm / n)
+        r = (1.0 - damping) * tp + damping * (m + dm * tp)
     return dict(zip(nodes, r))
 
 
@@ -212,3 +221,45 @@ def test_pagerank_matches_duckdb_unrolled_cte(spark):
     )
     want = dict(con.sql(sql).fetchall())
     assert got == want
+
+
+def test_personalized_matches_numpy_twin(spark):
+    """Seeded teleport: ranks concentrate around the seed set and match
+    the numpy twin; dangling mass returns to the seeds, not uniformly."""
+    from zx_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]  # 5 dangles
+    want = _numpy_pagerank(edges, 5, 0.85, 6, seeds=[1])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), seeds=seeds, iters=6).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # proximity ordering: the seed and its successor outrank the far tail
+    assert got[1] > got[4] and got[2] > got[5]
+    # a non-seed node with no in-edges gets rank 0 mass only via teleport -> 0
+    # (node 5's only mass arrives through 4 -> 5)
+    assert got[5] > 0.0
+
+
+def test_personalized_seed_outside_edges_and_validation(spark):
+    from zx_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1)]
+    # a seed not mentioned by any edge joins the node set (and dangles)
+    seeds = spark.createDataFrame([(9,)], "node long")
+    want = _numpy_pagerank(edges, 3, 0.85, 4, seeds=[9])
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), seeds=seeds, iters=4).collect()}
+    assert set(got) == {1, 2, 9}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    assert got[9] == max(got.values())
+    with pytest.raises(ValueError, match="seeds"):
+        pagerank(
+            _edges_df(spark, edges),
+            seeds=spark.createDataFrame([], "node long"),
+            iters=2,
+        )

@@ -51,18 +51,25 @@ def pagerank(
     iters: int = 10,
     weight_col: str | None = None,
     nodes: DataFrame | None = None,
+    seeds: DataFrame | None = None,
     tol: float | None = None,
     checkpoint_every: int = 3,
 ) -> DataFrame:
-    """Damped PageRank over a directed edge list → ``(node, rank)``.
+    """Damped (optionally personalized) PageRank over a directed edge
+    list → ``(node, rank)``.
 
-    ``r_{t+1}(v) = (1-d)/N + d * (Σ_{(u→v)} r_t(u)·w(u→v)/W(u) + D_t/N)``
+    ``r_{t+1}(v) = (1-d)·t(v) + d * (Σ_{(u→v)} r_t(u)·w(u→v)/W(u) + D_t·t(v))``
 
     where ``W(u)`` is u's out-degree (sum of weights when ``weight_col``
-    is given) and ``D_t`` the total rank mass sitting on dangling nodes.
-    Ranks sum to 1 every iteration. ``nodes`` (one ``node`` column) may
-    add isolated vertices beyond those mentioned by edges. ``tol`` stops
-    early once ``max_v |r_{t+1}(v) − r_t(v)| < tol``.
+    is given), ``D_t`` the total rank mass sitting on dangling nodes,
+    and ``t`` the teleport distribution — uniform ``1/N`` by default, or
+    ``1/|S|`` concentrated on ``seeds`` (one ``node`` column) for
+    PERSONALIZED PageRank: ranks then measure proximity to the seed
+    set, the standard seed-expansion tool (grow a trusted document set
+    to its graph neighborhood before sampling). Ranks sum to 1 every
+    iteration. ``nodes`` (one ``node`` column) may add isolated
+    vertices beyond those mentioned by edges. ``tol`` stops early once
+    ``max_v |r_{t+1}(v) − r_t(v)| < tol``.
 
     The per-edge contribution is computed as ``rank/W`` then summed —
     NOT pre-folded into ``rank·(1/W)`` — so independent re-derivations
@@ -92,6 +99,23 @@ def pagerank(
         node_frame = node_frame.unionByName(
             nodes.select(F.col("node")).filter(F.col("node").isNotNull())
         ).distinct()
+    seed_frame = None
+    if seeds is not None:
+        seed_frame = (
+            seeds.select(F.col("node")).filter(F.col("node").isNotNull()).distinct()
+        )
+        ns = seed_frame.count()  # driver scalar (seed sets are small)
+        if ns == 0:
+            raise ValueError("seeds must contain at least one non-NULL node")
+        # per-node teleport mass rides on the node frame; seeds-only
+        node_frame = node_frame.unionByName(seed_frame).distinct().join(
+            F.broadcast(seed_frame.withColumn("__s", F.lit(1))), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("__s").isNotNull(), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("__tp"),
+        )
     node_frame = node_frame.persist()
     n = node_frame.count()  # driver scalar: one cheap distinct-count job
     if n == 0:
@@ -108,10 +132,15 @@ def pagerank(
     has_dangling = dangling.limit(1).count() > 0  # checked once, not per iter
 
     base = (1.0 - damping) / n
+    seeded = seed_frame is not None
+    tp_cols = ["__tp"] if seeded else []
     # eager per-iteration checkpoints only when required (see module
     # docstring); otherwise stay lazy and cut lineage periodically
     eager_every_iter = has_dangling or tol is not None
-    ranks = node_frame.select("node", F.lit(1.0 / n).alias("rank"))
+    # r0 = the teleport distribution (uniform 1/N when not seeded)
+    ranks = node_frame.select(
+        "node", (F.col("__tp") if seeded else F.lit(1.0 / n)).alias("rank")
+    )
     if eager_every_iter:
         ranks = ranks.localCheckpoint(eager=True)
     for it in range(iters):
@@ -125,7 +154,7 @@ def pagerank(
             .agg(F.sum("__c").alias("__m"))
         )
         new = node_frame.join(contrib, "node", "left").select(
-            "node", F.coalesce(F.col("__m"), F.lit(0.0)).alias("__m")
+            "node", *tp_cols, F.coalesce(F.col("__m"), F.lit(0.0)).alias("__m")
         )
         if has_dangling:
             dm = (
@@ -136,11 +165,26 @@ def pagerank(
             # evaluate.py / datadrift.py use
             new = new.crossJoin(F.broadcast(dm)).select(
                 "node",
-                (F.col("__m") + F.col("__dm") / F.lit(float(n))).alias("__m"),
+                *tp_cols,
+                (
+                    F.col("__m")
+                    + (
+                        F.col("__dm") * F.col("__tp")
+                        if seeded
+                        else F.col("__dm") / F.lit(float(n))
+                    )
+                ).alias("__m"),
             )
         new = new.select(
             "node",
-            (F.lit(base) + F.lit(damping) * F.col("__m")).alias("rank"),
+            (
+                (F.lit(1.0 - damping) * F.col("__tp") + F.lit(damping) * F.col("__m"))
+                if seeded
+                # the (1-d)/N division form is pinned by the driver
+                # oracle — don't refactor to (1-d)·(1/N), the doubles
+                # differ
+                else (F.lit(base) + F.lit(damping) * F.col("__m"))
+            ).alias("rank"),
         )
         if eager_every_iter:
             new = new.localCheckpoint(eager=True)
