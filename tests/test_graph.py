@@ -263,3 +263,47 @@ def test_personalized_seed_outside_edges_and_validation(spark):
             seeds=spark.createDataFrame([], "node long"),
             iters=2,
         )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=20,
+    ),
+    damping=st.sampled_from([0.5, 0.85, 0.95]),
+    iters=st.integers(1, 4),
+    seeded=st.booleans(),
+)
+def test_property_matches_twin(spark, edges, damping, iters, seeded):
+    """Any random small digraph (self-loops, dups, dangling, multi-
+    edges deduped), any damping/iters, seeded or not — operator equals
+    the numpy twin and conserves mass."""
+    from zx_spark.operators.graph import pagerank
+
+    edges = sorted({(u, v) for u, v in edges if u != v})
+    if not edges:
+        return
+    seeds_list = [edges[0][0]] if seeded else None
+    want = _numpy_pagerank(edges, 8, damping, iters, seeds=seeds_list)
+    seeds_df = (
+        spark.createDataFrame([(s,) for s in seeds_list], "node long")
+        if seeds_list
+        else None
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), damping=damping, iters=iters, seeds=seeds_df
+    ).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-10, (k, damping, iters, seeded)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
