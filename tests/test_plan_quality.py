@@ -167,3 +167,27 @@ def test_hop_arm_single_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
     assert "Generate" in final
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    """r7 s2: the PageRank iteration plan must contain no Cartesian
+    product; with no dangling nodes there is no broadcast nested loop
+    either (the single-row dangling-mass crossJoin is the only
+    permitted BNLJ, and only on dangling graphs)."""
+    from zx_spark.operators.graph import pagerank
+
+    ev = read_table(spark, SF, "events").limit(20000)
+    b = ev.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("user_id").cast("string").alias("u"),
+        F.concat(F.lit("et:"), F.col("event_type")).alias("t"),
+    ).distinct()
+    edges = b.select(F.col("u").alias("src"), F.col("t").alias("dst")).unionByName(
+        b.select(F.col("t").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank(edges, iters=3)
+    plan = _executed(pr)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # symmetric ⇒ no dangling
+    spark.catalog.clearCache()
