@@ -307,3 +307,117 @@ def test_property_matches_twin(spark, edges, damping, iters, seeded):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-10, (k, damping, iters, seeded)
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def _brute_triangles(edges):
+    """Python twin: per-node triangle counts over the undirected simple
+    graph."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # enumerate each triangle once as a sorted triple, credit 3 corners
+    tri = {v: 0 for v in adj}
+    seen = set()
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            t = tuple(sorted((a, b, c)))
+            if t not in seen:
+                seen.add(t)
+                for v in t:
+                    tri[v] += 1
+    deg = {v: len(ns) for v, ns in adj.items()}
+    return {
+        v: (
+            tri[v],
+            deg[v],
+            (2.0 * tri[v] / (deg[v] * (deg[v] - 1))) if deg[v] >= 2 else None,
+        )
+        for v in adj
+    }
+
+
+def test_triangles_k4_and_square(spark):
+    """K4: every node in 3 triangles, clustering 1.0. A 4-cycle: zero
+    triangles, clustering 0.0."""
+    from zx_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    for v in range(4):
+        assert got[v]["triangles"] == 3 and got[v]["degree"] == 3
+        assert abs(got[v]["clustering"] - 1.0) < 1e-12
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(square, "src long, dst long")).collect()}
+    for v in range(4):
+        assert got[v]["triangles"] == 0 and got[v]["clustering"] == 0.0
+    spark.catalog.clearCache()
+
+
+def test_triangles_match_brute_force_random(spark):
+    """Seeded random graph (dups, self-loops, both orientations) equals
+    the python twin exactly."""
+    from zx_spark.operators.graph import triangle_counts
+
+    rng = np.random.RandomState(11)
+    edges = [(int(rng.randint(0, 25)), int(rng.randint(0, 25)))
+             for _ in range(160)]
+    want = _brute_triangles(edges)
+    got = {r["node"]: (r["triangles"], r["degree"], r["clustering"])
+           for r in triangle_counts(
+               spark.createDataFrame(edges, "src long, dst long")).collect()}
+    assert set(got) == set(want)
+    for v, (t, dg, c) in want.items():
+        gt, gd, gc = got[v]
+        assert (gt, gd) == (t, dg), v
+        if c is None:
+            assert gc is None
+        else:
+            assert abs(gc - c) < 1e-12
+    # global invariant: sum of corner counts = 3 x triangle count
+    assert sum(t for t, _, _ in got.values()) % 3 == 0
+    spark.catalog.clearCache()
+
+
+def test_triangles_match_duckdb(spark):
+    """Cross-engine: per-node counts equal a DuckDB 3-way join."""
+    import duckdb
+
+    from zx_spark.operators.graph import triangle_counts
+
+    rng = np.random.RandomState(3)
+    edges = sorted({(int(rng.randint(0, 15)), int(rng.randint(0, 15)))
+                    for _ in range(60)})
+    edges = [e for e in edges if e[0] != e[1]]
+    got = {r["node"]: r["triangles"] for r in triangle_counts(
+        spark.createDataFrame(edges, "src long, dst long")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e0 (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e0 VALUES (?, ?)", edges)
+    rows = con.sql(
+        "WITH und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b FROM e0 WHERE src != dst), "
+        "tri AS (SELECT e1.a x, e1.b y, e2.b z FROM und e1 "
+        " JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b "
+        " JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b), "
+        "corners AS (SELECT unnest([x, y, z]) node FROM tri) "
+        "SELECT node, count(*) FROM corners GROUP BY node"
+    ).fetchall()
+    want = dict(rows)
+    for v, t in got.items():
+        assert want.get(v, 0) == t, v
+    spark.catalog.clearCache()
+
+
+def test_triangles_plan_is_hash_joins(spark):
+    from zx_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    plan = triangle_counts(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
