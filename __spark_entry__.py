@@ -1912,8 +1912,32 @@ def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id_b"),
         F.round("rank", 6).alias("score"),
     )
+    # tri arm (r7 s2): per-node triangle counts over the SAME k-NN
+    # graph treated undirected (operators/graph.py triangle_counts —
+    # degree-ordered wedge closure, all hash equi-joins). Counts are
+    # exact integers, so the score column is hash-safe with no
+    # rounding concerns; the oracle re-counts with a canonical 3-way
+    # self-join. Only nodes in ≥1 triangle are emitted (score > 0) to
+    # keep the arm row count ∝ clique structure, not corpus size.
+    from zx_spark.operators.graph import triangle_counts
+
+    tri = (
+        triangle_counts(
+            knn_raw.select(
+                F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+            )
+        )
+        .filter(F.col("triangles") > 0)
+        .select(
+            F.lit("tri").alias("arm"),
+            F.col("node").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.col("triangles").cast("double").alias("score"),
+        )
+    )
     return (
-        lsh.unionByName(sem).unionByName(drop).unionByName(knn).unionByName(pr)
+        lsh.unionByName(sem).unionByName(drop).unionByName(knn)
+        .unionByName(pr).unionByName(tri)
     )
 
 
@@ -3658,7 +3682,20 @@ def _rp_lsh_oracle(
         "NULL::DOUBLE AS score FROM dropped "
         "UNION ALL SELECT 'knn' AS arm, qid AS id_a, nid AS id_b, score FROM kn "
         "UNION ALL SELECT 'pr' AS arm, node AS id_a, NULL::BIGINT AS id_b, "
-        "round(r, 6) AS score FROM pr5"
+        "round(r, 6) AS score FROM pr5 "
+        # tri arm: symmetrize kn to the canonical (min, max) undirected
+        # edge list, enumerate each triangle once as an ordered triple
+        # (a < b < c via the ascending join conditions), credit all
+        # three corners; only triangle members are emitted (Spark side
+        # filters triangles > 0)
+        "UNION ALL SELECT 'tri' AS arm, node AS id_a, NULL::BIGINT AS id_b, "
+        "cnt::DOUBLE AS score FROM ("
+        "  WITH tund AS (SELECT DISTINCT least(qid, nid) a, greatest(qid, nid) b FROM kn), "
+        "  ttri AS (SELECT e1.a x, e1.b y, e2.b z FROM tund e1 "
+        "    JOIN tund e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "    JOIN tund e3 ON e3.a = e1.b AND e3.b = e2.b) "
+        "  SELECT node, count(*) cnt FROM (SELECT unnest([x, y, z]) node FROM ttri) "
+        "  GROUP BY node)"
     )
 
 
