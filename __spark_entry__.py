@@ -2142,7 +2142,28 @@ def q_text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lang_pred", "n")
     )
-    return base.unionByName(auc_rows).unionByName(cm_rows)
+    # cms arm (r7 s2): count-min sketch frequency estimates for every
+    # distinct lang (operators/cms.py — ONE map-side-combined agg pass
+    # builds the 3×64 counter model, estimation is scan-speed literal
+    # lookups). The salted md5-60-bit buckets make the WHOLE sketch
+    # SQL-reproducible: the oracle rebuilds counters and least-of-
+    # lookups estimates value-for-value, so the arm hash-verifies the
+    # sketch itself, not just its error bound.
+    from zx_spark.operators.cms import cms_build, cms_estimate_col
+
+    cms_model = cms_build(docs, "lang", width=64, depth=3)
+    cms_rows = (
+        docs.filter(F.col("lang").isNotNull())
+        .select("lang")
+        .distinct()
+        .select(
+            F.concat(F.lit("cms:"), F.col("lang")).alias("lang_pred"),
+            cms_estimate_col(F.col("lang"), cms_model).cast("long").alias("n"),
+        )
+    )
+    return (
+        base.unionByName(auc_rows).unionByName(cm_rows).unionByName(cms_rows)
+    )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4937,7 +4958,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'eval:f1_micro', CASE WHEN tp + fp > 0 AND "
             "tp + fn > 0 AND tp / (tp + fp) + tp / (tp + fn) > 0 THEN "
             "round(round(2 * (tp / (tp + fp)) * (tp / (tp + fn)) / "
-            "(tp / (tp + fp) + tp / (tp + fn)), 6) * 1e6)::bigint END FROM cm)"
+            "(tp / (tp + fp) + tp / (tp + fn)), 6) * 1e6)::bigint END FROM cm) "
+            # r7 s2 cms arm: rebuild the 3×64 count-min sketch from raw
+            # parquet (same cms{i}: salted md5-60-bit buckets) and emit
+            # least-of-lookups per distinct lang — value-for-value the
+            # Spark model's estimates
+            "UNION ALL SELECT 'cms:' || v AS lang_pred, est AS n FROM ("
+            "WITH cb AS (SELECT lang AS v, "
+            + ", ".join(
+                f"('0x'||substr(md5('cms{i}:'||lang),1,15))::bigint % 64 AS b{i}"
+                for i in range(3)
+            )
+            + " FROM documents WHERE lang IS NOT NULL), "
+            "dv AS (SELECT DISTINCT v, b0, b1, b2 FROM cb) "
+            "SELECT v, least(t0.c0, t1.c1, t2.c2) AS est FROM dv "
+            + " ".join(
+                f"JOIN (SELECT b{i}, count(*) AS c{i} FROM cb GROUP BY b{i}) t{i} "
+                f"USING (b{i})"
+                for i in range(3)
+            )
+            + ")"
         ),
         "doc_fingerprints": (
             # Same md5-derived 60-bit shingle hash as the Spark side
