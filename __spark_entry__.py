@@ -2161,8 +2161,54 @@ def q_text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             cms_estimate_col(F.col("lang"), cms_model).cast("long").alias("n"),
         )
     )
+    # scms arm (r7 s2): the STREAMING twin drained — the corpus split
+    # into two disjoint halves, each micro-batch sketched independently
+    # (streaming/sketch.cms_sink, epoch-overwrite idempotent) and the
+    # live model read back as the counter-wise epoch merge. Disjoint
+    # union ⇒ merged model == the batch sketch EXACTLY, so the oracle
+    # is the same sketch rebuild with the scms prefix — the drain is
+    # verified value-for-value, not bound-checked.
+    import tempfile as _tf
+
+    from zx_spark.streaming.sketch import cms_sink, read_cms_model
+
+    sdir = _tf.mkdtemp(prefix="zx_cms_src_")
+    store = _tf.mkdtemp(prefix="zx_cms_store_")
+    ckpt = _tf.mkdtemp(prefix="zx_cms_ckpt_")
+    half = docs.select("doc_id", "lang")
+    half.filter(F.col("doc_id") % 2 == 0).repartition(1).write.parquet(
+        sdir, mode="append"
+    )
+    half.filter(F.col("doc_id") % 2 == 1).repartition(1).write.parquet(
+        sdir, mode="append"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(half.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(sdir)
+    )
+    cms_sink(
+        stream, "lang", store, width=64, depth=3,
+        checkpoint_dir=ckpt, available_now=True,
+    ).awaitTermination(180)
+    scms_model = read_cms_model(spark, store)  # eager — staging can go
+    import shutil as _sh
+
+    for d in (sdir, store, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    scms_rows = (
+        docs.filter(F.col("lang").isNotNull())
+        .select("lang")
+        .distinct()
+        .select(
+            F.concat(F.lit("scms:"), F.col("lang")).alias("lang_pred"),
+            cms_estimate_col(F.col("lang"), scms_model).cast("long").alias("n"),
+        )
+    )
     return (
-        base.unionByName(auc_rows).unionByName(cm_rows).unionByName(cms_rows)
+        base.unionByName(auc_rows).unionByName(cm_rows)
+        .unionByName(cms_rows).unionByName(scms_rows)
     )
 
 
@@ -4964,6 +5010,25 @@ def oracle_sql() -> dict[str, str]:
             # least-of-lookups per distinct lang — value-for-value the
             # Spark model's estimates
             "UNION ALL SELECT 'cms:' || v AS lang_pred, est AS n FROM ("
+            "WITH cb AS (SELECT lang AS v, "
+            + ", ".join(
+                f"('0x'||substr(md5('cms{i}:'||lang),1,15))::bigint % 64 AS b{i}"
+                for i in range(3)
+            )
+            + " FROM documents WHERE lang IS NOT NULL), "
+            "dv AS (SELECT DISTINCT v, b0, b1, b2 FROM cb) "
+            "SELECT v, least(t0.c0, t1.c1, t2.c2) AS est FROM dv "
+            + " ".join(
+                f"JOIN (SELECT b{i}, count(*) AS c{i} FROM cb GROUP BY b{i}) t{i} "
+                f"USING (b{i})"
+                for i in range(3)
+            )
+            + ") "
+            # scms arm: the drained streaming twin sketches two DISJOINT
+            # halves and merges counter-wise — merged ≡ the batch sketch
+            # exactly, so the oracle is the identical rebuild, scms-
+            # prefixed
+            "UNION ALL SELECT 'scms:' || v AS lang_pred, est AS n FROM ("
             "WITH cb AS (SELECT lang AS v, "
             + ", ".join(
                 f"('0x'||substr(md5('cms{i}:'||lang),1,15))::bigint % 64 AS b{i}"
