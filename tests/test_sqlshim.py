@@ -301,3 +301,54 @@ def test_multidim_without_rate_col(spark):
     rows = {r["g_x"]: r["sum__foo"] for r in cubed.filter("grouping_id = 0").collect()}
     want = {r["g_x"]: r["sum__foo"] for r in plain.collect()}
     assert rows == want
+
+
+def test_limit_top_k(spark):
+    """r7 s2 beyond-reference LIMIT: deterministic top-k after the wired
+    ORDER BY (the reference has neither, src/lib.rs:840); ties closed by
+    the group key so the cut is stable. Values pinned vs DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from zx_spark.storage import ZX_FIXTURE_ROWS
+
+    df = zx_fixture(spark)
+    got = [
+        (r["g_x"], r["sum__foo"])
+        for r in zx_sql(
+            spark,
+            "select sum(foo) group by x order by sum(foo) desc limit 3",
+            df=df,
+            granularity_s=None,
+        ).collect()
+    ]
+    assert len(got) == 3
+    pdf = pd.DataFrame(
+        [(x, float(foo)) for (_, _, foo, x, _, _) in ZX_FIXTURE_ROWS],
+        columns=["x", "foo"],
+    )
+    con = duckdb.connect()
+    con.register("fx", pdf)
+    want = con.sql(
+        "SELECT coalesce(x, '__nil') g_x, sum(foo) s FROM fx "
+        "GROUP BY 1 ORDER BY s DESC, g_x LIMIT 3"
+    ).fetchall()
+    assert got == [(x, s) for x, s in want]
+
+
+def test_limit_validation(spark):
+    df = zx_fixture(spark)
+    with pytest.raises(ZxSqlError, match="LIMIT requires ORDER BY"):
+        zx_sql(spark, "select sum(foo) group by x limit 3", df=df)
+    with pytest.raises(ZxSqlError, match="bad LIMIT"):
+        zx_sql(
+            spark,
+            "select sum(foo) group by x order by sum(foo) limit 0",
+            df=df,
+        )
+    with pytest.raises(ZxSqlError, match="bad LIMIT"):
+        zx_sql(
+            spark,
+            "select sum(foo) group by x order by sum(foo) limit -2",
+            df=df,
+        )

@@ -178,11 +178,18 @@ def run_sorted(
     for c in q.group_by:
         by_key.setdefault(c, group_alias(c))
     order = []
+    used = set()
     for key, asc in q.order_by:
         alias = by_key.get(key, key)
+        used.add(alias)
         col = F.col(f"`{alias}`")
         order.append(col.asc() if asc else col.desc())
     if order:
+        # group keys close the order to a TOTAL one — without them a
+        # LIMIT cut at a tie would return an arbitrary subset
+        for c in q.group_by:
+            if group_alias(c) not in used:
+                order.append(F.col(f"`{group_alias(c)}`").asc())
         out = out.orderBy(*order)
     return out
 

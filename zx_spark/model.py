@@ -157,3 +157,8 @@ class Query:
     # inheriting the session default). Grouping-set queries don't window,
     # so an explicit clause there must raise instead of being dropped.
     granularity_explicit: bool = False
+    # Beyond-reference LIMIT n (the reference dialect has none): valid
+    # only with ORDER BY — a cut without a total order would return an
+    # arbitrary subset. run_sorted appends the group keys as final
+    # tie-breakers so the cut is deterministic at ties.
+    limit: int | None = None

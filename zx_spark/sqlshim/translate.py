@@ -38,7 +38,7 @@ _COND_RE = re.compile(
     r"(?P<val>'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[\w.$-]+)$"
 )
 _CLAUSES = re.compile(
-    r"\bwhere\b|\bgroup\s+by\b|\border\s+by\b|\bgranularity\b|\bfrom\b"
+    r"\bwhere\b|\bgroup\s+by\b|\border\s+by\b|\bgranularity\b|\blimit\b|\bfrom\b"
 )
 
 _OPS = {
@@ -120,6 +120,16 @@ def parse_zx_sql(
     if "granularity" in clauses:
         q.granularity_s = _parse_duration(clauses["granularity"].strip())
         q.granularity_explicit = True
+
+    if "limit" in clauses:
+        lim = clauses["limit"].strip()
+        if not re.fullmatch(r"\d+", lim) or int(lim) < 1:
+            raise ZxSqlError(f"bad LIMIT: {lim!r} (need a positive integer)")
+        if not q.order_by:
+            # an un-ordered cut returns an arbitrary subset — refuse
+            # rather than silently hand back nondeterministic rows
+            raise ZxSqlError("LIMIT requires ORDER BY in the zx dialect")
+        q.limit = int(lim)
     return q
 
 
@@ -181,8 +191,11 @@ def zx_sql(
         )
     if q.order_by:
         # ORDER BY routes to aggregate-then-sort (O1) — wired for real,
-        # unlike the reference (src/lib.rs:840 ignores it).
-        return run_sorted(df, q, **compile_kwargs)
+        # unlike the reference (src/lib.rs:840 ignores it). LIMIT (also
+        # beyond-reference) cuts after the deterministic total sort;
+        # Catalyst turns it into TakeOrdered — no full sort at scale.
+        out = run_sorted(df, q, **compile_kwargs)
+        return out.limit(q.limit) if q.limit is not None else out
     if all(s.aggregate is Aggregate.RAW for s in q.selects) and not q.group_by:
         # Plain projection: scan → filter → select, fully distributed (the
         # reference's Raw arm is unimplemented!(), src/lib.rs:660).
