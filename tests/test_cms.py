@@ -160,3 +160,34 @@ def test_validates_geometry(spark):
 
     with pytest.raises(ValueError, match="width"):
         cms_build(_values_df(spark, ["a"]), "v", width=1, depth=4)
+
+
+def test_screen_never_drops_a_true_heavy_hitter(spark):
+    """The one-sided estimate makes the screen safe: on a skewed
+    multiset with a DELIBERATELY collision-heavy geometry (width 8),
+    every value with true count >= threshold survives the screen, and
+    heavy_hitters returns the exact heavy set with exact counts."""
+    from zx_spark.operators.cms import cms_build, cms_screen, heavy_hitters
+
+    values = (
+        ["hh1"] * 40 + ["hh2"] * 25
+        + [f"noise{i}" for i in range(60) for _ in range(2)]
+    )
+    df = _values_df(spark, values)
+    true = _true_counts(values)
+    m = cms_build(df, "v", width=8, depth=2)  # collisions guaranteed
+    kept = {r["v"] for r in cms_screen(df, "v", m, 20).distinct().collect()}
+    for v, t in true.items():
+        if t >= 20:
+            assert v in kept, v  # safety: never dropped
+    hh = {r["value"]: r["n"] for r in heavy_hitters(df, "v", 20, model=m).collect()}
+    assert hh == {v: t for v, t in true.items() if t >= 20}  # exact
+
+
+def test_heavy_hitters_builds_own_model(spark):
+    from zx_spark.operators.cms import heavy_hitters
+
+    values = ["a"] * 10 + ["b"] * 3 + ["c"]
+    hh = {r["value"]: r["n"] for r in heavy_hitters(
+        _values_df(spark, values), "v", 3, width=64, depth=3).collect()}
+    assert hh == {"a": 10, "b": 3}

@@ -131,3 +131,48 @@ def cms_estimate_py(model: dict, value: str) -> int:
         model["counters"][i][bucket_py(f"cms{i}:{value}", w)]
         for i in range(model["depth"])
     )
+
+
+def cms_screen(
+    df: DataFrame,
+    col: str,
+    model: dict,
+    min_count: int,
+) -> DataFrame:
+    """Map-side heavy-hitter screen: keep rows whose value's CMS
+    estimate is ≥ ``min_count``. Because estimates NEVER underestimate,
+    the screen is a SAFE prefilter — no value with true count ≥
+    min_count is ever dropped; collisions only let some sub-threshold
+    values through, and the exact aggregation that follows removes
+    them. The standard two-phase heavy-hitter plan at scale: a
+    scan-speed literal-lookup filter cuts the corpus to the candidate
+    sliver BEFORE the exact groupBy shuffles anything."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    return df.filter(
+        cms_estimate_col(F.col(f"`{col}`"), model) >= F.lit(min_count)
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    width: int = 2048,
+    depth: int = 4,
+    model: dict | None = None,
+) -> DataFrame:
+    """Exact values with count ≥ min_count, via the two-phase plan:
+    CMS screen (scan-speed, no shuffle) → exact count over the
+    surviving sliver only → threshold filter. Result is EXACT — the
+    sketch only bounds what the exact pass must shuffle. Pass a
+    prebuilt ``model`` (e.g. merged from shards/epochs) to skip the
+    build pass."""
+    if model is None:
+        model = cms_build(df, col, width=width, depth=depth)
+    return (
+        cms_screen(df, col, model, min_count)
+        .groupBy(F.col(f"`{col}`").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
