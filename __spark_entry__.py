@@ -919,6 +919,39 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             dnull.alias("mean__value"),
         )
     )
+    # ------- ab arms (r7 s2): experiment statistics (operators/abtest) --
+    # 'ab:welch' — Welch's t on the 1/64-QUANTIZED value, click vs view:
+    # dyadic grid ⇒ Σx and Σx² are exact floats under any partial-agg
+    # order (Σm² < 2^53 at every test scale), and since the oracle
+    # mirrors the formula chain association-for-association (including
+    # the A&S erf Horner chain and the un-simplified 1−(1−poly·exp)),
+    # t/p/diff are IDENTICAL doubles on both engines — 6dp rounding has
+    # zero boundary risk. 'ab:conv' — pooled two-proportion z on the
+    # conversion event value > 500, same discipline.
+    from zx_spark.operators.abtest import two_proportion_z_test, welch_t_test
+
+    qev = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", (F.round(F.col("value") * 64) / 64).alias("__v")
+    )
+    ab_w = welch_t_test(qev, "event_type", "__v", "click", "view").select(
+        F.lit("ab:welch").alias("g_event_type"),
+        F.col("n_a").cast("long").alias("window_start"),
+        F.col("n_b").cast("long").alias("window_end"),
+        F.round("t", 6).alias("sum__value"),
+        F.round("p", 6).alias("count__value"),
+        F.round("diff", 6).alias("mean__value"),
+    )
+    ab_z = two_proportion_z_test(
+        qev.withColumn("__y", (F.col("__v") > 500.0).cast("double")),
+        "event_type", "__y", "click", "view",
+    ).select(
+        F.lit("ab:conv").alias("g_event_type"),
+        F.col("n_a").cast("long").alias("window_start"),
+        F.col("n_b").cast("long").alias("window_end"),
+        F.round("z", 6).alias("sum__value"),
+        F.round("p", 6).alias("count__value"),
+        F.round("diff", 6).alias("mean__value"),
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
@@ -929,6 +962,8 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(path)
         .unionByName(cooc)
         .unionByName(scooc)
+        .unionByName(ab_w)
+        .unionByName(ab_z)
     )
 
 
@@ -4140,11 +4175,47 @@ def _weighted_funnel_oracle() -> str:
         "NULL::double, qn::double, NULL::double FROM qpairs"
         for tag in ("cooc", "scooc")
     )
+    # 'ab:' arms (r7 s2): Welch t (quantized value, click vs view) and
+    # the pooled two-proportion z (conversion = value > 500). The
+    # formula chain below mirrors operators/abtest.py ASSOCIATION FOR
+    # ASSOCIATION — including the A&S erf Horner chain and the
+    # un-simplified 1−(1−poly·exp) — so with the dyadic-exact sums the
+    # doubles are identical on both engines, not merely close.
+    _erfp = (
+        "round(1.0 - (1.0 - (((((1.061405429*u + -1.453152027)*u + 1.421413741)*u "
+        "+ -0.284496736)*u + 0.254829592)*u) * exp(-(ax*ax))), 6)"
+    )
+    ab_ctes = (
+        f"abq AS (SELECT event_type, {vq} AS v FROM events WHERE value IS NOT NULL), "
+        "aba AS (SELECT count(*)::double n, sum(v) s, sum(v*v) ss FROM abq WHERE event_type = 'click'), "
+        "abb AS (SELECT count(*)::double n, sum(v) s, sum(v*v) ss FROM abq WHERE event_type = 'view'), "
+        "abst AS (SELECT aba.n AS na, abb.n AS nb, aba.s/aba.n AS ma, abb.s/abb.n AS mb, "
+        "  ((aba.ss - aba.s*aba.s/aba.n)/(aba.n-1))/aba.n AS van, "
+        "  ((abb.ss - abb.s*abb.s/abb.n)/(abb.n-1))/abb.n AS vbn FROM aba, abb), "
+        "abt AS (SELECT na, nb, ma, mb, (ma - mb) / sqrt(van + vbn) AS t FROM abst), "
+        "abe AS (SELECT *, abs(t)/sqrt(2.0) AS ax FROM abt), "
+        "abu AS (SELECT *, 1.0/(1.0 + 0.3275911*ax) AS u FROM abe), "
+        "zca AS (SELECT count(*)::double n, sum((v > 500.0)::int)::double k FROM abq WHERE event_type = 'click'), "
+        "zcb AS (SELECT count(*)::double n, sum((v > 500.0)::int)::double k FROM abq WHERE event_type = 'view'), "
+        "zst AS (SELECT zca.n AS na, zcb.n AS nb, zca.k/zca.n AS pa, zcb.k/zcb.n AS pb, "
+        "  (zca.k + zcb.k)/(zca.n + zcb.n) AS pool FROM zca, zcb), "
+        "zt AS (SELECT na, nb, pa, pb, (pa - pb) / "
+        "  sqrt(pool*(1.0 - pool)*(1.0/na + 1.0/nb)) AS t FROM zst), "
+        "ze AS (SELECT *, abs(t)/sqrt(2.0) AS ax FROM zt), "
+        "zu AS (SELECT *, 1.0/(1.0 + 0.3275911*ax) AS u FROM ze)"
+    )
+    ab_rows = (
+        "SELECT 'ab:welch', na::bigint, nb::bigint, round(t, 6), "
+        f"{_erfp}, round(ma - mb, 6) FROM abu "
+        "UNION ALL SELECT 'ab:conv', na::bigint, nb::bigint, round(t, 6), "
+        f"{_erfp}, round(pa - pb, 6) FROM zu"
+    )
     return (
         f"WITH RECURSIVE {funnel_ctes}, {retention_ctes}, {conv_ctes}, "
-        f"{path_ctes}, {cooc_ctes} "
+        f"{path_ctes}, {cooc_ctes}, {ab_ctes} "
         f"{wagg} UNION ALL {funnel_rows} UNION ALL {retention_rows} "
-        f"UNION ALL {conv_rows} UNION ALL {path_rows} UNION ALL {cooc_rows}"
+        f"UNION ALL {conv_rows} UNION ALL {path_rows} UNION ALL {cooc_rows} "
+        f"UNION ALL {ab_rows}"
     )
 
 
