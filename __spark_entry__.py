@@ -952,6 +952,38 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 6).alias("count__value"),
         F.round("diff", 6).alias("mean__value"),
     )
+    # ------- attr arms (r7 s2): conversion attribution (operators/
+    # attribution.py) — last-touch counts per channel and the linear
+    # model's INTEGER (channel, k) grid (credit = Σ n/k is derived on
+    # the tiny frame downstream, so no order-sensitive float ever sums
+    # in the big pass). touches view/click → conversion purchase, 2h
+    # lookback. Oracle: a correlated ORDER BY (ts, id) DESC LIMIT 1
+    # re-derivation for last-touch; a windowed join + per-conversion
+    # count for linear.
+    from zx_spark.operators.attribution import attribution_report
+
+    at_last = attribution_report(
+        ev, ["view", "click"], "purchase", window_s=7200.0, model="last_touch"
+    ).select(
+        F.concat(F.lit("attr:last:"), F.col("channel")).alias("g_event_type"),
+        F.col("conversions").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("conversions").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
+    at_lin = attribution_report(
+        ev, ["view", "click"], "purchase", window_s=7200.0, model="linear"
+    ).select(
+        F.concat(
+            F.lit("attr:lin:"), F.col("channel"), F.lit(":"), F.col("k")
+        ).alias("g_event_type"),
+        F.col("touches").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("touches").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
@@ -964,6 +996,8 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scooc)
         .unionByName(ab_w)
         .unionByName(ab_z)
+        .unionByName(at_last)
+        .unionByName(at_lin)
     )
 
 
@@ -4204,6 +4238,32 @@ def _weighted_funnel_oracle() -> str:
         "ze AS (SELECT *, abs(t)/sqrt(2.0) AS ax FROM zt), "
         "zu AS (SELECT *, 1.0/(1.0 + 0.3275911*ax) AS u FROM ze)"
     )
+    # 'attr:' arms (r7 s2): last-touch via a correlated latest-preceding-
+    # touch lookup ((ts, id) tuple order == the Spark window's rows-
+    # between-preceding frame); linear via the windowed join with a
+    # per-conversion qualifying-touch count — integer rows only.
+    attr_ctes = (
+        "atev AS (SELECT user_id AS u, epoch(ts) AS t, event_id AS i, "
+        "  event_type AS ty FROM events "
+        "  WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "atl AS (SELECT c.i, (SELECT t2.ty FROM atev t2 WHERE t2.u = c.u "
+        "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
+        "  AND c.t - t2.t <= 7200 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS ch "
+        "  FROM atev c WHERE c.ty = 'purchase'), "
+        "atlr AS (SELECT ch, count(*) AS n FROM atl WHERE ch IS NOT NULL GROUP BY ch), "
+        "atj AS (SELECT c.i, t2.ty AS ch FROM atev c JOIN atev t2 ON t2.u = c.u "
+        "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
+        "  AND c.t - t2.t <= 7200 WHERE c.ty = 'purchase'), "
+        "atk AS (SELECT i, count(*) AS k FROM atj GROUP BY i), "
+        "atlin AS (SELECT ch, k, count(*) AS n FROM atj JOIN atk USING (i) "
+        "  GROUP BY ch, k)"
+    )
+    attr_rows = (
+        "SELECT 'attr:last:' || ch, n::bigint, 0::bigint, NULL::double, "
+        "n::double, NULL::double FROM atlr "
+        "UNION ALL SELECT 'attr:lin:' || ch || ':' || k, n::bigint, 0::bigint, "
+        "NULL::double, n::double, NULL::double FROM atlin"
+    )
     ab_rows = (
         "SELECT 'ab:welch', na::bigint, nb::bigint, round(t, 6), "
         f"{_erfp}, round(ma - mb, 6) FROM abu "
@@ -4212,10 +4272,10 @@ def _weighted_funnel_oracle() -> str:
     )
     return (
         f"WITH RECURSIVE {funnel_ctes}, {retention_ctes}, {conv_ctes}, "
-        f"{path_ctes}, {cooc_ctes}, {ab_ctes} "
+        f"{path_ctes}, {cooc_ctes}, {ab_ctes}, {attr_ctes} "
         f"{wagg} UNION ALL {funnel_rows} UNION ALL {retention_rows} "
         f"UNION ALL {conv_rows} UNION ALL {path_rows} UNION ALL {cooc_rows} "
-        f"UNION ALL {ab_rows}"
+        f"UNION ALL {ab_rows} UNION ALL {attr_rows}"
     )
 
 

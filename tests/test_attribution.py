@@ -1,0 +1,188 @@
+"""Attribution (operators/attribution.py): hand journeys for all three
+models, window cutoff, tie-break determinism, python brute-force twin
+on the driver events, linear_credit exactness, and DuckDB parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, minutes, user, type)"""
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(minutes=m), u, t) for (i, m, u, t) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+TOUCHES = ["ad", "email", "social"]
+
+
+def test_hand_journey_all_models(spark):
+    """u1: ad@0, email@10, buy@20 — last=email, first=ad, linear k=2.
+    u2: social@0, buy@5, buy@8 — both conversions credit social (the
+    second conversion's preceding window includes the first buy, which
+    is not a touch). u3: buy@0 with no touch — unattributed."""
+    from zx_spark.operators.attribution import (
+        attributed_conversions,
+        attribution_report,
+    )
+
+    rows = [
+        (1, 0, 1, "ad"), (2, 10, 1, "email"), (3, 20, 1, "buy"),
+        (4, 0, 2, "social"), (5, 5, 2, "buy"), (6, 8, 2, "buy"),
+        (7, 0, 3, "buy"),
+    ]
+    ev = _ev(spark, rows)
+    last = {(r["conv_id"], r["channel"]) for r in attributed_conversions(
+        ev, TOUCHES, "buy", model="last_touch").collect()}
+    assert last == {(3, "email"), (5, "social"), (6, "social")}
+    first = {(r["conv_id"], r["channel"]) for r in attributed_conversions(
+        ev, TOUCHES, "buy", model="first_touch").collect()}
+    assert first == {(3, "ad"), (5, "social"), (6, "social")}
+    lin = {(r["conv_id"], r["channel"], r["k"]) for r in attributed_conversions(
+        ev, TOUCHES, "buy", model="linear").collect()}
+    assert lin == {
+        (3, "ad", 2), (3, "email", 2), (5, "social", 1), (6, "social", 1)
+    }
+    rep = {r["channel"]: r["conversions"] for r in attribution_report(
+        ev, TOUCHES, "buy", model="last_touch").collect()}
+    assert rep == {"email": 1, "social": 2}
+
+
+def test_window_cutoff_and_tiebreak(spark):
+    """A touch older than window_s does not qualify; equal timestamps
+    break by event_id (higher id = later for last_touch)."""
+    from zx_spark.operators.attribution import attributed_conversions
+
+    rows = [
+        (1, 0, 1, "ad"), (2, 1000, 1, "buy"),       # 1000 min > 600 window
+        (10, 0, 2, "ad"), (11, 0, 2, "email"), (12, 5, 2, "buy"),
+    ]
+    ev = _ev(spark, rows)
+    got = {(r["conv_id"], r["channel"]) for r in attributed_conversions(
+        ev, TOUCHES, "buy", window_s=600 * 60, model="last_touch").collect()}
+    # conv 2 unattributed (ad outside window); conv 12 → email (id 11 > 10)
+    assert got == {(12, "email")}
+    first = {(r["conv_id"], r["channel"]) for r in attributed_conversions(
+        ev, TOUCHES, "buy", window_s=600 * 60, model="first_touch").collect()}
+    assert first == {(12, "ad")}
+
+
+def test_linear_credit_from_integer_report(spark):
+    from zx_spark.operators.attribution import linear_credit
+
+    rep = spark.createDataFrame(
+        [("ad", 1, 4), ("ad", 2, 6), ("email", 2, 2), ("email", 4, 2)],
+        "channel string, k int, touches long",
+    )
+    got = {r["channel"]: r["credit"] for r in linear_credit(rep).collect()}
+    assert got["ad"] == 7.0        # 4/1 + 6/2
+    assert got["email"] == 1.5     # 2/2 + 2/4
+
+
+def _brute(rows, touches, conv, window_s, model):
+    """Python twin over (id, ts_min, user, type) rows."""
+    out = []
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(r[2], []).append(r)
+    for u, evs in by_user.items():
+        for i, (eid, m, _, t) in enumerate(evs):
+            if t != conv:
+                continue
+            prior = [
+                p for p in evs[:i]
+                if p[3] in touches and (m - p[1]) * 60.0 <= window_s
+            ]
+            if not prior:
+                continue
+            if model == "last_touch":
+                p = max(prior, key=lambda p: (p[1], p[0]))
+                out.append((eid, p[3]))
+            elif model == "first_touch":
+                p = min(prior, key=lambda p: (p[1], p[0]))
+                out.append((eid, p[3]))
+            else:
+                for p in prior:
+                    out.append((eid, p[3], len(prior)))
+    return set(out)
+
+
+def test_matches_brute_force_on_driver_events(spark):
+    """Real driver events (sf0.001): all three models equal the python
+    twin exactly."""
+    from zx_spark.operators.attribution import attributed_conversions
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    rows = [
+        (r["event_id"], r["ts"].timestamp() / 60.0, r["user_id"], r["event_type"])
+        for r in ev.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        ).collect()
+    ]
+    touches = ["view", "click"]
+    for model in ("last_touch", "first_touch", "linear"):
+        got = set(
+            (
+                (r["conv_id"], r["channel"], r["k"])
+                if model == "linear"
+                else (r["conv_id"], r["channel"])
+            )
+            for r in attributed_conversions(
+                ev, touches, "purchase", window_s=7200.0, model=model
+            ).collect()
+        )
+        want = _brute(rows, touches, "purchase", 7200.0, model)
+        assert got == want, model
+
+
+def test_matches_duckdb_correlated_subquery(spark):
+    """last_touch == the DuckDB ORDER BY ts DESC, id DESC LIMIT 1
+    correlated formulation (the shape a driver arm oracle would use)."""
+    import duckdb
+    import pandas as pd
+
+    from zx_spark.operators.attribution import attributed_conversions
+
+    rows = [
+        (1, 0, 1, "ad"), (2, 3, 1, "email"), (3, 3, 1, "social"),
+        (4, 9, 1, "buy"), (5, 2, 2, "ad"), (6, 700, 2, "buy"),
+        (7, 1, 3, "buy"),
+    ]
+    ev = _ev(spark, rows)
+    got = {(r["conv_id"], r["channel"]) for r in attributed_conversions(
+        ev, TOUCHES, "buy", window_s=600 * 60, model="last_touch").collect()}
+    pdf = pd.DataFrame(
+        [(i, float(m * 60), u, t) for (i, m, u, t) in rows],
+        columns=["event_id", "tsec", "user_id", "event_type"],
+    )
+    con = duckdb.connect()
+    con.register("e", pdf)
+    want = set(
+        con.sql(
+            "SELECT c.event_id, (SELECT t.event_type FROM e t "
+            " WHERE t.user_id = c.user_id AND t.event_type IN ('ad','email','social') "
+            " AND (t.tsec, t.event_id) < (c.tsec, c.event_id) "
+            " AND c.tsec - t.tsec <= 36000 "
+            " ORDER BY t.tsec DESC, t.event_id DESC LIMIT 1) AS ch "
+            "FROM e c WHERE c.event_type = 'buy' AND ch IS NOT NULL"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_validates_args(spark):
+    from zx_spark.operators.attribution import attributed_conversions
+
+    ev = _ev(spark, [(1, 0, 1, "ad")])
+    with pytest.raises(ValueError, match="model"):
+        attributed_conversions(ev, TOUCHES, "buy", model="shapley")
+    with pytest.raises(ValueError, match="touch_types"):
+        attributed_conversions(ev, [], "buy")

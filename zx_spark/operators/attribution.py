@@ -1,0 +1,178 @@
+"""Conversion attribution — which touch gets credit for a conversion.
+
+The marketing-analytics verb next to funnel.py (did users convert) and
+paths.py (how they moved): for every conversion event, find the user's
+touch events inside a lookback window and assign credit by the
+standard models — ``last_touch`` / ``first_touch`` (the nearest /
+earliest qualifying touch gets 1.0) and ``linear`` (the k qualifying
+touches split 1/k each).
+
+Distributed shape (what survives 100 TB):
+
+- ONE user-keyed shuffle: a per-user window sorted by (ts, id) carries
+  the running touch context to each conversion row. last/first touch
+  is a running MAX/MIN over a (ts, id, channel) struct restricted to
+  preceding rows — pure JVM window state, O(1) per row. The linear
+  model carries a bounded collect_list of recent touch structs
+  (``max_touches`` caps per-user state; beyond it the OLDEST touches
+  drop, which matches the lookback-window intent) filtered in-row to
+  the window — never a conversions×touches join.
+- Credit aggregation is a tiny (channel[, k]) hash agg.
+- Determinism: every emitted count is an integer; the fractional 1/k
+  linear credit is derived ON the small (channel, k) frame
+  (``linear_credit``), so the big pass never sums order-sensitive
+  floats.
+
+Reference scope note: the reference engine (src/lib.rs) has no
+sequence surface; beyond-reference, next to funnel.py / paths.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _prep(df, user_col, ts_col, id_col):
+    return df.filter(
+        F.col(f"`{user_col}`").isNotNull() & F.col(f"`{ts_col}`").isNotNull()
+    ).select(
+        F.col(f"`{user_col}`").alias("__u"),
+        F.col(f"`{ts_col}`").cast("double").alias("__t"),
+        F.col(f"`{id_col}`").cast("long").alias("__i"),
+        "*",
+    )
+
+
+def attributed_conversions(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    window_s: float = 86400.0,
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_touches: int = 1000,
+) -> DataFrame:
+    """Per-conversion attribution rows.
+
+    ``last_touch`` / ``first_touch`` → one row per ATTRIBUTED
+    conversion: ``(user, conv_id, conv_ts, channel)`` — the nearest /
+    earliest touch within ``window_s`` strictly before the conversion
+    ((ts, id) order breaks timestamp ties deterministically).
+    Conversions with no qualifying touch are absent (unattributed).
+
+    ``linear`` → one row per (conversion, qualifying touch):
+    ``(user, conv_id, conv_ts, channel, k)`` with ``k`` the
+    conversion's qualifying-touch count — integer rows; divide by k
+    downstream (``linear_credit`` does this on the small frame).
+    """
+    if model not in ("last_touch", "first_touch", "linear"):
+        raise ValueError(f"unknown model: {model!r}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    e = _prep(df, user_col, ts_col, id_col)
+    tc = F.col(f"`{type_col}`")
+    is_touch = tc.isin(list(touch_types))
+    is_conv = tc == F.lit(conversion_type)
+    touch_struct = F.when(
+        is_touch, F.struct(F.col("__t"), F.col("__i"), tc.alias("__ch"))
+    )
+    w = (
+        Window.partitionBy("__u")
+        .orderBy("__t", "__i")
+        .rowsBetween(Window.unboundedPreceding, -1)  # strictly before
+    )
+    touches = F.filter(
+        F.collect_list(touch_struct).over(w),
+        lambda s: F.col("__t") - s["__t"] <= F.lit(float(window_s)),
+    )
+    if model == "last_touch":
+        # running MAX is O(1) window state and needs no array: if the
+        # latest preceding touch is outside the window, so is every
+        # earlier one — the in-window check composes with max
+        out = (
+            e.withColumn("__tt", F.max(touch_struct).over(w))
+            .filter(
+                is_conv
+                & F.col("__tt").isNotNull()
+                & (F.col("__t") - F.col("__tt.__t") <= F.lit(float(window_s)))
+            )
+            .select(
+                F.col("__u").alias("user"),
+                F.col("__i").alias("conv_id"),
+                F.col("__t").alias("conv_ts"),
+                F.col("__tt.__ch").alias("channel"),
+            )
+        )
+        return out
+    if model == "first_touch":
+        # the globally earliest touch may fall OUTSIDE the window while
+        # a later one qualifies — running MIN does not compose with the
+        # in-window check, so first-touch reads the windowed array (the
+        # collect_list is (ts, id)-ordered; its first element is the
+        # earliest qualifying touch)
+        return (
+            e.withColumn("__ts", touches)
+            .filter(is_conv & (F.size("__ts") > 0))
+            .select(
+                F.col("__u").alias("user"),
+                F.col("__i").alias("conv_id"),
+                F.col("__t").alias("conv_ts"),
+                F.col("__ts")[0]["__ch"].alias("channel"),
+            )
+        )
+    return (
+        e.withColumn("__all", touches)
+        .withColumn(
+            "__ts",
+            # newest-K cap; a negative slice start beyond the array
+            # length is not defined as "whole array", so guard on size
+            F.when(
+                F.size("__all") <= F.lit(max_touches), F.col("__all")
+            ).otherwise(F.slice("__all", -max_touches, max_touches)),
+        )
+        .filter(is_conv & (F.size("__ts") > 0))
+        .select(
+            F.col("__u").alias("user"),
+            F.col("__i").alias("conv_id"),
+            F.col("__t").alias("conv_ts"),
+            F.size("__ts").alias("k"),
+            F.explode("__ts").alias("__tch"),
+        )
+        .select("user", "conv_id", "conv_ts", F.col("__tch.__ch").alias("channel"), "k")
+    )
+
+
+def attribution_report(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    window_s: float = 86400.0,
+    model: str = "last_touch",
+    **kw,
+) -> DataFrame:
+    """Per-channel totals. last/first touch → ``(channel,
+    conversions)``. linear → ``(channel, k, touches)`` integer rows —
+    feed ``linear_credit`` for the fractional rollup."""
+    rows = attributed_conversions(
+        df, touch_types, conversion_type, window_s, model, **kw
+    )
+    if model in ("last_touch", "first_touch"):
+        return rows.groupBy("channel").agg(
+            F.count(F.lit(1)).alias("conversions")
+        )
+    return rows.groupBy("channel", "k").agg(F.count(F.lit(1)).alias("touches"))
+
+
+def linear_credit(report: DataFrame) -> DataFrame:
+    """(channel, k, touches) → (channel, credit): Σ touches/k, computed
+    on the tiny grouped frame (k-distinct rows per channel) so the
+    corpus-sized pass stayed integer-only. Rounded 6dp."""
+    return (
+        report.withColumn("__c", F.col("touches") / F.col("k"))
+        .groupBy("channel")
+        .agg(F.round(F.sum("__c"), 6).alias("credit"))
+    )
