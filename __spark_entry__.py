@@ -486,8 +486,26 @@ def q_w_gapfill_batch_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The w_gapfill driver row: batch arms (q_w_gapfill_batch_v2) + the
-    drained streaming gap-fill twin as `stream:` rows."""
+    drained streaming gap-fill twin as `stream:` rows + (r7 s2) CUSUM
+    change-point columns over the 4dp-rounded z6 series
+    (series.cusum_flags, Page 1954: textbook k=0.25σ, h=3σ on the
+    standardized series). Both engines walk the recurrence in the SAME
+    per-group bucket order over the SAME already-hash-verified z6
+    doubles — the Spark in-row fold and the oracle's recursive CTE
+    produce identical doubles, so 6dp rounding and the > h booleans
+    carry no boundary risk."""
+    from zx_spark.operators.series import cusum_flags
+
     out = q_w_gapfill_batch_v2(spark, sf_dir)
+    out = cusum_flags(
+        out, "z6", "bucket", ["g_event_type"], target=0.0, k=0.25, h=3.0
+    )
+    out = (
+        out.withColumn("cus_hi", F.round(F.col("z6_cusum_hi"), 6))
+        .withColumn("cus_lo", F.round(F.col("z6_cusum_lo"), 6))
+        .withColumnRenamed("z6_cusum_flag", "cus_flag")
+        .drop("z6_cusum_hi", "z6_cusum_lo")
+    )
 
     # ------- stream arm (r6): the streaming gap-fill twin, DRAINED -------
     # streaming/gapfill.py emits each bucket exactly once when the
@@ -561,6 +579,9 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             dnull.alias("ewma_zero"),
             dnull.alias("rq6"),
             dnull.alias("rz6"),
+            dnull.alias("cus_hi"),
+            dnull.alias("cus_lo"),
+            F.lit(None).cast("boolean").alias("cus_flag"),
         )
     )
 
@@ -601,6 +622,9 @@ def q_w_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             dnull.alias("ewma_zero"),
             dnull.alias("rq6"),
             dnull.alias("rz6"),
+            dnull.alias("cus_hi"),
+            dnull.alias("cus_lo"),
+            F.lit(None).cast("boolean").alias("cus_flag"),
         )
     )
     return out.unionByName(stream).unionByName(sanom)
@@ -4475,7 +4499,9 @@ def oracle_sql() -> dict[str, str]:
             # zero, locf (IGNORE NULLS running last), linear
             # (nearest-neighbor interpolation, NULL outside the observed
             # range). Sums rounded BEFORE filling on both engines.
-            "WITH agg AS ("
+            # RECURSIVE: the r7 s2 cusum twin walks the z6 series
+            # step-by-step below.
+            "WITH RECURSIVE agg AS ("
             "  SELECT coalesce(event_type, '__nil') AS g_event_type, "
             "    floor(epoch(ts) / 3600)::bigint AS n, "
             "    round(sum(coalesce(value, 0)), 3) AS v "
@@ -4553,11 +4579,39 @@ def oracle_sql() -> dict[str, str]:
             "), serd AS (SELECT *, qv - med6 AS dev6 FROM ser"
             "), serm AS (SELECT *, quantile_cont(abs(dev6), 0.5) OVER ("
             "  PARTITION BY g_event_type ORDER BY bucket "
-            "  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS mad6 FROM serd) "
+            "  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS mad6 FROM serd"
+            "), fin AS ("
             "SELECT g_event_type, bucket, sum_zero, sum_locf, sum_lin, "
             "  d_zero, rate_locf, z6, anom, ewma_zero, rq6, "
-            "  CASE WHEN mad6 > 0 THEN (qv - med6) / (1.4826 * mad6) END AS rz6 "
-            "FROM serm "
+            "  CASE WHEN mad6 > 0 THEN (qv - med6) / (1.4826 * mad6) END AS rz6, "
+            "  row_number() OVER (PARTITION BY g_event_type ORDER BY bucket) AS rn "
+            "FROM serm"
+            # cusum twin (r7 s2): the SAME recurrence the Spark fold
+            # runs — sp' = greatest(0, sp + (z6 - 0.0) - 0.25),
+            # sm' = greatest(0, sm - (z6 - 0.0) - 0.25), NULL z6 holds —
+            # walked per group in bucket order over the identical
+            # 4dp-rounded z6 doubles, so the doubles match exactly
+            "), cus AS ("
+            "  SELECT g_event_type, rn, "
+            "    CASE WHEN z6 IS NOT NULL THEN greatest(0.0, (z6 - 0.0) - 0.25) "
+            "      ELSE 0.0 END AS sp, "
+            "    CASE WHEN z6 IS NOT NULL THEN greatest(0.0, -(z6 - 0.0) - 0.25) "
+            "      ELSE 0.0 END AS sm "
+            "  FROM fin WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT f.g_event_type, f.rn, "
+            "    CASE WHEN f.z6 IS NOT NULL THEN "
+            "      greatest(0.0, c.sp + (f.z6 - 0.0) - 0.25) ELSE c.sp END, "
+            "    CASE WHEN f.z6 IS NOT NULL THEN "
+            "      greatest(0.0, c.sm - (f.z6 - 0.0) - 0.25) ELSE c.sm END "
+            "  FROM cus c JOIN fin f ON f.g_event_type = c.g_event_type "
+            "    AND f.rn = c.rn + 1"
+            ") "
+            "SELECT fin.g_event_type, bucket, sum_zero, sum_locf, sum_lin, "
+            "  d_zero, rate_locf, z6, anom, ewma_zero, rq6, rz6, "
+            "  round(cus.sp, 6) AS cus_hi, round(cus.sm, 6) AS cus_lo, "
+            "  (cus.sp > 3.0 OR cus.sm > 3.0) AS cus_flag "
+            "FROM fin JOIN cus USING (g_event_type, rn) "
             # stream arm (r6): the drained streaming gap-fill — same agg,
             # but every group's spine extends to the GLOBAL max bucket
             # (trailing fills from the event-time timeouts), zero + locf
@@ -4568,7 +4622,9 @@ def oracle_sql() -> dict[str, str]:
             "  NULL::double AS sum_lin, NULL::double AS d_zero, "
             "  NULL::double AS rate_locf, NULL::double AS z6, "
             "  NULL::boolean AS anom, NULL::double AS ewma_zero, "
-            "  NULL::double AS rq6, NULL::double AS rz6 "
+            "  NULL::double AS rq6, NULL::double AS rz6, "
+            "  NULL::double AS cus_hi, NULL::double AS cus_lo, "
+            "  NULL::boolean AS cus_flag "
             "FROM ("
             "  SELECT sj.g_event_type, sj.n, sj.v, "
             "    last_value(sj.v IGNORE NULLS) OVER (PARTITION BY sj.g_event_type "
@@ -4593,7 +4649,9 @@ def oracle_sql() -> dict[str, str]:
             "  round(z.zr, 4) AS z6, "
             "  coalesce(abs(z.zr) > 2.5 AND z.cnt >= 3, false) AS anom, "
             "  NULL::double AS ewma_zero, "
-            "  NULL::double AS rq6, NULL::double AS rz6 "
+            "  NULL::double AS rq6, NULL::double AS rz6, "
+            "  NULL::double AS cus_hi, NULL::double AS cus_lo, "
+            "  NULL::boolean AS cus_flag "
             "FROM ("
             "  SELECT g_event_type, n, v, "
             "    CASE WHEN stddev_samp(v) OVER wz > 0 THEN "

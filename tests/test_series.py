@@ -216,3 +216,104 @@ def test_robust_zscore_resists_prior_spike(spark):
     assert abs(rz[7]) < 3
     with pytest.raises(ValueError):
         robust_zscore(df, "v", "t", n=1)
+
+
+# ------------------------------------------------ CUSUM (r7 s2)
+
+
+def _cusum_py(series, target, k):
+    """Twin: [(o, v)] sorted → [(o, sp, sm)]; NULL holds both sums."""
+    sp = sm = 0.0
+    out = []
+    for o, v in series:
+        if v is not None:
+            sp = max(0.0, sp + (v - target) - k)
+            sm = max(0.0, sm - (v - target) - k)
+        out.append((o, sp, sm))
+    return out
+
+
+def test_cusum_matches_twin_and_flags_shift(spark):
+    """Upward step, downward step and a NULL gap — fold equals the
+    python recurrence exactly; the flag trips only after the shift
+    accumulates past h (never on single-bucket noise)."""
+    from zx_spark.operators.series import cusum_flags
+
+    vals = [1.0] * 8 + [None, 4.0] + [2.5] * 5 + [-1.0] * 6
+    rows = [("g", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {
+        r["t"]: (r["v_cusum_hi"], r["v_cusum_lo"], r["v_cusum_flag"])
+        for r in cusum_flags(df, "v", "t", ["g"], target=1.0, k=0.5, h=4.0).collect()
+    }
+    want = _cusum_py([(float(i), v) for i, v in enumerate(vals)], 1.0, 0.5)
+    assert len(got) == len(vals)
+    for o, sp, sm in want:
+        gh, gl, gf = got[o]
+        assert abs(gh - sp) < 1e-12 and abs(gl - sm) < 1e-12, o
+        assert gf == (sp > 4.0 or sm > 4.0), o
+    # the single 4.0 spike alone does not flag; the sustained 2.5 run does
+    assert not got[9.0][2]
+    assert got[14.0][2]
+    # the late negative run trips the LOW side
+    assert got[20.0][1] > 4.0 and got[20.0][2]
+
+
+def test_cusum_per_group_and_passthrough_columns(spark):
+    from zx_spark.operators.series import cusum_flags
+
+    rows = [
+        ("a", 0.0, 10.0, "x0"), ("a", 1.0, 10.0, "x1"),
+        ("b", 0.0, 0.0, "y0"), ("b", 1.0, 0.0, "y1"),
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, v double, tag string")
+    out = {(r["g"], r["t"]): r for r in cusum_flags(
+        df, "v", "t", ["g"], target=5.0, k=0.5, h=3.0).collect()}
+    assert out[("a", 1.0)]["v_cusum_hi"] == 9.0  # 4.5 + 4.5
+    assert out[("b", 1.0)]["v_cusum_lo"] == 9.0
+    assert out[("a", 0.0)]["tag"] == "x0"  # passthrough survives the fold
+    assert out[("b", 1.0)]["tag"] == "y1"
+
+
+def test_cusum_matches_duckdb_recursive_cte(spark):
+    """Cross-engine: the fold equals a DuckDB RECURSIVE CTE walking the
+    same recurrence step by step (the formulation a driver arm oracle
+    would use)."""
+    import duckdb
+    import numpy as np
+
+    from zx_spark.operators.series import cusum_flags
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (g, float(t), round(float(rng.normal(2.0 if (g == "b" and t > 10) else 0.0, 1.0)) * 64) / 64)
+        for g in ("a", "b") for t in range(24)
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {
+        (r["g"], r["t"]): (round(r["v_cusum_hi"], 6), round(r["v_cusum_lo"], 6))
+        for r in cusum_flags(df, "v", "t", ["g"], k=0.5, h=4.0).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (g VARCHAR, t DOUBLE, v DOUBLE)")
+    con.executemany("INSERT INTO s VALUES (?, ?, ?)", rows)
+    want = dict(
+        (
+            (r[0], r[1]),
+            (r[2], r[3]),
+        )
+        for r in con.sql(
+            "WITH RECURSIVE o AS (SELECT g, t, v, row_number() OVER "
+            " (PARTITION BY g ORDER BY t) AS rn FROM s), "
+            "c AS ("
+            " SELECT g, t, v, rn, greatest(0.0, (v - 0.0) - 0.5) AS sp, "
+            "   greatest(0.0, -(v - 0.0) - 0.5) AS sm FROM o WHERE rn = 1 "
+            " UNION ALL "
+            " SELECT o.g, o.t, o.v, o.rn, "
+            "   greatest(0.0, c.sp + (o.v - 0.0) - 0.5), "
+            "   greatest(0.0, c.sm - (o.v - 0.0) - 0.5) "
+            " FROM c JOIN o ON o.g = c.g AND o.rn = c.rn + 1) "
+            "SELECT g, t, round(sp, 6), round(sm, 6) FROM c"
+        ).fetchall()
+    )
+    assert got == want

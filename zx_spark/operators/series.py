@@ -256,3 +256,113 @@ def robust_zscore(
         F.when(mad > 0, (v - F.col("__rz_med")) / (F.lit(1.4826) * mad)),
     )
     return out.drop("__rz_med", "__rz_dev")
+
+
+def cusum_flags(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    target: float = 0.0,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection (Page 1954) per group:
+
+    ``S⁺_t = max(0, S⁺_{t-1} + (x_t − target) − k)``
+    ``S⁻_t = max(0, S⁻_{t-1} − (x_t − target) − k)``
+
+    appended as ``<v>_cusum_hi`` / ``<v>_cusum_lo`` / ``<v>_cusum_flag``
+    (flag when either side exceeds ``h``). The recurrence accumulates
+    small persistent shifts a per-bucket z-score never sees — the
+    standard drift alarm on metric series. Feed standardized values
+    (robust_zscore) and keep the textbook k≈0.5σ, h≈4-5σ.
+
+    Distributed shape: the recurrence is inherently sequential IN t, so
+    it runs AFTER aggregation over the per-group BUCKET series — one
+    collect_list per group (state ∝ series length = time-range /
+    granularity, never raw events), an in-row JVM fold (interpreted
+    higher-order expression — bounded by the same series length, the
+    deliberate trade documented for ewma), and a posexplode back to
+    rows. NULL values hold both sums (no evidence either way), matching
+    the recursive-CTE oracle.
+    """
+    gcols = list(group_cols or [])
+    v = F.col(f"`{value_col}`").cast("double")
+    o = F.col(f"`{order_col}`").cast("double")
+    other = [
+        c for c in df.columns
+        if c not in gcols and c != order_col and c != value_col
+    ]
+    packed = df.groupBy(*[F.col(f"`{c}`") for c in gcols]).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    o.alias("o"),
+                    v.alias("v"),
+                    F.struct(*[F.col(f"`{c}`") for c in other]).alias("rest"),
+                )
+            )
+        ).alias("__s")
+    )
+    elem_t = (
+        "array<struct<o:double,v:double,sp:double,sm:double>>"
+    )
+    folded = F.aggregate(
+        F.col("__s"),
+        F.struct(
+            F.lit(0.0).alias("sp"),
+            F.lit(0.0).alias("sm"),
+            F.expr(f"cast(array() as {elem_t})").alias("out"),
+        ),
+        lambda a, x: F.struct(
+            F.when(
+                x["v"].isNotNull(),
+                F.greatest(F.lit(0.0), a["sp"] + (x["v"] - F.lit(target)) - F.lit(k)),
+            ).otherwise(a["sp"]).alias("sp"),
+            F.when(
+                x["v"].isNotNull(),
+                F.greatest(F.lit(0.0), a["sm"] - (x["v"] - F.lit(target)) - F.lit(k)),
+            ).otherwise(a["sm"]).alias("sm"),
+            F.array_append(
+                a["out"],
+                F.struct(
+                    x["o"].alias("o"),
+                    x["v"].alias("v"),
+                    F.when(
+                        x["v"].isNotNull(),
+                        F.greatest(
+                            F.lit(0.0), a["sp"] + (x["v"] - F.lit(target)) - F.lit(k)
+                        ),
+                    ).otherwise(a["sp"]).alias("sp"),
+                    F.when(
+                        x["v"].isNotNull(),
+                        F.greatest(
+                            F.lit(0.0), a["sm"] - (x["v"] - F.lit(target)) - F.lit(k)
+                        ),
+                    ).otherwise(a["sm"]).alias("sm"),
+                ),
+            ).alias("out"),
+        ),
+        lambda a: a["out"],
+    )
+    # re-pair the fold output (o, sp, sm) with the original packed rows
+    # positionally — same array, same order
+    out = packed.select(
+        *[F.col(f"`{c}`") for c in gcols],
+        F.posexplode(F.arrays_zip(F.col("__s"), folded)).alias("__p", "__z"),
+    ).select(
+        *[F.col(f"`{c}`") for c in gcols],
+        F.col("__z")["__s"]["o"].alias(order_col),
+        F.col("__z")["__s"]["v"].alias(value_col),
+        F.col("__z")["__s"]["rest"].alias("__rest"),
+        F.col("__z")["1"]["sp"].alias(f"{value_col}_cusum_hi"),
+        F.col("__z")["1"]["sm"].alias(f"{value_col}_cusum_lo"),
+        (
+            (F.col("__z")["1"]["sp"] > F.lit(h))
+            | (F.col("__z")["1"]["sm"] > F.lit(h))
+        ).alias(f"{value_col}_cusum_flag"),
+    )
+    for c in other:
+        out = out.withColumn(c, F.col("__rest")[c])
+    return out.drop("__rest")
