@@ -352,3 +352,63 @@ def test_limit_validation(spark):
             "select sum(foo) group by x order by sum(foo) limit -2",
             df=df,
         )
+
+
+def test_having_filters_aggregates(spark):
+    """r7 s2 beyond-reference HAVING: post-aggregation predicates on
+    aggregate keys, AND-composed, across the plain, ordered and cube
+    paths; values pinned vs DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from zx_spark.storage import ZX_FIXTURE_ROWS
+
+    df = zx_fixture(spark)
+    pdf = pd.DataFrame(
+        [(x, float(foo)) for (_, _, foo, x, _, _) in ZX_FIXTURE_ROWS],
+        columns=["x", "foo"],
+    )
+    con = duckdb.connect()
+    con.register("fx", pdf)
+    # plain grouped path (no windows)
+    got = {
+        (r["g_x"], r["sum__foo"], r["count__foo"])
+        for r in zx_sql(
+            spark,
+            "select sum(foo), count(foo) group by x "
+            "having sum(foo) > 300 and count(foo) >= 1",
+            df=df,
+            granularity_s=None,
+        ).collect()
+    }
+    want = {
+        (x, s, c)
+        for (x, s, c) in con.sql(
+            "SELECT coalesce(x, '__nil'), sum(foo), count(foo)::double FROM fx "
+            "GROUP BY 1 HAVING sum(foo) > 300 AND count(foo) >= 1"
+        ).fetchall()
+    }
+    assert got == want and got
+    # ordered + limit path composes
+    rows = zx_sql(
+        spark,
+        "select sum(foo) group by x having sum(foo) > 300 "
+        "order by sum(foo) desc limit 2",
+        df=df,
+        granularity_s=None,
+    ).collect()
+    assert len(rows) == 2 and all(r["sum__foo"] > 300 for r in rows)
+    # cube path: every surviving row (incl. subtotals) clears the bar
+    cube = zx_sql(
+        spark, "select sum(foo) group by cube(x) having sum(foo) > 300", df=df
+    ).collect()
+    assert cube and all(r["sum__foo"] > 300 for r in cube)
+    assert any(r["grouping_id"] == 1 for r in cube)  # grand total survives
+
+
+def test_having_validation(spark):
+    df = zx_fixture(spark)
+    with pytest.raises(ZxSqlError, match="not in SELECT"):
+        zx_sql(spark, "select sum(foo) group by x having mean(foo) > 1", df=df)
+    with pytest.raises(ZxSqlError, match="bad HAVING"):
+        zx_sql(spark, "select sum(foo) group by x having foo > 1", df=df)

@@ -129,6 +129,7 @@ def compile_query(
     for helper in (WINDOW_NO, WINDOW_START_TS, WINDOW_END_TS):
         if helper in out.columns:
             out = out.drop(helper)
+    out = apply_having(out, q)
     if sort:
         # Opt-in: a global range sort of the result is an extra exchange —
         # wasted at 100 TB when the consumer is order-insensitive (the
@@ -144,6 +145,35 @@ def run_query(
 ) -> DataFrame:
     """Alias of compile_query — evaluation is lazy; callers collect."""
     return compile_query(df, q, **kwargs)
+
+
+_HAVING_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def apply_having(out: DataFrame, q: Query) -> DataFrame:
+    """Post-aggregation predicates (beyond-reference HAVING): each
+    ("$$agg(col)", op, value) triple filters the aggregate's OUTPUT
+    column — a plain Catalyst filter after the agg, nothing re-shuffles.
+    Keys resolve against the query's selects; an unknown key fails
+    loudly (a silently dropped HAVING is a wrong answer)."""
+    if not q.having:
+        return out
+    by_key = {s.key: s.alias for s in q.selects}
+    for key, op, val in q.having:
+        alias = by_key.get(key)
+        if alias is None:
+            raise ValueError(
+                f"HAVING references {key!r}, which is not in the SELECT list"
+            )
+        out = out.filter(_HAVING_OPS[op](F.col(f"`{alias}`"), F.lit(val)))
+    return out
 
 
 def run_sorted(
@@ -171,6 +201,7 @@ def run_sorted(
     numeric = [s for s in q.selects if is_numeric_result(s)]
     aggs = [agg_expr(s, rate_col=rate_col) for s in numeric]
     out = work.groupBy(*keys).agg(*aggs) if keys else work.agg(*aggs)
+    out = apply_having(out, q)
 
     by_key = {s.key: s.alias for s in numeric}
     # Bare group-by columns are valid ORDER BY keys too — after the agg

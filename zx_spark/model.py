@@ -162,3 +162,8 @@ class Query:
     # arbitrary subset. run_sorted appends the group keys as final
     # tie-breakers so the cut is deterministic at ties.
     limit: int | None = None
+    # Beyond-reference HAVING: post-aggregation numeric predicates as
+    # (select key "$$sum(foo)", op, value) triples — applied as a plain
+    # filter on the aggregate's output column in every aggregate path
+    # (windowed, sorted, multidim).
+    having: list[tuple[str, str, float]] = field(default_factory=list)

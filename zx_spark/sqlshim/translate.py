@@ -38,7 +38,8 @@ _COND_RE = re.compile(
     r"(?P<val>'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[\w.$-]+)$"
 )
 _CLAUSES = re.compile(
-    r"\bwhere\b|\bgroup\s+by\b|\border\s+by\b|\bgranularity\b|\blimit\b|\bfrom\b"
+    r"\bwhere\b|\bgroup\s+by\b|\bhaving\b|\border\s+by\b|\bgranularity\b"
+    r"|\blimit\b|\bfrom\b"
 )
 
 _OPS = {
@@ -105,6 +106,23 @@ def parse_zx_sql(
 
     if "group by" in clauses:
         _parse_group_by(q, clauses["group by"])
+
+    # beyond-reference HAVING: numeric predicates on aggregate keys,
+    # AND-composed; applied post-aggregation by compiler.apply_having
+    for hv in _split_and(clauses.get("having", "")):
+        hm = re.match(
+            rf"^(?P<fn>\w+)\(\s*(?P<arg>{_IDENT})\s*\)\s*"
+            r"(?P<op><=|>=|!=|=|<|>)\s*(?P<num>-?\d+(?:\.\d+)?)$",
+            hv,
+        )
+        if not hm:
+            raise ZxSqlError(
+                f"bad HAVING predicate: {hv!r} (need agg(col) <op> number)"
+            )
+        key = f"$${hm.group('fn')}({hm.group('arg')})"
+        if not any(s.key == key for s in q.selects):
+            raise ZxSqlError(f"HAVING references {key!r}, not in SELECT")
+        q.having.append((key, hm.group("op"), float(hm.group("num"))))
 
     for ob in _split_commas(clauses.get("order by", "")):
         m = re.match(rf"^(?P<key>\w+\(\s*{_IDENT}\s*\)|{_IDENT})(?:\s+(?P<dir>asc|desc))?$", ob)
@@ -182,12 +200,17 @@ def zx_sql(
         if rate_col is not None and rate_col not in df.columns:
             # same guard compile_query/run_sorted apply (compiler.py)
             rate_col = None
-        return multidim_agg(
-            work,
-            q.group_by,
-            q.selects,
-            mode=q.group_mode,
-            rate_col=rate_col,
+        from zx_spark.compiler import apply_having
+
+        return apply_having(
+            multidim_agg(
+                work,
+                q.group_by,
+                q.selects,
+                mode=q.group_mode,
+                rate_col=rate_col,
+            ),
+            q,
         )
     if q.order_by:
         # ORDER BY routes to aggregate-then-sort (O1) — wired for real,
