@@ -2269,22 +2269,27 @@ def q_text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _tf.mkdtemp(prefix="zx_cms_store_")
     ckpt = _tf.mkdtemp(prefix="zx_cms_ckpt_")
     half = docs.select("doc_id", "lang")
-    half.filter(F.col("doc_id") % 2 == 0).repartition(1).write.parquet(
-        sdir, mode="append"
-    )
-    half.filter(F.col("doc_id") % 2 == 1).repartition(1).write.parquet(
-        sdir, mode="append"
-    )
+    # coalesce(pmod, 0): a NULL doc_id must land in exactly one half —
+    # plain `% 2` is NULL for it, silently dropping the row from BOTH
+    # staged halves while the oracle counts it (latent today: driver
+    # doc_ids are non-NULL)
+    split = F.coalesce(F.pmod(F.col("doc_id"), F.lit(2)), F.lit(0))
+    half.filter(split == 0).repartition(1).write.parquet(sdir, mode="append")
+    half.filter(split == 1).repartition(1).write.parquet(sdir, mode="append")
     stream = (
         spark.readStream.format("parquet")
         .schema(half.schema)
         .option("maxFilesPerTrigger", 1)
         .load(sdir)
     )
-    cms_sink(
+    if not cms_sink(
         stream, "lang", store, width=64, depth=3,
         checkpoint_dir=ckpt, available_now=True,
-    ).awaitTermination(180)
+    ).awaitTermination(180):
+        # a partial drain would silently undercount the merged model
+        # (and rmtree below would pull staging out from under a live
+        # stream) — fail loudly instead
+        raise RuntimeError("scms arm: availableNow drain did not finish in 180s")
     scms_model = read_cms_model(spark, store)  # eager — staging can go
     import shutil as _sh
 

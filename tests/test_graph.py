@@ -421,3 +421,24 @@ def test_triangles_plan_is_hash_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_weighted_pagerank_zero_and_null_weights(spark):
+    """r7 s2 review: a zero/NULL weight is NO edge — it must neither
+    produce NaN ranks (0/0 out-weight) nor silently leak mass (NULL
+    out-weight); a source left with only bad edges becomes dangling and
+    mass is conserved."""
+    from zx_spark.operators.graph import pagerank
+
+    rows = [(1, 2, 0.0), (1, 3, None), (2, 3, 2.0), (3, 2, 1.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["node"]: r["rank"] for r in pagerank(
+        df, weight_col="w", iters=4).collect()}
+    # node 1 has no valid edges at all -> absent (like NULL endpoints)
+    assert set(got) == {2, 3}
+    assert all(v == v for v in got.values())  # no NaN
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    want = _numpy_pagerank([(2, 3), (3, 2)], 2, 0.85, 4,
+                           weights=[2.0, 1.0])
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k

@@ -412,3 +412,43 @@ def test_having_validation(spark):
         zx_sql(spark, "select sum(foo) group by x having mean(foo) > 1", df=df)
     with pytest.raises(ZxSqlError, match="bad HAVING"):
         zx_sql(spark, "select sum(foo) group by x having foo > 1", df=df)
+
+
+def test_having_pnn_and_heatmap(spark):
+    """r7 s2 review: p90(col) must resolve in HAVING (its $$key is the
+    shared quantile_approx key — resolution goes by alias); heatmap is
+    rejected with a clean parse error, not a downstream
+    AnalysisException."""
+    df = zx_fixture(spark)
+    rows = zx_sql(
+        spark,
+        "select p90(foo) group by x having p90(foo) > 0",
+        df=df,
+        granularity_s=None,
+    ).collect()
+    assert rows and all(r["p90_approx__foo"] > 0 for r in rows)
+    with pytest.raises(ZxSqlError, match="numeric aggregate"):
+        zx_sql(
+            spark,
+            "select heatmap(foo), sum(foo) group by x having heatmap(foo) > 1",
+            df=df,
+        )
+
+
+def test_keyword_named_columns_inside_parens(spark):
+    """r7 s2 review: adding limit/having to the clause splitter must not
+    reserve them INSIDE parentheses — sum(limit) / count(having) are
+    plain column references there (keywords stay reserved at clause
+    position, standard SQL)."""
+    from pyspark.sql import functions as F
+
+    df = zx_fixture(spark).withColumn(
+        "limit", F.col("foo")
+    ).withColumn("having", F.col("foo"))
+    rows = zx_sql(
+        spark,
+        "select sum(limit), count(having) group by x",
+        df=df,
+        granularity_s=None,
+    ).collect()
+    assert rows and all(r["sum__limit"] is not None for r in rows)

@@ -159,18 +159,18 @@ _HAVING_OPS = {
 
 def apply_having(out: DataFrame, q: Query) -> DataFrame:
     """Post-aggregation predicates (beyond-reference HAVING): each
-    ("$$agg(col)", op, value) triple filters the aggregate's OUTPUT
-    column — a plain Catalyst filter after the agg, nothing re-shuffles.
-    Keys resolve against the query's selects; an unknown key fails
-    loudly (a silently dropped HAVING is a wrong answer)."""
+    (alias, op, value) triple filters the aggregate's OUTPUT column — a
+    plain Catalyst filter after the agg, nothing re-shuffles. Aliases
+    resolve against the query's selects (the shim already validated the
+    spelling and numeric-ness); an unknown alias fails loudly — a
+    silently dropped HAVING is a wrong answer."""
     if not q.having:
         return out
-    by_key = {s.key: s.alias for s in q.selects}
-    for key, op, val in q.having:
-        alias = by_key.get(key)
-        if alias is None:
+    aliases = {s.alias for s in q.selects}
+    for alias, op, val in q.having:
+        if alias not in aliases:
             raise ValueError(
-                f"HAVING references {key!r}, which is not in the SELECT list"
+                f"HAVING references {alias!r}, which is not in the SELECT list"
             )
         out = out.filter(_HAVING_OPS[op](F.col(f"`{alias}`"), F.lit(val)))
     return out

@@ -163,7 +163,8 @@ class Query:
     # tie-breakers so the cut is deterministic at ties.
     limit: int | None = None
     # Beyond-reference HAVING: post-aggregation numeric predicates as
-    # (select key "$$sum(foo)", op, value) triples — applied as a plain
-    # filter on the aggregate's output column in every aggregate path
-    # (windowed, sorted, multidim).
+    # (select ALIAS e.g. "sum__foo", op, value) triples — the alias (not
+    # the $$key) because two pNN quantiles of one column share a key but
+    # never an alias. Applied as a plain filter on the aggregate's
+    # output column in every aggregate path (windowed, sorted, multidim).
     having: list[tuple[str, str, float]] = field(default_factory=list)

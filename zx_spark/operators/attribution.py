@@ -9,14 +9,15 @@ touches split 1/k each).
 
 Distributed shape (what survives 100 TB):
 
-- ONE user-keyed shuffle: a per-user window sorted by (ts, id) carries
-  the running touch context to each conversion row. last/first touch
-  is a running MAX/MIN over a (ts, id, channel) struct restricted to
-  preceding rows — pure JVM window state, O(1) per row. The linear
-  model carries a bounded collect_list of recent touch structs
-  (``max_touches`` caps per-user state; beyond it the OLDEST touches
-  drop, which matches the lookback-window intent) filtered in-row to
-  the window — never a conversions×touches join.
+- ONE user-keyed shuffle over ONLY the touch and conversion rows (all
+  other event types are filtered before the window). Last-touch is a
+  running MAX over a (ts, id, channel) struct — O(1) window state.
+  First-touch/linear collect touch structs over a RANGE frame bounded
+  by the lookback window itself (state ∝ the user's touches within
+  ``window_s``, NOT their full history), with the strict (ts, id)
+  before-order imposed in-row; ``max_touches`` additionally caps the
+  per-conversion list (newest kept) — never a conversions×touches
+  join.
 - Credit aggregation is a tiny (channel[, k]) hash agg.
 - Determinism: every emitted count is an integer; the fractional 1/k
   linear credit is derived ON the small (channel, k) frame
@@ -77,6 +78,9 @@ def attributed_conversions(
     tc = F.col(f"`{type_col}`")
     is_touch = tc.isin(list(touch_types))
     is_conv = tc == F.lit(conversion_type)
+    # only touches and conversions matter — drop everything else BEFORE
+    # the user shuffle and window state
+    e = e.filter(is_touch | is_conv)
     touch_struct = F.when(
         is_touch, F.struct(F.col("__t"), F.col("__i"), tc.alias("__ch"))
     )
@@ -85,9 +89,21 @@ def attributed_conversions(
         .orderBy("__t", "__i")
         .rowsBetween(Window.unboundedPreceding, -1)  # strictly before
     )
+    # the collected frame is RANGE-bounded by the lookback itself, so
+    # per-row state is the user's in-window touches, never their whole
+    # history; the strict (ts, id) before-order (ties included by the
+    # range frame) is imposed in-row. rangeBetween takes LONGS, so the
+    # order key is microseconds (timestamps are µs-precision — exact).
+    e = e.withColumn("__tm", (F.col("__t") * 1e6).cast("long"))
+    wr = (
+        Window.partitionBy("__u")
+        .orderBy("__tm")
+        .rangeBetween(-int(round(float(window_s) * 1e6)), 0)
+    )
     touches = F.filter(
-        F.collect_list(touch_struct).over(w),
-        lambda s: F.col("__t") - s["__t"] <= F.lit(float(window_s)),
+        F.collect_list(touch_struct).over(wr),
+        lambda s: (s["__t"] < F.col("__t"))
+        | ((s["__t"] == F.col("__t")) & (s["__i"] < F.col("__i"))),
     )
     if model == "last_touch":
         # running MAX is O(1) window state and needs no array: if the
@@ -111,9 +127,9 @@ def attributed_conversions(
     if model == "first_touch":
         # the globally earliest touch may fall OUTSIDE the window while
         # a later one qualifies — running MIN does not compose with the
-        # in-window check, so first-touch reads the windowed array (the
-        # collect_list is (ts, id)-ordered; its first element is the
-        # earliest qualifying touch)
+        # in-window check, so first-touch reads the windowed array;
+        # array_min picks the (ts, id)-earliest element regardless of
+        # the range frame's tie order
         return (
             e.withColumn("__ts", touches)
             .filter(is_conv & (F.size("__ts") > 0))
@@ -121,11 +137,13 @@ def attributed_conversions(
                 F.col("__u").alias("user"),
                 F.col("__i").alias("conv_id"),
                 F.col("__t").alias("conv_ts"),
-                F.col("__ts")[0]["__ch"].alias("channel"),
+                F.array_min("__ts")["__ch"].alias("channel"),
             )
         )
     return (
-        e.withColumn("__all", touches)
+        # sorted so the newest-K slice is deterministic whatever order
+        # the range frame collected equal-ts elements in
+        e.withColumn("__all", F.array_sort(touches))
         .withColumn(
             "__ts",
             # newest-K cap; a negative slice start beyond the array

@@ -81,7 +81,15 @@ def pagerank(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     s, d = F.col(f"`{src_col}`"), F.col(f"`{dst_col}`")
-    e = edges.filter(s.isNotNull() & d.isNotNull()).select(
+    cond = s.isNotNull() & d.isNotNull()
+    if weight_col is not None:
+        # a NULL or non-positive weight is NO edge: keeping it would
+        # either divide by a zero out-weight (NaN ranks) or leave the
+        # source with od=NULL so its mass silently vanishes — dropping
+        # it instead makes an all-bad-weight source DANGLING, which the
+        # mass redistribution handles correctly
+        cond = cond & (F.col(f"`{weight_col}`").cast("double") > 0)
+    e = edges.filter(cond).select(
         s.alias("__src"),
         d.alias("__dst"),
         *(
@@ -283,6 +291,13 @@ def triangle_counts(
     - Per-corner attribution: each closed triangle (a, b, c) credits
       all three corners via one explode — aggregation is a node-keyed
       count with map-side combine.
+    - The canonical and oriented edge frames are marked for caching —
+      each is referenced by several branches of the ONE returned plan,
+      so the cache turns repeated edge derivations into one. Like
+      pagerank's lazy path they stay marked after return (they
+      materialize only under the caller's action);
+      ``spark.catalog.clearCache()`` reclaims them between calls in a
+      long-lived session.
     """
     s, d = F.col(f"`{src_col}`"), F.col(f"`{dst_col}`")
     und = (

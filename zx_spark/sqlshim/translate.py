@@ -94,7 +94,7 @@ def parse_zx_sql(
     if re.search(r"\bfrom\b", masked):
         return Passthrough(sql=original)
 
-    clauses = _split_clauses(low, masked)
+    clauses = _split_clauses(low, _mask_parens(masked))
     q = Query(granularity_s=granularity_s)
     if compat.faithful_windows:
         q.window_mode = "faithful"
@@ -108,10 +108,15 @@ def parse_zx_sql(
         _parse_group_by(q, clauses["group by"])
 
     # beyond-reference HAVING: numeric predicates on aggregate keys,
-    # AND-composed; applied post-aggregation by compiler.apply_having
+    # AND-composed; applied post-aggregation by compiler.apply_having.
+    # The predicate is parsed through the SELECT grammar so every
+    # SELECT-able spelling (incl. pNN quantiles, whose $$key is shared
+    # but whose alias is unique) resolves, and non-numeric aggregates
+    # (heatmap, bare columns) are rejected here with a clean error
+    # instead of a downstream AnalysisException.
     for hv in _split_and(clauses.get("having", "")):
         hm = re.match(
-            rf"^(?P<fn>\w+)\(\s*(?P<arg>{_IDENT})\s*\)\s*"
+            rf"^(?P<item>\w+\(\s*{_IDENT}\s*\))\s*"
             r"(?P<op><=|>=|!=|=|<|>)\s*(?P<num>-?\d+(?:\.\d+)?)$",
             hv,
         )
@@ -119,10 +124,18 @@ def parse_zx_sql(
             raise ZxSqlError(
                 f"bad HAVING predicate: {hv!r} (need agg(col) <op> number)"
             )
-        key = f"$${hm.group('fn')}({hm.group('arg')})"
-        if not any(s.key == key for s in q.selects):
-            raise ZxSqlError(f"HAVING references {key!r}, not in SELECT")
-        q.having.append((key, hm.group("op"), float(hm.group("num"))))
+        target = _parse_item(hm.group("item"))
+        from zx_spark.operators.aggregates import is_numeric_result
+
+        if not is_numeric_result(target):
+            raise ZxSqlError(
+                f"HAVING needs a numeric aggregate, got {hm.group('item')!r}"
+            )
+        if not any(s.alias == target.alias for s in q.selects):
+            raise ZxSqlError(
+                f"HAVING references {hm.group('item')!r}, not in SELECT"
+            )
+        q.having.append((target.alias, hm.group("op"), float(hm.group("num"))))
 
     for ob in _split_commas(clauses.get("order by", "")):
         m = re.match(rf"^(?P<key>\w+\(\s*{_IDENT}\s*\)|{_IDENT})(?:\s+(?P<dir>asc|desc))?$", ob)
@@ -242,6 +255,26 @@ def _mask_quoted(s: str) -> str:
     """Blank the inside of string literals (length-preserving) so clause
     scans never match keywords inside quoted values."""
     return _QUOTED.sub(lambda m: m.group(0)[0] + " " * (len(m.group(0)) - 2) + m.group(0)[0], s)
+
+
+def _mask_parens(s: str) -> str:
+    """Blank everything inside parentheses (length-preserving) for the
+    CLAUSE scan only: clause keywords never legitimately start inside
+    ``(...)``, so a column named ``limit``/``having``/``where`` used as
+    ``sum(limit)`` must not split the SELECT clause (keywords remain
+    reserved at top level, standard SQL behavior)."""
+    out = []
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+            out.append(ch)
+        elif ch == ")":
+            depth = max(0, depth - 1)
+            out.append(ch)
+        else:
+            out.append(" " if depth > 0 else ch)
+    return "".join(out)
 
 
 def _split_clauses(low: str, masked: str | None = None) -> dict[str, str]:
