@@ -186,3 +186,37 @@ def test_validates_args(spark):
         attributed_conversions(ev, TOUCHES, "buy", model="shapley")
     with pytest.raises(ValueError, match="touch_types"):
         attributed_conversions(ev, [], "buy")
+
+
+def test_conversion_lag_stats(spark):
+    """Integer-µs lags: mean and exact median per channel, hand-checked
+    (last-touch: conv 3 lags 10min behind email; conv 5/6 lag 5/8min
+    behind social)."""
+    from zx_spark.operators.attribution import conversion_lag_stats
+
+    rows = [
+        (1, 0, 1, "ad"), (2, 10, 1, "email"), (3, 20, 1, "buy"),
+        (4, 0, 2, "social"), (5, 5, 2, "buy"), (6, 8, 2, "buy"),
+    ]
+    ev = _ev(spark, rows)
+    got = {r["channel"]: r for r in conversion_lag_stats(
+        ev, TOUCHES, "buy", model="last_touch").collect()}
+    m = 60_000_000  # one minute in µs
+    assert got["email"]["conversions"] == 1
+    assert got["email"]["mean_lag_us"] == 10 * m
+    assert got["email"]["p50_lag_us"] == 10 * m
+    assert got["social"]["conversions"] == 2
+    assert got["social"]["mean_lag_us"] == 6.5 * m
+    assert got["social"]["p50_lag_us"] == 6.5 * m  # midpoint of 5, 8
+
+
+def test_attributed_conversions_expose_touch_ts(spark):
+    """touch_ts rides along on every model so lag analytics compose."""
+    from zx_spark.operators.attribution import attributed_conversions
+
+    rows = [(1, 0, 1, "ad"), (2, 10, 1, "email"), (3, 20, 1, "buy")]
+    ev = _ev(spark, rows)
+    for model in ("last_touch", "first_touch", "linear"):
+        out = attributed_conversions(ev, TOUCHES, "buy", model=model).collect()
+        assert all(r["touch_ts"] is not None and r["touch_ts"] < r["conv_ts"]
+                   for r in out), model
