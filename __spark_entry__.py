@@ -996,6 +996,24 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conversions").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
+    # attr:lag — time-to-convert per channel (conversion_lag_stats):
+    # INTEGER-µs lags make the mean's sum order-exact and the exact
+    # median's midpoint interpolation engine-identical, so mean/p50 are
+    # emitted raw (no rounding step). Oracle = the same correlated
+    # last-touch lookup returning the touch ts, avg as sum/count, and
+    # quantile_cont on the bigint lags.
+    from zx_spark.operators.attribution import conversion_lag_stats
+
+    at_lag = conversion_lag_stats(
+        ev, ["view", "click"], "purchase", window_s=7200.0, model="last_touch"
+    ).select(
+        F.concat(F.lit("attr:lag:"), F.col("channel")).alias("g_event_type"),
+        F.col("conversions").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        F.col("mean_lag_us").alias("sum__value"),
+        F.col("p50_lag_us").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
     at_lin = attribution_report(
         ev, ["view", "click"], "purchase", window_s=7200.0, model="linear"
     ).select(
@@ -1021,6 +1039,7 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ab_w)
         .unionByName(ab_z)
         .unionByName(at_last)
+        .unionByName(at_lag)
         .unionByName(at_lin)
     )
 
@@ -4275,11 +4294,20 @@ def _weighted_funnel_oracle() -> str:
         "atev AS (SELECT user_id AS u, epoch(ts) AS t, event_id AS i, "
         "  event_type AS ty FROM events "
         "  WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
-        "atl AS (SELECT c.i, (SELECT t2.ty FROM atev t2 WHERE t2.u = c.u "
+        "atl AS (SELECT c.i, c.t AS ct, (SELECT t2.ty FROM atev t2 WHERE t2.u = c.u "
         "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
-        "  AND c.t - t2.t <= 7200 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS ch "
+        "  AND c.t - t2.t <= 7200 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS ch, "
+        "  (SELECT t2.t FROM atev t2 WHERE t2.u = c.u "
+        "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
+        "  AND c.t - t2.t <= 7200 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS tt "
         "  FROM atev c WHERE c.ty = 'purchase'), "
         "atlr AS (SELECT ch, count(*) AS n FROM atl WHERE ch IS NOT NULL GROUP BY ch), "
+        # lag stats: integer-µs lags — sums exact, median interpolation
+        # engine-identical (same discipline as the Spark side)
+        "atlg AS (SELECT ch, count(*) AS n, "
+        "  sum((ct * 1e6)::bigint - (tt * 1e6)::bigint)::double / count(*) AS mu, "
+        "  quantile_cont((ct * 1e6)::bigint - (tt * 1e6)::bigint, 0.5) AS p50 "
+        "  FROM atl WHERE ch IS NOT NULL GROUP BY ch), "
         "atj AS (SELECT c.i, t2.ty AS ch FROM atev c JOIN atev t2 ON t2.u = c.u "
         "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
         "  AND c.t - t2.t <= 7200 WHERE c.ty = 'purchase'), "
@@ -4290,6 +4318,8 @@ def _weighted_funnel_oracle() -> str:
     attr_rows = (
         "SELECT 'attr:last:' || ch, n::bigint, 0::bigint, NULL::double, "
         "n::double, NULL::double FROM atlr "
+        "UNION ALL SELECT 'attr:lag:' || ch, n::bigint, 0::bigint, "
+        "mu, p50::double, NULL::double FROM atlg "
         "UNION ALL SELECT 'attr:lin:' || ch || ':' || k, n::bigint, 0::bigint, "
         "NULL::double, n::double, NULL::double FROM atlin"
     )
