@@ -220,3 +220,47 @@ def test_attributed_conversions_expose_touch_ts(spark):
         out = attributed_conversions(ev, TOUCHES, "buy", model=model).collect()
         assert all(r["touch_ts"] is not None and r["touch_ts"] < r["conv_ts"]
                    for r in out), model
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),                     # user
+            st.integers(0, 50),                    # minute
+            st.sampled_from(["ad", "email", "buy", "noise"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    window_min=st.sampled_from([5, 20, 100]),
+    model=st.sampled_from(["last_touch", "first_touch", "linear"]),
+)
+def test_property_matches_brute(spark, events, window_min, model):
+    """Random journeys (duplicate timestamps, interleaved users, noise
+    events, every window/model) equal the python twin exactly."""
+    from zx_spark.operators.attribution import attributed_conversions
+
+    rows = [(i, m, u, t) for i, (u, m, t) in enumerate(events)]
+    ev = _ev(spark, rows)
+    ws = window_min * 60.0
+    got = set(
+        (
+            (r["conv_id"], r["channel"], r["k"])
+            if model == "linear"
+            else (r["conv_id"], r["channel"])
+        )
+        for r in attributed_conversions(
+            ev, ["ad", "email"], "buy", window_s=ws, model=model
+        ).collect()
+    )
+    want = _brute(rows, ["ad", "email"], "buy", ws, model)
+    assert got == want, (model, window_min)
