@@ -1928,14 +1928,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     lit_centers = [[float(x) for x in c] for c in centers]
-    vector_index_sink(
+    if not vector_index_sink(
         stream_in, store, lit_centers, checkpoint_dir=cp, available_now=True
-    ).awaitTermination(180)
-    sivf = ivf_topk(
+    ).awaitTermination(180):
+        # a partial drain would serve an incomplete store and produce a
+        # confusing hash mismatch (and rmtree below would pull staging
+        # out from under a live stream) — fail loudly instead
+        raise RuntimeError("sivf arm: availableNow drain did not finish in 180s")
+    # materialize the tiny top-k (k=10 rows) EAGERLY so the staging /
+    # store / checkpoint dirs can be removed before returning the lazy
+    # union (same hygiene as the scms arm)
+    sivf_schema = "arm string, vec_id long, score double"
+    sivf_rows = ivf_topk(
         read_vector_index(spark, store), centers, ANN_QUERY_VEC, k=10, nprobe=4
     ).select(
         F.lit("sivf").alias("arm"), "vec_id", F.col("cosine").alias("score")
-    )
+    ).collect()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    sivf = spark.createDataFrame(sivf_rows, sivf_schema)
     return (
         ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
         .unionByName(pqb).unionByName(sivf)

@@ -188,6 +188,52 @@ def test_validates_args(spark):
         attributed_conversions(ev, [], "buy")
 
 
+def test_subsecond_boundary_all_models_agree(spark):
+    """Regression (r8 ADVICE): a touch EXACTLY at the lookback boundary
+    with sub-second timestamps. 0.7s stored as µs is exact, but as a
+    double it is 0.699999..., and truncating *1e6 to long dropped the
+    touch from the RANGE frame (first/linear) while last_touch's raw
+    double math kept it — the three models disagreed on the same data.
+    All window math now runs on rounded-µs longs: every model must
+    include the boundary touch."""
+    from zx_spark.operators.attribution import attributed_conversions
+
+    ev = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(seconds=0.7), 1, "ad"),
+            (2, T0 + dt.timedelta(seconds=1.7), 1, "buy"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    for model in ("last_touch", "first_touch", "linear"):
+        got = {(r["conv_id"], r["channel"]) for r in attributed_conversions(
+            ev, TOUCHES, "buy", window_s=1.0, model=model).collect()}
+        assert got == {(2, "ad")}, model
+    # and one µs PAST the boundary is excluded by every model
+    ev2 = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(seconds=0.699999), 1, "ad"),
+            (2, T0 + dt.timedelta(seconds=1.7), 1, "buy"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    for model in ("last_touch", "first_touch", "linear"):
+        got = attributed_conversions(
+            ev2, TOUCHES, "buy", window_s=1.0, model=model).count()
+        assert got == 0, model
+
+
+def test_lag_stats_reject_linear(spark):
+    """linear emits one row per (conversion, touch) — per-channel lag
+    stats over it would be touch-weighted and the count mislabeled, so
+    conversion_lag_stats refuses (r8 ADVICE)."""
+    from zx_spark.operators.attribution import conversion_lag_stats
+
+    ev = _ev(spark, [(1, 0, 1, "ad"), (2, 5, 1, "buy")])
+    with pytest.raises(ValueError, match="linear"):
+        conversion_lag_stats(ev, TOUCHES, "buy", model="linear")
+
+
 def test_conversion_lag_stats(spark):
     """Integer-µs lags: mean and exact median per channel, hand-checked
     (last-touch: conv 3 lags 10min behind email; conv 5/6 lag 5/8min

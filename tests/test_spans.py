@@ -185,13 +185,40 @@ def test_plan_shape(spark):
 
 
 def test_rejects_duplicate_doc_ids(spark):
-    """ADVICE r6: duplicate ids would silently merge two documents'
-    position streams into one gaps-and-islands pass — fail fast."""
+    """ADVICE r6 (reworked r8): duplicate ids would silently merge two
+    documents' position streams into one gaps-and-islands pass. The
+    guard is now IN-PLAN (sentinel markers + raise_error riding the
+    existing window shuffle, no eager validation pass), so it fires at
+    ACTION time as a Spark error carrying the message."""
     df = spark.createDataFrame(
         [(1, "a b c d e f g h i"), (1, "a b c d e f g h j")],
         "doc_id long, text string",
     )
-    with pytest.raises(ValueError, match="unique"):
-        duplicated_spans(df, "text", "doc_id", n=8)
-    with pytest.raises(ValueError, match="unique"):
-        duplicated_span_stats(df, "text", "doc_id", n=8)
+    with pytest.raises(Exception, match="unique"):
+        duplicated_spans(df, "text", "doc_id", n=8).collect()
+    with pytest.raises(Exception, match="unique"):
+        duplicated_span_stats(df, "text", "doc_id", n=8).collect()
+    # even when the colliding docs share NO duplicated shingle — the
+    # marker rows alone detect the collision
+    df2 = spark.createDataFrame(
+        [(1, "p q r s t u v w x"), (1, "hh ii jj kk ll mm nn oo pp")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="unique"):
+        duplicated_spans(df2, "text", "doc_id", n=8).collect()
+
+
+def test_assume_unique_skips_guard_and_no_eager_jobs(spark):
+    """assume_unique=True skips the marker guard; and building the plan
+    (either mode) runs NO Spark job — the r7 guard was an eager
+    .count() at call time, the r8 ADVICE fix."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    plan = duplicated_spans(df, n=8)  # build only — no action
+    plan2 = duplicated_spans(df, n=8, assume_unique=True)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building the span plan must not run jobs"
+    a = sorted(map(tuple, plan.collect()))
+    b = sorted(map(tuple, plan2.collect()))
+    assert a == b  # unique input: both modes agree

@@ -206,6 +206,17 @@ def test_parse_multidim_group_by():
         parse_zx_sql("select sum(foo) group by grouping sets((x), y)")
 
 
+def test_parse_multidim_space_before_paren():
+    """Regression (r8 ADVICE): `CUBE (a, b)` — whitespace before the
+    paren, as GROUPING SETS already allowed — used to fall through to
+    the plain-dim parser and die with a misleading bad-identifier
+    error."""
+    q = parse_zx_sql("select sum(foo) group by cube (x, y)")
+    assert q.group_mode == "cube" and q.group_by == ["x", "y"]
+    q = parse_zx_sql("select sum(foo) group by rollup  (x)")
+    assert q.group_mode == "rollup" and q.group_by == ["x"]
+
+
 def test_multidim_requires_aggregates(spark):
     with pytest.raises(ZxSqlError, match="bare columns"):
         zx_sql(spark, "select foo group by cube(x, y)", df=zx_fixture(spark))

@@ -18,6 +18,15 @@ Distributed shape (what survives 100 TB):
   before-order imposed in-row; ``max_touches`` additionally caps the
   per-conversion list (newest kept) — never a conversions×touches
   join.
+- ONE time domain: every window comparison (the RANGE frame, the
+  in-array strictly-before filter, the last-touch lookback check) runs
+  on the same ROUNDED-microsecond longs (``__tm``), so the three
+  models can never disagree at a window boundary. Timestamps are
+  µs-precision, so round() recovers the exact grid value that the
+  seconds-as-double representation perturbs (0.7s → 699999.99...;
+  truncation would drop a boundary touch from first/linear that
+  last-touch's double math keeps). Exact for |ts| < 2^53 µs (~285
+  years of epoch time).
 - Credit aggregation is a tiny (channel[, k]) hash agg.
 - Determinism: every emitted count is an integer; the fractional 1/k
   linear credit is derived ON the small (channel, k) frame
@@ -81,29 +90,36 @@ def attributed_conversions(
     # only touches and conversions matter — drop everything else BEFORE
     # the user shuffle and window state
     e = e.filter(is_touch | is_conv)
+    # ONE time domain for every window comparison: rounded µs longs.
+    # round (not truncate) recovers the exact µs grid value from the
+    # seconds-as-double representation, so the RANGE frame, the
+    # strictly-before filter, and the last-touch lookback check all
+    # agree at the window boundary (see module docstring).
+    e = e.withColumn("__tm", F.round(F.col("__t") * F.lit(1e6)).cast("long"))
+    window_us = int(round(float(window_s) * 1e6))
     touch_struct = F.when(
-        is_touch, F.struct(F.col("__t"), F.col("__i"), tc.alias("__ch"))
+        is_touch,
+        F.struct(F.col("__tm"), F.col("__i"), tc.alias("__ch"), F.col("__t")),
     )
     w = (
         Window.partitionBy("__u")
-        .orderBy("__t", "__i")
+        .orderBy("__tm", "__i")
         .rowsBetween(Window.unboundedPreceding, -1)  # strictly before
     )
     # the collected frame is RANGE-bounded by the lookback itself, so
     # per-row state is the user's in-window touches, never their whole
     # history; the strict (ts, id) before-order (ties included by the
     # range frame) is imposed in-row. rangeBetween takes LONGS, so the
-    # order key is microseconds (timestamps are µs-precision — exact).
-    e = e.withColumn("__tm", (F.col("__t") * 1e6).cast("long"))
+    # order key is the same rounded microseconds.
     wr = (
         Window.partitionBy("__u")
         .orderBy("__tm")
-        .rangeBetween(-int(round(float(window_s) * 1e6)), 0)
+        .rangeBetween(-window_us, 0)
     )
     touches = F.filter(
         F.collect_list(touch_struct).over(wr),
-        lambda s: (s["__t"] < F.col("__t"))
-        | ((s["__t"] == F.col("__t")) & (s["__i"] < F.col("__i"))),
+        lambda s: (s["__tm"] < F.col("__tm"))
+        | ((s["__tm"] == F.col("__tm")) & (s["__i"] < F.col("__i"))),
     )
     if model == "last_touch":
         # running MAX is O(1) window state and needs no array: if the
@@ -114,7 +130,7 @@ def attributed_conversions(
             .filter(
                 is_conv
                 & F.col("__tt").isNotNull()
-                & (F.col("__t") - F.col("__tt.__t") <= F.lit(float(window_s)))
+                & (F.col("__tm") - F.col("__tt.__tm") <= F.lit(window_us))
             )
             .select(
                 F.col("__u").alias("user"),
@@ -216,16 +232,30 @@ def conversion_lag_stats(
     """Per-channel time-to-convert: ``(channel, conversions,
     mean_lag_us, p50_lag_us)`` — how long after the (attributed) touch
     the conversion landed. Lags are INTEGER microseconds (timestamps
-    are µs-precision), so the sum behind the mean is exact under any
-    aggregation order and the exact median's midpoint interpolation is
-    engine-identical — no rounding discipline needed. One extra tiny
-    agg over the attribution rows; the heavy pass is unchanged."""
+    are µs-precision; rounded from the seconds-as-double form, same
+    domain as the attribution window math), so the sum behind the mean
+    is exact under any aggregation order and the exact median's
+    midpoint interpolation is engine-identical — no rounding
+    discipline needed. One extra tiny agg over the attribution rows;
+    the heavy pass is unchanged.
+
+    ``model`` must be ``last_touch`` or ``first_touch``: under
+    ``linear`` the attribution rows are one per (conversion, touch),
+    so a per-channel count would be attributed TOUCHES and the lag
+    stats touch-weighted — a different statistic; raise instead of
+    mislabeling it."""
+    if model == "linear":
+        raise ValueError(
+            "conversion_lag_stats needs one row per conversion; "
+            "model='linear' emits one row per (conversion, touch) so the "
+            "stats would be touch-weighted — use last_touch/first_touch"
+        )
     rows = attributed_conversions(
         df, touch_types, conversion_type, window_s, model, **kw
     )
     lag_us = (
-        (F.col("conv_ts") * 1e6).cast("long")
-        - (F.col("touch_ts") * 1e6).cast("long")
+        F.round(F.col("conv_ts") * F.lit(1e6)).cast("long")
+        - F.round(F.col("touch_ts") * F.lit(1e6)).cast("long")
     )
     return (
         rows.withColumn("__lag", lag_us)

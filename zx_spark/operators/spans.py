@@ -67,20 +67,6 @@ def _dup_positions(
         raise ValueError(
             f"duplicated_spans: min_count must be >= 2, got {min_count}"
         )
-    # duplicate ids would merge two documents' position streams into one
-    # gaps-and-islands pass, silently mixing spans across documents —
-    # fail fast (same discipline as pack_concat)
-    dup = (
-        df.groupBy(F.col(id_col))
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"duplicated_spans: {id_col} must be unique per row"
-        )
     toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
     # docs shorter than n tokens produce an empty sequence → no shingles
     sh = toks.select(
@@ -113,6 +99,7 @@ def duplicated_spans(
     n: int = 8,
     min_count: int = 2,
     hash_family: str = "md5",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -122,8 +109,37 @@ def duplicated_spans(
     p1 < p2 merge into one span iff ``p2 <= p1 + n`` (overlapping or
     exactly adjacent coverage). ``n_dup_shingles`` counts the duplicated
     shingle starts inside the span.
+
+    Duplicate ids would merge two documents' position streams into one
+    gaps-and-islands pass, silently mixing spans across documents. The
+    guard is IN-PLAN (r8, was an eager extra corpus pass): a sentinel
+    marker row per document (an id-only column-pruned scan — the text
+    column is never read) rides the gaps-and-islands shuffle, and a
+    per-id marker count ≥ 2 hits a scan-speed ``raise_error`` at action
+    time — the boilerplate_fractions fail-fast discipline. Cost: one
+    extra row per DOCUMENT in the (already duplicated-positions-sized)
+    window shuffle, no extra job. ``assume_unique=True`` skips even
+    that for pipeline paths that just deduped.
     """
     dup = _dup_positions(df, text_col, id_col, n, min_count, hash_family)
+    if not assume_unique:
+        markers = df.select(F.col(id_col), F.lit(-1).alias("pos"))
+        wid = Window.partitionBy(id_col)
+        nmark = F.sum(
+            F.when(F.col("pos") == -1, F.lit(1)).otherwise(F.lit(0))
+        ).over(wid)
+        guard = F.when(nmark <= 1, F.col("pos")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"duplicated_spans: {id_col} must be unique per row"
+                ).cast("string")
+            )
+        )
+        dup = (
+            dup.unionByName(markers)
+            .withColumn("pos", guard)
+            .filter(F.col("pos") != -1)
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     # positions are sorted per doc, so the previous shingle's coverage
     # end is lag(pos)+n-1 and a new island starts when pos > lag(pos)+n
@@ -152,12 +168,15 @@ def duplicated_span_stats(
     min_count: int = 2,
     hash_family: str = "md5",
     round_dp: int = 6,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Per-document duplication exposure: ``(<id_col>, n_tokens,
     dup_spans, dup_tokens, dup_fraction)`` — every input document
     appears (zero-filled when nothing is duplicated). ``dup_fraction``
     is dup_tokens / n_tokens (0.0 for empty docs), rounded."""
-    spans = duplicated_spans(df, text_col, id_col, n, min_count, hash_family)
+    spans = duplicated_spans(
+        df, text_col, id_col, n, min_count, hash_family, assume_unique
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
@@ -190,6 +209,7 @@ def strip_duplicated_spans(
     min_count: int = 2,
     hash_family: str = "md5",
     out_col: str = "text_stripped",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Rewrite each document with duplicated-span tokens removed
     (whitespace-normalized: surviving tokens re-joined with single
@@ -198,7 +218,9 @@ def strip_duplicated_spans(
     back (shuffle ∝ docs WITH duplicated spans; the filter itself is a
     JVM higher-order function, no Python)."""
     spans = (
-        duplicated_spans(df, text_col, id_col, n, min_count, hash_family)
+        duplicated_spans(
+            df, text_col, id_col, n, min_count, hash_family, assume_unique
+        )
         .groupBy(id_col)
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("__spans")

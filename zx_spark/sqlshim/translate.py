@@ -333,7 +333,11 @@ def _parse_group_by(q: Query, gb: str) -> None:
     compilation through multidim_agg's one-Expand plan (dialect
     extension; the reference groups by a single tuple only,
     src/lib.rs:547-556)."""
-    m = re.match(rf"^(cube|rollup)\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)$", gb)
+    # \s* before the paren: `CUBE (a, b)` is as valid as `CUBE(a, b)`
+    # (GROUPING SETS below already allowed it)
+    m = re.match(
+        rf"^(cube|rollup)\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)$", gb
+    )
     if m:
         q.group_mode = m.group(1)
         q.group_by = [_require_ident(c) for c in _split_commas(m.group(2))]
