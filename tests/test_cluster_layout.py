@@ -61,6 +61,12 @@ def test_range_cluster_tightens_leading_column(spark, events, tmp_path):
 
 
 def test_zorder_tightens_both_columns(spark, events, tmp_path):
+    # target_file_mb sized for ~38 row groups (r8): at the old 0.02 the
+    # store came out at ~15 groups, where the rewrite's inherent
+    # geometry jitter (range-exchange sampling + approxQuantile grid,
+    # ±1-2 groups run-to-run) left u_frac ≈ 0.38-0.43 against the 0.5
+    # bound — a one-in-many-runs flake the r7 verdict caught. More,
+    # smaller groups concentrate the fraction at ~0.2 with 2.5× margin.
     path = str(tmp_path / "store")
     events.repartition(8).write.parquet(path)
     before = _checksum(spark, path)
@@ -70,7 +76,7 @@ def test_zorder_tightens_both_columns(spark, events, tmp_path):
     assert _match_fraction(path, "value", 100.0, 110.0) >= 0.8
 
     cluster_store(spark, path, ["user_id", "value"],
-                  target_file_mb=0.02, zorder=True)
+                  target_file_mb=0.008, zorder=True)
     assert _checksum(spark, path) == before
 
     u_frac = _match_fraction(path, "user_id", uid, uid)
