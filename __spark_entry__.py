@@ -996,6 +996,22 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conversions").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
+    # attr:first arm (r8): first-touch — the windowed-array head (the
+    # globally earliest touch may fall OUTSIDE the lookback while a
+    # later one qualifies, so this is NOT a running min; attribution.py
+    # reads the RANGE-bounded collected array). Oracle: the same
+    # correlated lookup with ORDER BY (ts, id) ASC — the
+    # earliest-qualifying touch.
+    at_first = attribution_report(
+        ev, ["view", "click"], "purchase", window_s=7200.0, model="first_touch"
+    ).select(
+        F.concat(F.lit("attr:first:"), F.col("channel")).alias("g_event_type"),
+        F.col("conversions").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("conversions").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
     # attr:lag — time-to-convert per channel (conversion_lag_stats):
     # INTEGER-µs lags make the mean's sum order-exact and the exact
     # median's midpoint interpolation engine-identical, so mean/p50 are
@@ -1026,6 +1042,39 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("touches").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
+    # attr:pos / attr:dk arms (r8): the position-based (U-shaped) role
+    # grid and the time-decay half-life bucket grid — both INTEGER
+    # phases (the 40/40/20 and 2^-k weights are applied downstream on
+    # the tiny frames, same discipline as attr:lin). Oracle: the same
+    # windowed join, row_number per conversion for the role, integer //
+    # for the bucket.
+    from zx_spark.operators.attribution import decay_report, position_report
+
+    at_pos = position_report(
+        ev, ["view", "click"], "purchase", window_s=7200.0
+    ).select(
+        F.concat(
+            F.lit("attr:pos:"), F.col("channel"), F.lit(":"),
+            F.col("role"), F.lit(":"), F.col("k"),
+        ).alias("g_event_type"),
+        F.col("touches").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("touches").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
+    at_dk = decay_report(
+        ev, ["view", "click"], "purchase", window_s=7200.0, half_life_s=1800.0
+    ).select(
+        F.concat(
+            F.lit("attr:dk:"), F.col("channel"), F.lit(":"), F.col("decay_k")
+        ).alias("g_event_type"),
+        F.col("touches").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("touches").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
@@ -1039,8 +1088,11 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ab_w)
         .unionByName(ab_z)
         .unionByName(at_last)
+        .unionByName(at_first)
         .unionByName(at_lag)
         .unionByName(at_lin)
+        .unionByName(at_pos)
+        .unionByName(at_dk)
     )
 
 
@@ -1481,7 +1533,7 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_RATES = {"src0": 2.3, "src1": 0.4, "src2": 1.0}
 
 
-def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sampling_suite_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three deterministic-sampling operators in one driver row
     (registry is capped at 50; dedup_exact_kept was folded into
     dedup_exact_groups, whose keep_id column already pins the kept set):
@@ -1629,6 +1681,38 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 suite plus the r8 ``lss`` arm: leakage_safe_split
+    (operators/sampling.py) — train/val split [0.8/0.2] keyed on the
+    near-dup COMPONENT label (MinHash pairs at threshold 0.5 →
+    dup_components min-label closure) so no duplicate chain straddles
+    the boundary; singleton documents hash their own id, identical to
+    the plain splitter. The oracle re-derives the full MinHash pipeline
+    + a recursive transitive closure, then applies the same md5 bucket
+    to coalesce(component, doc_id). id_sum pins WHICH docs landed on
+    each side."""
+    from zx_spark.operators.dedup import near_dup_pairs
+    from zx_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+    lss_agg = (
+        leakage_safe_split(
+            docs.select("doc_id"), [0.8, 0.2], id_col="doc_id",
+            pairs=pairs, seed=7,
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("lss").alias("part_kind"),
+            F.col("split").cast("string").alias("part_key"),
+            "n_docs",
+            "id_sum",
+        )
+    )
+    return _sampling_suite_v2(spark, sf_dir).unionByName(lss_agg)
+
+
 def _bench_minhash_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r2-pinned shape: MinHash-LSH pairs only (the registry row
     grew the components arm in r6 — versioned-pin policy)."""
@@ -1637,7 +1721,7 @@ def _bench_minhash_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.5)
 
 
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_minhash_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, plus (r6) the connected-components
     arm: dup_components' min-label propagation over the pair graph,
     emitted as ``(doc_id, component, -1.0)`` tag rows. The oracle
@@ -1660,6 +1744,38 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("jaccard"),
     )
     return pairs.unionByName(comp)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 arms plus the r8 ``inc`` arm: incremental_near_dups
+    (dedup.py) — the production ingest shape, where the corpus splits
+    into a signed HISTORY store (doc_id % 2 == 0) and a NEW batch
+    (doc_id % 2 == 1); the batch bands against the stored signatures
+    (new×old and new×new, never old×old) and survivors carry the
+    signature-ESTIMATED Jaccard (fraction of agreeing minhashes — k/32,
+    dyadic-exact, so cross-engine doubles are identical). Encoded into
+    the row schema as (id_a=new_id, id_b=matched_id, jaccard=est+2.0
+    for in-batch pairs / est+4.0 for vs-history matches — est ∈ [0,1],
+    so the offsets are unambiguous tags and exact in binary. The
+    oracle re-derives both halves' signatures from the SAME sig CTE
+    and replays the band join + estimator."""
+    from zx_spark.operators.dedup import incremental_near_dups, signature_table
+
+    docs = _docs(spark, sf_dir)
+    sigs = signature_table(docs, "text", "doc_id", num_hashes=32, shingle_n=3)
+    old = sigs.filter(F.col("doc_id") % 2 == 0)
+    new = sigs.filter(F.col("doc_id") % 2 == 1)
+    inc = incremental_near_dups(
+        new, old, id_col="doc_id", num_hashes=32, bands=8, threshold=0.5
+    ).select(
+        F.col("new_id").alias("id_a"),
+        F.col("matched_id").alias("id_b"),
+        (
+            F.col("est_jaccard")
+            + F.when(F.col("is_historical"), F.lit(4.0)).otherwise(F.lit(2.0))
+        ).alias("jaccard"),
+    )
+    return _dedup_minhash_v2(spark, sf_dir).unionByName(inc)
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2335,9 +2451,29 @@ def q_text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             cms_estimate_col(F.col("lang"), scms_model).cast("long").alias("n"),
         )
     )
+    # hh arm (r8): streaming-CMS → heavy hitters END TO END — the
+    # drained stream's merged sketch SCREENS (scan-speed literal
+    # lookups, no shuffle) and the exact pass counts only the surviving
+    # sliver (operators/cms.heavy_hitters). The screen never
+    # underestimates, so the output is EXACTLY the values with true
+    # count >= min_count regardless of sketch collisions — which is why
+    # the oracle is a plain exact GROUP BY/HAVING: the arm verifies the
+    # two-phase plan's exactness guarantee, while the scms rows above
+    # verify the sketch itself counter-for-counter. min_count scales
+    # with the corpus (docs//10 + 1) so some langs pass and some fail
+    # at every testdata scale.
+    from zx_spark.operators.cms import heavy_hitters
+
+    hh_min = int(docs.count()) // 10 + 1
+    hh_rows = heavy_hitters(
+        docs, "lang", min_count=hh_min, model=scms_model
+    ).select(
+        F.concat(F.lit("hh:"), F.col("value")).alias("lang_pred"),
+        F.col("n").cast("long").alias("n"),
+    )
     return (
         base.unionByName(auc_rows).unionByName(cm_rows)
-        .unionByName(cms_rows).unionByName(scms_rows)
+        .unionByName(cms_rows).unionByName(scms_rows).unionByName(hh_rows)
     )
 
 
@@ -2399,7 +2535,7 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decontaminate_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram hygiene, two arms sharing the shingle construction:
 
     - ``bench``  — benchmark decontamination with a REALISTIC leak: the
@@ -2442,6 +2578,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="text", id_col="doc_id", n=5, min_docs=2, hashed=hf
     ).select(F.lit("boiler").alias("arm"), "doc_id", "n_overlap", "n_ngrams", "ratio")
     return dec.unionByName(boiler)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 arms plus the r8 ``ovl`` arm: source_overlap_matrix
+    (decontaminate.py) — pairwise distinct-5-gram overlap between
+    corpus SOURCES (the data-mixing audit). Column reuse to fit the
+    row schema: arm = ``ovl:<source_a>:<source_b>``, doc_id carries
+    n_a, n_overlap = n_shared, n_ngrams carries n_b, ratio = the
+    vocabulary Jaccard. The oracle re-derives the per-source distinct
+    hash vocabularies from raw parquet with the same md5-60-bit
+    shingle hash."""
+    from zx_spark.operators.decontaminate import source_overlap_matrix
+
+    ovl = source_overlap_matrix(
+        _docs(spark, sf_dir), "source", "text", "doc_id", n=5
+    ).select(
+        F.concat(
+            F.lit("ovl:"), F.col("source_a"), F.lit(":"), F.col("source_b")
+        ).alias("arm"),
+        F.col("n_a").cast("long").alias("doc_id"),
+        F.col("n_shared").cast("long").alias("n_overlap"),
+        F.col("n_b").cast("long").alias("n_ngrams"),
+        F.col("jaccard").alias("ratio"),
+    )
+    return _decontaminate_v1(spark, sf_dir).unionByName(ovl)
 
 
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3314,11 +3475,15 @@ BENCH_COMPAT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": _bench_text_quality_v1,  # r2 shape (heuristics only)
     "text_quality_v2": q_text_quality,       # + in-query NB + LM gates
     "sampling_suite": _bench_sampling_v1,    # r4 shape (split + strat)
-    "sampling_suite_v2": q_sampling_suite,   # + mix/budget/wsamp arms
+    "sampling_suite_v2": _sampling_suite_v2,  # r6 shape (+ mix/budget/wsamp/pack)
+    "sampling_suite_v3": q_sampling_suite,   # r8 shape (+ leakage-safe-split arm)
     "dedup_exact_groups": _bench_dedup_exact_v1,  # r4 shape (exact arm)
     "dedup_exact_groups_v2": q_dedup_exact_groups,  # + snapshot-diff arm
     "dedup_minhash_pairs": _bench_minhash_v1,       # r2 shape (pairs only)
-    "dedup_minhash_pairs_v2": q_dedup_minhash_pairs,  # + components arm
+    "dedup_minhash_pairs_v2": _dedup_minhash_v2,    # r6 shape (+ components arm)
+    "dedup_minhash_pairs_v3": q_dedup_minhash_pairs,  # r8 shape (+ incremental arm)
+    "decontaminate_ngrams": _decontaminate_v1,  # r4→r7 shape (bench + boiler arms)
+    "decontaminate_ngrams_v2": q_decontaminate,  # r8 shape (+ source-overlap arm)
     "o1_top_groups": _bench_o1_v1,            # r2 shape (top arm only)
     "o1_top_groups_v2": q_o1_top_groups,      # + multidim cube arm
 }
@@ -3630,11 +3795,25 @@ def _decontaminate_oracle(n: int = 5, excerpt_words: int = 40, min_docs: int = 2
         f"boilh AS (SELECT h FROM (SELECT h, count(*) AS n_docs FROM dx GROUP BY h) "
         f"WHERE n_docs >= {min_docs}), "
         "bhits AS (SELECT doc_id, count(*) AS n_overlap, any_value(n_ngrams) AS n_ngrams "
-        "FROM dx JOIN boilh USING (h) GROUP BY doc_id) "
+        "FROM dx JOIN boilh USING (h) GROUP BY doc_id), "
+        # r8 ovl arm: per-source distinct-hash vocabularies from the
+        # same shingle scan (source carried through), pairwise shared
+        # counts, vocabulary Jaccard. Column reuse mirrors the Spark
+        # side: doc_id carries n_a, n_ngrams carries n_b.
+        f"ssh AS (SELECT source, {shingle} AS sh FROM "
+        f"(SELECT source, {_TOKS} AS w FROM documents WHERE source IS NOT NULL)), "
+        f"sx AS (SELECT DISTINCT source, unnest(list_transform(sh, {h})) AS h FROM ssh), "
+        "sz AS (SELECT source, count(*) AS n FROM sx GROUP BY source), "
+        "shp AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared "
+        "FROM sx a JOIN sx b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
         "SELECT 'bench' AS arm, doc_id, n_overlap, n_ngrams, "
         "round(n_overlap::double / n_ngrams, 6) AS ratio FROM hits "
         "UNION ALL SELECT 'boiler' AS arm, doc_id, n_overlap, n_ngrams, "
-        "round(n_overlap::double / n_ngrams, 6) AS ratio FROM bhits"
+        "round(n_overlap::double / n_ngrams, 6) AS ratio FROM bhits "
+        "UNION ALL SELECT 'ovl:' || sa || ':' || sb AS arm, za.n AS doc_id, "
+        "n_shared AS n_overlap, zb.n AS n_ngrams, "
+        "round(n_shared::double / (za.n + zb.n - n_shared), 6) AS ratio "
+        "FROM shp JOIN sz za ON za.source = sa JOIN sz zb ON zb.source = sb"
     )
 
 
@@ -3680,11 +3859,39 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
         "rch(node, reach) AS ("
         "  SELECT s, s FROM ed "
         "  UNION "
-        "  SELECT rch.node, ed.d FROM rch JOIN ed ON ed.s = rch.reach) "
+        "  SELECT rch.node, ed.d FROM rch JOIN ed ON ed.s = rch.reach), "
+        # inc arm (r8): incremental_near_dups twin — the corpus split
+        # into history (even ids) and batch (odd ids); band join from
+        # the SAME bands CTE (new×old and new×new, never old×old), the
+        # signature-estimated Jaccard = fraction of agreeing minhash
+        # components (k/32, dyadic-exact on both engines), and the
+        # +2/+4 arm-tag offsets mirroring the Spark encoding
+        # SELECT DISTINCT over UNION ALL, not a bare UNION: DuckDB
+        # 1.0.0 does not dedup a UNION inside this RECURSIVE WITH list
+        # (observed: multi-band candidates came through 8x), so the
+        # dedup is explicit
+        "icand AS (SELECT DISTINCT * FROM ("
+        "  SELECT a.doc_id AS new_id, b2.doc_id AS matched_id, TRUE AS hist "
+        "  FROM bands a JOIN bands b2 ON a.band_no = b2.band_no AND a.bk = b2.bk "
+        "  WHERE a.doc_id % 2 = 1 AND b2.doc_id % 2 = 0 "
+        "  UNION ALL "
+        "  SELECT a.doc_id, b2.doc_id, FALSE "
+        "  FROM bands a JOIN bands b2 ON a.band_no = b2.band_no AND a.bk = b2.bk "
+        "  WHERE a.doc_id % 2 = 1 AND b2.doc_id % 2 = 1 AND a.doc_id < b2.doc_id) icu), "
+        f"iest AS (SELECT new_id, matched_id, hist, "
+        f"round(list_sum(list_transform(generate_series(1, {num_hashes}), "
+        "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::double "
+        f"/ {num_hashes}, 6) AS est "
+        "FROM icand JOIN sig sa ON sa.doc_id = new_id "
+        "JOIN sig sb ON sb.doc_id = matched_id) "
         f"SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold} "
         "UNION ALL "
         "SELECT node AS id_a, min(reach) AS id_b, -1.0 AS jaccard "
-        "FROM rch GROUP BY node"
+        "FROM rch GROUP BY node "
+        "UNION ALL "
+        "SELECT new_id AS id_a, matched_id AS id_b, "
+        "est + CASE WHEN hist THEN 4.0 ELSE 2.0 END AS jaccard "
+        f"FROM iest WHERE est >= {threshold}"
     )
 
 
@@ -3900,7 +4107,14 @@ def _sampling_oracle() -> str:
     sampling._bucket's md5 mode is ANSI-reproducible:
     ``('0x'||substr(md5(key||':seed'),1,15))::bigint % 1000000``. The
     split bounds come from the same ``split_bounds`` helper the Spark
-    operator uses, so the integer cutoffs are IDENTICAL constants."""
+    operator uses, so the integer cutoffs are IDENTICAL constants.
+
+    The r8 ``lss`` arm re-derives the ENTIRE leakage-safe split: the
+    MinHash-LSH pair set (same chain as _minhash_oracle, l-prefixed
+    CTE names), a recursive transitive closure for the component
+    labels, then the same md5 bucket applied to
+    coalesce(component, doc_id)."""
+    from zx_spark.operators.dedup import _MERSENNE, _MINHASH_A, _MINHASH_B
     from zx_spark.operators.sampling import _BUCKETS, split_bounds
 
     def bucket(seed: int) -> str:
@@ -3912,6 +4126,50 @@ def _sampling_oracle() -> str:
 
     b = split_bounds([0.8, 0.1, 0.1])
     rate_cut = int(0.25 * _BUCKETS)
+    # lss arm constants: MinHash signature elements (num_hashes=32,
+    # bands=8 — near_dup_pairs defaults) and the [0.8, 0.2] bounds
+    lb = split_bounds([0.8, 0.2])
+    lsig_elems = ", ".join(
+        f"coalesce(list_min(list_transform(hs, x -> ({a}*x + {b_}) % {_MERSENNE})), "
+        "9223372036854775807)"
+        for a, b_ in zip(_MINHASH_A[:32], _MINHASH_B[:32])
+    )
+    lkey_bucket = (
+        "('0x'||substr(md5(coalesce(lk.key::VARCHAR, '__null__') || ':7'),1,15))"
+        f"::bigint % {_BUCKETS}"
+    )
+    lss_ctes = (
+        f"lw AS (SELECT doc_id, {_TOKS} AS w FROM documents), "
+        "lsh AS (SELECT doc_id, CASE WHEN len(w) > 0 THEN "
+        "list_transform(generate_series(0, greatest(len(w)-3, 0)), "
+        "i -> array_to_string(w[i+1:i+3], ' ')) ELSE [''] END AS sh FROM lw), "
+        "lh AS (SELECT doc_id, sh, list_transform(sh, s -> "
+        f"('0x'||substr(md5(s),1,8))::bigint % {_MERSENNE}) AS hs FROM lsh), "
+        f"lsig AS (SELECT doc_id, [{lsig_elems}] AS sig FROM lh), "
+        "lbands AS (SELECT doc_id, lb.band_no, array_to_string("
+        "sig[lb.band_no*4+1 : lb.band_no*4+4], ',') AS bk "
+        "FROM lsig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band_no) lb), "
+        "lcand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM lbands a JOIN lbands b2 ON a.band_no = b2.band_no AND a.bk = b2.bk "
+        "AND a.doc_id < b2.doc_id), "
+        "lsets AS (SELECT doc_id, list_distinct(sh) AS ds FROM lsh), "
+        "lqp AS (SELECT id_a, id_b FROM ("
+        "SELECT id_a, id_b, round(len(list_intersect(sa.ds, sb.ds))::double / "
+        "greatest(len(list_distinct(sa.ds || sb.ds)), 1), 6) AS j "
+        "FROM lcand JOIN lsets sa ON sa.doc_id = id_a "
+        "JOIN lsets sb ON sb.doc_id = id_b) WHERE j >= 0.5), "
+        "led AS (SELECT id_a AS s, id_b AS d FROM lqp "
+        "UNION ALL SELECT id_b, id_a FROM lqp), "
+        "lrch(node, reach) AS (SELECT s, s FROM led "
+        "UNION SELECT lrch.node, led.d FROM lrch JOIN led ON led.s = lrch.reach), "
+        "lcomp AS (SELECT node, min(reach) AS comp FROM lrch GROUP BY node), "
+        "lk AS (SELECT d.doc_id, coalesce(lcomp.comp, d.doc_id) AS key "
+        "FROM documents d LEFT JOIN lcomp ON lcomp.node = d.doc_id), "
+        f"lsp AS (SELECT doc_id, CASE WHEN {lkey_bucket} < {lb[0]} THEN 0 "
+        "ELSE 1 END AS split FROM lk), "
+        "lss_agg AS (SELECT 'lss' AS part_kind, split::VARCHAR AS part_key, "
+        "count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum FROM lsp GROUP BY split)"
+    )
     import math
 
     whens = []
@@ -3923,7 +4181,8 @@ def _sampling_oracle() -> str:
     mix_case = " ".join(whens)
     return (
         # split arm: hash_sample(0.25, seed 13) → train_test_split(seed 7)
-        f"WITH samp AS (SELECT doc_id FROM documents WHERE {bucket(13)} < {rate_cut}), "
+        f"WITH RECURSIVE {lss_ctes}, "
+        f"samp AS (SELECT doc_id FROM documents WHERE {bucket(13)} < {rate_cut}), "
         f"sp AS (SELECT doc_id, CASE WHEN {bucket(7)} < {b[0]} THEN 0 "
         f"WHEN {bucket(7)} < {b[1]} THEN 1 ELSE 2 END AS split FROM samp), "
         "split_agg AS (SELECT 'split' AS part_kind, split::VARCHAR AS part_key, "
@@ -3984,7 +4243,8 @@ def _sampling_oracle() -> str:
         "SELECT * FROM split_agg UNION ALL SELECT * FROM strat_agg "
         "UNION ALL SELECT * FROM mix_agg UNION ALL SELECT * FROM budget_agg "
         "UNION ALL SELECT * FROM wsamp_agg UNION ALL SELECT * FROM pack_agg "
-        "UNION ALL SELECT * FROM pack_splits"
+        "UNION ALL SELECT * FROM pack_splits "
+        "UNION ALL SELECT * FROM lss_agg"
     )
 
 
@@ -4314,26 +4574,52 @@ def _weighted_funnel_oracle() -> str:
         "  AND c.t - t2.t <= 7200 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS tt "
         "  FROM atev c WHERE c.ty = 'purchase'), "
         "atlr AS (SELECT ch, count(*) AS n FROM atl WHERE ch IS NOT NULL GROUP BY ch), "
+        # first-touch (r8): the EARLIEST qualifying touch — same
+        # correlated window/strictly-before predicate, ASC order
+        "atf AS (SELECT c.i, (SELECT t2.ty FROM atev t2 WHERE t2.u = c.u "
+        "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
+        "  AND c.t - t2.t <= 7200 ORDER BY t2.t ASC, t2.i ASC LIMIT 1) AS ch "
+        "  FROM atev c WHERE c.ty = 'purchase'), "
+        "atfr AS (SELECT ch, count(*) AS n FROM atf WHERE ch IS NOT NULL GROUP BY ch), "
         # lag stats: integer-µs lags — sums exact, median interpolation
         # engine-identical (same discipline as the Spark side)
         "atlg AS (SELECT ch, count(*) AS n, "
         "  sum((ct * 1e6)::bigint - (tt * 1e6)::bigint)::double / count(*) AS mu, "
         "  quantile_cont((ct * 1e6)::bigint - (tt * 1e6)::bigint, 0.5) AS p50 "
         "  FROM atl WHERE ch IS NOT NULL GROUP BY ch), "
-        "atj AS (SELECT c.i, t2.ty AS ch FROM atev c JOIN atev t2 ON t2.u = c.u "
+        "atj AS (SELECT c.i, c.t AS ct, t2.ty AS ch, t2.t AS tt, t2.i AS ti "
+        "  FROM atev c JOIN atev t2 ON t2.u = c.u "
         "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
         "  AND c.t - t2.t <= 7200 WHERE c.ty = 'purchase'), "
         "atk AS (SELECT i, count(*) AS k FROM atj GROUP BY i), "
         "atlin AS (SELECT ch, k, count(*) AS n FROM atj JOIN atk USING (i) "
-        "  GROUP BY ch, k)"
+        "  GROUP BY ch, k), "
+        # position grid (r8): the touch's 0-based slot in the
+        # conversion's (ts, id)-ordered qualifying list
+        "atpj AS (SELECT ch, k, row_number() OVER "
+        "  (PARTITION BY i ORDER BY tt, ti) - 1 AS pos "
+        "  FROM atj JOIN atk USING (i)), "
+        "atpos AS (SELECT ch, CASE WHEN pos = 0 THEN 'first' "
+        "  WHEN pos = k - 1 THEN 'last' ELSE 'middle' END AS role, k, "
+        "  count(*) AS n FROM atpj GROUP BY 1, 2, 3), "
+        # decay grid (r8): whole half-lives of age at conversion,
+        # rounded-µs longs + integer // (30 min half-life)
+        "atdk AS (SELECT ch, ((ct * 1e6)::bigint - (tt * 1e6)::bigint) "
+        "  // 1800000000 AS dk, count(*) AS n FROM atj GROUP BY 1, 2)"
     )
     attr_rows = (
         "SELECT 'attr:last:' || ch, n::bigint, 0::bigint, NULL::double, "
         "n::double, NULL::double FROM atlr "
+        "UNION ALL SELECT 'attr:first:' || ch, n::bigint, 0::bigint, NULL::double, "
+        "n::double, NULL::double FROM atfr "
         "UNION ALL SELECT 'attr:lag:' || ch, n::bigint, 0::bigint, "
         "mu, p50::double, NULL::double FROM atlg "
         "UNION ALL SELECT 'attr:lin:' || ch || ':' || k, n::bigint, 0::bigint, "
-        "NULL::double, n::double, NULL::double FROM atlin"
+        "NULL::double, n::double, NULL::double FROM atlin "
+        "UNION ALL SELECT 'attr:pos:' || ch || ':' || role || ':' || k, "
+        "n::bigint, 0::bigint, NULL::double, n::double, NULL::double FROM atpos "
+        "UNION ALL SELECT 'attr:dk:' || ch || ':' || dk, n::bigint, 0::bigint, "
+        "NULL::double, n::double, NULL::double FROM atdk"
     )
     ab_rows = (
         "SELECT 'ab:welch', na::bigint, nb::bigint, round(t, 6), "
@@ -5278,7 +5564,13 @@ def oracle_sql() -> dict[str, str]:
                 f"USING (b{i})"
                 for i in range(3)
             )
-            + ")"
+            + ") "
+            # r8 hh arm: the CMS screen never underestimates, so the
+            # two-phase heavy-hitter plan is EXACT — the oracle is the
+            # plain exact aggregate at the same corpus-scaled threshold
+            "UNION ALL SELECT 'hh:' || lang AS lang_pred, count(*) AS n "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang "
+            "HAVING count(*) >= (SELECT count(*) FROM documents) // 10 + 1"
         ),
         "doc_fingerprints": (
             # Same md5-derived 60-bit shingle hash as the Spark side

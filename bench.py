@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_exact_groups_v2",  # r6 pin: + snapshot-diff arm
     "dedup_minhash_pairs",     # r2 pin shape: pairs only (compat)
     "dedup_minhash_pairs_v2",  # r6 pin: + connected-components arm
+    "dedup_minhash_pairs_v3",  # r8 pin: + incremental (signed-store) arm
     "ann_topk",
     "text_quality",      # r2 pin shape: heuristic columns (compat)
     "text_quality_v2",   # r6 pin: + in-query NB + bigram-LM training
@@ -61,6 +62,7 @@ HEADLINE = [
     # dedup_minhash_pairs is the production near-dup path.
     "sampling_suite",     # r4 pin shape: split + strat arms (compat)
     "sampling_suite_v2",  # r6 pin: + mix/budget/wsamp arms
+    "sampling_suite_v3",  # r8 pin: + leakage-safe-split arm
     # added r4: continuous-aggregate path (build 5m partials → coarsen to
     # hourly → finalize).
     "rollup_hourly_agg",
@@ -72,7 +74,8 @@ HEADLINE = [
     # added r4: curation additions — PII regex scrub (map-side) and
     # benchmark decontamination (broadcast n-gram probe).
     "text_pii_redact",
-    "decontaminate_ngrams",
+    "decontaminate_ngrams",     # r4→r7 pin shape: bench + boiler arms (compat)
+    "decontaminate_ngrams_v2",  # r8 pin: + source-overlap arm
     # added r5 s4 (first measurement pins them): funnel (one user-key
     # shuffle), snapshot diff (fingerprint full-outer join), table
     # profile (one agg pass), incremental near-dup (batch signing +

@@ -268,6 +268,134 @@ def test_attributed_conversions_expose_touch_ts(spark):
                    for r in out), model
 
 
+def test_position_report_hand_journey(spark):
+    """u1: ad@0, email@10, social@15, buy@20 — k=3: ad=first,
+    email=middle, social=last. u2: ad@0, buy@5 — k=1: ad=first.
+    u3: email@0, ad@3, buy@4 — k=2: email=first, ad=last."""
+    from zx_spark.operators.attribution import position_credit, position_report
+
+    rows = [
+        (1, 0, 1, "ad"), (2, 10, 1, "email"), (3, 15, 1, "social"),
+        (4, 20, 1, "buy"),
+        (5, 0, 2, "ad"), (6, 5, 2, "buy"),
+        (7, 0, 3, "email"), (8, 3, 3, "ad"), (9, 4, 3, "buy"),
+    ]
+    rep = position_report(_ev(spark, rows), TOUCHES, "buy")
+    got = {(r["channel"], r["role"], r["k"]): r["touches"] for r in rep.collect()}
+    assert got == {
+        ("ad", "first", 3): 1, ("email", "middle", 3): 1,
+        ("social", "last", 3): 1, ("ad", "first", 1): 1,
+        ("email", "first", 2): 1, ("ad", "last", 2): 1,
+    }
+    credit = {r["channel"]: r["credit"] for r in position_credit(rep).collect()}
+    # ad: 0.4 (first, k=3) + 1.0 (k=1) + 0.5 (last, k=2) = 1.9
+    # email: 0.2 (middle of 3) + 0.5 (first, k=2) = 0.7; social: 0.4
+    assert credit == {"ad": 1.9, "email": 0.7, "social": 0.4}
+
+
+def test_position_credit_validates(spark):
+    from zx_spark.operators.attribution import (
+        attribution_report,
+        conversion_lag_stats,
+        position_credit,
+        position_report,
+    )
+
+    ev = _ev(spark, [(1, 0, 1, "ad"), (2, 5, 1, "buy")])
+    rep = position_report(ev, TOUCHES, "buy")
+    with pytest.raises(ValueError, match="w_first"):
+        position_credit(rep, w_first=0.6, w_last=0.5)
+    with pytest.raises(ValueError, match="position_report"):
+        attribution_report(ev, TOUCHES, "buy", model="position")
+    with pytest.raises(ValueError, match="position"):
+        conversion_lag_stats(ev, TOUCHES, "buy", model="position")
+
+
+def test_decay_report_hand_journey(spark):
+    """half_life = 10 min: a touch 0-9m59s before the conversion is
+    bucket 0, 10-19m59s bucket 1, etc. u1: ad@0 (lag 25m → k=2),
+    email@20 (lag 5m → k=0), buy@25."""
+    from zx_spark.operators.attribution import decay_credit, decay_report
+
+    rows = [(1, 0, 1, "ad"), (2, 20, 1, "email"), (3, 25, 1, "buy")]
+    rep = decay_report(
+        _ev(spark, rows), TOUCHES, "buy", half_life_s=600.0
+    )
+    got = {(r["channel"], r["decay_k"]): r["touches"] for r in rep.collect()}
+    assert got == {("ad", 2): 1, ("email", 0): 1}
+    credit = {r["channel"]: r["credit"] for r in decay_credit(rep).collect()}
+    assert credit == {"ad": 0.25, "email": 1.0}
+    with pytest.raises(ValueError, match="half_life"):
+        decay_report(_ev(spark, rows), TOUCHES, "buy", half_life_s=0)
+
+
+def _brute_position(rows, touches, conv, window_s):
+    """(channel, role, k) -> touches twin."""
+    from collections import Counter
+
+    out = Counter()
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(r[2], []).append(r)
+    for evs in by_user.values():
+        for i, (eid, m, _, t) in enumerate(evs):
+            if t != conv:
+                continue
+            prior = [p for p in evs[:i]
+                     if p[3] in touches and (m - p[1]) * 60.0 <= window_s]
+            k = len(prior)
+            for j, p in enumerate(prior):
+                role = ("first" if j == 0
+                        else "last" if j == k - 1 else "middle")
+                out[(p[3], role, k)] += 1
+    return dict(out)
+
+
+def _brute_decay(rows, touches, conv, window_s, half_life_s):
+    """(channel, decay_k) -> touches twin."""
+    from collections import Counter
+
+    out = Counter()
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(r[2], []).append(r)
+    for evs in by_user.values():
+        for i, (eid, m, _, t) in enumerate(evs):
+            if t != conv:
+                continue
+            for p in evs[:i]:
+                if p[3] in touches and (m - p[1]) * 60.0 <= window_s:
+                    lag_us = int(round((m - p[1]) * 60.0 * 1e6))
+                    out[(p[3], lag_us // int(round(half_life_s * 1e6)))] += 1
+    return dict(out)
+
+
+def test_position_and_decay_match_brute_on_driver_events(spark):
+    from zx_spark.operators.attribution import decay_report, position_report
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    rows = [
+        (r["event_id"], r["ts"].timestamp() / 60.0, r["user_id"], r["event_type"])
+        for r in ev.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        ).collect()
+    ]
+    touches = ["view", "click"]
+    got_p = {
+        (r["channel"], r["role"], r["k"]): r["touches"]
+        for r in position_report(ev, touches, "purchase", window_s=7200.0).collect()
+    }
+    assert got_p == _brute_position(rows, touches, "purchase", 7200.0)
+    got_d = {
+        (r["channel"], r["decay_k"]): r["touches"]
+        for r in decay_report(
+            ev, touches, "purchase", window_s=7200.0, half_life_s=1800.0
+        ).collect()
+    }
+    assert got_d == _brute_decay(rows, touches, "purchase", 7200.0, 1800.0)
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -310,3 +438,42 @@ def test_property_matches_brute(spark, events, window_min, model):
     )
     want = _brute(rows, ["ad", "email"], "buy", ws, model)
     assert got == want, (model, window_min)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 50),
+            st.sampled_from(["ad", "email", "buy", "noise"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    window_min=st.sampled_from([5, 20, 100]),
+)
+def test_property_position_decay_match_brute(spark, events, window_min):
+    """Random journeys: the position role/k grid and the decay bucket
+    grid both equal their python twins exactly."""
+    from zx_spark.operators.attribution import decay_report, position_report
+
+    rows = [(i, m, u, t) for i, (u, m, t) in enumerate(events)]
+    ev = _ev(spark, rows)
+    ws = window_min * 60.0
+    got_p = {
+        (r["channel"], r["role"], r["k"]): r["touches"]
+        for r in position_report(ev, ["ad", "email"], "buy", window_s=ws).collect()
+    }
+    assert got_p == _brute_position(rows, ["ad", "email"], "buy", ws)
+    got_d = {
+        (r["channel"], r["decay_k"]): r["touches"]
+        for r in decay_report(
+            ev, ["ad", "email"], "buy", window_s=ws, half_life_s=420.0
+        ).collect()
+    }
+    assert got_d == _brute_decay(rows, ["ad", "email"], "buy", ws, 420.0)

@@ -48,6 +48,7 @@ def test_bench_compat_shadows_only_versioned_pins():
         "sampling_suite",
         "dedup_exact_groups",
         "dedup_minhash_pairs",
+        "decontaminate_ngrams",
         "o1_top_groups",
     }
     for name in overlap:

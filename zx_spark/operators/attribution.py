@@ -78,8 +78,15 @@ def attributed_conversions(
     ``(user, conv_id, conv_ts, channel, k)`` with ``k`` the
     conversion's qualifying-touch count — integer rows; divide by k
     downstream (``linear_credit`` does this on the small frame).
+
+    ``position`` → the linear rows plus ``pos`` (the touch's 0-based
+    index in the conversion's (ts, id)-ordered qualifying list) — the
+    raw material for position-based (U-shaped) credit, which needs to
+    know WHICH touch was first/last/middle. Integer rows; the 40/40/20
+    weights are applied downstream on the small frame
+    (``position_credit``).
     """
-    if model not in ("last_touch", "first_touch", "linear"):
+    if model not in ("last_touch", "first_touch", "linear", "position"):
         raise ValueError(f"unknown model: {model!r}")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
@@ -158,7 +165,7 @@ def attributed_conversions(
                 F.array_min("__ts")["__t"].alias("touch_ts"),
             )
         )
-    return (
+    base_rows = (
         # sorted so the newest-K slice is deterministic whatever order
         # the range frame collected equal-ts elements in
         e.withColumn("__all", F.array_sort(touches))
@@ -176,7 +183,7 @@ def attributed_conversions(
             F.col("__i").alias("conv_id"),
             F.col("__t").alias("conv_ts"),
             F.size("__ts").alias("k"),
-            F.explode("__ts").alias("__tch"),
+            F.posexplode("__ts").alias("pos", "__tch"),
         )
         .select(
             "user",
@@ -185,8 +192,12 @@ def attributed_conversions(
             F.col("__tch.__ch").alias("channel"),
             F.col("__tch.__t").alias("touch_ts"),
             "k",
+            "pos",
         )
     )
+    if model == "position":
+        return base_rows
+    return base_rows.drop("pos")
 
 
 def attribution_report(
@@ -199,7 +210,14 @@ def attribution_report(
 ) -> DataFrame:
     """Per-channel totals. last/first touch → ``(channel,
     conversions)``. linear → ``(channel, k, touches)`` integer rows —
-    feed ``linear_credit`` for the fractional rollup."""
+    feed ``linear_credit`` for the fractional rollup. For the
+    position-based grid use ``position_report`` (it needs the role
+    split this report would collapse)."""
+    if model == "position":
+        raise ValueError(
+            "use position_report for the position-based model (the "
+            "per-channel report needs the first/last/middle role split)"
+        )
     rows = attributed_conversions(
         df, touch_types, conversion_type, window_s, model, **kw
     )
@@ -208,6 +226,123 @@ def attribution_report(
             F.count(F.lit(1)).alias("conversions")
         )
     return rows.groupBy("channel", "k").agg(F.count(F.lit(1)).alias("touches"))
+
+
+def position_report(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    window_s: float = 86400.0,
+    **kw,
+) -> DataFrame:
+    """Position-based (U-shaped) attribution, integer phase:
+    ``(channel, role, k, touches)`` where ``role`` is the touch's slot
+    in the conversion's (ts, id)-ordered qualifying list — ``first``,
+    ``last`` or ``middle`` (a k=1 touch is ``first``). Pure counts —
+    the 40/40/20 weights are applied by ``position_credit`` on this
+    tiny frame, so the corpus-sized pass never sums floats (the same
+    integer-rows discipline as the linear model). Note the list is the
+    ``max_touches``-capped one (newest kept): with the default cap of
+    1000 this is the full qualifying list for any realistic journey."""
+    rows = attributed_conversions(
+        df, touch_types, conversion_type, window_s, "position", **kw
+    )
+    role = (
+        F.when(F.col("pos") == 0, F.lit("first"))
+        .when(F.col("pos") == F.col("k") - 1, F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    return rows.groupBy("channel", role.alias("role"), "k").agg(
+        F.count(F.lit(1)).alias("touches")
+    )
+
+
+def position_credit(
+    report: DataFrame, w_first: float = 0.4, w_last: float = 0.4
+) -> DataFrame:
+    """(channel, role, k, touches) → (channel, credit): the U-shaped
+    40/40/20 rollup on the tiny grouped frame. Weights: k=1 → 1.0;
+    k=2 → the first/last weights renormalized over just the two ends
+    (0.5/0.5 at the defaults); k>=3 → ``w_first``/``w_last`` at the
+    ends and ``(1 − w_first − w_last)/(k−2)`` per middle touch.
+    Rounded 6dp."""
+    if not (0.0 < w_first < 1.0 and 0.0 < w_last < 1.0 and w_first + w_last < 1.0):
+        raise ValueError(
+            f"need 0 < w_first, w_last and w_first + w_last < 1, "
+            f"got {w_first}, {w_last}"
+        )
+    k = F.col("k")
+    ends = F.lit(w_first) + F.lit(w_last)
+    w = (
+        F.when(k == 1, F.lit(1.0))
+        .when(
+            F.col("role") == "first",
+            F.when(k == 2, F.lit(w_first) / ends).otherwise(F.lit(w_first)),
+        )
+        .when(
+            F.col("role") == "last",
+            F.when(k == 2, F.lit(w_last) / ends).otherwise(F.lit(w_last)),
+        )
+        .otherwise((F.lit(1.0) - ends) / (k - F.lit(2)))
+    )
+    return (
+        report.withColumn("__c", F.col("touches") * w)
+        .groupBy("channel")
+        .agg(F.round(F.sum("__c"), 6).alias("credit"))
+    )
+
+
+def decay_report(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    window_s: float = 86400.0,
+    half_life_s: float = 604800.0,
+    **kw,
+) -> DataFrame:
+    """Time-decay attribution, integer phase: ``(channel, decay_k,
+    touches)`` where ``decay_k = floor(lag_us / half_life_us)`` — the
+    touch's age at conversion in whole half-lives, computed in the
+    rounded-µs long domain (exact). Pure counts; ``decay_credit``
+    applies the ``2^-decay_k`` halving weights on this tiny frame.
+    This is the UNNORMALIZED time-decay variant (each touch earns its
+    decayed weight independently; channel credit = Σ 2^-k). The
+    per-conversion-normalized variant divides by the conversion's
+    weight total — a per-conversion float, deliberately not emitted
+    from the big pass; derive it from ``attributed_conversions(model=
+    'linear')`` rows when needed."""
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be positive, got {half_life_s}")
+    rows = attributed_conversions(
+        df, touch_types, conversion_type, window_s, "linear", **kw
+    )
+    hl_us = int(round(float(half_life_s) * 1e6))
+    lag_us = (
+        F.round(F.col("conv_ts") * F.lit(1e6)).cast("long")
+        - F.round(F.col("touch_ts") * F.lit(1e6)).cast("long")
+    )
+    return (
+        # integer `div`, not a double division + cast: exact for any
+        # long lag (the packing.py pack-id discipline — doubles lose
+        # integers past 2^53)
+        rows.select("channel", lag_us.alias("__lag"))
+        .select("channel", F.expr(f"__lag div {hl_us}").alias("decay_k"))
+        .groupBy("channel", "decay_k")
+        .agg(F.count(F.lit(1)).alias("touches"))
+    )
+
+
+def decay_credit(report: DataFrame) -> DataFrame:
+    """(channel, decay_k, touches) → (channel, credit): Σ touches ·
+    2^-decay_k on the tiny grouped frame. 2^-k is an exact dyadic
+    double for any k in range, so the only rounding is the final 6dp."""
+    return (
+        report.withColumn(
+            "__c", F.col("touches") * F.pow(F.lit(2.0), -F.col("decay_k"))
+        )
+        .groupBy("channel")
+        .agg(F.round(F.sum("__c"), 6).alias("credit"))
+    )
 
 
 def linear_credit(report: DataFrame) -> DataFrame:
@@ -244,10 +379,10 @@ def conversion_lag_stats(
     so a per-channel count would be attributed TOUCHES and the lag
     stats touch-weighted — a different statistic; raise instead of
     mislabeling it."""
-    if model == "linear":
+    if model in ("linear", "position"):
         raise ValueError(
             "conversion_lag_stats needs one row per conversion; "
-            "model='linear' emits one row per (conversion, touch) so the "
+            f"model={model!r} emits one row per (conversion, touch) so the "
             "stats would be touch-weighted — use last_touch/first_touch"
         )
     rows = attributed_conversions(
