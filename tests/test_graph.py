@@ -442,3 +442,108 @@ def test_weighted_pagerank_zero_and_null_weights(spark):
                            weights=[2.0, 1.0])
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, k
+
+
+# ----------------------------------------------- dangling='collect' (r8)
+
+
+def _numpy_pagerank_sink(edges, damping, iters, sink=-1, seeds=None):
+    """Twin of dangling='collect': augment (dangling -> sink, sink ->
+    teleport targets), run the standard power iteration on the
+    dangling-free graph, drop the sink, renormalize survivors."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    srcs = {u for u, _ in edges}
+    dang = [u for u in nodes if u not in srcs]
+    tgt = seeds if seeds is not None else nodes
+    aug = list(edges) + [(u, sink) for u in dang] + [(sink, v) for v in tgt]
+    r = _numpy_pagerank(aug, None, damping, iters,
+                        node_ids=nodes + [sink], seeds=seeds)
+    tot = sum(v for k, v in r.items() if k != sink)
+    return {k: v / tot for k, v in r.items() if k != sink}
+
+
+def test_collect_mode_matches_sink_twin(spark):
+    from zx_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    n = 30
+    edges = sorted({
+        (int(rng.randint(0, n)), int(rng.randint(0, n))) for _ in range(80)
+    })
+    edges = [(u, v) for u, v in edges if u != v and u not in (28, 29)]
+    edges = sorted(set(edges))  # 28, 29 dangle (if referenced as dst)
+    want = _numpy_pagerank_sink(edges, 0.85, 6)
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), iters=6, dangling="collect", sink_node=-1
+    ).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # renormalized
+
+
+def test_collect_mode_no_dangling_identical_to_redistribute(spark):
+    """With no dangling nodes the augmentation never happens — the two
+    modes must return bit-identical ranks."""
+    from zx_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 2)]
+    a = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), iters=5).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), iters=5, dangling="collect", sink_node=-1
+    ).collect()}
+    assert a == b
+
+
+def test_collect_mode_seeded_matches_twin(spark):
+    from zx_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4)]  # 4 dangles
+    seeds = [1, 2]
+    want = _numpy_pagerank_sink(edges, 0.85, 5, seeds=seeds)
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["rank"] for r in pagerank(
+        _edges_df(spark, edges), iters=5, seeds=sdf,
+        dangling="collect", sink_node=-1,
+    ).collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_collect_mode_validates(spark):
+    from zx_spark.operators.graph import pagerank
+
+    df = _edges_df(spark, [(1, 2)])  # 2 dangles
+    with pytest.raises(ValueError, match="sink_node"):
+        pagerank(df, iters=1, dangling="collect").count()
+    with pytest.raises(ValueError, match="already a graph node"):
+        pagerank(df, iters=1, dangling="collect", sink_node=2).count()
+    with pytest.raises(ValueError, match="dangling mode"):
+        pagerank(df, iters=1, dangling="drop")
+
+
+def test_collect_mode_stays_lazy(spark):
+    """The point of the sink collector: a dangling graph's loop must
+    run NO per-iteration Spark jobs — extra iterations add zero jobs at
+    build time (the redistribute path runs ~7/iteration)."""
+    from zx_spark.operators.graph import pagerank
+
+    edges = [(i, i + 1) for i in range(40)]  # node 40 dangles
+    df = _edges_df(spark, edges).cache()
+    df.count()
+    tracker = spark.sparkContext.statusTracker()
+
+    def build_jobs(iters):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        # checkpoint_every > iters: the periodic LAZY checkpoint
+        # materializes the accumulated AQE stages in a batch when it
+        # fires (pre-existing lazy-path behavior, batched rather than
+        # per-iteration) — park it so this measures the loop itself
+        pagerank(df, iters=iters, dangling="collect", sink_node=-1,
+                 checkpoint_every=100)
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    j1, j8 = build_jobs(1), build_jobs(8)
+    assert j8 == j1, (j1, j8)  # setup jobs only — none per iteration
+    df.unpersist()

@@ -54,6 +54,8 @@ def pagerank(
     seeds: DataFrame | None = None,
     tol: float | None = None,
     checkpoint_every: int = 3,
+    dangling: str = "redistribute",
+    sink_node=None,
 ) -> DataFrame:
     """Damped (optionally personalized) PageRank over a directed edge
     list → ``(node, rank)``.
@@ -75,11 +77,36 @@ def pagerank(
     NOT pre-folded into ``rank·(1/W)`` — so independent re-derivations
     (the driver's unrolled-CTE oracle, the numpy twin in tests) match
     bit-for-bit modulo summation order.
+
+    ``dangling`` picks the dangling-mass strategy:
+
+    - ``"redistribute"`` (default, exact): the classic same-step mass
+      redistribution. It references the rank frame TWICE per iteration,
+      which forces the eager-checkpoint loop (~7 jobs/iteration
+      measured at sf0.1) — correct at any scale, but job-scheduling
+      overhead dominates toy/medium runs.
+    - ``"collect"``: augment the graph ONCE with an explicit sink node
+      (``sink_node``, required, must not collide with a real node id):
+      every dangling node gets one edge to the sink, and the sink gets
+      edges to the teleport targets (all nodes, or the seeds). The
+      augmented graph has no dangling nodes, so the loop takes the
+      LAZY single-reference path — one job total for a fixed-iteration
+      run instead of ~7/iteration (measured; see SCALE.md). The sink
+      row is dropped at the end and the survivors renormalized to
+      sum 1. This is the standard sink-collector engineering variant:
+      dangling mass re-enters the walk one HOP later than under
+      ``redistribute``, so ranks differ numerically from the exact
+      model (an absorbing-redistribution Markov chain, not the same
+      matrix) — the tests pin it against its own numpy twin. On a
+      graph with no dangling nodes the modes are identical (no
+      augmentation happens). Edge frame grows by |dangling| + N rows.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if dangling not in ("redistribute", "collect"):
+        raise ValueError(f"unknown dangling mode: {dangling!r}")
     s, d = F.col(f"`{src_col}`"), F.col(f"`{dst_col}`")
     cond = s.isNotNull() & d.isNotNull()
     if weight_col is not None:
@@ -134,13 +161,50 @@ def pagerank(
     # out-degree rides along on every edge so each iteration is ONE join
     ew = e.join(out, "__src").persist()
 
-    dangling = node_frame.join(
+    dangling_frame = node_frame.join(
         out.select(F.col("__src").alias("node")), "node", "left_anti"
     ).persist()
-    has_dangling = dangling.limit(1).count() > 0  # checked once, not per iter
+    has_dangling = dangling_frame.limit(1).count() > 0  # checked once, not per iter
+
+    seeded = seed_frame is not None
+    use_sink = dangling == "collect" and has_dangling
+    if use_sink:
+        if sink_node is None:
+            raise ValueError(
+                "dangling='collect' needs an explicit sink_node id that is "
+                "not a node of the graph (e.g. -1 for positive long ids)"
+            )
+        sink_lit = F.lit(sink_node).cast(node_frame.schema["node"].dataType)
+        if node_frame.filter(F.col("node") == sink_lit).limit(1).count():
+            raise ValueError(f"sink_node {sink_node!r} is already a graph node")
+        # augment ONCE: dangling -> sink, sink -> teleport targets (all
+        # nodes, or the seeds). The augmented graph has no dangling
+        # nodes, so the iteration loop below references the rank frame
+        # exactly once per step and stays on the LAZY one-job path.
+        wcols = [F.lit(1.0).alias("__w")] if weight_col is not None else []
+        to_sink = dangling_frame.select(
+            F.col("node").alias("__src"), sink_lit.alias("__dst"), *wcols
+        )
+        tgt = seed_frame if seeded else node_frame.select("node")
+        from_sink = tgt.select(
+            sink_lit.alias("__src"), F.col("node").alias("__dst"), *wcols
+        )
+        e = e.unionByName(to_sink).unionByName(from_sink)
+        out = e.groupBy("__src").agg(F.sum(wexpr).alias("__od"))
+        ew.unpersist()
+        ew = e.join(out, "__src").persist()
+        sink_row = node_frame.sparkSession.range(1).select(
+            sink_lit.alias("node"),
+            *([F.lit(0.0).alias("__tp")] if seeded else []),
+        )
+        old_nf = node_frame
+        node_frame = node_frame.unionByName(sink_row).persist()
+        old_nf.unpersist()
+        n += 1  # the sink is the one new node (collision checked above)
+        dangling_frame.unpersist()
+        has_dangling = False
 
     base = (1.0 - damping) / n
-    seeded = seed_frame is not None
     tp_cols = ["__tp"] if seeded else []
     # eager per-iteration checkpoints only when required (see module
     # docstring); otherwise stay lazy and cut lineage periodically
@@ -166,7 +230,7 @@ def pagerank(
         )
         if has_dangling:
             dm = (
-                ranks.join(dangling, "node")
+                ranks.join(dangling_frame, "node")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
             # single-row broadcast — the same stat-frame crossJoin shape
@@ -196,7 +260,15 @@ def pagerank(
         )
         if eager_every_iter:
             new = new.localCheckpoint(eager=True)
-        elif (it + 1) % max(checkpoint_every, 1) == 0 and it + 1 < iters:
+        elif (
+            (it + 1) % max(checkpoint_every, 1) == 0
+            # only cut when a FULL window of iterations remains: the
+            # lazy checkpoint batch-materializes every accumulated AQE
+            # stage when it fires (measured: iters=5/ce=3 pays 30 jobs
+            # for the cut at it=2, then re-pays the tail anyway), so a
+            # cut near the end costs more than the lineage it saves
+            and it + 1 + max(checkpoint_every, 1) <= iters
+        ):
             new = new.localCheckpoint(eager=False)
         if tol is not None:
             delta = (
@@ -209,11 +281,23 @@ def pagerank(
                 break
         else:
             ranks = new
-    dangling.unpersist()
+    if not use_sink:
+        dangling_frame.unpersist()
     if eager_every_iter:
         # ranks are checkpointed — the helper caches served their purpose
         ew.unpersist()
         node_frame.unpersist()
+    if use_sink:
+        # drop the sink and renormalize the survivors to sum 1. The two
+        # references to `ranks` here are OUTSIDE the loop — the final
+        # plan holds the (linear) iteration chain twice, not 2^iters.
+        survivors = ranks.filter(
+            F.col("node") != F.lit(sink_node).cast(ranks.schema["node"].dataType)
+        )
+        tot = survivors.agg(F.sum("rank").alias("__tot"))
+        ranks = survivors.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("rank") / F.col("__tot")).alias("rank")
+        )
     # In the lazy path ew/node_frame STAY marked for caching: the one
     # final action references them once per iteration and the cache
     # turns iters edge scans into one. They materialize only when the
