@@ -1758,11 +1758,33 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for in-batch pairs / est+4.0 for vs-history matches — est ∈ [0,1],
     so the offsets are unambiguous tags and exact in binary. The
     oracle re-derives both halves' signatures from the SAME sig CTE
-    and replays the band join + estimator."""
-    from zx_spark.operators.dedup import incremental_near_dups, signature_table
+    and replays the band join + estimator.
+
+    Signing — the CPU-dominant stage — runs ONCE: the persisted
+    ``signature_table`` frame feeds BOTH the pairs/components arms
+    (``near_dup_pairs(signatures=...)``) and the incremental split
+    (r8 review: the first cut signed the corpus twice in one benched
+    row). Same values; ``_dedup_minhash_v2`` stays the frozen v2 pin
+    shape with its own signing."""
+    from zx_spark.operators.dedup import (
+        dup_components,
+        incremental_near_dups,
+        near_dup_pairs,
+        signature_table,
+    )
 
     docs = _docs(spark, sf_dir)
-    sigs = signature_table(docs, "text", "doc_id", num_hashes=32, shingle_n=3)
+    sigs = signature_table(
+        docs, "text", "doc_id", num_hashes=32, shingle_n=3
+    ).persist()
+    pairs = near_dup_pairs(
+        docs, "text", "doc_id", threshold=0.5, signatures=sigs
+    ).localCheckpoint()
+    comp = dup_components(pairs).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(-1.0).alias("jaccard"),
+    )
     old = sigs.filter(F.col("doc_id") % 2 == 0)
     new = sigs.filter(F.col("doc_id") % 2 == 1)
     inc = incremental_near_dups(
@@ -1775,7 +1797,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("is_historical"), F.lit(4.0)).otherwise(F.lit(2.0))
         ).alias("jaccard"),
     )
-    return _dedup_minhash_v2(spark, sf_dir).unionByName(inc)
+    return pairs.unionByName(comp).unionByName(inc)
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4558,44 +4580,47 @@ def _weighted_funnel_oracle() -> str:
         "ze AS (SELECT *, abs(t)/sqrt(2.0) AS ax FROM zt), "
         "zu AS (SELECT *, 1.0/(1.0 + 0.3275911*ax) AS u FROM ze)"
     )
-    # 'attr:' arms (r7 s2): last-touch via a correlated latest-preceding-
-    # touch lookup ((ts, id) tuple order == the Spark window's rows-
-    # between-preceding frame); linear via the windowed join with a
-    # per-conversion qualifying-touch count — integer rows only.
+    # 'attr:' arms (r7 s2, µs-unified r8): EVERY window predicate,
+    # tuple order, and lag runs on epoch_us bigints — the exact twin of
+    # the Spark side's unix_micros __tm domain (the r8 review caught
+    # the oracle still comparing double-second lags, which can disagree
+    # with the µs longs at an exact window-boundary lag). last-touch =
+    # a correlated latest-preceding-touch lookup; linear = the windowed
+    # join with a per-conversion qualifying-touch count — integer rows.
     attr_ctes = (
-        "atev AS (SELECT user_id AS u, epoch(ts) AS t, event_id AS i, "
+        "atev AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS i, "
         "  event_type AS ty FROM events "
         "  WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
         "atl AS (SELECT c.i, c.t AS ct, (SELECT t2.ty FROM atev t2 WHERE t2.u = c.u "
         "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
-        "  AND c.t - t2.t <= 7200 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS ch, "
+        "  AND c.t - t2.t <= 7200000000 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS ch, "
         "  (SELECT t2.t FROM atev t2 WHERE t2.u = c.u "
         "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
-        "  AND c.t - t2.t <= 7200 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS tt "
+        "  AND c.t - t2.t <= 7200000000 ORDER BY t2.t DESC, t2.i DESC LIMIT 1) AS tt "
         "  FROM atev c WHERE c.ty = 'purchase'), "
         "atlr AS (SELECT ch, count(*) AS n FROM atl WHERE ch IS NOT NULL GROUP BY ch), "
         # first-touch (r8): the EARLIEST qualifying touch — same
         # correlated window/strictly-before predicate, ASC order
         "atf AS (SELECT c.i, (SELECT t2.ty FROM atev t2 WHERE t2.u = c.u "
         "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
-        "  AND c.t - t2.t <= 7200 ORDER BY t2.t ASC, t2.i ASC LIMIT 1) AS ch "
+        "  AND c.t - t2.t <= 7200000000 ORDER BY t2.t ASC, t2.i ASC LIMIT 1) AS ch "
         "  FROM atev c WHERE c.ty = 'purchase'), "
         "atfr AS (SELECT ch, count(*) AS n FROM atf WHERE ch IS NOT NULL GROUP BY ch), "
         # lag stats: integer-µs lags — sums exact, median interpolation
         # engine-identical (same discipline as the Spark side)
         "atlg AS (SELECT ch, count(*) AS n, "
-        "  sum((ct * 1e6)::bigint - (tt * 1e6)::bigint)::double / count(*) AS mu, "
-        "  quantile_cont((ct * 1e6)::bigint - (tt * 1e6)::bigint, 0.5) AS p50 "
+        "  sum(ct - tt)::double / count(*) AS mu, "
+        "  quantile_cont(ct - tt, 0.5) AS p50 "
         "  FROM atl WHERE ch IS NOT NULL GROUP BY ch), "
         "atj AS (SELECT c.i, c.t AS ct, t2.ty AS ch, t2.t AS tt, t2.i AS ti "
         "  FROM atev c JOIN atev t2 ON t2.u = c.u "
         "  AND t2.ty IN ('view', 'click') AND (t2.t, t2.i) < (c.t, c.i) "
-        "  AND c.t - t2.t <= 7200 WHERE c.ty = 'purchase'), "
+        "  AND c.t - t2.t <= 7200000000 WHERE c.ty = 'purchase'), "
         "atk AS (SELECT i, count(*) AS k FROM atj GROUP BY i), "
         "atlin AS (SELECT ch, k, count(*) AS n FROM atj JOIN atk USING (i) "
         "  GROUP BY ch, k), "
         # position grid (r8): the touch's 0-based slot in the
-        # conversion's (ts, id)-ordered qualifying list
+        # conversion's (µs, id)-ordered qualifying list
         "atpj AS (SELECT ch, k, row_number() OVER "
         "  (PARTITION BY i ORDER BY tt, ti) - 1 AS pos "
         "  FROM atj JOIN atk USING (i)), "
@@ -4603,9 +4628,9 @@ def _weighted_funnel_oracle() -> str:
         "  WHEN pos = k - 1 THEN 'last' ELSE 'middle' END AS role, k, "
         "  count(*) AS n FROM atpj GROUP BY 1, 2, 3), "
         # decay grid (r8): whole half-lives of age at conversion,
-        # rounded-µs longs + integer // (30 min half-life)
-        "atdk AS (SELECT ch, ((ct * 1e6)::bigint - (tt * 1e6)::bigint) "
-        "  // 1800000000 AS dk, count(*) AS n FROM atj GROUP BY 1, 2)"
+        # µs bigints + integer // (30 min half-life)
+        "atdk AS (SELECT ch, (ct - tt) // 1800000000 AS dk, count(*) AS n "
+        "  FROM atj GROUP BY 1, 2)"
     )
     attr_rows = (
         "SELECT 'attr:last:' || ch, n::bigint, 0::bigint, NULL::double, "

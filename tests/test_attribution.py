@@ -327,6 +327,37 @@ def test_decay_report_hand_journey(spark):
     assert credit == {"ad": 0.25, "email": 1.0}
     with pytest.raises(ValueError, match="half_life"):
         decay_report(_ev(spark, rows), TOUCHES, "buy", half_life_s=0)
+    # r8 review: a sub-µs half-life rounds to hl_us=0 and would
+    # integer-divide by zero (NULL buckets, silently wrong) — fail fast
+    with pytest.raises(ValueError, match="microsecond"):
+        decay_report(_ev(spark, rows), TOUCHES, "buy", half_life_s=1e-7)
+
+
+def test_far_future_timestamps_stay_exact(spark):
+    """r8 review: the seconds-as-double round trip is only exact below
+    ~2^51 µs (~2041). Timestamp inputs now take unix_micros directly —
+    year-2100 events with a sub-second window boundary must behave
+    exactly like the 2024 fixture (all models agree, boundary touch
+    included; one µs past, excluded)."""
+    from zx_spark.operators.attribution import attributed_conversions
+
+    t0 = dt.datetime(2100, 6, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(seconds=0.7), 1, "ad"),
+            (2, t0 + dt.timedelta(seconds=1.7), 1, "buy"),
+            (3, t0 + dt.timedelta(seconds=9.299999), 2, "ad"),
+            (4, t0 + dt.timedelta(seconds=10.3), 2, "buy"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    for model in ("last_touch", "first_touch", "linear"):
+        got = {(r["conv_id"], r["channel"]) for r in attributed_conversions(
+            ev, TOUCHES, "buy", window_s=1.0, model=model).collect()}
+        assert got == {(2, "ad")}, model  # u2's touch is 1.000001s old
+    # and the emitted µs lag is exactly 1s
+    rows = attributed_conversions(ev, TOUCHES, "buy", window_s=1.0).collect()
+    assert rows[0]["conv_tm"] - rows[0]["touch_tm"] == 1_000_000
 
 
 def _brute_position(rows, touches, conv, window_s):

@@ -158,3 +158,20 @@ def test_fit_rejects_unknown_method(spark):
     allv = _with_planted(spark)
     with pytest.raises(ValueError, match="method"):
         semantic_dedup_fit(allv, method="dbscan")
+
+
+def test_suggest_n_cells_sqrt_rule():
+    """suggest_n_cells = clamp(round(sqrt(N))) — the sizing rule the
+    SCALE.md knn+triangles caveat prescribes (fixed cells at 10x data
+    measured 7.3x; resized cells return the build to trend)."""
+    import pytest
+
+    from zx_spark.operators.similarity import suggest_n_cells
+
+    assert suggest_n_cells(1) == 8          # floor
+    assert suggest_n_cells(2000) == 45
+    assert suggest_n_cells(20000) == 141
+    assert suggest_n_cells(200000) == 447
+    assert suggest_n_cells(10**12) == 65536  # cap
+    with pytest.raises(ValueError):
+        suggest_n_cells(0)

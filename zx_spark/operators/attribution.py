@@ -20,13 +20,17 @@ Distributed shape (what survives 100 TB):
   join.
 - ONE time domain: every window comparison (the RANGE frame, the
   in-array strictly-before filter, the last-touch lookback check) runs
-  on the same ROUNDED-microsecond longs (``__tm``), so the three
-  models can never disagree at a window boundary. Timestamps are
-  µs-precision, so round() recovers the exact grid value that the
-  seconds-as-double representation perturbs (0.7s → 699999.99...;
-  truncation would drop a boundary touch from first/linear that
-  last-touch's double math keeps). Exact for |ts| < 2^53 µs (~285
-  years of epoch time).
+  on the same microsecond longs (``__tm``). TimestampType inputs take
+  ``unix_micros`` — the raw stored µs, EXACT for any date, no double
+  round-trip. Numeric-seconds inputs take ``round(x·1e6)``, which
+  recovers the µs grid the seconds-as-double representation perturbs
+  (0.7s → 699999.99...; truncation would drop a boundary touch from
+  first/linear that last-touch's double math kept) — exact while the
+  µs value stays below ~2^51 (two roundings, each up to 0.25µs of
+  combined error budget; epoch seconds are safe through ~2041, after
+  which pass timestamps, not doubles). Lag statistics subtract the
+  same ``__tm`` longs (exposed as ``conv_tm``/``touch_tm``), so they
+  inherit the same exactness.
 - Credit aggregation is a tiny (channel[, k]) hash agg.
 - Determinism: every emitted count is an integer; the fractional 1/k
   linear credit is derived ON the small (channel, k) frame
@@ -41,15 +45,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _prep(df, user_col, ts_col, id_col):
+    tcol = F.col(f"`{ts_col}`")
+    # __tm: microsecond longs, the ONE domain all window math runs in.
+    # TimestampType reads the stored µs directly (exact for any date);
+    # numeric-seconds inputs round-trip through double (exact below
+    # ~2^51 µs — module docstring).
+    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        tm = F.unix_micros(tcol)
+    else:
+        tm = F.round(tcol.cast("double") * F.lit(1e6)).cast("long")
     return df.filter(
-        F.col(f"`{user_col}`").isNotNull() & F.col(f"`{ts_col}`").isNotNull()
+        F.col(f"`{user_col}`").isNotNull() & tcol.isNotNull()
     ).select(
         F.col(f"`{user_col}`").alias("__u"),
-        F.col(f"`{ts_col}`").cast("double").alias("__t"),
+        tcol.cast("double").alias("__t"),
         F.col(f"`{id_col}`").cast("long").alias("__i"),
+        tm.alias("__tm"),
         "*",
     )
 
@@ -97,12 +112,11 @@ def attributed_conversions(
     # only touches and conversions matter — drop everything else BEFORE
     # the user shuffle and window state
     e = e.filter(is_touch | is_conv)
-    # ONE time domain for every window comparison: rounded µs longs.
-    # round (not truncate) recovers the exact µs grid value from the
-    # seconds-as-double representation, so the RANGE frame, the
-    # strictly-before filter, and the last-touch lookback check all
-    # agree at the window boundary (see module docstring).
-    e = e.withColumn("__tm", F.round(F.col("__t") * F.lit(1e6)).cast("long"))
+    # ONE time domain for every window comparison: the µs longs __tm
+    # from _prep (unix_micros for timestamps — exact; rounded for
+    # numeric seconds), so the RANGE frame, the strictly-before filter,
+    # and the last-touch lookback check all agree at the window
+    # boundary (see module docstring).
     window_us = int(round(float(window_s) * 1e6))
     touch_struct = F.when(
         is_touch,
@@ -145,6 +159,8 @@ def attributed_conversions(
                 F.col("__t").alias("conv_ts"),
                 F.col("__tt.__ch").alias("channel"),
                 F.col("__tt.__t").alias("touch_ts"),
+                F.col("__tm").alias("conv_tm"),
+                F.col("__tt.__tm").alias("touch_tm"),
             )
         )
         return out
@@ -163,6 +179,8 @@ def attributed_conversions(
                 F.col("__t").alias("conv_ts"),
                 F.array_min("__ts")["__ch"].alias("channel"),
                 F.array_min("__ts")["__t"].alias("touch_ts"),
+                F.col("__tm").alias("conv_tm"),
+                F.array_min("__ts")["__tm"].alias("touch_tm"),
             )
         )
     base_rows = (
@@ -182,6 +200,7 @@ def attributed_conversions(
             F.col("__u").alias("user"),
             F.col("__i").alias("conv_id"),
             F.col("__t").alias("conv_ts"),
+            F.col("__tm").alias("conv_tm"),
             F.size("__ts").alias("k"),
             F.posexplode("__ts").alias("pos", "__tch"),
         )
@@ -191,6 +210,8 @@ def attributed_conversions(
             "conv_ts",
             F.col("__tch.__ch").alias("channel"),
             F.col("__tch.__t").alias("touch_ts"),
+            "conv_tm",
+            F.col("__tch.__tm").alias("touch_tm"),
             "k",
             "pos",
         )
@@ -311,21 +332,25 @@ def decay_report(
     weight total — a per-conversion float, deliberately not emitted
     from the big pass; derive it from ``attributed_conversions(model=
     'linear')`` rows when needed."""
-    if half_life_s <= 0:
-        raise ValueError(f"half_life_s must be positive, got {half_life_s}")
+    hl_us = int(round(float(half_life_s) * 1e6))
+    if hl_us < 1:
+        # a sub-µs half-life would integer-divide by zero below —
+        # NULL buckets under non-ANSI semantics, a runtime error under
+        # ANSI; neither is the fail-fast this guard owes
+        raise ValueError(
+            f"half_life_s must be >= 1 microsecond, got {half_life_s}"
+        )
     rows = attributed_conversions(
         df, touch_types, conversion_type, window_s, "linear", **kw
     )
-    hl_us = int(round(float(half_life_s) * 1e6))
-    lag_us = (
-        F.round(F.col("conv_ts") * F.lit(1e6)).cast("long")
-        - F.round(F.col("touch_ts") * F.lit(1e6)).cast("long")
-    )
     return (
-        # integer `div`, not a double division + cast: exact for any
-        # long lag (the packing.py pack-id discipline — doubles lose
-        # integers past 2^53)
-        rows.select("channel", lag_us.alias("__lag"))
+        # lag from the exact µs longs the window math used; integer
+        # `div`, not a double division + cast: exact for any long lag
+        # (the packing.py pack-id discipline — doubles lose integers
+        # past 2^53)
+        rows.select(
+            "channel", (F.col("conv_tm") - F.col("touch_tm")).alias("__lag")
+        )
         .select("channel", F.expr(f"__lag div {hl_us}").alias("decay_k"))
         .groupBy("channel", "decay_k")
         .agg(F.count(F.lit(1)).alias("touches"))
@@ -366,13 +391,12 @@ def conversion_lag_stats(
 ) -> DataFrame:
     """Per-channel time-to-convert: ``(channel, conversions,
     mean_lag_us, p50_lag_us)`` — how long after the (attributed) touch
-    the conversion landed. Lags are INTEGER microseconds (timestamps
-    are µs-precision; rounded from the seconds-as-double form, same
-    domain as the attribution window math), so the sum behind the mean
-    is exact under any aggregation order and the exact median's
-    midpoint interpolation is engine-identical — no rounding
-    discipline needed. One extra tiny agg over the attribution rows;
-    the heavy pass is unchanged.
+    the conversion landed. Lags are INTEGER microseconds — the same
+    ``__tm`` longs the window math ran on (``conv_tm − touch_tm``) —
+    so the sum behind the mean is exact under any aggregation order
+    and the exact median's midpoint interpolation is engine-identical;
+    no rounding discipline needed. One extra tiny agg over the
+    attribution rows; the heavy pass is unchanged.
 
     ``model`` must be ``last_touch`` or ``first_touch``: under
     ``linear`` the attribution rows are one per (conversion, touch),
@@ -388,12 +412,8 @@ def conversion_lag_stats(
     rows = attributed_conversions(
         df, touch_types, conversion_type, window_s, model, **kw
     )
-    lag_us = (
-        F.round(F.col("conv_ts") * F.lit(1e6)).cast("long")
-        - F.round(F.col("touch_ts") * F.lit(1e6)).cast("long")
-    )
     return (
-        rows.withColumn("__lag", lag_us)
+        rows.withColumn("__lag", F.col("conv_tm") - F.col("touch_tm"))
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("conversions"),

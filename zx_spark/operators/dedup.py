@@ -277,6 +277,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     hash_method: str = "md5",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduplicated across bands.
 
@@ -290,6 +291,12 @@ def minhash_candidate_pairs(
     hash + num_hashes affine maps per shingle) is the CPU-heavy stage and
     a small parquet file otherwise arrives as ONE partition, serializing
     the whole stage on one core.
+
+    ``signatures``: a precomputed ``signature_table``/``minhash_signatures``
+    frame (persist it) — pipelines that also band the SAME signatures
+    elsewhere (incremental ingest, a leakage-safe split) pass it so the
+    CPU-dominant signing pass runs ONCE; it must have been built with
+    the same ``num_hashes``/``shingle_n``/``hash_method``.
     """
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         # A non-divisor silently drops the tail minhashes from every band
@@ -299,8 +306,12 @@ def minhash_candidate_pairs(
         raise ValueError(
             f"bands must divide num_hashes (got num_hashes={num_hashes}, bands={bands})"
         )
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n, hash_method
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_n, hash_method
+        )
     )
     banded = minhash_bands(sigs, id_col, "minhash", bands)
     a = banded.alias("a")
@@ -363,12 +374,16 @@ def near_dup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     hash_method: str = "md5",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard ≥
     threshold. The full bucketed pipeline: sign → band → bucket-join →
-    verify."""
+    verify. ``signatures`` passes a precomputed signature frame through
+    to the candidate stage (sign once when a pipeline also bands the
+    same signatures elsewhere)."""
     cands = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n, hash_method
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_method,
+        signatures=signatures,
     )
     return jaccard_pairs(df, cands, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold

@@ -440,6 +440,26 @@ def ivf_assign(
     return df.withColumn(cell_col, cell)
 
 
+def suggest_n_cells(n_vectors: int, floor: int = 8, cap: int = 65536) -> int:
+    """The standard IVF sizing rule, made first-class: ``n_cells ≈
+    √N``, clamped to ``[floor, cap]``.
+
+    Why √N: per-query probe work is ``n_cells`` (scoring every cell
+    center) plus ``nprobe · N / n_cells`` (scanning the probed cells);
+    the sum is minimized when the two terms balance at ``n_cells ∝
+    √N``. Fixing n_cells while N grows makes the cell size — and every
+    cell-bounded pair join (``knn_pairs``, ``semantic_pairs``) —
+    grow linearly, which is exactly the quadratic blowup SCALE.md
+    measured at the 10× store (7.3× for 10× at fixed cells; back on
+    trend with cells re-sized by this rule). Re-fit with this value
+    whenever the corpus grows ~4× or more."""
+    if n_vectors < 1:
+        raise ValueError(f"n_vectors must be >= 1, got {n_vectors}")
+    import math
+
+    return max(floor, min(cap, int(round(math.sqrt(n_vectors)))))
+
+
 def ivf_build_lloyd(
     df: DataFrame,
     vec_col: str = "embedding",
