@@ -1075,6 +1075,89 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("touches").cast("double").alias("count__value"),
         dnull.alias("mean__value"),
     )
+    # sattr arm (r8): the STREAMING attribution twin DRAINED — the
+    # touch/conversion slice staged as two time-ordered files (pinned
+    # mtimes, maxFilesPerTrigger=1 → two epochs), folded through
+    # streaming/attribution.py's stateful buffer. Under cross-batch
+    # event-time order the drained rows equal the batch operator
+    # row-for-row, so per-channel counts hit the SAME correlated
+    # last-touch oracle (atlr), sattr-prefixed — the drain is verified
+    # value-for-value against an independent SQL derivation.
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from zx_spark.streaming.attribution import streaming_attribution
+
+    slice_df = ev.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin(["view", "click", "purchase"])
+    ).select(
+        "event_id", F.col("ts").cast("double").alias("ts"),
+        "user_id", "event_type",
+    )
+    smid = slice_df.agg(
+        F.percentile_approx("ts", 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    sdir = _tf.mkdtemp(prefix="zx_attr_src_")
+    sck = _tf.mkdtemp(prefix="zx_attr_ck_")
+    slice_df.filter(F.col("ts") < smid).coalesce(1).write.mode(
+        "append"
+    ).parquet(sdir)
+    slice_df.filter(F.col("ts") >= smid).coalesce(1).write.mode(
+        "append"
+    ).parquet(sdir)
+    # pin mtimes in event-time order so the two epochs trigger oldest
+    # half first (cross-batch order => exact batch parity)
+    import pyarrow.parquet as _pq
+
+    def _min_ts(f):
+        col = _pq.read_table(_os.path.join(sdir, f), columns=["ts"]).column("ts")
+        return min(col.to_pylist())
+
+    sfiles = sorted(
+        (f for f in _os.listdir(sdir) if f.endswith(".parquet")), key=_min_ts
+    )
+    for si, sf_ in enumerate(sfiles):
+        _os.utime(_os.path.join(sdir, sf_), (1_700_000_000 + si,) * 2)
+    sstream = (
+        spark.readStream.format("parquet")
+        .schema(slice_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(sdir)
+    )
+    sout = streaming_attribution(
+        sstream, ["view", "click"], "purchase", window_s=7200.0,
+        model="last_touch", watermark=None,
+    )
+    if not (
+        sout.writeStream.format("memory").queryName("zx_sattr_drain")
+        .outputMode("append")
+        .option("checkpointLocation", sck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    ):
+        raise RuntimeError("sattr arm: availableNow drain did not finish in 180s")
+    sattr_counts = (
+        spark.table("zx_sattr_drain")
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # eager — staging/checkpoint can go
+    )
+    for d in (sdir, sck):
+        _sh.rmtree(d, ignore_errors=True)
+    at_s = spark.createDataFrame(
+        [(r["channel"], int(r["n"])) for r in sattr_counts], "ch string, n long"
+    ).select(
+        F.concat(F.lit("sattr:last:"), F.col("ch")).alias("g_event_type"),
+        F.col("n").alias("window_start"),
+        F.lit(0).cast("long").alias("window_end"),
+        dnull.alias("sum__value"),
+        F.col("n").cast("double").alias("count__value"),
+        dnull.alias("mean__value"),
+    )
     return (
         wagg.unionByName(fun)
         .unionByName(ret)
@@ -1093,6 +1176,7 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(at_lin)
         .unionByName(at_pos)
         .unionByName(at_dk)
+        .unionByName(at_s)
     )
 
 
@@ -4644,7 +4728,11 @@ def _weighted_funnel_oracle() -> str:
         "UNION ALL SELECT 'attr:pos:' || ch || ':' || role || ':' || k, "
         "n::bigint, 0::bigint, NULL::double, n::double, NULL::double FROM atpos "
         "UNION ALL SELECT 'attr:dk:' || ch || ':' || dk, n::bigint, 0::bigint, "
-        "NULL::double, n::double, NULL::double FROM atdk"
+        "NULL::double, n::double, NULL::double FROM atdk "
+        # sattr (r8): the drained streaming twin must reproduce the
+        # SAME correlated last-touch counts — prefix-tagged
+        "UNION ALL SELECT 'sattr:last:' || ch, n::bigint, 0::bigint, "
+        "NULL::double, n::double, NULL::double FROM atlr"
     )
     ab_rows = (
         "SELECT 'ab:welch', na::bigint, nb::bigint, round(t, 6), "

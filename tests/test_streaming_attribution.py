@@ -1,0 +1,181 @@
+"""Streaming attribution: availableNow drain over time-ordered
+micro-batches equals the batch attributed_conversions for every model;
+state carries touches across batches; the late-data contract holds."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zx_spark.operators.attribution import attributed_conversions
+from zx_spark.streaming.attribution import streaming_attribution
+
+SF = "/root/testdata/sf0.001"
+TOUCHES = ["view", "click"]
+T0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _drain(spark, src, tmp_path, name, model, **kw):
+    from tests.conftest import drain_memory_sink
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0, model=model,
+        watermark=None, **kw,
+    )
+    return drain_memory_sink(out, name, str(tmp_path / f"ck_{name}"))
+
+
+def _key(r, model):
+    if model in ("linear", "position"):
+        return (r["conv_id"], r["channel"], r["touch_tm"], r["k"])
+    return (r["conv_id"], r["channel"], r["touch_tm"])
+
+
+@pytest.mark.parametrize("model", ["last_touch", "first_touch", "linear", "position"])
+def test_streaming_equals_batch_under_time_order(spark, tmp_path, model):
+    from zx_spark.storage import read_table
+
+    ev = read_table(spark, SF, "events").select(
+        "event_id", F.col("ts").cast("double").alias("ts"),
+        "user_id", "event_type",
+    ).filter(F.col("user_id").isNotNull())
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    c1, c2 = mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3
+    src = str(tmp_path / f"src_{model}")
+    ev.filter(F.col("ts") < c1).coalesce(1).write.parquet(src)
+    ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("ts") >= c2).coalesce(1).write.mode("append").parquet(src)
+    from tests.conftest import pin_file_mtimes_by_event_time
+
+    pin_file_mtimes_by_event_time(src)
+
+    got = {
+        _key(r, model)
+        for r in _drain(spark, src, tmp_path, f"attr_{model}", model).collect()
+    }
+    bm = "linear" if model == "linear" else model
+    want_rows = attributed_conversions(
+        ev, TOUCHES, "purchase", window_s=7200.0, model=bm
+    ).collect()
+    want = {_key(r, bm) for r in want_rows}
+    assert got == want, model
+    assert got  # non-vacuous: the driver slice attributes something
+
+
+def _mk(spark, rows):
+    """rows: (event_id, seconds, user, type) — numeric-ts stream."""
+    return spark.createDataFrame(
+        [(i, float(s), u, t) for (i, s, u, t) in rows],
+        "event_id long, ts double, user_id long, event_type string",
+    )
+
+
+def _stage(spark, tmp_path, name, batches):
+    import os
+
+    src = str(tmp_path / name)
+    for i, rows in enumerate(batches):
+        _mk(spark, rows).coalesce(1).write.mode("append").parquet(src)
+    # pin mtimes in BATCH order (numeric ts — the conftest helper
+    # expects timestamps, so pin by write order via listing mtime)
+    files = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(src, f)),
+    )
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src, f), (1_700_000_000 + i,) * 2)
+    return src
+
+
+def test_state_carries_touches_across_batches(spark, tmp_path):
+    """Touch in batch 1, conversion in batch 2 — the buffered touch
+    attributes it."""
+    from tests.conftest import drain_memory_sink
+
+    src = _stage(
+        spark, tmp_path, "carry",
+        [[(1, 100.0, 1, "view")], [(2, 200.0, 1, "purchase")]],
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0, watermark=None
+    )
+    got = drain_memory_sink(out, "attr_carry", str(tmp_path / "ck_carry")).collect()
+    assert [(r["conv_id"], r["channel"]) for r in got] == [(2, "view")]
+    assert got[0]["conv_tm"] - got[0]["touch_tm"] == 100_000_000
+
+
+def test_late_touch_no_retro_but_counts_forward(spark, tmp_path):
+    """The documented contract: a touch arriving AFTER a conversion's
+    batch cannot retro-attribute it (view@100 wins for conv@300 even
+    though click@200 is event-time later), but it does attribute
+    FUTURE conversions (conv@400 → click)."""
+    from tests.conftest import drain_memory_sink
+
+    src = _stage(
+        spark, tmp_path, "late",
+        [
+            [(1, 100.0, 1, "view"), (3, 300.0, 1, "purchase")],
+            [(2, 200.0, 1, "click"), (4, 400.0, 1, "purchase")],
+        ],
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0, watermark=None
+    )
+    got = {(r["conv_id"], r["channel"]) for r in drain_memory_sink(
+        out, "attr_late", str(tmp_path / "ck_late")).collect()}
+    assert got == {(3, "view"), (4, "click")}
+
+
+def test_window_prune_bounds_state_and_drops_stale(spark, tmp_path):
+    """A touch older than the lookback never attributes (batch parity),
+    and pruned state means a conversion two windows later sees nothing."""
+    from tests.conftest import drain_memory_sink
+
+    src = _stage(
+        spark, tmp_path, "prune",
+        [
+            [(1, 0.0, 1, "view")],
+            [(2, 50_000.0, 1, "purchase")],  # 50k s > 7200 s window
+        ],
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0, watermark=None
+    )
+    got = drain_memory_sink(out, "attr_prune", str(tmp_path / "ck_prune")).collect()
+    assert got == []
+
+
+def test_validates_args(spark):
+    df = _mk(spark, [(1, 0.0, 1, "view")])
+    stream = df  # schema probe only — validation happens before start
+    with pytest.raises(ValueError, match="model"):
+        streaming_attribution(stream, TOUCHES, "purchase", model="shapley")
+    with pytest.raises(ValueError, match="touch_types"):
+        streaming_attribution(stream, [], "purchase")
+    with pytest.raises(ValueError, match="window_s"):
+        streaming_attribution(stream, TOUCHES, "purchase", window_s=0.0)

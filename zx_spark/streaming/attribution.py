@@ -1,0 +1,218 @@
+"""Streaming conversion attribution — the incremental twin of
+``operators.attribution.attributed_conversions`` as a CUSTOM STATEFUL
+operator (``applyInPandasWithState``), next to streaming/funnel.py.
+
+State per user is the IN-WINDOW touch buffer only: ``(tm, id,
+channel)`` triples newer than ``newest_seen − window`` (capped at
+``max_touches`` newest) — the same "state ∝ in-window touches, never
+the history" bound the batch RANGE frame guarantees, enforced here by
+pruning after every fold. A conversion is attributed the moment its
+micro-batch folds it: the buffer at that point IS the batch operator's
+collected window, so the emitted rows carry the identical
+``(user, conv_id, conv_ts, channel, touch_ts, conv_tm, touch_tm
+[, k, pos])`` columns.
+
+Time domain: the same µs longs as the batch side —
+``unix_micros`` for TimestampType, rounded seconds·1e6 otherwise —
+so window-boundary decisions are bit-identical to
+``attributed_conversions`` (attribution.py module docstring).
+
+Late-data contract (the streaming/funnel.py / sessions.py rule):
+events fold in event-time ``(tm, id)`` order WITHIN a batch; a touch
+arriving in a later batch than an already-folded conversion cannot
+retro-attribute it (the conversion's row was already emitted —
+append-mode sinks are immutable), though it does enter the buffer for
+FUTURE conversions. Under cross-batch event-time order (or a
+watermark-sized reorder buffer upstream) the drained output equals
+the batch operator row-for-row — pinned in tests on the driver
+events.
+
+Reference scope note: the reference engine (src/lib.rs) has no
+sequence surface; beyond-reference, completing the streaming-twin
+family (funnel, retention, basket, gapfill, sketch, vectors).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from zx_spark.streaming.funnel import _prep_stream
+
+
+def streaming_attribution(
+    stream: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    window_s: float = 86400.0,
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_touches: int = 1000,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Attribute conversions as they stream in; same models and output
+    columns as the batch ``attributed_conversions`` (``linear`` /
+    ``position`` add ``k``/``pos``; last/first omit them). Write
+    append-mode; drain availableNow for backfills — batch parity
+    pinned in tests. ``watermark`` needs a TIMESTAMP ``ts_col``; pass
+    ``None`` for numeric-ts streams (state stays bounded by the
+    window prune either way — the watermark only gates Spark's
+    late-event drop)."""
+    if model not in ("last_touch", "first_touch", "linear", "position"):
+        raise ValueError(f"unknown model: {model!r}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    window_us = int(round(float(window_s) * 1e6))
+    if window_us < 1:
+        raise ValueError(f"window_s must be >= 1 microsecond, got {window_s}")
+    tcol = F.col(f"`{ts_col}`")
+    if isinstance(stream.schema[ts_col].dataType, T.TimestampType):
+        tm = F.unix_micros(tcol)
+    else:
+        tm = F.round(tcol.cast("double") * F.lit(1e6)).cast("long")
+    src = _prep_stream(
+        stream,
+        [
+            F.col(f"`{user_col}`").alias("__u"),
+            tm.alias("__tm"),
+            tcol.cast("double").alias("__t"),
+            F.col(f"`{id_col}`").cast("long").alias("__i"),
+            F.col(f"`{type_col}`").alias("__ty"),
+        ],
+        ts_col,
+        watermark,
+    ).filter(
+        F.col("__u").isNotNull()
+        & F.col("__tm").isNotNull()
+        & (F.col("__ty").isin(list(touch_types)) | (F.col("__ty") == conversion_type))
+    )
+
+    per_pair = model in ("linear", "position")
+    fields = [
+        T.StructField("user", T.StringType()),
+        T.StructField("conv_id", T.LongType()),
+        T.StructField("conv_ts", T.DoubleType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("touch_ts", T.DoubleType()),
+        T.StructField("conv_tm", T.LongType()),
+        T.StructField("touch_tm", T.LongType()),
+    ]
+    if per_pair:
+        fields += [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    out_schema = T.StructType(fields)
+    # touch buffer columns (parallel arrays: the Arrow state codec
+    # cannot round-trip null elements, and these are all non-null)
+    state_schema = (
+        "tms array<long>, tids array<long>, chs array<string>, "
+        "tts array<double>"
+    )
+    touch_set = set(touch_types)
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tms, tids, chs, tts = (list(x) for x in state.get)
+        else:
+            tms, tids, chs, tts = [], [], [], []
+        # buffer is kept (tm, id)-sorted across batches (events fold in
+        # that order and arrive non-decreasing under the cross-batch
+        # contract; a late batch's touches insert via re-sort below)
+        evs = []
+        for pdf in pdfs:
+            evs.extend(
+                zip(
+                    (int(x) for x in pdf["__tm"]),
+                    (int(x) for x in pdf["__i"]),
+                    pdf["__ty"],
+                    (float(x) for x in pdf["__t"]),
+                )
+            )
+        if not evs:
+            return
+        evs.sort(key=lambda e: (e[0], e[1]))
+        out: list[tuple] = []
+        ukey = str(key[0]) if key[0] is not None else None
+        changed = False
+        for etm, eid, ety, et in evs:
+            if ety in touch_set:
+                # insertion keeping (tm, id) order: a late in-batch
+                # touch older than buffered ones lands in place
+                j = len(tms)
+                while j > 0 and (tms[j - 1], tids[j - 1]) > (etm, eid):
+                    j -= 1
+                tms.insert(j, etm)
+                tids.insert(j, eid)
+                chs.insert(j, ety)
+                tts.insert(j, et)
+                changed = True
+                continue
+            # conversion: qualifying = strictly before (tm, id), within
+            # the window — the buffer slice mirrors the batch RANGE
+            # frame + strictly-before filter exactly
+            qual = [
+                i
+                for i in range(len(tms))
+                if (tms[i], tids[i]) < (etm, eid)
+                and etm - tms[i] <= window_us
+            ]
+            if per_pair and len(qual) > max_touches:
+                # newest-K cap — the batch rule applies to the
+                # linear/position list only (last/first are uncapped)
+                qual = qual[-max_touches:]
+            if not qual:
+                continue
+            if model == "last_touch":
+                i = qual[-1]
+                out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
+            elif model == "first_touch":
+                i = qual[0]
+                out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
+            else:
+                kq = len(qual)
+                for p, i in enumerate(qual):
+                    out.append(
+                        (ukey, eid, et, chs[i], tts[i], etm, tms[i], kq, p)
+                    )
+        # prune: a touch older than newest_seen - window can never
+        # qualify again under the cross-batch order contract — state
+        # stays ∝ in-window touches. The newest-K cap additionally
+        # bounds it for the capped models; first_touch is NOT capped
+        # (the batch operator reads the UNCAPPED window array there —
+        # capping state would drop the earliest touch it reports)
+        horizon = evs[-1][0] - window_us
+        keep = [i for i in range(len(tms)) if tms[i] >= horizon]
+        if model != "first_touch" and len(keep) > max_touches:
+            keep = keep[-max_touches:]
+        if changed or len(keep) != len(tms):
+            state.update(
+                (
+                    [tms[i] for i in keep],
+                    [tids[i] for i in keep],
+                    [chs[i] for i in keep],
+                    [tts[i] for i in keep],
+                )
+            )
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in fields])
+
+    return src.groupBy("__u").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
