@@ -1102,52 +1102,54 @@ def q_a_weighted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["m"]
     sdir = _tf.mkdtemp(prefix="zx_attr_src_")
     sck = _tf.mkdtemp(prefix="zx_attr_ck_")
-    slice_df.filter(F.col("ts") < smid).coalesce(1).write.mode(
-        "append"
-    ).parquet(sdir)
-    slice_df.filter(F.col("ts") >= smid).coalesce(1).write.mode(
-        "append"
-    ).parquet(sdir)
-    # pin mtimes in event-time order so the two epochs trigger oldest
-    # half first (cross-batch order => exact batch parity)
-    import pyarrow.parquet as _pq
+    try:
+        # a degenerate split (>=50% of rows at the min ts) leaves the
+        # first half empty — a zero-row part file is fine: the shared
+        # pin helper sorts empty files first and the drain just sees
+        # an empty first epoch
+        slice_df.filter(F.col("ts") < smid).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+        slice_df.filter(F.col("ts") >= smid).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+        # pin mtimes in event-time order so the two epochs trigger the
+        # oldest half first (cross-batch order => exact batch parity);
+        # ONE shared definition with the test suite
+        from zx_spark.util import pin_file_mtimes_by_min_value
 
-    def _min_ts(f):
-        col = _pq.read_table(_os.path.join(sdir, f), columns=["ts"]).column("ts")
-        return min(col.to_pylist())
-
-    sfiles = sorted(
-        (f for f in _os.listdir(sdir) if f.endswith(".parquet")), key=_min_ts
-    )
-    for si, sf_ in enumerate(sfiles):
-        _os.utime(_os.path.join(sdir, sf_), (1_700_000_000 + si,) * 2)
-    sstream = (
-        spark.readStream.format("parquet")
-        .schema(slice_df.schema)
-        .option("maxFilesPerTrigger", 1)
-        .load(sdir)
-    )
-    sout = streaming_attribution(
-        sstream, ["view", "click"], "purchase", window_s=7200.0,
-        model="last_touch", watermark=None,
-    )
-    if not (
-        sout.writeStream.format("memory").queryName("zx_sattr_drain")
-        .outputMode("append")
-        .option("checkpointLocation", sck)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination(180)
-    ):
-        raise RuntimeError("sattr arm: availableNow drain did not finish in 180s")
-    sattr_counts = (
-        spark.table("zx_sattr_drain")
-        .groupBy("channel")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # eager — staging/checkpoint can go
-    )
-    for d in (sdir, sck):
-        _sh.rmtree(d, ignore_errors=True)
+        pin_file_mtimes_by_min_value(sdir, "ts")
+        sstream = (
+            spark.readStream.format("parquet")
+            .schema(slice_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(sdir)
+        )
+        sout = streaming_attribution(
+            sstream, ["view", "click"], "purchase", window_s=7200.0,
+            model="last_touch", watermark=None,
+        )
+        sq = (
+            sout.writeStream.format("memory").queryName("zx_sattr_drain")
+            .outputMode("append")
+            .option("checkpointLocation", sck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not sq.awaitTermination(180):
+            sq.stop()  # don't leave a live query holding the dirs
+            raise RuntimeError(
+                "sattr arm: availableNow drain did not finish in 180s"
+            )
+        sattr_counts = (
+            spark.table("zx_sattr_drain")
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # eager — staging/checkpoint can go
+        )
+    finally:
+        for d in (sdir, sck):
+            _sh.rmtree(d, ignore_errors=True)
     at_s = spark.createDataFrame(
         [(r["channel"], int(r["n"])) for r in sattr_counts], "ch string, n long"
     ).select(
@@ -1858,6 +1860,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
+    # persist (not localCheckpoint): bench.py clearCache()s between
+    # timed queries, which reclaims this cache — a localCheckpoint's
+    # RDD blocks would survive clearCache and squat on executor memory
+    # for the rest of a bench run
     sigs = signature_table(
         docs, "text", "doc_id", num_hashes=32, shingle_n=3
     ).persist()

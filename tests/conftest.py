@@ -34,17 +34,8 @@ def drain_memory_sink(out, name: str, checkpoint_dir: str, output_mode: str = "a
 def pin_file_mtimes_by_event_time(src: str, ts_col: str = "ts") -> None:
     """Order a file-source directory's trigger sequence by EVENT time:
     part-file names don't reflect append order, so maxFilesPerTrigger
-    tests pin mtimes from each file's min timestamp."""
-    import os
+    tests pin mtimes from each file's min timestamp. One shared
+    definition — the driver-arm staging uses the same helper."""
+    from zx_spark.util import pin_file_mtimes_by_min_value
 
-    import pyarrow.parquet as pq
-
-    def min_ts(f):
-        col = pq.read_table(os.path.join(src, f), columns=[ts_col]).column(ts_col)
-        return min(col.to_pylist())
-
-    files = sorted(
-        (f for f in os.listdir(src) if f.endswith(".parquet")), key=min_ts
-    )
-    for i, f in enumerate(files):
-        os.utime(os.path.join(src, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    pin_file_mtimes_by_min_value(src, ts_col)

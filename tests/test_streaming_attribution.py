@@ -63,11 +63,10 @@ def test_streaming_equals_batch_under_time_order(spark, tmp_path, model):
         _key(r, model)
         for r in _drain(spark, src, tmp_path, f"attr_{model}", model).collect()
     }
-    bm = "linear" if model == "linear" else model
     want_rows = attributed_conversions(
-        ev, TOUCHES, "purchase", window_s=7200.0, model=bm
+        ev, TOUCHES, "purchase", window_s=7200.0, model=model
     ).collect()
-    want = {_key(r, bm) for r in want_rows}
+    want = {_key(r, model) for r in want_rows}
     assert got == want, model
     assert got  # non-vacuous: the driver slice attributes something
 
@@ -179,3 +178,103 @@ def test_validates_args(spark):
         streaming_attribution(stream, [], "purchase")
     with pytest.raises(ValueError, match="window_s"):
         streaming_attribution(stream, TOUCHES, "purchase", window_s=0.0)
+
+
+def test_null_id_rows_dropped_not_crash(spark, tmp_path):
+    """r8 review: a NULL event_id used to reach the fold as NaN and
+    kill the query (int(nan)). The pre-filter drops them — the stream
+    survives and attributes the well-formed rows."""
+    from tests.conftest import drain_memory_sink
+
+    src = str(tmp_path / "nullid")
+    spark.createDataFrame(
+        [(1, 100.0, 1, "view"), (None, 150.0, 1, "view"),
+         (2, 200.0, 1, "purchase")],
+        "event_id long, ts double, user_id long, event_type string",
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0, watermark=None
+    )
+    got = drain_memory_sink(out, "attr_nullid", str(tmp_path / "ck_ni")).collect()
+    assert [(r["conv_id"], r["channel"]) for r in got] == [(2, "view")]
+
+
+def test_conversion_type_also_touch_matches_batch(spark, tmp_path):
+    """r8 review: when conversion_type is ALSO a touch type
+    (repeat-purchase attribution), the event must both attribute and
+    enter the buffer — exactly the batch semantics (a purchase
+    attributes to the preceding purchase)."""
+    from tests.conftest import drain_memory_sink
+
+    rows = [(1, 100.0, 1, "view"), (2, 200.0, 1, "purchase"),
+            (3, 300.0, 1, "purchase")]
+    df = _mk(spark, rows)
+    src = str(tmp_path / "selftouch")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    touches = ["view", "purchase"]
+    out = streaming_attribution(
+        stream, touches, "purchase", window_s=7200.0, watermark=None
+    )
+    got = {(r["conv_id"], r["channel"]) for r in drain_memory_sink(
+        out, "attr_st", str(tmp_path / "ck_st")).collect()}
+    want = {(r["conv_id"], r["channel"]) for r in attributed_conversions(
+        df, touches, "purchase", window_s=7200.0).collect()}
+    assert got == want == {(2, "view"), (3, "purchase")}
+
+
+def test_user_column_keeps_input_type(spark, tmp_path):
+    """r8 review: the output user column carries the INPUT type (long
+    driver ids stay long), not a stringified copy."""
+    from tests.conftest import drain_memory_sink
+
+    src = str(tmp_path / "utype")
+    _mk(spark, [(1, 100.0, 7, "view"), (2, 200.0, 7, "purchase")]) \
+        .coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0, watermark=None
+    )
+    assert out.schema["user"].dataType.simpleString() == "bigint"
+    got = drain_memory_sink(out, "attr_ut", str(tmp_path / "ck_ut")).collect()
+    assert got[0]["user"] == 7 and isinstance(got[0]["user"], int)
+
+
+def test_timestamp_stream_evicts_idle_state(spark, tmp_path):
+    """With a watermark (timestamp stream), EventTimeTimeout evicts an
+    idle user's buffer once the watermark passes touch + window — and
+    the drained attribution output is unaffected."""
+    from tests.conftest import drain_memory_sink, pin_file_mtimes_by_event_time
+
+    src = str(tmp_path / "evict")
+    rows1 = [(1, T0, 1, "view"), (2, T0 + dt.timedelta(seconds=60), 1, "purchase")]
+    rows2 = [(3, T0 + dt.timedelta(days=3), 2, "view"),
+             (4, T0 + dt.timedelta(days=3, seconds=60), 2, "purchase")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    pin_file_mtimes_by_event_time(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0, watermark="1 minute"
+    )
+    got = {(r["conv_id"], r["channel"]) for r in drain_memory_sink(
+        out, "attr_ev", str(tmp_path / "ck_ev")).collect()}
+    assert got == {(2, "view"), (4, "view")}

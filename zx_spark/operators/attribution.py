@@ -48,23 +48,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def micros_col(df: DataFrame, ts_col: str):
+    """Microsecond longs — the ONE time domain every attribution window
+    comparison (batch AND streaming) runs in: ``unix_micros`` for
+    TimestampType (the stored µs, exact for any date);
+    ``round(x·1e6)`` for numeric-seconds inputs (exact below ~2^51 µs
+    — module docstring). Shared so the two operators cannot drift."""
+    tcol = F.col(f"`{ts_col}`")
+    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        return F.unix_micros(tcol)
+    return F.round(tcol.cast("double") * F.lit(1e6)).cast("long")
+
+
 def _prep(df, user_col, ts_col, id_col):
     tcol = F.col(f"`{ts_col}`")
-    # __tm: microsecond longs, the ONE domain all window math runs in.
-    # TimestampType reads the stored µs directly (exact for any date);
-    # numeric-seconds inputs round-trip through double (exact below
-    # ~2^51 µs — module docstring).
-    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
-        tm = F.unix_micros(tcol)
-    else:
-        tm = F.round(tcol.cast("double") * F.lit(1e6)).cast("long")
     return df.filter(
         F.col(f"`{user_col}`").isNotNull() & tcol.isNotNull()
     ).select(
         F.col(f"`{user_col}`").alias("__u"),
         tcol.cast("double").alias("__t"),
         F.col(f"`{id_col}`").cast("long").alias("__i"),
-        tm.alias("__tm"),
+        micros_col(df, ts_col).alias("__tm"),
         "*",
     )
 

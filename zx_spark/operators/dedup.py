@@ -306,13 +306,28 @@ def minhash_candidate_pairs(
         raise ValueError(
             f"bands must divide num_hashes (got num_hashes={num_hashes}, bands={bands})"
         )
-    sigs = (
-        signatures
-        if signatures is not None
-        else minhash_signatures(
+    if signatures is not None:
+        # a frame signed with a different num_hashes would silently
+        # band only the first num_hashes/bands elements (the exact
+        # tail-drop the divisor guard above exists to prevent) —
+        # enforce the width IN the plan, the incremental_near_dups
+        # discipline: a FILTER condition (not a droppable column) that
+        # costs one codegen comparison per row
+        chk = F.assert_true(
+            F.size("minhash") == num_hashes,
+            F.concat(
+                F.lit(
+                    f"signatures width != num_hashes={num_hashes} "
+                    "(was the frame signed with different parameters?); got "
+                ),
+                F.size("minhash").cast("string"),
+            ),
+        )
+        sigs = signatures.filter(chk.isNull())
+    else:
+        sigs = minhash_signatures(
             df, text_col, id_col, num_hashes, shingle_n, hash_method
         )
-    )
     banded = minhash_bands(sigs, id_col, "minhash", bands)
     a = banded.alias("a")
     b = banded.alias("b")

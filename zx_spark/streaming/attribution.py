@@ -25,7 +25,14 @@ append-mode sinks are immutable), though it does enter the buffer for
 FUTURE conversions. Under cross-batch event-time order (or a
 watermark-sized reorder buffer upstream) the drained output equals
 the batch operator row-for-row — pinned in tests on the driver
-events.
+events. NULL-id events are dropped at the pre-filter (the stateful
+fold orders by (tm, id) tuples, which need real ids; give events
+ids). Idle users' buffers are EVICTED once the watermark passes
+``newest touch + window`` (EventTimeTimeout + ``state.remove()``, the
+sessions.py pattern) — with ``watermark=None`` there is no event-time
+clock, so state lives until the user's next batch prunes it
+(documented NoTimeout trade-off; pass a watermark on unbounded
+user populations).
 
 Reference scope note: the reference engine (src/lib.rs) has no
 sequence surface; beyond-reference, completing the streaming-twin
@@ -75,16 +82,14 @@ def streaming_attribution(
     window_us = int(round(float(window_s) * 1e6))
     if window_us < 1:
         raise ValueError(f"window_s must be >= 1 microsecond, got {window_s}")
+    from zx_spark.operators.attribution import micros_col
+
     tcol = F.col(f"`{ts_col}`")
-    if isinstance(stream.schema[ts_col].dataType, T.TimestampType):
-        tm = F.unix_micros(tcol)
-    else:
-        tm = F.round(tcol.cast("double") * F.lit(1e6)).cast("long")
     src = _prep_stream(
         stream,
         [
             F.col(f"`{user_col}`").alias("__u"),
-            tm.alias("__tm"),
+            micros_col(stream, ts_col).alias("__tm"),
             tcol.cast("double").alias("__t"),
             F.col(f"`{id_col}`").cast("long").alias("__i"),
             F.col(f"`{type_col}`").alias("__ty"),
@@ -94,12 +99,15 @@ def streaming_attribution(
     ).filter(
         F.col("__u").isNotNull()
         & F.col("__tm").isNotNull()
+        & F.col("__i").isNotNull()  # the (tm, id) fold needs real ids
         & (F.col("__ty").isin(list(touch_types)) | (F.col("__ty") == conversion_type))
     )
 
     per_pair = model in ("linear", "position")
     fields = [
-        T.StructField("user", T.StringType()),
+        # the user column keeps the INPUT type — batch parity includes
+        # the schema, not just the values
+        T.StructField("user", stream.schema[user_col].dataType),
         T.StructField("conv_id", T.LongType()),
         T.StructField("conv_ts", T.DoubleType()),
         T.StructField("channel", T.StringType()),
@@ -121,9 +129,16 @@ def streaming_attribution(
     )
     touch_set = set(touch_types)
 
+    evict = watermark is not None  # EventTimeTimeout needs a watermark
+
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if evict and state.hasTimedOut:
+            # the watermark passed newest-touch + window: nothing in
+            # this buffer can ever attribute again — evict the key
+            state.remove()
+            return
         if state.exists:
             tms, tids, chs, tts = (list(x) for x in state.get)
         else:
@@ -145,9 +160,41 @@ def streaming_attribution(
             return
         evs.sort(key=lambda e: (e[0], e[1]))
         out: list[tuple] = []
-        ukey = str(key[0]) if key[0] is not None else None
-        changed = False
+        ukey = key[0]  # raw — the output column keeps the input type
         for etm, eid, ety, et in evs:
+            # NOT mutually exclusive: a conversion_type that is ALSO a
+            # touch type attributes first (strictly-before excludes the
+            # event itself), then enters the buffer as a touch for
+            # later conversions — exactly the batch semantics (a
+            # repeat-purchase journey attributes each purchase to the
+            # preceding one)
+            if ety == conversion_type:
+                # qualifying = strictly before (tm, id), within the
+                # window — the buffer slice mirrors the batch RANGE
+                # frame + strictly-before filter exactly
+                qual = [
+                    i
+                    for i in range(len(tms))
+                    if (tms[i], tids[i]) < (etm, eid)
+                    and etm - tms[i] <= window_us
+                ]
+                if per_pair and len(qual) > max_touches:
+                    # newest-K cap — the batch rule applies to the
+                    # linear/position list only (last/first uncapped)
+                    qual = qual[-max_touches:]
+                if qual:
+                    if model == "last_touch":
+                        i = qual[-1]
+                        out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
+                    elif model == "first_touch":
+                        i = qual[0]
+                        out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
+                    else:
+                        kq = len(qual)
+                        for p, i in enumerate(qual):
+                            out.append(
+                                (ukey, eid, et, chs[i], tts[i], etm, tms[i], kq, p)
+                            )
             if ety in touch_set:
                 # insertion keeping (tm, id) order: a late in-batch
                 # touch older than buffered ones lands in place
@@ -158,35 +205,6 @@ def streaming_attribution(
                 tids.insert(j, eid)
                 chs.insert(j, ety)
                 tts.insert(j, et)
-                changed = True
-                continue
-            # conversion: qualifying = strictly before (tm, id), within
-            # the window — the buffer slice mirrors the batch RANGE
-            # frame + strictly-before filter exactly
-            qual = [
-                i
-                for i in range(len(tms))
-                if (tms[i], tids[i]) < (etm, eid)
-                and etm - tms[i] <= window_us
-            ]
-            if per_pair and len(qual) > max_touches:
-                # newest-K cap — the batch rule applies to the
-                # linear/position list only (last/first are uncapped)
-                qual = qual[-max_touches:]
-            if not qual:
-                continue
-            if model == "last_touch":
-                i = qual[-1]
-                out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
-            elif model == "first_touch":
-                i = qual[0]
-                out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
-            else:
-                kq = len(qual)
-                for p, i in enumerate(qual):
-                    out.append(
-                        (ukey, eid, et, chs[i], tts[i], etm, tms[i], kq, p)
-                    )
         # prune: a touch older than newest_seen - window can never
         # qualify again under the cross-batch order contract — state
         # stays ∝ in-window touches. The newest-K cap additionally
@@ -197,7 +215,7 @@ def streaming_attribution(
         keep = [i for i in range(len(tms)) if tms[i] >= horizon]
         if model != "first_touch" and len(keep) > max_touches:
             keep = keep[-max_touches:]
-        if changed or len(keep) != len(tms):
+        if keep:
             state.update(
                 (
                     [tms[i] for i in keep],
@@ -206,6 +224,20 @@ def streaming_attribution(
                     [tts[i] for i in keep],
                 )
             )
+            if evict:
+                # evict once the watermark passes the newest touch's
+                # attribution horizon (ms granularity, rounded up);
+                # clamped above the current watermark — Spark rejects a
+                # timeout that is already in the past (a very late
+                # touch's horizon can be)
+                state.setTimeoutTimestamp(
+                    max(
+                        (tms[keep[-1]] + window_us) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif state.exists:
+            state.remove()  # emptied buffer: drop the key, not ([],...)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in fields])
 
@@ -214,5 +246,9 @@ def streaming_attribution(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -21,3 +21,31 @@ def spread(df: DataFrame) -> DataFrame:
     except Exception:
         pass
     return df.repartition(target)
+
+
+def pin_file_mtimes_by_min_value(path: str, column: str) -> None:
+    """Order a parquet file-source directory's streaming trigger
+    sequence by the MIN of ``column`` per file: Spark's file source
+    triggers by modification time, and part-file names don't reflect
+    append order, so maxFilesPerTrigger pipelines that need
+    deterministic event-time epochs pin mtimes from the data itself.
+    One definition shared by the driver-arm staging and the test
+    suite (tests/conftest.pin_file_mtimes_by_event_time delegates
+    here) — the two copies used to drift-risk the cross-batch-order
+    parity the drained arms depend on. Files with no rows (or an
+    all-NULL column) sort FIRST, deterministically."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def min_val(f):
+        col = pq.read_table(os.path.join(path, f), columns=[column]).column(column)
+        vals = [v for v in col.to_pylist() if v is not None]
+        # (0, min) for non-empty, (−1, name) for empty → empty first
+        return (0, min(vals)) if vals else (-1, f)
+
+    files = sorted(
+        (f for f in os.listdir(path) if f.endswith(".parquet")), key=min_val
+    )
+    for i, f in enumerate(files):
+        os.utime(os.path.join(path, f), (1_700_000_000 + i, 1_700_000_000 + i))
