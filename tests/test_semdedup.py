@@ -175,3 +175,136 @@ def test_suggest_n_cells_sqrt_rule():
     assert suggest_n_cells(10**12) == 65536  # cap
     with pytest.raises(ValueError):
         suggest_n_cells(0)
+
+
+# --------------------------------------------- two-level IVF (r8 scale path)
+
+
+def _emb(spark, n=400, dim=16, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        ),
+        np.arange(n),
+        X,
+    )
+
+
+def test_ivf2_assign_exact_when_full_probe(spark):
+    """p_super == n_super scores every child — assignment must equal
+    the single-level ivf_assign argmin cell-for-cell."""
+    from zx_spark.operators.similarity import (
+        ivf2_assign, ivf2_fit_numpy, ivf_assign)
+
+    df, ids, X = _emb(spark)
+    centers, supers, children = ivf2_fit_numpy(ids, X, n_cells=24, n_super=5)
+    a1 = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(
+        df, [[float(x) for x in c] for c in centers], "embedding").collect()}
+    a2 = {r["vec_id"]: r["ivf_cell"] for r in ivf2_assign(
+        df, centers, supers, children, p_super=len(supers)).collect()}
+    assert a1 == a2
+
+
+def test_ivf2_children_partition_cells(spark):
+    """Every cell belongs to exactly one super."""
+    from zx_spark.operators.similarity import ivf2_fit_numpy
+
+    _, ids, X = _emb(spark)
+    centers, supers, children = ivf2_fit_numpy(ids, X, n_cells=24, n_super=5)
+    flat = [c for ch in children for c in ch]
+    assert sorted(flat) == list(range(len(centers)))
+    assert all(ch == sorted(ch) for ch in children)
+
+
+def test_knn2_equals_knn_pairs_at_full_probe(spark):
+    """p_super == n_super makes the two-level probe list equal the
+    single-level one — the k-NN edges must match row-for-row."""
+    from zx_spark.operators.similarity import (
+        ivf2_fit_numpy, ivf_assign, knn_pairs, knn_pairs_2level)
+
+    df, ids, X = _emb(spark, n=300)
+    centers, supers, children = ivf2_fit_numpy(ids, X, n_cells=16, n_super=4)
+    C = [[float(x) for x in c] for c in centers]
+    assigned = ivf_assign(df, C, "embedding")
+    a = sorted(map(tuple, knn_pairs(
+        assigned, centers, k=3, nprobe=4).collect()))
+    b = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4,
+        p_super=len(supers)).collect()))
+    assert a == b and a
+
+
+def test_knn2_recall_floor_with_partial_probe(spark):
+    """The point of the hierarchy: partial super probing keeps useful
+    recall vs exact brute-force top-k while scoring far fewer centers."""
+    import numpy as np
+
+    from zx_spark.operators.similarity import (
+        ivf2_assign, ivf2_fit_numpy, knn_pairs_2level)
+
+    df, ids, X = _emb(spark, n=300)
+    centers, supers, children = ivf2_fit_numpy(ids, X, n_cells=16, n_super=4)
+    assigned = ivf2_assign(df, centers, supers, children, p_super=2)
+    got = {}
+    for r in knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2
+    ).collect():
+        got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    # exact brute-force cosine top-3
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    np.fill_diagonal(sims, -2)
+    hits = total = 0
+    for i in range(len(ids)):
+        want = set(np.argsort(-sims[i])[:3])
+        total += 3
+        hits += len(want & got.get(i, set()))
+    assert hits / total >= 0.5, hits / total
+
+
+def test_ivf2_validates(spark):
+    import pytest
+
+    from zx_spark.operators.similarity import (
+        ivf2_assign, ivf2_fit_numpy, knn_pairs_2level)
+
+    df, ids, X = _emb(spark, n=60)
+    centers, supers, children = ivf2_fit_numpy(ids, X, n_cells=8, n_super=3)
+    with pytest.raises(ValueError, match="p_super"):
+        ivf2_assign(df, centers, supers, children, p_super=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        knn_pairs_2level(df, centers, supers, children, nprobe=0, p_super=2)
+
+
+def test_ivf2_arrow_engine_matches_catalyst(spark):
+    """The vectorized (BLAS) probe path selects the same cells and
+    edges as the interpreted Catalyst expression on real-valued data
+    (ulp ties are measure-zero on random doubles)."""
+    from zx_spark.operators.similarity import (
+        ivf2_assign, ivf2_fit_numpy, knn_pairs_2level)
+
+    df, ids, X = _emb(spark, n=300)
+    centers, supers, children = ivf2_fit_numpy(ids, X, n_cells=16, n_super=4)
+    a_cat = {r["vec_id"]: r["ivf_cell"] for r in ivf2_assign(
+        df, centers, supers, children, p_super=2).collect()}
+    a_arr = {r["vec_id"]: r["ivf_cell"] for r in ivf2_assign(
+        df, centers, supers, children, p_super=2, engine="arrow").collect()}
+    assert a_cat == a_arr
+    assigned = ivf2_assign(df, centers, supers, children, p_super=2,
+                           engine="arrow")
+    e_cat = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2
+    ).collect()))
+    e_arr = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="arrow").collect()))
+    assert e_cat == e_arr and e_cat
+    import pytest
+
+    with pytest.raises(ValueError, match="engine"):
+        ivf2_assign(df, centers, supers, children, engine="gpu")

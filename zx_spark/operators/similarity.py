@@ -460,6 +460,275 @@ def suggest_n_cells(n_vectors: int, floor: int = 8, cap: int = 65536) -> int:
     return max(floor, min(cap, int(round(math.sqrt(n_vectors)))))
 
 
+# --------------------------------------------- two-level IVF (r8 scale path)
+#
+# Single-level IVF with the √N sizing rule follows the N^1.5
+# candidate-volume law (SCALE.md round-8 adjudication: sf1→sf10
+# measured 26.8× for 10×): cell size grows ∝ √N, so every probed cell
+# drags √N candidates. The way out is CONSTANT cell size — n_cells ∝ N
+# — which single-level IVF cannot afford because every query scores
+# every center (n_cells dots per row → N per row → N² total). The
+# two-level coarse quantizer fixes the scoring: cluster the CENTERS
+# into ~√n_cells super-cells, score the supers first (√n_cells dots),
+# then only the chosen supers' children (p_super · √n_cells more).
+# Per-query probe cost √n_cells-ish, candidates nprobe·(N/n_cells) =
+# constant → the end-to-end build is ~linear in N (measured — SCALE.md
+# round-8 table). This is the IMI/FAISS-style hierarchy re-expressed
+# as pure Catalyst literals; selection is approximate in the standard
+# IVF sense (a vector near a super boundary may miss its true nearest
+# cell), EXACT when p_super == n_super (pinned in tests against the
+# single-level operators).
+
+
+def ivf2_fit_numpy(
+    ids: np.ndarray,
+    X: np.ndarray,
+    n_cells: int | None = None,
+    n_super: int | None = None,
+    iters: int = 5,
+    super_iters: int = 5,
+    target_cell: int = 256,
+):
+    """Driver-side two-level fit (same deterministic Lloyd as
+    ``ivf_centers_numpy`` at both levels — at real scale fit on a
+    hash-sample; the model is centers only, data never leaves Spark):
+    returns ``(centers, super_centers, children)`` with ``children[s]``
+    the ASCENDING child-cell ids of super ``s`` (possibly empty).
+    Defaults: ``n_cells = max(8, N // target_cell)`` — the constant
+    cell-size rule this hierarchy exists for — and ``n_super =
+    round(√n_cells)``."""
+    X = np.asarray(X, dtype=np.float64)
+    n = len(ids)
+    if n_cells is None:
+        n_cells = max(8, n // int(target_cell))
+    if n_super is None:
+        n_super = max(2, int(round(float(n_cells) ** 0.5)))
+    centers = ivf_centers_numpy(ids, X, n_cells, iters)
+    n_cells = len(centers)
+    super_centers = ivf_centers_numpy(
+        np.arange(n_cells), centers, min(n_super, n_cells), super_iters
+    )
+    # nearest super per center: the same |c|²−2s·c expansion argmin,
+    # ties to the first (lowest) super id
+    d = (
+        (super_centers * super_centers).sum(axis=1)[None, :]
+        - 2.0 * centers @ super_centers.T
+    )
+    owner = d.argmin(axis=1)
+    children = [
+        [int(c) for c in np.flatnonzero(owner == s)]
+        for s in range(len(super_centers))
+    ]
+    return centers, super_centers, children
+
+
+def _two_level_sorted_cells(
+    v, centers, super_centers, children, p_super: int
+):
+    """Column: candidate cell ids sorted by (squared distance, id) —
+    children of the ``p_super`` nearest super-cells only. Pure
+    Catalyst over four literals (flattened centers/supers, their
+    norms, the children map); per-row cost n_super + p_super·avg-child
+    dots instead of n_cells."""
+    ns, dim = len(super_centers), len(super_centers[0])
+    sflat = F.lit([float(x) for s in super_centers for x in s])
+    s2 = F.lit([float(sum(x * x for x in s)) for s in super_centers])
+    cflat = F.lit([float(x) for c in centers for x in c])
+    c2 = F.lit([float(sum(x * x for x in c)) for c in centers])
+    kids_lit = F.lit([[int(c) for c in ch] for ch in children])
+    sscore = F.transform(
+        F.sequence(F.lit(0), F.lit(ns - 1)),
+        lambda j: F.struct(
+            (
+                F.element_at(s2, j + 1)
+                - 2.0 * _dot(v, F.slice(sflat, j * dim + 1, dim))
+            ).alias("d"),
+            j.alias("c"),
+        ),
+    )
+    ssel = F.slice(
+        F.transform(F.array_sort(sscore), lambda s: s["c"]), 1, p_super
+    )
+    kids = F.flatten(F.transform(ssel, lambda s: F.element_at(kids_lit, s + 1)))
+    cscore = F.transform(
+        kids,
+        lambda j: F.struct(
+            (
+                F.element_at(c2, j + 1)
+                - 2.0 * _dot(v, F.slice(cflat, j * dim + 1, dim))
+            ).alias("d"),
+            j.alias("c"),
+        ),
+    )
+    return F.transform(F.array_sort(cscore), lambda s: s["c"])
+
+
+def _two_level_probe_udf(
+    centers, supers, children, p_super: int, take: int
+):
+    """Vectorized (Arrow/numpy) twin of ``_two_level_sorted_cells``:
+    a pandas UDF returning each row's ``take`` nearest candidate cells.
+    Why it exists: Catalyst higher-order functions (transform/zip_with/
+    aggregate) evaluate INTERPRETED — measured ~8µs per dot-product
+    element at sf10, i.e. ~1.5ms/row for a 196-center probe, which made
+    the probe stage dominate the whole two-level build (SCALE.md r8).
+    The same selection as BLAS matrix products runs ~100× faster; rows
+    sharing a super-selection (the common case — locality) batch their
+    child scoring into one matmul. Ties break by (distance, cell id)
+    like the Catalyst version; absolute doubles differ in the last ulp
+    (BLAS vs left-fold order), the standard Arrow-path trade."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(np.asarray(centers, dtype=np.float64))
+    S = np.ascontiguousarray(np.asarray(supers, dtype=np.float64))
+    c2 = (C * C).sum(axis=1)
+    s2 = (S * S).sum(axis=1)
+    kids_arr = [np.asarray(ch, dtype=np.int64) for ch in children]
+
+    # annotations set as REAL objects after the def: this module has
+    # `from __future__ import annotations`, which turns inline hints
+    # into strings pandas_udf's eval-type inference cannot resolve
+    def probe(col):
+        V = np.asarray(col.tolist(), dtype=np.float64)
+        if V.ndim != 2 or len(V) == 0:
+            return pd.Series([[] for _ in range(len(col))])
+        ds = s2[None, :] - 2.0 * (V @ S.T)
+        # p_super nearest supers; ties by super id (argsort is stable
+        # over the id-ordered axis)
+        sel = np.sort(np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1)
+        out = [None] * len(V)
+        uniq, inv = np.unique(sel, axis=0, return_inverse=True)
+        for g in range(len(uniq)):
+            rows = np.flatnonzero(inv == g)
+            kids = np.concatenate([kids_arr[s] for s in uniq[g]])
+            if len(kids) == 0:
+                for r in rows:
+                    out[r] = []
+                continue
+            dd = c2[kids][None, :] - 2.0 * (V[rows] @ C[kids].T)
+            for i, r in enumerate(rows):
+                order = np.lexsort((kids, dd[i]))  # (distance, cell id)
+                out[r] = [int(kids[j]) for j in order[:take]]
+        return pd.Series(out)
+
+    probe.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(T.ArrayType(T.IntegerType()))(probe)
+
+
+def ivf2_assign(
+    df: DataFrame,
+    centers,
+    super_centers,
+    children,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    p_super: int = 4,
+    engine: str = "catalyst",
+) -> DataFrame:
+    """Two-stage assignment: nearest super-cells first, then the argmin
+    over their children only — the build-side cost drops from
+    N·n_cells to N·(n_super + p_super·avg-child) dots, which is what
+    makes n_cells ∝ N affordable. Approximate in the standard IVF
+    sense (boundary vectors may assign to a near-optimal cell); exact
+    when ``p_super == len(super_centers)`` (test-pinned against
+    ``ivf_assign``).
+
+    ``engine``: ``"catalyst"`` (default) is the pure literal-expression
+    path — no Python, deterministic left-fold doubles (the
+    oracle-grade choice); ``"arrow"`` routes the selection through the
+    vectorized pandas UDF — ~100× faster at large n_cells because
+    Catalyst higher-order functions evaluate interpreted (measured,
+    SCALE.md r8); last-ulp double differences at exact ties."""
+    ns = len(super_centers)
+    if not 1 <= p_super <= ns:
+        raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
+    if engine not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown engine: {engine!r}")
+    v = F.col(f"`{vec_col}`").cast("array<double>")
+    C = [[float(x) for x in c] for c in np.asarray(centers)]
+    S = [[float(x) for x in s] for s in np.asarray(super_centers)]
+    if engine == "arrow":
+        probe = _two_level_probe_udf(C, S, children, p_super, take=1)
+        return df.withColumn(cell_col, F.element_at(probe(v), 1).cast("int"))
+    cells = _two_level_sorted_cells(v, C, S, children, p_super)
+    return df.withColumn(cell_col, F.element_at(cells, 1).cast("int"))
+
+
+def knn_pairs_2level(
+    assigned: DataFrame,
+    centers,
+    super_centers,
+    children,
+    k: int = 10,
+    nprobe: int = 8,
+    p_super: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    engine: str = "catalyst",
+) -> DataFrame:
+    """k-NN graph with two-level probe selection — the constant-cell
+    companion of ``knn_pairs``: each query scores n_super supers +
+    p_super supers' children instead of every cell, then explodes its
+    ``nprobe`` nearest candidate cells into the same bounded equi-join
+    (one hash shuffle ∝ cell size × nprobe — with n_cells ∝ N the
+    join volume is LINEAR in N) and a per-query top-k window. With
+    ``p_super == len(super_centers)`` the probe list equals the
+    single-level ``knn_pairs`` order (test-pinned); smaller ``p_super``
+    trades recall for the √n_cells scoring cut. ``engine="arrow"``
+    vectorizes the probe selection (see ``ivf2_assign``) — the scale
+    default once n_cells reaches the hundreds."""
+    from pyspark.sql import Window
+
+    ns = len(super_centers)
+    if not 1 <= p_super <= ns:
+        raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
+    if engine not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown engine: {engine!r}")
+    C = [[float(x) for x in c] for c in np.asarray(centers)]
+    S = [[float(x) for x in s] for s in np.asarray(super_centers)]
+    if not 1 <= nprobe <= len(C):
+        raise ValueError(f"nprobe must be in 1..{len(C)}, got {nprobe}")
+    v = F.col(vec_col).cast("array<double>")
+    if engine == "arrow":
+        pu = _two_level_probe_udf(C, S, children, p_super, take=nprobe)
+        probes = pu(v)
+    else:
+        probes = F.slice(
+            _two_level_sorted_cells(v, C, S, children, p_super), 1, nprobe
+        )
+    q = _spread(assigned).select(
+        F.col(id_col).alias("__qid"),
+        v.alias("__qv"),
+        F.explode(probes).alias("__pc"),
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        F.col(cell_col).alias("__cc"),
+    )
+    pairs = (
+        q.join(cand, q["__pc"] == cand["__cc"])
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__cid").alias("neighbor_id"),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_build_lloyd(
     df: DataFrame,
     vec_col: str = "embedding",
