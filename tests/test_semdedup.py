@@ -308,3 +308,31 @@ def test_ivf2_arrow_engine_matches_catalyst(spark):
 
     with pytest.raises(ValueError, match="engine"):
         ivf2_assign(df, centers, supers, children, engine="gpu")
+
+
+def test_ivf2_defaults_work_at_small_n_and_nulls_survive_arrow(spark):
+    """r8 review: (a) the all-defaults flow (fit defaults + assign/knn
+    defaults) must work at ANY corpus size — p_super defaults to
+    min(4, n_super); (b) a NULL or wrong-length embedding must not
+    crash the arrow probe UDF (it gets a NULL cell, matching the
+    Catalyst engine's null propagation)."""
+    from zx_spark.operators.similarity import (
+        ivf2_assign, ivf2_fit_numpy, knn_pairs_2level)
+
+    df, ids, X = _emb(spark, n=200)  # n_cells=8 -> n_super=3 < 4
+    centers, supers, children = ivf2_fit_numpy(ids, X, target_cell=128)
+    assigned = ivf2_assign(df, centers, supers, children)  # all defaults
+    assert assigned.filter(F.col("ivf_cell").isNull()).count() == 0
+    edges = knn_pairs_2level(assigned, centers, supers, children,
+                             k=2, nprobe=2)  # default p_super
+    assert edges.count() > 0
+    # null + ragged rows through the arrow engine
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mixed = df.limit(5).unionByName(bad)
+    out = ivf2_assign(mixed, centers, supers, children, engine="arrow")
+    rows = {r["vec_id"]: r["ivf_cell"] for r in out.collect()}
+    assert rows[900] is None and rows[901] is None
+    assert all(v is not None for k, v in rows.items() if k < 900)

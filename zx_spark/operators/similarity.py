@@ -588,30 +588,48 @@ def _two_level_probe_udf(
     s2 = (S * S).sum(axis=1)
     kids_arr = [np.asarray(ch, dtype=np.int64) for ch in children]
 
+    dim = C.shape[1]
+
     # annotations set as REAL objects after the def: this module has
     # `from __future__ import annotations`, which turns inline hints
     # into strings pandas_udf's eval-type inference cannot resolve
     def probe(col):
-        V = np.asarray(col.tolist(), dtype=np.float64)
-        if V.ndim != 2 or len(V) == 0:
-            return pd.Series([[] for _ in range(len(col))])
+        rows_in = col.tolist()
+        # NULL / wrong-length embeddings get an EMPTY probe list (the
+        # Catalyst engine null-propagates the same rows) instead of
+        # letting np.asarray blow up the task on a ragged batch
+        valid = [
+            i for i, x in enumerate(rows_in)
+            if x is not None and len(x) == dim
+        ]
+        out = [[] for _ in rows_in]
+        if not valid:
+            return pd.Series(out)
+        V = np.asarray([rows_in[i] for i in valid], dtype=np.float64)
         ds = s2[None, :] - 2.0 * (V @ S.T)
         # p_super nearest supers; ties by super id (argsort is stable
         # over the id-ordered axis)
         sel = np.sort(np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1)
-        out = [None] * len(V)
         uniq, inv = np.unique(sel, axis=0, return_inverse=True)
         for g in range(len(uniq)):
             rows = np.flatnonzero(inv == g)
             kids = np.concatenate([kids_arr[s] for s in uniq[g]])
             if len(kids) == 0:
-                for r in rows:
-                    out[r] = []
                 continue
+            # ascending kid order makes a STABLE argsort of the
+            # distances alone equal the (distance, cell id) order —
+            # and take=1 a plain vectorized argmin (first min = lowest
+            # id), no per-row lexsort
+            kids = np.sort(kids)
             dd = c2[kids][None, :] - 2.0 * (V[rows] @ C[kids].T)
-            for i, r in enumerate(rows):
-                order = np.lexsort((kids, dd[i]))  # (distance, cell id)
-                out[r] = [int(kids[j]) for j in order[:take]]
+            if take == 1:
+                best = dd.argmin(axis=1)
+                for i, r in enumerate(rows):
+                    out[valid[r]] = [int(kids[best[i]])]
+            else:
+                for i, r in enumerate(rows):
+                    order = np.argsort(dd[i], kind="stable")
+                    out[valid[r]] = [int(kids[j]) for j in order[:take]]
         return pd.Series(out)
 
     probe.__annotations__ = {"col": pd.Series, "return": pd.Series}
@@ -625,16 +643,21 @@ def ivf2_assign(
     children,
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
-    p_super: int = 4,
+    p_super: int | None = None,
     engine: str = "catalyst",
 ) -> DataFrame:
     """Two-stage assignment: nearest super-cells first, then the argmin
     over their children only — the build-side cost drops from
     N·n_cells to N·(n_super + p_super·avg-child) dots, which is what
-    makes n_cells ∝ N affordable. Approximate in the standard IVF
-    sense (boundary vectors may assign to a near-optimal cell); exact
-    when ``p_super == len(super_centers)`` (test-pinned against
-    ``ivf_assign``).
+    makes n_cells ∝ N affordable. ``p_super`` defaults to
+    ``min(4, n_super)`` so the all-defaults flow works at any corpus
+    size. Approximate in the standard IVF sense (boundary vectors may
+    assign to a near-optimal cell); with ``p_super ==
+    len(super_centers)`` it equals ``ivf_assign`` up to floating-point
+    near-ties (the scores omit the per-row |v|² constant that
+    ``ivf_assign`` adds — a tie would need two cells within one ulp of
+    |v|², measure-zero on real-valued data; test-pinned on random
+    embeddings).
 
     ``engine``: ``"catalyst"`` (default) is the pure literal-expression
     path — no Python, deterministic left-fold doubles (the
@@ -643,6 +666,8 @@ def ivf2_assign(
     Catalyst higher-order functions evaluate interpreted (measured,
     SCALE.md r8); last-ulp double differences at exact ties."""
     ns = len(super_centers)
+    if p_super is None:
+        p_super = min(4, ns)
     if not 1 <= p_super <= ns:
         raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
     if engine not in ("catalyst", "arrow"):
@@ -652,7 +677,10 @@ def ivf2_assign(
     S = [[float(x) for x in s] for s in np.asarray(super_centers)]
     if engine == "arrow":
         probe = _two_level_probe_udf(C, S, children, p_super, take=1)
-        return df.withColumn(cell_col, F.element_at(probe(v), 1).cast("int"))
+        # F.get, not element_at: a NULL/ragged embedding probes to an
+        # EMPTY list, and ANSI element_at raises on out-of-bounds where
+        # get null-propagates (matching the Catalyst path's nulls)
+        return df.withColumn(cell_col, F.get(probe(v), 0).cast("int"))
     cells = _two_level_sorted_cells(v, C, S, children, p_super)
     return df.withColumn(cell_col, F.element_at(cells, 1).cast("int"))
 
@@ -664,7 +692,7 @@ def knn_pairs_2level(
     children,
     k: int = 10,
     nprobe: int = 8,
-    p_super: int = 4,
+    p_super: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "ivf_cell",
@@ -677,13 +705,15 @@ def knn_pairs_2level(
     (one hash shuffle ∝ cell size × nprobe — with n_cells ∝ N the
     join volume is LINEAR in N) and a per-query top-k window. With
     ``p_super == len(super_centers)`` the probe list equals the
-    single-level ``knn_pairs`` order (test-pinned); smaller ``p_super``
-    trades recall for the √n_cells scoring cut. ``engine="arrow"``
-    vectorizes the probe selection (see ``ivf2_assign``) — the scale
-    default once n_cells reaches the hundreds."""
-    from pyspark.sql import Window
-
+    single-level ``knn_pairs`` order (test-pinned, modulo the |v|²
+    near-tie caveat on ``ivf2_assign``); smaller ``p_super`` trades
+    recall for the √n_cells scoring cut; the default is
+    ``min(4, n_super)``. ``engine="arrow"`` vectorizes the probe
+    selection (see ``ivf2_assign``) — the scale default once n_cells
+    reaches the hundreds."""
     ns = len(super_centers)
+    if p_super is None:
+        p_super = min(4, ns)
     if not 1 <= p_super <= ns:
         raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
     if engine not in ("catalyst", "arrow"):
@@ -692,7 +722,7 @@ def knn_pairs_2level(
     S = [[float(x) for x in s] for s in np.asarray(super_centers)]
     if not 1 <= nprobe <= len(C):
         raise ValueError(f"nprobe must be in 1..{len(C)}, got {nprobe}")
-    v = F.col(vec_col).cast("array<double>")
+    v = F.col(f"`{vec_col}`").cast("array<double>")
     if engine == "arrow":
         pu = _two_level_probe_udf(C, S, children, p_super, take=nprobe)
         probes = pu(v)
@@ -700,33 +730,7 @@ def knn_pairs_2level(
         probes = F.slice(
             _two_level_sorted_cells(v, C, S, children, p_super), 1, nprobe
         )
-    q = _spread(assigned).select(
-        F.col(id_col).alias("__qid"),
-        v.alias("__qv"),
-        F.explode(probes).alias("__pc"),
-    )
-    cand = assigned.select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-        F.col(cell_col).alias("__cc"),
-    )
-    pairs = (
-        q.join(cand, q["__pc"] == cand["__cc"])
-        .filter(F.col("__qid") != F.col("__cid"))
-        .select(
-            F.col("__qid").alias(id_col),
-            F.col("__cid").alias("neighbor_id"),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _knn_join_topk(assigned, probes, k, vec_col, id_col, cell_col)
 
 
 def ivf_build_lloyd(
@@ -1214,6 +1218,25 @@ def knn_pairs(
     probes = F.slice(
         F.transform(F.array_sort(scored), lambda s: s["c"]), 1, nprobe
     )
+    return _knn_join_topk(assigned, probes, k, vec_col, id_col, cell_col)
+
+
+def _knn_join_topk(
+    assigned: DataFrame,
+    probes,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """The shared k-NN tail (``knn_pairs`` and ``knn_pairs_2level``
+    differ only in how the probe list is chosen): explode each row's
+    probed cells into a bounded equi-join on the assignment cell, exact
+    cosine per candidate, per-query top-``k`` window with the
+    (cosine desc, neighbor id) tie order."""
+    from pyspark.sql import Window
+
+    v = F.col(f"`{vec_col}`").cast("array<double>")
     q = _spread(assigned).select(
         F.col(id_col).alias("__qid"),
         v.alias("__qv"),
@@ -1221,7 +1244,7 @@ def knn_pairs(
     )
     cand = assigned.select(
         F.col(id_col).alias("__cid"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+        v.alias("__cv"),
         F.col(cell_col).alias("__cc"),
     )
     pairs = (
