@@ -4709,6 +4709,13 @@ def _weighted_funnel_oracle() -> str:
         "atk AS (SELECT i, count(*) AS k FROM atj GROUP BY i), "
         "atlin AS (SELECT ch, k, count(*) AS n FROM atj JOIN atk USING (i) "
         "  GROUP BY ch, k), "
+        # CAVEAT shared by atpos/atdk (and atlin): atj is the UNCAPPED
+        # windowed join, while the Spark side inherits the linear
+        # model's max_touches cap (newest 1000 kept) — a conversion
+        # with >1000 in-window touches would diverge. The fixture max
+        # in-window fan-in is far below 1000 (asserted nowhere cheap;
+        # documented here per ADVICE r8); widen max_touches or cap the
+        # CTE if a future fixture breaches it.
         # position grid (r8): the touch's 0-based slot in the
         # conversion's (µs, id)-ordered qualifying list
         "atpj AS (SELECT ch, k, row_number() OVER "

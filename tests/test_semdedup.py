@@ -336,3 +336,16 @@ def test_ivf2_defaults_work_at_small_n_and_nulls_survive_arrow(spark):
     rows = {r["vec_id"]: r["ivf_cell"] for r in out.collect()}
     assert rows[900] is None and rows[901] is None
     assert all(v is not None for k, v in rows.items() if k < 900)
+    # r9 (ADVICE r8): the CATALYST engine must gate the same rows to
+    # NULL — ungated, the struct sort over NULL distances still emitted
+    # real cell ids (bad rows silently landed in cell 0)
+    out_cat = ivf2_assign(mixed, centers, supers, children)
+    rows_cat = {r["vec_id"]: r["ivf_cell"] for r in out_cat.collect()}
+    assert rows_cat == rows
+    # and the catalyst knn probe list must emit NO edges for bad
+    # queries (they exploded to bogus edges before the gate)
+    mixed_assigned = out_cat
+    e = knn_pairs_2level(mixed_assigned, centers, supers, children,
+                         k=2, nprobe=2)
+    bad_q = e.filter(F.col("vec_id").isin(900, 901)).count()
+    assert bad_q == 0

@@ -335,7 +335,10 @@ def decay_report(
     per-conversion-normalized variant divides by the conversion's
     weight total — a per-conversion float, deliberately not emitted
     from the big pass; derive it from ``attributed_conversions(model=
-    'linear')`` rows when needed."""
+    'linear')`` rows when needed. Note the qualifying list is the
+    ``max_touches``-capped one (newest kept, inherited from the linear
+    model): with the default cap of 1000 this is the full qualifying
+    list for any realistic journey."""
     hl_us = int(round(float(half_life_s) * 1e6))
     if hl_us < 1:
         # a sub-µs half-life would integer-divide by zero below —

@@ -596,7 +596,8 @@ def _two_level_probe_udf(
     def probe(col):
         rows_in = col.tolist()
         # NULL / wrong-length embeddings get an EMPTY probe list (the
-        # Catalyst engine null-propagates the same rows) instead of
+        # Catalyst engine gates the same rows to NULL — see the
+        # ivf2_assign/knn_pairs_2level F.when guards) instead of
         # letting np.asarray blow up the task on a ragged batch
         valid = [
             i for i, x in enumerate(rows_in)
@@ -675,14 +676,24 @@ def ivf2_assign(
     v = F.col(f"`{vec_col}`").cast("array<double>")
     C = [[float(x) for x in c] for c in np.asarray(centers)]
     S = [[float(x) for x in s] for s in np.asarray(super_centers)]
+    dim = len(C[0]) if C else 0
     if engine == "arrow":
         probe = _two_level_probe_udf(C, S, children, p_super, take=1)
         # F.get, not element_at: a NULL/ragged embedding probes to an
         # EMPTY list, and ANSI element_at raises on out-of-bounds where
         # get null-propagates (matching the Catalyst path's nulls)
         return df.withColumn(cell_col, F.get(probe(v), 0).cast("int"))
+    # explicit NULL/dim gate: without it a NULL or wrong-length
+    # embedding yields NULL distances but the struct sort still emits
+    # REAL cell ids, silently assigning bad rows to cell 0 — diverging
+    # from both the arrow path (empty probe → NULL) and single-level
+    # ivf_assign (NULL). F.get, not element_at: ANSI element_at raises
+    # on an empty candidate list (a super owning zero children).
     cells = _two_level_sorted_cells(v, C, S, children, p_super)
-    return df.withColumn(cell_col, F.element_at(cells, 1).cast("int"))
+    cell = F.when(
+        v.isNotNull() & (F.size(v) == F.lit(dim)), F.get(cells, 0)
+    ).cast("int")
+    return df.withColumn(cell_col, cell)
 
 
 def knn_pairs_2level(
@@ -727,8 +738,16 @@ def knn_pairs_2level(
         pu = _two_level_probe_udf(C, S, children, p_super, take=nprobe)
         probes = pu(v)
     else:
-        probes = F.slice(
-            _two_level_sorted_cells(v, C, S, children, p_super), 1, nprobe
+        # same NULL/dim gate as ivf2_assign: ungated, a NULL/ragged
+        # query embedding would probe real cells (NULL distances sort
+        # as real ids) and emit bogus edges; gated, the NULL probe list
+        # explodes to nothing — matching the arrow path's empty list
+        dim = len(C[0]) if C else 0
+        probes = F.when(
+            v.isNotNull() & (F.size(v) == F.lit(dim)),
+            F.slice(
+                _two_level_sorted_cells(v, C, S, children, p_super), 1, nprobe
+            ),
         )
     return _knn_join_topk(assigned, probes, k, vec_col, id_col, cell_col)
 
@@ -1215,8 +1234,14 @@ def knn_pairs(
             j.alias("c"),
         ),
     )
-    probes = F.slice(
-        F.transform(F.array_sort(scored), lambda s: s["c"]), 1, nprobe
+    # NULL/dim gate (same class as the two-level paths): a NULL or
+    # wrong-length query embedding must probe NOTHING, not cell ids
+    # sorted by NULL distances
+    probes = F.when(
+        v.isNotNull() & (F.size(v) == F.lit(dim)),
+        F.slice(
+            F.transform(F.array_sort(scored), lambda s: s["c"]), 1, nprobe
+        ),
     )
     return _knn_join_topk(assigned, probes, k, vec_col, id_col, cell_col)
 
