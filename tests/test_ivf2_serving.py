@@ -1,0 +1,265 @@
+"""Round-9 serving integration of the two-level IVF quantizer
+(VERDICT r8 item 1): ivf_topk / ivf_topk_batch / ivfpq_topk probe
+selection through (supers, children), the (super, cell) hierarchical
+store layout, the Arrow-scored join-side cosine, and the auto engine
+threshold."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zx_spark.operators.similarity import (
+    ARROW_AUTO_CELLS,
+    _resolve_engine,
+    ivf2_assign,
+    ivf2_fit_numpy,
+    ivf_assign,
+    ivf_topk,
+    ivf_topk_batch,
+    ivfpq_topk,
+    knn_pairs,
+    knn_pairs_2level,
+    pq_encode,
+    pq_train,
+    probe_cells,
+    probe_cells_2level,
+    read_ivf_store,
+    super_of_cells,
+    with_super_col,
+    write_ivf_store,
+)
+
+
+def _emb(spark, n=400, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        ),
+        np.arange(n),
+        X,
+    )
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    df, ids, X = _emb(spark)
+    centers, supers, children = ivf2_fit_numpy(ids, X, n_cells=24, n_super=5)
+    C = [[float(x) for x in c] for c in centers]
+    assigned = ivf_assign(df, C, "embedding").localCheckpoint()
+    return df, ids, X, centers, supers, children, assigned
+
+
+def test_probe_2level_equals_flat_at_full_super(model):
+    """p_super == n_super scores every cell with the same cosine
+    formula — the serving probe must equal probe_cells exactly."""
+    _, _, X, centers, supers, children, _ = model
+    q = [float(x) for x in X[11]]
+    for nprobe in (1, 3, 8, 24):
+        flat = probe_cells(centers, q, nprobe)
+        two = probe_cells_2level(
+            centers, supers, children, q, nprobe, p_super=len(supers)
+        )
+        assert flat == two, (nprobe, flat, two)
+
+
+def test_probe_2level_partial_is_subset_of_probed_supers(model):
+    _, _, X, centers, supers, children, _ = model
+    q = [float(x) for x in X[42]]
+    cells = probe_cells_2level(centers, supers, children, q, 4, p_super=2)
+    assert len(cells) == 4 and len(set(cells)) == 4
+    owner = super_of_cells(children, len(centers))
+    assert len({owner[c] for c in cells}) <= 2
+    with pytest.raises(ValueError, match="p_super"):
+        probe_cells_2level(centers, supers, children, q, 4, p_super=0)
+
+
+def test_probe_2level_empty_children_and_small_nprobe(model):
+    """A selected super owning zero cells must not crash; candidate
+    exhaustion returns what exists."""
+    _, _, X, centers, supers, _, _ = model
+    q = [float(x) for x in X[0]]
+    empty_kids = [[] for _ in supers]
+    assert probe_cells_2level(centers, supers, empty_kids, q, 4) == []
+    one = [[0]] + [[] for _ in supers[1:]]
+    got = probe_cells_2level(centers, supers, one, q, 4, p_super=len(supers))
+    assert got == [0]
+
+
+def test_ivf_topk_two_level_equals_flat_at_full_super(model):
+    _, _, X, centers, supers, children, assigned = model
+    q = [float(x) for x in X[5]]
+    flat = ivf_topk(assigned, centers, q, k=5, nprobe=4).collect()
+    two = ivf_topk(
+        assigned, centers, q, k=5, nprobe=4,
+        supers=supers, children=children, p_super=len(supers),
+    ).collect()
+    assert [tuple(r) for r in flat] == [tuple(r) for r in two] and flat
+
+
+def test_ivf_topk_batch_two_level_equals_per_query(model):
+    _, _, X, centers, supers, children, assigned = model
+    qs = [[float(x) for x in X[5]], [float(x) for x in X[77]]]
+    batch = ivf_topk_batch(
+        assigned, centers, qs, k=5, nprobe=3,
+        supers=supers, children=children, p_super=2,
+    ).collect()
+    for qno, q in enumerate(qs):
+        single = ivf_topk(
+            assigned, centers, q, k=5, nprobe=3,
+            supers=supers, children=children, p_super=2,
+        ).collect()
+        got = sorted(
+            (r["vec_id"], r["cosine"]) for r in batch if r["query_no"] == qno
+        )
+        want = sorted((r["vec_id"], r["cosine"]) for r in single)
+        assert got == want and got
+
+
+def test_ivfpq_topk_two_level_equals_flat_at_full_super(spark, model):
+    df, _, X, centers, supers, children, assigned = model
+    books = pq_train(df, m=4, k=16, iters=2, dim=16)
+    codes = pq_encode(assigned, books, keep_cols=["ivf_cell"])
+    q = [float(x) for x in X[9]]
+    kw = dict(k_results=5, nprobe=4, shortlist=30,
+              vectors_cell_col="ivf_cell")
+    flat = ivfpq_topk(codes, assigned, centers, books, q, **kw).collect()
+    two = ivfpq_topk(
+        codes, assigned, centers, books, q,
+        supers=supers, children=children, p_super=len(supers), **kw
+    ).collect()
+    assert [tuple(r) for r in flat] == [tuple(r) for r in two] and flat
+
+
+def test_super_of_cells_validates():
+    assert super_of_cells([[0, 2], [1]], 3) == [0, 1, 0]
+    with pytest.raises(ValueError, match="no super"):
+        super_of_cells([[0], [1]], 3)
+    with pytest.raises(ValueError, match="owned by supers"):
+        super_of_cells([[0, 1], [1, 2]], 3)
+    with pytest.raises(ValueError, match="out of range"):
+        super_of_cells([[0, 5]], 3)
+
+
+def test_hierarchical_store_layout_and_pruned_serving(spark, model, tmp_path):
+    """(super, cell) partitioned store: directory layout is
+    hierarchical, reads recover the columns, and two-level serving with
+    the super filter returns the same rows as without it."""
+    import os
+
+    _, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(assigned, children, len(centers))
+    path = str(tmp_path / "store2")
+    write_ivf_store(ann, path, super_col="ivf_super")
+    tops = sorted(
+        d for d in os.listdir(path) if d.startswith("ivf_super=")
+    )
+    assert tops and all("=" in d for d in tops)
+    inner = os.listdir(os.path.join(path, tops[0]))
+    assert any(d.startswith("ivf_cell=") for d in inner)
+    store = read_ivf_store(spark, path)
+    q = [float(x) for x in X[3]]
+    served = ivf_topk(
+        store, centers, q, k=5, nprobe=4,
+        supers=supers, children=children, p_super=2, super_col="ivf_super",
+    ).collect()
+    plain = ivf_topk(
+        store, centers, q, k=5, nprobe=4,
+        supers=supers, children=children, p_super=2,
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in plain] and served
+    # the super filter reaches the scan as a partition filter
+    pruned = ivf_topk(
+        store, centers, q, k=5, nprobe=4,
+        supers=supers, children=children, p_super=2, super_col="ivf_super",
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_super" in plan
+
+
+def test_with_super_col_null_cell_gets_null_super(spark, model):
+    _, _, _, centers, supers, children, _ = model
+    bad = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    out = with_super_col(
+        ivf2_assign(bad, centers, supers, children), children, len(centers)
+    ).collect()[0]
+    assert out["ivf_cell"] is None and out["ivf_super"] is None
+
+
+def test_knn_score_engine_arrow_equals_catalyst(model):
+    """The BLAS-scored join cosine must reproduce the interpreted
+    zip_with fold's 6-dp values on real-valued data (both levels)."""
+    _, _, _, centers, supers, children, assigned = model
+    cat = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="catalyst").collect()))
+    arr = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="arrow").collect()))
+    assert cat == arr and cat
+    cat1 = sorted(map(tuple, knn_pairs(
+        assigned, centers, k=3, nprobe=4, score_engine="catalyst").collect()))
+    arr1 = sorted(map(tuple, knn_pairs(
+        assigned, centers, k=3, nprobe=4, score_engine="arrow").collect()))
+    assert cat1 == arr1 and cat1
+
+
+def test_resolve_engine_threshold():
+    assert _resolve_engine("auto", ARROW_AUTO_CELLS - 1) == "catalyst"
+    assert _resolve_engine("auto", ARROW_AUTO_CELLS) == "arrow"
+    assert _resolve_engine("catalyst", 10**6) == "catalyst"
+    assert _resolve_engine("arrow", 1) == "arrow"
+    with pytest.raises(ValueError, match="engine"):
+        _resolve_engine("gpu", 8)
+    with pytest.raises(ValueError, match="engine"):
+        knn_pairs_2level(None, [[0.0]], [[0.0]], [[0]], score_engine="gpu")
+
+
+def test_vector_index_sink_two_level(spark, model, tmp_path):
+    """Streaming maintenance through the two-level quantizer: drained
+    store equals the batch ivf2_assign + with_super_col frame, carries
+    the (super, cell) layout, and serves identically."""
+    df, _, X, centers, supers, children, _ = model
+    from zx_spark.streaming.vectors import read_vector_index, vector_index_sink
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "vstore")
+    cp = str(tmp_path / "cp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    C = [[float(x) for x in c] for c in centers]
+    q = vector_index_sink(
+        stream, store, C,
+        checkpoint_dir=cp, available_now=True,
+        super_centers=[[float(x) for x in s] for s in supers],
+        children=children, p_super=len(supers),
+    )
+    assert q.awaitTermination(120)
+    got = read_vector_index(spark, store)
+    assert set(got.columns) >= {"vec_id", "embedding", "ivf_cell", "ivf_super"}
+    want = with_super_col(
+        ivf2_assign(df, centers, supers, children, p_super=len(supers)),
+        children, len(centers),
+    )
+    g = {r["vec_id"]: (r["ivf_cell"], r["ivf_super"]) for r in got.collect()}
+    w = {r["vec_id"]: (r["ivf_cell"], r["ivf_super"]) for r in want.collect()}
+    assert g == w
+    qv = [float(x) for x in X[2]]
+    served = ivf_topk(
+        got, centers, qv, k=5, nprobe=4,
+        supers=supers, children=children, p_super=2, super_col="ivf_super",
+    ).collect()
+    batch = ivf_topk(
+        want, centers, qv, k=5, nprobe=4,
+        supers=supers, children=children, p_super=2,
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in batch] and served

@@ -52,6 +52,70 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
 
 
+# Catalyst higher-order functions evaluate INTERPRETED (~8µs per
+# dot-product element, measured — SCALE.md r8), so literal-model probe
+# selection and join-side cosine folds get a vectorized Arrow twin. At
+# driver/oracle scales the deterministic left-fold Catalyst path stays
+# the default; past this many cells (n_cells ∝ N under the constant
+# cell-size rule, so this is really a corpus-size threshold — ≈128
+# cells ~ 32k vectors at target_cell=256) "auto" flips to Arrow: the
+# 5× sf10 gap a first-time user would otherwise pay (VERDICT r8).
+ARROW_AUTO_CELLS = 128
+
+
+def _resolve_engine(engine: str, n_cells: int) -> str:
+    """Resolve ``"auto"`` to catalyst/arrow by the cell-count threshold;
+    validate explicit choices."""
+    if engine == "auto":
+        return "arrow" if n_cells >= ARROW_AUTO_CELLS else "catalyst"
+    if engine not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown engine: {engine!r}")
+    return engine
+
+
+def _cosine_pair_udf():
+    """Arrow twin of ``F.round(cosine(a, b), 6)`` over two array columns
+    — one BLAS pass per batch instead of an interpreted per-element JVM
+    fold (the measured residual of the two-level sf10 build: the join
+    emits ~nprobe·cell_size candidates per query and every one paid the
+    ~8µs/element fold). Same formula as ``cosine`` (dot / max(|a|·|b|,
+    1e-12)); NULL or length-mismatched pairs yield NULL like the
+    zip_with fold; np.round (half-even) vs F.round (half-up) differs
+    only for values exactly at a 5e-7 boundary — the same documented
+    trade as ``cosine_topk_batch``."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def cos(a, b):
+        la, lb = a.tolist(), b.tolist()
+        out = [None] * len(la)
+        groups: dict[int, list[int]] = {}
+        for i, (x, y) in enumerate(zip(la, lb)):
+            if x is not None and y is not None and len(x) == len(y):
+                groups.setdefault(len(x), []).append(i)
+        for _, idx in groups.items():
+            A = np.asarray([la[i] for i in idx], dtype=np.float64)
+            B = np.asarray([lb[i] for i in idx], dtype=np.float64)
+            sims = np.round(
+                (A * B).sum(axis=1)
+                / np.maximum(
+                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1),
+                    1e-12,
+                ),
+                6,
+            )
+            for j, i in enumerate(idx):
+                out[i] = float(sims[j])
+        return pd.Series(out, dtype="float64")
+
+    # real objects, not strings: `from __future__ import annotations`
+    # breaks pandas_udf's hint inference (verify-skill note)
+    cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(T.DoubleType())(cos)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -284,6 +348,110 @@ def probe_cells(centers: np.ndarray, query_vec: list[float], nprobe: int) -> lis
     return [int(c) for c in np.argsort(-sims)[:nprobe]]
 
 
+def probe_cells_2level(
+    centers,
+    super_centers,
+    children,
+    query_vec: list[float],
+    nprobe: int,
+    p_super: int | None = None,
+) -> list[int]:
+    """Two-level probe selection for SERVING — the driver-side companion
+    of ``knn_pairs_2level``'s probe stage: score the ``n_super`` supers
+    by cosine, keep ``p_super``, then score only their children and keep
+    the ``nprobe`` nearest. Cost ``n_super + p_super·avg-child`` dots
+    per query instead of ``n_cells`` — with ``n_cells ∝ N`` (the
+    constant-cell-size rule) the flat ``probe_cells`` scan is Θ(N) per
+    query while this stays ~Θ(√N); at a 10^9-vector store's 65k cells
+    that is the difference between serving and re-scanning the center
+    matrix per request. Cosine at both levels — the same metric as the
+    final scoring and as ``probe_cells`` (the ivfpq_topk L2-vs-cosine
+    lesson). With ``p_super == n_super`` every cell is scored with the
+    identical formula, so the selection equals ``probe_cells`` exactly
+    up to argsort tie order (measure-zero on real-valued data;
+    test-pinned). Ties break to the LOWEST id (stable argsort over
+    id-ascending candidates)."""
+    ns = len(super_centers)
+    if p_super is None:
+        p_super = min(4, ns)
+    if not 1 <= p_super <= ns:
+        raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
+    q = np.asarray(query_vec, dtype=float)
+    qn = np.linalg.norm(q)
+    S = np.asarray(super_centers, dtype=float)
+    ssims = S @ q / (np.linalg.norm(S, axis=1) * qn + 1e-12)
+    sel = np.argsort(-ssims, kind="stable")[:p_super]
+    kids = sorted(int(c) for s in sel for c in children[s])
+    if not kids:
+        return []
+    C = np.asarray(centers, dtype=float)[kids]
+    csims = C @ q / (np.linalg.norm(C, axis=1) * qn + 1e-12)
+    order = np.argsort(-csims, kind="stable")[:nprobe]
+    return [kids[i] for i in order]
+
+
+def super_of_cells(children, n_cells: int) -> list[int]:
+    """Invert the two-level ``children`` lists into a cell→super lookup
+    (list indexed by cell id). Raises if any cell is unassigned or
+    doubly assigned — a malformed hierarchy would silently mis-prune."""
+    owner = [-1] * n_cells
+    for s, kids in enumerate(children):
+        for c in kids:
+            if not 0 <= c < n_cells:
+                raise ValueError(f"child cell {c} out of range 0..{n_cells - 1}")
+            if owner[c] != -1:
+                raise ValueError(f"cell {c} owned by supers {owner[c]} and {s}")
+            owner[c] = s
+    missing = [c for c, s in enumerate(owner) if s == -1]
+    if missing:
+        raise ValueError(f"cells with no super: {missing[:8]}")
+    return owner
+
+
+def with_super_col(
+    df: DataFrame,
+    children,
+    n_cells: int,
+    cell_col: str = "ivf_cell",
+    super_col: str = "ivf_super",
+) -> DataFrame:
+    """Annotate an IVF-assigned frame with its cell's SUPER id — a pure
+    literal-array lookup (no shuffle, no Python) so the store can be
+    written partitioned by ``(super, cell)``: the hierarchical layout
+    keeps directory listing at 10^5-10^6 cells tractable (the catalog
+    prunes the ~√n_cells top level first) and lets a probe's super
+    filter compose with the cell filter. NULL cells (gated bad
+    embeddings) get NULL supers."""
+    owner = super_of_cells(children, n_cells)
+    return df.withColumn(
+        super_col, F.get(F.lit(owner), F.col(cell_col)).cast("int")
+    )
+
+
+def _serving_probe(
+    centers, query_vec, nprobe, supers, children, p_super
+) -> list[int]:
+    """Shared probe selection for the serving paths: flat ``probe_cells``
+    when no hierarchy is supplied, ``probe_cells_2level`` when it is —
+    so every ``ivf*_topk`` entry point escapes the Θ(n_cells)-per-query
+    flat center scan the moment the caller passes the two-level model."""
+    if supers is None:
+        return probe_cells(np.asarray(centers), query_vec, nprobe)
+    return probe_cells_2level(
+        centers, supers, children, query_vec, nprobe, p_super
+    )
+
+
+def _super_prune(df: DataFrame, cells, children, centers, super_col):
+    """Add the probed cells' SUPER filter on a (super, cell)-partitioned
+    store — redundant with the cell filter for correctness, but it lets
+    the catalog prune the top directory level before touching the
+    ~n_cells leaf listing."""
+    owner = super_of_cells(children, len(np.asarray(centers)))
+    probed_supers = sorted({owner[c] for c in cells})
+    return df.filter(F.col(super_col).isin(probed_supers))
+
+
 def ivf_topk(
     assigned: DataFrame,
     centers: np.ndarray,
@@ -292,13 +460,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     k: int = 10,
     nprobe: int = 4,
+    supers=None,
+    children=None,
+    p_super: int | None = None,
+    super_col: str | None = None,
 ) -> DataFrame:
     """ANN top-k: score only the ``nprobe`` cells whose centroids are
     nearest the query (computed driver-side on the tiny centers array),
-    then exact cosine within them."""
-    cells = probe_cells(centers, query_vec, nprobe)
+    then exact cosine within them.
+
+    Pass ``supers``/``children`` (an ``ivf2_fit_numpy`` hierarchy) to
+    select the probe through the two-level quantizer — ~Θ(√n_cells)
+    per query instead of the flat Θ(n_cells) center scan (the serving
+    twin of ``knn_pairs_2level``; identical selection at ``p_super ==
+    n_super``). With ``super_col`` on a ``(super, cell)``-partitioned
+    store the probed supers prune the top directory level too."""
+    cells = _serving_probe(centers, query_vec, nprobe, supers, children, p_super)
     qcol = F.lit([float(v) for v in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), qcol)
+    if super_col is not None and supers is not None:
+        assigned = _super_prune(assigned, cells, children, centers, super_col)
     return (
         assigned.filter(F.col("ivf_cell").isin(cells))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
@@ -315,6 +496,10 @@ def ivf_topk_batch(
     id_col: str = "vec_id",
     k: int = 10,
     nprobe: int = 4,
+    supers=None,
+    children=None,
+    p_super: int | None = None,
+    super_col: str | None = None,
 ) -> DataFrame:
     """IVF serving for a BATCH of queries in ONE scan: each query keeps
     its own driver-side probe list; the store is read once, pruned to
@@ -328,16 +513,27 @@ def ivf_topk_batch(
     candidate rows (the per-query top-k window) instead of Q pruned
     scans each ending in a TakeOrdered. Batch wins once Q × scan setup
     dominates — the online-serving shape; for one or two ad-hoc queries
-    the per-query TakeOrdered path shuffles nothing and wins."""
+    the per-query TakeOrdered path shuffles nothing and wins.
+
+    ``supers``/``children``/``p_super``/``super_col`` behave as in
+    ``ivf_topk`` — Q probe selections through the two-level hierarchy
+    cost Q·~√n_cells dots instead of Q·n_cells, which is where the flat
+    scan actually hurts (the batch path exists for high-Q serving)."""
     if not query_vecs:
         raise ValueError("ivf_topk_batch needs at least one query vector")
     from pyspark.sql import Window
 
     per_q = [
-        (qno, probe_cells(centers, q, nprobe), [float(x) for x in q])
+        (
+            qno,
+            _serving_probe(centers, q, nprobe, supers, children, p_super),
+            [float(x) for x in q],
+        )
         for qno, q in enumerate(query_vecs)
     ]
     all_cells = sorted({c for _, cells, _ in per_q for c in cells})
+    if super_col is not None and supers is not None:
+        assigned = _super_prune(assigned, all_cells, children, centers, super_col)
     v = F.col(vec_col).cast("array<double>")
     scored = F.array(
         *[
@@ -504,6 +700,17 @@ def ivf2_fit_numpy(
     if n_super is None:
         n_super = max(2, int(round(float(n_cells) ** 0.5)))
     centers = ivf_centers_numpy(ids, X, n_cells, iters)
+    super_centers, children = ivf2_from_centers(centers, n_super, super_iters)
+    return centers, super_centers, children
+
+
+def ivf2_from_centers(centers, n_super: int, super_iters: int = 5):
+    """Derive the SUPER level from an existing center matrix — the tail
+    of ``ivf2_fit_numpy``, factored so a single-level model (e.g. an
+    ``ivf_build_lloyd`` fit, or the oracle's numpy-twin centers) can be
+    upgraded to two-level without refitting the base quantizer. Returns
+    ``(super_centers, children)`` with ``children[s]`` ascending."""
+    centers = np.asarray(centers, dtype=np.float64)
     n_cells = len(centers)
     super_centers = ivf_centers_numpy(
         np.arange(n_cells), centers, min(n_super, n_cells), super_iters
@@ -519,7 +726,7 @@ def ivf2_fit_numpy(
         [int(c) for c in np.flatnonzero(owner == s)]
         for s in range(len(super_centers))
     ]
-    return centers, super_centers, children
+    return super_centers, children
 
 
 def _two_level_sorted_cells(
@@ -645,7 +852,7 @@ def ivf2_assign(
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
     p_super: int | None = None,
-    engine: str = "catalyst",
+    engine: str = "auto",
 ) -> DataFrame:
     """Two-stage assignment: nearest super-cells first, then the argmin
     over their children only — the build-side cost drops from
@@ -660,19 +867,21 @@ def ivf2_assign(
     |v|², measure-zero on real-valued data; test-pinned on random
     embeddings).
 
-    ``engine``: ``"catalyst"`` (default) is the pure literal-expression
+    ``engine``: ``"catalyst"`` is the pure literal-expression
     path — no Python, deterministic left-fold doubles (the
     oracle-grade choice); ``"arrow"`` routes the selection through the
     vectorized pandas UDF — ~100× faster at large n_cells because
     Catalyst higher-order functions evaluate interpreted (measured,
-    SCALE.md r8); last-ulp double differences at exact ties."""
+    SCALE.md r8); last-ulp double differences at exact ties. The
+    default ``"auto"`` picks arrow at ``n_cells >= ARROW_AUTO_CELLS``
+    (catalyst below — every oracle-scale corpus), so the first-time
+    sf10 user gets the fast path without knowing the lore."""
     ns = len(super_centers)
     if p_super is None:
         p_super = min(4, ns)
     if not 1 <= p_super <= ns:
         raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
-    if engine not in ("catalyst", "arrow"):
-        raise ValueError(f"unknown engine: {engine!r}")
+    engine = _resolve_engine(engine, len(np.asarray(centers)))
     v = F.col(f"`{vec_col}`").cast("array<double>")
     C = [[float(x) for x in c] for c in np.asarray(centers)]
     S = [[float(x) for x in s] for s in np.asarray(super_centers)]
@@ -707,7 +916,8 @@ def knn_pairs_2level(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "ivf_cell",
-    engine: str = "catalyst",
+    engine: str = "auto",
+    score_engine: str = "auto",
 ) -> DataFrame:
     """k-NN graph with two-level probe selection — the constant-cell
     companion of ``knn_pairs``: each query scores n_super supers +
@@ -720,15 +930,21 @@ def knn_pairs_2level(
     near-tie caveat on ``ivf2_assign``); smaller ``p_super`` trades
     recall for the √n_cells scoring cut; the default is
     ``min(4, n_super)``. ``engine="arrow"`` vectorizes the probe
-    selection (see ``ivf2_assign``) — the scale default once n_cells
-    reaches the hundreds."""
+    selection (see ``ivf2_assign``); ``score_engine="arrow"`` scores
+    the join's candidate pairs with the BLAS UDF instead of the
+    interpreted zip_with fold — the measured sf10 residual. Both
+    default to ``"auto"`` (arrow at ``n_cells >= ARROW_AUTO_CELLS``,
+    catalyst below — every oracle-scale corpus), so the sf10
+    first-timer lands on the fast path and oracle-grade runs keep
+    deterministic left-fold doubles."""
     ns = len(super_centers)
     if p_super is None:
         p_super = min(4, ns)
     if not 1 <= p_super <= ns:
         raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
-    if engine not in ("catalyst", "arrow"):
-        raise ValueError(f"unknown engine: {engine!r}")
+    n_cells = len(np.asarray(centers))
+    engine = _resolve_engine(engine, n_cells)
+    score_engine = _resolve_engine(score_engine, n_cells)
     C = [[float(x) for x in c] for c in np.asarray(centers)]
     S = [[float(x) for x in s] for s in np.asarray(super_centers)]
     if not 1 <= nprobe <= len(C):
@@ -749,7 +965,9 @@ def knn_pairs_2level(
                 _two_level_sorted_cells(v, C, S, children, p_super), 1, nprobe
             ),
         )
-    return _knn_join_topk(assigned, probes, k, vec_col, id_col, cell_col)
+    return _knn_join_topk(
+        assigned, probes, k, vec_col, id_col, cell_col, score_engine
+    )
 
 
 def ivf_build_lloyd(
@@ -785,13 +1003,23 @@ def ivf_build_lloyd(
 
 
 def write_ivf_store(
-    assigned: DataFrame, path: str, cell_col: str = "ivf_cell"
+    assigned: DataFrame,
+    path: str,
+    cell_col: str = "ivf_cell",
+    super_col: str | None = None,
 ) -> None:
     """Persist an IVF-assigned vector table partitioned by cell — the
     layout that turns ``ivf_topk``'s ``nprobe`` cell filter into Parquet
     PARTITION PRUNING: a probe reads only nprobe/n_cells of the 100 TB
-    store (plan-asserted in tests/test_llm_pipeline.py)."""
-    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+    store (plan-asserted in tests/test_llm_pipeline.py).
+
+    With ``super_col`` (annotate via ``with_super_col``) the layout is
+    hierarchical — ``super=<s>/cell=<c>/`` — so at n_cells ∝ N scale
+    (10^5-10^6 leaf dirs) the catalog lists ~√n_cells top-level
+    directories and only the probed supers' children; the probe's cell
+    filter still prunes exactly as before."""
+    cols = [cell_col] if super_col is None else [super_col, cell_col]
+    assigned.write.mode("overwrite").partitionBy(*cols).parquet(path)
 
 
 def read_ivf_store(spark, path: str) -> DataFrame:
@@ -1151,6 +1379,9 @@ def ivfpq_topk(
     codes_col: str = "pq_codes",
     cell_col: str = "ivf_cell",
     vectors_cell_col: str | None = None,
+    supers=None,
+    children=None,
+    p_super: int | None = None,
 ) -> DataFrame:
     """The standard IVF-PQ layout end-to-end: probe the ``nprobe``
     nearest coarse cells (driver-side argsort over the tiny center
@@ -1176,8 +1407,15 @@ def ivfpq_topk(
     coincidence; a tiny degenerate store (the sf0.001 sweep) exposed
     the two metrics picking different cell sets, diverging from both
     the oracle and plain IVF's notion of "nearest cells". Final
-    scoring is cosine, so cosine probing is the consistent choice."""
-    cells = [int(c) for c in probe_cells(np.asarray(centers), query, nprobe)]
+    scoring is cosine, so cosine probing is the consistent choice.
+    ``supers``/``children``/``p_super`` route the probe through the
+    two-level hierarchy (see ``ivf_topk``) — at the billion-vector
+    store this layout exists for, the flat Θ(n_cells) center scan per
+    query is the serving bottleneck the hierarchy removes."""
+    cells = [
+        int(c)
+        for c in _serving_probe(centers, query, nprobe, supers, children, p_super)
+    ]
     probed = codes_df.filter(F.col(cell_col).isin(cells))
     short = pq_topk(
         probed, codebooks, query, shortlist, id_col, codes_col
@@ -1196,6 +1434,7 @@ def knn_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "ivf_cell",
+    score_engine: str = "auto",
 ) -> DataFrame:
     """k-NN GRAPH over the corpus: for EVERY vector, its ``k`` nearest
     neighbors (by cosine) among the vectors of its ``nprobe`` nearest
@@ -1243,7 +1482,15 @@ def knn_pairs(
             F.transform(F.array_sort(scored), lambda s: s["c"]), 1, nprobe
         ),
     )
-    return _knn_join_topk(assigned, probes, k, vec_col, id_col, cell_col)
+    return _knn_join_topk(
+        assigned,
+        probes,
+        k,
+        vec_col,
+        id_col,
+        cell_col,
+        _resolve_engine(score_engine, n_cells),
+    )
 
 
 def _knn_join_topk(
@@ -1253,12 +1500,16 @@ def _knn_join_topk(
     vec_col: str,
     id_col: str,
     cell_col: str,
+    score_engine: str = "catalyst",
 ) -> DataFrame:
     """The shared k-NN tail (``knn_pairs`` and ``knn_pairs_2level``
     differ only in how the probe list is chosen): explode each row's
     probed cells into a bounded equi-join on the assignment cell, exact
     cosine per candidate, per-query top-``k`` window with the
-    (cosine desc, neighbor id) tie order."""
+    (cosine desc, neighbor id) tie order. ``score_engine="arrow"``
+    scores the candidate pairs with the vectorized UDF instead of the
+    interpreted zip_with fold — the measured sf10 residual (SCALE.md
+    r8: the fold over ~10^8 candidate pairs dominated the build)."""
     from pyspark.sql import Window
 
     v = F.col(f"`{vec_col}`").cast("array<double>")
@@ -1272,13 +1523,17 @@ def _knn_join_topk(
         v.alias("__cv"),
         F.col(cell_col).alias("__cc"),
     )
+    if score_engine == "arrow":
+        score = _cosine_pair_udf()(F.col("__qv"), F.col("__cv"))
+    else:
+        score = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
     pairs = (
         q.join(cand, q["__pc"] == cand["__cc"])
         .filter(F.col("__qid") != F.col("__cid"))
         .select(
             F.col("__qid").alias(id_col),
             F.col("__cid").alias("neighbor_id"),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+            score.alias("cosine"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(

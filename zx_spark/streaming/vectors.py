@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zx_spark.operators.similarity import ivf_assign, pq_encode
+from zx_spark.operators.similarity import (
+    ivf2_assign,
+    ivf_assign,
+    pq_encode,
+    with_super_col,
+)
 
 
 def vector_index_sink(
@@ -36,28 +41,62 @@ def vector_index_sink(
     keep_vectors: bool = True,
     checkpoint_dir: str | None = None,
     available_now: bool = False,
+    super_centers: list[list[float]] | None = None,
+    children: list[list[int]] | None = None,
+    p_super: int | None = None,
+    super_col: str = "ivf_super",
+    engine: str = "auto",
 ):
     """Start the maintenance query: per micro-batch, assign each vector
     its IVF cell; with ``codebooks`` also store the m-byte PQ codes
     (``keep_vectors=False`` drops the raw vectors — pure-ADC serving, a
     4·d/m× smaller store; keep them for exact re-rank). Returns the
-    started StreamingQuery."""
+    started StreamingQuery.
+
+    With ``super_centers``/``children`` (an ``ivf2_fit_numpy``
+    hierarchy) each micro-batch assigns through the TWO-LEVEL quantizer
+    — n_super + p_super·avg-child dots per vector instead of n_cells,
+    the only affordable shape once n_cells ∝ N — and the store gains a
+    ``super_col`` partition level (``epoch/super=<s>/cell=<c>``), so
+    ``ivf_topk(..., supers=, children=, super_col=)`` prunes the top
+    directory level before the leaf listing. Flat single-level
+    assignment (the default) is byte-identical to rounds ≤8."""
 
     def _batch(df: DataFrame, epoch: int) -> None:
-        assigned = ivf_assign(df, centers, vec_col, cell_col)
+        if super_centers is not None:
+            assigned = with_super_col(
+                ivf2_assign(
+                    df,
+                    centers,
+                    super_centers,
+                    children,
+                    vec_col,
+                    cell_col,
+                    p_super,
+                    engine,
+                ),
+                children,
+                len(centers),
+                cell_col,
+                super_col,
+            )
+            part_cols = [super_col, cell_col]
+            keep = [super_col, cell_col]
+        else:
+            assigned = ivf_assign(df, centers, vec_col, cell_col)
+            part_cols = [cell_col]
+            keep = [cell_col]
         if codebooks is not None:
             out = pq_encode(
                 assigned,
                 codebooks,
                 vec_col,
                 id_col,
-                keep_cols=(
-                    [cell_col, vec_col] if keep_vectors else [cell_col]
-                ),
+                keep_cols=(keep + [vec_col] if keep_vectors else keep),
             )
         else:
             out = assigned
-        out.write.mode("overwrite").partitionBy(cell_col).parquet(
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(
             f"{path.rstrip('/')}/epoch={int(epoch)}"
         )
 
