@@ -2176,9 +2176,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(tmp, ignore_errors=True)
     sivf = spark.createDataFrame(sivf_rows, sivf_schema)
+    # ivf2 arm (r9): serving THROUGH the two-level quantizer. The super
+    # level derives from the same Lloyd centers (ivf2_from_centers —
+    # deterministic numpy tail, so the oracle re-derives it from the
+    # twin centers); assignment runs ivf2_assign at p_super = n_super
+    # (≡ the flat argmin, so the oracle's assignment CTE holds exactly);
+    # serving probes with a PARTIAL p_super=2 through the hierarchical
+    # (super, cell) annotation — the genuinely two-level probe list the
+    # oracle re-selects with probe_cells_2level and embeds as literals.
+    from zx_spark.operators.similarity import (
+        ivf2_assign,
+        ivf2_from_centers,
+        with_super_col,
+    )
+
+    sup, kids = ivf2_from_centers(centers, n_super=3)
+    store2 = with_super_col(
+        ivf2_assign(emb, centers, sup, kids, p_super=len(sup)),
+        kids,
+        len(centers),
+    )
+    ivf2 = ivf_topk(
+        store2,
+        centers,
+        ANN_QUERY_VEC,
+        k=10,
+        nprobe=4,
+        supers=sup,
+        children=kids,
+        p_super=2,
+        super_col="ivf_super",
+    ).select(
+        F.lit("ivf2").alias("arm"), "vec_id", F.col("cosine").alias("score")
+    )
     return (
         ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
-        .unionByName(pqb).unionByName(sivf)
+        .unionByName(pqb).unionByName(sivf).unionByName(ivf2)
     )
 
 
@@ -2196,6 +2229,8 @@ def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       literals (the same construction ann_ivf_topk hash-verifies).
     - ``sem_drop`` — the SemDeDup drop set (each pair's loser: higher
       (centroid_cos, id)); id_b/score are NULL on this arm.
+    - ``sctm`` (r9) — semantic_contamination of the corpus against a
+      64-twin quantized eval set (jvm engine; numpy ≡ jvm test-pinned).
     """
     from zx_spark.operators.semdedup import (
         semantic_dedup_fit,
@@ -2287,9 +2322,38 @@ def q_emb_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("triangles").cast("double").alias("score"),
         )
     )
+    # sctm arm (r9): semantic contamination — the last in-test-only
+    # analytic operator gets its driver-oracle arm. Eval set = the
+    # first 64 planted twins QUANTIZED to the 1/64 grid, so the
+    # benchmark normalization the operator does in numpy (pairwise
+    # sums) is bit-reproducible in DuckDB (every square is m²/4096 and
+    # the 64-term sum is exact in ANY order — the a_weighted 1/64ths
+    # discipline); the corpus stays the untouched originals, whose
+    # normalization runs in-engine on BOTH sides (sequential-fold
+    # parity, the same contract the rp_lsh cosines rely on).
+    # method="jvm" is the ANSI-reproducible engine; numpy ≡ jvm is
+    # test-pinned, so the production Arrow path is covered
+    # transitively. Each contaminated row's nearest bench id is its
+    # own twin (quantized planted cosine ≈ 0.997 vs ~0 random).
+    from zx_spark.operators.decontaminate import semantic_contamination
+
+    bench = planted.filter(F.col("vec_id") < 1_000_064).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * F.lit(64.0)) / F.lit(64.0)
+        ).alias("embedding"),
+    )
+    sctm = semantic_contamination(
+        emb, bench, threshold=0.9, method="jvm"
+    ).select(
+        F.lit("sctm").alias("arm"),
+        F.col("vec_id").alias("id_a"),
+        F.col("nearest_bench_id").alias("id_b"),
+        F.col("max_cosine").alias("score"),
+    )
     return (
         lsh.unionByName(sem).unionByName(drop).unionByName(knn)
-        .unionByName(pr).unionByName(tri)
+        .unionByName(pr).unionByName(tri).unionByName(sctm)
     )
 
 
@@ -4172,6 +4236,23 @@ def _rp_lsh_oracle(
         "kn AS (SELECT qid, nid, score FROM (SELECT qid, nid, score, "
         "row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn "
         "FROM kn0) WHERE rn <= 2) "
+        # sctm CTEs (r9): the benchmark normalization divides by
+        # (norm + 1e-12) — the operator's numpy formula, exact
+        # cross-engine because the 1/64-grid squares sum exactly in any
+        # order; the corpus normalization divides by greatest(norm,
+        # 1e-12) — the operator's jvm formula, in-engine on both sides
+        # (the rp_lsh sequential-fold parity contract)
+        ", scb AS (SELECT vec_id AS bid, "
+        "list_transform(v, x -> round(x * 64) / 64) AS bq "
+        "FROM planted WHERE vec_id < 1000064), "
+        "scbn AS (SELECT bid, list_transform(bq, x -> x / "
+        "(sqrt(list_dot_product(bq, bq)) + 1e-12)) AS bn FROM scb), "
+        "sccn AS (SELECT vec_id, list_transform(v, x -> x / "
+        "greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn FROM base), "
+        "scs AS MATERIALIZED (SELECT c.vec_id AS id_a, b.bid, "
+        "round(list_dot_product(c.vn, b.bn), 6) AS s "
+        "FROM sccn c CROSS JOIN scbn b), "
+        "scm AS (SELECT id_a, max(s) AS best FROM scs GROUP BY id_a) "
         # pr arm: 5 unrolled damped power iterations over the kn edge
         # list. Every vector is a qid (out-degree 2, no dangling), so
         # each step is exactly base + 0.85*coalesce(sum(r/od), 0) — the
@@ -4211,6 +4292,15 @@ def _rp_lsh_oracle(
         "    JOIN tund e3 ON e3.a = e1.b AND e3.b = e2.b) "
         "  SELECT node, count(*) cnt FROM (SELECT unnest([x, y, z]) node FROM ttri) "
         "  GROUP BY node)"
+        # sctm arm (r9): semantic contamination vs the quantized
+        # 64-twin eval set (CTEs scs/scm above). min(bid) over the
+        # argmax set == the operator's first-index tie rule because
+        # bench collect order is bid-ascending and max-score ties are
+        # measure-zero on this construction.
+        " UNION ALL SELECT 'sctm' AS arm, s.id_a, min(s.bid) AS id_b, "
+        "m.best AS score FROM scs s "
+        "JOIN scm m ON s.id_a = m.id_a AND s.s = m.best "
+        "WHERE m.best >= 0.9 GROUP BY s.id_a, m.best"
     )
 
 
@@ -4395,9 +4485,11 @@ def _ivf_pq_oracle(
     import pyarrow.parquet as pq
 
     from zx_spark.operators.similarity import (
+        ivf2_from_centers,
         ivf_centers_numpy,
         pq_codebooks_numpy,
         probe_cells,
+        probe_cells_2level,
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
@@ -4415,6 +4507,12 @@ def _ivf_pq_oracle(
     X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     centers = ivf_centers_numpy(t["vec_id"].to_numpy(), X, n_cells, iters)
     cells = probe_cells(centers, ANN_QUERY_VEC, nprobe)
+    # ivf2 arm (r9): same super derivation + partial two-level probe
+    # selection as the Spark side, entirely on the twin centers
+    sup, kids = ivf2_from_centers(centers, n_super=3)
+    cells2 = probe_cells_2level(
+        centers, sup, kids, ANN_QUERY_VEC, nprobe, p_super=2
+    )
     e2 = [0.0, 1.0] + [0.0] * 62
     cells_q1 = probe_cells(centers, e2, nprobe)
     books = pq_codebooks_numpy(X, pq_m, pq_k, pq_iters)
@@ -4498,12 +4596,21 @@ def _ivf_pq_oracle(
         # assigned by the same literal centers — serving from it must
         # equal the batch ivf arm, so the twin IS that derivation re-tagged
         f"sivf_arm AS (SELECT 'sivf' AS arm, vec_id, {cos} AS score "
-        f"FROM a WHERE cell IN ({in_cells}) ORDER BY score DESC, vec_id LIMIT {k}) "
+        f"FROM a WHERE cell IN ({in_cells}) ORDER BY score DESC, vec_id LIMIT {k}), "
+        # ivf2 (r9): assignment at p_super=n_super equals the flat argmin
+        # (CTE `a`); the partial (p_super=2) two-level probe selection is
+        # re-derived driver-side (probe_cells_2level over the twin
+        # centers' super level) and embedded as literal cell ids
+        f"ivf2_arm AS (SELECT 'ivf2' AS arm, vec_id, {cos} AS score "
+        # degenerate stores can probe zero cells (both selected supers
+        # childless) — `IN ()` is a syntax error, so emit FALSE
+        f"FROM a WHERE {'cell IN (' + ', '.join(str(c) for c in cells2) + ')' if cells2 else 'false'} "
+        f"ORDER BY score DESC, vec_id LIMIT {k}) "
         "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
         "UNION ALL SELECT * FROM ivfpq_arm "
         "UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1 "
         "UNION ALL SELECT * FROM pb0 UNION ALL SELECT * FROM pb1 "
-        "UNION ALL SELECT * FROM sivf_arm"
+        "UNION ALL SELECT * FROM sivf_arm UNION ALL SELECT * FROM ivf2_arm"
     )
 
 
