@@ -278,3 +278,111 @@ def test_timestamp_stream_evicts_idle_state(spark, tmp_path):
     got = {(r["conv_id"], r["channel"]) for r in drain_memory_sink(
         out, "attr_ev", str(tmp_path / "ck_ev")).collect()}
     assert got == {(2, "view"), (4, "view")}
+
+
+def _stage_ts(spark, tmp_path, name, batches):
+    """Timestamp-ts staging with mtimes pinned in BATCH order (the
+    reorder tests violate event-time order across batches on purpose,
+    so event-time mtime pinning would reorder the triggers)."""
+    import os
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = str(tmp_path / name)
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    files = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(src, f)),
+    )
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src, f), (1_700_000_000 + i,) * 2)
+    return src
+
+
+@pytest.mark.parametrize("model", ["last_touch", "linear"])
+def test_reorder_buffer_equals_batch_under_bounded_disorder(
+    spark, tmp_path, model
+):
+    """r9 (VERDICT r8 item 6): with reorder=True a touch landing in a
+    LATER batch than its conversion (within the watermark delay) still
+    attributes it — drained output equals the batch operator, which
+    the documented immediate-mode contract cannot do."""
+    from tests.conftest import drain_memory_sink
+
+    s = lambda sec: T0 + dt.timedelta(seconds=sec)
+    rows1 = [(1, s(100), 1, "view"), (3, s(300), 1, "purchase")]
+    rows2 = [(2, s(200), 1, "click")]  # event-time BEFORE the purchase
+    sent1 = [(8, s(5000), 2, "view")]  # advances the watermark...
+    sent2 = [(9, s(5001), 2, "view")]  # ...and fires user 1's timeout
+    src = _stage_ts(
+        spark, tmp_path, f"ro_{model}", [rows1, rows2, sent1, sent2]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0, model=model,
+        watermark="10 minutes", reorder=True,
+    )
+    got = {
+        _key(r, model)
+        for r in drain_memory_sink(
+            out, f"attr_ro_{model}", str(tmp_path / f"ck_ro_{model}")
+        ).collect()
+    }
+    ev = spark.read.parquet(src)
+    want = {
+        _key(r, model)
+        for r in attributed_conversions(
+            ev, TOUCHES, "purchase", window_s=7200.0, model=model
+        ).collect()
+    }
+    assert got == want and got, model
+    if model == "last_touch":
+        # the late click must have WON (it is the latest touch before
+        # the conversion) — the immediate mode would report view
+        assert {(c, ch) for (c, ch, _t) in got} == {(3, "click")}
+
+
+def test_reorder_requires_watermark(spark):
+    df = _mk(spark, [(1, 0.0, 1, "view")])
+    with pytest.raises(ValueError, match="reorder"):
+        streaming_attribution(
+            df, TOUCHES, "purchase", watermark=None, reorder=True
+        )
+
+
+def test_reorder_in_order_stream_still_matches_batch(spark, tmp_path):
+    """reorder=True must be a superset contract: on an already
+    time-ordered stream it reproduces the immediate mode's (= batch)
+    output exactly."""
+    from tests.conftest import drain_memory_sink
+
+    s = lambda sec: T0 + dt.timedelta(seconds=sec)
+    batches = [
+        [(1, s(100), 1, "view"), (2, s(200), 1, "click")],
+        [(3, s(300), 1, "purchase"), (4, s(400), 1, "purchase")],
+        [(8, s(5000), 2, "view")],
+        [(9, s(5001), 2, "view")],
+    ]
+    src = _stage_ts(spark, tmp_path, "ro_ord", batches)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = streaming_attribution(
+        stream, TOUCHES, "purchase", window_s=7200.0,
+        watermark="10 minutes", reorder=True,
+    )
+    got = {
+        (r["conv_id"], r["channel"])
+        for r in drain_memory_sink(
+            out, "attr_ro_ord", str(tmp_path / "ck_ro_ord")
+        ).collect()
+    }
+    assert got == {(3, "click"), (4, "click")}

@@ -53,6 +53,16 @@ def pin_table_rows(md: str) -> list[tuple[str, str]]:
     return rows
 
 
+def headline_names() -> list[str]:
+    """The benched names from bench.py's HEADLINE list (parsed
+    textually — importing bench.py would start a SparkSession)."""
+    txt = (ROOT / "bench.py").read_text()
+    m = re.search(r"HEADLINE = \[(.*?)\n\]", txt, re.S)
+    if not m:
+        raise RuntimeError("bench.py HEADLINE list not found")
+    return re.findall(r'"([^"]+)"', m.group(1))
+
+
 def main() -> int:
     md = (ROOT / "BASELINE.md").read_text()
     rows = pin_table_rows(md)
@@ -60,6 +70,16 @@ def main() -> int:
         print("FAIL: no pin table found in BASELINE.md")
         return 1
     checked = failures = 0
+    # Every benched name must HAVE a pin row — the r8 hole: a name can
+    # be timed for rounds (op_incremental_dedup since r5) while its
+    # shape changes go unrecorded, making later drift unjudgeable.
+    table_names = {name for name, _ in rows}
+    for name in headline_names():
+        checked += 1
+        if name not in table_names:
+            print(f"FAIL  {name}: benched in bench.py HEADLINE but has no "
+                  "pin-table row in BASELINE.md")
+            failures += 1
     cache: dict[int, dict[str, float]] = {}
     for name, cell in rows:
         for sec_txt, rnd_txt in re.findall(

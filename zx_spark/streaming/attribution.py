@@ -66,6 +66,7 @@ def streaming_attribution(
     type_col: str = "event_type",
     max_touches: int = 1000,
     watermark: str | None = "10 minutes",
+    reorder: bool = False,
 ) -> DataFrame:
     """Attribute conversions as they stream in; same models and output
     columns as the batch ``attributed_conversions`` (``linear`` /
@@ -74,11 +75,31 @@ def streaming_attribution(
     pinned in tests. ``watermark`` needs a TIMESTAMP ``ts_col``; pass
     ``None`` for numeric-ts streams (state stays bounded by the
     window prune either way — the watermark only gates Spark's
-    late-event drop)."""
+    late-event drop).
+
+    ``reorder=True`` (r9, closing the late-data contract's named gap)
+    HOLDS each conversion in state until the watermark passes its
+    event time, then attributes it against the by-then-complete touch
+    buffer — so the drained output equals the batch operator under any
+    BOUNDED disorder (every event within the watermark delay), not
+    just cross-batch event-time order. The price is the standard
+    watermark trade: results trail the stream by the delay, and state
+    additionally holds the un-ripened conversions. Requires a
+    ``watermark`` (the buffer is watermark-sized by construction);
+    held conversions flush via EventTimeTimeout even if their user
+    never appears again. In this mode the newest-K state cap is NOT
+    applied to the touch buffer (a pending conversion may need a
+    touch the cap would drop); state stays bounded by
+    window + watermark-delay × event rate."""
     if model not in ("last_touch", "first_touch", "linear", "position"):
         raise ValueError(f"unknown model: {model!r}")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
+    if reorder and watermark is None:
+        raise ValueError(
+            "reorder=True needs a watermark — the reorder buffer ripens "
+            "conversions when the event-time watermark passes them"
+        )
     window_us = int(round(float(window_s) * 1e6))
     if window_us < 1:
         raise ValueError(f"window_s must be >= 1 microsecond, got {window_s}")
@@ -122,10 +143,13 @@ def streaming_attribution(
         ]
     out_schema = T.StructType(fields)
     # touch buffer columns (parallel arrays: the Arrow state codec
-    # cannot round-trip null elements, and these are all non-null)
+    # cannot round-trip null elements, and these are all non-null) +
+    # the reorder mode's pending-conversion buffer (empty arrays when
+    # reorder=False — one schema for both modes)
     state_schema = (
         "tms array<long>, tids array<long>, chs array<string>, "
-        "tts array<double>"
+        "tts array<double>, ctms array<long>, cids array<long>, "
+        "ctss array<double>"
     )
     touch_set = set(touch_types)
 
@@ -134,15 +158,17 @@ def streaming_attribution(
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if evict and state.hasTimedOut:
-            # the watermark passed newest-touch + window: nothing in
-            # this buffer can ever attribute again — evict the key
+        if state.exists:
+            tms, tids, chs, tts, ctms, cids, ctss = (
+                list(x) for x in state.get
+            )
+        else:
+            tms, tids, chs, tts, ctms, cids, ctss = ([] for _ in range(7))
+        if evict and state.hasTimedOut and not ctms:
+            # the watermark passed newest-touch + window and nothing is
+            # pending: nothing in this buffer can ever attribute again
             state.remove()
             return
-        if state.exists:
-            tms, tids, chs, tts = (list(x) for x in state.get)
-        else:
-            tms, tids, chs, tts = [], [], [], []
         # buffer is kept (tm, id)-sorted across batches (events fold in
         # that order and arrive non-decreasing under the cross-batch
         # contract; a late batch's touches insert via re-sort below)
@@ -156,11 +182,42 @@ def streaming_attribution(
                     (float(x) for x in pdf["__t"]),
                 )
             )
-        if not evs:
+        if not evs and not (reorder and ctms):
             return
         evs.sort(key=lambda e: (e[0], e[1]))
         out: list[tuple] = []
         ukey = key[0]  # raw — the output column keeps the input type
+
+        def attribute(etm: int, eid: int, et: float) -> None:
+            # qualifying = strictly before (tm, id), within the
+            # window — the buffer slice mirrors the batch RANGE
+            # frame + strictly-before filter exactly. In reorder mode
+            # the buffer may also hold NEWER touches; the same
+            # strictly-before predicate excludes them.
+            qual = [
+                i
+                for i in range(len(tms))
+                if (tms[i], tids[i]) < (etm, eid)
+                and etm - tms[i] <= window_us
+            ]
+            if per_pair and len(qual) > max_touches:
+                # newest-K cap — the batch rule applies to the
+                # linear/position list only (last/first uncapped)
+                qual = qual[-max_touches:]
+            if qual:
+                if model == "last_touch":
+                    i = qual[-1]
+                    out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
+                elif model == "first_touch":
+                    i = qual[0]
+                    out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
+                else:
+                    kq = len(qual)
+                    for p, i in enumerate(qual):
+                        out.append(
+                            (ukey, eid, et, chs[i], tts[i], etm, tms[i], kq, p)
+                        )
+
         for etm, eid, ety, et in evs:
             # NOT mutually exclusive: a conversion_type that is ALSO a
             # touch type attributes first (strictly-before excludes the
@@ -169,32 +226,17 @@ def streaming_attribution(
             # repeat-purchase journey attributes each purchase to the
             # preceding one)
             if ety == conversion_type:
-                # qualifying = strictly before (tm, id), within the
-                # window — the buffer slice mirrors the batch RANGE
-                # frame + strictly-before filter exactly
-                qual = [
-                    i
-                    for i in range(len(tms))
-                    if (tms[i], tids[i]) < (etm, eid)
-                    and etm - tms[i] <= window_us
-                ]
-                if per_pair and len(qual) > max_touches:
-                    # newest-K cap — the batch rule applies to the
-                    # linear/position list only (last/first uncapped)
-                    qual = qual[-max_touches:]
-                if qual:
-                    if model == "last_touch":
-                        i = qual[-1]
-                        out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
-                    elif model == "first_touch":
-                        i = qual[0]
-                        out.append((ukey, eid, et, chs[i], tts[i], etm, tms[i]))
-                    else:
-                        kq = len(qual)
-                        for p, i in enumerate(qual):
-                            out.append(
-                                (ukey, eid, et, chs[i], tts[i], etm, tms[i], kq, p)
-                            )
+                if reorder:
+                    # hold until the watermark passes (etm, eid): only
+                    # then is the touch buffer complete before it
+                    j = len(ctms)
+                    while j > 0 and (ctms[j - 1], cids[j - 1]) > (etm, eid):
+                        j -= 1
+                    ctms.insert(j, etm)
+                    cids.insert(j, eid)
+                    ctss.insert(j, et)
+                else:
+                    attribute(etm, eid, et)
             if ety in touch_set:
                 # insertion keeping (tm, id) order: a late in-batch
                 # touch older than buffered ones lands in place
@@ -205,36 +247,69 @@ def streaming_attribution(
                 tids.insert(j, eid)
                 chs.insert(j, ety)
                 tts.insert(j, et)
-        # prune: a touch older than newest_seen - window can never
-        # qualify again under the cross-batch order contract — state
-        # stays ∝ in-window touches. The newest-K cap additionally
-        # bounds it for the capped models; first_touch is NOT capped
-        # (the batch operator reads the UNCAPPED window array there —
-        # capping state would drop the earliest touch it reports)
-        horizon = evs[-1][0] - window_us
-        keep = [i for i in range(len(tms)) if tms[i] >= horizon]
-        if model != "first_touch" and len(keep) > max_touches:
-            keep = keep[-max_touches:]
-        if keep:
+        if reorder:
+            # ripen: a conversion is safe to attribute once the
+            # watermark strictly passes its event time (rows at the
+            # watermark can still arrive, so ctm == wm is NOT ripe —
+            # a same-µs lower-id touch could still show up)
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            ripe = [j for j in range(len(ctms)) if ctms[j] < wm_us]
+            for j in ripe:
+                attribute(ctms[j], cids[j], ctss[j])
+            if ripe:
+                keep_c = [j for j in range(len(ctms)) if ctms[j] >= wm_us]
+                ctms = [ctms[j] for j in keep_c]
+                cids = [cids[j] for j in keep_c]
+                ctss = [ctss[j] for j in keep_c]
+            # prune: future conversions have ctm >= wm (Spark drops
+            # older rows at the watermark), so a touch can only still
+            # qualify if tm >= min(wm, oldest pending) - window. The
+            # newest-seen prune is INVALID here — late touches below
+            # newest_seen are the whole point of the mode.
+            floor = min([wm_us] + ctms)
+            horizon = floor - window_us
+            keep = [i for i in range(len(tms)) if tms[i] >= horizon]
+            # no newest-K state cap (see docstring): a pending
+            # conversion may need a touch the cap would drop
+        else:
+            # prune: a touch older than newest_seen - window can never
+            # qualify again under the cross-batch order contract —
+            # state stays ∝ in-window touches. The newest-K cap
+            # additionally bounds it for the capped models;
+            # first_touch is NOT capped (the batch operator reads the
+            # UNCAPPED window array there — capping state would drop
+            # the earliest touch it reports)
+            horizon = evs[-1][0] - window_us
+            keep = [i for i in range(len(tms)) if tms[i] >= horizon]
+            if model != "first_touch" and len(keep) > max_touches:
+                keep = keep[-max_touches:]
+        if keep or ctms:
             state.update(
                 (
                     [tms[i] for i in keep],
                     [tids[i] for i in keep],
                     [chs[i] for i in keep],
                     [tts[i] for i in keep],
+                    ctms,
+                    cids,
+                    ctss,
                 )
             )
             if evict:
+                # wake when the oldest pending conversion ripens, else
                 # evict once the watermark passes the newest touch's
                 # attribution horizon (ms granularity, rounded up);
-                # clamped above the current watermark — Spark rejects a
-                # timeout that is already in the past (a very late
+                # clamped above the current watermark — Spark rejects
+                # a timeout that is already in the past (a very late
                 # touch's horizon can be)
+                if ctms:
+                    target = ctms[0] // 1000 + 1
+                elif keep:
+                    target = (tms[keep[-1]] + window_us) // 1000 + 1
+                else:
+                    target = 0
                 state.setTimeoutTimestamp(
-                    max(
-                        (tms[keep[-1]] + window_us) // 1000 + 1,
-                        state.getCurrentWatermarkMs() + 1,
-                    )
+                    max(target, state.getCurrentWatermarkMs() + 1)
                 )
         elif state.exists:
             state.remove()  # emptied buffer: drop the key, not ([],...)
