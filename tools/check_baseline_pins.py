@@ -30,6 +30,11 @@ def artifact_queries(round_no: int) -> dict[str, float]:
     d = json.loads(path.read_text())
     if isinstance(d.get("queries"), dict):
         return {k: float(v) for k, v in d["queries"].items()}
+    parsed = d.get("parsed") or {}
+    if isinstance(parsed.get("queries"), dict):
+        return {k: float(v) for k, v in parsed["queries"].items()}
+    # last resort: the raw transcript — NOTE the driver truncates
+    # `tail` from the head, so early names can be missing here
     return {
         name: float(sec)
         for name, sec in re.findall(r"# (\w+): ([\d.]+)s", d.get("tail", ""))
