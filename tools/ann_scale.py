@@ -1,0 +1,115 @@
+"""End-to-end ANN scale measurement: two-level fit -> assign ->
+knn_pairs_2level(k=4, nprobe=4, p_super=4) -> triangle_counts -> sum,
+over a scale store's embeddings table (the SCALE.md r8/r9 protocol).
+
+Run EXCLUSIVELY, warm best-of-N:
+    python tools/ann_scale.py /tmp/zx_scale/sf1 [--engine auto]
+        [--score auto] [--single-level] [-n 2]
+
+Prints one JSON line with the fit/assign/knn+tri timings and the
+triangle-sum (a value consumer — the vacuous-`.count()` lesson)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    store = args[0]
+    engine = args[args.index("--engine") + 1] if "--engine" in args else "auto"
+    score = args[args.index("--score") + 1] if "--score" in args else "auto"
+    single = "--single-level" in args
+    n_best = int(args[args.index("-n") + 1]) if "-n" in args else 2
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zx_spark.operators.graph import triangle_counts
+    from zx_spark.operators.similarity import (
+        ivf2_assign,
+        ivf2_fit_numpy,
+        ivf_assign,
+        knn_pairs,
+        knn_pairs_2level,
+        suggest_n_cells,
+    )
+    from zx_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("ann_scale")
+    t = pq.read_table(
+        f"{store}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    n = len(ids)
+
+    t0 = time.time()
+    if single:
+        from zx_spark.operators.similarity import ivf_centers_numpy
+
+        centers = ivf_centers_numpy(ids, X, suggest_n_cells(n))
+        supers = children = None
+    else:
+        centers, supers, children = ivf2_fit_numpy(ids, X, target_cell=128)
+    fit_s = time.time() - t0
+
+    emb = spark.read.parquet(f"{store}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    best = None
+    for _ in range(n_best):
+        t0 = time.time()
+        if single:
+            assigned = ivf_assign(
+                emb, [[float(x) for x in c] for c in centers], "embedding"
+            )
+            edges = knn_pairs(assigned, centers, k=4, nprobe=4,
+                              score_engine=score)
+        else:
+            assigned = ivf2_assign(
+                emb, centers, supers, children, p_super=4, engine=engine
+            )
+            edges = knn_pairs_2level(
+                assigned, centers, supers, children, k=4, nprobe=4,
+                p_super=4, engine=engine, score_engine=score,
+            )
+        tri = (
+            triangle_counts(
+                edges.select(
+                    F.col("vec_id").alias("src"),
+                    F.col("neighbor_id").alias("dst"),
+                )
+            )
+            .agg(F.sum("triangles").alias("s"))
+            .collect()[0]["s"]
+        )
+        el = time.time() - t0
+        spark.catalog.clearCache()
+        if best is None or el < best:
+            best = el
+    print(
+        json.dumps(
+            {
+                "store": store,
+                "n": n,
+                "n_cells": len(centers),
+                "engine": engine,
+                "score_engine": score,
+                "single_level": single,
+                "fit_sec": round(fit_s, 1),
+                "end_to_end_sec": round(best, 1),
+                "triangle_sum": int(tri) if tri is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

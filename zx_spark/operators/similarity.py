@@ -52,6 +52,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
 
 
+# r9 negative result (measured, SCALE.md): an UNROLLED codegen'd
+# cosine (explicit `0.0 + a[0]*b[0] + ...` chains with the fold's
+# exact association — bit-identical by test) ran 2× SLOWER than the
+# zip_with+aggregate fold on a 2M-pair microbench (2.6s vs 1.29s).
+# The r8 "HOFs are interpreted" lesson applies to the big literal-
+# model probe expressions (transform over n_cells slices), NOT to a
+# single pair fold (~10ns/element). Removed rather than kept dead.
+
+
 # Catalyst higher-order functions evaluate INTERPRETED (~8µs per
 # dot-product element, measured — SCALE.md r8), so literal-model probe
 # selection and join-side cosine folds get a vectorized Arrow twin. At
@@ -71,49 +80,6 @@ def _resolve_engine(engine: str, n_cells: int) -> str:
     if engine not in ("catalyst", "arrow"):
         raise ValueError(f"unknown engine: {engine!r}")
     return engine
-
-
-def _cosine_pair_udf():
-    """Arrow twin of ``F.round(cosine(a, b), 6)`` over two array columns
-    — one BLAS pass per batch instead of an interpreted per-element JVM
-    fold (the measured residual of the two-level sf10 build: the join
-    emits ~nprobe·cell_size candidates per query and every one paid the
-    ~8µs/element fold). Same formula as ``cosine`` (dot / max(|a|·|b|,
-    1e-12)); NULL or length-mismatched pairs yield NULL like the
-    zip_with fold; np.round (half-even) vs F.round (half-up) differs
-    only for values exactly at a 5e-7 boundary — the same documented
-    trade as ``cosine_topk_batch``."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    def cos(a, b):
-        la, lb = a.tolist(), b.tolist()
-        out = [None] * len(la)
-        groups: dict[int, list[int]] = {}
-        for i, (x, y) in enumerate(zip(la, lb)):
-            if x is not None and y is not None and len(x) == len(y):
-                groups.setdefault(len(x), []).append(i)
-        for _, idx in groups.items():
-            A = np.asarray([la[i] for i in idx], dtype=np.float64)
-            B = np.asarray([lb[i] for i in idx], dtype=np.float64)
-            sims = np.round(
-                (A * B).sum(axis=1)
-                / np.maximum(
-                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1),
-                    1e-12,
-                ),
-                6,
-            )
-            for j, i in enumerate(idx):
-                out[i] = float(sims[j])
-        return pd.Series(out, dtype="float64")
-
-    # real objects, not strings: `from __future__ import annotations`
-    # breaks pandas_udf's hint inference (verify-skill note)
-    cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    return pandas_udf(T.DoubleType())(cos)
 
 
 def cosine_topk(
@@ -1506,10 +1472,25 @@ def _knn_join_topk(
     differ only in how the probe list is chosen): explode each row's
     probed cells into a bounded equi-join on the assignment cell, exact
     cosine per candidate, per-query top-``k`` window with the
-    (cosine desc, neighbor id) tie order. ``score_engine="arrow"``
-    scores the candidate pairs with the vectorized UDF instead of the
-    interpreted zip_with fold — the measured sf10 residual (SCALE.md
-    r8: the fold over ~10^8 candidate pairs dominated the build)."""
+    (cosine desc, neighbor id) tie order.
+
+    ``score_engine="arrow"`` scores the candidate pairs with a
+    ``mapInPandas`` BLAS pass that ALSO keeps a per-partition partial
+    top-k per query (the ``cosine_topk_batch`` pattern) — measured at
+    sf10 (SCALE.md r9): the zip_with fold over the 232M candidate
+    pairs was 148s of the 199s build; the BLAS scoring is 1.5× faster
+    AND the partial top-k shrinks the window exchange from 232M rows
+    to ≤ partitions·queries·k. mapInPandas (not a scalar pandas UDF)
+    is load-bearing: it pins the Python eval BEFORE the window
+    exchange, so the shuffle carries (id, id, double) rows, never the
+    vector arrays — the first arrow cut let Catalyst place the UDF
+    after the exchange and shuffled 232 GB of arrays (measured 449s,
+    worse than the fold; recorded as the r9 plan-placement lesson).
+    Dropping a pair in the partial pass is safe: it lost to ``k``
+    better (cosine desc, id) rows in its own partition, so it cannot
+    be in the global top-k. NULL/ragged embeddings never reach the
+    join (the probe and assignment NULL-dim gates), so the batch
+    matmul sees uniform rows."""
     from pyspark.sql import Window
 
     v = F.col(f"`{vec_col}`").cast("array<double>")
@@ -1523,19 +1504,64 @@ def _knn_join_topk(
         v.alias("__cv"),
         F.col(cell_col).alias("__cc"),
     )
+    joined = q.join(cand, q["__pc"] == cand["__cc"]).filter(
+        F.col("__qid") != F.col("__cid")
+    )
     if score_engine == "arrow":
-        score = _cosine_pair_udf()(F.col("__qv"), F.col("__cv"))
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        id_type = assigned.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("neighbor_id", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+
+        def score_part(batches):
+            best: list[pd.DataFrame] = []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.asarray(pdf["__qv"].to_list(), dtype=np.float64)
+                B = np.asarray(pdf["__cv"].to_list(), dtype=np.float64)
+                s = np.round(
+                    (A * B).sum(axis=1)
+                    / np.maximum(
+                        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1),
+                        1e-12,
+                    ),
+                    6,
+                )
+                best.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf["__qid"].to_numpy(),
+                            "neighbor_id": pdf["__cid"].to_numpy(),
+                            "cosine": s,
+                        }
+                    )
+                )
+            if best:
+                allb = pd.concat(best, ignore_index=True)
+                allb = allb.sort_values(
+                    [id_col, "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                yield allb.groupby(id_col, group_keys=False).head(k)
+
+        pairs = joined.select("__qid", "__cid", "__qv", "__cv").mapInPandas(
+            score_part, out_schema
+        )
     else:
-        score = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
-    pairs = (
-        q.join(cand, q["__pc"] == cand["__cc"])
-        .filter(F.col("__qid") != F.col("__cid"))
-        .select(
+        pairs = joined.select(
             F.col("__qid").alias(id_col),
             F.col("__cid").alias("neighbor_id"),
-            score.alias("cosine"),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
         )
-    )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
