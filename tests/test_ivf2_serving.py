@@ -263,3 +263,40 @@ def test_vector_index_sink_two_level(spark, model, tmp_path):
         supers=supers, children=children, p_super=2,
     ).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in batch] and served
+
+
+def test_serving_probe_validates_paired_args(model):
+    """r9 review: supers without children (either way) must fail fast
+    with a ValueError, not a TypeError deep in the child lookup —
+    and in vector_index_sink BEFORE the stream starts."""
+    _, _, X, centers, supers, children, assigned = model
+    q = [float(x) for x in X[0]]
+    with pytest.raises(ValueError, match="children"):
+        ivf_topk(assigned, centers, q, supers=supers)
+    with pytest.raises(ValueError, match="supers"):
+        ivf_topk(assigned, centers, q, children=children)
+    from zx_spark.streaming.vectors import vector_index_sink
+
+    with pytest.raises(ValueError, match="together"):
+        vector_index_sink(
+            assigned, "/tmp/nowhere", [[0.0]],
+            super_centers=[[0.0]],
+        )
+
+
+def test_suggest_probe_from_measured_grid():
+    """suggest_probe returns the smallest MEASURED grid point meeting
+    the recall target (SCALE.md r9 grid), p_super capped at the knee."""
+    from zx_spark.operators.similarity import suggest_probe
+
+    assert suggest_probe(12) == (4, 4)                      # clustered 0.95
+    assert suggest_probe(12, target_recall=0.999) == (8, 4)
+    assert suggest_probe(12, target_recall=0.7) == (1, 4)
+    assert suggest_probe(2) == (4, 2)                        # small hierarchies
+    # structureless: nothing measured reaches 0.95 — largest point
+    assert suggest_probe(12, clustered=False) == (16, 4)
+    assert suggest_probe(12, target_recall=0.2, clustered=False) == (4, 4)
+    import pytest
+
+    with pytest.raises(ValueError, match="target_recall"):
+        suggest_probe(12, target_recall=0.0)

@@ -56,12 +56,17 @@ def _assign(X, centers, supers, children, p_super):
     C = np.asarray(centers)
     ds = (S * S).sum(1)[None, :] - 2.0 * (X @ S.T)
     sel = np.sort(np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1)
-    cells = np.empty(len(X), dtype=np.int64)
+    # -1 = unassignable (every selected super childless) — the
+    # operator's UDF emits NULL for the same rows
+    cells = np.full(len(X), -1, dtype=np.int64)
     uniq, inv = np.unique(sel, axis=0, return_inverse=True)
     c2 = (C * C).sum(1)
     for g in range(len(uniq)):
         rows = np.flatnonzero(inv == g)
-        kids = np.sort(np.concatenate([children[s] for s in uniq[g]]))
+        kid_lists = [children[s] for s in uniq[g] if len(children[s])]
+        if not kid_lists:
+            continue
+        kids = np.sort(np.concatenate(kid_lists))
         dd = c2[kids][None, :] - 2.0 * (X[rows] @ C[kids].T)
         cells[rows] = kids[dd.argmin(axis=1)]
     return cells
@@ -74,10 +79,13 @@ def _probe(X, centers, supers, children, p_super, nprobe):
     sel = np.sort(np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1)
     uniq, inv = np.unique(sel, axis=0, return_inverse=True)
     c2 = (C * C).sum(1)
-    probes = [None] * len(X)
+    probes = [np.empty(0, dtype=np.int64)] * len(X)
     for g in range(len(uniq)):
         rows = np.flatnonzero(inv == g)
-        kids = np.sort(np.concatenate([children[s] for s in uniq[g]]))
+        kid_lists = [children[s] for s in uniq[g] if len(children[s])]
+        if not kid_lists:
+            continue  # empty probe list, like the operator's UDF
+        kids = np.sort(np.concatenate(kid_lists))
         dd = c2[kids][None, :] - 2.0 * (X[rows] @ C[kids].T)
         order = np.argsort(dd, axis=1, kind="stable")[:, :nprobe]
         for j, r in enumerate(rows):

@@ -402,7 +402,12 @@ def _serving_probe(
     so every ``ivf*_topk`` entry point escapes the Θ(n_cells)-per-query
     flat center scan the moment the caller passes the two-level model."""
     if supers is None:
+        if children is not None:
+            raise ValueError("children given without supers — pass both")
         return probe_cells(np.asarray(centers), query_vec, nprobe)
+    if children is None:
+        # fail fast here, not as a TypeError deep in the child lookup
+        raise ValueError("supers given without children — pass both")
     return probe_cells_2level(
         centers, supers, children, query_vec, nprobe, p_super
     )
@@ -668,6 +673,40 @@ def ivf2_fit_numpy(
     centers = ivf_centers_numpy(ids, X, n_cells, iters)
     super_centers, children = ivf2_from_centers(centers, n_super, super_iters)
     return centers, super_centers, children
+
+
+# Measured r9 recall grid (tools/ann_recall.py, 20k×64d, target_cell=
+# 128, p_super=4 row; full grid + protocol in SCALE.md): top-4 recall
+# by nprobe on a clustered corpus (64 gaussian clusters, the realistic
+# embedding shape) and a structureless random-gaussian corpus (the
+# adversarial case — recall is intrinsically weak for ANY IVF there).
+_RECALL_BY_NPROBE = {
+    True: [(1, 0.746), (2, 0.929), (4, 0.994), (8, 1.0)],
+    False: [(1, 0.096), (2, 0.152), (4, 0.230), (8, 0.337), (16, 0.470)],
+}
+
+
+def suggest_probe(
+    n_super: int, target_recall: float = 0.95, clustered: bool = True
+) -> tuple[int, int]:
+    """(nprobe, p_super) defaults from the MEASURED recall-vs-cost grid
+    (the ``suggest_n_cells`` discipline: sizing rules come from data,
+    not vibes). ``p_super`` stays at min(4, n_super) — the grid shows
+    recall saturates in p_super by 2-4 on clustered corpora and by 8
+    on random ones, while cost keeps rising. ``nprobe`` is the
+    smallest grid point whose measured recall meets ``target_recall``;
+    if none does (structureless corpora above ~0.47) the largest
+    measured point is returned — past that, brute-force
+    ``cosine_topk`` or the RP-LSH family is the honest tool, and the
+    docstring says so rather than extrapolating."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    grid = _RECALL_BY_NPROBE[bool(clustered)]
+    p_super = min(4, max(1, int(n_super)))
+    for nprobe, recall in grid:
+        if recall >= target_recall:
+            return nprobe, p_super
+    return grid[-1][0], p_super
 
 
 def ivf2_from_centers(centers, n_super: int, super_iters: int = 5):
@@ -1490,7 +1529,16 @@ def _knn_join_topk(
     better (cosine desc, id) rows in its own partition, so it cannot
     be in the global top-k. NULL/ragged embeddings never reach the
     join (the probe and assignment NULL-dim gates), so the batch
-    matmul sees uniform rows."""
+    matmul sees uniform rows.
+
+    Cross-engine rounding (documented trade, same as
+    ``cosine_topk_batch``): the arrow path rounds with np.round
+    (half-even on the binary value) and the catalyst path with
+    F.round (half-up on the double's shortest decimal repr) — they
+    differ only for cosines whose repr lands exactly on a 5e-7
+    midpoint, where a top-k boundary pair could flip. Oracle-grade
+    runs pin ``score_engine="catalyst"``; the driver corpora resolve
+    there via the auto threshold anyway."""
     from pyspark.sql import Window
 
     v = F.col(f"`{vec_col}`").cast("array<double>")
@@ -1536,15 +1584,23 @@ def _knn_join_topk(
                     ),
                     6,
                 )
-                best.append(
-                    pd.DataFrame(
-                        {
-                            id_col: pdf["__qid"].to_numpy(),
-                            "neighbor_id": pdf["__cid"].to_numpy(),
-                            "cosine": s,
-                        }
-                    )
+                # prune PER BATCH, not once per partition (the
+                # cosine_topk_batch discipline): without it a hot
+                # partition's tens of millions of scored pairs would
+                # sit in worker memory until the end-of-partition
+                # reduce; a pair dropped here lost to k better pairs
+                # in its own partition, so it can never win globally
+                b = pd.DataFrame(
+                    {
+                        id_col: pdf["__qid"].to_numpy(),
+                        "neighbor_id": pdf["__cid"].to_numpy(),
+                        "cosine": s,
+                    }
+                ).sort_values(
+                    [id_col, "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
                 )
+                best.append(b.groupby(id_col, group_keys=False).head(k))
             if best:
                 allb = pd.concat(best, ignore_index=True)
                 allb = allb.sort_values(

@@ -143,14 +143,20 @@ def streaming_attribution(
         ]
     out_schema = T.StructType(fields)
     # touch buffer columns (parallel arrays: the Arrow state codec
-    # cannot round-trip null elements, and these are all non-null) +
-    # the reorder mode's pending-conversion buffer (empty arrays when
-    # reorder=False — one schema for both modes)
+    # cannot round-trip null elements, and these are all non-null).
+    # The reorder mode ADDS its pending-conversion buffer; the extra
+    # fields are gated on reorder so a reorder=False query restarted
+    # from a pre-r9 checkpoint decodes its old 4-field state unchanged
+    # (an unconditional schema growth would crash every existing
+    # stream on upgrade — r9 review finding)
     state_schema = (
         "tms array<long>, tids array<long>, chs array<string>, "
-        "tts array<double>, ctms array<long>, cids array<long>, "
-        "ctss array<double>"
+        "tts array<double>"
     )
+    if reorder:
+        state_schema += (
+            ", ctms array<long>, cids array<long>, ctss array<double>"
+        )
     touch_set = set(touch_types)
 
     evict = watermark is not None  # EventTimeTimeout needs a watermark
@@ -159,9 +165,9 @@ def streaming_attribution(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            tms, tids, chs, tts, ctms, cids, ctss = (
-                list(x) for x in state.get
-            )
+            got = [list(x) for x in state.get]
+            tms, tids, chs, tts = got[:4]
+            ctms, cids, ctss = got[4:] if reorder else ([], [], [])
         else:
             tms, tids, chs, tts, ctms, cids, ctss = ([] for _ in range(7))
         if evict and state.hasTimedOut and not ctms:
@@ -284,17 +290,15 @@ def streaming_attribution(
             if model != "first_touch" and len(keep) > max_touches:
                 keep = keep[-max_touches:]
         if keep or ctms:
-            state.update(
-                (
-                    [tms[i] for i in keep],
-                    [tids[i] for i in keep],
-                    [chs[i] for i in keep],
-                    [tts[i] for i in keep],
-                    ctms,
-                    cids,
-                    ctss,
-                )
+            new_state = (
+                [tms[i] for i in keep],
+                [tids[i] for i in keep],
+                [chs[i] for i in keep],
+                [tts[i] for i in keep],
             )
+            if reorder:
+                new_state += (ctms, cids, ctss)
+            state.update(new_state)
             if evict:
                 # wake when the oldest pending conversion ripens, else
                 # evict once the watermark passes the newest touch's

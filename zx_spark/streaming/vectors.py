@@ -61,6 +61,10 @@ def vector_index_sink(
     ``ivf_topk(..., supers=, children=, super_col=)`` prunes the top
     directory level before the leaf listing. Flat single-level
     assignment (the default) is byte-identical to rounds ≤8."""
+    if (super_centers is None) != (children is None):
+        # fail BEFORE the query starts — inside foreachBatch this
+        # would surface only as an opaque StreamingQueryException
+        raise ValueError("super_centers and children must be passed together")
 
     def _batch(df: DataFrame, epoch: int) -> None:
         if super_centers is not None:
