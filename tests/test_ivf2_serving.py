@@ -300,3 +300,41 @@ def test_suggest_probe_from_measured_grid():
 
     with pytest.raises(ValueError, match="target_recall"):
         suggest_probe(12, target_recall=0.0)
+
+
+def test_ivf2_rebalance_splits_hot_cells():
+    """A planted hot cluster (half the corpus in one tight ball) must
+    be split to ~target_cell-sized cells; balanced cells untouched;
+    the hierarchy stays a valid partition of the new center list."""
+    from zx_spark.operators.similarity import (
+        ivf2_fit_numpy,
+        ivf2_rebalance,
+    )
+
+    rng = np.random.RandomState(9)
+    hot = 0.05 * rng.randn(600, 8) + 5.0     # tight ball far away
+    rest = rng.randn(600, 8)
+    X = np.vstack([hot, rest])
+    ids = np.arange(len(X))
+    centers, supers, children = ivf2_fit_numpy(ids, X, n_cells=8, n_super=3)
+    c2, s2, ch2 = ivf2_rebalance(ids, X, centers, target_cell=100)
+    assert len(c2) > len(centers)
+    # new hierarchy is a partition of the new centers
+    flat = sorted(c for ch in ch2 for c in ch)
+    assert flat == list(range(len(c2)))
+    # the rebalanced assignment has no cell above ~2x target
+    C = np.asarray(c2)
+    d = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+    counts = np.bincount(d.argmin(axis=1), minlength=len(C))
+    assert counts.max() <= 2 * 100 + 50, counts.max()
+    # balanced corpora pass through unchanged
+    Xb = rng.randn(800, 8)
+    cb, _, _ = ivf2_fit_numpy(np.arange(800), Xb, n_cells=8, n_super=3)
+    cb2, _, _ = ivf2_rebalance(np.arange(800), Xb, cb, target_cell=200)
+    assert np.array_equal(np.asarray(cb), np.asarray(cb2))
+    import pytest
+
+    with pytest.raises(ValueError, match="target_cell"):
+        ivf2_rebalance(ids, X, centers, target_cell=0)
+    with pytest.raises(ValueError, match="max_ratio"):
+        ivf2_rebalance(ids, X, centers, max_ratio=0.5)

@@ -25,6 +25,7 @@ def main() -> None:
     engine = args[args.index("--engine") + 1] if "--engine" in args else "auto"
     score = args[args.index("--score") + 1] if "--score" in args else "auto"
     single = "--single-level" in args
+    rebalance = "--rebalance" in args
     n_best = int(args[args.index("-n") + 1]) if "-n" in args else 2
 
     import numpy as np
@@ -58,6 +59,12 @@ def main() -> None:
         supers = children = None
     else:
         centers, supers, children = ivf2_fit_numpy(ids, X, target_cell=128)
+        if rebalance:
+            from zx_spark.operators.similarity import ivf2_rebalance
+
+            centers, supers, children = ivf2_rebalance(
+                ids, X, centers, target_cell=128
+            )
     fit_s = time.time() - t0
 
     emb = spark.read.parquet(f"{store}/embeddings.parquet").select(

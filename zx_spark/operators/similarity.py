@@ -709,6 +709,58 @@ def suggest_probe(
     return grid[-1][0], p_super
 
 
+def ivf2_rebalance(
+    ids: np.ndarray,
+    X: np.ndarray,
+    centers,
+    target_cell: int = 256,
+    max_ratio: float = 2.0,
+    iters: int = 5,
+    n_super: int | None = None,
+    super_iters: int = 5,
+):
+    """Split oversized cells so candidate volume returns to design —
+    the r9-named residual: Lloyd cells on a real corpus grow uneven
+    (measured at sf10: 1162 candidates/query vs the designed
+    nprobe·128 = 512, a 2.3× join-volume tax ALL probes of a hot cell
+    pay). For every cell holding more than ``max_ratio · target_cell``
+    of the fit sample, re-run the same deterministic Lloyd
+    (``ivf_centers_numpy`` — md5-ordered init, 6-dp rounded centers)
+    WITHIN the cell, splitting it into ``ceil(count/target_cell)``
+    subcells; then refit the super level over the final center matrix
+    (center IDENTITY changes, so children must be re-derived — reusing
+    the old supers would silently mis-route probes). Returns
+    ``(centers, super_centers, children)`` — the same deterministic,
+    oracle-re-derivable contract as ``ivf2_fit_numpy``, so twins can
+    replay the split from the same sample. Like the fit, runs
+    driver-side on the (hash-sampled at real scale) fit sample; the
+    model is still just centers."""
+    X = np.asarray(X, dtype=np.float64)
+    C = np.asarray(centers, dtype=np.float64)
+    if target_cell < 1:
+        raise ValueError(f"target_cell must be >= 1, got {target_cell}")
+    if max_ratio < 1.0:
+        raise ValueError(f"max_ratio must be >= 1, got {max_ratio}")
+    # the same |v|²-less expansion argmin as ivf_assign / the oracle
+    d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    assign = d.argmin(axis=1)
+    new_centers: list[np.ndarray] = []
+    for c in range(len(C)):
+        members = np.flatnonzero(assign == c)
+        n_c = len(members)
+        if n_c <= max_ratio * target_cell:
+            new_centers.append(C[c : c + 1])
+            continue
+        k_c = int(np.ceil(n_c / target_cell))
+        sub = ivf_centers_numpy(ids[members], X[members], k_c, iters)
+        new_centers.append(np.asarray(sub))
+    allc = np.vstack(new_centers)
+    if n_super is None:
+        n_super = max(2, int(round(float(len(allc)) ** 0.5)))
+    supers, children = ivf2_from_centers(allc, n_super, super_iters)
+    return allc, supers, children
+
+
 def ivf2_from_centers(centers, n_super: int, super_iters: int = 5):
     """Derive the SUPER level from an existing center matrix — the tail
     of ``ivf2_fit_numpy``, factored so a single-level model (e.g. an
