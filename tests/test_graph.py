@@ -550,7 +550,12 @@ def test_collect_mode_stays_lazy(spark):
             pagerank(df, iters=iters, dangling="collect", sink_node=-1,
                      checkpoint_every=100)
         finally:
-            spark.sparkContext.setJobGroup("", "")
+            # setJobGroup("", "") would SET the group to "" (Scala only
+            # clears on null), leaving every later job in group "" and
+            # invisible to other tests' getJobIdsForGroup(None) counts
+            # (test_spans' no-eager-jobs assertion) — clear the local
+            # property with a real null instead
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         return len(tracker.getJobIdsForGroup(grp) or [])
 
     j1, j8 = build_jobs(1), build_jobs(8)

@@ -296,8 +296,6 @@ def test_suggest_probe_from_measured_grid():
     # structureless: nothing measured reaches 0.95 — largest point
     assert suggest_probe(12, clustered=False) == (16, 4)
     assert suggest_probe(12, target_recall=0.2, clustered=False) == (4, 4)
-    import pytest
-
     with pytest.raises(ValueError, match="target_recall"):
         suggest_probe(12, target_recall=0.0)
 
@@ -322,18 +320,18 @@ def test_ivf2_rebalance_splits_hot_cells():
     # new hierarchy is a partition of the new centers
     flat = sorted(c for ch in ch2 for c in ch)
     assert flat == list(range(len(c2)))
-    # the rebalanced assignment has no cell above ~2x target
+    # the rebalanced assignment ENFORCES the documented bound (the
+    # split iterates to a fixed point — a single Voronoi pass can
+    # re-concentrate members above it, r9 review finding)
     C = np.asarray(c2)
     d = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
     counts = np.bincount(d.argmin(axis=1), minlength=len(C))
-    assert counts.max() <= 2 * 100 + 50, counts.max()
+    assert counts.max() <= 2 * 100, counts.max()
     # balanced corpora pass through unchanged
     Xb = rng.randn(800, 8)
     cb, _, _ = ivf2_fit_numpy(np.arange(800), Xb, n_cells=8, n_super=3)
     cb2, _, _ = ivf2_rebalance(np.arange(800), Xb, cb, target_cell=200)
     assert np.array_equal(np.asarray(cb), np.asarray(cb2))
-    import pytest
-
     with pytest.raises(ValueError, match="target_cell"):
         ivf2_rebalance(ids, X, centers, target_cell=0)
     with pytest.raises(ValueError, match="max_ratio"):

@@ -4,7 +4,7 @@ over a scale store's embeddings table (the SCALE.md r8/r9 protocol).
 
 Run EXCLUSIVELY, warm best-of-N:
     python tools/ann_scale.py /tmp/zx_scale/sf1 [--engine auto]
-        [--score auto] [--single-level] [-n 2]
+        [--score auto] [--single-level] [--rebalance] [-n 2]
 
 Prints one JSON line with the fit/assign/knn+tri timings and the
 triangle-sum (a value consumer — the vacuous-`.count()` lesson)."""
@@ -26,6 +26,9 @@ def main() -> None:
     score = args[args.index("--score") + 1] if "--score" in args else "auto"
     single = "--single-level" in args
     rebalance = "--rebalance" in args
+    if single and rebalance:
+        print("--rebalance applies only to the two-level fit")
+        sys.exit(2)
     n_best = int(args[args.index("-n") + 1]) if "-n" in args else 2
 
     import numpy as np
@@ -110,6 +113,7 @@ def main() -> None:
                 "engine": engine,
                 "score_engine": score,
                 "single_level": single,
+                "rebalance": rebalance,
                 "fit_sec": round(fit_s, 1),
                 "end_to_end_sec": round(best, 1),
                 "triangle_sum": int(tri) if tri is not None else None,

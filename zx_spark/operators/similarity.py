@@ -669,7 +669,7 @@ def ivf2_fit_numpy(
     if n_cells is None:
         n_cells = max(8, n // int(target_cell))
     if n_super is None:
-        n_super = max(2, int(round(float(n_cells) ** 0.5)))
+        n_super = _suggest_n_super(n_cells)
     centers = ivf_centers_numpy(ids, X, n_cells, iters)
     super_centers, children = ivf2_from_centers(centers, n_super, super_iters)
     return centers, super_centers, children
@@ -709,6 +709,13 @@ def suggest_probe(
     return grid[-1][0], p_super
 
 
+def _suggest_n_super(n_cells: int) -> int:
+    """The one super-level sizing rule — ~√n_cells, floor 2 — shared by
+    ``ivf2_fit_numpy`` and ``ivf2_rebalance`` so a rebalanced model and
+    a fresh fit of the same center count get the same super shape."""
+    return max(2, int(round(float(n_cells) ** 0.5)))
+
+
 def ivf2_rebalance(
     ids: np.ndarray,
     X: np.ndarray,
@@ -718,6 +725,7 @@ def ivf2_rebalance(
     iters: int = 5,
     n_super: int | None = None,
     super_iters: int = 5,
+    max_rounds: int = 4,
 ):
     """Split oversized cells so candidate volume returns to design —
     the r9-named residual: Lloyd cells on a real corpus grow uneven
@@ -727,9 +735,16 @@ def ivf2_rebalance(
     of the fit sample, re-run the same deterministic Lloyd
     (``ivf_centers_numpy`` — md5-ordered init, 6-dp rounded centers)
     WITHIN the cell, splitting it into ``ceil(count/target_cell)``
-    subcells; then refit the super level over the final center matrix
-    (center IDENTITY changes, so children must be re-derived — reusing
-    the old supers would silently mis-route probes). Returns
+    subcells; REPEAT until no cell breaches the bound (the per-cell
+    Lloyd split is Voronoi, not size-balanced, and the global
+    reassignment after a split can re-concentrate members — a single
+    pass measured max cell 300 > 2·128 at sf10; ``max_rounds`` caps
+    pathological corpora, with the residual breach reported in the
+    returned model rather than hidden: re-run with a higher cap or a
+    larger ``max_ratio`` if the fixed point matters more than the
+    round budget); then refit the super level over the final center
+    matrix (center IDENTITY changes, so children must be re-derived —
+    reusing the old supers would silently mis-route probes). Returns
     ``(centers, super_centers, children)`` — the same deterministic,
     oracle-re-derivable contract as ``ivf2_fit_numpy``, so twins can
     replay the split from the same sample. Like the fit, runs
@@ -741,24 +756,27 @@ def ivf2_rebalance(
         raise ValueError(f"target_cell must be >= 1, got {target_cell}")
     if max_ratio < 1.0:
         raise ValueError(f"max_ratio must be >= 1, got {max_ratio}")
-    # the same |v|²-less expansion argmin as ivf_assign / the oracle
-    d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
-    assign = d.argmin(axis=1)
-    new_centers: list[np.ndarray] = []
-    for c in range(len(C)):
-        members = np.flatnonzero(assign == c)
-        n_c = len(members)
-        if n_c <= max_ratio * target_cell:
-            new_centers.append(C[c : c + 1])
-            continue
-        k_c = int(np.ceil(n_c / target_cell))
-        sub = ivf_centers_numpy(ids[members], X[members], k_c, iters)
-        new_centers.append(np.asarray(sub))
-    allc = np.vstack(new_centers)
+    for _ in range(max_rounds):
+        # the same |v|²-less expansion argmin as ivf_assign/the oracle
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        assign = d.argmin(axis=1)
+        counts = np.bincount(assign, minlength=len(C))
+        if counts.max() <= max_ratio * target_cell:
+            break
+        new_centers: list[np.ndarray] = []
+        for c in range(len(C)):
+            if counts[c] <= max_ratio * target_cell:
+                new_centers.append(C[c : c + 1])
+                continue
+            members = np.flatnonzero(assign == c)
+            k_c = int(np.ceil(len(members) / target_cell))
+            sub = ivf_centers_numpy(ids[members], X[members], k_c, iters)
+            new_centers.append(np.asarray(sub))
+        C = np.vstack(new_centers)
     if n_super is None:
-        n_super = max(2, int(round(float(len(allc)) ** 0.5)))
-    supers, children = ivf2_from_centers(allc, n_super, super_iters)
-    return allc, supers, children
+        n_super = _suggest_n_super(len(C))
+    supers, children = ivf2_from_centers(C, n_super, super_iters)
+    return C, supers, children
 
 
 def ivf2_from_centers(centers, n_super: int, super_iters: int = 5):
