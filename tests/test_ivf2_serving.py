@@ -336,3 +336,31 @@ def test_ivf2_rebalance_splits_hot_cells():
         ivf2_rebalance(ids, X, centers, target_cell=0)
     with pytest.raises(ValueError, match="max_ratio"):
         ivf2_rebalance(ids, X, centers, max_ratio=0.5)
+
+
+def test_ivf2_fit_sampled(spark):
+    """Sampled fit: deterministic md5 pick, full-corpus cell sizing,
+    model usable end-to-end; reruns are identical; undersized samples
+    fail fast."""
+    from zx_spark.operators.similarity import (
+        ivf2_assign,
+        ivf2_fit_sampled,
+        knn_pairs_2level,
+    )
+
+    df, ids, X = _emb(spark, n=600)
+    c1, s1, ch1, sid1 = ivf2_fit_sampled(
+        df, sample_n=200, target_cell=50
+    )  # n_cells = 600 // 50 = 12
+    assert len(c1) >= 12 and len(sid1) == 200
+    c2, s2, ch2, sid2 = ivf2_fit_sampled(df, sample_n=200, target_cell=50)
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.array_equal(sid1, sid2)
+    assigned = ivf2_assign(df, c1, s1, ch1)
+    assert assigned.filter(F.col("ivf_cell").isNull()).count() == 0
+    edges = knn_pairs_2level(assigned, c1, s1, ch1, k=2, nprobe=2)
+    assert edges.count() > 0
+    with pytest.raises(ValueError, match="sample"):
+        ivf2_fit_sampled(df, sample_n=8, target_cell=10)  # 60 cells > 8
+    with pytest.raises(ValueError, match="sample_n"):
+        ivf2_fit_sampled(df, sample_n=2)

@@ -4,7 +4,7 @@ over a scale store's embeddings table (the SCALE.md r8/r9 protocol).
 
 Run EXCLUSIVELY, warm best-of-N:
     python tools/ann_scale.py /tmp/zx_scale/sf1 [--engine auto]
-        [--score auto] [--single-level] [--rebalance] [-n 2]
+        [--score auto] [--single-level] [--rebalance] [--sample N] [-n 2]
 
 Prints one JSON line with the fit/assign/knn+tri timings and the
 triangle-sum (a value consumer — the vacuous-`.count()` lesson)."""
@@ -25,6 +25,7 @@ def main() -> None:
     engine = args[args.index("--engine") + 1] if "--engine" in args else "auto"
     score = args[args.index("--score") + 1] if "--score" in args else "auto"
     single = "--single-level" in args
+    sample = int(args[args.index("--sample") + 1]) if "--sample" in args else 0
     rebalance = "--rebalance" in args
     if single and rebalance:
         print("--rebalance applies only to the two-level fit")
@@ -47,6 +48,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     spark = get_spark("ann_scale")
+
+    def emb_for_fit(spark, store):
+        return spark.read.parquet(f"{store}/embeddings.parquet").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+
     t = pq.read_table(
         f"{store}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -60,6 +68,13 @@ def main() -> None:
 
         centers = ivf_centers_numpy(ids, X, suggest_n_cells(n))
         supers = children = None
+    elif sample:
+        from zx_spark.operators.similarity import ivf2_fit_sampled
+
+        centers, supers, children, _sid = ivf2_fit_sampled(
+            emb_for_fit(spark, store), sample_n=sample, target_cell=128,
+            rebalance=rebalance,
+        )
     else:
         centers, supers, children = ivf2_fit_numpy(ids, X, target_cell=128)
         if rebalance:
@@ -114,6 +129,7 @@ def main() -> None:
                 "score_engine": score,
                 "single_level": single,
                 "rebalance": rebalance,
+                "sample": sample,
                 "fit_sec": round(fit_s, 1),
                 "end_to_end_sec": round(best, 1),
                 "triangle_sum": int(tri) if tri is not None else None,

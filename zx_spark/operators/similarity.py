@@ -709,6 +709,76 @@ def suggest_probe(
     return grid[-1][0], p_super
 
 
+def ivf2_fit_sampled(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 65536,
+    target_cell: int = 256,
+    rebalance: bool = True,
+    iters: int = 5,
+    super_iters: int = 5,
+    n_total: int | None = None,
+):
+    """The "fit on a hash-sample" discipline made first-class: every
+    two-level fit docstring says the model is centers only and the fit
+    runs driver-side on a sample at real scale — this does it.
+    Deterministic md5-ordered sampling (the ``ivf_init_centers`` pick,
+    a TakeOrdered(sample_n) — no full sort, engine-reproducible so
+    twins/oracles can replay it), one ``count()`` for the corpus size,
+    then ``ivf2_fit_numpy`` sized for the FULL corpus: ``n_cells =
+    max(8, n_total // target_cell)`` — the constant-cell-size rule
+    must use the real N, not the sample size, or cells would be
+    sample_n/N times too few. ``rebalance=True`` additionally iterates
+    ``ivf2_rebalance`` on the sample with the PRO-RATED per-cell bound
+    (sample cells hold ≈ sample_n/n_total of their full-corpus mass),
+    closing the size-skew join tax the sample can already see.
+    Returns ``(centers, super_centers, children, sample_ids)``.
+
+    Driver memory is ∝ sample_n·dim doubles (64k × 64d ≈ 32 MB) —
+    independent of corpus size; a 10^9-vector store fits through the
+    same call. Raises if the corpus is smaller than the cell count it
+    implies (use ``ivf2_fit_numpy`` directly on tiny corpora)."""
+    if sample_n < 8:
+        raise ValueError(f"sample_n must be >= 8, got {sample_n}")
+    sel = df.select(
+        F.col(f"`{id_col}`").alias("__id"),
+        F.col(f"`{vec_col}`").cast("array<double>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    if n_total is None:
+        n_total = sel.count()
+    n_cells = max(8, int(n_total) // int(target_cell))
+    rows = (
+        sel.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(int(sample_n))
+        .collect()
+    )
+    if n_cells > len(rows):
+        raise ValueError(
+            f"corpus implies {n_cells} cells but the sample holds only "
+            f"{len(rows)} vectors — raise sample_n (need >= n_total/"
+            f"target_cell) or fit the tiny corpus with ivf2_fit_numpy"
+        )
+    ids = np.array([r["__id"] for r in rows])
+    X = np.array([list(map(float, r["__v"])) for r in rows])
+    centers, supers, children = ivf2_fit_numpy(
+        ids, X, n_cells=n_cells, iters=iters, super_iters=super_iters
+    )
+    if rebalance:
+        # the sample sees ≈ sample_n/n_total of each cell's mass — the
+        # split bound must be pro-rated or no sample cell ever breaches
+        sample_cell = max(1, int(np.ceil(len(rows) / n_cells)))
+        centers, supers, children = ivf2_rebalance(
+            ids,
+            X,
+            centers,
+            target_cell=sample_cell,
+            iters=iters,
+            super_iters=super_iters,
+        )
+    return centers, supers, children, ids
+
+
 def _suggest_n_super(n_cells: int) -> int:
     """The one super-level sizing rule — ~√n_cells, floor 2 — shared by
     ``ivf2_fit_numpy`` and ``ivf2_rebalance`` so a rebalanced model and
