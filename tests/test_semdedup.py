@@ -154,6 +154,35 @@ def test_kmeans_method_drops_planted_dups_too(spark):
     assert 500 <= n <= 520  # ~497 of 1000 dropped, same as the lloyd path
 
 
+def test_sampled_method_drops_planted_dups_and_bounds_cells(spark):
+    """r9: the hash-sample + rebalance fit — same pair/drop semantics
+    as lloyd (planted twins still drop), deterministic across reruns,
+    and no cell holds more than ~2x the implied target (the quadratic
+    pair-join tax the split exists to cut)."""
+    import numpy as np
+
+    from zx_spark.operators.semdedup import semantic_dedup_fit
+
+    allv = _with_planted(spark)
+    kept = semantic_dedup(
+        allv, n_cells=8, threshold=0.95, dim=64, method="sampled"
+    )
+    n = kept.count()
+    assert 500 <= n <= 520  # same drop mass as the lloyd/kmeans paths
+    ann, centers = semantic_dedup_fit(
+        allv, n_cells=8, dim=64, method="sampled"
+    )
+    ann2, centers2 = semantic_dedup_fit(
+        allv, n_cells=8, dim=64, method="sampled"
+    )
+    assert np.array_equal(np.asarray(centers), np.asarray(centers2))
+    total = allv.count()
+    target = total // 8
+    sizes = [r["n"] for r in ann.groupBy("ivf_cell").count()
+             .withColumnRenamed("count", "n").collect()]
+    assert max(sizes) <= 2 * target, (max(sizes), target)
+
+
 def test_fit_rejects_unknown_method(spark):
     allv = _with_planted(spark)
     with pytest.raises(ValueError, match="method"):

@@ -84,6 +84,7 @@ def semantic_dedup_fit(
     iters: int = 5,
     dim: int | None = None,
     method: str = "lloyd",
+    sample_n: int = 65536,
 ):
     """Fit the coarse quantizer and annotate every row with its cluster
     and centroid cosine. Returns ``(annotated_df, centers)``.
@@ -94,7 +95,17 @@ def semantic_dedup_fit(
     at large k. ``method='kmeans'``: Spark ML KMeans — the throughput
     choice for production-scale cell counts (the paper runs ~50k
     clusters), JVM-vectorized, at the cost of oracle reproducibility —
-    the same md5-vs-xx64 tradeoff the dedup hashes expose."""
+    the same md5-vs-xx64 tradeoff the dedup hashes expose.
+    ``method='sampled'`` (r9): the hash-sample fit + skew rebalance
+    from ``similarity.ivf2_fit_sampled`` — deterministic like
+    ``lloyd`` but fit on ``sample_n`` vectors (driver memory bounded
+    at any corpus size) and with oversized cells SPLIT: the
+    within-cell self-join pays cell-size skew QUADRATICALLY (pair
+    volume = Σ cell², and the measured size-biased mean cell on a
+    clustered corpus was 206 vs the designed 128 — SCALE.md r9), so
+    balancing cuts the pair join ~1.6× where it hurts most. May
+    return MORE than ``n_cells`` centers (the split); recall at cell
+    boundaries has the same SemDeDup caveat either way."""
     if method == "kmeans":
         assigned, centers = ivf_build(df, vec_col=vec_col, n_cells=n_cells)
         centers = [[round(float(x), 6) for x in c] for c in centers]
@@ -102,8 +113,28 @@ def semantic_dedup_fit(
         assigned, centers = ivf_build_lloyd(
             df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim
         )
+    elif method == "sampled":
+        import numpy as np
+
+        from zx_spark.operators.similarity import ivf2_fit_sampled, ivf_assign
+
+        n_total = df.count()
+        fitted, _sup, _ch, _sid = ivf2_fit_sampled(
+            df,
+            vec_col=vec_col,
+            id_col=id_col,
+            sample_n=sample_n,
+            target_cell=max(1, n_total // max(1, n_cells)),
+            rebalance=True,
+            iters=iters,
+            n_total=n_total,
+        )
+        centers = [[float(x) for x in c] for c in np.asarray(fitted)]
+        assigned = ivf_assign(df, centers, vec_col)
     else:
-        raise ValueError(f"method must be 'lloyd' or 'kmeans', got {method!r}")
+        raise ValueError(
+            f"method must be 'lloyd', 'kmeans' or 'sampled', got {method!r}"
+        )
     return centroid_cosine(assigned, centers, vec_col), centers
 
 
