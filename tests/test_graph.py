@@ -553,9 +553,12 @@ def test_collect_mode_stays_lazy(spark):
             # setJobGroup("", "") would SET the group to "" (Scala only
             # clears on null), leaving every later job in group "" and
             # invisible to other tests' getJobIdsForGroup(None) counts
-            # (test_spans' no-eager-jobs assertion) — clear the local
-            # property with a real null instead
-            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+            # (test_spans' no-eager-jobs assertion) — clear ALL THREE
+            # properties setJobGroup sets with real nulls instead
+            sc = spark.sparkContext
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
         return len(tracker.getJobIdsForGroup(grp) or [])
 
     j1, j8 = build_jobs(1), build_jobs(8)

@@ -364,3 +364,35 @@ def test_ivf2_fit_sampled(spark):
         ivf2_fit_sampled(df, sample_n=8, target_cell=10)  # 60 cells > 8
     with pytest.raises(ValueError, match="sample_n"):
         ivf2_fit_sampled(df, sample_n=2)
+
+
+def test_rebalance_no_progress_on_unsplittable_mass():
+    """r9 third review: a cell of identical vectors is
+    Voronoi-unsplittable — the loop must stop early instead of
+    appending duplicate empty centers for max_rounds rounds."""
+    from zx_spark.operators.similarity import (
+        ivf2_fit_numpy,
+        ivf2_rebalance,
+    )
+
+    rng = np.random.RandomState(3)
+    dup = np.tile(rng.randn(1, 8), (300, 1))      # 300 identical rows
+    rest = rng.randn(100, 8) + 100.0              # far away: pure dup cell
+    X = np.vstack([dup, rest])
+    ids = np.arange(len(X))
+    centers, _, _ = ivf2_fit_numpy(ids, X, n_cells=4, n_super=2)
+    c2, s2, ch2 = ivf2_rebalance(ids, X, centers, target_cell=100)
+    # one wasted split round at most — NOT max_rounds worth of clones
+    assert len(c2) <= len(centers) + 4, (len(centers), len(c2))
+    flat = sorted(c for ch in ch2 for c in ch)
+    assert flat == list(range(len(c2)))
+
+
+def test_fit_sampled_rejects_string_ids(spark):
+    from zx_spark.operators.similarity import ivf2_fit_sampled
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "doc_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integer-typed"):
+        ivf2_fit_sampled(df, id_col="doc_id", sample_n=8)

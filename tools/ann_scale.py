@@ -4,7 +4,15 @@ over a scale store's embeddings table (the SCALE.md r8/r9 protocol).
 
 Run EXCLUSIVELY, warm best-of-N:
     python tools/ann_scale.py /tmp/zx_scale/sf1 [--engine auto]
-        [--score auto] [--single-level] [--rebalance] [--sample N] [-n 2]
+        [--score auto] [--single-level] [--rebalance] [--sample N]
+        [--no-rebalance] [-n 2]
+
+Modes: default = full-corpus two-level fit (--rebalance opts the skew
+split in); --sample N = ivf2_fit_sampled, which rebalances BY DEFAULT
+like the library (--no-rebalance opts out); --single-level = the flat
+baseline (neither sampling nor rebalance apply — combining them is an
+error, not a silent ignore). The JSON line records the EFFECTIVE
+rebalance so recorded measurements carry their provenance.
 
 Prints one JSON line with the fit/assign/knn+tri timings and the
 triangle-sum (a value consumer — the vacuous-`.count()` lesson)."""
@@ -26,13 +34,17 @@ def main() -> None:
     score = args[args.index("--score") + 1] if "--score" in args else "auto"
     single = "--single-level" in args
     sample = int(args[args.index("--sample") + 1]) if "--sample" in args else 0
-    rebalance = "--rebalance" in args
-    if single and rebalance:
-        print("--rebalance applies only to the two-level fit")
+    if single and (("--rebalance" in args) or sample):
+        print("--rebalance/--sample apply only to the two-level fit")
         sys.exit(2)
+    if sample:
+        # the sampled fit rebalances by default (the library default);
+        # --rebalance is redundant there, --no-rebalance opts out
+        rebalance = "--no-rebalance" not in args
+    else:
+        rebalance = "--rebalance" in args
     n_best = int(args[args.index("-n") + 1]) if "-n" in args else 2
 
-    import numpy as np
     import pyarrow.parquet as pq
 
     from zx_spark.operators.graph import triangle_counts
@@ -48,34 +60,40 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     spark = get_spark("ann_scale")
-
-    def emb_for_fit(spark, store):
-        return spark.read.parquet(f"{store}/embeddings.parquet").select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
-        )
-
-    t = pq.read_table(
-        f"{store}/embeddings.parquet", columns=["vec_id", "embedding"]
+    emb = spark.read.parquet(f"{store}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    ids = t["vec_id"].to_numpy()
-    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    n = len(ids)
+    n = pq.read_metadata(f"{store}/embeddings.parquet").num_rows
+
+    def corpus_numpy():
+        # only the non-sampled fits need the whole corpus driver-side —
+        # reading it unconditionally would defeat (and OOM) the very
+        # bounded-memory mode --sample exists to measure
+        import numpy as np
+
+        t = pq.read_table(
+            f"{store}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return (
+            t["vec_id"].to_numpy(),
+            np.array(t["embedding"].to_pylist(), dtype=np.float64),
+        )
 
     t0 = time.time()
     if single:
         from zx_spark.operators.similarity import ivf_centers_numpy
 
+        ids, X = corpus_numpy()
         centers = ivf_centers_numpy(ids, X, suggest_n_cells(n))
         supers = children = None
     elif sample:
         from zx_spark.operators.similarity import ivf2_fit_sampled
 
         centers, supers, children, _sid = ivf2_fit_sampled(
-            emb_for_fit(spark, store), sample_n=sample, target_cell=128,
-            rebalance=rebalance,
+            emb, sample_n=sample, target_cell=128, rebalance=rebalance,
         )
     else:
+        ids, X = corpus_numpy()
         centers, supers, children = ivf2_fit_numpy(ids, X, target_cell=128)
         if rebalance:
             from zx_spark.operators.similarity import ivf2_rebalance
@@ -85,9 +103,6 @@ def main() -> None:
             )
     fit_s = time.time() - t0
 
-    emb = spark.read.parquet(f"{store}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
     best = None
     for _ in range(n_best):
         t0 = time.time()

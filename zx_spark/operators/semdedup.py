@@ -114,11 +114,14 @@ def semantic_dedup_fit(
             df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim
         )
     elif method == "sampled":
-        import numpy as np
-
         from zx_spark.operators.similarity import ivf2_fit_sampled, ivf_assign
 
-        n_total = df.count()
+        # count the NULL-FILTERED population — the same rows the
+        # sampled fit sees — or a half-null frame would get half the
+        # requested cells over its real data (r9 review)
+        n_total = df.filter(
+            F.col(f"`{vec_col}`").cast("array<double>").isNotNull()
+        ).count()
         fitted, _sup, _ch, _sid = ivf2_fit_sampled(
             df,
             vec_col=vec_col,
@@ -199,14 +202,16 @@ def semantic_dedup(
     threshold: float = 0.95,
     dim: int | None = None,
     method: str = "lloyd",
+    sample_n: int = 65536,
 ) -> DataFrame:
     """One-call SemDeDup: fit → within-cluster pairs → drop losers.
     Returns the kept rows of ``df`` (original columns). The drop set is
     small relative to the corpus (it is the duplicate mass), so the
-    anti-join broadcasts."""
+    anti-join broadcasts. ``sample_n`` feeds ``method='sampled'``
+    (ignored otherwise)."""
     annotated, _ = semantic_dedup_fit(
         df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim,
-        method=method,
+        method=method, sample_n=sample_n,
     )
     pairs = semantic_pairs(
         annotated, threshold=threshold, vec_col=vec_col, id_col=id_col

@@ -735,12 +735,28 @@ def ivf2_fit_sampled(
     closing the size-skew join tax the sample can already see.
     Returns ``(centers, super_centers, children, sample_ids)``.
 
-    Driver memory is ∝ sample_n·dim doubles (64k × 64d ≈ 32 MB) —
-    independent of corpus size; a 10^9-vector store fits through the
-    same call. Raises if the corpus is smaller than the cell count it
-    implies (use ``ivf2_fit_numpy`` directly on tiny corpora)."""
+    Memory honesty (r9 review): under the constant-cell-size rule the
+    MODEL itself is linear in N — ``n_cells = N/target_cell`` centers
+    — and a meaningful Lloyd fit needs ``sample_n ≥ n_cells`` (raised
+    if not; in practice use several points per cell). So driver
+    memory is ∝ ``max(sample_n, n_cells)·dim`` doubles: at 10^9
+    vectors / target_cell=256 / 64d that is a ~2-8 GB driver model —
+    large but BOUNDED and ~64-256× smaller than collecting the 512 GB
+    corpus, which is what this call replaces. Scale ``sample_n`` with
+    the corpus (the error message computes the floor). ``id_col``
+    must be integer-typed — the numpy twin's md5 seeding hashes
+    ``str(int(id))``, and a string id would both crash it and diverge
+    from the Spark-side sample order."""
     if sample_n < 8:
         raise ValueError(f"sample_n must be >= 8, got {sample_n}")
+    id_field = [f for f in df.schema.fields if f.name == id_col]
+    if id_field and id_field[0].dataType.simpleString() not in (
+        "bigint", "int", "smallint", "tinyint"
+    ):
+        raise ValueError(
+            f"id_col {id_col!r} must be integer-typed for the numpy-twin "
+            f"md5 seeding, got {id_field[0].dataType.simpleString()}"
+        )
     sel = df.select(
         F.col(f"`{id_col}`").alias("__id"),
         F.col(f"`{vec_col}`").cast("array<double>").alias("__v"),
@@ -808,11 +824,17 @@ def ivf2_rebalance(
     subcells; REPEAT until no cell breaches the bound (the per-cell
     Lloyd split is Voronoi, not size-balanced, and the global
     reassignment after a split can re-concentrate members — a single
-    pass measured max cell 300 > 2·128 at sf10; ``max_rounds`` caps
-    pathological corpora, with the residual breach reported in the
-    returned model rather than hidden: re-run with a higher cap or a
-    larger ``max_ratio`` if the fixed point matters more than the
-    round budget); then refit the super level over the final center
+    pass measured max cell 300 > 2·128 at sf10). The loop stops EARLY
+    when a round makes no progress (max cell size not strictly
+    decreasing): a cell of > bound IDENTICAL vectors is
+    Voronoi-unsplittable — every sub-center seeds on the same point
+    and first-index ties send all members to one — so iterating would
+    only append duplicate empty centers while burning full distance
+    matrices. ``max_rounds`` additionally caps slow-converging
+    corpora. Either way the bound is BEST-EFFORT on such inputs
+    (duplicate-heavy data should be exact-deduped first — dedup.py —
+    which is the pipeline order anyway); then refit the super level
+    over the final center
     matrix (center IDENTITY changes, so children must be re-derived —
     reusing the old supers would silently mis-route probes). Returns
     ``(centers, super_centers, children)`` — the same deterministic,
@@ -826,13 +848,21 @@ def ivf2_rebalance(
         raise ValueError(f"target_cell must be >= 1, got {target_cell}")
     if max_ratio < 1.0:
         raise ValueError(f"max_ratio must be >= 1, got {max_ratio}")
+    prev_max = None
     for _ in range(max_rounds):
         # the same |v|²-less expansion argmin as ivf_assign/the oracle
         d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         assign = d.argmin(axis=1)
         counts = np.bincount(assign, minlength=len(C))
-        if counts.max() <= max_ratio * target_cell:
+        cur_max = int(counts.max())
+        if cur_max <= max_ratio * target_cell:
             break
+        if prev_max is not None and cur_max >= prev_max:
+            # no progress: Voronoi-unsplittable mass (identical or
+            # near-identical vectors) — stop rather than append
+            # duplicate empty centers every round
+            break
+        prev_max = cur_max
         new_centers: list[np.ndarray] = []
         for c in range(len(C)):
             if counts[c] <= max_ratio * target_cell:
