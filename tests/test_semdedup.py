@@ -176,8 +176,13 @@ def test_sampled_method_drops_planted_dups_and_bounds_cells(spark):
         allv, n_cells=8, dim=64, method="sampled"
     )
     assert np.array_equal(np.asarray(centers), np.asarray(centers2))
+    import math
+
     total = allv.count()
-    target = total // 8
+    # the library bound is 2*ceil(total/n_cells), BEST-EFFORT under
+    # max_rounds (r9 review: // was tighter than the contract and
+    # passed only because the fixture divides evenly)
+    target = math.ceil(total / 8)
     sizes = [r["n"] for r in ann.groupBy("ivf_cell").count()
              .withColumnRenamed("count", "n").collect()]
     assert max(sizes) <= 2 * target, (max(sizes), target)

@@ -34,8 +34,14 @@ def main() -> None:
     score = args[args.index("--score") + 1] if "--score" in args else "auto"
     single = "--single-level" in args
     sample = int(args[args.index("--sample") + 1]) if "--sample" in args else 0
-    if single and (("--rebalance" in args) or sample):
-        print("--rebalance/--sample apply only to the two-level fit")
+    if single and any(
+        f in args for f in ("--rebalance", "--no-rebalance", "--sample")
+    ):
+        print("--rebalance/--no-rebalance/--sample apply only to the "
+              "two-level fit")
+        sys.exit(2)
+    if "--rebalance" in args and "--no-rebalance" in args:
+        print("--rebalance conflicts with --no-rebalance")
         sys.exit(2)
     if sample:
         # the sampled fit rebalances by default (the library default);
@@ -63,7 +69,14 @@ def main() -> None:
     emb = spark.read.parquet(f"{store}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    n = pq.read_metadata(f"{store}/embeddings.parquet").num_rows
+    # ds.dataset handles BOTH a single parquet file and a Spark-written
+    # part-file DIRECTORY (read_metadata only handles the former — the
+    # scale stores are directories; r9 review regression)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(
+        f"{store}/embeddings.parquet", format="parquet"
+    ).count_rows()
 
     def corpus_numpy():
         # only the non-sampled fits need the whole corpus driver-side —

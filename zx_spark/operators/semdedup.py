@@ -98,8 +98,9 @@ def semantic_dedup_fit(
     the same md5-vs-xx64 tradeoff the dedup hashes expose.
     ``method='sampled'`` (r9): the hash-sample fit + skew rebalance
     from ``similarity.ivf2_fit_sampled`` — deterministic like
-    ``lloyd`` but fit on ``sample_n`` vectors (driver memory bounded
-    at any corpus size) and with oversized cells SPLIT: the
+    ``lloyd`` but fit on ``sample_n`` vectors (driver memory ∝
+    max(sample_n, n_cells)·dim — see ivf2_fit_sampled's memory note)
+    and with oversized cells SPLIT: the
     within-cell self-join pays cell-size skew QUADRATICALLY (pair
     volume = Σ cell², and the measured size-biased mean cell on a
     clustered corpus was 206 vs the designed 128 — SCALE.md r9), so
@@ -122,15 +123,19 @@ def semantic_dedup_fit(
         n_total = df.filter(
             F.col(f"`{vec_col}`").cast("array<double>").isNotNull()
         ).count()
+        # pass n_cells EXACTLY (r9 review: the n_cells -> target_cell
+        # -> n_cells floor-division round-trip plus the max(8, .) floor
+        # silently changed the granularity vs the lloyd path); the
+        # pro-rated rebalance bound inside uses ceil(sample/n_cells)
         fitted, _sup, _ch, _sid = ivf2_fit_sampled(
             df,
             vec_col=vec_col,
             id_col=id_col,
             sample_n=sample_n,
-            target_cell=max(1, n_total // max(1, n_cells)),
             rebalance=True,
             iters=iters,
             n_total=n_total,
+            n_cells=n_cells,
         )
         centers = [[float(x) for x in c] for c in np.asarray(fitted)]
         assigned = ivf_assign(df, centers, vec_col)

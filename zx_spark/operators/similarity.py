@@ -719,6 +719,7 @@ def ivf2_fit_sampled(
     iters: int = 5,
     super_iters: int = 5,
     n_total: int | None = None,
+    n_cells: int | None = None,
 ):
     """The "fit on a hash-sample" discipline made first-class: every
     two-level fit docstring says the model is centers only and the fit
@@ -746,7 +747,11 @@ def ivf2_fit_sampled(
     the corpus (the error message computes the floor). ``id_col``
     must be integer-typed — the numpy twin's md5 seeding hashes
     ``str(int(id))``, and a string id would both crash it and diverge
-    from the Spark-side sample order."""
+    from the Spark-side sample order. ``n_cells`` overrides the
+    target_cell derivation exactly (no max(8, ·) floor) — callers with
+    a cell-count contract (semantic_dedup_fit) pass it so the sampled
+    fit matches the lloyd path's granularity instead of a
+    floor-division round-trip of it."""
     if sample_n < 8:
         raise ValueError(f"sample_n must be >= 8, got {sample_n}")
     id_field = [f for f in df.schema.fields if f.name == id_col]
@@ -763,7 +768,10 @@ def ivf2_fit_sampled(
     ).filter(F.col("__v").isNotNull())
     if n_total is None:
         n_total = sel.count()
-    n_cells = max(8, int(n_total) // int(target_cell))
+    if n_cells is None:
+        n_cells = max(8, int(n_total) // int(target_cell))
+    elif n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     rows = (
         sel.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
         .limit(int(sample_n))
@@ -873,6 +881,13 @@ def ivf2_rebalance(
             sub = ivf_centers_numpy(ids[members], X[members], k_c, iters)
             new_centers.append(np.asarray(sub))
         C = np.vstack(new_centers)
+    # drop EXACT-duplicate centers (keep the first occurrence, stable
+    # order): a no-progress split of identical vectors leaves clone
+    # centers that would sit at identical distance to every query and
+    # waste probe slots on empty cells — removing later duplicates is
+    # provably free (first-index argmin ties already picked the first)
+    _, first_idx = np.unique(C, axis=0, return_index=True)
+    C = C[np.sort(first_idx)]
     if n_super is None:
         n_super = _suggest_n_super(len(C))
     supers, children = ivf2_from_centers(C, n_super, super_iters)
