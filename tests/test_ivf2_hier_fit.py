@@ -1,0 +1,500 @@
+"""Round-10: the hierarchical IVF fit family (VERDICT r9 item 1 — the
+flat driver-side Lloyd was the last Θ(N²)-class step in the ANN
+family), its hierarchy-aware rebalance, the numpy assignment/probe
+twins they share with tools/ann_recall.py, and the fit-time recall
+grid (VERDICT r9 item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zx_spark.operators.similarity import (
+    _apportion,
+    _md5_take,
+    _nearest_center_chunked,
+    _two_level_sorted_cells,
+    assign_2level_numpy,
+    ivf2_assign,
+    ivf2_fit_hier,
+    ivf2_fit_numpy,
+    ivf2_fit_sampled,
+    ivf2_rebalance_hier,
+    ivf_centers_numpy,
+    knn_pairs_2level,
+    measure_recall_grid,
+    probe_2level_numpy,
+    suggest_probe,
+)
+
+
+def _clustered(n=600, dim=8, kc=12, seed=5):
+    rng = np.random.RandomState(seed)
+    cc = rng.randn(kc, dim) * 3.0
+    asg = rng.randint(0, kc, size=n)
+    X = cc[asg] + 0.3 * rng.randn(n, dim)
+    return np.arange(n), X
+
+
+# ------------------------------------------------------------- apportionment
+
+
+def test_apportion_exact_total_and_caps():
+    counts = np.array([100, 50, 25, 25, 0])
+    k = _apportion(counts, 8)
+    assert k.sum() == 8
+    assert k[4] == 0 and (k[:4] >= 1).all()
+    assert k[0] == 4 and k[1] == 2 and k[2] == 1 and k[3] == 1
+    # never more children than members
+    k2 = _apportion(np.array([2, 1, 1000]), 50)
+    assert k2.sum() == 50 and k2[0] <= 2 and k2[1] <= 1
+    # total above the member count clamps to one center per member
+    k3 = _apportion(np.array([3, 2]), 100)
+    assert list(k3) == [3, 2]
+    # total below the active-block count bumps to one each
+    k4 = _apportion(np.array([5, 5, 5]), 1)
+    assert list(k4) == [1, 1, 1]
+    assert _apportion(np.array([0, 0]), 4).sum() == 0
+    # deterministic
+    assert np.array_equal(_apportion(counts, 8), k)
+
+
+# ------------------------------------------------------------------ hier fit
+
+
+def test_fit_hier_children_partition_and_determinism():
+    ids, X = _clustered()
+    c, s, ch = ivf2_fit_hier(ids, X, n_cells=24, n_super=5)
+    assert len(c) == 24 and len(s) == 5
+    flat = sorted(x for kids in ch for x in kids)
+    assert flat == list(range(len(c)))
+    # children are CONTIGUOUS ascending per super (by construction)
+    for kids in ch:
+        assert kids == sorted(kids)
+        if kids:
+            assert kids == list(range(kids[0], kids[-1] + 1))
+    c2, s2, ch2 = ivf2_fit_hier(ids, X, n_cells=24, n_super=5)
+    assert np.array_equal(c, c2) and np.array_equal(s, s2) and ch == ch2
+
+
+def test_fit_hier_replays_blockwise_recipe():
+    """The fit IS the documented recipe: super Lloyd, exact owner
+    argmin, apportion, per-super member-only Lloyds — replayed here
+    step by step with the shared primitives."""
+    ids, X = _clustered(n=300)
+    c, s, ch = ivf2_fit_hier(ids, X, n_cells=12, n_super=4)
+    S = ivf_centers_numpy(ids, X, 4, 5)
+    assert np.array_equal(s, S)
+    owner = _nearest_center_chunked(X, S)
+    k = _apportion(np.bincount(owner, minlength=4), 12)
+    off = 0
+    for sid in range(4):
+        if k[sid] == 0:
+            assert ch[sid] == []
+            continue
+        m = np.flatnonzero(owner == sid)
+        sub = np.asarray(ivf_centers_numpy(ids[m], X[m], int(k[sid]), 5))
+        assert np.array_equal(c[off : off + len(sub)], sub)
+        assert ch[sid] == list(range(off, off + len(sub)))
+        off += len(sub)
+    assert off == len(c)
+
+
+def test_fit_hier_defaults_and_validation():
+    ids, X = _clustered(n=400)
+    c, s, ch = ivf2_fit_hier(ids, X, target_cell=50)  # n_cells = 8
+    assert len(c) == 8
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf2_fit_hier(ids, X, n_cells=0)
+    with pytest.raises(ValueError, match="at least one"):
+        ivf2_fit_hier(np.array([]), np.empty((0, 4)))
+    # degenerate: fewer vectors than requested cells → clamped
+    c3, _, ch3 = ivf2_fit_hier(np.arange(5), X[:5], n_cells=64)
+    assert len(c3) <= 5
+    assert sorted(x for kk in ch3 for x in kk) == list(range(len(c3)))
+
+
+def test_fit_hier_model_serves_end_to_end(spark):
+    ids, X = _clustered()
+    c, s, ch = ivf2_fit_hier(ids, X, n_cells=24, n_super=5)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = ivf2_assign(df, c, s, ch)
+    assert assigned.filter(F.col("ivf_cell").isNull()).count() == 0
+    edges = knn_pairs_2level(assigned, c, s, ch, k=2, nprobe=2)
+    assert edges.count() > 0
+
+
+# --------------------------------------------------------------- numpy twins
+
+
+def test_assign_2level_numpy_equals_spark(spark):
+    ids, X = _clustered(n=200)
+    c, s, ch = ivf2_fit_numpy(ids, X, n_cells=16, n_super=4)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf2_assign(df, c, s, ch, p_super=2, engine="catalyst").collect()
+    }
+    want = assign_2level_numpy(X, c, s, ch, p_super=2)
+    assert got == {int(i): int(want[i]) for i in ids}
+    with pytest.raises(ValueError, match="p_super"):
+        assign_2level_numpy(X, c, s, ch, p_super=0)
+
+
+def test_probe_2level_numpy_equals_catalyst(spark):
+    ids, X = _clustered(n=80)
+    c, s, ch = ivf2_fit_numpy(ids, X, n_cells=10, n_super=3)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    C = [[float(x) for x in r] for r in c]
+    S = [[float(x) for x in r] for r in s]
+    cells = F.slice(
+        _two_level_sorted_cells(
+            F.col("embedding").cast("array<double>"), C, S, ch, 2
+        ),
+        1,
+        3,
+    )
+    got = {
+        r["vec_id"]: list(r["p"])
+        for r in df.select("vec_id", cells.alias("p")).collect()
+    }
+    want = probe_2level_numpy(X, c, s, ch, p_super=2, nprobe=3)
+    assert got == {int(i): [int(x) for x in want[i]] for i in ids}
+
+
+def test_twins_handle_childless_selection():
+    ids, X = _clustered(n=40)
+    c, s, _ = ivf2_fit_numpy(ids, X, n_cells=6, n_super=2)
+    empty = [[] for _ in s]
+    assert (assign_2level_numpy(X, c, s, empty) == -1).all()
+    assert all(
+        len(p) == 0 for p in probe_2level_numpy(X, c, s, empty, 2, 3)
+    )
+
+
+# ------------------------------------------------------------ hier rebalance
+
+
+def test_rebalance_hier_splits_hot_cells_supers_fixed():
+    rng = np.random.RandomState(9)
+    hot = 0.05 * rng.randn(600, 8) + 5.0
+    rest = rng.randn(600, 8)
+    X = np.vstack([hot, rest])
+    ids = np.arange(len(X))
+    # note: the hier fit's APPORTIONMENT already pre-balances (the hot
+    # super gets proportionally more children), so a breach needs a
+    # tighter bound than the flat-rebalance test's
+    c, s, ch = ivf2_fit_hier(ids, X, n_cells=8, n_super=3)
+    c2, s2, ch2 = ivf2_rebalance_hier(ids, X, c, s, ch, target_cell=50)
+    assert len(c2) > len(c)
+    # supers are FIXED — parentage is known, no refit
+    assert np.array_equal(np.asarray(s), np.asarray(s2))
+    flat = sorted(x for kids in ch2 for x in kids)
+    assert flat == list(range(len(c2)))
+    # bound enforced under the hierarchy's own counting rule
+    assign = assign_2level_numpy(X, c2, s2, ch2)
+    counts = np.bincount(assign[assign >= 0], minlength=len(c2))
+    assert counts.max() <= 2 * 50, counts.max()
+    # balanced corpora pass through unchanged
+    idb, Xb = _clustered(n=400, seed=3)
+    cb, sb, chb = ivf2_fit_hier(idb, Xb, n_cells=4, n_super=2)
+    cb2, _, chb2 = ivf2_rebalance_hier(idb, Xb, cb, sb, chb, target_cell=200)
+    assert np.array_equal(np.asarray(cb), np.asarray(cb2)) and chb == chb2
+    with pytest.raises(ValueError, match="target_cell"):
+        ivf2_rebalance_hier(ids, X, c, s, ch, target_cell=0)
+    with pytest.raises(ValueError, match="max_ratio"):
+        ivf2_rebalance_hier(ids, X, c, s, ch, max_ratio=0.5)
+
+
+def test_rebalance_hier_no_progress_on_dup_mass():
+    rng = np.random.RandomState(3)
+    dup = np.tile(rng.randn(1, 8), (300, 1))
+    rest = rng.randn(100, 8) + 100.0
+    X = np.vstack([dup, rest])
+    ids = np.arange(len(X))
+    c, s, ch = ivf2_fit_hier(ids, X, n_cells=4, n_super=2)
+    c2, _, ch2 = ivf2_rebalance_hier(ids, X, c, s, ch, target_cell=100)
+    assert len(c2) <= len(c) + 4, (len(c), len(c2))
+    assert sorted(x for kids in ch2 for x in kids) == list(range(len(c2)))
+
+
+# ------------------------------------------------- sampled-fit wiring (r10)
+
+
+def test_fit_sampled_hier_deterministic_and_serves(spark):
+    rng = np.random.RandomState(7)
+    X = rng.randn(600, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(600)],
+        "vec_id long, embedding array<double>",
+    )
+    c1, s1, ch1, sid1 = ivf2_fit_sampled(
+        df, sample_n=200, target_cell=50, fit="hier"
+    )
+    c2, s2, ch2, sid2 = ivf2_fit_sampled(
+        df, sample_n=200, target_cell=50, fit="hier"
+    )
+    assert np.array_equal(np.asarray(c1), np.asarray(c2)) and ch1 == ch2
+    assert np.array_equal(sid1, sid2)
+    assigned = ivf2_assign(df, c1, s1, ch1)
+    assert assigned.filter(F.col("ivf_cell").isNull()).count() == 0
+    assert knn_pairs_2level(assigned, c1, s1, ch1, k=2, nprobe=2).count() > 0
+    # small models auto-route to the flat path byte-for-byte
+    ca, sa, cha, _ = ivf2_fit_sampled(df, sample_n=200, target_cell=50)
+    cf, sf, chf, _ = ivf2_fit_sampled(
+        df, sample_n=200, target_cell=50, fit="flat"
+    )
+    assert np.array_equal(np.asarray(ca), np.asarray(cf)) and cha == chf
+    with pytest.raises(ValueError, match="fit"):
+        ivf2_fit_sampled(df, sample_n=200, target_cell=50, fit="bogus")
+
+
+def test_fit_sampled_missing_id_col_fails_fast(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not in schema"):
+        ivf2_fit_sampled(df, id_col="nope", sample_n=8)
+
+
+# ----------------------------------------------------- fit-time recall grid
+
+
+def test_fit_sampled_recall_grid_matches_library(spark):
+    rng = np.random.RandomState(11)
+    X = rng.randn(300, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf2_fit_sampled(
+        df, sample_n=300, target_cell=30, recall_grid=True
+    )
+    assert len(out) == 5
+    c, s, ch, sids, grid = out
+    assert [g[0] for g in grid] == sorted({g[0] for g in grid})
+    assert all(0.0 <= g[1] <= 1.0 for g in grid)
+    # recall is monotone non-decreasing in nprobe
+    rs = [g[1] for g in grid]
+    assert rs == sorted(rs)
+    # the 5th element IS measure_recall_grid on the same sample
+    Xs = np.array(
+        [X[int(i)] for i in sids]
+    )
+    want = measure_recall_grid(np.asarray(sids), Xs, c, s, ch)
+    assert grid == want
+
+
+def test_measure_recall_grid_brute_force_pin():
+    """Independent recall computation (plain loops, no library probe
+    helpers) must agree with measure_recall_grid on a tiny corpus."""
+    ids, X = _clustered(n=60, dim=4, kc=4)
+    c, s, ch = ivf2_fit_numpy(ids, X, n_cells=6, n_super=2)
+    k = 3
+    grid = measure_recall_grid(
+        ids, X, c, s, ch, k=k, p_super=2, nprobes=(1, 2), max_queries=60
+    )
+    # brute force
+    C = np.asarray(c)
+    S = np.asarray(s)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    owner_cells = assign_2level_numpy(X, c, s, ch, p_super=2)
+    import hashlib
+
+    qorder = sorted(
+        range(60),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    for nprobe, want_recall in grid:
+        hits = 0
+        for q in qorder:
+            sd = ((S - X[q]) ** 2).sum(axis=1)
+            sel = np.argsort(sd, kind="stable")[:2]
+            kids = sorted(int(x) for sid in sel for x in ch[sid])
+            cd = [((C[cc] - X[q]) ** 2).sum() for cc in kids]
+            probe = [
+                kids[i] for i in np.argsort(cd, kind="stable")[:nprobe]
+            ]
+            cand = [
+                i
+                for i in range(60)
+                if i != q and owner_cells[i] in probe
+            ]
+            if not cand:
+                continue
+            sims = [float(Xn[i] @ Xn[q]) for i in cand]
+            top = [
+                cand[i] for i in np.argsort(-np.asarray(sims), kind="stable")[:k]
+            ]
+            exact_sims = Xn @ Xn[q]
+            exact_sims[q] = -2.0
+            exact = set(np.argsort(-exact_sims, kind="stable")[:k])
+            hits += len(set(top) & exact)
+        assert round(hits / (k * 60), 3) == want_recall, nprobe
+    with pytest.raises(ValueError, match="at least two"):
+        measure_recall_grid(ids[:1], X[:1], c, s, ch)
+
+
+def test_suggest_probe_grid_and_clamp():
+    # per-model grid overrides the static table
+    assert suggest_probe(12, target_recall=0.9, grid=[(1, 0.5), (2, 0.95)]) == (2, 4)
+    assert suggest_probe(12, target_recall=0.99, grid=[(1, 0.5), (2, 0.95)]) == (2, 4)
+    # n_cells clamps the static table's 16 down to the model's cells
+    assert suggest_probe(12, clustered=False, n_cells=6) == (6, 4)
+    assert suggest_probe(12, n_cells=2) == (2, 4)
+    with pytest.raises(ValueError, match="grid"):
+        suggest_probe(12, grid=[])
+
+
+def test_md5_take_is_prefix_stable():
+    ids = np.arange(50)
+    t10 = _md5_take(ids, 10)
+    t20 = _md5_take(ids, 20)
+    assert list(t20[:10]) == list(t10)
+    assert len(set(map(int, t20))) == 20
+
+# ---------------------------------------------------- distributed child fit
+
+
+def _dist_replay(ids, X, n_super, target_cell, super_sample_n, iters=5,
+                 super_iters=5, max_group_rows=None):
+    """Driver-side numpy replay of the ivf2_fit_dist recipe."""
+    import math
+
+    from zx_spark.operators.similarity import (
+        _md5_take,
+        _nearest_center_chunked,
+        ivf_centers_numpy,
+    )
+
+    take = _md5_take(ids, min(super_sample_n, len(ids)))
+    S = ivf_centers_numpy(ids[take], X[take], n_super, super_iters)
+    owner = _nearest_center_chunked(X, S)
+    blocks, children = [], [[] for _ in range(len(S))]
+    off = 0
+    for s in range(len(S)):
+        m = np.flatnonzero(owner == s)
+        if len(m) == 0:
+            continue
+        k_s = int(math.ceil(len(m) / target_cell))
+        if max_group_rows is not None and len(m) > max_group_rows:
+            m = m[_md5_take(ids[m], max_group_rows)]
+            k_s = min(k_s, len(m))
+        sub = np.asarray(ivf_centers_numpy(ids[m], X[m], k_s, iters))
+        blocks.append(sub)
+        children[s] = list(range(off, off + len(sub)))
+        off += len(sub)
+    return np.vstack(blocks), S, children
+
+
+def test_fit_dist_matches_numpy_replay(spark):
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    ids, X = _clustered(n=500)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    c, s, ch = ivf2_fit_dist(
+        df, target_cell=50, n_super=4, super_sample_n=500, engine="catalyst"
+    )
+    cw, sw, chw = _dist_replay(ids, X, 4, 50, 500)
+    assert np.array_equal(np.asarray(s), sw)
+    assert np.array_equal(np.asarray(c), cw)
+    assert ch == chw
+    # arrow super-assignment produces the same model on real-valued data
+    ca, sa, cha = ivf2_fit_dist(
+        df, target_cell=50, n_super=4, super_sample_n=500, engine="arrow"
+    )
+    assert np.array_equal(np.asarray(ca), np.asarray(c)) and cha == ch
+    # children contiguous ascending, a partition of the centers
+    assert sorted(x for kk in ch for x in kk) == list(range(len(c)))
+    for kk in ch:
+        if kk:
+            assert kk == list(range(kk[0], kk[-1] + 1))
+
+
+def test_fit_dist_model_serves(spark):
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    ids, X = _clustered(n=400)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    c, s, ch = ivf2_fit_dist(df, target_cell=40, super_sample_n=400)
+    assigned = ivf2_assign(df, c, s, ch)
+    assert assigned.filter(F.col("ivf_cell").isNull()).count() == 0
+    assert knn_pairs_2level(assigned, c, s, ch, k=2, nprobe=2).count() > 0
+
+
+def test_fit_dist_group_cap_replays(spark):
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    ids, X = _clustered(n=300, kc=3)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    c, s, ch = ivf2_fit_dist(
+        df, target_cell=30, n_super=3, super_sample_n=300,
+        engine="catalyst", max_group_rows=60,
+    )
+    cw, sw, chw = _dist_replay(ids, X, 3, 30, 300, max_group_rows=60)
+    assert np.array_equal(np.asarray(c), cw) and ch == chw
+
+
+def test_fit_dist_validations(spark):
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    sdf = spark.createDataFrame(
+        [("a", [1.0])], "doc_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integer-typed"):
+        ivf2_fit_dist(sdf, id_col="doc_id")
+    with pytest.raises(ValueError, match="not in schema"):
+        ivf2_fit_dist(sdf, id_col="nope")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least one"):
+        ivf2_fit_dist(empty)
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="super_sample_n"):
+        ivf2_fit_dist(df, n_super=8, super_sample_n=4)
+    with pytest.raises(ValueError, match="super_sample_n"):
+        ivf2_fit_dist(df, super_sample_n=0)
+
+
+def test_ivf_assign_arrow_equals_catalyst(spark):
+    from zx_spark.operators.similarity import ivf_assign, ivf_assign_arrow
+
+    ids, X = _clustered(n=150)
+    c, _, _ = ivf2_fit_numpy(ids, X, n_cells=10, n_super=3)
+    C = [[float(x) for x in r] for r in c]
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids]
+        + [(999, None)],
+        "vec_id long, embedding array<double>",
+    )
+    cat = {r["vec_id"]: r["ivf_cell"]
+           for r in ivf_assign(df, C, "embedding").collect()}
+    arr = {r["vec_id"]: r["ivf_cell"]
+           for r in ivf_assign_arrow(df, C, "embedding").collect()}
+    # single-level catalyst assign does NOT null-gate (pre-r8 contract);
+    # compare on the valid rows, and pin the arrow path's NULL gate
+    assert arr[999] is None
+    assert {k: v for k, v in cat.items() if k != 999} == {
+        k: v for k, v in arr.items() if k != 999
+    }

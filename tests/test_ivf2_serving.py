@@ -282,6 +282,13 @@ def test_serving_probe_validates_paired_args(model):
             assigned, "/tmp/nowhere", [[0.0]],
             super_centers=[[0.0]],
         )
+    # r9 advisor: super_col without the hierarchy must also fail fast —
+    # silently skipping the top-level prune hands back an un-pruned
+    # full listing with no error
+    with pytest.raises(ValueError, match="super_col"):
+        ivf_topk(assigned, centers, q, super_col="ivf_super")
+    with pytest.raises(ValueError, match="super_col"):
+        ivf_topk_batch(assigned, centers, [q], super_col="ivf_super")
 
 
 def test_suggest_probe_from_measured_grid():

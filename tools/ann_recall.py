@@ -50,47 +50,19 @@ def _exact_topk(X: np.ndarray, k: int, chunk: int = 2048) -> np.ndarray:
 
 
 def _assign(X, centers, supers, children, p_super):
-    """Vectorized ivf2_assign twin (same math as _two_level_probe_udf
-    take=1)."""
-    S = np.asarray(supers)
-    C = np.asarray(centers)
-    ds = (S * S).sum(1)[None, :] - 2.0 * (X @ S.T)
-    sel = np.sort(np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1)
-    # -1 = unassignable (every selected super childless) — the
-    # operator's UDF emits NULL for the same rows
-    cells = np.full(len(X), -1, dtype=np.int64)
-    uniq, inv = np.unique(sel, axis=0, return_inverse=True)
-    c2 = (C * C).sum(1)
-    for g in range(len(uniq)):
-        rows = np.flatnonzero(inv == g)
-        kid_lists = [children[s] for s in uniq[g] if len(children[s])]
-        if not kid_lists:
-            continue
-        kids = np.sort(np.concatenate(kid_lists))
-        dd = c2[kids][None, :] - 2.0 * (X[rows] @ C[kids].T)
-        cells[rows] = kids[dd.argmin(axis=1)]
-    return cells
+    """ivf2_assign twin — since r10 the library owns this arithmetic
+    (assign_2level_numpy, shared with ivf2_rebalance_hier and
+    measure_recall_grid); the tool delegates so the measured grid IS
+    the operator's selection."""
+    from zx_spark.operators.similarity import assign_2level_numpy
+
+    return assign_2level_numpy(X, centers, supers, children, p_super)
 
 
 def _probe(X, centers, supers, children, p_super, nprobe):
-    S = np.asarray(supers)
-    C = np.asarray(centers)
-    ds = (S * S).sum(1)[None, :] - 2.0 * (X @ S.T)
-    sel = np.sort(np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1)
-    uniq, inv = np.unique(sel, axis=0, return_inverse=True)
-    c2 = (C * C).sum(1)
-    probes = [np.empty(0, dtype=np.int64)] * len(X)
-    for g in range(len(uniq)):
-        rows = np.flatnonzero(inv == g)
-        kid_lists = [children[s] for s in uniq[g] if len(children[s])]
-        if not kid_lists:
-            continue  # empty probe list, like the operator's UDF
-        kids = np.sort(np.concatenate(kid_lists))
-        dd = c2[kids][None, :] - 2.0 * (X[rows] @ C[kids].T)
-        order = np.argsort(dd, axis=1, kind="stable")[:, :nprobe]
-        for j, r in enumerate(rows):
-            probes[r] = kids[order[j]]
-    return probes
+    from zx_spark.operators.similarity import probe_2level_numpy
+
+    return probe_2level_numpy(X, centers, supers, children, p_super, nprobe)
 
 
 def main() -> None:

@@ -117,16 +117,14 @@ def semantic_dedup_fit(
     elif method == "sampled":
         from zx_spark.operators.similarity import ivf2_fit_sampled, ivf_assign
 
-        # count the NULL-FILTERED population — the same rows the
-        # sampled fit sees — or a half-null frame would get half the
-        # requested cells over its real data (r9 review)
-        n_total = df.filter(
-            F.col(f"`{vec_col}`").cast("array<double>").isNotNull()
-        ).count()
         # pass n_cells EXACTLY (r9 review: the n_cells -> target_cell
         # -> n_cells floor-division round-trip plus the max(8, .) floor
         # silently changed the granularity vs the lloyd path); the
-        # pro-rated rebalance bound inside uses ceil(sample/n_cells)
+        # pro-rated rebalance bound inside uses ceil(sample/n_cells).
+        # No n_total: ivf2_fit_sampled only reads it to DERIVE n_cells,
+        # so counting the corpus here was a wasted full scan per fit —
+        # significant at the 10^9-row scale this mode targets (r9
+        # advisor finding).
         fitted, _sup, _ch, _sid = ivf2_fit_sampled(
             df,
             vec_col=vec_col,
@@ -134,7 +132,6 @@ def semantic_dedup_fit(
             sample_n=sample_n,
             rebalance=True,
             iters=iters,
-            n_total=n_total,
             n_cells=n_cells,
         )
         centers = [[float(x) for x in c] for c in np.asarray(fitted)]

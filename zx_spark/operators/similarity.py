@@ -413,6 +413,20 @@ def _serving_probe(
     )
 
 
+def _check_super_col(super_col, supers) -> None:
+    """Fail fast when ``super_col`` names a (super, cell)-partitioned
+    store but no hierarchy is supplied: silently skipping the top-level
+    prune would hand the caller an un-pruned full directory listing with
+    no error — inconsistent with ``_serving_probe``'s fail-fast pairing
+    discipline (r9 advisor finding)."""
+    if super_col is not None and supers is None:
+        raise ValueError(
+            "super_col given without supers/children — the (super, cell) "
+            "store prune needs the two-level hierarchy; pass both or drop "
+            "super_col"
+        )
+
+
 def _super_prune(df: DataFrame, cells, children, centers, super_col):
     """Add the probed cells' SUPER filter on a (super, cell)-partitioned
     store — redundant with the cell filter for correctness, but it lets
@@ -446,6 +460,7 @@ def ivf_topk(
     twin of ``knn_pairs_2level``; identical selection at ``p_super ==
     n_super``). With ``super_col`` on a ``(super, cell)``-partitioned
     store the probed supers prune the top directory level too."""
+    _check_super_col(super_col, supers)
     cells = _serving_probe(centers, query_vec, nprobe, supers, children, p_super)
     qcol = F.lit([float(v) for v in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), qcol)
@@ -492,6 +507,7 @@ def ivf_topk_batch(
     scan actually hurts (the batch path exists for high-Q serving)."""
     if not query_vecs:
         raise ValueError("ivf_topk_batch needs at least one query vector")
+    _check_super_col(super_col, supers)
     from pyspark.sql import Window
 
     per_q = [
@@ -687,9 +703,13 @@ _RECALL_BY_NPROBE = {
 
 
 def suggest_probe(
-    n_super: int, target_recall: float = 0.95, clustered: bool = True
+    n_super: int,
+    target_recall: float = 0.95,
+    clustered: bool = True,
+    n_cells: int | None = None,
+    grid: list[tuple[int, float]] | None = None,
 ) -> tuple[int, int]:
-    """(nprobe, p_super) defaults from the MEASURED recall-vs-cost grid
+    """(nprobe, p_super) defaults from a MEASURED recall-vs-cost grid
     (the ``suggest_n_cells`` discipline: sizing rules come from data,
     not vibes). ``p_super`` stays at min(4, n_super) — the grid shows
     recall saturates in p_super by 2-4 on clustered corpora and by 8
@@ -698,15 +718,32 @@ def suggest_probe(
     if none does (structureless corpora above ~0.47) the largest
     measured point is returned — past that, brute-force
     ``cosine_topk`` or the RP-LSH family is the honest tool, and the
-    docstring says so rather than extrapolating."""
+    docstring says so rather than extrapolating.
+
+    ``grid`` — pass the model's OWN measured (nprobe, recall) surface
+    (``ivf2_fit_sampled(..., recall_grid=True)`` /
+    ``measure_recall_grid``, ascending nprobe) and the answer comes
+    from THIS corpus at THIS dim/cell size instead of the static table
+    below, which was measured once at 20k×64d/target_cell=128 and
+    carries no authority for other shapes (r9 review). ``n_cells``
+    clamps the returned nprobe — the static table can suggest more
+    probes than a small model has cells, which ``ivf_topk``/
+    ``knn_pairs_2level`` reject with 'nprobe must be in 1..n_cells'
+    (r9 advisor finding)."""
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
-    grid = _RECALL_BY_NPROBE[bool(clustered)]
+    g = list(grid) if grid is not None else _RECALL_BY_NPROBE[bool(clustered)]
+    if not g:
+        raise ValueError("grid must hold at least one (nprobe, recall) point")
     p_super = min(4, max(1, int(n_super)))
-    for nprobe, recall in grid:
+    chosen = g[-1][0]
+    for nprobe, recall in g:
         if recall >= target_recall:
-            return nprobe, p_super
-    return grid[-1][0], p_super
+            chosen = nprobe
+            break
+    if n_cells is not None:
+        chosen = max(1, min(int(chosen), int(n_cells)))
+    return int(chosen), p_super
 
 
 def ivf2_fit_sampled(
@@ -720,6 +757,8 @@ def ivf2_fit_sampled(
     super_iters: int = 5,
     n_total: int | None = None,
     n_cells: int | None = None,
+    fit: str = "auto",
+    recall_grid: bool = False,
 ):
     """The "fit on a hash-sample" discipline made first-class: every
     two-level fit docstring says the model is centers only and the fit
@@ -751,11 +790,41 @@ def ivf2_fit_sampled(
     target_cell derivation exactly (no max(8, ·) floor) — callers with
     a cell-count contract (semantic_dedup_fit) pass it so the sampled
     fit matches the lloyd path's granularity instead of a
-    floor-division round-trip of it."""
+    floor-division round-trip of it.
+
+    ``fit`` — ``"flat"`` is the pre-r10 ``ivf2_fit_numpy`` path: ONE
+    Lloyd over all n_cells, whose per-iteration (sample_n × n_cells)
+    distance matrix is quadratic in N under the constant-cell-size
+    rule (at 10⁹ vectors / target_cell 256 it would be ~100 TB — the
+    r9 verdict's one remaining scale-killer). ``"hier"`` is
+    ``ivf2_fit_hier``: supers first, then per-super child fits —
+    Θ(sample_n·√n_cells·dim) work, one ≤256 MB matrix at a time, so
+    n_cells ≥ 10⁵ fits from multi-million-row samples in bounded
+    driver memory (measured in SCALE.md r10). ``"auto"`` (default)
+    picks hier once sample_n·n_cells exceeds ``FIT_BLOCK_ENTRIES`` —
+    every oracle/test-scale model stays on the flat path byte-for-byte,
+    the first 10⁷-vector user lands on the one that finishes. The fit
+    method is part of the model's replay recipe: twins must use the
+    same one (both are deterministic; they produce different — equally
+    valid — centers). Rebalance follows the fit: flat models use
+    ``ivf2_rebalance`` (exact argmin + super refit), hier models use
+    ``ivf2_rebalance_hier`` (two-level counting, supers fixed).
+
+    ``recall_grid=True`` additionally measures THIS model's
+    recall-vs-nprobe surface on the sample already in memory
+    (``measure_recall_grid``) and returns it as a FIFTH element —
+    feed it to ``suggest_probe(grid=...)`` for per-model probe
+    defaults instead of the static 20k×64d table."""
     if sample_n < 8:
         raise ValueError(f"sample_n must be >= 8, got {sample_n}")
     id_field = [f for f in df.schema.fields if f.name == id_col]
-    if id_field and id_field[0].dataType.simpleString() not in (
+    if not id_field:
+        # name the missing column HERE instead of letting the select
+        # below surface it as an opaque AnalysisException (r9 advisor)
+        raise ValueError(
+            f"id_col {id_col!r} not in schema — have {df.columns}"
+        )
+    if id_field[0].dataType.simpleString() not in (
         "bigint", "int", "smallint", "tinyint"
     ):
         raise ValueError(
@@ -785,22 +854,616 @@ def ivf2_fit_sampled(
         )
     ids = np.array([r["__id"] for r in rows])
     X = np.array([list(map(float, r["__v"])) for r in rows])
-    centers, supers, children = ivf2_fit_numpy(
-        ids, X, n_cells=n_cells, iters=iters, super_iters=super_iters
-    )
-    if rebalance:
-        # the sample sees ≈ sample_n/n_total of each cell's mass — the
-        # split bound must be pro-rated or no sample cell ever breaches
-        sample_cell = max(1, int(np.ceil(len(rows) / n_cells)))
-        centers, supers, children = ivf2_rebalance(
-            ids,
-            X,
-            centers,
-            target_cell=sample_cell,
-            iters=iters,
-            super_iters=super_iters,
+    if fit == "auto":
+        fit = "hier" if len(rows) * int(n_cells) > FIT_BLOCK_ENTRIES else "flat"
+    # the sample sees ≈ sample_n/n_total of each cell's mass — the
+    # rebalance split bound must be pro-rated or no sample cell ever
+    # breaches
+    sample_cell = max(1, int(np.ceil(len(rows) / n_cells)))
+    if fit == "hier":
+        centers, supers, children = ivf2_fit_hier(
+            ids, X, n_cells=n_cells, iters=iters, super_iters=super_iters
         )
+        if rebalance:
+            centers, supers, children = ivf2_rebalance_hier(
+                ids, X, centers, supers, children,
+                target_cell=sample_cell, iters=iters,
+            )
+    elif fit == "flat":
+        centers, supers, children = ivf2_fit_numpy(
+            ids, X, n_cells=n_cells, iters=iters, super_iters=super_iters
+        )
+        if rebalance:
+            centers, supers, children = ivf2_rebalance(
+                ids,
+                X,
+                centers,
+                target_cell=sample_cell,
+                iters=iters,
+                super_iters=super_iters,
+            )
+    else:
+        raise ValueError(f"fit must be 'flat', 'hier' or 'auto', got {fit!r}")
+    if recall_grid:
+        grid = measure_recall_grid(ids, X, centers, supers, children)
+        return centers, supers, children, ids, grid
     return centers, supers, children, ids
+
+
+# One float64 distance matrix the hierarchical fit is willing to
+# materialize at a time: 2^25 entries = 256 MB. Every stage of
+# ivf2_fit_hier / ivf2_rebalance_hier / assign_2level_numpy chunks or
+# md5-subsamples to stay under it, which is what makes the fit's
+# DRIVER memory bounded regardless of sample_n·n_cells — the flat
+# ivf_centers_numpy fit materializes the full (sample_n × n_cells)
+# matrix and is the one remaining Θ(N²)-class step the r9 verdict
+# named (n_cells ∝ N under the constant-cell-size rule makes it
+# quadratic in N once sample_n ≥ n_cells binds).
+FIT_BLOCK_ENTRIES = 1 << 25
+
+
+def _md5_take(ids: np.ndarray, n: int) -> np.ndarray:
+    """Row positions of the first ``n`` ids by (md5(id), id) — the
+    package's one deterministic sample order (``ivf_init_centers`` /
+    ``ivf2_fit_sampled``), applied one level down so every subsample
+    inside the hierarchical fit replays identically in a twin."""
+    import hashlib
+
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(str(int(ids[i])).encode()).hexdigest(),
+            int(ids[i]),
+        ),
+    )
+    return np.asarray(order[: int(n)], dtype=np.int64)
+
+
+def _apportion(counts: np.ndarray, total: int) -> np.ndarray:
+    """Deterministic largest-remainder apportionment of ``total`` child
+    cells across supers, proportional to member ``counts``, with the two
+    feasibility caps a Lloyd hierarchy needs: every non-empty super gets
+    ≥ 1 child (its members must land somewhere) and no super gets more
+    children than members (Lloyd can't seed k centers from < k points).
+    Ties break to the lowest super id both ways (argmax/argmin return
+    the first maximal index), so twins replay the allocation."""
+    counts = np.asarray(counts, dtype=np.int64)
+    n = int(counts.sum())
+    active = counts > 0
+    n_active = int(active.sum())
+    if n == 0 or n_active == 0:
+        return np.zeros(len(counts), dtype=np.int64)
+    total = max(int(total), n_active)
+    total = min(total, n)
+    quota = counts * (float(total) / n)
+    k = np.zeros(len(counts), dtype=np.int64)
+    k[active] = np.maximum(1, np.floor(quota[active]).astype(np.int64))
+    k = np.minimum(k, counts)
+    while int(k.sum()) < total:
+        room = active & (k < counts)
+        rem = np.where(room, quota - k, -np.inf)
+        k[int(rem.argmax())] += 1
+    while int(k.sum()) > total:
+        shrink = k > 1
+        rem = np.where(shrink, quota - k, np.inf)
+        k[int(rem.argmin())] -= 1
+    return k
+
+
+def ivf2_fit_hier(
+    ids: np.ndarray,
+    X: np.ndarray,
+    n_cells: int | None = None,
+    n_super: int | None = None,
+    iters: int = 5,
+    super_iters: int = 5,
+    target_cell: int = 256,
+):
+    """Hierarchical two-level fit — supers FIRST, then each super's
+    children fit ONLY on its own members (the r9 verdict's top item:
+    the flat ``ivf2_fit_numpy`` path runs one Lloyd over ALL n_cells,
+    materializing a (sample_n × n_cells) distance matrix per iteration
+    — quadratic in N under the constant-cell-size rule n_cells ∝ N,
+    and the last Θ(N²)-class step in the ANN family. This fit never
+    builds it):
+
+    1. Lloyd the ``n_super ≈ √n_cells`` supers on an md5-subsample
+       capped so the matrix stays ≤ ``FIT_BLOCK_ENTRIES``;
+    2. assign every sample row to its nearest super — an exact argmin,
+       CHUNKED over rows (chunk × n_super per block);
+    3. apportion ``n_cells`` children across supers proportional to
+       member counts (largest remainder, deterministic ties), then
+       Lloyd each super's children on its members only — per-block
+       matrices are members_s × k_s, md5-subsampled under the same cap.
+
+    Total work Θ(sample_n · √n_cells · dim) instead of the flat path's
+    Θ(sample_n · n_cells · dim); peak extra memory one
+    ``FIT_BLOCK_ENTRIES`` matrix instead of sample_n × n_cells. Every
+    stage is the package's deterministic Lloyd (md5-ordered init /
+    subsample, expansion argmin with first-index ties, 6-dp rounded
+    centers), so a numpy twin replays the model from the same sample.
+
+    Returns ``(centers, super_centers, children)`` with ``children[s]``
+    the CONTIGUOUS ascending ids of super ``s``'s children — parentage
+    is by construction (each child was fit inside its super), not the
+    nearest-super re-derivation ``ivf2_from_centers`` performs, so no
+    n_cells-sized re-clustering happens anywhere. The center count is
+    exactly ``n_cells`` whenever every super has enough members
+    (apportionment caps k_s ≤ members_s, so degenerate corpora may get
+    fewer)."""
+    X = np.asarray(X, dtype=np.float64)
+    ids = np.asarray(ids)
+    n = len(ids)
+    if n == 0:
+        raise ValueError("ivf2_fit_hier needs at least one vector")
+    if n_cells is None:
+        n_cells = max(8, n // int(target_cell))
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    n_cells = min(int(n_cells), n)
+    if n_super is None:
+        n_super = _suggest_n_super(n_cells)
+    n_super = max(1, min(int(n_super), n_cells))
+    # 1. super fit on a capped md5-subsample (sample × n_super matrix)
+    super_fit_n = min(n, max(n_super, FIT_BLOCK_ENTRIES // max(n_super, 1)))
+    if super_fit_n < n:
+        take = _md5_take(ids, super_fit_n)
+        S = ivf_centers_numpy(ids[take], X[take], n_super, super_iters)
+    else:
+        S = ivf_centers_numpy(ids, X, n_super, super_iters)
+    # 2. exact nearest-super per row, chunked
+    owner = _nearest_center_chunked(X, S)
+    counts = np.bincount(owner, minlength=len(S))
+    # 3. per-super child fits
+    k = _apportion(counts, n_cells)
+    blocks: list[np.ndarray] = []
+    children: list[list[int]] = []
+    off = 0
+    for s in range(len(S)):
+        if k[s] == 0:
+            children.append([])
+            continue
+        members = np.flatnonzero(owner == s)
+        if len(members) * int(k[s]) > FIT_BLOCK_ENTRIES:
+            cap = max(int(k[s]), FIT_BLOCK_ENTRIES // int(k[s]))
+            members = members[_md5_take(ids[members], cap)]
+        sub = np.asarray(
+            ivf_centers_numpy(ids[members], X[members], int(k[s]), iters)
+        )
+        blocks.append(sub)
+        children.append(list(range(off, off + len(sub))))
+        off += len(sub)
+    return np.vstack(blocks), np.asarray(S, dtype=np.float64), children
+
+
+def _nearest_center_chunked(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact nearest-center argmin (expansion formula, first-index
+    ties — the package contract) chunked over rows so the distance
+    matrix never exceeds ``FIT_BLOCK_ENTRIES``. Chunking is exactly
+    deterministic: each row's argmin is independent."""
+    C = np.asarray(C, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    out = np.empty(len(X), dtype=np.int64)
+    rows_per = max(1, FIT_BLOCK_ENTRIES // max(len(C), 1))
+    for s in range(0, len(X), rows_per):
+        d = c2[None, :] - 2.0 * (X[s : s + rows_per] @ C.T)
+        out[s : s + rows_per] = d.argmin(axis=1)
+    return out
+
+
+def assign_2level_numpy(
+    X: np.ndarray,
+    centers,
+    supers,
+    children,
+    p_super: int | None = None,
+) -> np.ndarray:
+    """Numpy twin of ``ivf2_assign`` (identical selection math to
+    ``_two_level_probe_udf`` at take=1), chunked over rows under the
+    ``FIT_BLOCK_ENTRIES`` budget: each row scores the supers, keeps
+    ``p_super``, then argmins over ONLY their children. Rows whose
+    selected supers are all childless get ``-1`` (the operator's UDF
+    emits NULL for the same rows). Shared by ``ivf2_rebalance_hier``
+    and ``measure_recall_grid`` — and by tools/ann_recall.py, so the
+    measured grid is the operator's own selection arithmetic."""
+    X = np.asarray(X, dtype=np.float64)
+    C = np.asarray(centers, dtype=np.float64)
+    S = np.asarray(supers, dtype=np.float64)
+    ns = len(S)
+    if p_super is None:
+        p_super = min(4, ns)
+    if not 1 <= p_super <= ns:
+        raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
+    c2 = (C * C).sum(axis=1)
+    s2 = (S * S).sum(axis=1)
+    kids_arr = [np.asarray(ch, dtype=np.int64) for ch in children]
+    out = np.full(len(X), -1, dtype=np.int64)
+    rows_per = max(1, FIT_BLOCK_ENTRIES // max(ns, 1))
+    for start in range(0, len(X), rows_per):
+        Xc = X[start : start + rows_per]
+        ds = s2[None, :] - 2.0 * (Xc @ S.T)
+        sel = np.sort(
+            np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1
+        )
+        uniq, inv = np.unique(sel, axis=0, return_inverse=True)
+        for g in range(len(uniq)):
+            rows = np.flatnonzero(inv == g)
+            kid_lists = [kids_arr[s] for s in uniq[g] if len(kids_arr[s])]
+            if not kid_lists:
+                continue
+            kids = np.sort(np.concatenate(kid_lists))
+            dd = c2[kids][None, :] - 2.0 * (Xc[rows] @ C[kids].T)
+            out[start + rows] = kids[dd.argmin(axis=1)]
+    return out
+
+
+def probe_2level_numpy(
+    X: np.ndarray,
+    centers,
+    supers,
+    children,
+    p_super: int,
+    nprobe: int,
+) -> list[np.ndarray]:
+    """Numpy twin of the build-side two-level probe selection
+    (``_two_level_sorted_cells`` / ``_two_level_probe_udf`` sliced to
+    ``nprobe``): per query, the candidate cells of the ``p_super``
+    nearest supers sorted by (squared distance, cell id). Squared-L2
+    like the build path, NOT the cosine ``probe_cells_2level`` serves
+    with — the grid measures the knn/assignment machinery. Rows whose
+    selected supers are all childless get an empty probe list."""
+    X = np.asarray(X, dtype=np.float64)
+    C = np.asarray(centers, dtype=np.float64)
+    S = np.asarray(supers, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    s2 = (S * S).sum(axis=1)
+    kids_arr = [np.asarray(ch, dtype=np.int64) for ch in children]
+    ds = s2[None, :] - 2.0 * (X @ S.T)
+    sel = np.sort(np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1)
+    uniq, inv = np.unique(sel, axis=0, return_inverse=True)
+    probes: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * len(X)
+    for g in range(len(uniq)):
+        rows = np.flatnonzero(inv == g)
+        kid_lists = [kids_arr[s] for s in uniq[g] if len(kids_arr[s])]
+        if not kid_lists:
+            continue
+        kids = np.sort(np.concatenate(kid_lists))
+        dd = c2[kids][None, :] - 2.0 * (X[rows] @ C[kids].T)
+        order = np.argsort(dd, axis=1, kind="stable")[:, :nprobe]
+        for j, r in enumerate(rows):
+            probes[r] = kids[order[j]]
+    return probes
+
+
+def ivf2_rebalance_hier(
+    ids: np.ndarray,
+    X: np.ndarray,
+    centers,
+    supers,
+    children,
+    target_cell: int = 256,
+    max_ratio: float = 2.0,
+    iters: int = 5,
+    max_rounds: int = 4,
+    p_super: int | None = None,
+):
+    """``ivf2_rebalance`` for a hierarchy whose parentage is KNOWN
+    (an ``ivf2_fit_hier`` / ``ivf2_fit_dist`` model): a split cell's
+    sub-centers were fit on its own members, so they stay under the
+    same super — the super level is FIXED and only the children lists
+    grow. That removes the flat rebalance's two scale problems at
+    once: no full (sample_n × n_cells) assignment matrix (counting
+    uses the chunked two-level ``assign_2level_numpy`` — the same rule
+    the store assigns by, which is also the more faithful skew signal:
+    it counts the rows a probe would actually drag) and no
+    n_cells-sized super re-clustering afterward. Same contract
+    otherwise: iterate until no cell exceeds ``max_ratio ·
+    target_cell``, stop early on no progress (Voronoi-unsplittable
+    identical-vector mass), drop exact-duplicate split centers (first
+    occurrence wins), deterministic throughout. Oversized split blocks
+    md5-subsample their members under ``FIT_BLOCK_ENTRIES`` like the
+    fit. Returns ``(centers, super_centers, children)``."""
+    X = np.asarray(X, dtype=np.float64)
+    ids = np.asarray(ids)
+    C = np.asarray(centers, dtype=np.float64)
+    S = np.asarray(supers, dtype=np.float64)
+    kids = [list(map(int, ch)) for ch in children]
+    if target_cell < 1:
+        raise ValueError(f"target_cell must be >= 1, got {target_cell}")
+    if max_ratio < 1.0:
+        raise ValueError(f"max_ratio must be >= 1, got {max_ratio}")
+    prev_max = None
+    for _ in range(max_rounds):
+        assign = assign_2level_numpy(X, C, S, kids, p_super)
+        counts = np.bincount(
+            assign[assign >= 0], minlength=len(C)
+        )
+        cur_max = int(counts.max()) if len(counts) else 0
+        if cur_max <= max_ratio * target_cell:
+            break
+        if prev_max is not None and cur_max >= prev_max:
+            break
+        prev_max = cur_max
+        new_blocks: list[np.ndarray] = []
+        new_kids: list[list[int]] = []
+        off = 0
+        for s in range(len(S)):
+            out_ids: list[int] = []
+            for c in kids[s]:
+                if counts[c] <= max_ratio * target_cell:
+                    new_blocks.append(C[c : c + 1])
+                    out_ids.append(off)
+                    off += 1
+                    continue
+                members = np.flatnonzero(assign == c)
+                k_c = int(np.ceil(len(members) / target_cell))
+                if len(members) * k_c > FIT_BLOCK_ENTRIES:
+                    cap = max(k_c, FIT_BLOCK_ENTRIES // k_c)
+                    members = members[_md5_take(ids[members], cap)]
+                sub = np.asarray(
+                    ivf_centers_numpy(ids[members], X[members], k_c, iters)
+                )
+                _, fi = np.unique(sub, axis=0, return_index=True)
+                sub = sub[np.sort(fi)]
+                new_blocks.append(sub)
+                out_ids.extend(range(off, off + len(sub)))
+                off += len(sub)
+            new_kids.append(out_ids)
+        C = np.vstack(new_blocks)
+        kids = new_kids
+    return C, S, kids
+
+
+def measure_recall_grid(
+    ids: np.ndarray,
+    X: np.ndarray,
+    centers,
+    supers,
+    children,
+    k: int = 4,
+    p_super: int | None = None,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8, 16),
+    max_queries: int = 2048,
+) -> list[tuple[int, float]]:
+    """Measure THIS model's top-``k`` recall-vs-nprobe surface on THIS
+    sample — the tools/ann_recall.py protocol folded into the library
+    (r9 verdict item 4: the static ``_RECALL_BY_NPROBE`` table was
+    measured once at 20k×64d and answers for every corpus with
+    unearned authority). Ground truth is exact cosine top-k within the
+    sample (md5-ordered first ``max_queries`` rows as queries — the
+    package's deterministic subsample); candidates come through the
+    model's own two-level assignment + probe arithmetic
+    (``assign_2level_numpy`` / ``probe_2level_numpy`` — test-pinned
+    identical to the operators). Returns ascending
+    ``[(nprobe, recall)]`` with nprobes clamped to n_cells and recall
+    rounded to 3 dp, ready for ``suggest_probe(grid=...)``."""
+    X = np.asarray(X, dtype=np.float64)
+    ids = np.asarray(ids)
+    n = len(X)
+    if n < 2:
+        raise ValueError("measure_recall_grid needs at least two vectors")
+    C = np.asarray(centers, dtype=np.float64)
+    ns = len(np.asarray(supers))
+    if p_super is None:
+        p_super = min(4, ns)
+    k = min(int(k), n - 1)
+    nps = sorted({max(1, min(int(p), len(C))) for p in nprobes})
+    cells = assign_2level_numpy(X, C, supers, children, p_super)
+    cell_rows: dict[int, np.ndarray] = {}
+    for c in np.unique(cells[cells >= 0]):
+        cell_rows[int(c)] = np.flatnonzero(cells == c)
+    qpos = _md5_take(ids, min(int(max_queries), n))
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.maximum(norms, 1e-12)
+    # exact top-k per query over the whole sample, chunked
+    truth: list[set] = []
+    rows_per = max(1, FIT_BLOCK_ENTRIES // n)
+    for s in range(0, len(qpos), rows_per):
+        qp = qpos[s : s + rows_per]
+        sims = Xn[qp] @ Xn.T
+        for j, q in enumerate(qp):
+            sims[j, q] = -2.0
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        truth.extend(set(map(int, t)) for t in top)
+    probes = probe_2level_numpy(
+        X[qpos], C, supers, children, p_super, max(nps)
+    )
+    out: list[tuple[int, float]] = []
+    for nprobe in nps:
+        hits = 0
+        for qi, q in enumerate(qpos):
+            plist = probes[qi][:nprobe]
+            cand_lists = [
+                cell_rows[int(c)] for c in plist if int(c) in cell_rows
+            ]
+            if not cand_lists:
+                continue
+            cand = np.concatenate(cand_lists)
+            cand = cand[cand != q]
+            if len(cand) == 0:
+                continue
+            sims = Xn[cand] @ Xn[q]
+            top = cand[np.argsort(-sims, kind="stable")[:k]]
+            hits += len(set(map(int, top)) & truth[qi])
+        out.append((int(nprobe), round(hits / (k * len(qpos)), 3)))
+    return out
+
+
+# Row cap per applyInPandas child-fit block in ivf2_fit_dist: the
+# whole group materializes in one executor's pandas frame, so a skewed
+# super must be md5-capped BEFORE the shuffle. 2^21 rows × 64 doubles
+# ≈ 1 GB per block.
+FIT_MAX_GROUP_ROWS = 1 << 21
+
+
+def ivf_assign_arrow(
+    df: DataFrame, centers, vec_col: str, cell_col: str = "ivf_cell"
+) -> DataFrame:
+    """Single-level assignment through the BLAS probe UDF — the arrow
+    twin of ``ivf_assign`` for center counts where Catalyst's
+    interpreted HOF fold dominates (the SCALE.md r8 lesson). A flat
+    argmin is the two-level probe with every center its own super and
+    p_super=1: score the "supers" (= the centers) once, take the
+    nearest, whose single child is itself. Ties and NULL/ragged gating
+    are identical to the two-level paths (stable argsort → lowest id ≡
+    ``array_position(min)``'s first index; bad rows → NULL)."""
+    C = [[float(x) for x in c] for c in np.asarray(centers)]
+    probe = _two_level_probe_udf(
+        C, C, [[i] for i in range(len(C))], p_super=1, take=1
+    )
+    v = F.col(f"`{vec_col}`").cast("array<double>")
+    return df.withColumn(cell_col, F.get(probe(v), 0).cast("int"))
+
+
+def ivf2_fit_dist(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cell: int = 256,
+    n_super: int | None = None,
+    super_sample_n: int = 65536,
+    iters: int = 5,
+    super_iters: int = 5,
+    n_total: int | None = None,
+    engine: str = "auto",
+    max_group_rows: int = FIT_MAX_GROUP_ROWS,
+):
+    """DISTRIBUTED two-level fit — the fit-side twin of the serving
+    hierarchy, for corpora where even the fit SAMPLE outgrows the
+    driver (``ivf2_fit_hier`` bounds the matrices but still holds
+    sample_n·dim doubles and runs one core): supers fit driver-side on
+    an md5 hash-sample (tiny — n_super·~√N centers need only
+    ``super_sample_n`` rows), then every super's children fit IN
+    PARALLEL on executors, one ``applyInPandas`` block per super over
+    the FULL corpus — so children see all N vectors, not a sample, and
+    the per-block work (members_s × k_s Lloyd, ``ivf_centers_numpy``)
+    is embarrassingly parallel across ~√n_cells blocks. One count, one
+    agg, ONE shuffle on the super key (the member-cap window reuses
+    the same hash partitioning, and is skipped entirely when no super
+    exceeds ``max_group_rows``).
+
+    Allocation: ``k_s = ceil(full_count_s / target_cell)`` from the
+    super's FULL corpus count — the constant-cell-size rule applied
+    per super — so total cells ≈ N/target_cell without a global
+    apportionment step. A super whose members exceed
+    ``max_group_rows`` fits its children on the md5-first cap of them
+    (counts still full-corpus; same one-level-down sampling discipline
+    as the hier fit; a super so skewed that k_s > the cap degrades to
+    one center per sampled member — exact-dedup such corpora first).
+
+    Deterministic end-to-end: md5 sample order, the test-pinned
+    ``ivf_assign`` ≡ numpy argmin contract for the super assignment,
+    per-block md5-seeded Lloyd, and a (super, pos) sort at collect —
+    a numpy twin replays the model from the same parquet
+    (test-pinned). ``engine`` picks the super-assignment path
+    (``"auto"``: arrow BLAS at n_super ≥ ARROW_AUTO_CELLS via
+    ``ivf_assign_arrow``, Catalyst below). Returns
+    ``(centers, super_centers, children)`` with ``children[s]``
+    contiguous ascending, like ``ivf2_fit_hier``."""
+    import math
+
+    id_field = [f for f in df.schema.fields if f.name == id_col]
+    if not id_field:
+        raise ValueError(f"id_col {id_col!r} not in schema — have {df.columns}")
+    if id_field[0].dataType.simpleString() not in (
+        "bigint", "int", "smallint", "tinyint"
+    ):
+        raise ValueError(
+            f"id_col {id_col!r} must be integer-typed for the numpy-twin "
+            f"md5 seeding, got {id_field[0].dataType.simpleString()}"
+        )
+    if super_sample_n < 1:
+        raise ValueError(f"super_sample_n must be >= 1, got {super_sample_n}")
+    sel = df.select(
+        F.col(f"`{id_col}`").alias("__id"),
+        F.col(f"`{vec_col}`").cast("array<double>").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    if n_total is None:
+        n_total = sel.count()
+    if n_total == 0:
+        raise ValueError("ivf2_fit_dist needs at least one vector")
+    n_cells_est = max(8, int(n_total) // int(target_cell))
+    if n_super is None:
+        n_super = _suggest_n_super(n_cells_est)
+    n_super = max(1, min(int(n_super), int(n_total)))
+    srows = (
+        sel.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(int(super_sample_n))
+        .collect()
+    )
+    dim = len(srows[0]["__v"])
+    sids = np.array([r["__id"] for r in srows])
+    sX = np.array([list(map(float, r["__v"])) for r in srows])
+    if n_super > len(srows):
+        raise ValueError(
+            f"{n_super} supers need >= {n_super} sample rows, got "
+            f"{len(srows)} — raise super_sample_n"
+        )
+    S = ivf_centers_numpy(sids, sX, n_super, super_iters)
+    SC = [[float(x) for x in s] for s in S]
+    # full-corpus super assignment (ragged rows gated out like the fits)
+    body = sel.filter(F.size("__v") == dim)
+    eng = _resolve_engine(engine, len(SC))
+    if eng == "arrow":
+        asg = ivf_assign_arrow(body, SC, "__v", "__super")
+    else:
+        asg = ivf_assign(body, SC, "__v", "__super")
+    counts = {
+        int(r["__super"]): int(r["count"])
+        for r in asg.groupBy("__super").count().collect()
+    }
+    k_map = {
+        s: int(math.ceil(c / int(target_cell))) for s, c in counts.items()
+    }
+    if counts and max(counts.values()) > int(max_group_rows):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__super").orderBy(
+            F.md5(F.col("__id").cast("string")), F.col("__id")
+        )
+        asg = (
+            asg.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(max_group_rows))
+            .drop("__rn")
+        )
+    import pandas as pd
+
+    block_entries = FIT_BLOCK_ENTRIES
+    fit_iters = int(iters)
+
+    def _fit_block(key, pdf):
+        s = int(key[0])
+        bids = pdf["__id"].to_numpy()
+        bX = np.asarray([list(map(float, v)) for v in pdf["__v"]], dtype=np.float64)
+        k_s = min(k_map[s], len(bids))
+        if len(bids) * k_s > block_entries:
+            take = _md5_take(bids, max(k_s, block_entries // k_s))
+            bids, bX = bids[take], bX[take]
+            k_s = min(k_s, len(bids))
+        C = ivf_centers_numpy(bids, bX, k_s, fit_iters)
+        return pd.DataFrame(
+            {
+                "__super": [s] * len(C),
+                "__pos": list(range(len(C))),
+                "__c": [[float(x) for x in c] for c in C],
+            }
+        )
+
+    fitted = (
+        asg.groupBy("__super")
+        .applyInPandas(_fit_block, "__super int, __pos int, __c array<double>")
+        .collect()
+    )
+    fitted.sort(key=lambda r: (r["__super"], r["__pos"]))
+    blocks = [[float(x) for x in r["__c"]] for r in fitted]
+    children: list[list[int]] = [[] for _ in range(len(SC))]
+    for i, r in enumerate(fitted):
+        children[int(r["__super"])].append(i)
+    return (
+        np.asarray(blocks, dtype=np.float64),
+        np.asarray(S, dtype=np.float64),
+        children,
+    )
 
 
 def _suggest_n_super(n_cells: int) -> int:
