@@ -2209,9 +2209,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("ivf2").alias("arm"), "vec_id", F.col("cosine").alias("score")
     )
+    # ivfh arm (r10): the HIERARCHICAL sampled fit served end-to-end —
+    # ivf2_fit_sampled(fit="hier") with sample_n ≥ corpus collects the
+    # whole frame in (md5(id), id) order and fits supers-then-children
+    # (never a sample×n_cells matrix; similarity.py ivf2_fit_hier). The
+    # oracle replays ivf2_fit_hier on the SAME md5-ordered rows from
+    # the raw parquet (input order matters to the per-cell float means,
+    # so the twin sorts identically). Assignment at p_super = n_super ≡
+    # the flat argmin over the hier centers (CTE `ah`); serving probes
+    # PARTIAL p_super=2 through the (super, cell) store annotation.
+    from zx_spark.operators.similarity import ivf2_fit_sampled
+
+    hcent, hsup, hkids, _hsid = ivf2_fit_sampled(
+        emb, sample_n=1 << 20, n_cells=8, fit="hier", rebalance=False
+    )
+    hstore = with_super_col(
+        ivf2_assign(emb, hcent, hsup, hkids, p_super=len(hsup)),
+        hkids,
+        len(hcent),
+    )
+    ivfh = ivf_topk(
+        hstore,
+        hcent,
+        ANN_QUERY_VEC,
+        k=10,
+        nprobe=4,
+        supers=hsup,
+        children=hkids,
+        p_super=2,
+        super_col="ivf_super",
+    ).select(
+        F.lit("ivfh").alias("arm"), "vec_id", F.col("cosine").alias("score")
+    )
     return (
         ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
         .unionByName(pqb).unionByName(sivf).unionByName(ivf2)
+        .unionByName(ivfh)
     )
 
 
@@ -4513,6 +4546,28 @@ def _ivf_pq_oracle(
     cells2 = probe_cells_2level(
         centers, sup, kids, ANN_QUERY_VEC, nprobe, p_super=2
     )
+    # ivfh arm (r10): replay the sampled-HIER fit. The Spark side
+    # collects the corpus in (md5(str(id)), id) order before fitting
+    # and the per-cell Lloyd means sum in INPUT order, so the twin
+    # must feed ivf2_fit_hier the identically ordered rows.
+    import hashlib
+
+    from zx_spark.operators.similarity import ivf2_fit_hier
+
+    ids_arr = t["vec_id"].to_numpy()
+    horder = sorted(
+        range(len(ids_arr)),
+        key=lambda i: (
+            hashlib.md5(str(int(ids_arr[i])).encode()).hexdigest(),
+            int(ids_arr[i]),
+        ),
+    )
+    hcent, hsup, hkids = ivf2_fit_hier(
+        ids_arr[horder], X[horder], n_cells=n_cells
+    )
+    hcells = probe_cells_2level(
+        hcent, hsup, hkids, ANN_QUERY_VEC, nprobe, p_super=2
+    )
     e2 = [0.0, 1.0] + [0.0] * 62
     cells_q1 = probe_cells(centers, e2, nprobe)
     books = pq_codebooks_numpy(X, pq_m, pq_k, pq_iters)
@@ -4605,12 +4660,21 @@ def _ivf_pq_oracle(
         # degenerate stores can probe zero cells (both selected supers
         # childless) — `IN ()` is a syntax error, so emit FALSE
         f"FROM a WHERE {'cell IN (' + ', '.join(str(c) for c in cells2) + ')' if cells2 else 'false'} "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        # ivfh (r10): flat-argmin assignment over the HIER-fit centers
+        # (Spark assigns at p_super = n_super, ≡ the flat argmin) +
+        # the partial two-level probe replayed as literal cell ids
+        f"dh AS (SELECT vec_id, v, [{', '.join(f'(list_dot_product(v, v) - 2*list_dot_product(v, {lst(c)}) + {float(sum(x * x for x in c))!r})' for c in hcent)}] AS dl FROM base), "
+        "ah AS (SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell FROM dh), "
+        f"ivfh_arm AS (SELECT 'ivfh' AS arm, vec_id, {cos} AS score "
+        f"FROM ah WHERE {'cell IN (' + ', '.join(str(c) for c in hcells) + ')' if hcells else 'false'} "
         f"ORDER BY score DESC, vec_id LIMIT {k}) "
         "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
         "UNION ALL SELECT * FROM ivfpq_arm "
         "UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1 "
         "UNION ALL SELECT * FROM pb0 UNION ALL SELECT * FROM pb1 "
-        "UNION ALL SELECT * FROM sivf_arm UNION ALL SELECT * FROM ivf2_arm"
+        "UNION ALL SELECT * FROM sivf_arm UNION ALL SELECT * FROM ivf2_arm "
+        "UNION ALL SELECT * FROM ivfh_arm"
     )
 
 

@@ -498,3 +498,55 @@ def test_ivf_assign_arrow_equals_catalyst(spark):
     assert {k: v for k, v in cat.items() if k != 999} == {
         k: v for k, v in arr.items() if k != 999
     }
+
+# ------------------------------------- streaming store through the r10 fit
+
+
+def test_streaming_store_through_sampled_hier_fit(spark, tmp_path):
+    """VERDICT r9 item 5 end-to-end: sampled HIER fit (+ hier
+    rebalance) → streaming vector_index_sink through the two-level
+    quantizer → drained (super, cell) store serves ivf_topk with
+    plan-asserted top-level pruning, identical to batch."""
+    from zx_spark.operators.similarity import ivf_topk, with_super_col
+    from zx_spark.streaming.vectors import read_vector_index, vector_index_sink
+
+    rng = np.random.RandomState(23)
+    cc = rng.randn(6, 12) * 3.0
+    X = cc[rng.randint(0, 6, size=500)] + 0.3 * rng.randn(500, 12)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    )
+    c, s, ch, _sid = ivf2_fit_sampled(
+        df, sample_n=300, target_cell=40, fit="hier", rebalance=True
+    )
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "vstore")
+    cp = str(tmp_path / "cp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = vector_index_sink(
+        stream, store,
+        [[float(x) for x in r] for r in c],
+        checkpoint_dir=cp, available_now=True,
+        super_centers=[[float(x) for x in r] for r in s],
+        children=ch,
+    )
+    assert q.awaitTermination(120)
+    got = read_vector_index(spark, store)
+    want = with_super_col(ivf2_assign(df, c, s, ch), ch, len(c))
+    g = {r["vec_id"]: (r["ivf_cell"], r["ivf_super"]) for r in got.collect()}
+    w = {r["vec_id"]: (r["ivf_cell"], r["ivf_super"]) for r in want.collect()}
+    assert g == w
+    qv = [float(x) for x in X[7]]
+    pruned = ivf_topk(
+        got, c, qv, k=5, nprobe=3,
+        supers=s, children=ch, p_super=2, super_col="ivf_super",
+    )
+    plain = ivf_topk(
+        got, c, qv, k=5, nprobe=3, supers=s, children=ch, p_super=2,
+    ).collect()
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in plain]
+    assert plain
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_super" in plan

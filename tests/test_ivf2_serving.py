@@ -210,6 +210,45 @@ def test_knn_score_engine_arrow_equals_catalyst(model):
     assert cat1 == arr1 and cat1
 
 
+def test_knn_score_engine_int8(model):
+    """int8 candidate scoring + exact re-rank (r10): with a shortlist
+    covering every candidate nothing can truncate, so the result equals
+    the catalyst engine exactly (the re-rank IS exact 6-dp cosine);
+    small shortlists stay k-rowed and deterministic; shortlist < k
+    rejects."""
+    _, _, _, centers, supers, children, assigned = model
+    cat = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="catalyst").collect()))
+    i8 = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="int8", shortlist=1000).collect()))
+    assert cat == i8 and cat
+    tight = knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="int8", shortlist=3)
+    per_q = tight.groupBy("vec_id").count().collect()
+    assert per_q and all(r["count"] <= 3 for r in per_q)
+    t1 = sorted(map(tuple, tight.collect()))
+    t2 = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="int8", shortlist=3).collect()))
+    assert t1 == t2
+    with pytest.raises(ValueError, match="shortlist"):
+        knn_pairs_2level(
+            assigned, centers, supers, children, k=3, nprobe=4,
+            score_engine="int8", shortlist=2,
+        ).collect()
+    # single-level path accepts the engine too
+    one = sorted(map(tuple, knn_pairs(
+        assigned, centers, k=3, nprobe=4, score_engine="int8",
+        shortlist=1000).collect()))
+    flat = sorted(map(tuple, knn_pairs(
+        assigned, centers, k=3, nprobe=4,
+        score_engine="catalyst").collect()))
+    assert one == flat and one
+
+
 def test_resolve_engine_threshold():
     assert _resolve_engine("auto", ARROW_AUTO_CELLS - 1) == "catalyst"
     assert _resolve_engine("auto", ARROW_AUTO_CELLS) == "arrow"

@@ -34,6 +34,10 @@ def main() -> None:
     score = args[args.index("--score") + 1] if "--score" in args else "auto"
     single = "--single-level" in args
     sample = int(args[args.index("--sample") + 1]) if "--sample" in args else 0
+    fit = args[args.index("--fit") + 1] if "--fit" in args else "auto"
+    if fit != "auto" and not sample:
+        print("--fit applies only to the sampled fit (--sample N)")
+        sys.exit(2)
     if single and any(
         f in args for f in ("--rebalance", "--no-rebalance", "--sample")
     ):
@@ -104,6 +108,7 @@ def main() -> None:
 
         centers, supers, children, _sid = ivf2_fit_sampled(
             emb, sample_n=sample, target_cell=128, rebalance=rebalance,
+            fit=fit,
         )
     else:
         ids, X = corpus_numpy()
@@ -158,6 +163,7 @@ def main() -> None:
                 "single_level": single,
                 "rebalance": rebalance,
                 "sample": sample,
+                "fit": fit,
                 "fit_sec": round(fit_s, 1),
                 "end_to_end_sec": round(best, 1),
                 "triangle_sum": int(tri) if tri is not None else None,

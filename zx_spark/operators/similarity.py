@@ -1771,6 +1771,7 @@ def knn_pairs_2level(
     cell_col: str = "ivf_cell",
     engine: str = "auto",
     score_engine: str = "auto",
+    shortlist: int | None = None,
 ) -> DataFrame:
     """k-NN graph with two-level probe selection — the constant-cell
     companion of ``knn_pairs``: each query scores n_super supers +
@@ -1797,7 +1798,10 @@ def knn_pairs_2level(
         raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
     n_cells = len(np.asarray(centers))
     engine = _resolve_engine(engine, n_cells)
-    score_engine = _resolve_engine(score_engine, n_cells)
+    if score_engine != "int8":
+        # int8 is explicit-only: it changes the result contract
+        # (shortlist-truncated approximate), so "auto" never picks it
+        score_engine = _resolve_engine(score_engine, n_cells)
     C = [[float(x) for x in c] for c in np.asarray(centers)]
     S = [[float(x) for x in s] for s in np.asarray(super_centers)]
     if not 1 <= nprobe <= len(C):
@@ -1819,7 +1823,8 @@ def knn_pairs_2level(
             ),
         )
     return _knn_join_topk(
-        assigned, probes, k, vec_col, id_col, cell_col, score_engine
+        assigned, probes, k, vec_col, id_col, cell_col, score_engine,
+        shortlist,
     )
 
 
@@ -2288,6 +2293,7 @@ def knn_pairs(
     id_col: str = "vec_id",
     cell_col: str = "ivf_cell",
     score_engine: str = "auto",
+    shortlist: int | None = None,
 ) -> DataFrame:
     """k-NN GRAPH over the corpus: for EVERY vector, its ``k`` nearest
     neighbors (by cosine) among the vectors of its ``nprobe`` nearest
@@ -2342,8 +2348,24 @@ def knn_pairs(
         vec_col,
         id_col,
         cell_col,
-        _resolve_engine(score_engine, n_cells),
+        score_engine
+        if score_engine == "int8"
+        else _resolve_engine(score_engine, n_cells),
+        shortlist,
     )
+
+
+def _q8_expr(v: Column) -> Column:
+    """In-plan symmetric int8 quantization of an ``array<double>`` —
+    the ``quantize_embeddings`` formula as one expression: ``round(x /
+    (max|v|/127))`` per element, tinyint. Cosine is scale-invariant, so
+    similarity ranking on the int8 arrays is the true ranking up to
+    ~0.5% quantization error; no scale column is needed for scoring."""
+    scale = (
+        F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12))
+        / F.lit(127.0)
+    )
+    return F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
 
 
 def _knn_join_topk(
@@ -2354,6 +2376,7 @@ def _knn_join_topk(
     id_col: str,
     cell_col: str,
     score_engine: str = "catalyst",
+    shortlist: int | None = None,
 ) -> DataFrame:
     """The shared k-NN tail (``knn_pairs`` and ``knn_pairs_2level``
     differ only in how the probe list is chosen): explode each row's
@@ -2386,10 +2409,32 @@ def _knn_join_topk(
     differ only for cosines whose repr lands exactly on a 5e-7
     midpoint, where a top-k boundary pair could flip. Oracle-grade
     runs pin ``score_engine="catalyst"``; the driver corpora resolve
-    there via the auto threshold anyway."""
+    there via the auto threshold anyway.
+
+    ``score_engine="int8"`` (r10, VERDICT r9 item 2) attacks the join
+    BYTES instead of the scoring flops: both sides ship symmetric-int8
+    quantized arrays (1 byte/element — an 8× cut of the candidate
+    join's dominant payload), the BLAS pass ranks candidates by int8
+    cosine (integer dot products — bit-deterministic), a global
+    per-query window keeps the top-``shortlist`` (default ``4·k``),
+    and ONLY those pairs re-join the float vectors for exact 6-dp
+    cosine and the final top-k. APPROXIMATE BY CONTRACT: a true
+    neighbor can be ranked below position ``shortlist`` by the ~0.5%
+    int8 error and truncated — ``shortlist`` is the recall knob (the
+    per-batch partial prune is safe w.r.t. the int8 ranking and the
+    truncation happens at the deterministic global window, so the
+    result is partition-independent, unlike a margin-free approximate
+    prune would be). Use it when the candidate join's shuffle bytes,
+    not its flops, are the bottleneck; measured at sf10 in SCALE.md
+    r10."""
     from pyspark.sql import Window
 
     v = F.col(f"`{vec_col}`").cast("array<double>")
+    if score_engine == "int8":
+        return _knn_join_topk_int8(
+            assigned, probes, k, v, id_col, cell_col,
+            shortlist if shortlist is not None else 4 * k,
+        )
     q = _spread(assigned).select(
         F.col(id_col).alias("__qid"),
         v.alias("__qv"),
@@ -2466,6 +2511,117 @@ def _knn_join_topk(
             F.col("__cid").alias("neighbor_id"),
             F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
         )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _knn_join_topk_int8(
+    assigned: DataFrame,
+    probes,
+    k: int,
+    v: Column,
+    id_col: str,
+    cell_col: str,
+    shortlist: int,
+) -> DataFrame:
+    """The int8 tail of ``_knn_join_topk`` (contract documented there):
+    int8 arrays through the candidate join, deterministic int8-cosine
+    shortlist, exact re-rank of shortlist rows only."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist must be >= k ({k}), got {shortlist}"
+        )
+    q8 = _spread(assigned).select(
+        F.col(id_col).alias("__qid"),
+        _q8_expr(v).alias("__qv8"),
+        F.explode(probes).alias("__pc"),
+    )
+    c8 = assigned.select(
+        F.col(id_col).alias("__cid"),
+        _q8_expr(v).alias("__cv8"),
+        F.col(cell_col).alias("__cc"),
+    )
+    joined = q8.join(c8, q8["__pc"] == c8["__cc"]).filter(
+        F.col("__qid") != F.col("__cid")
+    )
+    id_type = assigned.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("__qid", id_type),
+            T.StructField("__cid", id_type),
+            T.StructField("__a", T.DoubleType()),
+        ]
+    )
+    sl = int(shortlist)
+
+    def score_part(batches):
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.asarray(pdf["__qv8"].to_list(), dtype=np.float64)
+            B = np.asarray(pdf["__cv8"].to_list(), dtype=np.float64)
+            # integer dot products in float64 are EXACT (|dot| <=
+            # 127²·dim « 2^53), so the approx ranking is
+            # bit-deterministic — no rounding needed for ordering
+            s = (A * B).sum(axis=1) / np.maximum(
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-12
+            )
+            b = pd.DataFrame(
+                {
+                    "__qid": pdf["__qid"].to_numpy(),
+                    "__cid": pdf["__cid"].to_numpy(),
+                    "__a": s,
+                }
+            ).sort_values(
+                ["__qid", "__a", "__cid"], ascending=[True, False, True]
+            )
+            # per-BATCH partial prune, safe w.r.t. the int8 ranking
+            # (same discipline as the arrow engine)
+            best.append(b.groupby("__qid", group_keys=False).head(sl))
+        if best:
+            allb = pd.concat(best, ignore_index=True).sort_values(
+                ["__qid", "__a", "__cid"], ascending=[True, False, True]
+            )
+            yield allb.groupby("__qid", group_keys=False).head(sl)
+
+    scored = joined.select("__qid", "__cid", "__qv8", "__cv8").mapInPandas(
+        score_part, out_schema
+    )
+    # the global shortlist truncation: deterministic (int8 ranking,
+    # ties to the lowest neighbor id), partition-independent
+    w8 = Window.partitionBy("__qid").orderBy(
+        F.col("__a").desc(), F.col("__cid")
+    )
+    short = (
+        scored.withColumn("__rn", F.row_number().over(w8))
+        .filter(F.col("__rn") <= sl)
+        .select("__qid", "__cid")
+    )
+    # exact re-rank: float vectors touch only shortlist rows
+    vecs = assigned.select(F.col(id_col).alias("__vid"), v.alias("__vv"))
+    withq = short.join(vecs, F.col("__qid") == F.col("__vid")).select(
+        "__qid", "__cid", F.col("__vv").alias("__qv")
+    )
+    withc = withq.join(vecs, F.col("__cid") == F.col("__vid")).select(
+        "__qid", "__cid", "__qv", F.col("__vv").alias("__cv")
+    )
+    pairs = withc.select(
+        F.col("__qid").alias(id_col),
+        F.col("__cid").alias("neighbor_id"),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
