@@ -550,3 +550,96 @@ def test_streaming_store_through_sampled_hier_fit(spark, tmp_path):
     assert plain
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "ivf_super" in plan
+
+# ------------------------------------------------ r10 review regressions
+
+
+def test_twins_chunking_invariance(monkeypatch):
+    """r10 review: the per-group child matrix must be sub-chunked too
+    (under super skew it can approach rows x n_cells). Forcing a tiny
+    FIT_BLOCK_ENTRIES must not change a single assignment or probe."""
+    import zx_spark.operators.similarity as sim
+
+    ids, X = _clustered(n=250, kc=3)
+    c, s, ch = ivf2_fit_numpy(ids, X, n_cells=12, n_super=3)
+    a_big = assign_2level_numpy(X, c, s, ch, p_super=2)
+    p_big = probe_2level_numpy(X, c, s, ch, p_super=2, nprobe=3)
+    monkeypatch.setattr(sim, "FIT_BLOCK_ENTRIES", 64)
+    a_small = sim.assign_2level_numpy(X, c, s, ch, p_super=2)
+    p_small = sim.probe_2level_numpy(X, c, s, ch, p_super=2, nprobe=3)
+    assert np.array_equal(a_big, a_small)
+    assert all(np.array_equal(a, b) for a, b in zip(p_big, p_small))
+
+
+def test_fit_hier_tiny_budget_deterministic(monkeypatch):
+    """With a forced tiny matrix budget every subsample path (super
+    fit cap, block cap, md5-rank reuse) runs — the fit must stay
+    deterministic and structurally valid."""
+    import zx_spark.operators.similarity as sim
+
+    ids, X = _clustered(n=300, kc=4)
+    monkeypatch.setattr(sim, "FIT_BLOCK_ENTRIES", 512)
+    c1, s1, ch1 = sim.ivf2_fit_hier(ids, X, n_cells=12, n_super=3)
+    c2, s2, ch2 = sim.ivf2_fit_hier(ids, X, n_cells=12, n_super=3)
+    assert np.array_equal(c1, c2) and ch1 == ch2
+    assert sorted(x for kk in ch1 for x in kk) == list(range(len(c1)))
+    # the capped super subsample is exactly the md5-first prefix
+    super_fit_n = min(300, max(3, 512 // 3))
+    take = _md5_take(ids, super_fit_n)
+    S = ivf_centers_numpy(ids[take], X[take], 3, 5)
+    assert np.array_equal(np.asarray(s1), np.asarray(S))
+    # rebalance under the tiny budget also stays deterministic
+    r1 = sim.ivf2_rebalance_hier(ids, X, c1, s1, ch1, target_cell=20)
+    r2 = sim.ivf2_rebalance_hier(ids, X, c1, s1, ch1, target_cell=20)
+    assert np.array_equal(r1[0], r2[0]) and r1[2] == r2[2]
+
+
+def test_shortlist_rejected_on_exact_engines(spark):
+    """r10 review: shortlist is the int8 recall knob — the exact
+    engines must reject it, not silently ignore it."""
+    ids, X = _clustered(n=60)
+    c, s, ch = ivf2_fit_numpy(ids, X, n_cells=6, n_super=2)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = ivf2_assign(df, c, s, ch)
+    with pytest.raises(ValueError, match="shortlist"):
+        knn_pairs_2level(
+            assigned, c, s, ch, k=2, nprobe=2,
+            score_engine="catalyst", shortlist=8,
+        )
+    from zx_spark.operators.similarity import knn_pairs
+
+    with pytest.raises(ValueError, match="shortlist"):
+        knn_pairs(assigned, c, k=2, nprobe=2,
+                  score_engine="catalyst", shortlist=8)
+
+
+def test_recall_grid_rejects_bad_k():
+    ids, X = _clustered(n=40)
+    c, s, ch = ivf2_fit_numpy(ids, X, n_cells=4, n_super=2)
+    with pytest.raises(ValueError, match="k must be"):
+        measure_recall_grid(ids, X, c, s, ch, k=0)
+
+
+def test_fit_sampled_skips_corpus_count_when_n_cells_given(spark):
+    """r10 review: with n_cells supplied, the corpus count must not
+    run (it exists only to derive n_cells) — job-count pinned via a
+    dedicated job group (the r9 lesson)."""
+    rng = np.random.RandomState(2)
+    X = rng.randn(100, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    sc = spark.sparkContext
+    tracker = spark.sparkContext.statusTracker()
+    sc.setJobGroup("fit_with_cells", "r10")
+    ivf2_fit_sampled(df, sample_n=50, n_cells=4)
+    with_cells = len(tracker.getJobIdsForGroup("fit_with_cells"))
+    sc.setJobGroup("fit_no_cells", "r10")
+    ivf2_fit_sampled(df, sample_n=50, target_cell=25)
+    no_cells = len(tracker.getJobIdsForGroup("fit_no_cells"))
+    sc.setJobGroup(None, None)
+    assert with_cells < no_cells, (with_cells, no_cells)
