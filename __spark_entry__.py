@@ -4547,21 +4547,16 @@ def _ivf_pq_oracle(
         centers, sup, kids, ANN_QUERY_VEC, nprobe, p_super=2
     )
     # ivfh arm (r10): replay the sampled-HIER fit. The Spark side
-    # collects the corpus in (md5(str(id)), id) order before fitting
-    # and the per-cell Lloyd means sum in INPUT order, so the twin
-    # must feed ivf2_fit_hier the identically ordered rows.
-    import hashlib
-
-    from zx_spark.operators.similarity import ivf2_fit_hier
+    # collects the md5-FIRST sample_n=2^20 rows in (md5(str(id)), id)
+    # order before fitting, and the per-cell Lloyd means sum in INPUT
+    # order — so the twin must apply the SAME cap and order (_md5_take
+    # is the library's one sample-order primitive; fitting on all rows
+    # would diverge the moment an override sf dir exceeds 2^20
+    # embeddings — r10 review finding).
+    from zx_spark.operators.similarity import _md5_take, ivf2_fit_hier
 
     ids_arr = t["vec_id"].to_numpy()
-    horder = sorted(
-        range(len(ids_arr)),
-        key=lambda i: (
-            hashlib.md5(str(int(ids_arr[i])).encode()).hexdigest(),
-            int(ids_arr[i]),
-        ),
-    )
+    horder = _md5_take(ids_arr, min(1 << 20, len(ids_arr)))
     hcent, hsup, hkids = ivf2_fit_hier(
         ids_arr[horder], X[horder], n_cells=n_cells
     )

@@ -139,7 +139,14 @@ def main() -> None:
     for _ in range(4):
         for name in HEADLINE:
             t0 = time.time()
-            rows = qs[name](spark, sf_dir).count()
+            try:
+                rows = qs[name](spark, sf_dir).count()
+            except Exception as e:
+                # name the query — a bare py4j traceback from deep in a
+                # 200-run sweep is otherwise unattributable (r10 sf10)
+                raise RuntimeError(
+                    f"bench query {name!r} failed at {sf_dir}"
+                ) from e
             el = time.time() - t0
             spark.catalog.clearCache()
             if name not in times or el < times[name]:

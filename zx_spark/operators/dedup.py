@@ -565,9 +565,20 @@ def dup_components(
     round — without it the plan doubles per iteration. The driver-side
     loop is control flow only; all data movement stays distributed.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # localCheckpoint the EDGE LIST itself, not just the labels: the
+    # loop below reads edges every round (twice — the propagation join
+    # and the changed-count), and without truncation each read
+    # re-materializes the caller's whole pair pipeline (at the sf10
+    # sweep: the full MinHash sign→band→verify chain re-ran per
+    # iteration, rebuilding its broadcasts each time until the 8g
+    # driver hit 'Not enough memory to build and broadcast' — r10).
+    # The edge list is O(duplicate mass) rows of two longs: cheap to
+    # pin, and AQE then plans the loop's joins from its REAL size.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -576,16 +587,33 @@ def dup_components(
     )
     changed = 0
     for _ in range(max_iter):
-        # every node's new label: min over itself and its neighbors
+        # every node's new label: min over itself and its neighbors.
+        # shuffle_hash hint on the labels side: labels is one row per
+        # NODE of the pair graph — corpus-order, never a dim table —
+        # but its ESTIMATED size can sit under the broadcast threshold,
+        # and AQE then builds it on the driver (measured at the sf10
+        # sweep, r10: 'Not enough memory to build and broadcast' killed
+        # the leakage-safe-split arm on an 8g driver). The hint forbids
+        # the broadcast cliff; the loop's two shuffles per round are
+        # the design.
         neighbor_min = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.hint("shuffle_hash")
+            .join(
+                labels.hint("shuffle_hash"), edges["src"] == labels["node"]
+            )
             .select(F.col("dst").alias("node"), "component")
             .union(labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         ).localCheckpoint()
         changed = (
-            neighbor_min.join(labels.withColumnRenamed("component", "old"), "node")
+            neighbor_min.hint("shuffle_hash")
+            .join(
+                labels.withColumnRenamed("component", "old").hint(
+                    "shuffle_hash"
+                ),
+                "node",
+            )
             .filter(F.col("component") != F.col("old"))
             .count()
         )

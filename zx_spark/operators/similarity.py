@@ -835,9 +835,13 @@ def ivf2_fit_sampled(
         F.col(f"`{id_col}`").alias("__id"),
         F.col(f"`{vec_col}`").cast("array<double>").alias("__v"),
     ).filter(F.col("__v").isNotNull())
-    if n_total is None:
-        n_total = sel.count()
     if n_cells is None:
+        # the corpus count exists ONLY to derive n_cells — when the
+        # caller supplies n_cells, running it anyway is a wasted full
+        # scan per fit (r9 advisor; the r10 review caught the first
+        # fix leaving this count behind)
+        if n_total is None:
+            n_total = sel.count()
         n_cells = max(8, int(n_total) // int(target_cell))
     elif n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
@@ -1004,10 +1008,27 @@ def ivf2_fit_hier(
     if n_super is None:
         n_super = _suggest_n_super(n_cells)
     n_super = max(1, min(int(n_super), n_cells))
+    # ONE global (md5(id), id) rank per fit, computed lazily and reused
+    # by every subsample — the restriction of the global order to any
+    # subset IS that subset's md5 order, and re-hashing all ids per
+    # oversized block was measured Python-bound at the 10⁷ sample
+    # (r10 review). Lazy so small fits that never subsample hash
+    # nothing and keep their exact pre-r10 arithmetic (input order
+    # feeds the Lloyd means).
+    rank_arr: np.ndarray | None = None
+
+    def _md5_rank() -> np.ndarray:
+        nonlocal rank_arr
+        if rank_arr is None:
+            order = _md5_take(ids, n)
+            rank_arr = np.empty(n, dtype=np.int64)
+            rank_arr[order] = np.arange(n)
+        return rank_arr
+
     # 1. super fit on a capped md5-subsample (sample × n_super matrix)
     super_fit_n = min(n, max(n_super, FIT_BLOCK_ENTRIES // max(n_super, 1)))
     if super_fit_n < n:
-        take = _md5_take(ids, super_fit_n)
+        take = np.argsort(_md5_rank(), kind="stable")[:super_fit_n]
         S = ivf_centers_numpy(ids[take], X[take], n_super, super_iters)
     else:
         S = ivf_centers_numpy(ids, X, n_super, super_iters)
@@ -1026,7 +1047,8 @@ def ivf2_fit_hier(
         members = np.flatnonzero(owner == s)
         if len(members) * int(k[s]) > FIT_BLOCK_ENTRIES:
             cap = max(int(k[s]), FIT_BLOCK_ENTRIES // int(k[s]))
-            members = members[_md5_take(ids[members], cap)]
+            r = _md5_rank()[members]
+            members = members[np.argsort(r, kind="stable")[:cap]]
         sub = np.asarray(
             ivf_centers_numpy(ids[members], X[members], int(k[s]), iters)
         )
@@ -1092,8 +1114,16 @@ def assign_2level_numpy(
             if not kid_lists:
                 continue
             kids = np.sort(np.concatenate(kid_lists))
-            dd = c2[kids][None, :] - 2.0 * (Xc[rows] @ C[kids].T)
-            out[start + rows] = kids[dd.argmin(axis=1)]
+            # sub-chunk the GROUP matrix too: the outer chunk bounds
+            # only the super-score matrix, and under super skew
+            # len(kids) can approach n_cells — rows × kids would then
+            # reproduce the very blowup this family removes (r10
+            # review finding)
+            sub = max(1, FIT_BLOCK_ENTRIES // max(len(kids), 1))
+            for s0 in range(0, len(rows), sub):
+                rr = rows[s0 : s0 + sub]
+                dd = c2[kids][None, :] - 2.0 * (Xc[rr] @ C[kids].T)
+                out[start + rr] = kids[dd.argmin(axis=1)]
     return out
 
 
@@ -1111,27 +1141,38 @@ def probe_2level_numpy(
     nearest supers sorted by (squared distance, cell id). Squared-L2
     like the build path, NOT the cosine ``probe_cells_2level`` serves
     with — the grid measures the knn/assignment machinery. Rows whose
-    selected supers are all childless get an empty probe list."""
+    selected supers are all childless get an empty probe list. Chunked
+    under ``FIT_BLOCK_ENTRIES`` at both levels like
+    ``assign_2level_numpy`` (r10 review — it is a public function and
+    tools/ann_recall.py feeds it arbitrary query sets)."""
     X = np.asarray(X, dtype=np.float64)
     C = np.asarray(centers, dtype=np.float64)
     S = np.asarray(supers, dtype=np.float64)
     c2 = (C * C).sum(axis=1)
     s2 = (S * S).sum(axis=1)
     kids_arr = [np.asarray(ch, dtype=np.int64) for ch in children]
-    ds = s2[None, :] - 2.0 * (X @ S.T)
-    sel = np.sort(np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1)
-    uniq, inv = np.unique(sel, axis=0, return_inverse=True)
     probes: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * len(X)
-    for g in range(len(uniq)):
-        rows = np.flatnonzero(inv == g)
-        kid_lists = [kids_arr[s] for s in uniq[g] if len(kids_arr[s])]
-        if not kid_lists:
-            continue
-        kids = np.sort(np.concatenate(kid_lists))
-        dd = c2[kids][None, :] - 2.0 * (X[rows] @ C[kids].T)
-        order = np.argsort(dd, axis=1, kind="stable")[:, :nprobe]
-        for j, r in enumerate(rows):
-            probes[r] = kids[order[j]]
+    rows_per = max(1, FIT_BLOCK_ENTRIES // max(len(S), 1))
+    for start in range(0, len(X), rows_per):
+        Xc = X[start : start + rows_per]
+        ds = s2[None, :] - 2.0 * (Xc @ S.T)
+        sel = np.sort(
+            np.argsort(ds, axis=1, kind="stable")[:, :p_super], axis=1
+        )
+        uniq, inv = np.unique(sel, axis=0, return_inverse=True)
+        for g in range(len(uniq)):
+            rows = np.flatnonzero(inv == g)
+            kid_lists = [kids_arr[s] for s in uniq[g] if len(kids_arr[s])]
+            if not kid_lists:
+                continue
+            kids = np.sort(np.concatenate(kid_lists))
+            sub = max(1, FIT_BLOCK_ENTRIES // max(len(kids), 1))
+            for s0 in range(0, len(rows), sub):
+                rr = rows[s0 : s0 + sub]
+                dd = c2[kids][None, :] - 2.0 * (Xc[rr] @ C[kids].T)
+                order = np.argsort(dd, axis=1, kind="stable")[:, :nprobe]
+                for j, r in enumerate(rr):
+                    probes[start + r] = kids[order[j]]
     return probes
 
 
@@ -1172,6 +1213,18 @@ def ivf2_rebalance_hier(
         raise ValueError(f"target_cell must be >= 1, got {target_cell}")
     if max_ratio < 1.0:
         raise ValueError(f"max_ratio must be >= 1, got {max_ratio}")
+    # one lazy global md5 rank shared by every split-cap across every
+    # round (same reuse as ivf2_fit_hier — r10 review)
+    rank_arr: np.ndarray | None = None
+
+    def _md5_rank() -> np.ndarray:
+        nonlocal rank_arr
+        if rank_arr is None:
+            order = _md5_take(ids, len(ids))
+            rank_arr = np.empty(len(ids), dtype=np.int64)
+            rank_arr[order] = np.arange(len(ids))
+        return rank_arr
+
     prev_max = None
     for _ in range(max_rounds):
         assign = assign_2level_numpy(X, C, S, kids, p_super)
@@ -1199,7 +1252,8 @@ def ivf2_rebalance_hier(
                 k_c = int(np.ceil(len(members) / target_cell))
                 if len(members) * k_c > FIT_BLOCK_ENTRIES:
                     cap = max(k_c, FIT_BLOCK_ENTRIES // k_c)
-                    members = members[_md5_take(ids[members], cap)]
+                    r = _md5_rank()[members]
+                    members = members[np.argsort(r, kind="stable")[:cap]]
                 sub = np.asarray(
                     ivf_centers_numpy(ids[members], X[members], k_c, iters)
                 )
@@ -1242,6 +1296,8 @@ def measure_recall_grid(
     n = len(X)
     if n < 2:
         raise ValueError("measure_recall_grid needs at least two vectors")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     C = np.asarray(centers, dtype=np.float64)
     ns = len(np.asarray(supers))
     if p_super is None:
@@ -1454,6 +1510,15 @@ def ivf2_fit_dist(
         .applyInPandas(_fit_block, "__super int, __pos int, __c array<double>")
         .collect()
     )
+    if not fitted:
+        # possible despite n_total > 0: every row failed the ragged-dim
+        # gate (dim comes from the first SAMPLE row) — fail with the
+        # cause instead of returning a shape-(0,) center matrix that
+        # breaks serving later
+        raise ValueError(
+            f"no vectors of dim {dim} survived the fit gates — the "
+            f"corpus embeddings are ragged or empty"
+        )
     fitted.sort(key=lambda r: (r["__super"], r["__pos"]))
     blocks = [[float(x) for x in r["__c"]] for r in fitted]
     children: list[list[int]] = [[] for _ in range(len(SC))]
@@ -2434,6 +2499,14 @@ def _knn_join_topk(
         return _knn_join_topk_int8(
             assigned, probes, k, v, id_col, cell_col,
             shortlist if shortlist is not None else 4 * k,
+        )
+    if shortlist is not None:
+        # the recall knob belongs to the int8 contract only — accepting
+        # it here and ignoring it would let a caller believe they are
+        # on the approximate fast path (_check_super_col discipline)
+        raise ValueError(
+            "shortlist applies only to score_engine='int8' — the exact "
+            "engines have no truncation to tune"
         )
     q = _spread(assigned).select(
         F.col(id_col).alias("__qid"),
