@@ -36,7 +36,8 @@ def main() -> None:
     sample = int(args[args.index("--sample") + 1]) if "--sample" in args else 0
     fit = args[args.index("--fit") + 1] if "--fit" in args else "auto"
     if fit != "auto" and not sample:
-        print("--fit applies only to the sampled fit (--sample N)")
+        print("--fit applies only to the sampled fit (--sample N); "
+              "for --fit dist, --sample N sets super_sample_n")
         sys.exit(2)
     if single and any(
         f in args for f in ("--rebalance", "--no-rebalance", "--sample")
@@ -103,6 +104,23 @@ def main() -> None:
         ids, X = corpus_numpy()
         centers = ivf_centers_numpy(ids, X, suggest_n_cells(n))
         supers = children = None
+    elif sample and fit == "dist":
+        # the third rung: supers driver-side on the hash-sample,
+        # children fit in PARALLEL on executors over the FULL corpus
+        # (one applyInPandas block per super). No driver-side sample
+        # rebalance applies — the per-super k_s = ceil(count/target)
+        # allocation IS the balance mechanism; --no-rebalance is
+        # implied and --rebalance is rejected for provenance honesty.
+        if "--rebalance" in args:
+            print("--rebalance does not apply to --fit dist (per-super "
+                  "allocation balances from FULL-corpus counts)")
+            sys.exit(2)
+        from zx_spark.operators.similarity import ivf2_fit_dist
+
+        rebalance = False
+        centers, supers, children = ivf2_fit_dist(
+            emb, target_cell=128, super_sample_n=sample,
+        )
     elif sample:
         from zx_spark.operators.similarity import ivf2_fit_sampled
 
