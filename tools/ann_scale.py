@@ -48,6 +48,12 @@ def main() -> None:
     if "--rebalance" in args and "--no-rebalance" in args:
         print("--rebalance conflicts with --no-rebalance")
         sys.exit(2)
+    if fit == "dist" and "--rebalance" in args:
+        # validated HERE like every other flag conflict — not after
+        # Spark startup and the corpus count (r10 second review)
+        print("--rebalance does not apply to --fit dist (per-super "
+              "allocation balances from FULL-corpus counts)")
+        sys.exit(2)
     if sample:
         # the sampled fit rebalances by default (the library default);
         # --rebalance is redundant there, --no-rebalance opts out
@@ -109,17 +115,14 @@ def main() -> None:
         # children fit in PARALLEL on executors over the FULL corpus
         # (one applyInPandas block per super). No driver-side sample
         # rebalance applies — the per-super k_s = ceil(count/target)
-        # allocation IS the balance mechanism; --no-rebalance is
-        # implied and --rebalance is rejected for provenance honesty.
-        if "--rebalance" in args:
-            print("--rebalance does not apply to --fit dist (per-super "
-                  "allocation balances from FULL-corpus counts)")
-            sys.exit(2)
+        # allocation IS the balance mechanism (conflict rejected
+        # upfront with the other flag conflicts). --engine forwarded
+        # so the recorded provenance governs the super assignment too.
         from zx_spark.operators.similarity import ivf2_fit_dist
 
         rebalance = False
         centers, supers, children = ivf2_fit_dist(
-            emb, target_cell=128, super_sample_n=sample,
+            emb, target_cell=128, super_sample_n=sample, engine=engine,
         )
     elif sample:
         from zx_spark.operators.similarity import ivf2_fit_sampled

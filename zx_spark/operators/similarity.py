@@ -765,11 +765,13 @@ def ivf2_fit_sampled(
     runs driver-side on a sample at real scale — this does it.
     Deterministic md5-ordered sampling (the ``ivf_init_centers`` pick,
     a TakeOrdered(sample_n) — no full sort, engine-reproducible so
-    twins/oracles can replay it), one ``count()`` for the corpus size,
-    then ``ivf2_fit_numpy`` sized for the FULL corpus: ``n_cells =
-    max(8, n_total // target_cell)`` — the constant-cell-size rule
-    must use the real N, not the sample size, or cells would be
-    sample_n/N times too few. ``rebalance=True`` additionally iterates
+    twins/oracles can replay it), one ``count()`` for the corpus size
+    ONLY when ``n_cells`` must be derived (callers that pass
+    ``n_cells`` — or ``n_total`` — get zero corpus scans; r10
+    job-group-pinned), then ``ivf2_fit_numpy`` sized for the FULL
+    corpus: ``n_cells = max(8, n_total // target_cell)`` — the
+    constant-cell-size rule must use the real N, not the sample size,
+    or cells would be sample_n/N times too few. ``rebalance=True`` additionally iterates
     ``ivf2_rebalance`` on the sample with the PRO-RATED per-cell bound
     (sample cells hold ≈ sample_n/n_total of their full-corpus mass),
     closing the size-skew join tax the sample can already see.
@@ -923,6 +925,18 @@ def _md5_take(ids: np.ndarray, n: int) -> np.ndarray:
     return np.asarray(order[: int(n)], dtype=np.int64)
 
 
+def _md5_rank_of(ids: np.ndarray) -> np.ndarray:
+    """Rank of every row position under the global (md5(id), id) order
+    — the ONE construction behind the fit/rebalance lazy subsample
+    caches (shared so a future tie-break or dtype change cannot
+    silently diverge the fit's subsample order from the rebalance's
+    and break twin replay)."""
+    order = _md5_take(ids, len(ids))
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = np.arange(len(ids))
+    return rank
+
+
 def _apportion(counts: np.ndarray, total: int) -> np.ndarray:
     """Deterministic largest-remainder apportionment of ``total`` child
     cells across supers, proportional to member ``counts``, with the two
@@ -1020,9 +1034,7 @@ def ivf2_fit_hier(
     def _md5_rank() -> np.ndarray:
         nonlocal rank_arr
         if rank_arr is None:
-            order = _md5_take(ids, n)
-            rank_arr = np.empty(n, dtype=np.int64)
-            rank_arr[order] = np.arange(n)
+            rank_arr = _md5_rank_of(ids)
         return rank_arr
 
     # 1. super fit on a capped md5-subsample (sample × n_super matrix)
@@ -1118,11 +1130,13 @@ def assign_2level_numpy(
             # only the super-score matrix, and under super skew
             # len(kids) can approach n_cells — rows × kids would then
             # reproduce the very blowup this family removes (r10
-            # review finding)
+            # review finding). Gather the kid centers ONCE per group,
+            # not per sub-chunk (the slice can be ~50 MB at 10⁵ cells).
+            Ck, k2 = C[kids].T, c2[kids]
             sub = max(1, FIT_BLOCK_ENTRIES // max(len(kids), 1))
             for s0 in range(0, len(rows), sub):
                 rr = rows[s0 : s0 + sub]
-                dd = c2[kids][None, :] - 2.0 * (Xc[rr] @ C[kids].T)
+                dd = k2[None, :] - 2.0 * (Xc[rr] @ Ck)
                 out[start + rr] = kids[dd.argmin(axis=1)]
     return out
 
@@ -1166,10 +1180,11 @@ def probe_2level_numpy(
             if not kid_lists:
                 continue
             kids = np.sort(np.concatenate(kid_lists))
+            Ck, k2 = C[kids].T, c2[kids]
             sub = max(1, FIT_BLOCK_ENTRIES // max(len(kids), 1))
             for s0 in range(0, len(rows), sub):
                 rr = rows[s0 : s0 + sub]
-                dd = c2[kids][None, :] - 2.0 * (Xc[rr] @ C[kids].T)
+                dd = k2[None, :] - 2.0 * (Xc[rr] @ Ck)
                 order = np.argsort(dd, axis=1, kind="stable")[:, :nprobe]
                 for j, r in enumerate(rr):
                     probes[start + r] = kids[order[j]]
@@ -1220,9 +1235,7 @@ def ivf2_rebalance_hier(
     def _md5_rank() -> np.ndarray:
         nonlocal rank_arr
         if rank_arr is None:
-            order = _md5_take(ids, len(ids))
-            rank_arr = np.empty(len(ids), dtype=np.int64)
-            rank_arr[order] = np.arange(len(ids))
+            rank_arr = _md5_rank_of(ids)
         return rank_arr
 
     prev_max = None
@@ -1511,13 +1524,15 @@ def ivf2_fit_dist(
         .collect()
     )
     if not fitted:
-        # possible despite n_total > 0: every row failed the ragged-dim
-        # gate (dim comes from the first SAMPLE row) — fail with the
-        # cause instead of returning a shape-(0,) center matrix that
-        # breaks serving later
+        # defensive: the first sample row always passes the dim gate,
+        # so this fires only when the corpus CHANGED between the
+        # sample collect and the (lazy) child-fit job — a live table
+        # race. Fail with the cause instead of returning a shape-(0,)
+        # center matrix that breaks serving later.
         raise ValueError(
             f"no vectors of dim {dim} survived the fit gates — the "
-            f"corpus embeddings are ragged or empty"
+            f"corpus changed under the fit, or the embeddings are "
+            f"ragged/empty"
         )
     fitted.sort(key=lambda r: (r["__super"], r["__pos"]))
     blocks = [[float(x) for x in r["__c"]] for r in fitted]
