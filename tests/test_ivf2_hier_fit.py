@@ -643,3 +643,86 @@ def test_fit_sampled_skips_corpus_count_when_n_cells_given(spark):
     no_cells = len(tracker.getJobIdsForGroup("fit_no_cells"))
     sc.setJobGroup(None, None)
     assert with_cells < no_cells, (with_cells, no_cells)
+
+
+def test_compact_hierarchical_vector_store(spark, tmp_path):
+    """storage.compact_store must preserve the (epoch, super, cell)
+    streaming-store layout — partition discovery is generic, but
+    nothing pinned the three-level vector layout until r10: after
+    compaction the directory levels survive, read_vector_index dedups
+    identically, and two-level serving returns the same rows."""
+    import os
+
+    from zx_spark.operators.similarity import ivf_topk
+    from zx_spark.storage import compact_store
+    from zx_spark.streaming.vectors import read_vector_index, vector_index_sink
+
+    rng = np.random.RandomState(31)
+    X = rng.randn(200, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    c, s, ch = ivf2_fit_hier(np.arange(200), X, n_cells=6, n_super=2)
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "vstore")
+    # two files -> two epochs (maxFilesPerTrigger=1)
+    df.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    df.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = vector_index_sink(
+        stream, store, [[float(x) for x in r] for r in c],
+        checkpoint_dir=str(tmp_path / "cp"), available_now=True,
+        super_centers=[[float(x) for x in r] for r in s], children=ch,
+    )
+    assert q.awaitTermination(120)
+    qv = [float(x) for x in X[3]]
+    before = ivf_topk(
+        read_vector_index(spark, store), c, qv, k=5, nprobe=3,
+        supers=s, children=ch, p_super=2, super_col="ivf_super",
+    ).collect()
+    report = compact_store(spark, store, target_file_mb=64)
+    assert report["rows"] == 200
+    # the three-level directory layout survives
+    eps = sorted(d for d in os.listdir(store) if d.startswith("epoch="))
+    assert len(eps) == 2
+    sup_dirs = [
+        d for d in os.listdir(os.path.join(store, eps[0]))
+        if d.startswith("ivf_super=")
+    ]
+    assert sup_dirs
+    cell_dirs = os.listdir(os.path.join(store, eps[0], sup_dirs[0]))
+    assert any(d.startswith("ivf_cell=") for d in cell_dirs)
+    after = ivf_topk(
+        read_vector_index(spark, store), c, qv, k=5, nprobe=3,
+        supers=s, children=ch, p_super=2, super_col="ivf_super",
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before] and after
+
+
+def test_fit_dist_exact_n_cells_apportionment(spark):
+    """r10: n_cells passed to ivf2_fit_dist apportions children over
+    FULL-corpus super counts — exactly n_cells centers when feasible,
+    still a contiguous valid hierarchy."""
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    ids, X = _clustered(n=400, kc=5)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    c, s, ch = ivf2_fit_dist(
+        df, n_super=3, super_sample_n=400, n_cells=10, engine="catalyst"
+    )
+    assert len(c) == 10
+    assert sorted(x for kk in ch for x in kk) == list(range(10))
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf2_fit_dist(df, super_sample_n=400, n_cells=0)

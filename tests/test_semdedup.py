@@ -383,3 +383,23 @@ def test_ivf2_defaults_work_at_small_n_and_nulls_survive_arrow(spark):
                          k=2, nprobe=2)
     bad_q = e.filter(F.col("vec_id").isin(900, 901)).count()
     assert bad_q == 0
+
+
+def test_dist_method_drops_planted_dups_exact_n_cells(spark):
+    """r10: the distributed fit rung — same pair/drop semantics as the
+    other methods (planted twins still drop), exactly n_cells centers
+    (full-corpus-count apportionment), deterministic across reruns."""
+    import numpy as np
+
+    from zx_spark.operators.semdedup import semantic_dedup_fit
+
+    allv = _with_planted(spark)
+    kept = semantic_dedup(
+        allv, n_cells=8, threshold=0.95, dim=64, method="dist"
+    )
+    n = kept.count()
+    assert 500 <= n <= 520  # same drop mass as lloyd/kmeans/sampled
+    ann, centers = semantic_dedup_fit(allv, n_cells=8, dim=64, method="dist")
+    assert len(centers) == 8
+    ann2, centers2 = semantic_dedup_fit(allv, n_cells=8, dim=64, method="dist")
+    assert np.array_equal(np.asarray(centers), np.asarray(centers2))

@@ -106,7 +106,13 @@ def semantic_dedup_fit(
     clustered corpus was 206 vs the designed 128 — SCALE.md r9), so
     balancing cuts the pair join ~1.6× where it hurts most. May
     return MORE than ``n_cells`` centers (the split); recall at cell
-    boundaries has the same SemDeDup caveat either way."""
+    boundaries has the same SemDeDup caveat either way.
+    ``method='dist'`` (r10): the distributed fit from
+    ``similarity.ivf2_fit_dist`` — supers driver-side on a
+    ``sample_n`` hash-sample, children fit in parallel on executors
+    over the FULL corpus; exactly ``n_cells`` centers (apportioned
+    over full-corpus super counts). The rung for corpora where even
+    the fit sample outgrows the driver (≳10⁸ rows)."""
     if method == "kmeans":
         assigned, centers = ivf_build(df, vec_col=vec_col, n_cells=n_cells)
         centers = [[round(float(x), 6) for x in c] for c in centers]
@@ -114,6 +120,27 @@ def semantic_dedup_fit(
         assigned, centers = ivf_build_lloyd(
             df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim
         )
+    elif method == "dist":
+        # the r10 third rung: supers driver-side on a hash-sample,
+        # children fit in PARALLEL on executors over the FULL corpus
+        # (one applyInPandas block per super) — for corpora where even
+        # the fit sample outgrows the driver. n_cells passed EXACTLY
+        # (apportioned over full-corpus super counts), matching the
+        # lloyd/sampled granularity contract. No sample rebalance: the
+        # full-count allocation balances at the super level, and the
+        # children never see less than the whole corpus.
+        from zx_spark.operators.similarity import ivf2_fit_dist, ivf_assign
+
+        fitted, _sup, _ch = ivf2_fit_dist(
+            df,
+            vec_col=vec_col,
+            id_col=id_col,
+            super_sample_n=sample_n,
+            iters=iters,
+            n_cells=n_cells,
+        )
+        centers = [[float(x) for x in c] for c in np.asarray(fitted)]
+        assigned = ivf_assign(df, centers, vec_col)
     elif method == "sampled":
         from zx_spark.operators.similarity import ivf2_fit_sampled, ivf_assign
 
@@ -138,7 +165,8 @@ def semantic_dedup_fit(
         assigned = ivf_assign(df, centers, vec_col)
     else:
         raise ValueError(
-            f"method must be 'lloyd', 'kmeans' or 'sampled', got {method!r}"
+            f"method must be 'lloyd', 'kmeans', 'sampled' or 'dist', "
+            f"got {method!r}"
         )
     return centroid_cosine(assigned, centers, vec_col), centers
 

@@ -1396,6 +1396,7 @@ def ivf2_fit_dist(
     n_total: int | None = None,
     engine: str = "auto",
     max_group_rows: int = FIT_MAX_GROUP_ROWS,
+    n_cells: int | None = None,
 ):
     """DISTRIBUTED two-level fit — the fit-side twin of the serving
     hierarchy, for corpora where even the fit SAMPLE outgrows the
@@ -1414,7 +1415,12 @@ def ivf2_fit_dist(
     Allocation: ``k_s = ceil(full_count_s / target_cell)`` from the
     super's FULL corpus count — the constant-cell-size rule applied
     per super — so total cells ≈ N/target_cell without a global
-    apportionment step. A super whose members exceed
+    apportionment step. Callers with an exact cell-count contract
+    (``semantic_dedup_fit(method='dist')``) pass ``n_cells`` instead:
+    the children are then ``_apportion``ed across supers proportional
+    to their full-corpus counts (largest remainder, deterministic
+    ties, ≤ count per super), exactly ``n_cells`` total whenever every
+    super has enough members. A super whose members exceed
     ``max_group_rows`` fits its children on the md5-first cap of them
     (counts still full-corpus; same one-level-down sampling discipline
     as the hier fit; a super so skewed that k_s > the cap degrades to
@@ -1481,9 +1487,18 @@ def ivf2_fit_dist(
         int(r["__super"]): int(r["count"])
         for r in asg.groupBy("__super").count().collect()
     }
-    k_map = {
-        s: int(math.ceil(c / int(target_cell))) for s, c in counts.items()
-    }
+    if n_cells is not None:
+        if n_cells < 1:
+            raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+        cvec = np.zeros(len(SC), dtype=np.int64)
+        for s_id, c_n in counts.items():
+            cvec[s_id] = c_n
+        alloc = _apportion(cvec, int(n_cells))
+        k_map = {s_id: int(alloc[s_id]) for s_id in counts}
+    else:
+        k_map = {
+            s: int(math.ceil(c / int(target_cell))) for s, c in counts.items()
+        }
     if counts and max(counts.values()) > int(max_group_rows):
         from pyspark.sql import Window
 
