@@ -726,3 +726,45 @@ def test_fit_dist_exact_n_cells_apportionment(spark):
     assert sorted(x for kk in ch for x in kk) == list(range(10))
     with pytest.raises(ValueError, match="n_cells"):
         ivf2_fit_dist(df, super_sample_n=400, n_cells=0)
+
+
+def test_fit_dist_exact_n_cells_beyond_toy_scale(spark):
+    """r10 third review: with n_cells SMALLER than the N-derived super
+    count, the old sizing returned more than n_cells centers (the
+    apportion floor gives every non-empty super one child). n_super
+    must derive from the supplied n_cells, like ivf2_fit_hier."""
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    ids, X = _clustered(n=2000, kc=6, seed=13)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    c, s, ch = ivf2_fit_dist(df, super_sample_n=500, n_cells=2)
+    assert len(c) == 2 and len(s) <= 2
+    assert sorted(x for kk in ch for x in kk) == [0, 1]
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf2_fit_dist(df, super_sample_n=500, n_cells=0)
+
+
+def test_fit_dist_skips_corpus_count_when_n_cells_given(spark):
+    """r10 third review: the count-skip discipline applies to the dist
+    rung too — with n_cells supplied, no full-corpus count() runs."""
+    rng = np.random.RandomState(4)
+    X = rng.randn(120, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("dist_with_cells", "r10")
+    ivf2_fit_dist(df, super_sample_n=120, n_cells=4)
+    with_cells = len(tracker.getJobIdsForGroup("dist_with_cells"))
+    sc.setJobGroup("dist_no_cells", "r10")
+    ivf2_fit_dist(df, super_sample_n=120, target_cell=30)
+    no_cells = len(tracker.getJobIdsForGroup("dist_no_cells"))
+    sc.setJobGroup(None, None)
+    assert with_cells < no_cells, (with_cells, no_cells)

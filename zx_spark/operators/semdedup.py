@@ -76,6 +76,24 @@ def centroid_cosine(
     return df.withColumn(out_col, F.round(cos, 6))
 
 
+def _assign_resolved(df: DataFrame, centers, vec_col: str) -> DataFrame:
+    """Full-corpus assignment for the sampled/dist fit branches,
+    engine-resolved like ``ivf2_fit_dist``'s own super pass: the
+    Catalyst fold is the oracle-grade path below ARROW_AUTO_CELLS
+    (every test/driver scale), the BLAS UDF above it — the scales
+    these rungs exist for, where an O(n_cells·dim)-per-row fold is
+    the documented 'dominates at large k' cost (r10 third review)."""
+    from zx_spark.operators.similarity import (
+        _resolve_engine,
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+
+    if _resolve_engine("auto", len(centers)) == "arrow":
+        return ivf_assign_arrow(df, centers, vec_col)
+    return ivf_assign(df, centers, vec_col)
+
+
 def semantic_dedup_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -129,7 +147,7 @@ def semantic_dedup_fit(
         # lloyd/sampled granularity contract. No sample rebalance: the
         # full-count allocation balances at the super level, and the
         # children never see less than the whole corpus.
-        from zx_spark.operators.similarity import ivf2_fit_dist, ivf_assign
+        from zx_spark.operators.similarity import ivf2_fit_dist
 
         fitted, _sup, _ch = ivf2_fit_dist(
             df,
@@ -140,7 +158,7 @@ def semantic_dedup_fit(
             n_cells=n_cells,
         )
         centers = [[float(x) for x in c] for c in np.asarray(fitted)]
-        assigned = ivf_assign(df, centers, vec_col)
+        assigned = _assign_resolved(df, centers, vec_col)
     elif method == "sampled":
         from zx_spark.operators.similarity import ivf2_fit_sampled, ivf_assign
 
@@ -162,7 +180,7 @@ def semantic_dedup_fit(
             n_cells=n_cells,
         )
         centers = [[float(x) for x in c] for c in np.asarray(fitted)]
-        assigned = ivf_assign(df, centers, vec_col)
+        assigned = _assign_resolved(df, centers, vec_col)
     else:
         raise ValueError(
             f"method must be 'lloyd', 'kmeans', 'sampled' or 'dist', "
@@ -237,8 +255,9 @@ def semantic_dedup(
     """One-call SemDeDup: fit → within-cluster pairs → drop losers.
     Returns the kept rows of ``df`` (original columns). The drop set is
     small relative to the corpus (it is the duplicate mass), so the
-    anti-join broadcasts. ``sample_n`` feeds ``method='sampled'``
-    (ignored otherwise)."""
+    anti-join broadcasts. ``sample_n`` sizes the fit sample for
+    ``method='sampled'`` AND the driver-side super sample for
+    ``method='dist'`` (ignored by lloyd/kmeans)."""
     annotated, _ = semantic_dedup_fit(
         df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim,
         method=method, sample_n=sample_n,

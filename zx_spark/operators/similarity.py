@@ -1407,10 +1407,12 @@ def ivf2_fit_dist(
     PARALLEL on executors, one ``applyInPandas`` block per super over
     the FULL corpus — so children see all N vectors, not a sample, and
     the per-block work (members_s × k_s Lloyd, ``ivf_centers_numpy``)
-    is embarrassingly parallel across ~√n_cells blocks. One count, one
-    agg, ONE shuffle on the super key (the member-cap window reuses
-    the same hash partitioning, and is skipped entirely when no super
-    exceeds ``max_group_rows``).
+    is embarrassingly parallel across ~√n_cells blocks. One agg and
+    ONE shuffle on the super key (the member-cap window reuses the
+    same hash partitioning, and is skipped entirely when no super
+    exceeds ``max_group_rows``); the corpus ``count()`` runs only when
+    neither ``n_cells`` nor ``n_super``/``n_total`` pins the super
+    sizing — the r10 count-skip discipline.
 
     Allocation: ``k_s = ceil(full_count_s / target_cell)`` from the
     super's FULL corpus count — the constant-cell-size rule applied
@@ -1449,23 +1451,40 @@ def ivf2_fit_dist(
         )
     if super_sample_n < 1:
         raise ValueError(f"super_sample_n must be >= 1, got {super_sample_n}")
+    if n_cells is not None and n_cells < 1:
+        # validate BEFORE any distributed work, like the sibling fits
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     sel = df.select(
         F.col(f"`{id_col}`").alias("__id"),
         F.col(f"`{vec_col}`").cast("array<double>").alias("__v"),
     ).filter(F.col("__v").isNotNull())
-    if n_total is None:
-        n_total = sel.count()
-    if n_total == 0:
-        raise ValueError("ivf2_fit_dist needs at least one vector")
-    n_cells_est = max(8, int(n_total) // int(target_cell))
     if n_super is None:
-        n_super = _suggest_n_super(n_cells_est)
-    n_super = max(1, min(int(n_super), int(n_total)))
+        if n_cells is not None:
+            # derive the super level from the SUPPLIED cell count — the
+            # same rule as ivf2_fit_hier; sizing it from n_total would
+            # both violate the exact-n_cells contract past toy scale
+            # (apportion floors at one child per non-empty super) and
+            # force the corpus count this path otherwise skips (r10
+            # third review)
+            n_super = _suggest_n_super(int(n_cells))
+        else:
+            if n_total is None:
+                n_total = sel.count()
+            n_super = _suggest_n_super(max(8, int(n_total) // int(target_cell)))
+    if n_cells is not None:
+        n_super = min(int(n_super), int(n_cells))
+    if n_total is not None:
+        if n_total == 0:
+            raise ValueError("ivf2_fit_dist needs at least one vector")
+        n_super = min(int(n_super), int(n_total))
+    n_super = max(1, int(n_super))
     srows = (
         sel.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
         .limit(int(super_sample_n))
         .collect()
     )
+    if not srows:
+        raise ValueError("ivf2_fit_dist needs at least one vector")
     dim = len(srows[0]["__v"])
     sids = np.array([r["__id"] for r in srows])
     sX = np.array([list(map(float, r["__v"])) for r in srows])
@@ -1488,8 +1507,6 @@ def ivf2_fit_dist(
         for r in asg.groupBy("__super").count().collect()
     }
     if n_cells is not None:
-        if n_cells < 1:
-            raise ValueError(f"n_cells must be >= 1, got {n_cells}")
         cvec = np.zeros(len(SC), dtype=np.int64)
         for s_id, c_n in counts.items():
             cvec[s_id] = c_n
