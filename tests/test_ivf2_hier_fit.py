@@ -390,6 +390,9 @@ def _dist_replay(ids, X, n_super, target_cell, super_sample_n, iters=5,
         if max_group_rows is not None and len(m) > max_group_rows:
             m = m[_md5_take(ids[m], max_group_rows)]
             k_s = min(k_s, len(m))
+        # selection by md5, FIT ORDER ascending by id — the r11 block
+        # order rule (_fit_block sorts whatever shuffle order arrives)
+        m = m[np.argsort(ids[m], kind="stable")]
         sub = np.asarray(ivf_centers_numpy(ids[m], X[m], k_s, iters))
         blocks.append(sub)
         children[s] = list(range(off, off + len(sub)))
@@ -768,3 +771,87 @@ def test_fit_dist_skips_corpus_count_when_n_cells_given(spark):
     no_cells = len(tracker.getJobIdsForGroup("dist_no_cells"))
     sc.setJobGroup(None, None)
     assert with_cells < no_cells, (with_cells, no_cells)
+
+
+def test_fit_dist_single_corpus_scan(spark):
+    """r11 (r10 verdict item 1): the count job and the child-fit job
+    share ONE corpus assignment — the frame is persisted between the
+    two actions, so source rows are read exactly twice end-to-end
+    (once by the TakeOrdered super sample, once materializing the
+    persist), never three times."""
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    rng = np.random.RandomState(7)
+    n = 300
+    X = rng.randn(n, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = df.mapInPandas(count_rows, df.schema)
+    c, s, ch = ivf2_fit_dist(
+        counted, n_super=4, super_sample_n=n, target_cell=30,
+        engine="catalyst",
+    )
+    assert len(c) > 0
+    assert acc.value == 2 * n, acc.value
+
+
+def test_fit_dist_model_is_source_order_independent(spark):
+    """r11 (r10 advisor): _fit_block imposes ascending-id fit order, so
+    the model cannot depend on shuffle arrival order — pinned by
+    fitting the same rows from two differently-ordered sources."""
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    ids, X = _clustered(n=400)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in ids]
+    schema = "vec_id long, embedding array<double>"
+    fwd = spark.createDataFrame(rows, schema).repartition(7)
+    rev = spark.createDataFrame(rows[::-1], schema).repartition(3)
+    kw = dict(target_cell=40, n_super=4, super_sample_n=400, engine="catalyst")
+    c1, s1, ch1 = ivf2_fit_dist(fwd, **kw)
+    c2, s2, ch2 = ivf2_fit_dist(rev, **kw)
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert ch1 == ch2
+
+
+def test_fit_dist_rebalance_composes(spark):
+    """r11: rebalance=True is exactly ivf2_rebalance_hier over the
+    super sample with the pro-rated bound, applied to the plain fit's
+    model — and a sample smaller than the fitted cell count is
+    rejected (per-cell sample counts would be sub-1 noise)."""
+    from zx_spark.operators.similarity import (
+        _md5_take,
+        ivf2_fit_dist,
+        ivf2_rebalance_hier,
+    )
+
+    ids, X = _clustered(n=500, kc=4)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(target_cell=50, n_super=3, super_sample_n=500, engine="catalyst")
+    c0, s0, ch0 = ivf2_fit_dist(df, **kw)
+    cr, sr, chr_ = ivf2_fit_dist(df, rebalance=True, **kw)
+    take = _md5_take(ids, 500)
+    sample_cell = int(np.ceil(500 / len(c0)))
+    cw, sw, chw = ivf2_rebalance_hier(
+        ids[take], X[take], c0, s0, ch0, target_cell=sample_cell, iters=5
+    )
+    assert np.array_equal(np.asarray(cr), np.asarray(cw))
+    assert np.array_equal(np.asarray(sr), np.asarray(sw))
+    assert chr_ == chw
+    with pytest.raises(ValueError, match="rebalance=True needs"):
+        ivf2_fit_dist(
+            df, rebalance=True, target_cell=10, n_super=3,
+            super_sample_n=20, engine="catalyst",
+        )

@@ -442,3 +442,14 @@ def test_fit_sampled_rejects_string_ids(spark):
     )
     with pytest.raises(ValueError, match="integer-typed"):
         ivf2_fit_sampled(df, id_col="doc_id", sample_n=8)
+
+
+def test_suggest_probe_accepts_unsorted_grid():
+    """r11 (r10 advisor): the grid scan assumes ascending nprobe —
+    suggest_probe now sorts the caller's grid instead of silently
+    returning an oversized point."""
+    from zx_spark.operators.similarity import suggest_probe
+
+    g = [(8, 0.99), (1, 0.40), (4, 0.96), (2, 0.80)]
+    assert suggest_probe(12, target_recall=0.95, grid=g) == (4, 4)
+    assert suggest_probe(12, target_recall=0.95, grid=sorted(g)) == (4, 4)

@@ -403,3 +403,30 @@ def test_dist_method_drops_planted_dups_exact_n_cells(spark):
     assert len(centers) == 8
     ann2, centers2 = semantic_dedup_fit(allv, n_cells=8, dim=64, method="dist")
     assert np.array_equal(np.asarray(centers), np.asarray(centers2))
+
+
+def test_assign_2level_annotation_and_validation(spark):
+    """r11 (r10 advisor): assign='2level' annotates through the fitted
+    hierarchy (ivf2_assign — ~√n_cells per row instead of the flat
+    O(n_cells) argmin); rejected for methods that fit no hierarchy and
+    for unknown values. On a corpus whose cells are well-separated the
+    two paths agree everywhere (boundary rows are the documented
+    approximation)."""
+    from zx_spark.operators.similarity import ivf2_assign, ivf2_fit_dist
+
+    allv = _with_planted(spark)
+    ann2, centers = semantic_dedup_fit(
+        allv, n_cells=8, dim=64, method="dist", assign="2level"
+    )
+    # the annotation IS ivf2_assign over the dist model
+    c, s, ch = ivf2_fit_dist(allv, n_cells=8)
+    want = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf2_assign(allv, c, s, ch).collect()
+    }
+    got = {r["vec_id"]: r["ivf_cell"] for r in ann2.collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="fits none"):
+        semantic_dedup_fit(allv, n_cells=8, method="lloyd", assign="2level")
+    with pytest.raises(ValueError, match="assign must be"):
+        semantic_dedup_fit(allv, n_cells=8, method="dist", assign="exact")

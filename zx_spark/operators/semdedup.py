@@ -77,12 +77,19 @@ def centroid_cosine(
 
 
 def _assign_resolved(df: DataFrame, centers, vec_col: str) -> DataFrame:
-    """Full-corpus assignment for the sampled/dist fit branches,
-    engine-resolved like ``ivf2_fit_dist``'s own super pass: the
-    Catalyst fold is the oracle-grade path below ARROW_AUTO_CELLS
-    (every test/driver scale), the BLAS UDF above it — the scales
-    these rungs exist for, where an O(n_cells·dim)-per-row fold is
-    the documented 'dominates at large k' cost (r10 third review)."""
+    """Full-corpus FLAT-argmin assignment for the sampled/dist fit
+    branches, engine-resolved like ``ivf2_fit_dist``'s own super pass:
+    the Catalyst fold is the oracle-grade path below ARROW_AUTO_CELLS
+    (every test/driver scale), the BLAS UDF above it.
+
+    Cost contract (r10 advisor): even the BLAS path is O(n_cells·dim)
+    PER ROW — at the ≳10⁸-row scale the dist rung targets, with
+    n_cells ∝ N, that is the expensive-but-exact choice. It keeps
+    exact-argmin parity with the lloyd/kmeans annotation (every row in
+    its true nearest cell). Callers who can accept the two-level
+    assignment's super-boundary approximation pass
+    ``assign='2level'`` to ``semantic_dedup_fit`` and pay ~√n_cells
+    per row instead."""
     from zx_spark.operators.similarity import (
         _resolve_engine,
         ivf_assign,
@@ -103,9 +110,23 @@ def semantic_dedup_fit(
     dim: int | None = None,
     method: str = "lloyd",
     sample_n: int = 65536,
+    assign: str = "flat",
 ):
     """Fit the coarse quantizer and annotate every row with its cluster
     and centroid cosine. Returns ``(annotated_df, centers)``.
+
+    ``assign`` — how the sampled/dist models annotate the full corpus:
+    ``'flat'`` (default) is the exact argmin over all ``n_cells``
+    centers, O(n_cells·dim) per row even on the BLAS path — exact
+    parity with the lloyd/kmeans annotation; ``'2level'`` routes
+    through the fitted hierarchy (``ivf2_assign``, ~√n_cells per row
+    — the serving arithmetic), APPROXIMATE at super boundaries: a row
+    whose true nearest cell lives under an unprobed super lands in its
+    second-best cell, which can only LOWER within-cell recall, never
+    corrupt the keep rule (pairs are still scored with exact cosine).
+    At the ≳10⁸-row/n_cells ∝ N scale the dist rung targets, '2level'
+    is the honest default trade (r10 advisor). Rejected for
+    lloyd/kmeans, which fit no hierarchy.
 
     ``method='lloyd'`` (default): the deterministic 6-dp-rounded Lloyd
     fit — engine-reproducible (numpy twin / DuckDB oracle), but cluster
@@ -131,6 +152,21 @@ def semantic_dedup_fit(
     over the FULL corpus; exactly ``n_cells`` centers (apportioned
     over full-corpus super counts). The rung for corpora where even
     the fit sample outgrows the driver (≳10⁸ rows)."""
+    if assign not in ("flat", "2level"):
+        raise ValueError(f"assign must be 'flat' or '2level', got {assign!r}")
+    if assign == "2level" and method not in ("sampled", "dist"):
+        raise ValueError(
+            f"assign='2level' needs a fitted hierarchy — method "
+            f"{method!r} fits none (use 'sampled' or 'dist')"
+        )
+
+    def _annotate(centers, sup, ch) -> DataFrame:
+        if assign == "2level":
+            from zx_spark.operators.similarity import ivf2_assign
+
+            return ivf2_assign(df, centers, sup, ch, vec_col=vec_col)
+        return _assign_resolved(df, centers, vec_col)
+
     if method == "kmeans":
         assigned, centers = ivf_build(df, vec_col=vec_col, n_cells=n_cells)
         centers = [[round(float(x), 6) for x in c] for c in centers]
@@ -158,7 +194,7 @@ def semantic_dedup_fit(
             n_cells=n_cells,
         )
         centers = [[float(x) for x in c] for c in np.asarray(fitted)]
-        assigned = _assign_resolved(df, centers, vec_col)
+        assigned = _annotate(centers, _sup, _ch)
     elif method == "sampled":
         from zx_spark.operators.similarity import ivf2_fit_sampled, ivf_assign
 
@@ -180,7 +216,7 @@ def semantic_dedup_fit(
             n_cells=n_cells,
         )
         centers = [[float(x) for x in c] for c in np.asarray(fitted)]
-        assigned = _assign_resolved(df, centers, vec_col)
+        assigned = _annotate(centers, _sup, _ch)
     else:
         raise ValueError(
             f"method must be 'lloyd', 'kmeans', 'sampled' or 'dist', "
@@ -251,16 +287,18 @@ def semantic_dedup(
     dim: int | None = None,
     method: str = "lloyd",
     sample_n: int = 65536,
+    assign: str = "flat",
 ) -> DataFrame:
     """One-call SemDeDup: fit → within-cluster pairs → drop losers.
     Returns the kept rows of ``df`` (original columns). The drop set is
     small relative to the corpus (it is the duplicate mass), so the
     anti-join broadcasts. ``sample_n`` sizes the fit sample for
     ``method='sampled'`` AND the driver-side super sample for
-    ``method='dist'`` (ignored by lloyd/kmeans)."""
+    ``method='dist'`` (ignored by lloyd/kmeans); ``assign`` picks the
+    full-corpus annotation path (see ``semantic_dedup_fit``)."""
     annotated, _ = semantic_dedup_fit(
         df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim,
-        method=method, sample_n=sample_n,
+        method=method, sample_n=sample_n, assign=assign,
     )
     pairs = semantic_pairs(
         annotated, threshold=threshold, vec_col=vec_col, id_col=id_col

@@ -722,7 +722,7 @@ def suggest_probe(
 
     ``grid`` — pass the model's OWN measured (nprobe, recall) surface
     (``ivf2_fit_sampled(..., recall_grid=True)`` /
-    ``measure_recall_grid``, ascending nprobe) and the answer comes
+    ``measure_recall_grid``; any order — sorted by nprobe here) and the answer comes
     from THIS corpus at THIS dim/cell size instead of the static table
     below, which was measured once at 20k×64d/target_cell=128 and
     carries no authority for other shapes (r9 review). ``n_cells``
@@ -735,6 +735,11 @@ def suggest_probe(
     g = list(grid) if grid is not None else _RECALL_BY_NPROBE[bool(clustered)]
     if not g:
         raise ValueError("grid must hold at least one (nprobe, recall) point")
+    # the scan below assumes ascending nprobe ("smallest point meeting
+    # target"); an unsorted caller grid would silently return an
+    # oversized or suboptimal nprobe, so impose the order here instead
+    # of trusting a docstring contract (r10 advisor finding)
+    g = sorted(g, key=lambda p: int(p[0]))
     p_super = min(4, max(1, int(n_super)))
     chosen = g[-1][0]
     for nprobe, recall in g:
@@ -1397,6 +1402,7 @@ def ivf2_fit_dist(
     engine: str = "auto",
     max_group_rows: int = FIT_MAX_GROUP_ROWS,
     n_cells: int | None = None,
+    rebalance: bool = False,
 ):
     """DISTRIBUTED two-level fit — the fit-side twin of the serving
     hierarchy, for corpora where even the fit SAMPLE outgrows the
@@ -1414,6 +1420,15 @@ def ivf2_fit_dist(
     neither ``n_cells`` nor ``n_super``/``n_total`` pins the super
     sizing — the r10 count-skip discipline.
 
+    ONE full-corpus assignment scan (r10 verdict item 1): the
+    assignment frame is DISK_ONLY-persisted before the per-super count
+    job, so the child-fit job reads the persisted blocks instead of
+    recomputing the parquet scan + assignment from lineage — at the
+    ≳10⁸-row regime this rung exists for, that scan IS the dominant
+    distributed cost, and it also pins the rows the two jobs see
+    (no live-table race between count and fit). Unpersisted before
+    returning.
+
     Allocation: ``k_s = ceil(full_count_s / target_cell)`` from the
     super's FULL corpus count — the constant-cell-size rule applied
     per super — so total cells ≈ N/target_cell without a global
@@ -1430,11 +1445,27 @@ def ivf2_fit_dist(
 
     Deterministic end-to-end: md5 sample order, the test-pinned
     ``ivf_assign`` ≡ numpy argmin contract for the super assignment,
-    per-block md5-seeded Lloyd, and a (super, pos) sort at collect —
-    a numpy twin replays the model from the same parquet
-    (test-pinned). ``engine`` picks the super-assignment path
-    (``"auto"``: arrow BLAS at n_super ≥ ARROW_AUTO_CELLS via
-    ``ivf_assign_arrow``, Catalyst below). Returns
+    per-block md5-seeded Lloyd over members sorted ASCENDING BY ID
+    (selection is by md5, fit order is by id — the per-cell float
+    means sum in input order, and shuffle fetch order is
+    nondeterministic on a real cluster, so the block must impose its
+    own order or repeated fits could differ at the 6th dp; r10
+    advisor), and a (super, pos) sort at collect — a numpy twin
+    replays the model from the same parquet (test-pinned). ``engine``
+    picks the super-assignment path (``"auto"``: arrow BLAS at
+    n_super ≥ ARROW_AUTO_CELLS via ``ivf_assign_arrow``, Catalyst
+    below).
+
+    ``rebalance=True`` additionally iterates ``ivf2_rebalance_hier``
+    on the driver-side SUPER SAMPLE with the pro-rated per-cell bound
+    (the ``ivf2_fit_sampled`` composition, closing the within-super
+    cell skew the per-super ``k_s`` allocation cannot see — SCALE.md
+    r10 named this follow-up). The sample must then resolve the skew
+    signal: ``super_sample_n ≥`` the fitted cell count is enforced
+    (below that, per-cell sample counts are sub-1 and every split
+    would be noise). Rebalancing ADDS cells, so it is incompatible
+    with an exact-``n_cells`` contract — callers that need exactly
+    ``n_cells`` centers (``semantic_dedup_fit``) keep it off. Returns
     ``(centers, super_centers, children)`` with ``children[s]``
     contiguous ascending, like ``ivf2_fit_hier``."""
     import math
@@ -1502,6 +1533,16 @@ def ivf2_fit_dist(
         asg = ivf_assign_arrow(body, SC, "__v", "__super")
     else:
         asg = ivf_assign(body, SC, "__v", "__super")
+    # ONE corpus scan: the count job below and the child-fit job both
+    # consume asg — without a persist the second action recomputes the
+    # whole scan + assignment from lineage (r10 verdict item 1).
+    # DISK_ONLY: at the ≥10⁸-row regime the frame is N·dim doubles and
+    # must not compete with executor memory; it is written and read
+    # exactly once each.
+    from pyspark import StorageLevel
+
+    persisted = asg.persist(StorageLevel.DISK_ONLY)
+    asg = persisted
     counts = {
         int(r["__super"]): int(r["count"])
         for r in asg.groupBy("__super").count().collect()
@@ -1541,6 +1582,11 @@ def ivf2_fit_dist(
             take = _md5_take(bids, max(k_s, block_entries // k_s))
             bids, bX = bids[take], bX[take]
             k_s = min(k_s, len(bids))
+        # selection (above) is by md5; FIT ORDER is ascending id — the
+        # per-cell means sum in input order and shuffle fetch order is
+        # nondeterministic on a real cluster (r10 advisor finding)
+        order = np.argsort(bids, kind="stable")
+        bids, bX = bids[order], bX[order]
         C = ivf_centers_numpy(bids, bX, k_s, fit_iters)
         return pd.DataFrame(
             {
@@ -1550,32 +1596,52 @@ def ivf2_fit_dist(
             }
         )
 
-    fitted = (
-        asg.groupBy("__super")
-        .applyInPandas(_fit_block, "__super int, __pos int, __c array<double>")
-        .collect()
-    )
+    if rebalance:
+        # the sample must RESOLVE per-cell skew: below one sample row
+        # per fitted cell, every split decision would be noise (see
+        # docstring). Checked before the fit job runs.
+        expect_cells = int(sum(k_map.values()))
+        if len(srows) < expect_cells:
+            raise ValueError(
+                f"rebalance=True needs super_sample_n >= the fitted "
+                f"cell count ({expect_cells}), got {len(srows)} sample "
+                f"rows — raise super_sample_n or rebalance separately"
+            )
+    try:
+        fitted = (
+            asg.groupBy("__super")
+            .applyInPandas(_fit_block, "__super int, __pos int, __c array<double>")
+            .collect()
+        )
+    finally:
+        persisted.unpersist()
     if not fitted:
-        # defensive: the first sample row always passes the dim gate,
-        # so this fires only when the corpus CHANGED between the
-        # sample collect and the (lazy) child-fit job — a live table
-        # race. Fail with the cause instead of returning a shape-(0,)
-        # center matrix that breaks serving later.
+        # defensive: the first sample row always passes the dim gate
+        # and the persist pins the rows both jobs see, so this fires
+        # only when every row was gated ragged/empty. Fail with the
+        # cause instead of returning a shape-(0,) center matrix that
+        # breaks serving later.
         raise ValueError(
             f"no vectors of dim {dim} survived the fit gates — the "
-            f"corpus changed under the fit, or the embeddings are "
-            f"ragged/empty"
+            f"embeddings are ragged/empty"
         )
     fitted.sort(key=lambda r: (r["__super"], r["__pos"]))
     blocks = [[float(x) for x in r["__c"]] for r in fitted]
     children: list[list[int]] = [[] for _ in range(len(SC))]
     for i, r in enumerate(fitted):
         children[int(r["__super"])].append(i)
-    return (
-        np.asarray(blocks, dtype=np.float64),
-        np.asarray(S, dtype=np.float64),
-        children,
-    )
+    centers = np.asarray(blocks, dtype=np.float64)
+    supers_out = np.asarray(S, dtype=np.float64)
+    if rebalance:
+        # the ivf2_fit_sampled composition, on the super sample already
+        # in memory: pro-rated bound (a cell holding its fair share of
+        # the corpus holds ≈ sample/n_cells sample rows)
+        sample_cell = max(1, int(np.ceil(len(srows) / max(1, len(centers)))))
+        centers, supers_out, children = ivf2_rebalance_hier(
+            sids, sX, centers, supers_out, children,
+            target_cell=sample_cell, iters=fit_iters,
+        )
+    return centers, supers_out, children
 
 
 def _suggest_n_super(n_cells: int) -> int:
