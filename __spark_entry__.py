@@ -2241,10 +2241,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("ivfh").alias("arm"), "vec_id", F.col("cosine").alias("score")
     )
+    # dist arm (r11): the DISTRIBUTED fit rung served end-to-end —
+    # ivf2_fit_dist fits supers driver-side on the md5 sample, children
+    # in parallel on executors over the FULL corpus (one persisted
+    # assignment scan), exact n_cells via full-count apportionment,
+    # ascending-id block fit order. The oracle replays the whole recipe
+    # with ivf2_fit_dist_numpy (test-pinned ≡ the Spark fit) on the
+    # same parquet. Assignment at p_super = n_super ≡ the flat argmin
+    # (CTE `ad`); serving probes PARTIAL p_super=2 through the
+    # (super, cell) store annotation, like the ivfh arm.
+    from zx_spark.operators.similarity import ivf2_fit_dist
+
+    dcent, dsup, dkids = ivf2_fit_dist(
+        emb, n_cells=8, super_sample_n=1 << 20, engine="catalyst"
+    )
+    dstore = with_super_col(
+        ivf2_assign(emb, dcent, dsup, dkids, p_super=len(dsup)),
+        dkids,
+        len(dcent),
+    )
+    dist = ivf_topk(
+        dstore,
+        dcent,
+        ANN_QUERY_VEC,
+        k=10,
+        nprobe=4,
+        supers=dsup,
+        children=dkids,
+        p_super=2,
+        super_col="ivf_super",
+    ).select(
+        F.lit("dist").alias("arm"), "vec_id", F.col("cosine").alias("score")
+    )
     return (
         ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
         .unionByName(pqb).unionByName(sivf).unionByName(ivf2)
-        .unionByName(ivfh)
+        .unionByName(ivfh).unionByName(dist)
     )
 
 
@@ -4563,6 +4595,19 @@ def _ivf_pq_oracle(
     hcells = probe_cells_2level(
         hcent, hsup, hkids, ANN_QUERY_VEC, nprobe, p_super=2
     )
+    # dist arm (r11): replay the DISTRIBUTED fit with its library twin
+    # (ivf2_fit_dist_numpy — test-pinned ≡ ivf2_fit_dist exactly: md5
+    # super sample, exact owner argmin, full-count apportionment,
+    # ascending-id block fit order), then the same partial two-level
+    # probe selection as the Spark serving path.
+    from zx_spark.operators.similarity import ivf2_fit_dist_numpy
+
+    dcent, dsup, dkids = ivf2_fit_dist_numpy(
+        ids_arr, X, n_cells=n_cells, super_sample_n=1 << 20
+    )
+    dcells = probe_cells_2level(
+        dcent, dsup, dkids, ANN_QUERY_VEC, nprobe, p_super=2
+    )
     e2 = [0.0, 1.0] + [0.0] * 62
     cells_q1 = probe_cells(centers, e2, nprobe)
     books = pq_codebooks_numpy(X, pq_m, pq_k, pq_iters)
@@ -4663,13 +4708,21 @@ def _ivf_pq_oracle(
         "ah AS (SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell FROM dh), "
         f"ivfh_arm AS (SELECT 'ivfh' AS arm, vec_id, {cos} AS score "
         f"FROM ah WHERE {'cell IN (' + ', '.join(str(c) for c in hcells) + ')' if hcells else 'false'} "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        # dist (r11): flat-argmin assignment over the DIST-fit centers
+        # (Spark assigns at p_super = n_super, ≡ the flat argmin) +
+        # the partial two-level probe replayed as literal cell ids
+        f"dd AS (SELECT vec_id, v, [{', '.join(f'(list_dot_product(v, v) - 2*list_dot_product(v, {lst(c)}) + {float(sum(x * x for x in c))!r})' for c in dcent)}] AS dl FROM base), "
+        "ad AS (SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell FROM dd), "
+        f"dist_arm AS (SELECT 'dist' AS arm, vec_id, {cos} AS score "
+        f"FROM ad WHERE {'cell IN (' + ', '.join(str(c) for c in dcells) + ')' if dcells else 'false'} "
         f"ORDER BY score DESC, vec_id LIMIT {k}) "
         "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
         "UNION ALL SELECT * FROM ivfpq_arm "
         "UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1 "
         "UNION ALL SELECT * FROM pb0 UNION ALL SELECT * FROM pb1 "
         "UNION ALL SELECT * FROM sivf_arm UNION ALL SELECT * FROM ivf2_arm "
-        "UNION ALL SELECT * FROM ivfh_arm"
+        "UNION ALL SELECT * FROM ivfh_arm UNION ALL SELECT * FROM dist_arm"
     )
 
 

@@ -855,3 +855,36 @@ def test_fit_dist_rebalance_composes(spark):
             df, rebalance=True, target_cell=10, n_super=3,
             super_sample_n=20, engine="catalyst",
         )
+
+
+def test_fit_dist_numpy_twin_pins_spark(spark):
+    """r11: the LIBRARY twin (ivf2_fit_dist_numpy — the one the DuckDB
+    oracle replays the dist arm with) equals the Spark fit on every
+    path: target_cell allocation, exact-n_cells apportionment, member
+    cap, and rebalance composition."""
+    from zx_spark.operators.similarity import (
+        ivf2_fit_dist,
+        ivf2_fit_dist_numpy,
+    )
+
+    ids, X = _clustered(n=500)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    grids = [
+        dict(target_cell=50, n_super=4, super_sample_n=500),
+        dict(n_cells=8, super_sample_n=300),
+        dict(target_cell=30, n_super=3, super_sample_n=300, max_group_rows=60),
+        dict(target_cell=50, n_super=4, super_sample_n=500, rebalance=True),
+    ]
+    for kw in grids:
+        c, s, ch = ivf2_fit_dist(df, engine="catalyst", **kw)
+        cw, sw, chw = ivf2_fit_dist_numpy(ids, X, **kw)
+        assert np.array_equal(np.asarray(c), cw), kw
+        assert np.array_equal(np.asarray(s), sw), kw
+        assert ch == chw, kw
+    with pytest.raises(ValueError, match="sample rows"):
+        ivf2_fit_dist_numpy(ids, X, n_super=8, super_sample_n=4)
+    with pytest.raises(ValueError, match="at least one"):
+        ivf2_fit_dist_numpy(np.array([]), np.empty((0, 4)))

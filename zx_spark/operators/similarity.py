@@ -1644,6 +1644,97 @@ def ivf2_fit_dist(
     return centers, supers_out, children
 
 
+def ivf2_fit_dist_numpy(
+    ids: np.ndarray,
+    X: np.ndarray,
+    target_cell: int = 256,
+    n_super: int | None = None,
+    super_sample_n: int = 65536,
+    iters: int = 5,
+    super_iters: int = 5,
+    max_group_rows: int = FIT_MAX_GROUP_ROWS,
+    n_cells: int | None = None,
+    rebalance: bool = False,
+):
+    """Driver-side numpy twin of ``ivf2_fit_dist`` — the same recipe
+    decision for decision (md5-first super sample, super Lloyd, exact
+    owner argmin, full-count child allocation with optional exact
+    ``n_cells`` apportionment, md5 member cap, per-block
+    ``FIT_BLOCK_ENTRIES`` subsample, ascending-id fit order, optional
+    sample-side hier rebalance) so tests pin Spark ≡ numpy and the
+    DuckDB oracle re-derives the model from the raw parquet without a
+    SparkSession (the ``ivf_centers_numpy`` / ``ivf2_fit_hier``
+    discipline). Assumes uniform-dim rows (the Spark side's ragged-row
+    gate is a data-quality filter the oracle corpora never trip)."""
+    import math
+
+    ids = np.asarray(ids)
+    X = np.asarray(X, dtype=np.float64)
+    if len(ids) == 0:
+        raise ValueError("ivf2_fit_dist_numpy needs at least one vector")
+    if n_super is None:
+        if n_cells is not None:
+            n_super = _suggest_n_super(int(n_cells))
+        else:
+            n_super = _suggest_n_super(max(8, len(ids) // int(target_cell)))
+    if n_cells is not None:
+        n_super = min(int(n_super), int(n_cells))
+    n_super = max(1, min(int(n_super), len(ids)))
+    take = _md5_take(ids, min(int(super_sample_n), len(ids)))
+    if n_super > len(take):
+        raise ValueError(
+            f"{n_super} supers need >= {n_super} sample rows, got "
+            f"{len(take)} — raise super_sample_n"
+        )
+    S = ivf_centers_numpy(ids[take], X[take], n_super, super_iters)
+    owner = _nearest_center_chunked(X, S)
+    counts = np.bincount(owner, minlength=len(S))
+    if n_cells is not None:
+        alloc = _apportion(counts, int(n_cells))
+    else:
+        alloc = np.array(
+            [int(math.ceil(c / int(target_cell))) if c else 0 for c in counts],
+            dtype=np.int64,
+        )
+    blocks: list[np.ndarray] = []
+    children: list[list[int]] = [[] for _ in range(len(S))]
+    off = 0
+    for s in range(len(S)):
+        m = np.flatnonzero(owner == s)
+        if len(m) == 0 or alloc[s] == 0:
+            continue
+        k_s = min(int(alloc[s]), len(m))
+        if len(m) > int(max_group_rows):
+            m = m[_md5_take(ids[m], int(max_group_rows))]
+            k_s = min(k_s, len(m))
+        if len(m) * k_s > FIT_BLOCK_ENTRIES:
+            m = m[_md5_take(ids[m], max(k_s, FIT_BLOCK_ENTRIES // k_s))]
+            k_s = min(k_s, len(m))
+        # selection by md5 above; FIT ORDER ascending by id (the
+        # _fit_block rule)
+        m = m[np.argsort(ids[m], kind="stable")]
+        sub = np.asarray(ivf_centers_numpy(ids[m], X[m], k_s, iters))
+        blocks.append(sub)
+        children[s] = list(range(off, off + len(sub)))
+        off += len(sub)
+    if not blocks:
+        raise ValueError("no vectors survived the fit gates")
+    centers = np.vstack(blocks)
+    supers_out = np.asarray(S, dtype=np.float64)
+    if rebalance:
+        if len(take) < len(centers):
+            raise ValueError(
+                f"rebalance=True needs super_sample_n >= the fitted "
+                f"cell count ({len(centers)}), got {len(take)} sample rows"
+            )
+        sample_cell = max(1, int(np.ceil(len(take) / max(1, len(centers)))))
+        centers, supers_out, children = ivf2_rebalance_hier(
+            ids[take], X[take], centers, supers_out, children,
+            target_cell=sample_cell, iters=iters,
+        )
+    return centers, supers_out, children
+
+
 def _suggest_n_super(n_cells: int) -> int:
     """The one super-level sizing rule — ~√n_cells, floor 2 — shared by
     ``ivf2_fit_numpy`` and ``ivf2_rebalance`` so a rebalanced model and
