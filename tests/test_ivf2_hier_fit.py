@@ -888,3 +888,44 @@ def test_fit_dist_numpy_twin_pins_spark(spark):
         ivf2_fit_dist_numpy(ids, X, n_super=8, super_sample_n=4)
     with pytest.raises(ValueError, match="at least one"):
         ivf2_fit_dist_numpy(np.array([]), np.empty((0, 4)))
+
+
+def test_recall_grid_metric_modes():
+    """r11 (r10 verdict #3): the grid's default squared-L2 probe equals
+    the cosine serving probe only for L2-normalized embeddings —
+    metric='cosine' measures the serving selection itself
+    (probe_cells_2level per query, pinned here), and on a deliberately
+    UNNORMALIZED corpus the two modes pick different probe lists."""
+    from zx_spark.operators.similarity import probe_cells_2level
+
+    rng = np.random.RandomState(13)
+    # two directions, very different NORMS: L2 picks the near-in-space
+    # center, cosine the near-in-angle one
+    X = np.vstack([
+        rng.randn(200, 6) * 0.1 + np.array([4.0, 0, 0, 0, 0, 0]),
+        rng.randn(200, 6) * 0.1 + np.array([0, 0.5, 0, 0, 0, 0]),
+    ])
+    ids = np.arange(len(X))
+    c, s, ch = ivf2_fit_numpy(ids, X, n_cells=8, n_super=2)
+    # queries in the divergence region: L2-near the small-norm cluster,
+    # cosine-near the big-norm one (cos picks direction, L2 position)
+    Q = np.array([[1.2, 0.4, 0, 0, 0, 0], [0.9, 0.25, 0, 0, 0, 0]])
+    pl2 = probe_2level_numpy(Q, c, s, ch, p_super=1, nprobe=3)
+    pcos = probe_2level_numpy(Q, c, s, ch, p_super=1, nprobe=3,
+                              metric="cosine")
+    # cosine mode IS the serving selection
+    for i in range(len(Q)):
+        want = probe_cells_2level(c, s, ch, [float(t) for t in Q[i]], 3, 1)
+        assert list(pcos[i]) == [int(x) for x in want]
+    assert any(list(a) != list(b) for a, b in zip(pl2, pcos))
+    # normalized rows: the two rankings coincide
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cn, sn, chn = ivf2_fit_numpy(ids, Xn, n_cells=8, n_super=2)
+    gl2 = measure_recall_grid(ids, Xn, cn, sn, chn, k=2, max_queries=64)
+    gcos = measure_recall_grid(ids, Xn, cn, sn, chn, k=2, max_queries=64,
+                               metric="cosine")
+    assert gl2 == gcos
+    with pytest.raises(ValueError, match="metric"):
+        measure_recall_grid(ids, X, c, s, ch, metric="dot")
+    with pytest.raises(ValueError, match="metric"):
+        probe_2level_numpy(X[:2], c, s, ch, 1, 2, metric="dot")

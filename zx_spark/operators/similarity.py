@@ -725,7 +725,12 @@ def suggest_probe(
     ``measure_recall_grid``; any order — sorted by nprobe here) and the answer comes
     from THIS corpus at THIS dim/cell size instead of the static table
     below, which was measured once at 20k×64d/target_cell=128 and
-    carries no authority for other shapes (r9 review). ``n_cells``
+    carries no authority for other shapes (r9 review). Match the
+    grid's ``metric`` to the consumer: ``measure_recall_grid``'s
+    default squared-L2 grid answers for the knn/assignment paths and
+    — on L2-normalized embeddings — for cosine serving too; pass a
+    ``metric="cosine"`` grid when tuning ``ivf_topk``-style serving
+    over unnormalized vectors (r10 verdict #3). ``n_cells``
     clamps the returned nprobe — the static table can suggest more
     probes than a small model has cells, which ``ivf_topk``/
     ``knn_pairs_2level`` reject with 'nprobe must be in 1..n_cells'
@@ -1153,17 +1158,40 @@ def probe_2level_numpy(
     children,
     p_super: int,
     nprobe: int,
+    metric: str = "l2",
 ) -> list[np.ndarray]:
-    """Numpy twin of the build-side two-level probe selection
-    (``_two_level_sorted_cells`` / ``_two_level_probe_udf`` sliced to
-    ``nprobe``): per query, the candidate cells of the ``p_super``
-    nearest supers sorted by (squared distance, cell id). Squared-L2
-    like the build path, NOT the cosine ``probe_cells_2level`` serves
-    with — the grid measures the knn/assignment machinery. Rows whose
-    selected supers are all childless get an empty probe list. Chunked
-    under ``FIT_BLOCK_ENTRIES`` at both levels like
-    ``assign_2level_numpy`` (r10 review — it is a public function and
-    tools/ann_recall.py feeds it arbitrary query sets)."""
+    """Numpy twin of the two-level probe selection. ``metric="l2"``
+    (default) is the BUILD-side rule (``_two_level_sorted_cells`` /
+    ``_two_level_probe_udf`` sliced to ``nprobe``): per query, the
+    candidate cells of the ``p_super`` nearest supers sorted by
+    (squared distance, cell id) — the knn/assignment machinery.
+    ``metric="cosine"`` is the SERVING rule: each query routed through
+    ``probe_cells_2level`` itself (per-query, so the selection is
+    bit-identical to what ``ivf_topk``/``ivf_topk_batch`` probe).
+
+    The two rankings coincide exactly for L2-NORMALIZED embeddings
+    (then ‖q−c‖² = 2−2·cos is monotone in cosine) and can pick
+    DIFFERENT cells otherwise — the r10 verdict's metric-gap note;
+    ``measure_recall_grid`` exposes the same switch so serving callers
+    with unnormalized vectors can measure the surface they will
+    actually probe. Rows whose selected supers are all childless get
+    an empty probe list. The l2 path is chunked under
+    ``FIT_BLOCK_ENTRIES`` at both levels like ``assign_2level_numpy``
+    (r10 review — it is a public function and tools/ann_recall.py
+    feeds it arbitrary query sets)."""
+    if metric == "cosine":
+        return [
+            np.asarray(
+                probe_cells_2level(
+                    centers, supers, children, [float(t) for t in q],
+                    nprobe, p_super,
+                ),
+                dtype=np.int64,
+            )
+            for q in np.asarray(X, dtype=np.float64)
+        ]
+    if metric != "l2":
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     X = np.asarray(X, dtype=np.float64)
     C = np.asarray(centers, dtype=np.float64)
     S = np.asarray(supers, dtype=np.float64)
@@ -1296,6 +1324,7 @@ def measure_recall_grid(
     p_super: int | None = None,
     nprobes: tuple[int, ...] = (1, 2, 4, 8, 16),
     max_queries: int = 2048,
+    metric: str = "l2",
 ) -> list[tuple[int, float]]:
     """Measure THIS model's top-``k`` recall-vs-nprobe surface on THIS
     sample — the tools/ann_recall.py protocol folded into the library
@@ -1308,7 +1337,19 @@ def measure_recall_grid(
     (``assign_2level_numpy`` / ``probe_2level_numpy`` — test-pinned
     identical to the operators). Returns ascending
     ``[(nprobe, recall)]`` with nprobes clamped to n_cells and recall
-    rounded to 3 dp, ready for ``suggest_probe(grid=...)``."""
+    rounded to 3 dp, ready for ``suggest_probe(grid=...)``.
+
+    ``metric`` — which probe selection the grid measures:
+    ``"l2"`` (default) is the BUILD/knn rule (squared-L2, what
+    ``knn_pairs_2level``/``ivf2_assign`` probe with); ``"cosine"`` is
+    the SERVING rule (``probe_cells_2level``, what ``ivf_topk``/
+    ``ivfpq_topk`` probe with). The two coincide exactly for
+    L2-NORMALIZED embeddings — the package's ``hashed_embedding``
+    emits unit vectors, so the default answers for both paths there —
+    but diverge on unnormalized corpora (r10 verdict): feed
+    ``metric="cosine"`` grids to ``suggest_probe`` when tuning
+    serving over vectors of varying norm. Ground-truth recall is
+    cosine top-k either way (both paths SCORE by cosine)."""
     X = np.asarray(X, dtype=np.float64)
     ids = np.asarray(ids)
     n = len(X)
@@ -1316,6 +1357,9 @@ def measure_recall_grid(
         raise ValueError("measure_recall_grid needs at least two vectors")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if metric not in ("l2", "cosine"):
+        # before the O(queries·n) ground-truth pass, not after it
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     C = np.asarray(centers, dtype=np.float64)
     ns = len(np.asarray(supers))
     if p_super is None:
@@ -1340,7 +1384,7 @@ def measure_recall_grid(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
         truth.extend(set(map(int, t)) for t in top)
     probes = probe_2level_numpy(
-        X[qpos], C, supers, children, p_super, max(nps)
+        X[qpos], C, supers, children, p_super, max(nps), metric=metric
     )
     out: list[tuple[int, float]] = []
     for nprobe in nps:
