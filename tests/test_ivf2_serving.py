@@ -453,3 +453,58 @@ def test_suggest_probe_accepts_unsorted_grid():
     g = [(8, 0.99), (1, 0.40), (4, 0.96), (2, 0.80)]
     assert suggest_probe(12, target_recall=0.95, grid=g) == (4, 4)
     assert suggest_probe(12, target_recall=0.95, grid=sorted(g)) == (4, 4)
+
+
+def test_knn_score_engine_pq(model):
+    """PQ candidate scoring + exact re-rank (r11, VERDICT r10 item 2):
+    with a shortlist covering every candidate nothing can truncate, so
+    the result equals the catalyst engine exactly (the re-rank IS
+    exact 6-dp cosine); tight shortlists stay k-rowed and
+    deterministic; codebooks are required for 'pq' and rejected
+    elsewhere; shortlist < k rejects."""
+    from zx_spark.operators.similarity import knn_pairs, pq_codebooks_numpy
+
+    _, _, X, centers, supers, children, assigned = model
+    books = pq_codebooks_numpy(X, m=4, k=16, iters=3)
+    cat = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="catalyst").collect()))
+    pq = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="pq", shortlist=1000,
+        codebooks=books).collect()))
+    assert cat == pq and cat
+    tight = knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="pq", shortlist=6, codebooks=books)
+    per_q = tight.groupBy("vec_id").count().collect()
+    assert per_q and all(r["count"] <= 3 for r in per_q)
+    t1 = sorted(map(tuple, tight.collect()))
+    t2 = sorted(map(tuple, knn_pairs_2level(
+        assigned, centers, supers, children, k=3, nprobe=4, p_super=2,
+        engine="catalyst", score_engine="pq", shortlist=6,
+        codebooks=books).collect()))
+    assert t1 == t2
+    # single-level path accepts the engine too
+    one = sorted(map(tuple, knn_pairs(
+        assigned, centers, k=3, nprobe=4, score_engine="pq",
+        shortlist=1000, codebooks=books).collect()))
+    flat = sorted(map(tuple, knn_pairs(
+        assigned, centers, k=3, nprobe=4,
+        score_engine="catalyst").collect()))
+    assert one == flat and one
+    with pytest.raises(ValueError, match="needs codebooks"):
+        knn_pairs_2level(
+            assigned, centers, supers, children, k=3, nprobe=4,
+            score_engine="pq",
+        )
+    with pytest.raises(ValueError, match="codebooks apply only"):
+        knn_pairs_2level(
+            assigned, centers, supers, children, k=3, nprobe=4,
+            score_engine="catalyst", codebooks=books,
+        )
+    with pytest.raises(ValueError, match="shortlist"):
+        knn_pairs_2level(
+            assigned, centers, supers, children, k=3, nprobe=4,
+            score_engine="pq", shortlist=2, codebooks=books,
+        ).collect()

@@ -48,12 +48,6 @@ def main() -> None:
     if "--rebalance" in args and "--no-rebalance" in args:
         print("--rebalance conflicts with --no-rebalance")
         sys.exit(2)
-    if fit == "dist" and "--rebalance" in args:
-        # validated HERE like every other flag conflict — not after
-        # Spark startup and the corpus count (r10 second review)
-        print("--rebalance does not apply to --fit dist (per-super "
-              "allocation balances from FULL-corpus counts)")
-        sys.exit(2)
     if sample:
         # the sampled fit rebalances by default (the library default);
         # --rebalance is redundant there, --no-rebalance opts out
@@ -61,6 +55,10 @@ def main() -> None:
     else:
         rebalance = "--rebalance" in args
     n_best = int(args[args.index("-n") + 1]) if "-n" in args else 2
+    shortlist = (
+        int(args[args.index("--shortlist") + 1])
+        if "--shortlist" in args else None
+    )
 
     import pyarrow.parquet as pq
 
@@ -113,16 +111,18 @@ def main() -> None:
     elif sample and fit == "dist":
         # the third rung: supers driver-side on the hash-sample,
         # children fit in PARALLEL on executors over the FULL corpus
-        # (one applyInPandas block per super). No driver-side sample
-        # rebalance applies — the per-super k_s = ceil(count/target)
-        # allocation IS the balance mechanism (conflict rejected
-        # upfront with the other flag conflicts). --engine forwarded
-        # so the recorded provenance governs the super assignment too.
+        # (one persisted applyInPandas scan per super block, r11).
+        # --rebalance composes the sample-side ivf2_rebalance_hier
+        # pass over the dist model (the SCALE.md r10 follow-up) —
+        # within-super cell skew the per-super k_s allocation cannot
+        # see. --engine forwarded so the recorded provenance governs
+        # the super assignment too.
         from zx_spark.operators.similarity import ivf2_fit_dist
 
-        rebalance = False
+        rebalance = "--rebalance" in args
         centers, supers, children = ivf2_fit_dist(
             emb, target_cell=128, super_sample_n=sample, engine=engine,
+            rebalance=rebalance,
         )
     elif sample:
         from zx_spark.operators.similarity import ivf2_fit_sampled
@@ -142,6 +142,18 @@ def main() -> None:
             )
     fit_s = time.time() - t0
 
+    # --score pq: train the codebooks ONCE, distributed (pq_train — the
+    # corpus never comes driver-side), outside the timed knn loop but
+    # recorded separately so the variant row carries its full cost
+    books = None
+    pq_train_s = None
+    if score == "pq":
+        from zx_spark.operators.similarity import pq_train
+
+        t0 = time.time()
+        books = pq_train(emb, m=8, k=16, iters=3)
+        pq_train_s = round(time.time() - t0, 1)
+
     best = None
     for _ in range(n_best):
         t0 = time.time()
@@ -150,7 +162,8 @@ def main() -> None:
                 emb, [[float(x) for x in c] for c in centers], "embedding"
             )
             edges = knn_pairs(assigned, centers, k=4, nprobe=4,
-                              score_engine=score)
+                              score_engine=score, shortlist=shortlist,
+                              codebooks=books)
         else:
             assigned = ivf2_assign(
                 emb, centers, supers, children, p_super=4, engine=engine
@@ -158,6 +171,7 @@ def main() -> None:
             edges = knn_pairs_2level(
                 assigned, centers, supers, children, k=4, nprobe=4,
                 p_super=4, engine=engine, score_engine=score,
+                shortlist=shortlist, codebooks=books,
             )
         tri = (
             triangle_counts(
@@ -186,6 +200,8 @@ def main() -> None:
                 "sample": sample,
                 "fit": fit,
                 "fit_sec": round(fit_s, 1),
+                "shortlist": shortlist,
+                "pq_train_sec": pq_train_s,
                 "end_to_end_sec": round(best, 1),
                 "triangle_sum": int(tri) if tri is not None else None,
             }

@@ -2085,6 +2085,7 @@ def knn_pairs_2level(
     engine: str = "auto",
     score_engine: str = "auto",
     shortlist: int | None = None,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """k-NN graph with two-level probe selection — the constant-cell
     companion of ``knn_pairs``: each query scores n_super supers +
@@ -2111,9 +2112,9 @@ def knn_pairs_2level(
         raise ValueError(f"p_super must be in 1..{ns}, got {p_super}")
     n_cells = len(np.asarray(centers))
     engine = _resolve_engine(engine, n_cells)
-    if score_engine != "int8":
-        # int8 is explicit-only: it changes the result contract
-        # (shortlist-truncated approximate), so "auto" never picks it
+    if score_engine not in ("int8", "pq"):
+        # int8/pq are explicit-only: they change the result contract
+        # (shortlist-truncated approximate), so "auto" never picks them
         score_engine = _resolve_engine(score_engine, n_cells)
     C = [[float(x) for x in c] for c in np.asarray(centers)]
     S = [[float(x) for x in s] for s in np.asarray(super_centers)]
@@ -2137,7 +2138,7 @@ def knn_pairs_2level(
         )
     return _knn_join_topk(
         assigned, probes, k, vec_col, id_col, cell_col, score_engine,
-        shortlist,
+        shortlist, codebooks,
     )
 
 
@@ -2607,6 +2608,7 @@ def knn_pairs(
     cell_col: str = "ivf_cell",
     score_engine: str = "auto",
     shortlist: int | None = None,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """k-NN GRAPH over the corpus: for EVERY vector, its ``k`` nearest
     neighbors (by cosine) among the vectors of its ``nprobe`` nearest
@@ -2662,9 +2664,10 @@ def knn_pairs(
         id_col,
         cell_col,
         score_engine
-        if score_engine == "int8"
+        if score_engine in ("int8", "pq")
         else _resolve_engine(score_engine, n_cells),
         shortlist,
+        codebooks,
     )
 
 
@@ -2690,6 +2693,7 @@ def _knn_join_topk(
     cell_col: str,
     score_engine: str = "catalyst",
     shortlist: int | None = None,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """The shared k-NN tail (``knn_pairs`` and ``knn_pairs_2level``
     differ only in how the probe list is chosen): explode each row's
@@ -2739,22 +2743,57 @@ def _knn_join_topk(
     result is partition-independent, unlike a margin-free approximate
     prune would be). Use it when the candidate join's shuffle bytes,
     not its flops, are the bottleneck; measured at sf10 in SCALE.md
-    r10."""
+    r10.
+
+    ``score_engine="pq"`` (r11, VERDICT r10 item 2) is the next notch
+    on the same join-bytes lever: both sides ship ``m``-byte PQ codes
+    (``_pq_codes_expr`` over the supplied ``codebooks`` — a 4·d/m×
+    cut vs the raw doubles, 32× at d=64/m=8, and d/m× vs int8),
+    candidates rank by SYMMETRIC distance computation (SDC, Jégou et
+    al. 2011: code-to-code dot products through the m×k×k table of
+    codebook-center dots, cosine-normalized with the codes' own
+    table-reconstructed norms — fixed float64 table lookups summed in
+    subspace order, bit-deterministic), global top-``shortlist``
+    window, exact re-rank of shortlist rows only. Coarser than int8
+    (quantization error ~subspace cell radius vs ~0.5%), hence the
+    larger default ``shortlist = 8·k``; same partition-independent
+    truncation contract. Requires ``codebooks``; explicit-only like
+    int8 ("auto" never changes the result contract)."""
     from pyspark.sql import Window
 
     v = F.col(f"`{vec_col}`").cast("array<double>")
+    if score_engine != "pq" and codebooks is not None:
+        # fail-fast pairing discipline (_check_super_col): silently
+        # ignoring the codebooks would let the caller believe the join
+        # ships m-byte codes when it ships full vectors
+        raise ValueError(
+            "codebooks apply only to score_engine='pq' — drop them or "
+            "set score_engine='pq'"
+        )
     if score_engine == "int8":
         return _knn_join_topk_int8(
             assigned, probes, k, v, id_col, cell_col,
             shortlist if shortlist is not None else 4 * k,
         )
+    if score_engine == "pq":
+        if codebooks is None:
+            raise ValueError(
+                "score_engine='pq' needs codebooks — train with "
+                "pq_train / pq_codebooks_numpy and pass them"
+            )
+        return _knn_join_topk_pq(
+            assigned, probes, k, v, id_col, cell_col,
+            shortlist if shortlist is not None else 8 * k,
+            codebooks,
+        )
     if shortlist is not None:
-        # the recall knob belongs to the int8 contract only — accepting
-        # it here and ignoring it would let a caller believe they are
-        # on the approximate fast path (_check_super_col discipline)
+        # the recall knob belongs to the int8/pq contracts only —
+        # accepting it here and ignoring it would let a caller believe
+        # they are on the approximate fast path (_check_super_col
+        # discipline)
         raise ValueError(
-            "shortlist applies only to score_engine='int8' — the exact "
-            "engines have no truncation to tune"
+            "shortlist applies only to score_engine='int8'/'pq' — the "
+            "exact engines have no truncation to tune"
         )
     q = _spread(assigned).select(
         F.col(id_col).alias("__qid"),
@@ -2930,7 +2969,19 @@ def _knn_join_topk_int8(
         .filter(F.col("__rn") <= sl)
         .select("__qid", "__cid")
     )
-    # exact re-rank: float vectors touch only shortlist rows
+    return _exact_rerank(short, assigned, v, id_col, k)
+
+
+def _exact_rerank(
+    short: DataFrame, assigned: DataFrame, v, id_col: str, k: int
+) -> DataFrame:
+    """Shared exact-cosine tail of the approximate scorers (int8/pq):
+    the float vectors touch ONLY the (__qid, __cid) shortlist rows —
+    two id-equi-joins against the vector store, 6-dp cosine, final
+    per-query top-``k`` window with the (cosine desc, neighbor id)
+    tie order every engine shares."""
+    from pyspark.sql import Window
+
     vecs = assigned.select(F.col(id_col).alias("__vid"), v.alias("__vv"))
     withq = short.join(vecs, F.col("__qid") == F.col("__vid")).select(
         "__qid", "__cid", F.col("__vv").alias("__qv")
@@ -2951,6 +3002,114 @@ def _knn_join_topk_int8(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _knn_join_topk_pq(
+    assigned: DataFrame,
+    probes,
+    k: int,
+    v,
+    id_col: str,
+    cell_col: str,
+    shortlist: int,
+    codebooks: list,
+) -> DataFrame:
+    """The PQ tail of ``_knn_join_topk`` (contract documented there):
+    m-byte PQ codes through the candidate join, deterministic
+    SDC-cosine shortlist, exact re-rank of shortlist rows only.
+
+    Driver-side tables (tiny — m·k² doubles, broadcast with the
+    closure): ``T[s,i,j] = codebook[s][i]·codebook[s][j]`` and the
+    diagonal ``N2[s,i] = |codebook[s][i]|²``; a pair's approximate
+    cosine is ``Σ_s T[s,qc_s,cc_s] / √(Σ_s N2[s,qc_s] · Σ_s
+    N2[s,cc_s])`` — the code-reconstructed vectors' exact cosine, so
+    ranking quality degrades only with quantization error, never with
+    norm mismatch."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T_
+
+    if shortlist < k:
+        raise ValueError(f"shortlist must be >= k ({k}), got {shortlist}")
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k_codes, sub)
+    tab = np.einsum("mis,mjs->mij", C, C)  # (m, k_codes, k_codes)
+    n2 = np.einsum("mis,mis->mi", C, C)  # (m, k_codes)
+    codes = _pq_codes_expr(v, codebooks, sub)
+    qpq = _spread(assigned).select(
+        F.col(id_col).alias("__qid"),
+        codes.alias("__qc"),
+        F.explode(probes).alias("__pc"),
+    )
+    cpq = assigned.select(
+        F.col(id_col).alias("__cid"),
+        codes.alias("__cc"),
+        F.col(cell_col).alias("__cell"),
+    )
+    joined = qpq.join(cpq, qpq["__pc"] == cpq["__cell"]).filter(
+        F.col("__qid") != F.col("__cid")
+    )
+    id_type = assigned.schema[id_col].dataType
+    out_schema = T_.StructType(
+        [
+            T_.StructField("__qid", id_type),
+            T_.StructField("__cid", id_type),
+            T_.StructField("__a", T_.DoubleType()),
+        ]
+    )
+    sl = int(shortlist)
+
+    def score_part(batches):
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qc = np.asarray(pdf["__qc"].to_list(), dtype=np.int64)  # (n, m)
+            cc = np.asarray(pdf["__cc"].to_list(), dtype=np.int64)
+            dots = np.zeros(len(qc), dtype=np.float64)
+            qn = np.zeros(len(qc), dtype=np.float64)
+            cn = np.zeros(len(qc), dtype=np.float64)
+            # fixed float64 table gathers summed in subspace order —
+            # bit-deterministic regardless of partitioning
+            for s in range(m):
+                dots += tab[s, qc[:, s], cc[:, s]]
+                qn += n2[s, qc[:, s]]
+                cn += n2[s, cc[:, s]]
+            a = dots / np.maximum(np.sqrt(qn * cn), 1e-12)
+            b = pd.DataFrame(
+                {
+                    "__qid": pdf["__qid"].to_numpy(),
+                    "__cid": pdf["__cid"].to_numpy(),
+                    "__a": a,
+                }
+            ).sort_values(
+                ["__qid", "__a", "__cid"], ascending=[True, False, True]
+            )
+            # per-BATCH partial prune, safe w.r.t. the SDC ranking
+            # (same discipline as the arrow/int8 engines)
+            best.append(b.groupby("__qid", group_keys=False).head(sl))
+        if best:
+            allb = pd.concat(best, ignore_index=True).sort_values(
+                ["__qid", "__a", "__cid"], ascending=[True, False, True]
+            )
+            yield allb.groupby("__qid", group_keys=False).head(sl)
+
+    scored = joined.select("__qid", "__cid", "__qc", "__cc").mapInPandas(
+        score_part, out_schema
+    )
+    # global shortlist truncation: deterministic (SDC ranking, ties to
+    # the lowest neighbor id), partition-independent
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("__a").desc(), F.col("__cid")
+    )
+    short = (
+        scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= sl)
+        .select("__qid", "__cid")
+    )
+    return _exact_rerank(short, assigned, v, id_col, k)
 
 
 def pq_topk_batch(
