@@ -89,3 +89,53 @@ def test_faithful_matches_reference_loop(spark, rows, g):
     # Spark's ts roundtrips through micros; mirror that truncation.
     truncated = [(rid, int(ts * 1e6) / 1e6) for rid, ts in rows]
     assert got == reference_segment(truncated, g)
+
+
+def test_session_parallel_slices_match_classic(spark):
+    """The r11 parallel-prefix decomposition (time slices + summary
+    stitch) must produce the SAME window numbers as the classic
+    one-window-per-group plan — including null-ts rows (sentinel
+    slice), exact ts ties at slice boundaries, and groups whose
+    timeline spans many/empty slices."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.windows import with_session_windows
+
+    random.seed(7)
+    rows = []
+    for i in range(4000):
+        grp = random.choice(["a", "b", "c", None])
+        ts = random.choice([None] + [random.uniform(0, 200000) for _ in range(9)])
+        if ts is not None and random.random() < 0.05:
+            ts = float(int(ts))  # exact ties
+        rows.append((i, grp, ts))
+    df = spark.createDataFrame(rows, "id long, g string, ts double").withColumn(
+        "g", F.coalesce("g", F.lit("__nil"))
+    )
+    for groups in (["g"], []):
+        for gap in (5.0, 120.0):
+            classic = with_session_windows(df, groups, "id", "ts", gap, n_slices=1)
+            par = with_session_windows(df, groups, "id", "ts", gap, n_slices=53)
+            auto = with_session_windows(df, groups, "id", "ts", gap)
+            cv = sorted((r["id"], r[WINDOW_NO]) for r in classic.collect())
+            pv = sorted((r["id"], r[WINDOW_NO]) for r in par.collect())
+            av = sorted((r["id"], r[WINDOW_NO]) for r in auto.collect())
+            assert cv == pv == av
+            # the decomposition must actually split sessions across
+            # slices, not trivially agree on one window per group
+            assert len({w for _, w in cv}) > 100
+
+
+def test_session_parallel_helper_columns_dropped(spark):
+    from zx_spark.operators.windows import with_session_windows
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 700.0), (3, "a", 701.0)],
+        "id long, g string, ts double",
+    )
+    out = with_session_windows(df, ["g"], "id", "ts", 600.0, n_slices=8)
+    assert set(out.columns) == {"id", "g", "ts", WINDOW_NO}
+    out_g = with_session_windows(df, [], "id", "ts", 600.0, n_slices=8)
+    assert set(out_g.columns) == {"id", "g", "ts", WINDOW_NO}

@@ -54,6 +54,7 @@ def with_session_windows(
     id_col: str,
     ts_col: str,
     granularity_s: float,
+    n_slices: int | None = None,
 ) -> DataFrame:
     """Gap-based session window numbers — the scale-safe JVM sibling of
     faithful mode (SURVEY §2.6's lag/gap/cumsum technique).
@@ -62,21 +63,113 @@ def with_session_windows(
     tiebreak) exceeds the granularity. This differs from the reference's
     recurrence (which measures from the window START, drops the breaking
     row, and walks in id order) but captures the same "data-aligned
-    burst" intent with no Python, no per-group single task: one
-    shuffle+sort per key, windowed sum, all spillable and codegen'd —
-    the mode to use at 100 TB when epoch alignment isn't wanted.
+    burst" intent with no Python and everything spillable/codegen'd.
+
+    Parallel decomposition (r11): a window partitioned only by the
+    group key serializes each group onto ONE task — with a handful of
+    group values (event_type has 5) the whole corpus sorts on 5 threads
+    at any cluster size (measured 10.8x growth for 100x data, SCALE.md
+    r10 — the only non-hash-bound outlier). The break flag needs just
+    the PREVIOUS row's ts, and the window number is a running sum of
+    breaks — a classic parallel prefix: slice each group's timeline
+    into ``n_slices`` time ranges, compute lag/cumsum per (group,
+    slice) in parallel, then stitch with a tiny per-slice summary (last
+    ts feeds the next slice's first gap; break totals prefix-sum into
+    per-slice offsets). One extra column-pruned min/max scan + one
+    broadcast join of the groups x slices summary buys parallelism
+    ~ n_slices x groups instead of = groups. Results are IDENTICAL to
+    the single-window form (integer break sums, same (ts, id) order —
+    slicing on ts preserves it; pinned by tests).
+
+    ``n_slices``: None = 4x ``spark.sql.shuffle.partitions``; <= 1
+    forces the classic single-window-per-group plan (no extra jobs —
+    for tiny frames or plan-shape tests). Degenerate timelines (no
+    rows, all-null ts, single instant) fall back to classic.
     """
     from pyspark.sql import Window as W
 
+    g = float(granularity_s)
     ts = F.col(ts_col).cast("double")
-    base = W.partitionBy(*(group_cols or [F.lit(1)])).orderBy(
-        F.col(ts_col), F.col(id_col)
+    if n_slices is None:
+        try:
+            n_slices = 4 * int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_slices = 128
+    if n_slices > 1:
+        bounds = df.agg(
+            F.min(ts).alias("lo"), F.max(ts).alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None or hi is None or hi <= lo:
+            n_slices = 1
+    if n_slices <= 1:
+        base = W.partitionBy(*(group_cols or [F.lit(1)])).orderBy(
+            F.col(ts_col), F.col(id_col)
+        )
+        brk = F.when(ts - F.lag(ts).over(base) > g, 1).otherwise(0)
+        return df.withColumn(
+            WINDOW_NO,
+            F.sum(brk).over(base.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    width = (hi - lo) / float(n_slices)
+    # slice is a pure function of ts, so ts order (ties included) is
+    # preserved across slices; null-ts rows get the sentinel first
+    # slice, matching NULLS FIRST in the classic order
+    slice_id = F.when(
+        ts.isNull(), F.lit(-1).cast("long")
+    ).otherwise(
+        F.least(F.floor((ts - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1))
     )
-    brk = F.when(ts - F.lag(ts).over(base) > float(granularity_s), 1).otherwise(0)
-    return df.withColumn(
+    const_group = "__sess_group"
+    keys = list(group_cols)
+    work = df
+    if not keys:
+        work = work.withColumn(const_group, F.lit(1))
+        keys = [const_group]
+    work = work.withColumn("__slice", slice_id)
+    wloc = W.partitionBy(*keys, "__slice").orderBy(F.col(ts_col), F.col(id_col))
+    work = work.withColumn("__lag_ts", F.lag(ts).over(wloc))
+    # per-(group, slice) summary: first/last event ts + breaks whose
+    # predecessor is inside the slice; the slice-entry break is decided
+    # one level up where the previous non-empty slice's last ts is known
+    ibrk = F.when(ts - F.col("__lag_ts") > g, 1).otherwise(0)
+    summary = work.groupBy(*keys, "__slice").agg(
+        F.min(ts).alias("__first_ts"),
+        F.max(ts).alias("__last_ts"),
+        F.sum(ibrk).alias("__internal"),
+    )
+    wsum = W.partitionBy(*keys).orderBy("__slice")
+    summary = summary.withColumn(
+        "__prev_last", F.lag("__last_ts").over(wsum)
+    ).withColumn(
+        "__total",
+        F.col("__internal")
+        + F.when(F.col("__first_ts") - F.col("__prev_last") > g, 1).otherwise(0),
+    )
+    summary = summary.select(
+        *keys,
+        "__slice",
+        "__prev_last",
+        F.coalesce(
+            F.sum("__total").over(wsum.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    joined = work.join(F.broadcast(summary), on=keys + ["__slice"])
+    brk = F.when(
+        ts - F.coalesce(F.col("__lag_ts"), F.col("__prev_last")) > g, 1
+    ).otherwise(0)
+    out = joined.withColumn(
         WINDOW_NO,
-        F.sum(brk).over(base.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        F.col("__offset")
+        + F.sum(brk).over(wloc.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
+    drop = ["__slice", "__lag_ts", "__prev_last", "__offset"]
+    if const_group in out.columns:
+        drop.append(const_group)
+    return out.drop(*drop)
 
 
 def with_faithful_windows(
