@@ -929,3 +929,61 @@ def test_recall_grid_metric_modes():
         measure_recall_grid(ids, X, c, s, ch, metric="dot")
     with pytest.raises(ValueError, match="metric"):
         probe_2level_numpy(X[:2], c, s, ch, 1, 2, metric="dot")
+
+
+def test_md5_sample_narrow_path_matches_classic(spark, monkeypatch):
+    """The big-sample two-pass (threshold filter + ids-only TakeOrdered
+    + semi-join fetch, r11) must select the SAME rows in the SAME
+    (md5, id) order as the classic orderBy().limit().collect() — the
+    fits' per-cell float sums are input-order-sensitive, so the twin
+    replay depends on the exact sequence."""
+    import numpy as np
+
+    import zx_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)]) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = df.selectExpr(
+        "vec_id as __id", "cast(embedding as array<double>) as __v"
+    )
+    classic = sim._md5_sample_rows(sel, 300, None)  # n <= threshold
+    monkeypatch.setattr(sim, "SAMPLE_NARROW_ROWS", 100)
+    narrow = sim._md5_sample_rows(sel, 300, 5000)
+    narrow_counted = sim._md5_sample_rows(sel, 300, None)  # derives count
+    got_c = [(int(r["__id"]), list(r["__v"])) for r in classic]
+    got_n = [(int(r["__id"]), list(r["__v"])) for r in narrow]
+    got_nc = [(int(r["__id"]), list(r["__v"])) for r in narrow_counted]
+    assert got_c == got_n == got_nc
+    # undershoot safety: an n_total wildly too LARGE shrinks the
+    # threshold below n survivors — the helper must fall back to the
+    # classic exact path, not return a short sample
+    short = sim._md5_sample_rows(sel, 300, 50_000_000)
+    assert [(int(r["__id"])) for r in short] == [i for i, _ in got_c]
+
+
+def test_fit_sampled_narrow_sample_same_model(spark, monkeypatch):
+    """ivf2_fit_sampled through the narrow sample path returns the
+    byte-identical model (same rows, same order, same Lloyd)."""
+    import numpy as np
+
+    import zx_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)]) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1, s1, ch1, sid1 = sim.ivf2_fit_sampled(
+        df, sample_n=400, target_cell=50, n_total=3000
+    )
+    monkeypatch.setattr(sim, "SAMPLE_NARROW_ROWS", 128)
+    c2, s2, ch2, sid2 = sim.ivf2_fit_sampled(
+        df, sample_n=400, target_cell=50, n_total=3000
+    )
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert ch1 == ch2
+    assert list(sid1) == list(sid2)

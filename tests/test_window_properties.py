@@ -111,9 +111,10 @@ def test_session_parallel_slices_match_classic(spark):
         if ts is not None and random.random() < 0.05:
             ts = float(int(ts))  # exact ties
         rows.append((i, grp, ts))
-    df = spark.createDataFrame(rows, "id long, g string, ts double").withColumn(
-        "g", F.coalesce("g", F.lit("__nil"))
-    )
+    # g keeps REAL nulls: the summary join must be null-safe — the
+    # classic window partitions null groups together, so a plain
+    # equi-join against the summary would silently drop those rows
+    df = spark.createDataFrame(rows, "id long, g string, ts double")
     for groups in (["g"], []):
         for gap in (5.0, 120.0):
             classic = with_session_windows(df, groups, "id", "ts", gap, n_slices=1)

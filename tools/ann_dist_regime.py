@@ -72,7 +72,15 @@ def main() -> None:
     )
     from zx_spark.session import get_spark
 
-    spark = get_spark("ann_dist_regime")
+    # the sampled arm at quality-matched sample sizes collects the
+    # sample's full rows (~530 B/row at 64d): past ~2M rows that one
+    # irreducible collect crosses the 1 GiB spark.driver.maxResultSize
+    # default — raised HERE (measurement tool) so the arm's cost can be
+    # measured past the wall; the library keeps the default, and
+    # SCALE.md records the wall as part of the regime boundary
+    spark = get_spark(
+        "ann_dist_regime", extra_conf={"spark.driver.maxResultSize": "16g"}
+    )
     path = f"{store}/embeddings.parquet"
     n = pads.dataset(path, format="parquet").count_rows()
     emb = spark.read.parquet(path).select(

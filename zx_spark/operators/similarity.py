@@ -857,11 +857,7 @@ def ivf2_fit_sampled(
         n_cells = max(8, int(n_total) // int(target_cell))
     elif n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
-    rows = (
-        sel.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
-        .limit(int(sample_n))
-        .collect()
-    )
+    rows = _md5_sample_rows(sel, int(sample_n), n_total)
     if n_cells > len(rows):
         raise ValueError(
             f"corpus implies {n_cells} cells but the sample holds only "
@@ -916,6 +912,66 @@ def ivf2_fit_sampled(
 # named (n_cells ∝ N under the constant-cell-size rule makes it
 # quadratic in N once sample_n ≥ n_cells binds).
 FIT_BLOCK_ENTRIES = 1 << 25
+
+
+# Above this sample size the md5-sample collect routes through the
+# narrow two-pass (threshold filter + ids-only TakeOrdered + semi-join
+# fetch): a plain orderBy().limit(n).collect() is a TakeOrdered that
+# ships EVERY task's local top-n of the full row payload — Θ(partitions
+# × n × row_bytes) of driver results, which crossed Spark's
+# spark.driver.maxResultSize (1 GiB default) at a 262k-row × 64d sample
+# on a 38-partition store (measured, SCALE.md r11). At or below the
+# threshold (= the fits' default sample size) the classic single-job
+# path runs unchanged — oracle job counts and twin replay untouched.
+SAMPLE_NARROW_ROWS = 65536
+
+
+def _md5_sample_rows(sel: DataFrame, n: int, n_total: int | None = None):
+    """First ``n`` rows of ``sel`` (columns ``__id``, ``__v``) by
+    (md5(id), id) — the package's one deterministic sample order —
+    returned as Rows IN THAT ORDER (the fits' per-cell float sums are
+    input-order-sensitive, so twins replay the exact sequence).
+
+    Past ``SAMPLE_NARROW_ROWS`` the selection runs as the narrow
+    two-pass described at the constant: md5 hex is uniform, so keeping
+    ``md5 < t`` with ``t`` sized for ~1.5·n survivors bounds the
+    ids-only TakeOrdered at ~1.5·n narrow rows regardless of partition
+    count, and the full payload is fetched once by a broadcast
+    semi-join on the chosen ids (n rows — the irreducible driver-side
+    need of a driver-side fit). Same rows, same order as the classic
+    path (the threshold only discards rows that cannot be in the top
+    n; an undershoot — astronomically unlikely at these margins —
+    falls back to the classic exact path). ``n_total`` sizes the
+    threshold; when absent, one narrow count() derives it — supply it
+    to keep the big-sample path scan-free."""
+    h = F.md5(F.col("__id").cast("string"))
+    classic = sel.orderBy(h, F.col("__id")).limit(int(n))
+    if n <= SAMPLE_NARROW_ROWS:
+        return classic.collect()
+    if n_total is None:
+        n_total = sel.count()
+    cut = int(min(1.0, 1.5 * n / max(1, int(n_total))) * (16**8))
+    filtered = sel
+    if cut < 16**8:
+        t = format(cut, "08x")
+        filtered = sel.filter(F.substring(h, 1, 8) < F.lit(t))
+    narrow = (
+        filtered.select(h.alias("__h"), "__id")
+        .orderBy("__h", "__id")
+        .limit(int(n))
+        .collect()
+    )
+    if len(narrow) < n and cut < 16**8:
+        # undershoot (fewer than n rows under the threshold, or a
+        # smaller corpus than n_total claimed): correctness first
+        return classic.collect()
+    order = {int(r["__id"]): i for i, r in enumerate(narrow)}
+    ids_df = sel.sparkSession.createDataFrame(
+        [(int(r["__id"]),) for r in narrow], "__id long"
+    )
+    rows = sel.join(F.broadcast(ids_df), "__id").collect()
+    rows.sort(key=lambda r: order[int(r["__id"])])
+    return rows
 
 
 def _md5_take(ids: np.ndarray, n: int) -> np.ndarray:
@@ -1553,11 +1609,7 @@ def ivf2_fit_dist(
             raise ValueError("ivf2_fit_dist needs at least one vector")
         n_super = min(int(n_super), int(n_total))
     n_super = max(1, int(n_super))
-    srows = (
-        sel.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
-        .limit(int(super_sample_n))
-        .collect()
-    )
+    srows = _md5_sample_rows(sel, int(super_sample_n), n_total)
     if not srows:
         raise ValueError("ivf2_fit_dist needs at least one vector")
     dim = len(srows[0]["__v"])

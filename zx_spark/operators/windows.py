@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 WINDOW_NO = "__window_no"
+# Below this row count the auto session-window path stays on the classic
+# one-window-per-group plan: a single-task sort of <1M rows is subsecond,
+# while the parallel decomposition's summary join measured ~2x pure
+# overhead at 100k rows (SCALE.md r11). Explicit n_slices overrides.
+SESSION_PARALLEL_MIN_ROWS = 1 << 20
 # Faithful-mode per-window report timestamps (reference src/lib.rs:702-712:
 # window_start = ts of the first row in id order — after a break, the DROPPED
 # breaking row's ts; window_end = ts of the last *kept* row in id order).
@@ -81,7 +86,11 @@ def with_session_windows(
     the single-window form (integer break sums, same (ts, id) order —
     slicing on ts preserves it; pinned by tests).
 
-    ``n_slices``: None = 4x ``spark.sql.shuffle.partitions``; <= 1
+    ``n_slices``: None = 4x ``spark.sql.shuffle.partitions``, but only
+    past ``SESSION_PARALLEL_MIN_ROWS`` rows (the bounds scan already
+    counts; below ~1M rows a single-task sort is subsecond and the
+    summary machinery measured ~2x pure overhead at 100k rows —
+    SCALE.md r11); an explicit ``n_slices`` skips the threshold. <= 1
     forces the classic single-window-per-group plan (no extra jobs —
     for tiny frames or plan-shape tests). Degenerate timelines (no
     rows, all-null ts, single instant) fall back to classic.
@@ -90,6 +99,7 @@ def with_session_windows(
 
     g = float(granularity_s)
     ts = F.col(ts_col).cast("double")
+    auto = n_slices is None
     if n_slices is None:
         try:
             n_slices = 4 * int(
@@ -99,10 +109,12 @@ def with_session_windows(
             n_slices = 128
     if n_slices > 1:
         bounds = df.agg(
-            F.min(ts).alias("lo"), F.max(ts).alias("hi")
+            F.min(ts).alias("lo"), F.max(ts).alias("hi"), F.count("*").alias("n")
         ).collect()[0]
         lo, hi = bounds["lo"], bounds["hi"]
         if lo is None or hi is None or hi <= lo:
+            n_slices = 1
+        elif auto and bounds["n"] < SESSION_PARALLEL_MIN_ROWS:
             n_slices = 1
     if n_slices <= 1:
         base = W.partitionBy(*(group_cols or [F.lit(1)])).orderBy(
@@ -157,7 +169,18 @@ def with_session_windows(
             F.lit(0),
         ).alias("__offset"),
     )
-    joined = work.join(F.broadcast(summary), on=keys + ["__slice"])
+    # eqNullSafe, not `on=`: a NULL group value must match its own
+    # summary row (the classic window PARTITIONS nulls together; a
+    # plain equi-join would silently drop those rows)
+    summary = summary.withColumnsRenamed(
+        {k: f"__s_{k}" for k in keys} | {"__slice": "__s_slice"}
+    )
+    cond = F.col("__slice").eqNullSafe(F.col("__s_slice"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__s_{k}"))
+    joined = work.join(F.broadcast(summary), cond).drop(
+        "__s_slice", *[f"__s_{k}" for k in keys]
+    )
     brk = F.when(
         ts - F.coalesce(F.col("__lag_ts"), F.col("__prev_last")) > g, 1
     ).otherwise(0)
