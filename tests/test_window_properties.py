@@ -5,6 +5,8 @@ timestamps, arbitrary granularities."""
 
 from __future__ import annotations
 
+import re
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -140,3 +142,107 @@ def test_session_parallel_helper_columns_dropped(spark):
     assert set(out.columns) == {"id", "g", "ts", WINDOW_NO}
     out_g = with_session_windows(df, [], "id", "ts", 600.0, n_slices=8)
     assert set(out_g.columns) == {"id", "g", "ts", WINDOW_NO}
+
+def test_session_auto_subthreshold_is_lazy_classic(spark, tmp_path):
+    """An auto (n_slices=None) call on a sub-threshold frame must stay a
+    pure transformation: zero Spark jobs at call time (the row gate reads
+    plan STATISTICS — parquet scan bytes — not a count job; VERDICT r11
+    item 3 / ADVICE r11) and exactly the classic plan. Parquet-backed on
+    purpose: RDD-backed plans report the unknown-size sentinel and keep
+    the eager exact-count gate."""
+    from zx_spark.operators.windows import with_session_windows
+
+    path = str(tmp_path / "lazy_events.parquet")
+    spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i * 37 % 5000)) for i in range(200)],
+        "id long, g string, ts double",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    sc = spark.sparkContext
+    sc.setJobGroup("session-auto-lazy-probe", "plan construction only")
+    try:
+        auto = with_session_windows(df, ["g"], "id", "ts", 60.0)
+        plan_auto = auto._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("session-auto-lazy-probe")
+    assert list(jobs) == [], f"auto sub-threshold call launched jobs: {jobs}"
+    classic = with_session_windows(df, ["g"], "id", "ts", 60.0, n_slices=1)
+    plan_classic = classic._jdf.queryExecution().optimizedPlan().toString()
+    norm = lambda plan: re.sub(r"#\d+", "#x", plan)
+    assert norm(plan_auto) == norm(plan_classic)
+
+
+def test_session_auto_high_cardinality_groups_stays_classic(spark, monkeypatch):
+    """ADVICE r11 (medium): with group cardinality >= 4x the shuffle
+    parallelism the classic per-group window already fills the cluster —
+    auto must NOT build the slice/summary machinery (whose summary would
+    scale with groups x slices)."""
+    from zx_spark.operators import windows
+
+    monkeypatch.setattr(windows, "SESSION_PARALLEL_MIN_ROWS", 10)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 400), float(i)) for i in range(1200)],
+        "id long, g string, ts double",
+    )
+    auto = windows.with_session_windows(df, ["g"], "id", "ts", 60.0)
+    classic = windows.with_session_windows(df, ["g"], "id", "ts", 60.0, n_slices=1)
+    norm = lambda plan: re.sub(r"#\d+", "#x", plan)
+    assert norm(auto._jdf.queryExecution().optimizedPlan().toString()) == norm(
+        classic._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_session_summary_broadcast_hint_gated(spark, monkeypatch):
+    """ADVICE r11 (medium): the groups x slices summary is only
+    broadcast-HINTED while its estimated rows stay bounded; past the cap
+    the join strategy is left to AQE (no hint), results unchanged."""
+    from zx_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i * 211 % 9000)) for i in range(500)],
+        "id long, g string, ts double",
+    )
+    hinted = windows.with_session_windows(df, ["g"], "id", "ts", 30.0, n_slices=8)
+    assert "strategy=broadcast" in hinted._jdf.queryExecution().analyzed().toString()
+    monkeypatch.setattr(windows, "SESSION_SUMMARY_BROADCAST_MAX", 1)
+    unhinted = windows.with_session_windows(df, ["g"], "id", "ts", 30.0, n_slices=8)
+    assert "strategy=broadcast" not in unhinted._jdf.queryExecution().analyzed().toString()
+    hv = sorted((r["id"], r[WINDOW_NO]) for r in hinted.collect())
+    uv = sorted((r["id"], r[WINDOW_NO]) for r in unhinted.collect())
+    classic = windows.with_session_windows(df, ["g"], "id", "ts", 30.0, n_slices=1)
+    cv = sorted((r["id"], r[WINDOW_NO]) for r in classic.collect())
+    assert hv == uv == cv
+
+
+def test_session_parallel_preserves_colliding_helper_names(spark):
+    """ADVICE r11 (low): an input frame already carrying a helper name
+    (__slice, __lag_ts, ...) must pass through untouched — temp columns
+    are uniquified, not silently overwritten and dropped."""
+    from zx_spark.operators.windows import with_session_windows
+
+    df = spark.createDataFrame(
+        [(i, "a", float(i * 997 % 8000), i * 10, -float(i)) for i in range(300)],
+        "id long, g string, ts double, __slice long, __lag_ts double",
+    )
+    out = with_session_windows(df, ["g"], "id", "ts", 15.0, n_slices=8)
+    assert {"__slice", "__lag_ts"} <= set(out.columns)
+    rows = {r["id"]: r for r in out.collect()}
+    assert all(rows[i]["__slice"] == i * 10 for i in range(300))
+    assert all(rows[i]["__lag_ts"] == -float(i) for i in range(300))
+    classic = with_session_windows(
+        df.drop("__slice", "__lag_ts"), ["g"], "id", "ts", 15.0, n_slices=1
+    )
+    cv = {r["id"]: r[WINDOW_NO] for r in classic.collect()}
+    assert {i: r[WINDOW_NO] for i, r in rows.items()} == cv
+
+
+def test_faithful_preserves_colliding_helper_names(spark):
+    from zx_spark.operators.windows import with_faithful_windows
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "keep"), (2, 2.0, "keep"), (3, 900.0, "keep")],
+        "id long, ts double, __ts_unix string",
+    )
+    out = with_faithful_windows(df, [], "id", "ts", 60.0)
+    assert out.filter(F.col("__ts_unix") != "keep").count() == 0

@@ -37,11 +37,62 @@ WINDOW_NO = "__window_no"
 # while the parallel decomposition's summary join measured ~2x pure
 # overhead at 100k rows (SCALE.md r11). Explicit n_slices overrides.
 SESSION_PARALLEL_MIN_ROWS = 1 << 20
+# Bytes-per-row divisor for the job-free plan-statistics row estimate
+# (parquet testdata measures ~19-21 B/row; 16 deliberately OVERestimates
+# rows so a borderline frame runs the exact bounds scan rather than
+# silently staying on the serial classic plan).
+ESTIMATED_ROW_BYTES = 16
+# Auto stays classic when the group-key cardinality alone already gives
+# this many× the shuffle parallelism — the per-group window then spreads
+# across the cluster without the slice machinery, and a groups×slices
+# summary would only add rows (ADVICE r11: high-cardinality keys could
+# push the summary toward driver/broadcast limits for zero benefit).
+SESSION_GROUPS_PARALLEL_FACTOR = 4
+# Summary frames estimated past this many rows lose the broadcast hint
+# (plain join; AQE picks the strategy) — a groups×slices summary is
+# normally tiny, but nothing in the API bounds it.
+SESSION_SUMMARY_BROADCAST_MAX = 1 << 21
 # Faithful-mode per-window report timestamps (reference src/lib.rs:702-712:
 # window_start = ts of the first row in id order — after a break, the DROPPED
 # breaking row's ts; window_end = ts of the last *kept* row in id order).
 WINDOW_START_TS = "__window_start_ts"
 WINDOW_END_TS = "__window_end_ts"
+
+
+def _plan_row_estimate(df: DataFrame) -> int | None:
+    """Row-count ESTIMATE from the optimized plan's statistics — catalog
+    stats when CBO/ANALYZE provided them, else sizeInBytes (parquet file
+    bytes) over a deliberately-small bytes-per-row. Plan-only: optimizes
+    the plan but launches NO job. None when statistics are unreachable."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        if size >= 1 << 62:
+            # spark.sql.defaultSizeInBytes sentinel (RDD-backed plans
+            # report Long.MaxValue) — size genuinely unknown
+            return None
+        return size // ESTIMATED_ROW_BYTES
+    except Exception:
+        return None
+
+
+def _fresh_names(taken, *bases: str) -> list[str]:
+    """Temp-column names guaranteed absent from ``taken`` (suffix-counter
+    uniquified) — an input frame that already carries a helper name must
+    not have it silently overwritten and dropped (ADVICE r11)."""
+    taken = set(taken)
+    out = []
+    for base in bases:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken.add(name)
+        out.append(name)
+    return out
 
 
 def with_aligned_windows(df: DataFrame, ts_col: str, granularity_s: float) -> DataFrame:
@@ -87,13 +138,21 @@ def with_session_windows(
     slicing on ts preserves it; pinned by tests).
 
     ``n_slices``: None = 4x ``spark.sql.shuffle.partitions``, but only
-    past ``SESSION_PARALLEL_MIN_ROWS`` rows (the bounds scan already
-    counts; below ~1M rows a single-task sort is subsecond and the
-    summary machinery measured ~2x pure overhead at 100k rows —
-    SCALE.md r11); an explicit ``n_slices`` skips the threshold. <= 1
-    forces the classic single-window-per-group plan (no extra jobs —
-    for tiny frames or plan-shape tests). Degenerate timelines (no
-    rows, all-null ts, single instant) fall back to classic.
+    past ``SESSION_PARALLEL_MIN_ROWS`` rows AND while the group-key
+    cardinality alone doesn't already saturate the cluster
+    (``SESSION_GROUPS_PARALLEL_FACTOR``× the shuffle parallelism — a
+    high-cardinality key parallelizes the classic plan fine, and the
+    slice summary would only grow). The row threshold is first read
+    job-free from plan statistics (catalog rowCount or parquet
+    sizeInBytes — sub-threshold auto calls stay lazy, adding NO jobs
+    and exactly the classic plan); only frames estimated above it pay
+    the exact bounds scan (min/max/count + group-cardinality sketch in
+    ONE pass — the bounds are needed for slicing anyway). An explicit
+    ``n_slices`` > 1 skips the thresholds but still runs the bounds
+    scan eagerly at call time. <= 1 forces the classic
+    single-window-per-group plan (no extra jobs — for tiny frames or
+    plan-shape tests). Degenerate timelines (no rows, all-null ts,
+    single instant) fall back to classic.
     """
     from pyspark.sql import Window as W
 
@@ -107,14 +166,38 @@ def with_session_windows(
             )
         except (TypeError, ValueError):
             n_slices = 128
+    try:
+        parallelism = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        parallelism = 32
+    if auto and n_slices > 1:
+        # Job-free gate: a frame whose plan-statistics estimate is below
+        # the threshold keeps the classic lazy plan — no bounds scan.
+        est = _plan_row_estimate(df)
+        if est is not None and est < SESSION_PARALLEL_MIN_ROWS:
+            n_slices = 1
+    n_groups = None
     if n_slices > 1:
+        gkey = (
+            F.approx_count_distinct(F.struct(*group_cols))
+            if group_cols
+            else F.lit(1)
+        )
         bounds = df.agg(
-            F.min(ts).alias("lo"), F.max(ts).alias("hi"), F.count("*").alias("n")
+            F.min(ts).alias("lo"),
+            F.max(ts).alias("hi"),
+            F.count("*").alias("n"),
+            gkey.alias("n_groups"),
         ).collect()[0]
-        lo, hi = bounds["lo"], bounds["hi"]
+        lo, hi, n_groups = bounds["lo"], bounds["hi"], bounds["n_groups"]
         if lo is None or hi is None or hi <= lo:
             n_slices = 1
         elif auto and bounds["n"] < SESSION_PARALLEL_MIN_ROWS:
+            n_slices = 1
+        elif auto and n_groups >= SESSION_GROUPS_PARALLEL_FACTOR * parallelism:
+            # The classic per-group window already spreads across
+            # >=4x the shuffle parallelism — slicing adds summary rows
+            # (groups x slices) for no parallelism the plan lacks.
             n_slices = 1
     if n_slices <= 1:
         base = W.partitionBy(*(group_cols or [F.lit(1)])).orderBy(
@@ -134,62 +217,79 @@ def with_session_windows(
     ).otherwise(
         F.least(F.floor((ts - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1))
     )
-    const_group = "__sess_group"
+    # all helper names uniquified against the input's columns — a frame
+    # already carrying e.g. "__slice" must keep it intact (ADVICE r11)
+    c_slice, c_lag, c_prev, c_off, const_group, c_first, c_last, c_int, c_tot = (
+        _fresh_names(
+            list(df.columns) + [WINDOW_NO],
+            "__slice", "__lag_ts", "__prev_last", "__offset",
+            "__sess_group", "__first_ts", "__last_ts", "__internal", "__total",
+        )
+    )
     keys = list(group_cols)
     work = df
     if not keys:
         work = work.withColumn(const_group, F.lit(1))
         keys = [const_group]
-    work = work.withColumn("__slice", slice_id)
-    wloc = W.partitionBy(*keys, "__slice").orderBy(F.col(ts_col), F.col(id_col))
-    work = work.withColumn("__lag_ts", F.lag(ts).over(wloc))
+    work = work.withColumn(c_slice, slice_id)
+    wloc = W.partitionBy(*keys, c_slice).orderBy(F.col(ts_col), F.col(id_col))
+    work = work.withColumn(c_lag, F.lag(ts).over(wloc))
     # per-(group, slice) summary: first/last event ts + breaks whose
     # predecessor is inside the slice; the slice-entry break is decided
     # one level up where the previous non-empty slice's last ts is known
-    ibrk = F.when(ts - F.col("__lag_ts") > g, 1).otherwise(0)
-    summary = work.groupBy(*keys, "__slice").agg(
-        F.min(ts).alias("__first_ts"),
-        F.max(ts).alias("__last_ts"),
-        F.sum(ibrk).alias("__internal"),
+    ibrk = F.when(ts - F.col(c_lag) > g, 1).otherwise(0)
+    summary = work.groupBy(*keys, c_slice).agg(
+        F.min(ts).alias(c_first),
+        F.max(ts).alias(c_last),
+        F.sum(ibrk).alias(c_int),
     )
-    wsum = W.partitionBy(*keys).orderBy("__slice")
+    wsum = W.partitionBy(*keys).orderBy(c_slice)
     summary = summary.withColumn(
-        "__prev_last", F.lag("__last_ts").over(wsum)
+        c_prev, F.lag(c_last).over(wsum)
     ).withColumn(
-        "__total",
-        F.col("__internal")
-        + F.when(F.col("__first_ts") - F.col("__prev_last") > g, 1).otherwise(0),
+        c_tot,
+        F.col(c_int)
+        + F.when(F.col(c_first) - F.col(c_prev) > g, 1).otherwise(0),
     )
     summary = summary.select(
         *keys,
-        "__slice",
-        "__prev_last",
+        c_slice,
+        c_prev,
         F.coalesce(
-            F.sum("__total").over(wsum.rowsBetween(W.unboundedPreceding, -1)),
+            F.sum(c_tot).over(wsum.rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0),
-        ).alias("__offset"),
+        ).alias(c_off),
     )
     # eqNullSafe, not `on=`: a NULL group value must match its own
     # summary row (the classic window PARTITIONS nulls together; a
     # plain equi-join would silently drop those rows)
+    s_names = _fresh_names(
+        list(work.columns) + [c_prev, c_off],
+        *[f"__s_{k}" for k in keys], "__s_slice",
+    )
+    s_keys, s_slice = s_names[:-1], s_names[-1]
     summary = summary.withColumnsRenamed(
-        {k: f"__s_{k}" for k in keys} | {"__slice": "__s_slice"}
+        dict(zip(keys, s_keys)) | {c_slice: s_slice}
     )
-    cond = F.col("__slice").eqNullSafe(F.col("__s_slice"))
-    for k in keys:
-        cond = cond & F.col(k).eqNullSafe(F.col(f"__s_{k}"))
-    joined = work.join(F.broadcast(summary), cond).drop(
-        "__s_slice", *[f"__s_{k}" for k in keys]
-    )
+    cond = F.col(c_slice).eqNullSafe(F.col(s_slice))
+    for k, sk in zip(keys, s_keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(sk))
+    # summary holds one row per non-empty (group, slice) pair — tiny for
+    # the corpora the auto gate admits, but an explicit n_slices with a
+    # wide key could grow it past broadcast comfort: hint only when the
+    # estimate is bounded, else let AQE pick the join strategy
+    if n_groups is None or n_groups * n_slices <= SESSION_SUMMARY_BROADCAST_MAX:
+        summary = F.broadcast(summary)
+    joined = work.join(summary, cond).drop(s_slice, *s_keys)
     brk = F.when(
-        ts - F.coalesce(F.col("__lag_ts"), F.col("__prev_last")) > g, 1
+        ts - F.coalesce(F.col(c_lag), F.col(c_prev)) > g, 1
     ).otherwise(0)
     out = joined.withColumn(
         WINDOW_NO,
-        F.col("__offset")
+        F.col(c_off)
         + F.sum(brk).over(wloc.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
-    drop = ["__slice", "__lag_ts", "__prev_last", "__offset"]
+    drop = [c_slice, c_lag, c_prev, c_off]
     if const_group in out.columns:
         drop.append(const_group)
     return out.drop(*drop)
@@ -229,10 +329,9 @@ def with_faithful_windows(
     serialize through Arrow. Still the compat/oracle mode; the scale paths
     are ``aligned``/``session`` (pure Catalyst).
     """
-    ts_unix = "__ts_unix"
+    ts_unix, const_group = _fresh_names(df.columns, "__ts_unix", "__seg_group")
     slim = df.select(*group_cols, id_col, F.col(ts_col).cast("double").alias(ts_unix))
     work = slim
-    const_group = "__seg_group"
     if not group_cols:
         # applyInPandas needs named grouping columns; a global (ungrouped)
         # segmentation groups on a materialized constant.
