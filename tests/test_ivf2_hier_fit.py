@@ -987,3 +987,29 @@ def test_fit_sampled_narrow_sample_same_model(spark, monkeypatch):
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
     assert ch1 == ch2
     assert list(sid1) == list(sid2)
+
+
+def test_md5_sample_narrow_duplicate_ids_fall_back_classic(spark, monkeypatch):
+    """ADVICE r11 (low): duplicate __id values collapse in the narrow
+    path's order dict and fan out in the semi-join fetch — the helper
+    must detect the mismatch and return the classic exact result."""
+    import numpy as np
+
+    import zx_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i % 400), [float(x) for x in rng.randn(4)]) for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = df.selectExpr(
+        "vec_id as __id", "cast(embedding as array<double>) as __v"
+    )
+    classic = sim._md5_sample_rows(sel, 250, None)  # n <= threshold
+    monkeypatch.setattr(sim, "SAMPLE_NARROW_ROWS", 64)
+    narrow = sim._md5_sample_rows(sel, 250, 1200)
+    # With duplicate ids the (md5, id) tie-break among a duplicate's
+    # rows is arbitrary even classically, so pin the deterministic part:
+    # EXACTLY n rows (no semi-join fan-out past n) in classic id order.
+    assert len(narrow) == 250
+    assert [int(r["__id"]) for r in narrow] == [int(r["__id"]) for r in classic]

@@ -970,6 +970,11 @@ def _md5_sample_rows(sel: DataFrame, n: int, n_total: int | None = None):
         [(int(r["__id"]),) for r in narrow], "__id long"
     )
     rows = sel.join(F.broadcast(ids_df), "__id").collect()
+    if len(order) != len(narrow) or len(rows) != len(narrow):
+        # Duplicate __id values violate the narrow path's unique-id
+        # precondition (the order dict collapses and the semi-join fans
+        # out) — correctness first: classic exact path (ADVICE r11).
+        return classic.collect()
     rows.sort(key=lambda r: order[int(r["__id"])])
     return rows
 
