@@ -1496,29 +1496,27 @@ PASSTHROUGH_SQL = {
         "AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00' "
         "GROUP BY o_orderpriority"
     ),
-    # Written fact-first with the selective dim subtree as a derived
-    # table: without CBO stats Catalyst keeps the user's join order, and
-    # the dim-first form (region JOIN nation JOIN ... JOIN lineitem)
-    # chains broadcasts onto a ONE-partition streamed side — the 5
-    # post-filter nation rows expand to every ASIA order on a single
-    # thread, and orders itself becomes a 768 MiB broadcast build
-    # (measured, SCALE.md r11; 8.3x growth for 100x data — the worst
-    # non-hash-bound row of the r10 sweep). Fact-first, the dim subtree
-    # reduces orders to the ASIA ~1/5 in parallel and AQE then picks
-    # broadcast vs shuffle for the lineitem join from the REDUCED size —
-    # the decision that also holds at 100 TB (falls back to a sort-merge
-    # join when the filtered side outgrows the threshold). Same rows,
-    # same aggregate; DuckDB reorders joins from stats either way, so
-    # the oracle is indifferent to the form.
+    # Written in the NATURAL dim-first order on purpose (r12): with
+    # register_views backing every view with an ANALYZEd catalog table
+    # and spark.sql.cbo.(joinReorder.)enabled, CostBasedJoinReorder
+    # compiles this text to the reduced-side-first physical plan — the
+    # engine owns the join order now, not the FROM clause. History: r11
+    # measured the stats-LESS dim-first form chaining broadcasts onto a
+    # ONE-partition streamed side with a 768 MiB orders build (8.3x
+    # growth for 100x data, SCALE.md r11) and hand-rewrote the text
+    # fact-first; r12 moved that lesson into the engine (SCALE.md r12:
+    # dim-first 18.2 s -> 4.0 s at sf10, == the fact-first rewrite's
+    # 4.1 s, identical values; plan-asserted in tests/test_cbo.py).
+    # DuckDB reorders joins from stats either way, so the oracle is
+    # indifferent to the form.
     "sql_tpch_q5_region_revenue": (
         "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue "
-        "FROM lineitem JOIN ("
-        "SELECT o_orderkey, c_nationkey, n_name FROM orders "
-        "JOIN customer ON c_custkey = o_custkey "
-        "JOIN nation ON n_nationkey = c_nationkey "
-        "JOIN region ON r_regionkey = n_regionkey "
-        "WHERE r_name = 'ASIA') oc ON l_orderkey = oc.o_orderkey "
-        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = oc.c_nationkey "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey "
+        "WHERE r_name = 'ASIA' "
         "GROUP BY n_name"
     ),
     "sql_tpch_q6_forecast": (

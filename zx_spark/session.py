@@ -25,6 +25,13 @@ def get_spark(app_name: str = "zx_spark", extra_conf: dict | None = None) -> Spa
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Stats-based optimization: with ANALYZEd catalog tables
+        # (storage.register_views with_stats) CostBasedJoinReorder owns
+        # the join order of passthrough SQL regardless of how the user
+        # wrote the FROM clause (SCALE.md r11/r12: the dim-first Q5
+        # cliff). No-ops on plans without rowCount statistics.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Driver testdata stores INT64 TIMESTAMP(NANOS) parquet; Spark reads
         # it as bigint nanos with this flag (storage.read_table normalizes to

@@ -88,7 +88,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
-    df = spark.read.parquet(path)
+    return _normalize_ts(spark.read.parquet(path), path)
+
+
+def _normalize_ts(df: DataFrame, path: str) -> DataFrame:
+    """The driver-parquet timestamp normalization shared by plain reads
+    and the stats-backed catalog-table views."""
     types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
     for col in _nanos_timestamp_cols(path):
         if isinstance(types[col], T.LongType):
@@ -129,7 +134,60 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
-def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+# (applicationId, catalog table name) pairs already ANALYZEd — stats
+# collection scans the table, so pay it once per session per store.
+_ANALYZED: set[tuple[str, str]] = set()
+
+
+def _stats_backed_df(spark: SparkSession, path: str, name: str) -> DataFrame | None:
+    """The table at ``path`` as a catalog-table-backed DataFrame carrying
+    ANALYZE statistics (rowCount + per-column ndv/min/max/nullCount), ts
+    normalization applied on top. None when the session's catalog can't
+    host it (the caller falls back to the plain read).
+
+    Why: without rowCount/column stats Catalyst keeps the WRITTEN join
+    order of a passthrough query — the r11 Q5 measurement (SCALE.md r11)
+    showed a dim-first FROM clause chaining broadcasts onto a
+    one-partition streamed side with a 768 MiB build. With CBO enabled
+    and stats present, `CostBasedJoinReorder` compiles the same text to
+    the reduced-side-first plan, so users don't have to hand-order FROM
+    clauses. At 100 TB the ANALYZE scan is paid once per store version
+    (a metastore persists it across sessions; this in-memory catalog
+    pays it once per session, memoized here)."""
+    import hashlib
+    import os
+
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    tbl = f"zx_stats_{name}_{digest}"
+    key = (spark.sparkContext.applicationId, tbl)
+    try:
+        if key not in _ANALYZED:
+            loc = os.path.abspath(path).replace("'", "''")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{tbl}` USING parquet LOCATION '{loc}'"
+            )
+            # FOR ALL COLUMNS skips stat-unsupported types (arrays etc.)
+            spark.sql(f"ANALYZE TABLE `{tbl}` COMPUTE STATISTICS FOR ALL COLUMNS")
+            _ANALYZED.add(key)
+        return _normalize_ts(spark.table(tbl), path)
+    except Exception:
+        return None
+
+
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    with_stats: bool = True,
+) -> None:
+    """Register the store's tables as temp views for SQL.
+
+    ``with_stats`` (default): views sit on ANALYZEd catalog tables and
+    the session gets ``spark.sql.cbo.enabled`` +
+    ``spark.sql.cbo.joinReorder.enabled`` — passthrough SQL then owns
+    its join order (stats-based reordering) instead of inheriting the
+    user's FROM order. Falls back per-table to plain parquet-scan views
+    if the catalog refuses (read-only metastore, unsupported path)."""
     names = tables or [
         "region",
         "nation",
@@ -142,8 +200,27 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
         "documents",
         "embeddings",
     ]
+    try:
+        # The caller's session may not be ours (the driver passes its
+        # own): the same parquet-flavor confs read_table pins.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    if with_stats:
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        except Exception:
+            with_stats = False
     for n in names:
-        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+        df = None
+        if with_stats:
+            df = _stats_backed_df(spark, f"{sf_dir}/{n}.parquet", n)
+        if df is None:
+            df = read_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
 
 
 def write_bucketed(
