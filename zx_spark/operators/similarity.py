@@ -459,7 +459,12 @@ def ivf_topk(
     per query instead of the flat Θ(n_cells) center scan (the serving
     twin of ``knn_pairs_2level``; identical selection at ``p_super ==
     n_super``). With ``super_col`` on a ``(super, cell)``-partitioned
-    store the probed supers prune the top directory level too."""
+    store the probed supers prune the top directory level too.
+
+    Tuning ``nprobe``/``p_super``: measure THIS corpus's recall surface
+    with ``measure_recall_grid(..., metric="cosine")`` (this function
+    probes and scores by cosine) and feed it to ``suggest_probe(grid=)``
+    — don't guess from the static defaults."""
     _check_super_col(super_col, supers)
     cells = _serving_probe(centers, query_vec, nprobe, supers, children, p_super)
     qcol = F.lit([float(v) for v in query_vec])
@@ -2629,6 +2634,10 @@ def ivfpq_topk(
     ``shortlist`` rows. With ``nprobe = n_cells`` and ``shortlist >=
     corpus``, the result equals brute-force cosine top-k exactly
     (pinned in tests).
+
+    Tuning ``nprobe``/``p_super``: measure the corpus's recall surface
+    with ``measure_recall_grid(..., metric="cosine")`` and pass it to
+    ``suggest_probe(grid=)`` — cosine, because:
 
     Probing uses ``probe_cells`` (cosine over the centroid matrix) —
     the SAME rule as ``ivf_topk``/``ivf_topk_batch``. An earlier
