@@ -52,6 +52,16 @@ def main() -> None:
     )
     n_q = int(args[args.index("--queries") + 1]) if "--queries" in args else 64
     nprobe = int(args[args.index("--nprobe") + 1]) if "--nprobe" in args else 8
+    # recall at SEVERAL nprobe points in one session (one extra pruned
+    # scan each): candidates/query = nprobe x size-biased cell, so the
+    # grid lets SCALE.md read recall at a MATCHED candidate budget
+    # across arms whose cell sizes differ 3x (VERDICT r11 item 4) —
+    # fixed-nprobe recall flatters the fatter-celled arm.
+    grid = (
+        [int(x) for x in args[args.index("--nprobe-grid") + 1].split(",")]
+        if "--nprobe-grid" in args
+        else [nprobe]
+    )
     k = int(args[args.index("--k") + 1]) if "--k" in args else 10
     no_rebalance = "--no-rebalance" in args
     if arm not in ("dist", "sampled"):
@@ -160,16 +170,26 @@ def main() -> None:
         for r in cosine_topk_batch(emb, qvecs, k=k).collect()
     }
     gt_s = time.time() - t0
-    t0 = time.time()
-    got = {
-        (r["query_no"], r["vec_id"])
-        for r in ivf_topk_batch(
-            assigned, centers, qvecs, k=k, nprobe=nprobe,
-            supers=supers, children=children,
-        ).collect()
-    }
-    serve_s = time.time() - t0
-    recall = len(gt & got) / max(1, len(gt))
+    recalls: dict[str, float] = {}
+    cand_per_q: dict[str, float] = {}
+    serve_secs: dict[str, float] = {}
+    for np_i in grid:
+        t0 = time.time()
+        got = {
+            (r["query_no"], r["vec_id"])
+            for r in ivf_topk_batch(
+                assigned, centers, qvecs, k=k, nprobe=np_i,
+                supers=supers, children=children,
+            ).collect()
+        }
+        serve_secs[str(np_i)] = round(time.time() - t0, 1)
+        recalls[str(np_i)] = round(len(gt & got) / max(1, len(gt)), 4)
+        # expected candidate rows scored per query: probed-cell size is
+        # size-biased (hot cells are probed more)
+        cand_per_q[str(np_i)] = round(np_i * sb_cell, 1)
+    nprobe = grid[0]
+    recall = recalls[str(nprobe)]
+    serve_s = serve_secs[str(nprobe)]
 
     print(
         json.dumps(
@@ -190,9 +210,12 @@ def main() -> None:
                 "recall_at_k": round(recall, 4),
                 "k": k,
                 "nprobe": nprobe,
+                "recall_by_nprobe": recalls,
+                "candidates_per_query_by_nprobe": cand_per_q,
+                "serve_sec_by_nprobe": serve_secs,
                 "queries": n_q,
                 "gt_sec": round(gt_s, 1),
-                "serve_sec": round(serve_s, 1),
+                "serve_sec": serve_s,
             }
         )
     )
