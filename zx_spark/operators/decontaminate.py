@@ -315,8 +315,17 @@ def source_overlap_matrix(
     sizes = sv.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
     a = sv.select(F.col("__src").alias("source_a"), "__h")
     b = sv.select(F.col("__src").alias("source_b"), "__h")
+    # merge hint: BOTH sides of the hash self-join are the per-source
+    # vocabulary — data-sized (∝ corpus distinct shingles). Catalyst's
+    # size estimate for the distinct-agg output lands under the
+    # broadcast threshold and plans a BuildRight broadcast of the WHOLE
+    # vocabulary (measured: a sf10 interleaved session died in
+    # "Not enough memory to build and broadcast", r12) — correct at toy
+    # scale, fatal at 100 TB. Sort-merge is spillable and AQE still
+    # handles skew; the later sizes joins stay broadcast (C(sources, 2)
+    # rows vs per-source counts — genuinely tiny).
     shared = (
-        a.join(b, "__h")
+        a.join(b.hint("merge"), "__h")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
