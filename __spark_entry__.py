@@ -2533,7 +2533,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scr = scrub_repeated_lines(planted, min_docs=2).select(
         "doc_id", F.md5("scrubbed").alias("scrub_md5"), "n_lines_dropped"
     )
-    return stats.join(agg, "doc_id").join(scr, "doc_id")
+    # merge hints: all three sides are doc-keyed (∝ corpus) but the agg
+    # outputs can estimate under the broadcast threshold (SCALE.md r12
+    # class); sort-merge spills and reuses one doc_id sort order
+    return stats.join(agg.hint("merge"), "doc_id").join(
+        scr.hint("merge"), "doc_id"
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2756,7 +2761,9 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_tokens").cast("long").alias("dup_tokens"),
         F.col("dup_fraction").cast("double").alias("dup_fraction"),
     )
-    return fps.join(stats, "doc_id")
+    # merge hint: both sides are doc-keyed (∝ corpus); the span-stats agg
+    # output can estimate under the broadcast threshold (SCALE.md r12)
+    return fps.join(stats.hint("merge"), "doc_id")
 
 
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3239,7 +3246,14 @@ def q_multimodal_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("probe.height").alias("png_h"),
         F.col("probe.valid").alias("probe_valid"),
     )
-    return resized.join(frames, "doc_id").join(probed, "doc_id")
+    # merge hint: the frame-count agg is doc-keyed (∝ corpus),
+    # estimate-small (SCALE.md r12 class); sort-merge spills
+    # merge hints: the frame-count agg is doc-keyed (∝ corpus) and the
+    # second join would otherwise broadcast the whole first join's
+    # output (estimate-small, data-sized — SCALE.md r12 class)
+    return resized.join(frames.hint("merge"), "doc_id").join(
+        probed.hint("merge"), "doc_id"
+    )
 
 
 # BM25 arm queries for the text_tfidf row — fixed strings so the DuckDB
@@ -3342,6 +3356,10 @@ def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .withColumn("inc_end", F.col("inc_start") + 3600)
+        # merge hint (travels into range_join's equi-join): the incident
+        # set is a distinct agg over events — data-sized, estimate-small
+        # (SCALE.md r12 class); sort-merge spills instead of broadcasting
+        .hint("merge")
     )
     return (
         range_join(

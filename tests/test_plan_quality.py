@@ -134,15 +134,25 @@ def test_partition_pruning_on_day_partitioned_store(spark, tmp_path):
 
 
 def test_boilerplate_complement_plan_has_no_corpus_join(spark):
-    """r7: the min_docs=2 complement plan must contain NO sort-merge
-    join (the corpus-sized probe join it replaced) — only the tiny
-    per-doc left join against the unique-counts frame, which AQE turns
-    into a broadcast."""
+    """r7 (amended r13): the min_docs=2 complement plan must not join
+    the EXPLODED SHINGLE frame against a vocabulary (the corpus-sized
+    probe join it replaced) — only the per-doc left join against the
+    unique-counts frame. r13 pins that join sort-merge (both sides are
+    doc-keyed aggs — the estimate-small data-sized broadcast class,
+    SCALE.md r12; see tests/test_broadcast_audit.py), so the plan now
+    carries exactly ONE SMJ: the doc-keyed one, never a shingle-keyed
+    one (the join keys prove which)."""
     from zx_spark.operators.decontaminate import boilerplate_fractions
 
     docs = read_table(spark, SF, "documents").select("doc_id", "text")
     plan = _executed(boilerplate_fractions(docs, min_docs=2))
-    assert "SortMergeJoin" not in plan
+    import re
+
+    # AQE's toString dumps the plan twice (final + initial) — dedup keys
+    smj_keys = set(re.findall(r"SortMergeJoin(?:\(\d+\))? \[([^\]]*)\]", plan))
+    assert len(smj_keys) <= 1, plan
+    for keys in smj_keys:
+        assert "__h" not in keys, plan  # never the shingle-hash join
     assert "CartesianProduct" not in plan
     # un-persisted: per-doc branch + exploded DF branch re-scan (callers
     # persist shingle_hash_frame to collapse these, as the driver row

@@ -285,10 +285,11 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     n_tokens(doc)``, ``idf = ln(N_docs / doc_freq(token))``, rounded to 6dp.
 
     Distributed shape: explode → one hash aggregation per (doc, token) →
-    one per token for document frequency → join back (the token-frequency
-    side is orders of magnitude smaller than the corpus; AQE broadcasts it
-    when it fits) → cross join with the single-row corpus count
-    (broadcast). No collect, no window over the whole corpus.
+    one per token for document frequency → sort-merge join back (the
+    vocabulary is corpus-sized — smaller than the corpus but unbounded,
+    so it is pinned off the broadcast path) → cross join with the
+    single-row corpus count (broadcast). No collect, no window over the
+    whole corpus.
     """
     # Materialize the token array behind a projection boundary (see
     # tokenize), and explode_outer + null-filter instead of a plain
@@ -312,7 +313,11 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
         F.col("__n_docs") / F.col("__df")
     )
     return (
-        tf.join(dfreq, "token")
+        # merge hint: dfreq is the DISTINCT TOKEN VOCABULARY — grows with
+        # the corpus, but its agg-output estimate can land under the
+        # broadcast threshold (SCALE.md r12 class); sort-merge spills.
+        # The single-row corpus count below stays a broadcast.
+        tf.join(dfreq.hint("merge"), "token")
         .crossJoin(F.broadcast(n_docs))
         .select(F.col(id_col), F.col("token"), F.round(score, 6).alias("tfidf"))
     )

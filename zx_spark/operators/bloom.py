@@ -140,8 +140,12 @@ def bloom_semi_join(
     )
     if not exact:
         return pre
+    # merge hint: kd is the key SET — data-sized in general, but its
+    # distinct-agg estimate can land under the broadcast threshold
+    # (SCALE.md r12 class). The documented plan is "only the sliver
+    # shuffles for the verify"; sort-merge is that plan, and it spills.
     kd = keys.select(F.col(f"`{right_on}`").alias(on)).dropna().distinct()
-    return pre.join(kd, on=on, how="left_semi")
+    return pre.join(kd.hint("merge"), on=on, how="left_semi")
 
 
 def bloom_anti_join(
@@ -165,6 +169,7 @@ def bloom_anti_join(
     words, m, kk, _ = bloom_bitmap(keys, right_on, fpp, m_bits, k, max_bits)
     p = F.coalesce(_passes(F.col(f"`{on}`"), words, m, kk), F.lit(False))
     definite_miss = df.filter(~p)
+    # merge hint: same data-sized key-set rationale as bloom_semi_join
     kd = keys.select(F.col(f"`{right_on}`").alias(on)).dropna().distinct()
-    false_pos = df.filter(p).join(kd, on=on, how="left_anti")
+    false_pos = df.filter(p).join(kd.hint("merge"), on=on, how="left_anti")
     return definite_miss.unionByName(false_pos)

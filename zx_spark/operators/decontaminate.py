@@ -240,8 +240,11 @@ def boilerplate_fractions(
             .agg(F.count(F.lit(1)).alias("__n_uniq"))
         )
         return (
+            # merge hint: `uniq` is doc-keyed (∝ corpus) but its
+            # agg-output estimate can land under the broadcast
+            # threshold (SCALE.md r12 class); sort-merge spills
             per_doc.join(
-                uniq, F.col(f"`{id_col}`") == F.col("__only"), "left"
+                uniq.hint("merge"), F.col(f"`{id_col}`") == F.col("__only"), "left"
             )
             .select(
                 F.col(f"`{id_col}`"),
@@ -264,7 +267,12 @@ def boilerplate_fractions(
         F.explode_outer("__hs").alias("__h"),
     )
     return (
-        doc_grams.join(boiler, "__h")
+        # merge hint: the boilerplate vocabulary is ∝ the corpus's
+        # distinct repeated shingles — data-sized, estimate-small
+        # (SCALE.md r12 class; the same shape source_overlap_matrix
+        # OOM'd on); unlike contaminated_docs' BENCHMARK set it cannot
+        # be attested small, so it must never broadcast
+        doc_grams.join(boiler.hint("merge"), "__h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_overlap"),

@@ -754,9 +754,14 @@ def incremental_near_dups(
     bn = minhash_bands(new_sigs, id_col, "minhash", bands)
     bo = minhash_bands(old_sigs, id_col, "minhash", bands)
     on = ["band_no", "band_hash"]
+    # merge hints (here and below): every side is a signature/band frame
+    # — data-sized aggs whose estimates can land under the broadcast
+    # threshold (SCALE.md r12 class); sort-merge spills. The ingest
+    # batch `bn` MAY genuinely be small — callers that know it can
+    # broadcast explicitly; the default must not gamble the old store.
     vs_old = (
         bn.withColumnRenamed(id_col, "new_id")
-        .join(bo.withColumnRenamed(id_col, "matched_id"), on)
+        .join(bo.withColumnRenamed(id_col, "matched_id").hint("merge"), on)
         .filter(F.col("new_id") != F.col("matched_id"))
         .select("new_id", "matched_id", F.lit(True).alias("is_historical"))
     )
@@ -765,7 +770,7 @@ def incremental_near_dups(
         a = bn.withColumnRenamed(id_col, "new_id")
         b = bn.withColumnRenamed(id_col, "matched_id")
         vs_new = (
-            a.join(b, on)
+            a.join(b.hint("merge"), on)
             .filter(F.col("new_id") < F.col("matched_id"))
             .select("new_id", "matched_id", F.lit(False).alias("is_historical"))
         )
@@ -791,8 +796,8 @@ def incremental_near_dups(
     )
     est = signature_est_jaccard(F.col("__sig_n"), F.col("__sig_m"))
     return (
-        cands.join(sn, "new_id")
-        .join(so, ["matched_id", "is_historical"])
+        cands.join(sn.hint("merge"), "new_id")
+        .join(so.hint("merge"), ["matched_id", "is_historical"])
         .select(
             "new_id",
             "matched_id",

@@ -205,7 +205,10 @@ def retention_cohorts(
         F.col("__u").isNotNull() & F.col("__b").isNotNull()
     )
     first = ev.groupBy("__u").agg(F.min("__b").alias("__cohort"))
-    act = ev.distinct().join(first, "__u")
+    # merge hint: the per-user first-bucket frame is user-sized (∝ data)
+    # but its agg-output estimate can land under the broadcast threshold
+    # — the source_overlap_matrix class (SCALE.md r12); sort-merge spills.
+    act = ev.distinct().join(first.hint("merge"), "__u")
     act = act.withColumn("__off", (F.col("__b") - F.col("__cohort")).cast("int"))
     if max_offset is not None:
         act = act.filter(F.col("__off") <= max_offset)

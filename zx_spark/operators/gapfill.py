@@ -117,7 +117,13 @@ def gapfill(
     ).select(
         *group_cols, (F.col("__n") * g).cast("double").alias(bucket_col)
     )
-    filled = spine.join(df, on=[*group_cols, bucket_col], how="left")
+    # merge hint: both sides are grid-sized (groups × buckets — the
+    # observed aggregate is a subset of the spine), which grows without
+    # bound at fine granularities over long ranges; the agg side's
+    # estimate can land under the broadcast threshold and ship the whole
+    # observed grid (SCALE.md r12 class). Sort-merge spills, and the
+    # window functions below need a (group, bucket) sort anyway.
+    filled = spine.join(df.hint("merge"), on=[*group_cols, bucket_col], how="left")
 
     order = W.partitionBy(*(group_cols or [F.lit(1)])).orderBy(bucket_col)
     behind = order.rowsBetween(W.unboundedPreceding, W.currentRow)

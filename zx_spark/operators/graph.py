@@ -158,11 +158,18 @@ def pagerank(
 
     wexpr = F.col("__w") if weight_col is not None else F.lit(1.0)
     out = e.groupBy("__src").agg(F.sum(wexpr).alias("__od"))
-    # out-degree rides along on every edge so each iteration is ONE join
-    ew = e.join(out, "__src").persist()
+    # out-degree rides along on every edge so each iteration is ONE join.
+    # merge hint: the per-node out-degree frame is node-sized (∝ graph)
+    # but its agg-output estimate can land under the broadcast threshold
+    # — the source_overlap_matrix class (SCALE.md r12); sort-merge spills.
+    ew = e.join(out.hint("merge"), "__src").persist()
 
+    # merge hint: `out` is node-sized — same estimate-small agg-output
+    # class as the ew join above; anti-join builds the right side
     dangling_frame = node_frame.join(
-        out.select(F.col("__src").alias("node")), "node", "left_anti"
+        out.select(F.col("__src").alias("node")).hint("merge"),
+        "node",
+        "left_anti",
     ).persist()
     has_dangling = dangling_frame.limit(1).count() > 0  # checked once, not per iter
 
@@ -216,8 +223,13 @@ def pagerank(
     if eager_every_iter:
         ranks = ranks.localCheckpoint(eager=True)
     for it in range(iters):
+        # merge hint: BOTH sides are data-sized (the cached edge frame
+        # and the node-sized rank frame); a cached frame's estimate can
+        # land under the broadcast threshold and Catalyst then ships the
+        # WHOLE edge list per iteration (caught by the broadcast audit,
+        # tests/test_broadcast_audit.py — the SCALE.md r12 class)
         contrib = (
-            ew.join(ranks, ew["__src"] == ranks["node"])
+            ew.hint("merge").join(ranks, ew["__src"] == ranks["node"])
             .select(
                 F.col("__dst").alias("node"),
                 ((F.col("rank") * wexpr if weight_col is not None else F.col("rank")) / F.col("__od")).alias("__c"),
@@ -225,12 +237,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__m"))
         )
-        new = node_frame.join(contrib, "node", "left").select(
+        # merge hint: contrib is node-sized (grouped agg over the edge
+        # frame) — estimate-small but data-sized (SCALE.md r12 class)
+        new = node_frame.join(contrib.hint("merge"), "node", "left").select(
             "node", *tp_cols, F.coalesce(F.col("__m"), F.lit(0.0)).alias("__m")
         )
         if has_dangling:
             dm = (
-                ranks.join(dangling_frame, "node")
+                ranks.join(dangling_frame.hint("merge"), "node")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
             # single-row broadcast — the same stat-frame crossJoin shape
@@ -272,7 +286,7 @@ def pagerank(
             new = new.localCheckpoint(eager=False)
         if tol is not None:
             delta = (
-                new.join(ranks.withColumnRenamed("rank", "__prev"), "node")
+                new.join(ranks.withColumnRenamed("rank", "__prev").hint("merge"), "node")
                 .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("__d"))
                 .collect()[0]["__d"]
             )

@@ -382,14 +382,19 @@ def edit_distance_join(
         rstr.select("__ed_rid", F.explode(_right_candidates()).alias("__ed_k"))
         .select("__ed_rid", "__ed_k.slen", "__ed_k.seg_i", "__ed_k.seg")
     )
+    # merge hints: every side here is data-sized (exploded segments,
+    # the distinct candidate pairs, the id→string maps) but each is an
+    # agg/explode output whose estimate can land under the broadcast
+    # threshold (SCALE.md r12 class) — the design IS the two big
+    # shuffles; pin it so Catalyst never ships a corpus-sized build.
     candidates = (
-        lex.join(rex, on=["slen", "seg_i", "seg"])
+        lex.join(rex.hint("merge"), on=["slen", "seg_i", "seg"])
         .select("__ed_lid", "__ed_rid")
         .distinct()
     )
     return (
-        candidates.join(lstr, on="__ed_lid")
-        .join(rstr, on="__ed_rid")
+        candidates.join(lstr.hint("merge"), on="__ed_lid")
+        .join(rstr.hint("merge"), on="__ed_rid")
         .withColumn("__ed_d", F.levenshtein(s, t, k))
         .filter(F.col("__ed_d") >= 0)
         .select(

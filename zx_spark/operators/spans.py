@@ -89,7 +89,12 @@ def _dup_positions(
         .filter(F.col("__c") >= min_count)
         .select("__h")
     )
-    return sh.join(counts, "__h").select(id_col, "pos")
+    # merge hint: the duplicated-shingle vocabulary is DATA-SIZED (∝
+    # corpus distinct shingles) but Catalyst estimate-sizes the agg
+    # output under the broadcast threshold — the source_overlap_matrix
+    # class (SCALE.md r12, fatal at scale regardless of local heap
+    # slack). Sort-merge is spillable; gated by tests/test_broadcast_audit.
+    return sh.join(counts.hint("merge"), "__h").select(id_col, "pos")
 
 
 def duplicated_spans(
@@ -184,7 +189,9 @@ def duplicated_span_stats(
     base = df.select(
         F.col(id_col), F.size(_tokens(F.col(text_col))).alias("n_tokens")
     )
-    joined = base.join(per_doc, id_col, "left")
+    # merge hint: per_doc is doc-keyed (∝ corpus), estimate-small
+    # (SCALE.md r12 class); sort-merge spills
+    joined = base.join(per_doc.hint("merge"), id_col, "left")
     frac = F.when(
         F.col("n_tokens") > 0,
         F.round(
