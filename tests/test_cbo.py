@@ -34,15 +34,43 @@ GROUP BY n_name
 """
 
 
-def _leaf_order(plan: str) -> list[str]:
-    """Join-leaf table names in plan-print order (written order ==
-    left-deep chain order when no reordering fired)."""
-    names = re.findall(r"Relation[^\n\[]*?(\w+)\[", plan)
-    # catalog tables print as spark_catalog.default.zx_stats_<name>_<digest>
-    out = []
-    for n in names:
-        m = re.match(r"zx_stats_([a-z]+)_[0-9a-f]+", n)
-        out.append(m.group(1) if m else n)
+def _leaf_order(df) -> list[str]:
+    """Join-leaf table names in tree order — a STRUCTURAL depth-first
+    walk of the optimized logical plan's JVM tree (VERDICT r12 item 4:
+    no string parsing of plan output, so a Spark upgrade that changes
+    ``Relation`` printing cannot silently weaken the assertions).
+    Catalog-table leaves resolve through ``catalogTable`` (the
+    ``zx_stats_<name>_<digest>`` backing tables map back to their store
+    name); path-backed leaves through the relation's root path."""
+    out: list[str] = []
+
+    def _leaf_name(node) -> str | None:
+        try:
+            ct = node.catalogTable()
+            if ct.isDefined():
+                return str(ct.get().identifier().table())
+        except Exception:
+            pass
+        try:
+            rp = node.relation().location().rootPaths()
+            base = rp.apply(0).toString().rstrip("/").rsplit("/", 1)[-1]
+            return base[:-8] if base.endswith(".parquet") else base
+        except Exception:
+            return None
+
+    def _walk(node):
+        kids = node.children()
+        n = kids.size()
+        if n == 0:
+            name = _leaf_name(node)
+            if name is not None:
+                m = re.match(r"zx_stats_([a-z]+)_[0-9a-f]+", name)
+                out.append(m.group(1) if m else name)
+            return
+        for i in range(n):
+            _walk(kids.apply(i))
+
+    _walk(df._jdf.queryExecution().optimizedPlan())
     return out
 
 
@@ -66,8 +94,7 @@ def test_dim_first_q5_join_order_is_reordered(spark):
     reduced subtree instead of streaming through a dim-chain broadcast."""
     register_views(spark, SF, tables=TPCH_TABLES)
     df = spark.sql(DIM_FIRST_Q5)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    order = _leaf_order(plan)
+    order = _leaf_order(df)
     assert sorted(order) == sorted(TPCH_TABLES), order
     written = ["region", "nation", "customer", "orders", "lineitem", "supplier"]
     assert order != written, "CostBasedJoinReorder did not change the join order"
@@ -95,6 +122,60 @@ def test_dim_first_matches_fact_first_values(spark):
     a = {(r["n_name"], r["revenue"]) for r in spark.sql(DIM_FIRST_Q5).collect()}
     b = {(r["n_name"], r["revenue"]) for r in spark.sql(fact_first).collect()}
     assert a == b and len(a) > 0
+
+
+def _mk_events(spark, n: int, id_offset: int = 0):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("event_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") % 86400).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") % 10).cast("double").alias("value"),
+    )
+
+
+def test_stats_lifecycle_on_append(spark, tmp_path):
+    """VERDICT r12 item 2 / What's-wrong #1: statistics are per STORE
+    VERSION. A store appended to AFTER registration must not keep its
+    stale rowCount for the rest of the session — ``write_events``
+    invalidates the ANALYZE memo, so re-registering re-ANALYZEs and
+    both CBO and the session-window gate (``_plan_row_estimate``) see
+    the 100×-grown cardinality."""
+    from zx_spark.operators.windows import _plan_row_estimate
+    from zx_spark.storage import write_events
+
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/events.parquet"
+    _mk_events(spark, 100).write.mode("overwrite").parquet(path)
+    register_views(spark, sf_dir, tables=["events"])
+    assert _plan_row_estimate(spark.table("events")) == 100
+
+    write_events(_mk_events(spark, 9900, id_offset=100), path, partition_by_day=False)
+    register_views(spark, sf_dir, tables=["events"])
+    est = _plan_row_estimate(spark.table("events"))
+    assert est == 10000, f"stale rowCount survived the append: {est}"
+
+
+def test_stats_lifecycle_on_truncate_refreshes_file_listing(spark, tmp_path):
+    """The in-place rewrite half (ADVICE r12 low): after truncate the
+    catalog must not serve the OLD file listing (deleted part files) —
+    ``invalidate_stats`` runs ``refreshByPath``, so the re-registered
+    view reads the new (empty) store and carries its rowCount."""
+    from zx_spark.operators.windows import _plan_row_estimate
+    from zx_spark.storage import truncate_events
+
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/events.parquet"
+    _mk_events(spark, 500).write.mode("overwrite").parquet(path)
+    register_views(spark, sf_dir, tables=["events"])
+    assert spark.table("events").count() == 500
+
+    truncate_events(spark, path)
+    register_views(spark, sf_dir, tables=["events"])
+    assert spark.table("events").count() == 0
+    assert _plan_row_estimate(spark.table("events")) == 0
 
 
 def test_register_views_plain_fallback(spark):
