@@ -193,6 +193,29 @@ def test_session_auto_high_cardinality_groups_stays_classic(spark, monkeypatch):
     )
 
 
+def test_session_auto_dominant_group_keeps_slicing(spark, monkeypatch):
+    """ADVICE r12 (low): cardinality alone cannot see skew — thousands
+    of tiny groups plus ONE dominant group must NOT gate to the classic
+    plan (which would serialize the dominant timeline onto one task);
+    the skew check keeps the slice decomposition, values identical."""
+    from zx_spark.operators import windows
+
+    monkeypatch.setattr(windows, "SESSION_PARALLEL_MIN_ROWS", 10)
+    rows = [(i, "g%d" % i, float(i)) for i in range(400)] + [
+        (1000 + i, "hot", float(i * 211 % 9000)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, ts double")
+    auto = windows.with_session_windows(df, ["g"], "id", "ts", 60.0)
+    classic = windows.with_session_windows(df, ["g"], "id", "ts", 60.0, n_slices=1)
+    norm = lambda plan: re.sub(r"#\d+", "#x", plan)
+    assert norm(auto._jdf.queryExecution().optimizedPlan().toString()) != norm(
+        classic._jdf.queryExecution().optimizedPlan().toString()
+    ), "dominant group was gated to the serial classic plan"
+    av = sorted((r["id"], r[WINDOW_NO]) for r in auto.collect())
+    cv = sorted((r["id"], r[WINDOW_NO]) for r in classic.collect())
+    assert av == cv
+
+
 def test_session_summary_broadcast_hint_gated(spark, monkeypatch):
     """ADVICE r11 (medium): the groups x slices summary is only
     broadcast-HINTED while its estimated rows stay bounded; past the cap

@@ -52,6 +52,21 @@ SESSION_GROUPS_PARALLEL_FACTOR = 4
 # (plain join; AQE picks the strategy) — a groups×slices summary is
 # normally tiny, but nothing in the API bounds it.
 SESSION_SUMMARY_BROADCAST_MAX = 1 << 21
+# The job-free gate trusts a SIZE-based row estimate (no catalog
+# rowCount) only this many× below the threshold: RLE/dictionary parquet
+# can compress under ESTIMATED_ROW_BYTES per row, so a borderline
+# size-estimate falls through to the exact bounds scan instead of
+# silently pinning a >1M-row frame to the serial classic plan
+# (ADVICE r12). Catalog rowCounts (ANALYZE) are exact and gate directly.
+SESSION_SIZE_ESTIMATE_MARGIN = 10
+# High-cardinality groups stay classic only while the LARGEST group fits
+# within this many fair task shares (n / parallelism): cardinality alone
+# cannot see skew, and a corpus of thousands of tiny groups plus one
+# dominant group would otherwise serialize the dominant timeline onto
+# one task — the exact pathology the slice decomposition exists to fix
+# (ADVICE r12). Costs one count-per-group aggregate, only on frames
+# already past the row threshold with cardinality ≥ the parallel factor.
+SESSION_SKEW_FAIR_SHARE = 2
 # Faithful-mode per-window report timestamps (reference src/lib.rs:702-712:
 # window_start = ts of the first row in id order — after a break, the DROPPED
 # breaking row's ts; window_end = ts of the last *kept* row in id order).
@@ -59,24 +74,30 @@ WINDOW_START_TS = "__window_start_ts"
 WINDOW_END_TS = "__window_end_ts"
 
 
-def _plan_row_estimate(df: DataFrame) -> int | None:
-    """Row-count ESTIMATE from the optimized plan's statistics — catalog
-    stats when CBO/ANALYZE provided them, else sizeInBytes (parquet file
-    bytes) over a deliberately-small bytes-per-row. Plan-only: optimizes
-    the plan but launches NO job. None when statistics are unreachable."""
+def _plan_row_stats(df: DataFrame) -> tuple[int | None, bool]:
+    """(row estimate, trusted) from the optimized plan's statistics —
+    catalog rowCount when CBO/ANALYZE provided it (trusted: exact per
+    store version), else sizeInBytes (parquet file bytes) over a
+    deliberately-small bytes-per-row (untrusted: compression can beat
+    the divisor). Plan-only: optimizes the plan but launches NO job.
+    (None, False) when statistics are unreachable."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()
         if rc.isDefined():
-            return int(str(rc.get()))
+            return int(str(rc.get())), True
         size = int(str(stats.sizeInBytes()))
         if size >= 1 << 62:
             # spark.sql.defaultSizeInBytes sentinel (RDD-backed plans
             # report Long.MaxValue) — size genuinely unknown
-            return None
-        return size // ESTIMATED_ROW_BYTES
+            return None, False
+        return size // ESTIMATED_ROW_BYTES, False
     except Exception:
-        return None
+        return None, False
+
+
+def _plan_row_estimate(df: DataFrame) -> int | None:
+    return _plan_row_stats(df)[0]
 
 
 def _fresh_names(taken, *bases: str) -> list[str]:
@@ -139,15 +160,20 @@ def with_session_windows(
 
     ``n_slices``: None = 4x ``spark.sql.shuffle.partitions``, but only
     past ``SESSION_PARALLEL_MIN_ROWS`` rows AND while the group-key
-    cardinality alone doesn't already saturate the cluster
-    (``SESSION_GROUPS_PARALLEL_FACTOR``× the shuffle parallelism — a
-    high-cardinality key parallelizes the classic plan fine, and the
-    slice summary would only grow). The row threshold is first read
-    job-free from plan statistics (catalog rowCount or parquet
-    sizeInBytes — sub-threshold auto calls stay lazy, adding NO jobs
-    and exactly the classic plan); only frames estimated above it pay
-    the exact bounds scan (min/max/count + group-cardinality sketch in
-    ONE pass — the bounds are needed for slicing anyway). An explicit
+    cardinality already saturating the cluster
+    (``SESSION_GROUPS_PARALLEL_FACTOR``× the shuffle parallelism) is
+    not hiding a DOMINANT group: high cardinality parallelizes the
+    classic plan only for balanced keys, so that branch additionally
+    checks the largest group's count against a fair task share
+    (``SESSION_SKEW_FAIR_SHARE``) and keeps slicing when one group's
+    timeline would serialize (ADVICE r12). The row threshold is first
+    read job-free from plan statistics (catalog rowCount gates
+    directly; a size-derived estimate only ``SESSION_SIZE_ESTIMATE_
+    MARGIN``× below the threshold — borderline frames pay the exact
+    scan rather than trust a divisor compression can beat); only
+    frames estimated above it pay the exact bounds scan (min/max/count
+    + group-cardinality sketch in ONE pass — the bounds are needed for
+    slicing anyway). An explicit
     ``n_slices`` > 1 skips the thresholds but still runs the bounds
     scan eagerly at call time. <= 1 forces the classic
     single-window-per-group plan (no extra jobs — for tiny frames or
@@ -173,8 +199,15 @@ def with_session_windows(
     if auto and n_slices > 1:
         # Job-free gate: a frame whose plan-statistics estimate is below
         # the threshold keeps the classic lazy plan — no bounds scan.
-        est = _plan_row_estimate(df)
-        if est is not None and est < SESSION_PARALLEL_MIN_ROWS:
+        # Size-derived estimates (no catalog rowCount) only short-circuit
+        # a full margin below the threshold; the borderline band pays the
+        # exact bounds scan instead of trusting a divisor that highly
+        # compressed parquet can beat (ADVICE r12).
+        est, trusted = _plan_row_stats(df)
+        cutoff = SESSION_PARALLEL_MIN_ROWS if trusted else (
+            SESSION_PARALLEL_MIN_ROWS // SESSION_SIZE_ESTIMATE_MARGIN
+        )
+        if est is not None and est < cutoff:
             n_slices = 1
     n_groups = None
     if n_slices > 1:
@@ -195,10 +228,23 @@ def with_session_windows(
         elif auto and bounds["n"] < SESSION_PARALLEL_MIN_ROWS:
             n_slices = 1
         elif auto and n_groups >= SESSION_GROUPS_PARALLEL_FACTOR * parallelism:
-            # The classic per-group window already spreads across
-            # >=4x the shuffle parallelism — slicing adds summary rows
-            # (groups x slices) for no parallelism the plan lacks.
-            n_slices = 1
+            # The classic per-group window spreads across >=4x the
+            # shuffle parallelism — but cardinality alone cannot see
+            # SKEW (ADVICE r12): one dominant group among thousands of
+            # tiny ones would serialize its whole timeline onto one
+            # task. One count-per-group aggregate decides: classic only
+            # while the largest group fits in a few fair task shares;
+            # a dominant group keeps the slice decomposition (whose
+            # summary join is already broadcast-capped).
+            fair = max(1, int(bounds["n"]) // max(parallelism, 1))
+            max_group = (
+                df.groupBy(*group_cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(F.max("__n"))
+                .collect()[0][0]
+            )
+            if max_group is None or max_group <= SESSION_SKEW_FAIR_SHARE * fair:
+                n_slices = 1
     if n_slices <= 1:
         base = W.partitionBy(*(group_cols or [F.lit(1)])).orderBy(
             F.col(ts_col), F.col(id_col)
