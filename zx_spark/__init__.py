@@ -27,6 +27,11 @@ _LAZY = {
     "plan_report": ("zx_spark.plan", "plan_report"),
     "assert_scaling_plan": ("zx_spark.plan", "assert_scaling_plan"),
     "key_skew_report": ("zx_spark.plan", "key_skew_report"),
+    # r13 additions: the broadcast-bound gate + stats lifecycle
+    "broadcast_audit": ("zx_spark.plan", "broadcast_audit"),
+    "assert_bounded_broadcasts": ("zx_spark.plan", "assert_bounded_broadcasts"),
+    "invalidate_stats": ("zx_spark.storage", "invalidate_stats"),
+    "register_views": ("zx_spark.storage", "register_views"),
     "write_training_shards": ("zx_spark.export", "write_training_shards"),
     "read_training_shards": ("zx_spark.export", "read_training_shards"),
     # r6 additions
