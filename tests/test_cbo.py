@@ -178,6 +178,23 @@ def test_stats_lifecycle_on_truncate_refreshes_file_listing(spark, tmp_path):
     assert _plan_row_estimate(spark.table("events")) == 0
 
 
+def test_register_views_array_table_gets_rowcount(spark):
+    """r13: ANALYZE FOR ALL COLUMNS REJECTS nested types (ARRAY<FLOAT>
+    on embeddings) — the registration must fall to scalar-column stats
+    instead of silently degrading to a stats-less view (which would
+    disable CostBasedJoinReorder for every join touching the table)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        register_views(spark, SF, tables=["embeddings"])
+    stats = (
+        spark.table("embeddings")._jdf.queryExecution().optimizedPlan().stats()
+    )
+    assert stats.rowCount().isDefined(), "embeddings view lost its rowCount"
+    assert int(str(stats.rowCount().get())) > 0
+
+
 def test_register_views_plain_fallback(spark):
     """with_stats=False keeps the r11 behavior: plain parquet-scan temp
     views, no catalog tables required."""

@@ -207,8 +207,33 @@ def _stats_backed_df(spark: SparkSession, path: str, name: str) -> DataFrame | N
             spark.sql(
                 f"CREATE TABLE IF NOT EXISTS `{tbl}` USING parquet LOCATION '{loc}'"
             )
-            # FOR ALL COLUMNS skips stat-unsupported types (arrays etc.)
-            spark.sql(f"ANALYZE TABLE `{tbl}` COMPUTE STATISTICS FOR ALL COLUMNS")
+            try:
+                spark.sql(
+                    f"ANALYZE TABLE `{tbl}` COMPUTE STATISTICS FOR ALL COLUMNS"
+                )
+            except Exception:
+                # FOR ALL COLUMNS REJECTS nested types rather than
+                # skipping them (ARRAY<FLOAT> on the embeddings table:
+                # UNSUPPORTED_FEATURE.ANALYZE_UNSUPPORTED_COLUMN_TYPE) —
+                # fall to the scalar columns, else table-level stats;
+                # rowCount alone still drives CostBasedJoinReorder and
+                # the session-window gate, so an embedding-bearing table
+                # must not degrade all the way to a stats-less view.
+                scalars = [
+                    f.name
+                    for f in spark.table(tbl).schema.fields
+                    if not isinstance(
+                        f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                    )
+                ]
+                if scalars:
+                    cols = ", ".join(f"`{c}`" for c in scalars)
+                    spark.sql(
+                        f"ANALYZE TABLE `{tbl}` COMPUTE STATISTICS "
+                        f"FOR COLUMNS {cols}"
+                    )
+                else:
+                    spark.sql(f"ANALYZE TABLE `{tbl}` COMPUTE STATISTICS")
             _ANALYZED.add(key)
         return _normalize_ts(spark.table(tbl), path)
     except Exception:
