@@ -181,6 +181,51 @@ def test_hierarchical_store_layout_and_pruned_serving(spark, model, tmp_path):
     assert "ivf_super" in plan
 
 
+def test_ivf_topk_batch_store_equals_full_store_read(spark, model, tmp_path):
+    """r13: direct-path serving (ivf_topk_batch_store reads ONLY the
+    probed super=/cell= directories) must return exactly what
+    ivf_topk_batch returns over the full store read — the directories
+    ARE the cell filter. Also pins that the pruned read's file index
+    holds only the probed cells' files, which is the point (planning
+    O(probed cells) instead of O(catalog), SCALE.md r13)."""
+    from zx_spark.operators.similarity import (
+        _serving_probe,
+        ivf_topk_batch,
+        ivf_topk_batch_store,
+    )
+
+    _, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(assigned, children, len(centers))
+    path = str(tmp_path / "store3")
+    write_ivf_store(ann, path, super_col="ivf_super")
+    store = read_ivf_store(spark, path)
+    qs = [[float(x) for x in X[i]] for i in (0, 7, 19)]
+
+    full = ivf_topk_batch(
+        store, centers, qs, k=5, nprobe=4, supers=supers, children=children,
+        super_col="ivf_super",
+    ).collect()
+    direct = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=4, supers=supers,
+        children=children,
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, full))
+
+    probed = {
+        c
+        for q in qs
+        for c in _serving_probe(centers, q, 4, supers, children, None)
+    }
+    for f in direct.inputFiles():
+        cell = int(f.split("ivf_cell=")[1].split("/")[0])
+        assert cell in probed, f
+    with pytest.raises(ValueError, match="probed cell directories"):
+        ivf_topk_batch_store(
+            spark, str(tmp_path / "nope"), centers, qs,
+            supers=supers, children=children,
+        )
+
+
 def test_with_super_col_null_cell_gets_null_super(spark, model):
     _, _, _, centers, supers, children, _ = model
     bad = spark.createDataFrame(

@@ -2260,6 +2260,83 @@ def read_ivf_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ivf_topk_batch_store(
+    spark,
+    path: str,
+    centers,
+    query_vecs: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+    supers=None,
+    children=None,
+    p_super: int | None = None,
+    cell_col: str = "ivf_cell",
+    super_col: str = "ivf_super",
+) -> DataFrame:
+    """``ivf_topk_batch`` straight off a ``write_ivf_store`` layout,
+    addressing ONLY the probed cells' directories.
+
+    Why this exists (SCALE.md r13): reading the whole store and letting
+    the cell filter partition-prune is CORRECT, but the DataFrame's file
+    index still lists the full partition tree — measured 149 s for the
+    first listing of a 2×10⁵-cell store on a plain filesystem, plus a
+    ~30 s fixed pruning pass per batch. Building the read from the
+    probed ``super=<s>/cell=<c>`` paths (``basePath`` keeps the
+    partition columns) makes planning O(probed cells) — the
+    metastore-free way to keep per-batch cost ∝ the probe, not the
+    catalog. Values identical to ``ivf_topk_batch`` over the full store
+    (the directories ARE the cell filter; test-pinned).
+
+    Empty probed cells simply have no directory (the writer emits none)
+    and are skipped; raises if NO probed directory exists. Local/POSIX
+    path semantics — an object-store deployment fronts this with its
+    manifest/metastore instead."""
+    import os
+
+    if not query_vecs:
+        raise ValueError("ivf_topk_batch_store needs at least one query vector")
+    all_cells = sorted(
+        {
+            c
+            for q in query_vecs
+            for c in _serving_probe(centers, q, nprobe, supers, children, p_super)
+        }
+    )
+    base = path.rstrip("/")
+    if supers is not None:
+        owner = super_of_cells(children, len(np.asarray(centers)))
+        dirs = [
+            f"{base}/{super_col}={owner[c]}/{cell_col}={c}" for c in all_cells
+        ]
+    else:
+        dirs = [f"{base}/{cell_col}={c}" for c in all_cells]
+    dirs = [d for d in dirs if os.path.exists(d)]
+    if not dirs:
+        raise ValueError(
+            f"none of the {len(all_cells)} probed cell directories exist "
+            f"under {path!r} — wrong store layout (write with "
+            "write_ivf_store) or a model fitted on different data"
+        )
+    pruned = spark.read.option("basePath", base).parquet(*dirs)
+    # the probed-cell filter inside ivf_topk_batch is now redundant with
+    # the directory list but harmless (partition-column filter); the
+    # hierarchy still routes each query's own probe selection
+    return ivf_topk_batch(
+        pruned,
+        centers,
+        query_vecs,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+        nprobe=nprobe,
+        supers=supers,
+        children=children,
+        p_super=p_super,
+    )
+
+
 def ivf_centers_numpy(
     ids: np.ndarray, X: np.ndarray, n_cells: int, iters: int = 5
 ) -> np.ndarray:
