@@ -202,6 +202,39 @@ def test_retention_cohorts_no_data_sized_broadcast(spark):
     assert_bounded_broadcasts(out)
 
 
+def test_extra_operator_plans_no_data_sized_broadcast(spark):
+    """Operators NOT exercised by a registry row (applied/drop forms and
+    scale-method variants) get the same gate — the registry sweep alone
+    would leave them to be caught by heap pressure at sf10."""
+    from zx_spark.operators.decontaminate import (
+        drop_boilerplate_docs,
+        scrub_repeated_lines,
+    )
+    from zx_spark.operators.joins import resolve_entities
+    from zx_spark.operators.spans import strip_duplicated_spans
+
+    docs = _docs(spark).select("doc_id", "text")
+    frames = {
+        "drop_boilerplate_docs": drop_boilerplate_docs(docs),
+        "scrub_repeated_lines[join]": scrub_repeated_lines(
+            docs, method="join"
+        ),
+        "strip_duplicated_spans": strip_duplicated_spans(docs),
+        "resolve_entities": resolve_entities(
+            docs.select(
+                "doc_id", F.substring("text", 1, 24).alias("name")
+            ),
+            "name",
+            "doc_id",
+        ),
+    }
+    for name, df in frames.items():
+        try:
+            assert_bounded_broadcasts(df)
+        except AssertionError as e:
+            raise AssertionError(f"{name}: {e}") from e
+
+
 # ------------------------------------------------------- full registry sweep
 
 # Per-name attestations: explicit, reviewable claims that a grouping key's

@@ -375,7 +375,11 @@ def drop_boilerplate_docs(
     heavy = boilerplate_fractions(corpus, text_col, id_col, n, min_docs).filter(
         F.col("ratio") > max_ratio
     )
-    return corpus.join(heavy.select(id_col), id_col, "left_anti")
+    # merge hint: the flag set is doc-keyed and UNBOUNDED (a templated
+    # crawl can flag most of the corpus) — estimate-small agg output,
+    # the SCALE.md r12 class; unlike drop_contaminated's benchmark flag
+    # set there is no smallness contract to attest, so it must spill
+    return corpus.join(heavy.select(id_col).hint("merge"), id_col, "left_anti")
 
 
 def drop_contaminated(
@@ -489,8 +493,13 @@ def scrub_repeated_lines(
         F.col(f"`{id_col}`").alias("__sid"),
         F.posexplode_outer(lines).alias("__pos", "__line"),
     )
+    # merge hints (this join and the reassembly join below): the hot-line
+    # vocabulary and the per-doc reassembly are both data-sized agg
+    # outputs — the 'join' method exists precisely for corpora where the
+    # broadcast method's hot set does NOT fit, so an estimate-driven
+    # broadcast here would defeat it (SCALE.md r12 class)
     kept_rows = ex.join(
-        hot.select(F.col("line_hash").alias("__h")),
+        hot.select(F.col("line_hash").alias("__h")).hint("merge"),
         lh(F.trim(F.col("__line"))) == F.col("__h"),
         "left_anti",
     )
@@ -505,7 +514,7 @@ def scrub_repeated_lines(
         F.count(F.lit(1)).alias("__kept"),
     )
     joined = corpus.join(
-        reassembled, F.col(f"`{id_col}`") == F.col("__sid"), "left"
+        reassembled.hint("merge"), F.col(f"`{id_col}`") == F.col("__sid"), "left"
     ).drop("__sid")
     not_null = F.col(f"`{text_col}`").isNotNull()
     return joined.withColumn(

@@ -237,7 +237,9 @@ def strip_duplicated_spans(
     # times below — inlining _tokens into the per-position lambda would
     # re-tokenize the text once per token index (the O(len²) Catalyst
     # hazard functions.text.tokenize documents)
-    joined = df.join(spans, id_col, "left").withColumn(
+    # merge hint: the span table is doc-keyed (∝ docs with duplicated
+    # spans — unbounded) but estimate-small (SCALE.md r12 class)
+    joined = df.join(spans.hint("merge"), id_col, "left").withColumn(
         "__toks", _tokens(F.col(text_col))
     )
     toks = F.col("__toks")
