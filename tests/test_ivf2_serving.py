@@ -226,6 +226,42 @@ def test_ivf_topk_batch_store_equals_full_store_read(spark, model, tmp_path):
         )
 
 
+def test_ivf_topk_batch_where_filter(spark, model, tmp_path):
+    """r13 filtered vector search: ``where=`` equals serving over the
+    pre-filtered frame (post-filter semantics — same probe list, top-k
+    of the passing rows), and on a store the predicate reaches the
+    parquet scan as a pushed filter on top of the directory pruning."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.similarity import ivf_topk_batch, ivf_topk_batch_store
+    from zx_spark.plan import plan_report
+
+    _, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(assigned, children, len(centers))
+    pred = F.col("vec_id") < 200
+    qs = [[float(x) for x in X[i]] for i in (2, 11)]
+    a = ivf_topk_batch(
+        ann, centers, qs, k=5, nprobe=4, supers=supers, children=children,
+        where=pred,
+    ).collect()
+    b = ivf_topk_batch(
+        ann.filter(pred), centers, qs, k=5, nprobe=4, supers=supers,
+        children=children,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+    assert all(r["vec_id"] < 200 for r in a)
+
+    path = str(tmp_path / "store4")
+    write_ivf_store(ann, path, super_col="ivf_super")
+    direct = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=4, supers=supers,
+        children=children, where=pred,
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, a))
+    pushed = plan_report(direct)["pushed_filters"]
+    assert any("vec_id" in p for p in pushed), pushed
+
+
 def test_with_super_col_null_cell_gets_null_super(spark, model):
     _, _, _, centers, supers, children, _ = model
     bad = spark.createDataFrame(

@@ -491,6 +491,7 @@ def ivf_topk_batch(
     children=None,
     p_super: int | None = None,
     super_col: str | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF serving for a BATCH of queries in ONE scan: each query keeps
     its own driver-side probe list; the store is read once, pruned to
@@ -509,7 +510,17 @@ def ivf_topk_batch(
     ``supers``/``children``/``p_super``/``super_col`` behave as in
     ``ivf_topk`` — Q probe selections through the two-level hierarchy
     cost Q·~√n_cells dots instead of Q·n_cells, which is where the flat
-    scan actually hurts (the batch path exists for high-Q serving)."""
+    scan actually hurts (the batch path exists for high-Q serving).
+
+    ``where``: optional metadata predicate (a Column over the store's
+    columns) applied BEFORE scoring — the filtered-vector-search shape
+    ("nearest docs where lang='en' and ts > …"). Post-filter semantics:
+    the probe list is unchanged, so each query still scores only its
+    probed cells and returns the top-k of the rows PASSING the filter
+    there (a heavily selective filter wants a larger nprobe — recall is
+    over the filtered corpus slice inside the probe). The predicate sits
+    directly on the scan, so Parquet pushdown/row-group skipping applies
+    before any cosine is computed."""
     if not query_vecs:
         raise ValueError("ivf_topk_batch needs at least one query vector")
     _check_super_col(super_col, supers)
@@ -526,6 +537,8 @@ def ivf_topk_batch(
     all_cells = sorted({c for _, cells, _ in per_q for c in cells})
     if super_col is not None and supers is not None:
         assigned = _super_prune(assigned, all_cells, children, centers, super_col)
+    if where is not None:
+        assigned = assigned.filter(where)
     v = F.col(vec_col).cast("array<double>")
     scored = F.array(
         *[
@@ -2274,9 +2287,13 @@ def ivf_topk_batch_store(
     p_super: int | None = None,
     cell_col: str = "ivf_cell",
     super_col: str = "ivf_super",
+    where: Column | None = None,
 ) -> DataFrame:
     """``ivf_topk_batch`` straight off a ``write_ivf_store`` layout,
-    addressing ONLY the probed cells' directories.
+    addressing ONLY the probed cells' directories. ``where`` filters the
+    probed rows before scoring (``ivf_topk_batch`` semantics) — ON TOP
+    of the directory pruning, so a metadata-filtered vector query reads
+    the probed sliver and Parquet-skips within it.
 
     Why this exists (SCALE.md r13): reading the whole store and letting
     the cell filter partition-prune is CORRECT, but the DataFrame's file
@@ -2334,6 +2351,7 @@ def ivf_topk_batch_store(
         supers=supers,
         children=children,
         p_super=p_super,
+        where=where,
     )
 
 
