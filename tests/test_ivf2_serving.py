@@ -262,6 +262,41 @@ def test_ivf_topk_batch_where_filter(spark, model, tmp_path):
     assert any("vec_id" in p for p in pushed), pushed
 
 
+def test_ivf_topk_batch_arrow_engine_equals_catalyst(spark, model):
+    """r13 arrow batch scorer: same rows/ids/cosines as the Catalyst
+    struct-array path on real-valued data (BLAS matmul + np.round vs JVM
+    fold + F.round — the documented last-ulp trade), including probe
+    gating, NULL/ragged embeddings, and the where= filter."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.operators.similarity import ivf_topk_batch
+
+    df, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(assigned, children, len(centers))
+    # plant a NULL and a ragged embedding — both engines must drop them
+    bad = spark.createDataFrame(
+        [(9001, None, 0, 0), (9002, [1.0, 2.0], 0, 0)],
+        "vec_id long, embedding array<double>, ivf_cell int, ivf_super int",
+    )
+    ann = ann.unionByName(bad)
+    qs = [[float(x) for x in X[i]] for i in (1, 5, 23)]
+    for where in (None, F.col("vec_id") % 3 != 1):
+        a = ivf_topk_batch(
+            ann, centers, qs, k=6, nprobe=5, supers=supers,
+            children=children, where=where, engine="catalyst",
+        ).collect()
+        b = ivf_topk_batch(
+            ann, centers, qs, k=6, nprobe=5, supers=supers,
+            children=children, where=where, engine="arrow",
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="engine"):
+        ivf_topk_batch(ann, centers, qs, engine="nope")
+
+
 def test_with_super_col_null_cell_gets_null_super(spark, model):
     _, _, _, centers, supers, children, _ = model
     bad = spark.createDataFrame(

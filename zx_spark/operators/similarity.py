@@ -492,6 +492,7 @@ def ivf_topk_batch(
     p_super: int | None = None,
     super_col: str | None = None,
     where: Column | None = None,
+    engine: str = "catalyst",
 ) -> DataFrame:
     """IVF serving for a BATCH of queries in ONE scan: each query keeps
     its own driver-side probe list; the store is read once, pruned to
@@ -520,9 +521,22 @@ def ivf_topk_batch(
     there (a heavily selective filter wants a larger nprobe — recall is
     over the filtered corpus slice inside the probe). The predicate sits
     directly on the scan, so Parquet pushdown/row-group skipping applies
-    before any cosine is computed."""
+    before any cosine is computed.
+
+    ``engine``: ``"catalyst"`` (default) scores with the deterministic
+    JVM fold + half-up 6-dp rounding — the oracle-grade path.
+    ``"arrow"`` scores each Arrow batch with ONE BLAS matmul against all
+    Q queries and prunes to a per-(batch, query) top-k before the final
+    window — the ``cosine_topk_batch`` pattern; the Catalyst per-query
+    struct array evaluates INTERPRETED at ~Q·d multiplies per row
+    (measured: it, not the scan, dominated pruned-store serving at
+    5×10⁷ — SCALE.md r13). Same last-ulp/6-dp-midpoint caveat as every
+    arrow engine in this module (np.round half-even vs F.round
+    half-up); the driver row keeps catalyst."""
     if not query_vecs:
         raise ValueError("ivf_topk_batch needs at least one query vector")
+    if engine not in ("catalyst", "arrow"):
+        raise ValueError(f"engine must be 'catalyst' or 'arrow', got {engine!r}")
     _check_super_col(super_col, supers)
     from pyspark.sql import Window
 
@@ -539,6 +553,10 @@ def ivf_topk_batch(
         assigned = _super_prune(assigned, all_cells, children, centers, super_col)
     if where is not None:
         assigned = assigned.filter(where)
+    if engine == "arrow":
+        return _ivf_topk_batch_arrow(
+            assigned, per_q, all_cells, vec_col, id_col, k
+        )
     v = F.col(vec_col).cast("array<double>")
     scored = F.array(
         *[
@@ -558,6 +576,87 @@ def ivf_topk_batch(
         .select(F.col(id_col), F.explode(scored).alias("__s"))
         .select(id_col, "__s.query_no", "__s.cosine")
         .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("query_no").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select("query_no", id_col, "cosine")
+    )
+
+
+def _ivf_topk_batch_arrow(
+    assigned: DataFrame,
+    per_q: list,
+    all_cells: list[int],
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Arrow engine for ``ivf_topk_batch``: one BLAS matmul per batch
+    against all Q queries, per-row probe gating via a (cell → queries)
+    map over the UNION probe set (≤ Q·nprobe entries — tiny closure),
+    per-(batch, query) top-k pruning so only ``batches × Q × k`` rows
+    shuffle to the final window. Rounding/tie conventions follow
+    ``cosine_topk_batch`` (np.round to 6 dp BEFORE the prune; ties break
+    on ascending id, so batch-pruned ties can never beat kept ones)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    Q = np.asarray([q for _, _, q in per_q], dtype=np.float64)
+    qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
+    dim = Q.shape[1]
+    probe_sets = {qno: np.asarray(cells) for qno, cells, _ in per_q}
+    out_schema = T.StructType(
+        [
+            T.StructField("query_no", T.IntegerType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = pdf[vec_col]
+            valid = np.array(
+                [e is not None and len(e) == dim for e in emb], dtype=bool
+            )
+            if not valid.any():
+                continue
+            X = np.array(emb[valid].to_list(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()[valid]
+            cells = pdf["ivf_cell"].to_numpy()[valid]
+            norms = np.linalg.norm(X, axis=1)
+            sims = (X @ qn.T) / np.maximum(norms, 1e-12)[:, None]
+            sims = np.round(sims, 6)
+            for qno, cset in probe_sets.items():
+                m = np.isin(cells, cset)
+                if not m.any():
+                    continue
+                s, i = sims[m, qno], ids[m]
+                order = np.lexsort((i, -s))[:k]
+                best.append(
+                    pd.DataFrame(
+                        {"query_no": qno, id_col: i[order], "cosine": s[order]}
+                    )
+                )
+        if best:
+            allb = pd.concat(best, ignore_index=True)
+            allb = allb.sort_values(
+                ["query_no", "cosine", id_col], ascending=[True, False, True]
+            )
+            yield allb.groupby("query_no", group_keys=False).head(k)
+
+    cand = (
+        _spread(assigned)
+        .filter(F.col("ivf_cell").isin(all_cells))
+        .select(id_col, "ivf_cell", vec_col)
+        .mapInPandas(local_topk, out_schema)
     )
     w = Window.partitionBy("query_no").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -2288,6 +2387,7 @@ def ivf_topk_batch_store(
     cell_col: str = "ivf_cell",
     super_col: str = "ivf_super",
     where: Column | None = None,
+    engine: str = "catalyst",
 ) -> DataFrame:
     """``ivf_topk_batch`` straight off a ``write_ivf_store`` layout,
     addressing ONLY the probed cells' directories. ``where`` filters the
@@ -2352,6 +2452,7 @@ def ivf_topk_batch_store(
         children=children,
         p_super=p_super,
         where=where,
+        engine=engine,
     )
 
 
