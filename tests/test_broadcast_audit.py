@@ -248,6 +248,7 @@ _BOUNDED_KEYS: dict[str, tuple] = {
     # millions; the VOCABULARY self-join on __h is NOT attested and
     # stays merge-pinned in decontaminate.py)
     "decontaminate_ngrams": ("__src", "source_a", "source_b"),
+    "op_source_overlap": ("__src", "source_a", "source_b"),
 }
 _DIM_TABLES: dict[str, tuple] = {}
 
@@ -265,4 +266,25 @@ def test_registry_plan_broadcasts_bounded(spark, name):
         df,
         bounded_keys=_BOUNDED_KEYS.get(name, ()),
         dim_tables=_DIM_TABLES.get(name, ()),
+    )
+
+
+def _compat():
+    import __spark_entry__ as entry
+
+    return {k: v for k, v in entry.BENCH_COMPAT.items() if k not in _registry()}
+
+
+@pytest.mark.parametrize("name", sorted(_compat()))
+def test_bench_compat_plan_broadcasts_bounded(spark, name):
+    """The frozen _vN pin shapes run in every bench round — they get the
+    same gate as the registry (a data-sized broadcast in a pin shape
+    would OOM the bench at scale just the same). Attestations are keyed
+    by the base name (a version shares its row's key domains)."""
+    base = name.rsplit("_v", 1)[0]
+    df = _compat()[name](spark, SF)
+    assert_bounded_broadcasts(
+        df,
+        bounded_keys=_BOUNDED_KEYS.get(name, _BOUNDED_KEYS.get(base, ())),
+        dim_tables=_DIM_TABLES.get(name, _DIM_TABLES.get(base, ())),
     )
