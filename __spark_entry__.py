@@ -2070,8 +2070,8 @@ def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ ANN suite as one five-arm driver row (ivf / pq_adc /
-    ivfpq / ivfb_q0 / ivfb_q1), all over
+    """IVF + PQ ANN suite as one multi-arm driver row (ivf / pq_adc /
+    ivfpq / ivfb_q* / pqb_q* / sivf / ivf2 / ivfh / dist / dsb_q*), all over
     deterministic engine-reproducible quantizers (every communicated
     center rounded to 6 dp, so numpy twins re-derive them bit-identically
     from the raw parquet and the DuckDB oracle embeds them as literals):
@@ -2287,10 +2287,39 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("dist").alias("arm"), "vec_id", F.col("cosine").alias("score")
     )
+    # dsb arms (r13): DIRECT-PATH store serving — the (super, cell)
+    # store written by write_ivf_store, served by ivf_topk_batch_store
+    # (reads ONLY the probed cells' directories; SCALE.md r13) with the
+    # PARTIAL p_super=2 two-level probe. Values must equal the in-memory
+    # batch path over the same model/queries — which is exactly what the
+    # oracle re-derives (flat-argmin assignment CTE + literal two-level
+    # probe lists per query). Collected eagerly so the tmp store can be
+    # removed before returning the lazy union (the sivf-arm hygiene).
+    from zx_spark.operators.similarity import ivf_topk_batch_store, write_ivf_store
+
+    tmp2 = tempfile.mkdtemp(prefix="zx_ivf_store_")
+    write_ivf_store(store2, f"{tmp2}/store", super_col="ivf_super")
+    dsb_rows = ivf_topk_batch_store(
+        spark,
+        f"{tmp2}/store",
+        centers,
+        [ANN_QUERY_VEC, e2],
+        k=10,
+        nprobe=4,
+        supers=sup,
+        children=kids,
+        p_super=2,
+    ).select(
+        F.concat(F.lit("dsb_q"), F.col("query_no").cast("string")).alias("arm"),
+        "vec_id",
+        F.col("cosine").alias("score"),
+    ).collect()
+    shutil.rmtree(tmp2, ignore_errors=True)
+    dsb = spark.createDataFrame(dsb_rows, sivf_schema)
     return (
         ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
         .unionByName(pqb).unionByName(sivf).unionByName(ivf2)
-        .unionByName(ivfh).unionByName(dist)
+        .unionByName(ivfh).unionByName(dist).unionByName(dsb)
     )
 
 
@@ -4642,6 +4671,9 @@ def _ivf_pq_oracle(
     )
     e2 = [0.0, 1.0] + [0.0] * 62
     cells_q1 = probe_cells(centers, e2, nprobe)
+    # dsb arms (r13): the direct-path store serve probes through the SAME
+    # partial two-level selection as the ivf2 arm — per query
+    cells2_q1 = probe_cells_2level(centers, sup, kids, e2, nprobe, p_super=2)
     books = pq_codebooks_numpy(X, pq_m, pq_k, pq_iters)
     dim = X.shape[1]
     sub = dim // pq_m
@@ -4748,13 +4780,24 @@ def _ivf_pq_oracle(
         "ad AS (SELECT vec_id, v, list_position(dl, list_min(dl)) - 1 AS cell FROM dd), "
         f"dist_arm AS (SELECT 'dist' AS arm, vec_id, {cos} AS score "
         f"FROM ad WHERE {'cell IN (' + ', '.join(str(c) for c in dcells) + ')' if dcells else 'false'} "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        # dsb (r13): direct-path store serving — the written (super, cell)
+        # directories ARE the probe's cell filter, so the twin is the same
+        # flat-argmin assignment + per-query literal two-level probe list
+        f"dsb0 AS (SELECT 'dsb_q0' AS arm, vec_id, {cos} AS score "
+        f"FROM a WHERE {'cell IN (' + ', '.join(str(c) for c in cells2) + ')' if cells2 else 'false'} "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        "dsb1 AS (SELECT 'dsb_q1' AS arm, vec_id, "
+        "round(v[2] / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6) AS score "
+        f"FROM a WHERE {'cell IN (' + ', '.join(str(c) for c in cells2_q1) + ')' if cells2_q1 else 'false'} "
         f"ORDER BY score DESC, vec_id LIMIT {k}) "
         "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
         "UNION ALL SELECT * FROM ivfpq_arm "
         "UNION ALL SELECT * FROM b0 UNION ALL SELECT * FROM b1 "
         "UNION ALL SELECT * FROM pb0 UNION ALL SELECT * FROM pb1 "
         "UNION ALL SELECT * FROM sivf_arm UNION ALL SELECT * FROM ivf2_arm "
-        "UNION ALL SELECT * FROM ivfh_arm UNION ALL SELECT * FROM dist_arm"
+        "UNION ALL SELECT * FROM ivfh_arm UNION ALL SELECT * FROM dist_arm "
+        "UNION ALL SELECT * FROM dsb0 UNION ALL SELECT * FROM dsb1"
     )
 
 
