@@ -28,9 +28,13 @@ Phases, each resumable from its artifact:
 Run exclusively (local mode's driver heap is the execution heap):
     ZX_DRIVER_MEMORY=48g python tools/ann_store_serving.py \
         /tmp/zx_vec/n5e7 --out /tmp/zx_vec/n5e7_ivf \
-        --nprobe-grid 8,12,16,24,32
+        --nprobe-grid 8,12,16,24,32 --engines catalyst,arrow,filter
 
-Prints one JSON line.
+``--engines`` picks serving paths per grid point: ``catalyst`` /
+``arrow`` go through ``ivf_topk_batch_store`` (probed-directory reads;
+arrow = the BLAS batch scorer), ``filter`` reads the whole store and
+relies on partition pruning (pays the full file-index listing — the
+r13 baseline column). Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -68,6 +72,14 @@ def main() -> None:
             else "8,12,16,24,32"
         ).split(",")
     ]
+    # serving engines to time per grid point: 'catalyst' (oracle-grade
+    # JVM fold), 'arrow' (BLAS batch scorer), and/or 'filter' (read the
+    # whole store and rely on partition pruning — the r13 baseline)
+    engines = (
+        args[args.index("--engines") + 1].split(",")
+        if "--engines" in args
+        else ["catalyst"]
+    )
 
     import pyarrow.dataset as pads
 
@@ -78,6 +90,7 @@ def main() -> None:
         ivf2_assign,
         ivf2_fit_dist,
         ivf_topk_batch,
+        ivf_topk_batch_store,
         with_super_col,
         write_ivf_store,
     )
@@ -151,13 +164,16 @@ def main() -> None:
         timings["assign_write_sec"] = round(time.time() - t0, 1)
 
     # ---- phase 3: serving on the pruned store
-    t0 = time.time()
-    stored = spark.read.parquet(store_path)
-    # force the file-index build (the catalog cost the hierarchical
-    # layout bounds): planning any query lists the partition tree once
-    stored.select(F.lit(1)).limit(1).collect()
-    timings["store_listing_sec"] = round(time.time() - t0, 1)
-    n_files = len(stored.inputFiles())
+    n_files = -1
+    stored = None
+    if "filter" in engines:
+        t0 = time.time()
+        stored = spark.read.parquet(store_path)
+        # force the file-index build (the catalog cost the hierarchical
+        # layout bounds): planning any query lists the partition tree once
+        stored.select(F.lit(1)).limit(1).collect()
+        timings["store_listing_sec"] = round(time.time() - t0, 1)
+        n_files = len(stored.inputFiles())
 
     qt = pads.dataset(raw, format="parquet").to_table(
         filter=pads.field("vec_id") < n_q, columns=["vec_id", "embedding"]
@@ -176,23 +192,36 @@ def main() -> None:
 
     recalls: dict[str, float] = {}
     serve_secs: dict[str, float] = {}
-    for np_i in grid:
-        t0 = time.time()
-        got = {
-            (r["query_no"], r["vec_id"])
-            for r in ivf_topk_batch(
-                stored,
-                centers,
-                qvecs,
-                k=k,
-                nprobe=np_i,
-                supers=supers,
-                children=children,
-                super_col="ivf_super",
-            ).collect()
-        }
-        serve_secs[str(np_i)] = round(time.time() - t0, 1)
-        recalls[str(np_i)] = round(len(gt & got) / max(1, len(gt)), 4)
+    for eng in engines:
+        for np_i in grid:
+            t0 = time.time()
+            if eng == "filter":
+                out_df = ivf_topk_batch(
+                    stored,
+                    centers,
+                    qvecs,
+                    k=k,
+                    nprobe=np_i,
+                    supers=supers,
+                    children=children,
+                    super_col="ivf_super",
+                )
+            else:
+                out_df = ivf_topk_batch_store(
+                    spark,
+                    store_path,
+                    centers,
+                    qvecs,
+                    k=k,
+                    nprobe=np_i,
+                    supers=supers,
+                    children=children,
+                    engine=eng,
+                )
+            got = {(r["query_no"], r["vec_id"]) for r in out_df.collect()}
+            key = str(np_i) if engines == ["catalyst"] else f"{np_i}/{eng}"
+            serve_secs[key] = round(time.time() - t0, 1)
+            recalls[key] = round(len(gt & got) / max(1, len(gt)), 4)
 
     print(
         json.dumps(
