@@ -7,7 +7,11 @@ guessing.
 ``plan_report`` is the programmatic form of the assertions
 tests/test_plan_quality.py makes ad hoc — exposed so pipelines can
 gate on plan shape in CI ("this query must broadcast", "no cartesian
-ever") the same way they gate on results."""
+ever") the same way they gate on results. ``broadcast_audit`` /
+``assert_bounded_broadcasts`` (r13) add the broadcast-bound gate:
+every BroadcastExchange input classified bounded / tracked / untrusted
+by a structural walk of the plan tree — the estimate-small-but-
+data-sized build sides that OOM only at scale fail in CI instead."""
 
 from __future__ import annotations
 
