@@ -624,3 +624,100 @@ def test_knn_score_engine_pq(model):
             assigned, centers, supers, children, k=3, nprobe=4,
             score_engine="pq", shortlist=2, codebooks=books,
         ).collect()
+
+def test_ivf_store_manifest_roundtrip_and_serving(spark, model, tmp_path):
+    """r14 (VERDICT r13 item 2): write_ivf_store emits a manifest whose
+    cells/supers/rows match the written tree; ivf_topk_batch_store
+    resolves probed directories FROM it (no os.path.exists), returning
+    exactly the fallback (POSIX-walk) rows; a pre-manifest store is
+    upgradeable in place with write_ivf_manifest."""
+    import json
+    import os
+
+    from zx_spark.operators.similarity import (
+        IVF_MANIFEST,
+        ivf_topk_batch_store,
+        read_ivf_manifest,
+        write_ivf_manifest,
+    )
+
+    _, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(assigned, children, len(centers))
+    path = str(tmp_path / "store_m")
+    write_ivf_store(ann, path, super_col="ivf_super")
+
+    man = read_ivf_manifest(spark, path)
+    assert man is not None and man["cell_col"] == "ivf_cell"
+    assert man["super_col"] == "ivf_super"
+    # manifest == the on-disk tree, entry by entry (and rows add up)
+    on_disk = {}
+    for sup in os.listdir(path):
+        if not sup.startswith("ivf_super="):
+            continue
+        s = int(sup.split("=")[1])
+        for cell in os.listdir(os.path.join(path, sup)):
+            if cell.startswith("ivf_cell="):
+                on_disk[cell.split("=")[1]] = s
+    assert {c: e["super"] for c, e in man["cells"].items()} == on_disk
+    assert sum(e["rows"] for e in man["cells"].values()) == ann.count()
+
+    qs = [[float(x) for x in X[i]] for i in (0, 7, 19)]
+    via_manifest = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=4, supers=supers,
+        children=children,
+    ).collect()
+    # remove the manifest: the POSIX fallback must return the same rows
+    os.remove(os.path.join(path, IVF_MANIFEST))
+    fallback = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=4, supers=supers,
+        children=children,
+    ).collect()
+    assert sorted(map(tuple, via_manifest)) == sorted(map(tuple, fallback))
+    assert via_manifest
+
+    # in-place upgrade of a pre-manifest store
+    man2 = write_ivf_manifest(spark, path, super_col="ivf_super")
+    assert man2["cells"] == man["cells"]
+    with open(os.path.join(path, IVF_MANIFEST)) as fh:
+        assert json.load(fh) == man2
+    again = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=4, supers=supers,
+        children=children,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, via_manifest))
+
+
+def test_ivf_store_custom_cell_col_serves(spark, model, tmp_path):
+    """ADVICE r13 (medium): a store written AND served with a
+    non-default cell_col must work end-to-end — the column name now
+    threads through ivf_topk_batch and the arrow scorer instead of
+    crashing on a hardcoded 'ivf_cell'."""
+    from zx_spark.operators.similarity import ivf_topk_batch_store
+
+    _, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(
+        assigned.withColumnRenamed("ivf_cell", "cellz"),
+        children,
+        len(centers),
+        cell_col="cellz",
+        super_col="superz",
+    )
+    path = str(tmp_path / "store_cc")
+    write_ivf_store(ann, path, cell_col="cellz", super_col="superz")
+    qs = [[float(x) for x in X[i]] for i in (3, 12)]
+    for engine in ("catalyst", "arrow"):
+        got = ivf_topk_batch_store(
+            spark, path, centers, qs, k=5, nprobe=4, supers=supers,
+            children=children, cell_col="cellz", super_col="superz",
+            engine=engine,
+        ).collect()
+        ref = ivf_topk_batch(
+            assigned, centers, qs, k=5, nprobe=4, supers=supers,
+            children=children, engine=engine,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, ref)) and got
+    # layout mismatch fails fast instead of AnalysisException downstream
+    with pytest.raises(ValueError, match="cell_col"):
+        ivf_topk_batch_store(
+            spark, path, centers, qs, supers=supers, children=children,
+        )

@@ -449,6 +449,7 @@ def ivf_topk(
     children=None,
     p_super: int | None = None,
     super_col: str | None = None,
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """ANN top-k: score only the ``nprobe`` cells whose centroids are
     nearest the query (computed driver-side on the tiny centers array),
@@ -472,7 +473,7 @@ def ivf_topk(
     if super_col is not None and supers is not None:
         assigned = _super_prune(assigned, cells, children, centers, super_col)
     return (
-        assigned.filter(F.col("ivf_cell").isin(cells))
+        assigned.filter(F.col(cell_col).isin(cells))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -493,6 +494,7 @@ def ivf_topk_batch(
     super_col: str | None = None,
     where: Column | None = None,
     engine: str = "catalyst",
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """IVF serving for a BATCH of queries in ONE scan: each query keeps
     its own driver-side probe list; the store is read once, pruned to
@@ -555,7 +557,7 @@ def ivf_topk_batch(
         assigned = assigned.filter(where)
     if engine == "arrow":
         return _ivf_topk_batch_arrow(
-            assigned, per_q, all_cells, vec_col, id_col, k
+            assigned, per_q, all_cells, vec_col, id_col, k, cell_col=cell_col
         )
     v = F.col(vec_col).cast("array<double>")
     scored = F.array(
@@ -563,7 +565,7 @@ def ivf_topk_batch(
             F.struct(
                 F.lit(qno).alias("query_no"),
                 F.when(
-                    F.col("ivf_cell").isin(cells),
+                    F.col(cell_col).isin(cells),
                     F.round(cosine(v, F.lit(q)), 6),
                 ).alias("cosine"),
             )
@@ -572,7 +574,7 @@ def ivf_topk_batch(
     )
     cand = (
         _spread(assigned)
-        .filter(F.col("ivf_cell").isin(all_cells))
+        .filter(F.col(cell_col).isin(all_cells))
         .select(F.col(id_col), F.explode(scored).alias("__s"))
         .select(id_col, "__s.query_no", "__s.cosine")
         .filter(F.col("cosine").isNotNull())
@@ -593,6 +595,7 @@ def _ivf_topk_batch_arrow(
     vec_col: str,
     id_col: str,
     k: int,
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """Arrow engine for ``ivf_topk_batch``: one BLAS matmul per batch
     against all Q queries, per-row probe gating via a (cell → queries)
@@ -630,7 +633,7 @@ def _ivf_topk_batch_arrow(
                 continue
             X = np.array(emb[valid].to_list(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()[valid]
-            cells = pdf["ivf_cell"].to_numpy()[valid]
+            cells = pdf[cell_col].to_numpy()[valid]
             norms = np.linalg.norm(X, axis=1)
             sims = (X @ qn.T) / np.maximum(norms, 1e-12)[:, None]
             sims = np.round(sims, 6)
@@ -654,8 +657,8 @@ def _ivf_topk_batch_arrow(
 
     cand = (
         _spread(assigned)
-        .filter(F.col("ivf_cell").isin(all_cells))
-        .select(id_col, "ivf_cell", vec_col)
+        .filter(F.col(cell_col).isin(all_cells))
+        .select(id_col, cell_col, vec_col)
         .mapInPandas(local_topk, out_schema)
     )
     w = Window.partitionBy("query_no").orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -2348,11 +2351,107 @@ def ivf_build_lloyd(
     return ivf_assign(df, centers, vec_col), np.array(centers)
 
 
+IVF_MANIFEST = "_zx_ivf_manifest.json"
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through Hadoop's FileSystem API — works on
+    every scheme the session can read (file:, s3a:, gs:, abfs:, hdfs:),
+    unlike ``open()``. The leading underscore in the manifest name keeps
+    Spark's parquet reader from treating it as data."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(text.encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str | None:
+    """Read a small text file through Hadoop's FileSystem API; None when
+    it does not exist (any scheme)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_ivf_manifest(
+    spark,
+    path: str,
+    cell_col: str = "ivf_cell",
+    super_col: str | None = None,
+) -> dict:
+    """Write the store's serving manifest (``_zx_ivf_manifest.json``):
+    one entry per non-empty cell — its super (when hierarchical) and row
+    count — derived from ONE read-back aggregation over the partition
+    columns (partition values come from directory names; the scan
+    materializes no data columns). ``ivf_topk_batch_store`` resolves
+    probed directories from this instead of per-directory existence
+    checks, so the direct path works on object stores (where LIST is
+    metered and ``os.path.exists`` is meaningless) and the full-tree
+    listing cost is paid ONCE at write time, by the writer that already
+    owns the tree — not by the first serving batch (the measured 149 s
+    first-listing at 2×10⁵ cells, SCALE.md r13).
+
+    Standalone entry point so pre-manifest stores can be upgraded in
+    place; returns the manifest dict."""
+    import json as _json
+
+    cols = [cell_col] if super_col is None else [super_col, cell_col]
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__rows"))
+        .collect()
+    )
+    cells = {
+        str(int(r[cell_col])): {
+            "super": int(r[super_col]) if super_col is not None else None,
+            "rows": int(r["__rows"]),
+        }
+        for r in rows
+        if r[cell_col] is not None
+    }
+    man = {
+        "version": 1,
+        "cell_col": cell_col,
+        "super_col": super_col,
+        "n_cells": len(cells),
+        "cells": cells,
+    }
+    _fs_write_text(
+        spark, f"{path.rstrip('/')}/{IVF_MANIFEST}", _json.dumps(man)
+    )
+    return man
+
+
+def read_ivf_manifest(spark, path: str) -> dict | None:
+    """The store's serving manifest, or None for a pre-manifest store
+    (callers fall back to local-filesystem directory checks)."""
+    import json as _json
+
+    try:
+        text = _fs_read_text(spark, f"{path.rstrip('/')}/{IVF_MANIFEST}")
+    except Exception:
+        return None
+    return _json.loads(text) if text else None
+
+
 def write_ivf_store(
     assigned: DataFrame,
     path: str,
     cell_col: str = "ivf_cell",
     super_col: str | None = None,
+    manifest: bool = True,
 ) -> None:
     """Persist an IVF-assigned vector table partitioned by cell — the
     layout that turns ``ivf_topk``'s ``nprobe`` cell filter into Parquet
@@ -2363,9 +2462,18 @@ def write_ivf_store(
     hierarchical — ``super=<s>/cell=<c>/`` — so at n_cells ∝ N scale
     (10^5-10^6 leaf dirs) the catalog lists ~√n_cells top-level
     directories and only the probed supers' children; the probe's cell
-    filter still prunes exactly as before."""
+    filter still prunes exactly as before.
+
+    ``manifest`` (default) also writes ``_zx_ivf_manifest.json`` (see
+    ``write_ivf_manifest``) so the direct serving path resolves probed
+    directories without touching the filesystem — required for object
+    stores, and it moves the one full-tree listing to write time."""
     cols = [cell_col] if super_col is None else [super_col, cell_col]
     assigned.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    if manifest:
+        write_ivf_manifest(
+            assigned.sparkSession, path, cell_col=cell_col, super_col=super_col
+        )
 
 
 def read_ivf_store(spark, path: str) -> DataFrame:
@@ -2406,10 +2514,14 @@ def ivf_topk_batch_store(
     catalog. Values identical to ``ivf_topk_batch`` over the full store
     (the directories ARE the cell filter; test-pinned).
 
-    Empty probed cells simply have no directory (the writer emits none)
-    and are skipped; raises if NO probed directory exists. Local/POSIX
-    path semantics — an object-store deployment fronts this with its
-    manifest/metastore instead."""
+    Probed directories are resolved from the store's manifest
+    (``_zx_ivf_manifest.json``, written by ``write_ivf_store``) when one
+    exists — no filesystem probing at all, so the direct path works on
+    any scheme the session can read (object stores included) and empty
+    probed cells are skipped by lookup. Pre-manifest stores fall back to
+    local ``os.path.exists`` checks per probed directory (POSIX-only;
+    upgrade in place with ``write_ivf_manifest``). Raises if NO probed
+    cell exists in either resolution."""
     import os
 
     if not query_vecs:
@@ -2422,14 +2534,33 @@ def ivf_topk_batch_store(
         }
     )
     base = path.rstrip("/")
-    if supers is not None:
+    man = read_ivf_manifest(spark, base)
+    if man is not None:
+        if man.get("cell_col") != cell_col:
+            raise ValueError(
+                f"store manifest records cell_col={man.get('cell_col')!r} "
+                f"but caller passed {cell_col!r} — mismatched layout"
+            )
+        msuper = man.get("super_col")
+        entries = man.get("cells", {})
+        dirs = []
+        for c in all_cells:
+            e = entries.get(str(c))
+            if e is None:
+                continue  # empty cell: the writer emitted no directory
+            if msuper is not None:
+                dirs.append(f"{base}/{msuper}={e['super']}/{cell_col}={c}")
+            else:
+                dirs.append(f"{base}/{cell_col}={c}")
+    elif supers is not None:
         owner = super_of_cells(children, len(np.asarray(centers)))
         dirs = [
             f"{base}/{super_col}={owner[c]}/{cell_col}={c}" for c in all_cells
         ]
+        dirs = [d for d in dirs if os.path.exists(d)]
     else:
         dirs = [f"{base}/{cell_col}={c}" for c in all_cells]
-    dirs = [d for d in dirs if os.path.exists(d)]
+        dirs = [d for d in dirs if os.path.exists(d)]
     if not dirs:
         raise ValueError(
             f"none of the {len(all_cells)} probed cell directories exist "
@@ -2453,6 +2584,7 @@ def ivf_topk_batch_store(
         p_super=p_super,
         where=where,
         engine=engine,
+        cell_col=cell_col,
     )
 
 
