@@ -390,13 +390,15 @@ def drop_contaminated(
     n: int = 5,
     min_overlap: int = 1,
 ) -> DataFrame:
-    """The applied form: corpus minus contaminated documents (left
-    anti-join on the flag set — the flag set is small, so this is a
-    broadcast anti-join at scale)."""
+    """The applied form: corpus minus contaminated documents. The flag
+    set is ∝ benchmark overlap — normally tiny, but a corpus that embeds
+    the benchmark wholesale flags itself, so the anti-join broadcasts
+    only when a runtime count verifies the set fits
+    (``anti_join_ids``)."""
+    from zx_spark.operators.dedup import anti_join_ids
+
     flagged = decontaminate(corpus, benchmark, text_col, id_col, n, min_overlap)
-    return corpus.join(
-        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
-    )
+    return anti_join_ids(corpus, flagged.select(id_col), id_col)
 
 
 # ---------------------------------------------------- line-level scrub

@@ -465,6 +465,11 @@ def resolve_entities(
     )
     if comp.count() <= broadcast_threshold:
         comp = F.broadcast(comp)
+    else:
+        # past the measured bound the label frame must NOT be left to
+        # Catalyst's agg-output estimate (the r12 estimate-small OOM
+        # class) — pin the spillable join
+        comp = comp.hint("merge")
     return (
         df.join(comp, on=id_col, how="left")
         .withColumn("entity_id", F.coalesce("component", F.col(id_col)))

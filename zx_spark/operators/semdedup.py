@@ -291,11 +291,15 @@ def semantic_dedup(
 ) -> DataFrame:
     """One-call SemDeDup: fit → within-cluster pairs → drop losers.
     Returns the kept rows of ``df`` (original columns). The drop set is
-    small relative to the corpus (it is the duplicate mass), so the
-    anti-join broadcasts. ``sample_n`` sizes the fit sample for
-    ``method='sampled'`` AND the driver-side super sample for
-    ``method='dist'`` (ignored by lloyd/kmeans); ``assign`` picks the
-    full-corpus annotation path (see ``semantic_dedup_fit``)."""
+    the duplicate mass — ∝ the corpus in the worst case — so the
+    anti-join broadcasts only when a runtime count verifies it fits
+    (``anti_join_ids``); past the threshold it pins sort-merge.
+    ``sample_n`` sizes the fit sample for ``method='sampled'`` AND the
+    driver-side super sample for ``method='dist'`` (ignored by
+    lloyd/kmeans); ``assign`` picks the full-corpus annotation path (see
+    ``semantic_dedup_fit``)."""
+    from zx_spark.operators.dedup import anti_join_ids
+
     annotated, _ = semantic_dedup_fit(
         df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, iters=iters, dim=dim,
         method=method, sample_n=sample_n, assign=assign,
@@ -304,4 +308,4 @@ def semantic_dedup(
         annotated, threshold=threshold, vec_col=vec_col, id_col=id_col
     )
     dropped = semantic_dropped_ids(pairs, id_col=id_col)
-    return df.join(F.broadcast(dropped), id_col, "left_anti")
+    return anti_join_ids(df, dropped, id_col)

@@ -60,7 +60,12 @@ from pyspark.sql import functions as F
 from zx_spark.functions.pii import PII_TYPES, with_pii_scrubbed
 from zx_spark.functions.text import language_id, text_quality
 from zx_spark.operators.decontaminate import drop_contaminated
-from zx_spark.operators.dedup import drop_by_components, exact_dedup, near_dup_pairs
+from zx_spark.operators.dedup import (
+    anti_join_ids,
+    drop_by_components,
+    exact_dedup,
+    near_dup_pairs,
+)
 from zx_spark.operators.sampling import (
     hash_sample,
     mix_to_proportions,
@@ -255,9 +260,9 @@ def curate_corpus(
             annotated, threshold=semantic_threshold,
             vec_col=embedding_vec_col, id_col=id_col,
         )
-        out = out.join(
-            F.broadcast(semantic_dropped_ids(pairs, id_col)), id_col, "left_anti"
-        )
+        # drop set ∝ semantic-duplicate mass: runtime count-gated
+        # broadcast (anti_join_ids), never an unmeasured hint
+        out = anti_join_ids(out, semantic_dropped_ids(pairs, id_col), id_col)
     if history_signatures is not None:
         # cross-batch dedup: drop docs near-duplicating the HISTORICAL
         # corpus — only this batch is signed, history moves as (id,
@@ -298,7 +303,9 @@ def curate_corpus(
             vec_col=embedding_vec_col,
             id_col=id_col,
         ).select(id_col).distinct()
-        out = out.join(F.broadcast(leaks), id_col, "left_anti")
+        # leak set ∝ benchmark × near-dup rate — corpus-sized under
+        # adversarial overlap, so the same count-gated anti-join
+        out = anti_join_ids(out, leaks, id_col)
     if mix_proportions is not None:
         # downsample-only: mixing must not duplicate rows ahead of the
         # leak-proof split (a repeated key would land whole in one split,

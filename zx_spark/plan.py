@@ -272,26 +272,39 @@ def _classify(node, bounded_keys: frozenset, dim_tables: frozenset):
     return max(subs, key=lambda s: s[0])
 
 
-def _author_hinted(parent, child_idx: int) -> bool:
-    """True when the physical join above a BroadcastExchange traces back
-    (``logicalLink``) to a logical Join whose hint REQUESTED a broadcast
-    of that side — i.e. the author wrote ``F.broadcast(...)``/
+def _author_hinted(join_node, branch_idx: int) -> bool:
+    """True when the enclosing physical join of a BroadcastExchange
+    traces back (``logicalLink``) to a logical Join whose hint REQUESTED
+    a broadcast — i.e. the author wrote ``F.broadcast(...)``/
     ``.hint("broadcast")``. SCALE.md's audit lesson distinguishes exactly
     this: "a broadcast an operator did NOT explicitly bound is a latent
     OOM" — an explicit hint is the operator bounding it, with the
-    contract in its docstring (e.g. contaminated_docs' benchmark set)."""
-    if parent is None:
+    contract in its docstring (e.g. contaminated_docs' benchmark set).
+
+    ``join_node`` is the nearest JOIN ancestor (the audit's traversal
+    carries it through wrapper nodes — WholeStageCodegen/InputAdapter/
+    ReusedExchange — so a disabled-AQE plan attributes hints the same
+    way, ADVICE r13). The descended branch is checked first; because a
+    logical↔physical side swap or a missing per-side link can make the
+    branch mapping ambiguous, a broadcast hint on the OTHER side of the
+    same join also counts: a BroadcastHashJoin builds exactly one side,
+    and when its logical Join carries any broadcast hint, that hint is
+    what committed the build (Catalyst honors the hinted side whenever
+    it is buildable)."""
+    if join_node is None:
         return False
     try:
-        ll = parent.logicalLink()
+        ll = join_node.logicalLink()
         if not ll.isDefined():
             return False
         lg = ll.get()
         if _jname(lg) != "Join":
             return False
         h = str(lg.hint().toString())
-        side = "leftHint" if child_idx == 0 else "rightHint"
-        return f"{side}=(strategy=broadcast" in h
+        side = "leftHint" if branch_idx == 0 else "rightHint"
+        if f"{side}=(strategy=broadcast" in h:
+            return True
+        return "strategy=broadcast" in h
     except Exception:
         return False
 
@@ -318,9 +331,13 @@ def broadcast_audit(
     bk, dt = frozenset(bounded_keys), frozenset(dim_tables)
     names = {_BOUNDED: "bounded", _TRACKED: "tracked", _UNTRUSTED: "untrusted"}
     found: list[dict] = []
+    # traversal carries the nearest JOIN ancestor + which branch of it we
+    # descended, not the immediate parent: wrapper nodes (WholeStage
+    # Codegen/InputAdapter/ReusedExchange, present with AQE disabled)
+    # between join and exchange must not break hint attribution
     stack = [(root, None, 0)]
     while stack:
-        n, parent, idx = stack.pop()
+        n, join, branch = stack.pop()
         if _jname(n) == "BroadcastExchangeExec":
             for c in _jchildren(n):
                 lv, reason = _classify(c, bk, dt)
@@ -328,11 +345,12 @@ def broadcast_audit(
                     {
                         "level": names[lv],
                         "reason": reason,
-                        "hinted": _author_hinted(parent, idx),
+                        "hinted": _author_hinted(join, branch),
                     }
                 )
+        is_join = _jname(n) in _JOIN_NODES
         for i, c in enumerate(_jchildren(n)):
-            stack.append((c, n, i))
+            stack.append((c, n, i) if is_join else (c, join, branch))
     return found
 
 
