@@ -3275,8 +3275,6 @@ def q_multimodal_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("probe.height").alias("png_h"),
         F.col("probe.valid").alias("probe_valid"),
     )
-    # merge hint: the frame-count agg is doc-keyed (∝ corpus),
-    # estimate-small (SCALE.md r12 class); sort-merge spills
     # merge hints: the frame-count agg is doc-keyed (∝ corpus) and the
     # second join would otherwise broadcast the whole first join's
     # output (estimate-small, data-sized — SCALE.md r12 class)

@@ -534,7 +534,13 @@ def ivf_topk_batch(
     (measured: it, not the scan, dominated pruned-store serving at
     5×10⁷ — SCALE.md r13). Same last-ulp/6-dp-midpoint caveat as every
     arrow engine in this module (np.round half-even vs F.round
-    half-up); the driver row keeps catalyst."""
+    half-up); the driver row keeps catalyst.
+
+    Measured rule (5×10⁷ store, warm repeated 64-query batches, SCALE.md
+    r14): ``arrow`` sustains ~3-3.6× catalyst's throughput at every
+    nprobe (27 vs 7.6 qps at nprobe=8) — default to ``arrow`` for
+    serving; pick ``catalyst`` only when cross-engine 6-dp midpoint
+    reproducibility (oracle comparisons) outweighs 3× throughput."""
     if not query_vecs:
         raise ValueError("ivf_topk_batch needs at least one query vector")
     if engine not in ("catalyst", "arrow"):
@@ -2521,7 +2527,8 @@ def ivf_topk_batch_store(
     probed cells are skipped by lookup. Pre-manifest stores fall back to
     local ``os.path.exists`` checks per probed directory (POSIX-only;
     upgrade in place with ``write_ivf_manifest``). Raises if NO probed
-    cell exists in either resolution."""
+    cell exists in either resolution. ``engine``: see ``ivf_topk_batch``
+    — measured at 5×10⁷, ``arrow`` serves ~3× catalyst's throughput."""
     import os
 
     if not query_vecs:

@@ -159,10 +159,15 @@ def invalidate_stats(spark: SparkSession, path: str) -> None:
     Every library write path calls this; external writers must call it
     (or ``register_views`` again after it) themselves.
 
-    Also refreshes Spark's cached file index for the path
-    (``refreshByPath``): the catalog table otherwise serves the OLD file
-    listing after an in-place rewrite — stale or deleted part files
-    (ADVICE r12)."""
+    Also refreshes Spark's cached FILE INDEX — by catalog TABLE NAME,
+    matched on the path digest (``refreshTable``, deliberately not
+    ``refreshByPath``: the catalog stores a ``file:`` URI that need not
+    string-match the raw path, and a missed refresh makes the next
+    ANALYZE scan the stale listing). Note the invalidation is one half
+    of the contract: already-materialized views keep serving the OLD
+    stats until ``register_views`` runs again and re-ANALYZEs — a
+    mutation site that queries before re-registering still plans on
+    stale rowCounts (ADVICE r12/r13)."""
     suffix = f"_{_stats_digest(path)}"
     app = spark.sparkContext.applicationId
     for k in [k for k in _ANALYZED if k[0] == app and k[1].endswith(suffix)]:
