@@ -88,6 +88,13 @@ def main() -> None:
     # single-batch grid (same model, same serving math) and was pinned
     # in r12/r13.
     repeat = int(args[args.index("--repeat") + 1]) if "--repeat" in args else 0
+    # --concurrent T: with --repeat, submit the N batches from T driver
+    # threads (Spark's scheduler interleaves the jobs — the multi-client
+    # serving shape); wall-clock QPS then reflects scheduler overlap,
+    # not just sequential batch latency.
+    concurrent = (
+        int(args[args.index("--concurrent") + 1]) if "--concurrent" in args else 1
+    )
 
     import pyarrow.dataset as pads
 
@@ -207,36 +214,48 @@ def main() -> None:
     if repeat:
         # ---- throughput mode: N warm batches per engine per nprobe
         batches = [qvecs[i * n_q : (i + 1) * n_q] for i in range(repeat)]
+
+        def _serve_one(eng, np_i, b):
+            t0 = time.time()
+            if eng == "filter":
+                out_df = ivf_topk_batch(
+                    stored, centers, b, k=k, nprobe=np_i,
+                    supers=supers, children=children,
+                    super_col="ivf_super",
+                )
+            else:
+                out_df = ivf_topk_batch_store(
+                    spark, store_path, centers, b, k=k, nprobe=np_i,
+                    supers=supers, children=children, engine=eng,
+                )
+            rows = out_df.collect()
+            assert len(rows) == k * len(b), (eng, np_i, len(rows))
+            return time.time() - t0
+
         thr: dict[str, dict] = {}
         for eng in engines:
+            if eng == "filter" and stored is None:
+                stored = spark.read.parquet(store_path)
             for np_i in grid:
-                walls = []
-                for b in batches:
-                    t0 = time.time()
-                    if eng == "filter":
-                        if stored is None:
-                            stored = spark.read.parquet(store_path)
-                        out_df = ivf_topk_batch(
-                            stored, centers, b, k=k, nprobe=np_i,
-                            supers=supers, children=children,
-                            super_col="ivf_super",
+                t_all = time.time()
+                if concurrent > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(concurrent) as pool:
+                        walls = list(
+                            pool.map(lambda b: _serve_one(eng, np_i, b), batches)
                         )
-                    else:
-                        out_df = ivf_topk_batch_store(
-                            spark, store_path, centers, b, k=k, nprobe=np_i,
-                            supers=supers, children=children, engine=eng,
-                        )
-                    rows = out_df.collect()
-                    walls.append(time.time() - t0)
-                    assert len(rows) == k * len(b), (eng, np_i, len(rows))
+                else:
+                    walls = [_serve_one(eng, np_i, b) for b in batches]
+                wall_total = time.time() - t_all
                 key = f"{np_i}/{eng}"
-                total = sum(walls)
                 thr[key] = {
                     "batch_secs": [round(w, 2) for w in walls],
-                    "mean_sec": round(total / len(walls), 2),
+                    "mean_sec": round(sum(walls) / len(walls), 2),
                     "min_sec": round(min(walls), 2),
-                    "batches_per_min": round(60.0 * len(walls) / total, 2),
-                    "qps": round(n_q * len(walls) / total, 1),
+                    "wall_sec": round(wall_total, 2),
+                    "batches_per_min": round(60.0 * len(walls) / wall_total, 2),
+                    "qps": round(n_q * len(walls) / wall_total, 1),
                 }
         print(
             json.dumps(
@@ -248,6 +267,7 @@ def main() -> None:
                     "n_cells": n_cells,
                     "queries_per_batch": n_q,
                     "batches": repeat,
+                    "concurrent": concurrent,
                     "k": k,
                     "throughput": thr,
                     **timings,
