@@ -2375,21 +2375,6 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         out.close()
 
 
-def _fs_read_text(spark, path: str) -> str | None:
-    """Read a small text file through Hadoop's FileSystem API; None when
-    it does not exist (any scheme)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return None
-    stream = fs.open(hpath)
-    try:
-        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-
-
 def write_ivf_manifest(
     spark,
     path: str,
@@ -2440,16 +2425,42 @@ def write_ivf_manifest(
     return man
 
 
+# parsed-manifest memo keyed by (path, file modification time): a
+# 2×10⁵-cell manifest is ~10 MB of JSON — re-parsing it per serving
+# batch would tax every batch ~4% for a file that changes only when the
+# store is rewritten (the mtime key invalidates on rewrite).
+_MANIFEST_CACHE: dict[str, tuple[int, dict]] = {}
+
+
 def read_ivf_manifest(spark, path: str) -> dict | None:
     """The store's serving manifest, or None for a pre-manifest store
-    (callers fall back to local-filesystem directory checks)."""
+    (callers fall back to local-filesystem directory checks). Parsed
+    once per (path, modification time) — repeated serving batches hit
+    the memo."""
     import json as _json
 
+    fpath = f"{path.rstrip('/')}/{IVF_MANIFEST}"
     try:
-        text = _fs_read_text(spark, f"{path.rstrip('/')}/{IVF_MANIFEST}")
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(fpath)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        mtime = int(fs.getFileStatus(hpath).getModificationTime())
+        hit = _MANIFEST_CACHE.get(fpath)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        stream = fs.open(hpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
     except Exception:
         return None
-    return _json.loads(text) if text else None
+    man = _json.loads(text) if text else None
+    if man is not None:
+        _MANIFEST_CACHE[fpath] = (mtime, man)
+    return man
 
 
 def write_ivf_store(
