@@ -721,3 +721,222 @@ def test_ivf_store_custom_cell_col_serves(spark, model, tmp_path):
         ivf_topk_batch_store(
             spark, path, centers, qs, supers=supers, children=children,
         )
+
+
+# ------------------------------------------------ r14: store ingest lifecycle
+
+
+def test_ivf_store_append_incremental_and_serving(spark, model, tmp_path):
+    """r14: ivf_store_append folds new vectors into a live store —
+    serving after append ≡ serving a store rebuilt from the union, the
+    manifest update is incremental (touched cells recounted from disk,
+    new cells folded in, rows_appended exact), and the quantizer
+    fingerprint rejects a mismatched model at append AND serve time."""
+    import os
+
+    from zx_spark.operators.similarity import (
+        ivf_store_append,
+        ivf_topk_batch_store,
+        read_ivf_manifest,
+    )
+
+    _, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(assigned, children, len(centers))
+    # hold back one whole cell plus a slice of ids: the append exercises
+    # both grow-an-existing-cell and first-vectors-of-a-new-cell
+    held_cell = int(ann.select("ivf_cell").first()[0])
+    base_part = ann.filter(
+        (F.col("ivf_cell") != held_cell) & (F.col("vec_id") < 350)
+    )
+    appended = ann.filter(
+        (F.col("ivf_cell") == held_cell) | (F.col("vec_id") >= 350)
+    )
+    n_app = appended.count()
+    path = str(tmp_path / "store_app")
+    write_ivf_store(base_part, path, super_col="ivf_super", centers=centers)
+    man0 = read_ivf_manifest(spark, path)
+    assert man0["version"] == 2 and man0["centers_sha"]
+    assert all(e["files"] >= 1 for e in man0["cells"].values())
+
+    got = ivf_store_append(
+        appended, path, super_col="ivf_super", centers=centers
+    )
+    assert got["rows_appended"] == n_app
+    assert got["cells_new"] >= 1
+    man1 = read_ivf_manifest(spark, path)
+    assert sum(e["rows"] for e in man1["cells"].values()) == ann.count()
+    assert str(held_cell) in man1["cells"]
+
+    # serving off the appended store == serving a store rebuilt whole
+    rebuilt = str(tmp_path / "store_whole")
+    write_ivf_store(ann, rebuilt, super_col="ivf_super", centers=centers)
+    qs = [[float(x) for x in X[i]] for i in (2, 9, 365)]
+    a = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=6, supers=supers,
+        children=children,
+    ).collect()
+    b = ivf_topk_batch_store(
+        spark, rebuilt, centers, qs, k=5, nprobe=6, supers=supers,
+        children=children,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+    # a different quantizer is rejected before it can poison the store
+    wrong = [[c + 0.5 for c in row] for row in centers]
+    with pytest.raises(ValueError, match="quantizer mismatch"):
+        ivf_store_append(appended, path, super_col="ivf_super", centers=wrong)
+    with pytest.raises(ValueError, match="quantizer mismatch"):
+        ivf_topk_batch_store(
+            spark, path, wrong, qs, k=5, nprobe=6, supers=supers,
+            children=children,
+        )
+    # a cell arriving under the wrong super = two dirs for one cell
+    bad = appended.limit(3).withColumn(
+        "ivf_super", (F.col("ivf_super") + 1) % F.lit(len(supers))
+    )
+    with pytest.raises(ValueError, match="different\\s+hierarchy"):
+        ivf_store_append(bad, path, super_col="ivf_super", centers=centers)
+    # layout mismatch fails fast
+    with pytest.raises(ValueError, match="mismatched layout"):
+        ivf_store_append(appended, path, centers=centers)
+    # the store on disk is still exactly base ∪ appended
+    assert spark.read.parquet(path).count() == ann.count()
+
+
+def test_ivf_store_append_premanifest_upgrades(spark, model, tmp_path):
+    """Appending to a pre-manifest (r12-era) store upgrades it in place:
+    one full-tree manifest build, after which serving uses the direct
+    manifest path."""
+    import os
+
+    from zx_spark.operators.similarity import (
+        IVF_MANIFEST,
+        ivf_store_append,
+        read_ivf_manifest,
+    )
+
+    _, _, X, centers, _, _, assigned = model
+    path = str(tmp_path / "store_pre")
+    first = assigned.filter(F.col("vec_id") < 300)
+    rest = assigned.filter(F.col("vec_id") >= 300)
+    write_ivf_store(first, path, manifest=False)
+    assert not os.path.exists(os.path.join(path, IVF_MANIFEST))
+    got = ivf_store_append(rest, path)
+    assert got["rows_appended"] == -1  # full rebuild: no incremental delta
+    man = read_ivf_manifest(spark, path)
+    assert man is not None
+    assert sum(e["rows"] for e in man["cells"].values()) == assigned.count()
+
+
+def test_ivf_store_compact_rewrites_only_hot_cells(spark, model, tmp_path):
+    """r14: ivf_store_compact picks victims from the manifest's file
+    counts (no tree listing), rewrites ONLY cells above the threshold
+    (untouched cells keep byte-identical files), restores one file per
+    cell, preserves served rows exactly, and no-ops when already
+    compact."""
+    import glob
+    import os
+
+    from zx_spark.operators.similarity import (
+        ivf_store_append,
+        ivf_store_compact,
+        ivf_topk_batch_store,
+        read_ivf_manifest,
+    )
+
+    _, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(assigned, children, len(centers))
+    path = str(tmp_path / "store_cmp")
+    # seed with the low ids, then drip the rest in three micro-batches:
+    # every touched cell accretes one file per batch
+    write_ivf_store(
+        ann.filter(F.col("vec_id") < 250), path, super_col="ivf_super",
+        centers=centers,
+    )
+    for lo, hi in ((250, 300), (300, 350), (350, 400)):
+        ivf_store_append(
+            ann.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path, super_col="ivf_super", centers=centers,
+        )
+    man = read_ivf_manifest(spark, path)
+    hot = {c for c, e in man["cells"].items() if e["files"] > 1}
+    cold = {c for c, e in man["cells"].items() if e["files"] == 1}
+    assert hot, "drip appends must have accreted multi-file cells"
+
+    def _files_of(cell: str) -> dict:
+        e = man["cells"][cell]
+        d = os.path.join(
+            path, f"ivf_super={e['super']}", f"ivf_cell={cell}"
+        )
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    cold_before = {c: _files_of(c) for c in cold}
+    qs = [[float(x) for x in X[i]] for i in (1, 8, 377)]
+    served_before = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=6, supers=supers,
+        children=children,
+    ).collect()
+
+    got = ivf_store_compact(spark, path, max_files_per_cell=1)
+    assert got["cells_rewritten"] == len(hot)
+    assert got["files_after"] == len(hot)  # one file per rewritten cell
+    assert got["files_before"] > got["files_after"]
+
+    man2 = read_ivf_manifest(spark, path)
+    assert all(man2["cells"][c]["files"] == 1 for c in hot)
+    # rows survived, per cell and in total
+    assert {c: e["rows"] for c, e in man2["cells"].items()} == {
+        c: e["rows"] for c, e in man["cells"].items()
+    }
+    # untouched cells: same files, same mtimes (dynamic overwrite never
+    # visited their directories)
+    assert {c: _files_of(c) for c in cold} == cold_before
+    served_after = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=6, supers=supers,
+        children=children,
+    ).collect()
+    assert sorted(map(tuple, served_before)) == sorted(map(tuple, served_after))
+    assert served_before
+
+    again = ivf_store_compact(spark, path, max_files_per_cell=1)
+    assert again["cells_rewritten"] == 0
+
+
+def test_ivf_store_compact_upgrades_v1_manifest(spark, model, tmp_path):
+    """A v1 manifest (rows only, r13-era) is upgraded in place before
+    compaction — file counts are recomputed, then the threshold
+    applies. Flat (cell-only) layout covered here too."""
+    import json
+    import os
+
+    from zx_spark.operators.similarity import (
+        IVF_MANIFEST,
+        ivf_store_append,
+        ivf_store_compact,
+        read_ivf_manifest,
+    )
+
+    _, _, X, centers, _, _, assigned = model
+    path = str(tmp_path / "store_v1")
+    write_ivf_store(assigned.filter(F.col("vec_id") < 300), path)
+    ivf_store_append(assigned.filter(F.col("vec_id") >= 300), path)
+    # rewrite the manifest as v1: strip the file counts
+    fpath = os.path.join(path, IVF_MANIFEST)
+    with open(fpath) as fh:
+        man = json.load(fh)
+    for e in man["cells"].values():
+        e.pop("files")
+    man["version"] = 1
+    man.pop("centers_sha", None)
+    with open(fpath, "w") as fh:
+        json.dump(man, fh)
+    got = ivf_store_compact(spark, path, max_files_per_cell=1)
+    assert got["cells_rewritten"] >= 1
+    man2 = read_ivf_manifest(spark, path)
+    assert man2["version"] == 2
+    assert all(e["files"] == 1 for e in man2["cells"].values())
+    assert sum(e["rows"] for e in man2["cells"].values()) == assigned.count()

@@ -2375,16 +2375,49 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         out.close()
 
 
+def _centers_sha(centers) -> str:
+    """16-hex fingerprint of the leaf centers (float64 bytes). Recorded
+    in the manifest so append/serve can fail fast when handed a store
+    built under a DIFFERENT quantizer — the silent failure mode is
+    vectors routed to cells the probe never visits (recall quietly
+    collapses, no error). Leaf centers only: the two-level
+    supers/children derive from them in every fit path here."""
+    import hashlib
+
+    a = np.ascontiguousarray(np.asarray(centers, dtype=np.float64))
+    return hashlib.sha256(a.tobytes()).hexdigest()[:16]
+
+
+def _write_manifest_obj(spark, base: str, man: dict) -> None:
+    """Serialize + write the manifest, then refresh the parsed-manifest
+    memo under the NEW modification time — two writes inside one mtime
+    granule (fast test suites, same-ms rewrites) must not leave a stale
+    parse keyed to an unchanged mtime."""
+    import json as _json
+
+    fpath = f"{base}/{IVF_MANIFEST}"
+    _fs_write_text(spark, fpath, _json.dumps(man))
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(fpath)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        mtime = int(fs.getFileStatus(hpath).getModificationTime())
+        _MANIFEST_CACHE[fpath] = (mtime, man)
+    except Exception:
+        _MANIFEST_CACHE.pop(fpath, None)
+
+
 def write_ivf_manifest(
     spark,
     path: str,
     cell_col: str = "ivf_cell",
     super_col: str | None = None,
+    centers=None,
 ) -> dict:
     """Write the store's serving manifest (``_zx_ivf_manifest.json``):
-    one entry per non-empty cell — its super (when hierarchical) and row
-    count — derived from ONE read-back aggregation over the partition
-    columns (partition values come from directory names; the scan
+    one entry per non-empty cell — its super (when hierarchical), row
+    count, and parquet file count — derived from ONE read-back
+    aggregation over the partition columns + file names (the scan
     materializes no data columns). ``ivf_topk_batch_store`` resolves
     probed directories from this instead of per-directory existence
     checks, so the direct path works on object stores (where LIST is
@@ -2393,35 +2426,49 @@ def write_ivf_manifest(
     owns the tree — not by the first serving batch (the measured 149 s
     first-listing at 2×10⁵ cells, SCALE.md r13).
 
-    Standalone entry point so pre-manifest stores can be upgraded in
-    place; returns the manifest dict."""
-    import json as _json
+    Per-cell file counts (manifest v2) drive ``ivf_store_compact``: the
+    append path (``ivf_store_append``) accretes ≥1 file per touched
+    cell per micro-batch, and the manifest is what lets compaction pick
+    its victims WITHOUT listing a 10⁵-10⁶-directory tree. ``centers``
+    (optional) records a fingerprint of the coarse quantizer so later
+    appends/serves can reject a mismatched model instead of silently
+    mis-routing vectors.
+
+    Standalone entry point so pre-manifest (or v1) stores can be
+    upgraded in place; returns the manifest dict."""
 
     cols = [cell_col] if super_col is None else [super_col, cell_col]
     rows = (
         spark.read.parquet(path)
+        # project the (nondeterministic) file name BEFORE the aggregate —
+        # Spark only allows it in a Project
+        .select(*cols, F.input_file_name().alias("__f"))
         .groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("__rows"))
+        .agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.countDistinct("__f").alias("__files"),
+        )
         .collect()
     )
     cells = {
         str(int(r[cell_col])): {
             "super": int(r[super_col]) if super_col is not None else None,
             "rows": int(r["__rows"]),
+            "files": int(r["__files"]),
         }
         for r in rows
         if r[cell_col] is not None
     }
     man = {
-        "version": 1,
+        "version": 2,
         "cell_col": cell_col,
         "super_col": super_col,
         "n_cells": len(cells),
         "cells": cells,
     }
-    _fs_write_text(
-        spark, f"{path.rstrip('/')}/{IVF_MANIFEST}", _json.dumps(man)
-    )
+    if centers is not None:
+        man["centers_sha"] = _centers_sha(centers)
+    _write_manifest_obj(spark, path.rstrip("/"), man)
     return man
 
 
@@ -2469,6 +2516,7 @@ def write_ivf_store(
     cell_col: str = "ivf_cell",
     super_col: str | None = None,
     manifest: bool = True,
+    centers=None,
 ) -> None:
     """Persist an IVF-assigned vector table partitioned by cell — the
     layout that turns ``ivf_topk``'s ``nprobe`` cell filter into Parquet
@@ -2484,17 +2532,268 @@ def write_ivf_store(
     ``manifest`` (default) also writes ``_zx_ivf_manifest.json`` (see
     ``write_ivf_manifest``) so the direct serving path resolves probed
     directories without touching the filesystem — required for object
-    stores, and it moves the one full-tree listing to write time."""
+    stores, and it moves the one full-tree listing to write time.
+    Pass ``centers`` to record the quantizer fingerprint in it —
+    ``ivf_store_append`` / ``ivf_topk_batch_store`` then reject a
+    mismatched model instead of silently mis-routing."""
     cols = [cell_col] if super_col is None else [super_col, cell_col]
     assigned.write.mode("overwrite").partitionBy(*cols).parquet(path)
     if manifest:
         write_ivf_manifest(
-            assigned.sparkSession, path, cell_col=cell_col, super_col=super_col
+            assigned.sparkSession, path, cell_col=cell_col,
+            super_col=super_col, centers=centers,
         )
 
 
 def read_ivf_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def _cell_dir(base: str, cell_col: str, super_col, c, sup) -> str:
+    if super_col is not None:
+        return f"{base}/{super_col}={sup}/{cell_col}={c}"
+    return f"{base}/{cell_col}={c}"
+
+
+def _recount_cells(spark, base: str, cols, cell_col: str, dirs) -> dict:
+    """Ground-truth (rows, files) per cell for exactly the given cell
+    directories — the O(touched-cells) read-back that keeps manifest
+    maintenance incremental. basePath preserves the partition columns."""
+    got = (
+        spark.read.option("basePath", base)
+        .parquet(*dirs)
+        .select(*cols, F.input_file_name().alias("__f"))
+        .groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.countDistinct("__f").alias("__files"),
+        )
+        .collect()
+    )
+    return {
+        int(r[cell_col]): {
+            "super": int(r[cols[0]]) if len(cols) == 2 else None,
+            "rows": int(r["__rows"]),
+            "files": int(r["__files"]),
+        }
+        for r in got
+        if r[cell_col] is not None
+    }
+
+
+def ivf_store_append(
+    assigned: DataFrame,
+    path: str,
+    cell_col: str = "ivf_cell",
+    super_col: str | None = None,
+    centers=None,
+) -> dict:
+    """Append newly-assigned vectors to a live ``write_ivf_store``
+    layout — the serving store's ingest path, so a store fitted once
+    keeps absorbing data without the full refit + rewrite
+    (``ivf_assign`` new vectors with the STORE'S centers, annotate
+    supers via ``with_super_col`` for hierarchical layouts, then call
+    this).
+
+    Scale shape — **everything is O(the appended batch)**: the parquet
+    append touches only the cells the new vectors land in, and the
+    manifest update recounts exactly those cells' directories
+    (``_recount_cells`` over the touched dirs with ``basePath``, never
+    the 10⁵-10⁶-directory tree; the one full-tree pass stays at initial
+    write time). New cells (a cell whose first vectors arrive late) are
+    folded in; a cell arriving under a different super than the
+    manifest records fails fast — that is two directories claiming one
+    cell, i.e. an assignment run under a different hierarchy.
+
+    ``centers`` (or a manifest fingerprint from ``write_ivf_store``)
+    guards the silent killer: appending vectors assigned under a
+    DIFFERENT quantizer routes them to cells the probe never visits —
+    recall collapses with no error. When both fingerprints exist and
+    differ, this raises.
+
+    Concurrency contract matches the other maintenance ops
+    (``compact_store`` / ``merge_upsert``): one writer at a time; a
+    transactional table format is the 100 TB answer for concurrent
+    writers. Returns ``{rows_appended, cells_touched, cells_new}``."""
+    spark = assigned.sparkSession
+    base = path.rstrip("/")
+    cols = [cell_col] if super_col is None else [super_col, cell_col]
+    missing = [c for c in cols if c not in assigned.columns]
+    if missing:
+        raise ValueError(
+            f"assigned frame is missing layout columns {missing} — "
+            "run ivf_assign (and with_super_col for hierarchical stores) "
+            "with the store's own model first"
+        )
+    man = read_ivf_manifest(spark, base)
+    if man is not None:
+        if man.get("cell_col") != cell_col or man.get("super_col") != super_col:
+            raise ValueError(
+                f"store manifest records layout ({man.get('cell_col')!r}, "
+                f"{man.get('super_col')!r}) but caller passed ({cell_col!r}, "
+                f"{super_col!r}) — mismatched layout"
+            )
+        if centers is not None and man.get("centers_sha") is not None:
+            got = _centers_sha(centers)
+            if got != man["centers_sha"]:
+                raise ValueError(
+                    f"quantizer mismatch: store manifest records centers "
+                    f"{man['centers_sha']} but caller's centers hash to "
+                    f"{got} — appending would route vectors to cells the "
+                    "probe never visits"
+                )
+    touched = [
+        r
+        for r in assigned.select(*cols).distinct().collect()
+        if r[cell_col] is not None
+    ]
+    if not touched:
+        return {"rows_appended": 0, "cells_touched": 0, "cells_new": 0}
+    new_cells = 0
+    if man is not None:
+        entries = man["cells"]
+        for r in touched:
+            e = entries.get(str(int(r[cell_col])))
+            if e is None:
+                new_cells += 1
+            elif super_col is not None and e["super"] != int(r[super_col]):
+                raise ValueError(
+                    f"cell {int(r[cell_col])} arrives under super "
+                    f"{int(r[super_col])} but the store has it under "
+                    f"{e['super']} — assignment ran under a different "
+                    "hierarchy"
+                )
+    assigned.write.mode("append").partitionBy(*cols).parquet(base)
+    if man is None:
+        # pre-manifest store: upgrade in place (one full-tree pass —
+        # the price the initial writer skipped, paid once here)
+        man = write_ivf_manifest(spark, base, cell_col=cell_col,
+                                 super_col=super_col, centers=centers)
+        from ..storage import invalidate_stats
+        invalidate_stats(spark, base)
+        return {
+            "rows_appended": -1,
+            "cells_touched": len(touched),
+            "cells_new": new_cells,
+        }
+    dirs = [
+        _cell_dir(base, cell_col, super_col, int(r[cell_col]),
+                  int(r[super_col]) if super_col is not None else None)
+        for r in touched
+    ]
+    fresh = _recount_cells(spark, base, cols, cell_col, dirs)
+    old_rows = sum(
+        man["cells"].get(str(c), {}).get("rows", 0) for c in fresh
+    )
+    for c, e in fresh.items():
+        man["cells"][str(c)] = e
+    man["n_cells"] = len(man["cells"])
+    _write_manifest_obj(spark, base, man)
+    from ..storage import invalidate_stats
+    invalidate_stats(spark, base)
+    return {
+        "rows_appended": sum(e["rows"] for e in fresh.values()) - old_rows,
+        "cells_touched": len(touched),
+        "cells_new": new_cells,
+    }
+
+
+def ivf_store_compact(
+    spark,
+    path: str,
+    max_files_per_cell: int = 1,
+    cell_col: str = "ivf_cell",
+    super_col: str | None = None,
+) -> dict:
+    """Compact the cells of a ``write_ivf_store`` layout whose file
+    count exceeds ``max_files_per_cell`` back to one file each —
+    the maintenance half of ``ivf_store_append``: every appended
+    micro-batch adds ≥1 parquet file per touched cell, and a serving
+    probe's cost becomes file-open overhead instead of I/O once hot
+    cells hold hundreds of KB-sized files (same disease
+    ``storage.compact_store`` treats, but a full-store rewrite is the
+    WRONG tool here — a 100 TB store must pay only for the cells its
+    ingest actually touched).
+
+    Scale shape — **manifest-driven and touched-cell-only**: victims
+    come from the manifest's per-cell file counts (no tree listing),
+    the read addresses only their directories (``basePath``), one
+    shuffle hash-partitions rows by cell (each cell's rows land in one
+    task → exactly one output file; cell size is bounded by the
+    quantizer's target-cell design, so no task funnels more than a few
+    hundred rows), and the write uses dynamic partition overwrite —
+    only the rewritten ``cell=`` directories are replaced, each
+    atomically at commit. Rows per rewritten cell are re-counted from
+    disk and checked against the manifest before it is updated.
+
+    v1 manifests (no file counts) and pre-manifest stores are upgraded
+    in place first (one full-tree aggregation). Same single-writer
+    contract as the other maintenance ops. Returns
+    ``{cells_rewritten, files_before, files_after, rows}``."""
+    base = path.rstrip("/")
+    man = read_ivf_manifest(spark, base)
+    if man is None or any(
+        "files" not in e for e in man.get("cells", {}).values()
+    ):
+        if man is not None:
+            cell_col, super_col = man["cell_col"], man.get("super_col")
+        man = write_ivf_manifest(
+            spark, base, cell_col=cell_col, super_col=super_col
+        )
+    else:
+        cell_col, super_col = man["cell_col"], man.get("super_col")
+    cols = [cell_col] if super_col is None else [super_col, cell_col]
+    hot = {
+        int(c): e
+        for c, e in man["cells"].items()
+        if e["files"] > max_files_per_cell
+    }
+    if not hot:
+        return {"cells_rewritten": 0, "files_before": 0, "files_after": 0,
+                "rows": 0}
+    dirs = [
+        _cell_dir(base, cell_col, super_col, c, e["super"])
+        for c, e in hot.items()
+    ]
+    n_tasks = min(
+        len(hot), max(1, spark.sparkContext.defaultParallelism * 2)
+    )
+    (
+        spark.read.option("basePath", base)
+        .parquet(*dirs)
+        # the exchange materializes the source into shuffle files, so
+        # the write stage never re-reads directories it is replacing
+        # (same read-own-path discipline as storage.merge_upsert)
+        .repartition(n_tasks, *[F.col(c) for c in cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*cols)
+        .parquet(base)
+    )
+    fresh = _recount_cells(spark, base, cols, cell_col, dirs)
+    bad = {
+        c: (hot[c]["rows"], fresh.get(c, {}).get("rows"))
+        for c in hot
+        if fresh.get(c, {}).get("rows") != hot[c]["rows"]
+    }
+    if bad:
+        some = dict(list(bad.items())[:4])
+        raise RuntimeError(
+            f"compaction row-count mismatch on {len(bad)} cell(s) "
+            f"(cell: (before, after)) {some} — store left as written, "
+            "manifest NOT updated; investigate before serving"
+        )
+    for c, e in fresh.items():
+        man["cells"][str(c)] = e
+    _write_manifest_obj(spark, base, man)
+    from ..storage import invalidate_stats
+    invalidate_stats(spark, base)
+    return {
+        "cells_rewritten": len(hot),
+        "files_before": sum(e["files"] for e in hot.values()),
+        "files_after": sum(e["files"] for e in fresh.values()),
+        "rows": sum(e["rows"] for e in fresh.values()),
+    }
 
 
 def ivf_topk_batch_store(
@@ -2559,6 +2858,16 @@ def ivf_topk_batch_store(
                 f"store manifest records cell_col={man.get('cell_col')!r} "
                 f"but caller passed {cell_col!r} — mismatched layout"
             )
+        if man.get("centers_sha") is not None:
+            got_sha = _centers_sha(centers)
+            if got_sha != man["centers_sha"]:
+                raise ValueError(
+                    f"quantizer mismatch: store manifest records centers "
+                    f"{man['centers_sha']} but the serving centers hash to "
+                    f"{got_sha} — probes would visit the wrong cells "
+                    "(recall silently collapses); serve with the store's "
+                    "own model"
+                )
         msuper = man.get("super_col")
         entries = man.get("cells", {})
         dirs = []
