@@ -821,8 +821,9 @@ def test_ivf_store_append_premanifest_upgrades(spark, model, tmp_path):
     rest = assigned.filter(F.col("vec_id") >= 300)
     write_ivf_store(first, path, manifest=False)
     assert not os.path.exists(os.path.join(path, IVF_MANIFEST))
+    n_rest = rest.count()
     got = ivf_store_append(rest, path)
-    assert got["rows_appended"] == -1  # full rebuild: no incremental delta
+    assert got["rows_appended"] == n_rest
     man = read_ivf_manifest(spark, path)
     assert man is not None
     assert sum(e["rows"] for e in man["cells"].values()) == assigned.count()
@@ -862,6 +863,12 @@ def test_ivf_store_compact_rewrites_only_hot_cells(spark, model, tmp_path):
     hot = {c for c, e in man["cells"].items() if e["files"] > 1}
     cold = {c for c, e in man["cells"].items() if e["files"] == 1}
     assert hot, "drip appends must have accreted multi-file cells"
+    # the incremental file bookkeeping (distinct-partition counts from
+    # the batch, never a disk listing) must equal on-disk truth
+    for c, e in man["cells"].items():
+        d = os.path.join(path, f"ivf_super={e['super']}", f"ivf_cell={c}")
+        n_disk = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        assert n_disk == e["files"], (c, n_disk, e["files"])
 
     def _files_of(cell: str) -> dict:
         e = man["cells"][cell]

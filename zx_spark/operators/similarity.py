@@ -2597,13 +2597,26 @@ def ivf_store_append(
 
     Scale shape — **everything is O(the appended batch)**: the parquet
     append touches only the cells the new vectors land in, and the
-    manifest update recounts exactly those cells' directories
-    (``_recount_cells`` over the touched dirs with ``basePath``, never
-    the 10⁵-10⁶-directory tree; the one full-tree pass stays at initial
-    write time). New cells (a cell whose first vectors arrive late) are
-    folded in; a cell arriving under a different super than the
-    manifest records fails fast — that is two directories claiming one
-    cell, i.e. an assignment run under a different hierarchy.
+    manifest update is derived from ONE aggregate over the batch itself
+    — rows per cell, plus files per cell as the count of distinct Spark
+    partitions holding that cell (the partitioned writer emits exactly
+    one file per (task, cell value) pair). Nothing re-reads the store:
+    a uniformly-distributed batch touches nearly EVERY cell of an
+    n_cells ∝ N store, so any per-touched-directory disk pass would
+    degenerate into a full-store scan per append. The batch frame must
+    be deterministic across the two actions (count, then write) — same
+    contract as ``storage.merge_upsert``'s pre-write counts; checkpoint
+    nondeterministic lineages first. New cells (a cell whose first
+    vectors arrive late) are folded in; a cell arriving under a
+    different super than the manifest records fails fast — that is two
+    directories claiming one cell, i.e. an assignment run under a
+    different hierarchy.
+
+    Crash contract: the manifest is written AFTER a successful append
+    and is the direct serving path's source of truth — a crash between
+    the two leaves the new files invisible to ``ivf_topk_batch_store``
+    (not corrupt, just unseen); heal by re-running
+    ``write_ivf_manifest`` (one full-tree recount).
 
     ``centers`` (or a manifest fingerprint from ``write_ivf_store``)
     guards the silent killer: appending vectors assigned under a
@@ -2642,9 +2655,22 @@ def ivf_store_append(
                     f"{got} — appending would route vectors to cells the "
                     "probe never visits"
                 )
+    # one aggregate over the batch: per-cell row counts + the number of
+    # Spark partitions holding each cell == the number of files the
+    # partitioned writer will emit for it (one per (task, cell value));
+    # nondeterministic spark_partition_id must be projected before the
+    # aggregate, same rule as input_file_name
     touched = [
         r
-        for r in assigned.select(*cols).distinct().collect()
+        for r in (
+            assigned.select(*cols, F.spark_partition_id().alias("__p"))
+            .groupBy(*cols)
+            .agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.countDistinct("__p").alias("__files"),
+            )
+            .collect()
+        )
         if r[cell_col] is not None
     ]
     if not touched:
@@ -2664,35 +2690,38 @@ def ivf_store_append(
                     "hierarchy"
                 )
     assigned.write.mode("append").partitionBy(*cols).parquet(base)
+    rows_appended = sum(int(r["__rows"]) for r in touched)
+    from ..storage import invalidate_stats
     if man is None:
         # pre-manifest store: upgrade in place (one full-tree pass —
         # the price the initial writer skipped, paid once here)
-        man = write_ivf_manifest(spark, base, cell_col=cell_col,
-                                 super_col=super_col, centers=centers)
-        from ..storage import invalidate_stats
+        write_ivf_manifest(spark, base, cell_col=cell_col,
+                           super_col=super_col, centers=centers)
         invalidate_stats(spark, base)
         return {
-            "rows_appended": -1,
+            "rows_appended": rows_appended,
             "cells_touched": len(touched),
             "cells_new": new_cells,
         }
-    dirs = [
-        _cell_dir(base, cell_col, super_col, int(r[cell_col]),
-                  int(r[super_col]) if super_col is not None else None)
-        for r in touched
-    ]
-    fresh = _recount_cells(spark, base, cols, cell_col, dirs)
-    old_rows = sum(
-        man["cells"].get(str(c), {}).get("rows", 0) for c in fresh
-    )
-    for c, e in fresh.items():
-        man["cells"][str(c)] = e
+    for r in touched:
+        key = str(int(r[cell_col]))
+        e = man["cells"].get(key)
+        if e is None:
+            e = man["cells"][key] = {
+                "super": int(r[super_col]) if super_col is not None else None,
+                "rows": 0,
+                "files": 0,
+            }
+        e["rows"] += int(r["__rows"])
+        # v1-manifest cells have no file count; leave them uncounted —
+        # ivf_store_compact upgrades such manifests before thresholding
+        if "files" in e:
+            e["files"] += int(r["__files"])
     man["n_cells"] = len(man["cells"])
     _write_manifest_obj(spark, base, man)
-    from ..storage import invalidate_stats
     invalidate_stats(spark, base)
     return {
-        "rows_appended": sum(e["rows"] for e in fresh.values()) - old_rows,
+        "rows_appended": rows_appended,
         "cells_touched": len(touched),
         "cells_new": new_cells,
     }
