@@ -766,6 +766,11 @@ def test_ivf_store_append_incremental_and_serving(spark, model, tmp_path):
     man1 = read_ivf_manifest(spark, path)
     assert sum(e["rows"] for e in man1["cells"].values()) == ann.count()
     assert str(held_cell) in man1["cells"]
+    # coalesce_batch: one append adds AT MOST one file per cell (the
+    # batch is pre-shuffled on the super key before the write)
+    for c, e in man1["cells"].items():
+        prev = man0["cells"].get(c, {}).get("files", 0)
+        assert e["files"] - prev in (0, 1), (c, prev, e["files"])
 
     # serving off the appended store == serving a store rebuilt whole
     rebuilt = str(tmp_path / "store_whole")
