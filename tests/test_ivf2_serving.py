@@ -952,3 +952,88 @@ def test_ivf_store_compact_upgrades_v1_manifest(spark, model, tmp_path):
     assert man2["version"] == 2
     assert all(e["files"] == 1 for e in man2["cells"].values())
     assert sum(e["rows"] for e in man2["cells"].values()) == assigned.count()
+
+
+def test_ivf_store_sink_streams_into_serving_store(spark, model, tmp_path):
+    """r14: ivf_store_sink drains micro-batches straight into the
+    manifest-served write_ivf_store layout — drained store serves
+    identically to a batch-built store over the same rows, the manifest
+    ingest_epoch high-water mark advances per batch, and a replayed
+    epoch id is skipped (effective exactly-once on monotonic ids)."""
+    import os
+
+    from zx_spark.operators.similarity import (
+        ivf_store_append,
+        ivf_topk_batch_store,
+        read_ivf_manifest,
+    )
+    from zx_spark.streaming.vectors import ivf_store_sink
+
+    _, _, X, centers, supers, children, assigned = model
+    ann = with_super_col(assigned, children, len(centers))
+    C = [[float(x) for x in c] for c in centers]
+    path = str(tmp_path / "serve_store")
+    # seed the serving store with the low ids, stream in the rest
+    write_ivf_store(
+        ann.filter(F.col("vec_id") < 300), path, super_col="ivf_super",
+        centers=C,
+    )
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    late = assigned.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(300, 400)],
+        "vec_id long, embedding array<double>",
+    )
+    # two staged files, pinned mtimes + one-file triggers => two epochs
+    late.filter(F.col("vec_id") < 350).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    part2 = str(tmp_path / "src2")
+    late.filter(F.col("vec_id") >= 350).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(part2)
+    files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    os.utime(os.path.join(src, files[0]), (1_000_000, 1_000_000))
+    extra = [f for f in os.listdir(part2) if f.endswith(".parquet")]
+    os.rename(
+        os.path.join(part2, extra[0]), os.path.join(src, "part-z.parquet")
+    )
+    os.utime(os.path.join(src, "part-z.parquet"), (2_000_000, 2_000_000))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ivf_store_sink(
+        stream, path, C, checkpoint_dir=cp, available_now=True,
+        super_centers=[[float(x) for x in s] for s in supers],
+        children=children, p_super=len(supers),
+    )
+    assert q.awaitTermination(120)
+    man = read_ivf_manifest(spark, path)
+    assert man["ingest_epoch"] == 1  # two micro-batches: ids 0, 1
+    assert sum(e["rows"] for e in man["cells"].values()) == 400
+    # a replayed epoch id must be skipped, not double-appended
+    replay = ivf_store_append(
+        ann.filter(F.col("vec_id") >= 350), path, super_col="ivf_super",
+        centers=C, epoch_id=1,
+    )
+    assert replay == {
+        "rows_appended": 0, "cells_touched": 0, "cells_new": 0,
+        "skipped": True, "epoch_id": 1,
+    }
+    # the streamed store serves exactly like a batch-built one
+    rebuilt = str(tmp_path / "serve_whole")
+    write_ivf_store(ann, rebuilt, super_col="ivf_super", centers=C)
+    qs = [[float(x) for x in X[i]] for i in (4, 360)]
+    a = ivf_topk_batch_store(
+        spark, path, centers, qs, k=5, nprobe=6, supers=supers,
+        children=children,
+    ).collect()
+    b = ivf_topk_batch_store(
+        spark, rebuilt, centers, qs, k=5, nprobe=6, supers=supers,
+        children=children,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a

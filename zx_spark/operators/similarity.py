@@ -2588,6 +2588,7 @@ def ivf_store_append(
     super_col: str | None = None,
     centers=None,
     coalesce_batch: bool = True,
+    epoch_id: int | None = None,
 ) -> dict:
     """Append newly-assigned vectors to a live ``write_ivf_store``
     layout — the serving store's ingest path, so a store fitted once
@@ -2622,11 +2623,24 @@ def ivf_store_append(
     shuffle per micro-batch is the cheapest place to pay it down). The
     same key choice as ``write_ivf_store``'s build-path shuffle.
 
+    ``epoch_id`` makes replayed appends idempotent for MONOTONIC batch
+    ids (Structured Streaming's ``foreachBatch`` batchId, the
+    ``ivf_store_sink`` path): an id at or below the manifest's
+    ``ingest_epoch`` high-water mark is skipped (``{"skipped": True}``),
+    an id above it appends and advances the mark. O(1) state — no
+    per-epoch ledger to grow over a stream's lifetime — but it REQUIRES
+    one monotonic writer (the single-writer contract this store already
+    carries).
+
     Crash contract: the manifest is written AFTER a successful append
     and is the direct serving path's source of truth — a crash between
     the two leaves the new files invisible to ``ivf_topk_batch_store``
-    (not corrupt, just unseen); heal by re-running
-    ``write_ivf_manifest`` (one full-tree recount).
+    for NEW cells, but files landing in already-manifested cell
+    directories ARE served (directory reads), so a crash-replayed epoch
+    in that window can duplicate rows until healed. Heal by re-running
+    ``write_ivf_manifest`` (one full-tree recount) plus an id-level
+    dedup if exactness matters — the same at-least-once edge every
+    non-transactional ``foreachBatch`` sink carries.
 
     ``centers`` (or a manifest fingerprint from ``write_ivf_store``)
     guards the silent killer: appending vectors assigned under a
@@ -2665,6 +2679,15 @@ def ivf_store_append(
                     f"{got} — appending would route vectors to cells the "
                     "probe never visits"
                 )
+        if (
+            epoch_id is not None
+            and man.get("ingest_epoch") is not None
+            and epoch_id <= man["ingest_epoch"]
+        ):
+            return {
+                "rows_appended": 0, "cells_touched": 0, "cells_new": 0,
+                "skipped": True, "epoch_id": epoch_id,
+            }
     if coalesce_batch:
         key = super_col if super_col is not None else cell_col
         assigned = assigned.repartition(
@@ -2710,8 +2733,11 @@ def ivf_store_append(
     if man is None:
         # pre-manifest store: upgrade in place (one full-tree pass —
         # the price the initial writer skipped, paid once here)
-        write_ivf_manifest(spark, base, cell_col=cell_col,
-                           super_col=super_col, centers=centers)
+        man = write_ivf_manifest(spark, base, cell_col=cell_col,
+                                 super_col=super_col, centers=centers)
+        if epoch_id is not None:
+            man["ingest_epoch"] = int(epoch_id)
+            _write_manifest_obj(spark, base, man)
         invalidate_stats(spark, base)
         return {
             "rows_appended": rows_appended,
@@ -2733,6 +2759,8 @@ def ivf_store_append(
         if "files" in e:
             e["files"] += int(r["__files"])
     man["n_cells"] = len(man["cells"])
+    if epoch_id is not None:
+        man["ingest_epoch"] = int(epoch_id)
     _write_manifest_obj(spark, base, man)
     invalidate_stats(spark, base)
     return {

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from zx_spark.operators.similarity import (
     ivf2_assign,
     ivf_assign,
+    ivf_store_append,
     pq_encode,
     with_super_col,
 )
@@ -102,6 +103,71 @@ def vector_index_sink(
             out = assigned
         out.write.mode("overwrite").partitionBy(*part_cols).parquet(
             f"{path.rstrip('/')}/epoch={int(epoch)}"
+        )
+
+    w = stream.writeStream.foreachBatch(_batch)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def ivf_store_sink(
+    stream: DataFrame,
+    path: str,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    super_centers: list[list[float]] | None = None,
+    children: list[list[int]] | None = None,
+    p_super: int | None = None,
+    super_col: str = "ivf_super",
+    engine: str = "auto",
+):
+    """Stream embeddings straight into a ``write_ivf_store`` layout —
+    the one ``ivf_topk_batch_store`` serves via its manifest — so the
+    ANN serving store stays live under continuous ingest with no
+    epoch-folding step in between (``vector_index_sink`` above keeps
+    the epoch layout for PQ stores and replay-exact reads; THIS sink is
+    the serving-store path).
+
+    Per micro-batch: two-level (or flat) assignment — map-side
+    literal-centers argmin, no training, no Python — then
+    ``ivf_store_append``, which pre-shuffles the batch on the layout
+    key (one file per touched cell per batch), increments the manifest
+    from the batch itself (O(batch), nothing re-reads the store), and
+    records the batch id as the manifest's ``ingest_epoch`` high-water
+    mark: a crash-replayed micro-batch is SKIPPED, giving effective
+    exactly-once on the monotonic foreachBatch ids (the narrow
+    crash-between-append-and-manifest at-least-once edge is documented
+    on ``ivf_store_append``). Compact with ``ivf_store_compact`` once
+    file counts accrete — victims come from the same manifest the sink
+    maintains. The target store must already exist (fit the quantizer
+    offline, ``write_ivf_store(..., centers=)``); appending under a
+    different model fails fast on the manifest fingerprint."""
+    if (super_centers is None) != (children is None):
+        raise ValueError("super_centers and children must be passed together")
+
+    def _batch(df: DataFrame, epoch: int) -> None:
+        if super_centers is not None:
+            assigned = with_super_col(
+                ivf2_assign(
+                    df, centers, super_centers, children, vec_col,
+                    cell_col, p_super, engine,
+                ),
+                children, len(centers), cell_col, super_col,
+            )
+            sc = super_col
+        else:
+            assigned = ivf_assign(df, centers, vec_col, cell_col)
+            sc = None
+        ivf_store_append(
+            assigned, path, cell_col=cell_col, super_col=sc,
+            centers=centers, epoch_id=int(epoch),
         )
 
     w = stream.writeStream.foreachBatch(_batch)
