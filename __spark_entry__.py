@@ -2071,7 +2071,8 @@ def q_ann_cosine_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ ANN suite as one multi-arm driver row (ivf / pq_adc /
-    ivfpq / ivfb_q* / pqb_q* / sivf / ivf2 / ivfh / dist / dsb_q*), all over
+    ivfpq / ivfb_q* / pqb_q* / sivf / ivf2 / ivfh / dist / dsb_q* /
+    dsl_q*), all over
     deterministic engine-reproducible quantizers (every communicated
     center rounded to 6 dp, so numpy twins re-derive them bit-identically
     from the raw parquet and the DuckDB oracle embeds them as literals):
@@ -2316,10 +2317,53 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     shutil.rmtree(tmp2, ignore_errors=True)
     dsb = spark.createDataFrame(dsb_rows, sivf_schema)
+    # dsl arms (r14): the store INGEST LIFECYCLE served — the same
+    # (super, cell) store built as seed write + ivf_store_append of the
+    # held-out rows (incremental manifest, epoch-marked) +
+    # ivf_store_compact back to one file per cell, then served through
+    # the identical direct path. The store CONTENT equals the dsb arm's,
+    # so the oracle twin is the same flat-argmin assignment + literal
+    # probe lists with the dsl arm tags — hash equality proves the
+    # append/compact round-trip changed nothing a probe can see.
+    from zx_spark.operators.similarity import ivf_store_append, ivf_store_compact
+
+    tmp3 = tempfile.mkdtemp(prefix="zx_ivf_life_")
+    write_ivf_store(
+        store2.filter(F.col("vec_id") % 7 != 0),
+        f"{tmp3}/store",
+        super_col="ivf_super",
+        centers=centers,
+    )
+    ivf_store_append(
+        store2.filter(F.col("vec_id") % 7 == 0),
+        f"{tmp3}/store",
+        super_col="ivf_super",
+        centers=centers,
+        epoch_id=0,
+    )
+    ivf_store_compact(spark, f"{tmp3}/store", max_files_per_cell=1)
+    dsl_rows = ivf_topk_batch_store(
+        spark,
+        f"{tmp3}/store",
+        centers,
+        [ANN_QUERY_VEC, e2],
+        k=10,
+        nprobe=4,
+        supers=sup,
+        children=kids,
+        p_super=2,
+    ).select(
+        F.concat(F.lit("dsl_q"), F.col("query_no").cast("string")).alias("arm"),
+        "vec_id",
+        F.col("cosine").alias("score"),
+    ).collect()
+    shutil.rmtree(tmp3, ignore_errors=True)
+    dsl = spark.createDataFrame(dsl_rows, sivf_schema)
     return (
         ivf.unionByName(adc).unionByName(ivfpq).unionByName(batch)
         .unionByName(pqb).unionByName(sivf).unionByName(ivf2)
         .unionByName(ivfh).unionByName(dist).unionByName(dsb)
+        .unionByName(dsl)
     )
 
 
@@ -4788,6 +4832,16 @@ def _ivf_pq_oracle(
         "dsb1 AS (SELECT 'dsb_q1' AS arm, vec_id, "
         "round(v[2] / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6) AS score "
         f"FROM a WHERE {'cell IN (' + ', '.join(str(c) for c in cells2_q1) + ')' if cells2_q1 else 'false'} "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        # dsl (r14): seed-write + append + compact rebuilds the SAME
+        # store content, so the lifecycle twin is the dsb twin under the
+        # dsl arm tags — hash equality pins that ingest changed nothing
+        f"dsl0 AS (SELECT 'dsl_q0' AS arm, vec_id, {cos} AS score "
+        f"FROM a WHERE {'cell IN (' + ', '.join(str(c) for c in cells2) + ')' if cells2 else 'false'} "
+        f"ORDER BY score DESC, vec_id LIMIT {k}), "
+        "dsl1 AS (SELECT 'dsl_q1' AS arm, vec_id, "
+        "round(v[2] / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6) AS score "
+        f"FROM a WHERE {'cell IN (' + ', '.join(str(c) for c in cells2_q1) + ')' if cells2_q1 else 'false'} "
         f"ORDER BY score DESC, vec_id LIMIT {k}) "
         "SELECT * FROM ivf_arm UNION ALL SELECT * FROM pq_arm "
         "UNION ALL SELECT * FROM ivfpq_arm "
@@ -4795,7 +4849,8 @@ def _ivf_pq_oracle(
         "UNION ALL SELECT * FROM pb0 UNION ALL SELECT * FROM pb1 "
         "UNION ALL SELECT * FROM sivf_arm UNION ALL SELECT * FROM ivf2_arm "
         "UNION ALL SELECT * FROM ivfh_arm UNION ALL SELECT * FROM dist_arm "
-        "UNION ALL SELECT * FROM dsb0 UNION ALL SELECT * FROM dsb1"
+        "UNION ALL SELECT * FROM dsb0 UNION ALL SELECT * FROM dsb1 "
+        "UNION ALL SELECT * FROM dsl0 UNION ALL SELECT * FROM dsl1"
     )
 
 
