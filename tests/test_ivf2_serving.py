@@ -1037,3 +1037,51 @@ def test_ivf_store_sink_streams_into_serving_store(spark, model, tmp_path):
         children=children,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+
+def test_ivf_store_health_from_manifest_alone():
+    """r14: health diagnosis is a driver-side fold over the manifest —
+    size_bias is the size-biased expected probed-cell amplification
+    (Σ size²/(N·mean)), hot/fragmented cells rank by severity, and the
+    recommendations trip on the documented thresholds. v1 manifests
+    (no file counts) degrade to None fragmentation, never a crash."""
+    from zx_spark.operators.similarity import ivf_store_health
+
+    balanced = {
+        "cells": {
+            str(c): {"super": None, "rows": 100, "files": 1} for c in range(8)
+        }
+    }
+    h = ivf_store_health(balanced)
+    assert h["size_bias"] == 1.0
+    assert h["hot_cells"] == [] and h["fragmented_cells"] == []
+    assert not h["recommend_compact"] and not h["recommend_rebalance"]
+
+    # one cell holds half the store: bias = (16*400^2/(3200*400))... use
+    # exact: sizes 7x100 + 1x2500, N=3200, mean=400
+    skewed = {
+        "cells": {
+            **{str(c): {"super": None, "rows": 100, "files": 1}
+               for c in range(7)},
+            "7": {"super": None, "rows": 2500, "files": 9},
+        }
+    }
+    h = ivf_store_health(skewed)
+    want = (7 * 100 * 100 + 2500 * 2500) / (3200 * 400)
+    assert h["size_bias"] == round(want, 3) and h["size_bias"] > 2
+    assert h["hot_cells"] == ["7"] and h["fragmented_cells"] == ["7"]
+    assert h["recommend_rebalance"] and h["recommend_compact"]
+    assert h["max_cell_rows"] == 2500 and h["max_files_per_cell"] == 9
+
+    # explicit target: all 100-row cells hot when target is 30
+    h2 = ivf_store_health(balanced, target_cell=30)
+    assert len(h2["hot_cells"]) == 8 and h2["recommend_rebalance"]
+
+    # v1 manifest: rows-only entries, file fields degrade to None
+    v1 = {"cells": {"0": {"super": None, "rows": 10},
+                    "1": {"super": None, "rows": 12}}}
+    h3 = ivf_store_health(v1)
+    assert h3["files"] is None and h3["fragmented_cells"] is None
+    assert not h3["recommend_compact"]
+
+    assert ivf_store_health({"cells": {}})["rows"] == 0

@@ -88,6 +88,7 @@ def main() -> None:
         ivf2_fit_dist,
         ivf_store_append,
         ivf_store_compact,
+        ivf_store_health,
         ivf_topk_batch_store,
         read_ivf_manifest,
         with_super_col,
@@ -236,6 +237,15 @@ def main() -> None:
     man = read_ivf_manifest(spark, store_path)
     res["files_after_appends"] = sum(e["files"] for e in man["cells"].values())
     res["rows_after_appends"] = sum(e["rows"] for e in man["cells"].values())
+    h = ivf_store_health(man, target_cell=target_cell)
+    res["health_after_appends"] = {
+        "size_bias": h["size_bias"],
+        "max_files_per_cell": h["max_files_per_cell"],
+        "n_hot": len(h["hot_cells"]),
+        "n_fragmented": len(h["fragmented_cells"]),
+        "recommend_compact": h["recommend_compact"],
+        "recommend_rebalance": h["recommend_rebalance"],
+    }
 
     after_rows = serve("accreted")
 

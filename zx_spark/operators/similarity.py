@@ -2868,6 +2868,78 @@ def ivf_store_compact(
     }
 
 
+def ivf_store_health(
+    man: dict,
+    target_cell: int | None = None,
+    split_factor: float = 2.0,
+    max_files_per_cell: int = 4,
+) -> dict:
+    """Diagnose a serving store from its MANIFEST alone — zero scans,
+    zero listings: ingest (``ivf_store_append`` / ``ivf_store_sink``)
+    shifts the data distribution under a FROZEN quantizer, cells grow
+    unevenly, and a probe's expected read is SIZE-BIASED (a query lands
+    in a cell with probability ∝ its size, so the expected probed-cell
+    size is Σ size²/N — the r9 measurement that made ``ivf2_rebalance``
+    halve sf10 serving). The manifest already holds every cell's rows
+    and file count, so the whole diagnosis is a driver-side fold over
+    ~n_cells dict entries.
+
+    Returns rows/cells/file aggregates plus:
+    - ``size_bias``: Σ size²/(N·mean) — expected probed-cell size as a
+      multiple of the balanced case (1.0 = balanced; the read
+      amplification a rebalance would reclaim),
+    - ``hot_cells``: cells above ``split_factor``×target (target =
+      ``target_cell`` or the store's own mean) — ``ivf2_rebalance``
+      victims at next refit,
+    - ``fragmented_cells``: cells above ``max_files_per_cell`` —
+      ``ivf_store_compact`` victims now,
+    - ``recommend_compact`` / ``recommend_rebalance`` booleans (the
+      second also trips when size_bias > split_factor).
+
+    Pair with ``read_ivf_manifest``; raises on a v1 manifest only if
+    file stats are requested implicitly — v1 entries lack ``files``,
+    so fragmentation fields fall back to None (upgrade via
+    ``write_ivf_manifest``)."""
+    cells = man.get("cells", {})
+    if not cells:
+        return {"rows": 0, "n_cells": 0, "size_bias": 1.0, "hot_cells": [],
+                "fragmented_cells": None, "recommend_compact": False,
+                "recommend_rebalance": False}
+    sizes = {c: e["rows"] for c, e in cells.items()}
+    n = sum(sizes.values())
+    mean = n / len(sizes)
+    target = float(target_cell) if target_cell else mean
+    size_bias = sum(s * s for s in sizes.values()) / (n * mean) if n else 1.0
+    hot = sorted(
+        (c for c, s in sizes.items() if s > split_factor * target),
+        key=lambda c: -sizes[c],
+    )
+    has_files = all("files" in e for e in cells.values())
+    frag = (
+        sorted(
+            (c for c, e in cells.items() if e["files"] > max_files_per_cell),
+            key=lambda c: -cells[c]["files"],
+        )
+        if has_files
+        else None
+    )
+    return {
+        "rows": n,
+        "n_cells": len(sizes),
+        "mean_cell_rows": round(mean, 1),
+        "max_cell_rows": max(sizes.values()),
+        "size_bias": round(size_bias, 3),
+        "hot_cells": hot,
+        "files": sum(e["files"] for e in cells.values()) if has_files else None,
+        "max_files_per_cell": (
+            max(e["files"] for e in cells.values()) if has_files else None
+        ),
+        "fragmented_cells": frag,
+        "recommend_compact": bool(frag),
+        "recommend_rebalance": bool(hot) or size_bias > split_factor,
+    }
+
+
 def ivf_topk_batch_store(
     spark,
     path: str,
