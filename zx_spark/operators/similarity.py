@@ -2896,10 +2896,9 @@ def ivf_store_health(
     - ``recommend_compact`` / ``recommend_rebalance`` booleans (the
       second also trips when size_bias > split_factor).
 
-    Pair with ``read_ivf_manifest``; raises on a v1 manifest only if
-    file stats are requested implicitly — v1 entries lack ``files``,
-    so fragmentation fields fall back to None (upgrade via
-    ``write_ivf_manifest``)."""
+    Pair with ``read_ivf_manifest``. Never raises: v1 manifest entries
+    lack ``files``, so the fragmentation fields degrade to None
+    (upgrade via ``write_ivf_manifest`` to get them)."""
     cells = man.get("cells", {})
     if not cells:
         return {"rows": 0, "n_cells": 0, "size_bias": 1.0, "hot_cells": [],
