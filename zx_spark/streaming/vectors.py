@@ -148,7 +148,16 @@ def ivf_store_sink(
     file counts accrete — victims come from the same manifest the sink
     maintains. The target store must already exist (fit the quantizer
     offline, ``write_ivf_store(..., centers=)``); appending under a
-    different model fails fast on the manifest fingerprint."""
+    different model fails fast on the manifest fingerprint.
+
+    Batch sizing (measured at 10⁷/39k cells, SCALE.md r14): append
+    wall is FILE-CREATION-bound — a uniform batch touches ~90% of
+    cells and commits one file per touched cell (~87 s for 35k files)
+    regardless of batch rows, so size micro-batches to ≳ a few ×
+    n_cells rows (trigger intervals / maxFilesPerTrigger are the
+    knobs). For unavoidably tiny high-frequency batches use the
+    epoch-layout ``vector_index_sink`` + a periodic fold instead —
+    the two sinks are complementary regimes."""
     if (super_centers is None) != (children is None):
         raise ValueError("super_centers and children must be passed together")
 
