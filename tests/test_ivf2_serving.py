@@ -1085,3 +1085,54 @@ def test_ivf_store_health_from_manifest_alone():
     assert not h3["recommend_compact"]
 
     assert ivf_store_health({"cells": {}})["rows"] == 0
+
+
+def test_ivfpq_topk_store_direct_path(spark, model, tmp_path):
+    """r14: the PQ serving rung on the direct path — one manifest-
+    resolved pruned read feeds ADC + exact re-rank (codes+vectors
+    store) or pure-ADC (codes-only store), equal to the in-memory
+    twins over the same model; a wrong quantizer fails fast."""
+    from zx_spark.operators.similarity import (
+        ivfpq_topk_store,
+        pq_topk,
+    )
+
+    _, _, X, centers, supers, children, assigned = model
+    books = pq_train(assigned, m=4, k=16, iters=2, dim=16)
+    ann = with_super_col(assigned, children, len(centers))
+    full = pq_encode(
+        ann, books, keep_cols=["ivf_cell", "ivf_super", "embedding"]
+    )
+    q = [float(x) for x in X[13]]
+    kw = dict(k_results=5, nprobe=4, shortlist=30, supers=supers,
+              children=children, p_super=2)
+
+    # codes + vectors: ADC shortlist then exact re-rank, all pruned
+    path = str(tmp_path / "pq_store")
+    C = [[float(x) for x in c] for c in centers]
+    write_ivf_store(full, path, super_col="ivf_super", centers=C)
+    got = ivfpq_topk_store(spark, path, centers, books, q, **kw).collect()
+    codes = pq_encode(assigned, books, keep_cols=["ivf_cell"])
+    want = ivfpq_topk(
+        codes, assigned, centers, books, q,
+        vectors_cell_col="ivf_cell", **kw,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+    # codes-only store: pure ADC (the 4*d/m x smaller layout)
+    path2 = str(tmp_path / "pq_only")
+    write_ivf_store(
+        full.drop("embedding"), path2, super_col="ivf_super", centers=C
+    )
+    got2 = ivfpq_topk_store(spark, path2, centers, books, q, **kw).collect()
+    cells = probe_cells_2level(centers, supers, children, q, 4, p_super=2)
+    want2 = pq_topk(
+        codes.filter(F.col("ivf_cell").isin([int(c) for c in cells])),
+        books, q, 5,
+    ).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2] and got2
+
+    # manifest fingerprint guards this entry point too
+    wrong = [[c + 0.5 for c in row] for row in centers]
+    with pytest.raises(ValueError, match="quantizer mismatch"):
+        ivfpq_topk_store(spark, path, wrong, books, q, **kw)

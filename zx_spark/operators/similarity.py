@@ -2939,6 +2939,71 @@ def ivf_store_health(
     }
 
 
+def _read_probed_cells(
+    spark,
+    base: str,
+    all_cells,
+    centers,
+    cell_col: str = "ivf_cell",
+    super_col: str = "ivf_super",
+    supers=None,
+    children=None,
+) -> DataFrame:
+    """Shared direct-path resolution for the store serving entry points
+    (``ivf_topk_batch_store`` / ``ivfpq_topk_store``): turn a probed
+    cell set into a DataFrame over EXACTLY those cells' directories.
+    Resolution comes from the store manifest when present (object-store
+    safe, O(probed cells) planning, quantizer fingerprint checked),
+    else falls back to POSIX directory checks; raises when no probed
+    directory exists. ``basePath`` keeps the partition columns."""
+    import os
+
+    man = read_ivf_manifest(spark, base)
+    if man is not None:
+        if man.get("cell_col") != cell_col:
+            raise ValueError(
+                f"store manifest records cell_col={man.get('cell_col')!r} "
+                f"but caller passed {cell_col!r} — mismatched layout"
+            )
+        if man.get("centers_sha") is not None:
+            got_sha = _centers_sha(centers)
+            if got_sha != man["centers_sha"]:
+                raise ValueError(
+                    f"quantizer mismatch: store manifest records centers "
+                    f"{man['centers_sha']} but the serving centers hash to "
+                    f"{got_sha} — probes would visit the wrong cells "
+                    "(recall silently collapses); serve with the store's "
+                    "own model"
+                )
+        msuper = man.get("super_col")
+        entries = man.get("cells", {})
+        dirs = []
+        for c in all_cells:
+            e = entries.get(str(c))
+            if e is None:
+                continue  # empty cell: the writer emitted no directory
+            if msuper is not None:
+                dirs.append(f"{base}/{msuper}={e['super']}/{cell_col}={c}")
+            else:
+                dirs.append(f"{base}/{cell_col}={c}")
+    elif supers is not None:
+        owner = super_of_cells(children, len(np.asarray(centers)))
+        dirs = [
+            f"{base}/{super_col}={owner[c]}/{cell_col}={c}" for c in all_cells
+        ]
+        dirs = [d for d in dirs if os.path.exists(d)]
+    else:
+        dirs = [f"{base}/{cell_col}={c}" for c in all_cells]
+        dirs = [d for d in dirs if os.path.exists(d)]
+    if not dirs:
+        raise ValueError(
+            f"none of the {len(all_cells)} probed cell directories exist "
+            f"under {base!r} — wrong store layout (write with "
+            "write_ivf_store) or a model fitted on different data"
+        )
+    return spark.read.option("basePath", base).parquet(*dirs)
+
+
 def ivf_topk_batch_store(
     spark,
     path: str,
@@ -2982,8 +3047,6 @@ def ivf_topk_batch_store(
     upgrade in place with ``write_ivf_manifest``). Raises if NO probed
     cell exists in either resolution. ``engine``: see ``ivf_topk_batch``
     — measured at 5×10⁷, ``arrow`` serves ~3× catalyst's throughput."""
-    import os
-
     if not query_vecs:
         raise ValueError("ivf_topk_batch_store needs at least one query vector")
     all_cells = sorted(
@@ -2994,50 +3057,11 @@ def ivf_topk_batch_store(
         }
     )
     base = path.rstrip("/")
-    man = read_ivf_manifest(spark, base)
-    if man is not None:
-        if man.get("cell_col") != cell_col:
-            raise ValueError(
-                f"store manifest records cell_col={man.get('cell_col')!r} "
-                f"but caller passed {cell_col!r} — mismatched layout"
-            )
-        if man.get("centers_sha") is not None:
-            got_sha = _centers_sha(centers)
-            if got_sha != man["centers_sha"]:
-                raise ValueError(
-                    f"quantizer mismatch: store manifest records centers "
-                    f"{man['centers_sha']} but the serving centers hash to "
-                    f"{got_sha} — probes would visit the wrong cells "
-                    "(recall silently collapses); serve with the store's "
-                    "own model"
-                )
-        msuper = man.get("super_col")
-        entries = man.get("cells", {})
-        dirs = []
-        for c in all_cells:
-            e = entries.get(str(c))
-            if e is None:
-                continue  # empty cell: the writer emitted no directory
-            if msuper is not None:
-                dirs.append(f"{base}/{msuper}={e['super']}/{cell_col}={c}")
-            else:
-                dirs.append(f"{base}/{cell_col}={c}")
-    elif supers is not None:
-        owner = super_of_cells(children, len(np.asarray(centers)))
-        dirs = [
-            f"{base}/{super_col}={owner[c]}/{cell_col}={c}" for c in all_cells
-        ]
-        dirs = [d for d in dirs if os.path.exists(d)]
-    else:
-        dirs = [f"{base}/{cell_col}={c}" for c in all_cells]
-        dirs = [d for d in dirs if os.path.exists(d)]
-    if not dirs:
-        raise ValueError(
-            f"none of the {len(all_cells)} probed cell directories exist "
-            f"under {path!r} — wrong store layout (write with "
-            "write_ivf_store) or a model fitted on different data"
-        )
-    pruned = spark.read.option("basePath", base).parquet(*dirs)
+    pruned = _read_probed_cells(
+        spark, base, all_cells, centers,
+        cell_col=cell_col, super_col=super_col,
+        supers=supers, children=children,
+    )
     # the probed-cell filter inside ivf_topk_batch is now redundant with
     # the directory list but harmless (partition-column filter); the
     # hierarchy still routes each query's own probe selection
@@ -3055,6 +3079,75 @@ def ivf_topk_batch_store(
         where=where,
         engine=engine,
         cell_col=cell_col,
+    )
+
+
+def ivfpq_topk_store(
+    spark,
+    path: str,
+    centers,
+    codebooks: list,
+    query: list[float],
+    k_results: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    super_col: str = "ivf_super",
+    supers=None,
+    children=None,
+    p_super: int | None = None,
+) -> DataFrame:
+    """``ivfpq_topk`` straight off a ``write_ivf_store`` layout holding
+    the PQ CODES (``pq_encode(assigned, books, keep_cols=[...])``,
+    partitioned like any IVF store) — the memory-bound serving rung on
+    the direct path: ONE pruned read of the probed cells' directories
+    (manifest-resolved, O(probed cells) planning — see
+    ``ivf_topk_batch_store``) feeds both the ADC scoring pass and, when
+    the store also kept the raw vectors, the exact-cosine re-rank of
+    the shortlist; the re-rank's candidate lookup is already pruned to
+    the probed cells by construction.
+
+    A codes-only store (written with ``keep_vectors=False`` semantics —
+    no ``vec_col`` column) serves pure-ADC: the returned frame is the
+    ADC top-``k_results`` (``score`` = the negated asymmetric distance
+    surrogate from ``pq_topk``), the 4·d/m× smaller store trading the
+    re-rank's exactness for memory — same contract as ``pq_topk``.
+
+    Store both codes and vectors when the layout budget allows: the
+    store is then one tree serving every rung (``ivf_topk_batch_store``
+    for full-precision, this for compressed + re-rank)."""
+    cells = [
+        int(c)
+        for c in _serving_probe(centers, query, nprobe, supers, children, p_super)
+    ]
+    pruned = _read_probed_cells(
+        spark, path.rstrip("/"), sorted(set(cells)), centers,
+        cell_col=cell_col, super_col=super_col,
+        supers=supers, children=children,
+    )
+    if vec_col not in pruned.columns:
+        return pq_topk(
+            pruned, codebooks, query, k_results, id_col, codes_col
+        )
+    return ivfpq_topk(
+        pruned,
+        pruned,
+        centers,
+        codebooks,
+        query,
+        k_results=k_results,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        codes_col=codes_col,
+        cell_col=cell_col,
+        vectors_cell_col=cell_col,
+        supers=supers,
+        children=children,
+        p_super=p_super,
     )
 
 
