@@ -1136,3 +1136,88 @@ def test_ivfpq_topk_store_direct_path(spark, model, tmp_path):
     wrong = [[c + 0.5 for c in row] for row in centers]
     with pytest.raises(ValueError, match="quantizer mismatch"):
         ivfpq_topk_store(spark, path, wrong, books, q, **kw)
+
+
+def test_pq_encode_numpy_keeps_vec_col(spark, model):
+    """r14 regression: keep_cols carrying the VECTOR column (an IVF-PQ
+    store that keeps raw vectors for re-rank) must work under
+    method='numpy' — the duplicated column in the worker's input batch
+    used to raise KeyError. Codes and kept columns equal the jvm path."""
+    _, _, _, centers, _, _, assigned = model
+    books = pq_train(assigned, m=4, k=16, iters=2, dim=16)
+    keep = ["ivf_cell", "embedding"]
+    j = pq_encode(assigned, books, keep_cols=keep, method="jvm").collect()
+    n = pq_encode(assigned, books, keep_cols=keep, method="numpy").collect()
+    jd = {r["vec_id"]: (list(r["pq_codes"]), r["ivf_cell"], r["embedding"]) for r in j}
+    nd = {r["vec_id"]: (list(r["pq_codes"]), r["ivf_cell"], r["embedding"]) for r in n}
+    assert jd == nd and len(jd) == 400
+
+
+def test_residual_pq_pipeline(spark, model, tmp_path):
+    """r14: canonical IVF-PQ residual encoding — with_residuals is the
+    exact per-cell centroid subtraction, residual ADC scores equal the
+    driver-side bias + table sum, the exactness contract (full probe +
+    full shortlist == brute-force cosine) survives the residual path,
+    and the store entry point serves it identically."""
+    from zx_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk_store,
+        pq_topk,
+        with_residuals,
+    )
+
+    df, _, X, centers, supers, children, assigned = model
+    C = np.asarray(centers)
+    res = with_residuals(assigned, centers)
+    rows = res.select("vec_id", "ivf_cell", "embedding", "residual").collect()
+    for r in rows[:20]:
+        want = np.asarray(r["embedding"]) - C[r["ivf_cell"]]
+        assert np.allclose(np.asarray(r["residual"]), want)
+
+    books = pq_train(res, vec_col="residual", m=4, k=16, iters=2, dim=16)
+    codes = pq_encode(
+        res, books, vec_col="residual", keep_cols=["ivf_cell", "embedding"]
+    )
+    q = [float(x) for x in X[21]]
+
+    # ADC score == driver-side bias + table sum (one row, exact)
+    one = codes.filter(F.col("vec_id") == 5).first()
+    B = np.asarray(books)
+    tab = 0.0
+    sub = 4
+    for s in range(4):
+        tab += round(
+            float(np.dot(q[s * sub:(s + 1) * sub], B[s][one["pq_codes"][s]])), 9
+        )
+    bias = round(float(np.dot(q, C[one["ivf_cell"]])), 9)
+    got = pq_topk(
+        codes, books, q, k_results=400, cell_col="ivf_cell",
+        residual_centers=centers,
+    ).filter(F.col("vec_id") == 5).first()["adc_score"]
+    assert abs(got - round(bias + tab, 6)) < 1e-9
+
+    # exactness contract: full probe + full shortlist == brute force
+    full = ivfpq_topk(
+        codes, assigned, centers, books, q, k_results=5,
+        nprobe=len(centers), shortlist=1000, vectors_cell_col="ivf_cell",
+        residual=True,
+    ).collect()
+    brute = cosine_topk(df, q, k=5).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in brute]
+
+    # store round-trip with residual codes
+    path = str(tmp_path / "pq_res")
+    store_frame = with_super_col(codes, children, len(centers))
+    Cl = [[float(x) for x in c] for c in centers]
+    write_ivf_store(store_frame, path, super_col="ivf_super", centers=Cl)
+    got_s = ivfpq_topk_store(
+        spark, path, centers, books, q, k_results=5, nprobe=4,
+        shortlist=30, supers=supers, children=children, p_super=2,
+        residual=True,
+    ).collect()
+    want_s = ivfpq_topk(
+        codes, assigned, centers, books, q, k_results=5, nprobe=4,
+        shortlist=30, vectors_cell_col="ivf_cell", supers=supers,
+        children=children, p_super=2, residual=True,
+    ).collect()
+    assert [tuple(r) for r in got_s] == [tuple(r) for r in want_s] and got_s

@@ -3099,6 +3099,7 @@ def ivfpq_topk_store(
     supers=None,
     children=None,
     p_super: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """``ivfpq_topk`` straight off a ``write_ivf_store`` layout holding
     the PQ CODES (``pq_encode(assigned, books, keep_cols=[...])``,
@@ -3130,7 +3131,9 @@ def ivfpq_topk_store(
     )
     if vec_col not in pruned.columns:
         return pq_topk(
-            pruned, codebooks, query, k_results, id_col, codes_col
+            pruned, codebooks, query, k_results, id_col, codes_col,
+            cell_col=cell_col if residual else None,
+            residual_centers=centers if residual else None,
         )
     return ivfpq_topk(
         pruned,
@@ -3148,6 +3151,7 @@ def ivfpq_topk_store(
         supers=supers,
         children=children,
         p_super=p_super,
+        residual=residual,
     )
 
 
@@ -3397,7 +3401,12 @@ def pq_encode(
     from pyspark.sql import types as T
 
     keep = list(keep_cols or [])
-    in_cols = [id_col, vec_col, *keep]
+    # dedupe: keep_cols may legitimately carry vec_col (an IVF-PQ store
+    # keeping the raw vectors for re-rank) — a duplicated column in the
+    # select corrupts the Arrow batch columns under mapInPandas
+    in_cols = [id_col, vec_col] + [
+        c for c in keep if c not in (id_col, vec_col)
+    ]
     src_fields = {f.name: f for f in df.schema.fields}
     out_schema = T.StructType(
         [
@@ -3429,6 +3438,38 @@ def pq_encode(
     return _spread(df.select(*in_cols)).mapInPandas(encode, out_schema)
 
 
+def with_residuals(
+    df: DataFrame,
+    centers,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Annotate an IVF-assigned frame with its RESIDUAL — vector minus
+    its cell's centroid — as a pure literal-lookup ``zip_with`` (no
+    shuffle, no Python). Canonical IVF-PQ trains and encodes on
+    residuals, and the r14 regime measurement shows why: on clustered
+    data a probe's candidates all sit in one tight cluster, raw-vector
+    codebooks spend their resolution on GLOBAL structure (where the
+    clusters are) and resolve nothing within the cluster — measured
+    recall@10 of the ADC shortlist-100 collapsed to 0.05 at 10⁷, and
+    normalization did not help; re-encoding the residuals (the
+    within-cluster offsets are exactly what the codebook then learns)
+    tripled it at every shortlist (SCALE.md r14). Train and encode with
+    ``vec_col=out_col``, serve with ``residual=True`` (the ADC score
+    gains the per-cell ``q·centroid`` bias). NULL cells (gated bad
+    embeddings) get NULL residuals."""
+    C = F.lit([[float(x) for x in c] for c in centers])
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.get(C, F.col(cell_col)),
+            lambda a, b: a - b,
+        ),
+    )
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebooks: list,
@@ -3436,12 +3477,19 @@ def pq_topk(
     k_results: int = 10,
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
+    cell_col: str | None = None,
+    residual_centers=None,
 ) -> DataFrame:
     """Approximate top-k by ADC dot product: score = Σ_s table[s][code_s]
     where the m×k table of query-subvector · center dots is computed
     driver-side and embedded as one flat literal array. The per-row cost
     is m array lookups (pure codegen); the only movement is the
-    TakeOrdered top-k merge — same shape as ``cosine_topk``."""
+    TakeOrdered top-k merge — same shape as ``cosine_topk``.
+
+    With ``residual_centers`` (+ ``cell_col``) the codes are RESIDUAL
+    codes (``with_residuals`` → encode): q·x ≈ q·centroid[cell] + q·r,
+    so the score adds a per-cell bias from one more literal lookup —
+    still pure codegen, still no data movement."""
     m = len(codebooks)
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -3460,6 +3508,17 @@ def pq_topk(
         lambda acc, s: acc
         + F.element_at(t, s * k + F.element_at(codes, s + 1).cast("int") + 1),
     )
+    if residual_centers is not None:
+        if cell_col is None:
+            raise ValueError(
+                "residual_centers given without cell_col — the per-cell "
+                "q·centroid bias needs the cell id column"
+            )
+        bias = F.lit([
+            round(sum(float(a) * float(b) for a, b in zip(query, c)), 9)
+            for c in residual_centers
+        ])
+        score = score + F.get(bias, F.col(cell_col))
     return (
         codes_df.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
@@ -3507,11 +3566,19 @@ def ivfpq_topk(
     supers=None,
     children=None,
     p_super: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The standard IVF-PQ layout end-to-end: probe the ``nprobe``
     nearest coarse cells (driver-side argsort over the tiny center
     matrix), ADC-score ONLY the probed cells' m-byte codes, then
     exact-cosine re-rank the shortlist against the full-precision store.
+
+    ``residual=True`` declares the codes RESIDUAL codes
+    (``with_residuals(assigned, centers)`` → ``pq_train``/``pq_encode``
+    on the residual column): ADC scoring then adds the per-cell
+    ``q·centroid`` bias. On clustered corpora this is not optional —
+    the r14 10⁷ measurement saw raw-vector ADC shortlists collapse to
+    noise within a probed cluster (see ``with_residuals``).
 
     ``codes_df`` must carry ``cell_col`` — encode with
     ``pq_encode(assigned, ..., keep_cols=[cell_col])`` over the
@@ -3547,7 +3614,9 @@ def ivfpq_topk(
     ]
     probed = codes_df.filter(F.col(cell_col).isin(cells))
     short = pq_topk(
-        probed, codebooks, query, shortlist, id_col, codes_col
+        probed, codebooks, query, shortlist, id_col, codes_col,
+        cell_col=cell_col if residual else None,
+        residual_centers=centers if residual else None,
     ).select(id_col)
     if vectors_cell_col is not None:
         vectors_df = vectors_df.filter(F.col(vectors_cell_col).isin(cells))
