@@ -1221,3 +1221,33 @@ def test_residual_pq_pipeline(spark, model, tmp_path):
         children=children, p_super=2, residual=True,
     ).collect()
     assert [tuple(r) for r in got_s] == [tuple(r) for r in want_s] and got_s
+
+
+def test_with_residuals_arrow_equals_literal(spark, model):
+    """r14: the arrow residual engine (numpy closure, no n_cells x dim
+    literal expression tree) equals the literal zip_with exactly,
+    including NULL-cell rows."""
+    from zx_spark.operators.similarity import with_residuals
+
+    _, _, _, centers, _, _, assigned = model
+    withnull = assigned.withColumn(
+        "ivf_cell",
+        F.when(F.col("vec_id") % 50 == 0, F.lit(None)).otherwise(
+            F.col("ivf_cell")
+        ),
+    )
+    lit = {
+        r["vec_id"]: r["residual"]
+        for r in with_residuals(withnull, centers, engine="literal").collect()
+    }
+    arw = {
+        r["vec_id"]: r["residual"]
+        for r in with_residuals(withnull, centers, engine="arrow").collect()
+    }
+    assert set(lit) == set(arw) and len(lit) == 400
+    for v, want in lit.items():
+        got = arw[v]
+        if want is None:
+            assert got is None
+        else:
+            assert np.allclose(np.asarray(got), np.asarray(want))

@@ -3134,6 +3134,7 @@ def ivfpq_topk_store(
             pruned, codebooks, query, k_results, id_col, codes_col,
             cell_col=cell_col if residual else None,
             residual_centers=centers if residual else None,
+            cells=cells if residual else None,
         )
     return ivfpq_topk(
         pruned,
@@ -3444,6 +3445,7 @@ def with_residuals(
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
     out_col: str = "residual",
+    engine: str = "auto",
 ) -> DataFrame:
     """Annotate an IVF-assigned frame with its RESIDUAL — vector minus
     its cell's centroid — as a pure literal-lookup ``zip_with`` (no
@@ -3458,16 +3460,63 @@ def with_residuals(
     tripled it at every shortlist (SCALE.md r14). Train and encode with
     ``vec_col=out_col``, serve with ``residual=True`` (the ADC score
     gains the per-cell ``q·centroid`` bias). NULL cells (gated bad
-    embeddings) get NULL residuals."""
-    C = F.lit([[float(x) for x in c] for c in centers])
-    return df.withColumn(
-        out_col,
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.get(C, F.col(cell_col)),
-            lambda a, b: a - b,
-        ),
+    embeddings) get NULL residuals.
+
+    ``engine``: ``"literal"`` is a pure-codegen ``zip_with`` over a
+    literal centers array — right for expression-sized models, but the
+    literal is an n_cells×dim EXPRESSION TREE and the analyzer chokes
+    on real model sizes (a 39k×64 model pinned the driver single-core
+    for minutes before any job started, r14). ``"arrow"`` ships the
+    centers as a numpy closure into one ``mapInPandas`` subtraction —
+    O(model bytes) to ship, no expression blow-up. ``"auto"`` picks
+    literal below 2¹⁵ model elements."""
+    C_np = np.asarray(
+        [[float(x) for x in c] for c in centers], dtype=np.float64
     )
+    if engine == "auto":
+        engine = "literal" if C_np.size <= (1 << 15) else "arrow"
+    if engine == "literal":
+        C = F.lit([[float(x) for x in c] for c in centers])
+        return df.withColumn(
+            out_col,
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.get(C, F.col(cell_col)),
+                lambda a, b: a - b,
+            ),
+        )
+    if engine != "arrow":
+        raise ValueError(f"engine must be auto/literal/arrow, got {engine!r}")
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+    in_cols = list(df.columns)
+
+    def sub(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf[cell_col].to_numpy()
+            ok = pd.notna(cells)
+            res_col = [None] * len(pdf)
+            if ok.any():
+                X = np.array(
+                    pdf.loc[ok, vec_col].to_list(), dtype=np.float64
+                )
+                R = X - C_np[cells[ok].astype(np.int64)]
+                vals = iter(list(R))
+                for i, good in enumerate(ok):
+                    if good:
+                        res_col[i] = next(vals)
+            out = pdf[in_cols].copy()
+            out[out_col] = res_col
+            yield out
+
+    return df.mapInPandas(sub, out_schema)
 
 
 def pq_topk(
@@ -3479,6 +3528,7 @@ def pq_topk(
     codes_col: str = "pq_codes",
     cell_col: str | None = None,
     residual_centers=None,
+    cells=None,
 ) -> DataFrame:
     """Approximate top-k by ADC dot product: score = Σ_s table[s][code_s]
     where the m×k table of query-subvector · center dots is computed
@@ -3489,7 +3539,12 @@ def pq_topk(
     With ``residual_centers`` (+ ``cell_col``) the codes are RESIDUAL
     codes (``with_residuals`` → encode): q·x ≈ q·centroid[cell] + q·r,
     so the score adds a per-cell bias from one more literal lookup —
-    still pure codegen, still no data movement."""
+    still pure codegen, still no data movement. Pass ``cells`` (the
+    probed cell ids) whenever the frame is already probe-filtered: the
+    bias then materializes as an nprobe-entry map instead of an
+    n_cells-length literal array — at 39k cells the full-array literal
+    cost ~20 s of per-query driver analysis (measured r14); the probed
+    map is constant-sized."""
     m = len(codebooks)
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -3514,11 +3569,22 @@ def pq_topk(
                 "residual_centers given without cell_col — the per-cell "
                 "q·centroid bias needs the cell id column"
             )
-        bias = F.lit([
-            round(sum(float(a) * float(b) for a, b in zip(query, c)), 9)
-            for c in residual_centers
-        ])
-        score = score + F.get(bias, F.col(cell_col))
+
+        def _qdot(c) -> float:
+            return round(
+                sum(float(a) * float(b) for a, b in zip(query, c)), 9
+            )
+
+        if cells is not None:
+            pairs = []
+            for c in cells:
+                pairs += [F.lit(int(c)), F.lit(_qdot(residual_centers[int(c)]))]
+            score = score + F.element_at(
+                F.create_map(*pairs), F.col(cell_col)
+            )
+        else:
+            bias = F.lit([_qdot(c) for c in residual_centers])
+            score = score + F.get(bias, F.col(cell_col))
     return (
         codes_df.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
@@ -3617,6 +3683,7 @@ def ivfpq_topk(
         probed, codebooks, query, shortlist, id_col, codes_col,
         cell_col=cell_col if residual else None,
         residual_centers=centers if residual else None,
+        cells=cells if residual else None,
     ).select(id_col)
     if vectors_cell_col is not None:
         vectors_df = vectors_df.filter(F.col(vectors_cell_col).isin(cells))
