@@ -3119,7 +3119,12 @@ def ivfpq_topk_store(
 
     Store both codes and vectors when the layout budget allows: the
     store is then one tree serving every rung (``ivf_topk_batch_store``
-    for full-precision, this for compressed + re-rank)."""
+    for full-precision, this for compressed + re-rank).
+
+    ``residual=True`` for stores encoded from ``with_residuals`` output
+    — the default recommendation for every PQ store (see
+    ``ivfpq_topk``; measured 3× shortlist recall on clustered data,
+    SCALE.md r14)."""
     cells = [
         int(c)
         for c in _serving_probe(centers, query, nprobe, supers, children, p_super)
