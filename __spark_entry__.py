@@ -2555,9 +2555,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet via the Python twin (_dsir_score_sql), no echo.
     from zx_spark.functions.dsir import dsir_log_weight, dsir_train
 
+    # target_filter (r14 opt): one hashing pass + one shuffle trains
+    # both distributions — identical counts to the two-frame form
     dsir_model = dsir_train(
         _docs(spark, sf_dir),
-        _docs(spark, sf_dir).filter(F.col("lang") == "en"),
+        target_filter=F.col("lang") == "en",
         n_buckets=256,
         alpha=0.1,
     )
@@ -2648,7 +2650,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         model, lm = nb_f.result(), lm_f.result()
     q = text_quality(F.col("text"))
     r = repetition_signals(F.col("text"))
-    return docs.select(
+    # r14 opt: spread the scoring scan — the NB/LM literal-array folds
+    # are the CPU-dominant stage and the source is one partition
+    # otherwise (values identical; no-op on wide inputs)
+    from zx_spark.util import spread as _spread3
+
+    return _spread3(docs).select(
         "doc_id",
         q["stopword_ratio"].alias("stopword_ratio"),
         q["upper_ratio"].alias("upper_ratio"),
@@ -3727,10 +3734,15 @@ def _bench_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     score the corpus (functions/dsir.py — two bucket aggs + a
     scan-speed literal-array fold)."""
     from zx_spark.functions.dsir import dsir_log_weight, dsir_train
+    from zx_spark.util import spread as _spread2
 
     docs = _docs(spark, sf_dir)
-    model = dsir_train(docs, docs.filter(F.col("lang") == "en"), n_buckets=4096)
-    return docs.select(
+    # r14 opt: one-pass train (target = filter of raw → both bucket
+    # distributions ride one hashing pass) and a spread scoring scan
+    # (the md5 feature fold is CPU-bound; a small parquet source is one
+    # partition otherwise). Identical model and scores.
+    model = dsir_train(docs, target_filter=F.col("lang") == "en", n_buckets=4096)
+    return _spread2(docs).select(
         "doc_id", dsir_log_weight(F.col("text"), model).alias("logw")
     )
 

@@ -32,6 +32,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from zx_spark.util import lit_array
+
 MICRO = 1_000_000
 
 
@@ -85,8 +87,17 @@ def nb_train(
         F.array(F.lit(None).cast("string")),
         F.coalesce(toks, F.array().cast("array<string>")),  # NULL text is still a doc
     )
+    # r14 opt: spread the scan (the tokenize+md5 pass is CPU-bound and
+    # a small parquet source is ONE partition otherwise; no-op on wide
+    # inputs) and materialize the marked token array in its own
+    # projection so the generate's inferred size()>0 filter cannot be
+    # pushed below the repartition and re-evaluate the chain unspread.
+    from zx_spark.util import spread as _spread
+
     counts = (
-        df.select(F.col(label_col).alias("__lab"), F.explode(marked).alias("__t"))
+        _spread(df)
+        .select(F.col(label_col).alias("__lab"), marked.alias("__m"))
+        .select("__lab", F.explode("__m").alias("__t"))
         .groupBy(_bucket(F.col("__t"), n_buckets).alias("__b"), "__lab")
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
@@ -132,7 +143,7 @@ def nb_score(text_col: Column, model: dict) -> Column:
     NULL text scores NULL (no content is not evidence, so it does not
     collapse to the prior); empty text scores exactly the prior."""
     n_buckets = model["n_buckets"]
-    w = F.lit([int(x) for x in model["weights_micro"]])
+    w = lit_array([int(x) for x in model["weights_micro"]])
     toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
     micro_sum = F.aggregate(
         F.transform(toks, lambda t: F.element_at(w, (_bucket(t, n_buckets) + 1).cast("int"))),

@@ -45,15 +45,16 @@ from pyspark.sql import functions as F
 from zx_spark.functions.hashing import bucket as _bucket
 from zx_spark.functions.hashing import bucket_py as _bucket_py
 from zx_spark.functions.hashing import toks_py as _toks_py
+from zx_spark.util import lit_array
 
 MICRO = 1_000_000
 
 
-def _feature_buckets(text: Column, n_buckets: int) -> Column:
-    """array<long> of hashed feature buckets: every unigram plus every
-    adjacent bigram (space-joined — tokens cannot contain whitespace, so
-    the join is collision-free and distinct from any unigram)."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+def _feats_from_toks(toks: Column, n_buckets: int) -> Column:
+    """Feature buckets from an ALREADY MATERIALIZED token-array column
+    (the functions.text.tokenize projection-boundary discipline: hot
+    frame paths tokenize once per row, not once per reference — the
+    bigram zip_with below references the token array three times)."""
     uni = F.transform(toks, lambda t: _bucket(t, n_buckets))
     bi = F.when(
         F.size(toks) > 1,
@@ -66,24 +67,57 @@ def _feature_buckets(text: Column, n_buckets: int) -> Column:
     return F.concat(uni, bi)
 
 
+def _feature_buckets(text: Column, n_buckets: int) -> Column:
+    """array<long> of hashed feature buckets: every unigram plus every
+    adjacent bigram (space-joined — tokens cannot contain whitespace, so
+    the join is collision-free and distinct from any unigram)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    return _feats_from_toks(toks, n_buckets)
+
+
 def _features_py(text: str | None) -> list[str]:
     toks = _toks_py(text)
     return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
 
 
+def _count_rows_to_list(rows, key: str, n_buckets: int) -> list[int]:
+    counts = [0] * n_buckets
+    for r in rows:
+        counts[int(r["__b"])] = int(r[key])
+    return counts
+
+
+def _feats_exploded(
+    df: DataFrame, text_col: str, n_buckets: int, tag: Column | None = None
+) -> DataFrame:
+    """(__b [, __t]) — one exploded feature-bucket row per feature
+    (``__t`` carries ``tag`` when given). Tokenizes through a projection
+    boundary (tokenize discipline) and spreads the scan first: the md5
+    hashing pass is the CPU-dominant stage and a small parquet source is
+    ONE partition otherwise (r14 opt: single-core → cluster-wide; no-op
+    on already-wide inputs). explode_outer, not explode:
+    InferFiltersFromGenerate would push a ``size(feats) > 0`` filter
+    below the spread repartition and re-evaluate the whole tokenize+hash
+    chain on the unspread scan (the decontaminate.py hazard); token-less
+    docs yield a NULL bucket row, filtered AFTER the generate."""
+    from zx_spark.util import spread as _spread
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    first = [toks.alias("__toks")] + ([tag.alias("__t")] if tag is not None else [])
+    second = [
+        F.explode_outer(_feats_from_toks(F.col("__toks"), n_buckets)).alias("__b")
+    ] + ([F.col("__t")] if tag is not None else [])
+    return _spread(df).select(*first).select(*second).filter(F.col("__b").isNotNull())
+
+
 def _count_buckets(df: DataFrame, text_col: str, n_buckets: int) -> list[int]:
     rows = (
-        df.select(
-            F.explode(_feature_buckets(F.col(text_col), n_buckets)).alias("__b")
-        )
+        _feats_exploded(df, text_col, n_buckets)
         .groupBy("__b")
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     )
-    counts = [0] * n_buckets
-    for r in rows:
-        counts[int(r["__b"])] = int(r["__n"])
-    return counts
+    return _count_rows_to_list(rows, "__n", n_buckets)
 
 
 def _model_from_counts(
@@ -111,21 +145,46 @@ def _model_from_counts(
 
 def dsir_train(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None = None,
     text_col: str = "text",
     n_buckets: int = 4096,
     alpha: float = 0.1,
+    target_filter: Column | None = None,
 ) -> dict:
     """Fit the hashed-feature importance model: one bucket-count
     aggregation over each corpus, driver-side log-ratio finisher.
     Returns the model dict (one micro-log-ratio integer array),
-    byte-identical to ``dsir_train_python`` on the same rows."""
+    byte-identical to ``dsir_train_python`` on the same rows.
+
+    ``target_filter`` (r14 opt, exclusive with ``target_df``): when the
+    target corpus is a row-filter of the raw corpus — the common "train
+    against my own high-quality slice" shape — pass the predicate
+    instead of a second frame and BOTH distributions ride ONE hashing
+    pass + ONE shuffle (the raw count and the filter-conditional count
+    share the aggregation), instead of hashing the target rows twice
+    across two jobs. Counts are identical: a NULL predicate row counts
+    into raw only, exactly like ``raw_df.filter(...)`` would."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    target = _count_buckets(target_df, text_col, n_buckets)
-    raw = _count_buckets(raw_df, text_col, n_buckets)
+    if (target_df is None) == (target_filter is None):
+        raise ValueError("pass exactly one of target_df / target_filter")
+    if target_filter is not None:
+        rows = (
+            _feats_exploded(raw_df, text_col, n_buckets, tag=target_filter)
+            .groupBy("__b")
+            .agg(
+                F.count(F.lit(1)).alias("__raw"),
+                F.count(F.when(F.col("__t"), 1)).alias("__tgt"),
+            )
+            .collect()
+        )
+        raw = _count_rows_to_list(rows, "__raw", n_buckets)
+        target = _count_rows_to_list(rows, "__tgt", n_buckets)
+    else:
+        target = _count_buckets(target_df, text_col, n_buckets)
+        raw = _count_buckets(raw_df, text_col, n_buckets)
     return _model_from_counts(target, raw, alpha, n_buckets)
 
 
@@ -160,18 +219,28 @@ def dsir_log_weight(text_col: Column, model: dict) -> Column:
     comparable slices or normalize per feature if that matters for the
     selection policy."""
     n_buckets = model["n_buckets"]
-    lr = F.lit([int(x) for x in model["logratio_micro"]])
+    lr = lit_array([int(x) for x in model["logratio_micro"]])
     feats = _feature_buckets(text_col, n_buckets)
-    micro = F.aggregate(
-        F.transform(
-            feats, lambda b: F.element_at(lr, (b + 1).cast("int"))
+    # ONE struct fold referencing `feats` exactly once: the former
+    # ``when(size(feats) > 0, aggregate(transform(feats, ...)))`` shape
+    # evaluated the whole tokenize+md5 feature chain twice per row
+    # (higher-order lambdas are interpreted — no codegen subexpression
+    # elimination merges them; measured 2.65s → 0.52s on the sf0.1
+    # scoring pass, r14). The feature count rides the fold and the
+    # finish lambda applies the same empty→NULL rule.
+    return F.aggregate(
+        feats,
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("n")
         ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return F.when(
-        F.size(feats) > 0,
-        F.round(micro.cast("double") / F.lit(float(MICRO)), 6),
+        lambda acc, b: F.struct(
+            (acc["s"] + F.element_at(lr, (b + 1).cast("int"))).alias("s"),
+            (acc["n"] + F.lit(1)).alias("n"),
+        ),
+        lambda acc: F.when(
+            acc["n"] > 0,
+            F.round(acc["s"].cast("double") / F.lit(float(MICRO)), 6),
+        ),
     )
 
 

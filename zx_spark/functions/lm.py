@@ -42,6 +42,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from zx_spark.util import lit_array
+
 MICRO = 1_000_000
 BOS = "<s>"
 
@@ -81,7 +83,14 @@ def _pairs(text: Column) -> Column:
     """array<struct<prev,cur>> of bigrams with a BOS context: prev_1 =
     ``<s>``, prev_i = token_{i-1}. Tokens cannot contain whitespace
     (split on ``\\s+``), so ``prev ⧺ ' ' ⧺ cur`` is collision-free."""
-    toks = _toks(text)
+    return _pairs_from_toks(_toks(text))
+
+
+def _pairs_from_toks(toks: Column) -> Column:
+    """The bigram walk from an ALREADY MATERIALIZED token-array column
+    (tokenize discipline: this expression references ``toks`` four
+    times, so inlining the tokenizer re-splits the text per reference —
+    r14 opt)."""
     prevs = F.concat(
         F.array(F.lit(BOS)),
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -108,38 +117,52 @@ def lm_train(
     integer arrays), byte-identical to ``lm_train_python`` on the same
     rows."""
     # ONE corpus scan, ONE explode, ONE map-side-combined shuffle of
-    # ≤ 2·n_buckets rows per partition: each bigram emits its context
-    # bucket (kind 0) and bigram bucket (kind 1) from a single
-    # evaluation of the bigram walk (flatten of per-pair 2-arrays —
-    # Catalyst does not CSE across separate transform branches, so a
-    # concat of two transforms would derive the walk twice)
-    both = F.flatten(
-        F.transform(
-            _pairs(F.col(text_col)),
-            lambda p: F.array(
-                F.struct(
-                    F.lit(0).alias("__k"),
-                    _bucket(p["prev"], n_buckets).alias("__b"),
-                ),
-                F.struct(
-                    F.lit(1).alias("__k"),
-                    _bucket(
-                        F.concat_ws(" ", p["prev"], p["cur"]), n_buckets
-                    ).alias("__b"),
-                ),
-            ),
-        )
+    # ≤ 2·n_buckets rows per partition: each bigram contributes its
+    # context bucket (even-encoded: 2·b) and bigram bucket (odd-encoded:
+    # 2·b + 1) as PLAIN LONGS — r14 opt: the former per-pair
+    # struct<kind,bucket> walk (pair structs built, re-wrapped, exploded
+    # as structs) measured 3× slower than this flat encoding at sf0.1
+    # (2.0 s → 0.68 s). The scan is spread (CPU-bound hashing; a small
+    # parquet source is ONE partition otherwise), the tokenizer runs
+    # through a projection boundary (the prevs/zip_with walk references
+    # the token array three times), and the encoded array materializes
+    # in a third projection so the generate's inferred size()>0 filter
+    # cannot be pushed below the repartition and re-evaluate the chain
+    # unspread (the decontaminate hazard).
+    from zx_spark.util import spread as _spread
+
+    tk = F.col("__toks")
+    prevs = F.concat(
+        F.array(F.lit(BOS)),
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
     )
+    enc = F.when(
+        F.size(tk) > 0,
+        F.concat(
+            F.transform(prevs, lambda p: _bucket(p, n_buckets) * 2),
+            F.zip_with(
+                prevs,
+                tk,
+                lambda p, c: _bucket(F.concat_ws(" ", p, c), n_buckets) * 2
+                + 1,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     counts = (
-        df.select(F.explode(both).alias("__kb"))
-        .groupBy(F.col("__kb.__k").alias("__k"), F.col("__kb.__b").alias("__b"))
+        _spread(df)
+        .select(_toks(F.col(text_col)).alias("__toks"))
+        .select(enc.alias("__kb_arr"))
+        .select(F.explode_outer("__kb_arr").alias("__kb"))
+        .filter(F.col("__kb").isNotNull())
+        .groupBy("__kb")
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     )
     bi = [0] * n_buckets
     ctx = [0] * n_buckets
     for r in counts:
-        (ctx if r["__k"] == 0 else bi)[int(r["__b"])] = int(r["__n"])
+        v = int(r["__kb"])
+        (bi if v % 2 else ctx)[v // 2] = int(r["__n"])
     return _model_from_counts(bi, ctx, alpha, n_buckets)
 
 
@@ -171,30 +194,50 @@ def lm_score(text_col: Column, model: dict) -> Column:
     NULL and token-less text score NULL (an average over zero tokens is
     undefined; no content is not evidence of quality either way)."""
     n_buckets = model["n_buckets"]
-    lb = F.lit([int(x) for x in model["logbi_micro"]])
-    lc = F.lit([int(x) for x in model["logctx_micro"]])
-    pairs = _pairs(text_col)
-    micro = F.aggregate(
-        F.transform(
-            pairs,
-            lambda p: F.element_at(
-                lb,
-                (
-                    _bucket(
-                        F.concat_ws(" ", p["prev"], p["cur"]), n_buckets
-                    )
-                    + 1
-                ).cast("int"),
-            )
-            - F.element_at(lc, (_bucket(p["prev"], n_buckets) + 1).cast("int")),
+    lb = lit_array([int(x) for x in model["logbi_micro"]])
+    lc = lit_array([int(x) for x in model["logctx_micro"]])
+    # ONE running-prev fold over the TOKEN array, referenced exactly
+    # once: the former ``when(size(pairs) > 0, aggregate(transform(
+    # pairs, ...)) / size)`` shape referenced the tokenize+pair chain
+    # three times per row (and ``_pairs`` itself references the token
+    # array four more), and higher-order lambdas are interpreted — no
+    # codegen subexpression elimination merges them (the dsir.py r14
+    # finding). Carrying the previous token through the accumulator
+    # replaces the materialized pair structs outright; the token count
+    # rides the fold; the finish lambda applies the same empty→NULL rule
+    # and the identical IEEE division + 6-dp HALF_UP finisher. The sum
+    # is the same exact bigint total in the same left-to-right order.
+    return F.aggregate(
+        _toks(text_col),
+        F.struct(
+            F.lit(BOS).alias("p"),
+            F.lit(0).cast("long").alias("s"),
+            F.lit(0).cast("long").alias("n"),
         ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    n = F.size(pairs)
-    return F.when(
-        n > 0,
-        F.round(micro.cast("double") / (F.lit(float(MICRO)) * n.cast("double")), 6),
+        lambda acc, t: F.struct(
+            t.alias("p"),
+            (
+                acc["s"]
+                + F.element_at(
+                    lb,
+                    (
+                        _bucket(F.concat_ws(" ", acc["p"], t), n_buckets) + 1
+                    ).cast("int"),
+                )
+                - F.element_at(
+                    lc, (_bucket(acc["p"], n_buckets) + 1).cast("int")
+                )
+            ).alias("s"),
+            (acc["n"] + F.lit(1)).alias("n"),
+        ),
+        lambda acc: F.when(
+            acc["n"] > 0,
+            F.round(
+                acc["s"].cast("double")
+                / (F.lit(float(MICRO)) * acc["n"].cast("double")),
+                6,
+            ),
+        ),
     )
 
 

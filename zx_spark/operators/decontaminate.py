@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zx_spark.functions.text import shingles_from_tokens, tokenize
+from zx_spark.util import lit_array
 from zx_spark.util import spread as _spread  # one shared guard + docstring
 
 
@@ -589,8 +590,8 @@ def semantic_contamination(
     Bn = B / (np.linalg.norm(B, axis=1, keepdims=True) + 1e-12)
     if method == "jvm":
         nb, dim = Bn.shape
-        flat = F.lit([float(x) for row in Bn for x in row])
-        ids_lit = F.lit(list(bench_ids))
+        flat = lit_array([float(x) for row in Bn for x in row])
+        ids_lit = lit_array(list(bench_ids))
         v = F.col(f"`{vec_col}`").cast("array<double>")
         norm = F.sqrt(
             F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from zx_spark.functions.text import shingles_from_tokens, tokenize, word_shingles
 
 
+from zx_spark.util import lit_array
 from zx_spark.util import spread as _spread  # one shared guard + docstring
 
 
@@ -126,8 +127,8 @@ def minhash_from_shingles(
     per shingle position."""
     # single array-literal nodes (not num_hashes lit nodes each) — same
     # long values, smaller expression tree for Catalyst
-    a_arr = F.lit(list(_MINHASH_A[:num_hashes])).cast("array<long>")
-    b_arr = F.lit(list(_MINHASH_B[:num_hashes])).cast("array<long>")
+    a_arr = lit_array(list(_MINHASH_A[:num_hashes])).cast("array<long>")
+    b_arr = lit_array(list(_MINHASH_B[:num_hashes])).cast("array<long>")
     hashed = F.transform(shingles, lambda sh: base_hash(sh, hash_method))
     return F.aggregate(
         hashed,

@@ -41,6 +41,8 @@ from decimal import ROUND_HALF_UP, Decimal
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from zx_spark.util import lit_array
 from pyspark.sql import types as T
 
 MICRO = 1_000_000
@@ -189,7 +191,7 @@ def _project_exprs(v: Column, model: dict) -> list[Column]:
     q = _quantize_col(v)
     out = []
     for comp, off in zip(model["components_micro"], model["offsets_micro2"]):
-        cm = F.lit([int(x) for x in comp])
+        cm = lit_array([int(x) for x in comp])
         dot = F.aggregate(
             F.zip_with(q, cm, lambda a, b: a * b),
             F.lit(0).cast("long"),

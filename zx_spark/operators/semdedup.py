@@ -49,6 +49,7 @@ from zx_spark.operators.similarity import (
     ivf_build,
     ivf_build_lloyd,
 )
+from zx_spark.util import lit_array
 from zx_spark.util import spread as _spread
 
 
@@ -67,8 +68,8 @@ def centroid_cosine(
     size in k·d, no shuffle."""
     centers = [[float(x) for x in c] for c in np.asarray(centers)]
     dim = len(centers[0])
-    flat = F.lit([x for c in centers for x in c])
-    norms = F.lit([float(np.sqrt(sum(x * x for x in c))) for c in centers])
+    flat = lit_array([float(x) for c in centers for x in c])
+    norms = lit_array([float(np.sqrt(sum(x * x for x in c))) for c in centers])
     v = F.col(vec_col).cast("array<double>")
     c = F.slice(flat, F.col(cell_col) * dim + 1, dim)
     cn = F.element_at(norms, F.col(cell_col) + 1)

@@ -32,6 +32,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from zx_spark.util import lit_array
+
 
 from zx_spark.util import spread as _spread  # one shared guard + docstring
 
@@ -96,7 +98,7 @@ def cosine_topk(
     data itself."""
     # one array-literal NODE per vector (not d F.lit nodes) — identical
     # values, ~d× smaller expression trees for Catalyst to analyze
-    q = F.lit([float(v) for v in query_vec])
+    q = lit_array([float(v) for v in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
         _spread(df).select(F.col(id_col), F.round(sim, 6).alias("cosine"))
@@ -215,7 +217,7 @@ def rp_lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> 
     v = vec.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        h = F.lit([float(x) for x in plane])
+        h = lit_array([float(x) for x in plane])
         bit = F.when(_dot(v, h) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
@@ -468,7 +470,7 @@ def ivf_topk(
     — don't guess from the static defaults."""
     _check_super_col(super_col, supers)
     cells = _serving_probe(centers, query_vec, nprobe, supers, children, p_super)
-    qcol = F.lit([float(v) for v in query_vec])
+    qcol = lit_array([float(v) for v in query_vec])
     sim = cosine(F.col(vec_col).cast("array<double>"), qcol)
     if super_col is not None and supers is not None:
         assigned = _super_prune(assigned, cells, children, centers, super_col)
@@ -699,7 +701,7 @@ def _ivf_topk_batch_arrow(
 def _sqdist_lit(v: Column, center: list[float]) -> Column:
     """Squared L2 distance to a literal center via the expansion
     |v|^2 - 2*v.c + |c|^2 (the same formula the DuckDB oracle uses)."""
-    c = F.lit([float(x) for x in center])
+    c = lit_array([float(x) for x in center])
     c2 = float(sum(x * x for x in center))
     return _dot(v, v) - 2.0 * _dot(v, c) + F.lit(c2)
 
@@ -735,8 +737,8 @@ def ivf_assign(
     unchanged (pinned by tests)."""
     k = len(centers)
     dim = len(centers[0])
-    flat = F.lit([float(x) for c in centers for x in c])
-    c2 = F.lit([float(sum(x * x for x in c)) for c in centers])
+    flat = lit_array([float(x) for c in centers for x in c])
+    c2 = lit_array([float(sum(x * x for x in c)) for c in centers])
     v = F.col(vec_col).cast("array<double>")
     # |v|^2 - 2 v.c_j + |c_j|^2 per center j (the oracle's expansion)
     dists = F.transform(
@@ -2087,11 +2089,11 @@ def _two_level_sorted_cells(
     norms, the children map); per-row cost n_super + p_super·avg-child
     dots instead of n_cells."""
     ns, dim = len(super_centers), len(super_centers[0])
-    sflat = F.lit([float(x) for s in super_centers for x in s])
-    s2 = F.lit([float(sum(x * x for x in s)) for s in super_centers])
-    cflat = F.lit([float(x) for c in centers for x in c])
-    c2 = F.lit([float(sum(x * x for x in c)) for c in centers])
-    kids_lit = F.lit([[int(c) for c in ch] for ch in children])
+    sflat = lit_array([float(x) for s in super_centers for x in s])
+    s2 = lit_array([float(sum(x * x for x in s)) for s in super_centers])
+    cflat = lit_array([float(x) for c in centers for x in c])
+    c2 = lit_array([float(sum(x * x for x in c)) for c in centers])
+    kids_lit = lit_array([[int(c) for c in ch] for ch in children])
     sscore = F.transform(
         F.sequence(F.lit(0), F.lit(ns - 1)),
         lambda j: F.struct(
@@ -3357,8 +3359,8 @@ def _pq_codes_expr(v: Column, codebooks: list, sub: int) -> Column:
     parts = []
     for s, centers in enumerate(codebooks):
         sv = _pq_sub(v, s, sub)
-        flat = F.lit([float(x) for c in centers for x in c])
-        c2 = F.lit([float(sum(x * x for x in c)) for c in centers])
+        flat = lit_array([float(x) for c in centers for x in c])
+        c2 = lit_array([float(sum(x * x for x in c)) for c in centers])
         dists = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),
             lambda j: F.element_at(c2, j + 1)
@@ -3481,7 +3483,7 @@ def with_residuals(
     if engine == "auto":
         engine = "literal" if C_np.size <= (1 << 15) else "arrow"
     if engine == "literal":
-        C = F.lit([[float(x) for x in c] for c in centers])
+        C = lit_array([[float(x) for x in c] for c in centers])
         return df.withColumn(
             out_col,
             F.zip_with(
@@ -3560,7 +3562,7 @@ def pq_topk(
             table.append(
                 round(sum(float(a) * float(b) for a, b in zip(q_sub, codebooks[s][j])), 9)
             )
-    t = F.lit([float(x) for x in table])
+    t = lit_array([float(x) for x in table])
     codes = F.col(codes_col)
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -3588,7 +3590,7 @@ def pq_topk(
                 F.create_map(*pairs), F.col(cell_col)
             )
         else:
-            bias = F.lit([_qdot(c) for c in residual_centers])
+            bias = lit_array([float(_qdot(c)) for c in residual_centers])
             score = score + F.get(bias, F.col(cell_col))
     return (
         codes_df.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
@@ -3730,8 +3732,8 @@ def knn_pairs(
     if not 1 <= nprobe <= n_cells:
         raise ValueError(f"nprobe must be in 1..{n_cells}, got {nprobe}")
     dim = len(C[0])
-    flat = F.lit([x for c in C for x in c])
-    c2 = F.lit([float(sum(x * x for x in c)) for c in C])
+    flat = lit_array([float(x) for c in C for x in c])
+    c2 = lit_array([float(sum(x * x for x in c)) for c in C])
     v = F.col(vec_col).cast("array<double>")
     # per-row probe list: cells sorted by |c|^2 - 2 v.c (the |v|^2 term
     # is constant per row), ties by cell id via the struct sort

@@ -23,6 +23,49 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def lit_array(vals):
+    """Array literal in ONE driver-side parse.
+
+    ``F.lit(<python list>)`` builds the literal element-by-element over
+    py4j (~0.5 ms per element — measured 2.1 s for a 4096-long model
+    array, r14), and model-scoring expressions rebuild their literals on
+    EVERY query construction, so big F.lit lists tax each bench/driver
+    invocation before a single task runs. One ``F.expr`` string parse is
+    ~6 ms at any size and yields a value- AND type-identical Literal:
+    ints in int32 range print bare (INT, exactly what per-element
+    ``F.lit`` produces — an ``L`` suffix here silently widened
+    ``element_at`` index lambdas to BIGINT and broke analysis), wider
+    ints get ``L``; floats print via ``repr`` (shortest round-trip
+    form, which Java's correctly-rounded ``parseDouble`` maps back to
+    the same bits) with a ``D`` suffix. Nested lists become nested ``array(...)``
+    calls. Anything else — empty/None/non-finite/strings — falls back to
+    plain ``F.lit``, so callers can use this unconditionally."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def render(v):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return f"{v}L" if not -2147483648 <= v <= 2147483647 else str(v)
+        if isinstance(v, float):
+            if not math.isfinite(v):
+                return None
+            return f"{v!r}D"
+        if isinstance(v, list):
+            parts = [render(x) for x in v]
+            if any(p is None for p in parts) or not parts:
+                return None
+            return "array(" + ",".join(parts) + ")"
+        return None
+
+    rendered = render(list(vals))
+    if rendered is None:
+        return F.lit(list(vals))
+    return F.expr(rendered)
+
+
 def pin_file_mtimes_by_min_value(path: str, column: str) -> None:
     """Order a parquet file-source directory's streaming trigger
     sequence by the MIN of ``column`` per file: Spark's file source
