@@ -237,7 +237,10 @@ def q_g1_group_nil_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE exact-distinct profile pass: the collected rows feed the
     # counts/range arms (re-lifted as a tiny local frame) AND the
     # expectation gate via check_expectations(profile=...) — without
-    # the reuse the Expand-heavy exact-distinct scan would run twice
+    # the reuse the Expand-heavy exact-distinct scan would run twice.
+    # (r14 note: merging the corr accumulators into this agg was
+    # measured SLOWER — every accumulator rides the 5× distinct-Expand
+    # — so the corr arm stays a separate plain agg pass.)
     prof_rows = profile_table(ev, exact_distinct=True).collect()
     prof = spark.createDataFrame(
         prof_rows,

@@ -245,8 +245,9 @@ _BOUNDED_KEYS: dict[str, tuple] = {
     # source_overlap arm: the per-source vocabulary SIZES and the
     # C(sources, 2) matrix are keyed by the corpus source enum — bounded
     # at any corpus size (a mixing pipeline has tens of sources, not
-    # millions; the VOCABULARY self-join on __h is NOT attested and
-    # stays merge-pinned in decontaminate.py)
+    # millions; since r14 the data-sized vocabulary is never joined at
+    # all — per-hash source-set aggregation replaced the r12-class
+    # self-join outright)
     "decontaminate_ngrams": ("__src", "source_a", "source_b"),
     "op_source_overlap": ("__src", "source_a", "source_b"),
 }

@@ -320,24 +320,41 @@ def source_overlap_matrix(
     hashed = _with_shingle_hashes(
         _spread(corpus.filter(src.isNotNull())), text_col, n, "__hs"
     ).select(src.alias("__src"), F.explode_outer("__hs").alias("__h"))
-    sv = hashed.select("__src", "__h").distinct()
-    sizes = sv.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
-    a = sv.select(F.col("__src").alias("source_a"), "__h")
-    b = sv.select(F.col("__src").alias("source_b"), "__h")
-    # merge hint: BOTH sides of the hash self-join are the per-source
-    # vocabulary — data-sized (∝ corpus distinct shingles). Catalyst's
-    # size estimate for the distinct-agg output lands under the
-    # broadcast threshold and plans a BuildRight broadcast of the WHOLE
-    # vocabulary (measured: a sf10 interleaved session died in
-    # "Not enough memory to build and broadcast", r12) — correct at toy
-    # scale, fatal at 100 TB. Sort-merge is spillable and AQE still
-    # handles skew; the later sizes joins stay broadcast (C(sources, 2)
-    # rows vs per-source counts — genuinely tiny).
+    # r14 opt (replacing the r12 merge-pinned vocabulary self-join):
+    # ONE hash-keyed aggregation collects each shingle's SOURCE SET —
+    # bounded by n_sources per hash, map-side combined, and dedup rides
+    # the same shuffle the old per-source distinct needed — then the
+    # pair expansion is a per-row transform over the sorted set (fan-out
+    # ≤ C(n_sources, 2), never data-sized) and the per-source vocabulary
+    # sizes fall out of the same frame. The data-sized vocabulary is
+    # never JOINED at all: no broadcast cliff to pin away, no sort-merge
+    # of two corpus-vocab sides (measured 1.41 s → 1.07 s at sf0.1,
+    # one wide Exchange instead of three). Values identical.
+    per_hash = hashed.groupBy("__h").agg(F.collect_set("__src").alias("__srcs"))
+    srcs_sorted = F.array_sort(F.col("__srcs"))
+    pair_structs = F.flatten(
+        F.transform(
+            srcs_sorted,
+            lambda a, i: F.transform(
+                F.slice(
+                    srcs_sorted,
+                    i + 2,
+                    F.greatest(F.size(srcs_sorted) - i - 1, F.lit(0)),
+                ),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b.hint("merge"), "__h")
-        .filter(F.col("source_a") < F.col("source_b"))
+        per_hash.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = (
+        per_hash.select(F.explode("__srcs").alias("__src"))
+        .groupBy("__src")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
     return (
         shared.join(

@@ -597,28 +597,33 @@ def dup_components(
         # the leakage-safe-split arm on an 8g driver). The hint forbids
         # the broadcast cliff; the loop's two shuffles per round are
         # the design.
+        #
+        # r14 opt: the node's OLD label rides the same aggregation (the
+        # self rows are tagged, min-over-self = the unique previous
+        # label), so the per-round convergence check is a filter+count
+        # over the checkpointed frame instead of a third shuffle-join
+        # per round. Propagated labels are identical.
         neighbor_min = (
             edges.hint("shuffle_hash")
             .join(
                 labels.hint("shuffle_hash"), edges["src"] == labels["node"]
             )
-            .select(F.col("dst").alias("node"), "component")
-            .union(labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
-        changed = (
-            neighbor_min.hint("shuffle_hash")
-            .join(
-                labels.withColumnRenamed("component", "old").hint(
-                    "shuffle_hash"
-                ),
-                "node",
+            .select(
+                F.col("dst").alias("node"),
+                "component",
+                F.lit(None).cast("long").alias("__self"),
             )
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = neighbor_min
+            .union(labels.select("node", "component", F.col("component").alias("__self")))
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__self").alias("__old"),
+            )
+        ).localCheckpoint()
+        changed = neighbor_min.filter(
+            F.col("component") != F.col("__old")
+        ).count()
+        labels = neighbor_min.select("node", "component")
         if changed == 0:
             break
     if changed:
@@ -785,30 +790,42 @@ def incremental_near_dups(
     new_sigs = _width_checked(new_sigs, "new")
     old_sigs = _width_checked(old_sigs, "old")
     bn = minhash_bands(new_sigs, id_col, "minhash", bands)
-    bo = minhash_bands(old_sigs, id_col, "minhash", bands)
     on = ["band_no", "band_hash"]
-    # merge hints (here and below): every side is a signature/band frame
-    # — data-sized aggs whose estimates can land under the broadcast
-    # threshold (SCALE.md r12 class); sort-merge spills. The ingest
-    # batch `bn` MAY genuinely be small — callers that know it can
-    # broadcast explicitly; the default must not gamble the old store.
-    vs_old = (
-        bn.withColumnRenamed(id_col, "new_id")
-        .join(bo.withColumnRenamed(id_col, "matched_id").hint("merge"), on)
-        .filter(F.col("new_id") != F.col("matched_id"))
-        .select("new_id", "matched_id", F.lit(True).alias("is_historical"))
-    )
-    cands = vs_old
+    # Join-strategy discipline (r14 opt, replacing the r13 blanket
+    # merge pins): no side here may ever BROADCAST (signature/band
+    # frames are data-sized aggs whose estimates can land under the
+    # broadcast threshold — the SCALE.md r12 OOM class), but the
+    # BATCH-derived side is bounded by the ingest batch, so a
+    # shuffle_hash hint on IT (hinted side = build side) gives a
+    # per-partition hash build ∝ batch/partitions with no sort of the
+    # corpus-sized history side — strictly less work than sort-merge
+    # and the same no-driver-broadcast safety. The history store is
+    # only ever the streamed/probe side.
+    #
+    # Shape (r14): ONE band join instead of two — the matched side is
+    # the tagged union of history bands and (optionally) the batch's
+    # own bands, and the pair-direction filter dispatches on the tag.
+    # Same candidate set, one fewer shuffle+join stage.
+    a = bn.withColumnRenamed(id_col, "new_id").hint("shuffle_hash")
+    bu = minhash_bands(old_sigs, id_col, "minhash", bands).withColumnRenamed(
+        id_col, "matched_id"
+    ).withColumn("is_historical", F.lit(True))
     if include_new_pairs:
-        a = bn.withColumnRenamed(id_col, "new_id")
-        b = bn.withColumnRenamed(id_col, "matched_id")
-        vs_new = (
-            a.join(b.hint("merge"), on)
-            .filter(F.col("new_id") < F.col("matched_id"))
-            .select("new_id", "matched_id", F.lit(False).alias("is_historical"))
+        bu = bu.unionByName(
+            bn.withColumnRenamed(id_col, "matched_id").withColumn(
+                "is_historical", F.lit(False)
+            )
         )
-        cands = cands.unionByName(vs_new)
-    cands = cands.distinct()
+    cands = (
+        a.join(bu, on)
+        .filter(
+            F.when(
+                F.col("is_historical"), F.col("new_id") != F.col("matched_id")
+            ).otherwise(F.col("new_id") < F.col("matched_id"))
+        )
+        .select("new_id", "matched_id", "is_historical")
+        .distinct()
+    )
     sn = new_sigs.select(
         F.col(id_col).alias("new_id"), F.col("minhash").alias("__sig_n")
     )
@@ -828,9 +845,13 @@ def incremental_near_dups(
         )
     )
     est = signature_est_jaccard(F.col("__sig_n"), F.col("__sig_m"))
+    # build side = the candidate/batch-derived left (∝ LSH matches of
+    # one batch), never the signature stores
     return (
-        cands.join(sn.hint("merge"), "new_id")
-        .join(so.hint("merge"), ["matched_id", "is_historical"])
+        cands.hint("shuffle_hash")
+        .join(sn, "new_id")
+        .hint("shuffle_hash")
+        .join(so, ["matched_id", "is_historical"])
         .select(
             "new_id",
             "matched_id",
