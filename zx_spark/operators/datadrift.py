@@ -197,11 +197,31 @@ def drift_report(
     categorical_cols = categorical_cols or []
     if not numeric_cols and not categorical_cols:
         raise ValueError("drift_report: no columns given")
+    # r14 opt: the per-column MODEL passes (base-side quantile edges /
+    # top categories) are independent eager jobs — submit them
+    # concurrently so the report pays one round of scheduling, not one
+    # per column (the q_text_quality thread-pool pattern; job
+    # descriptions are thread-local so the UI stays labelled).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max(1, min(4, len(numeric_cols) + len(categorical_cols)))) as pool:
+        edge_f = {
+            c: pool.submit(quantile_edges, base, c, bins, round_dp)
+            for c in numeric_cols
+        }
+        cat_f = {
+            c: pool.submit(top_categories, base, c, top_k)
+            for c in categorical_cols
+        }
+        edges = {c: f.result() for c, f in edge_f.items()}
+        cats = {c: f.result() for c, f in cat_f.items()}
     frames = [
-        numeric_psi(base, cur, c, bins=bins, round_dp=round_dp)
+        numeric_psi(base, cur, c, bins=bins, edges=edges[c], round_dp=round_dp)
         for c in numeric_cols
     ] + [
-        categorical_psi(base, cur, c, top_k=top_k, round_dp=round_dp)
+        categorical_psi(
+            base, cur, c, top_k=top_k, categories=cats[c], round_dp=round_dp
+        )
         for c in categorical_cols
     ]
     out = frames[0]

@@ -152,9 +152,6 @@ def pagerank(
             .alias("__tp"),
         )
     node_frame = node_frame.persist()
-    n = node_frame.count()  # driver scalar: one cheap distinct-count job
-    if n == 0:
-        return node_frame.withColumn("rank", F.lit(None).cast("double"))
 
     wexpr = F.col("__w") if weight_col is not None else F.lit(1.0)
     out = e.groupBy("__src").agg(F.sum(wexpr).alias("__od"))
@@ -164,14 +161,40 @@ def pagerank(
     # — the source_overlap_matrix class (SCALE.md r12); sort-merge spills.
     ew = e.join(out.hint("merge"), "__src").persist()
 
+    # r14 opt: the node count and the dangling probe share ONE setup job
+    # (node_frame left-joined to the out-degree keys, counting rows and
+    # no-out-edge rows together) instead of a distinct-count job plus a
+    # separate anti-join limit(1) job — the two eager scalars were ~2/3
+    # of this operator's bench time at sf0.1. Same merge discipline:
+    # `out` is a node-sized estimate-small agg output (SCALE.md r12
+    # class).
+    stat = (
+        node_frame.join(
+            out.select(F.col("__src").alias("node"))
+            .withColumn("__has_out", F.lit(1))
+            .hint("merge"),
+            "node",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col("__has_out").isNull(), 1)).alias("__nd"),
+        )
+        .collect()[0]
+    )
+    n, has_dangling = int(stat["__n"]), int(stat["__nd"]) > 0
+    if n == 0:
+        return node_frame.withColumn("rank", F.lit(None).cast("double"))
+
     # merge hint: `out` is node-sized — same estimate-small agg-output
-    # class as the ew join above; anti-join builds the right side
+    # class as the ew join above; anti-join builds the right side.
+    # Only the eager (dangling/tol) loop and the sink augmentation read
+    # this frame; persist stays so per-iteration reads hit cache.
     dangling_frame = node_frame.join(
         out.select(F.col("__src").alias("node")).hint("merge"),
         "node",
         "left_anti",
     ).persist()
-    has_dangling = dangling_frame.limit(1).count() > 0  # checked once, not per iter
 
     seeded = seed_frame is not None
     use_sink = dangling == "collect" and has_dangling

@@ -58,24 +58,38 @@ def pack_concat(
         raise ValueError(f"n_parts must be >= 1, got {n_parts}")
     ln = F.col(f"`{len_col}`").cast("long")
     ov = F.col(f"`{order_col}`").cast("double")
-    bad = (
-        df.filter(ln.isNull() | (ln <= 0) | ov.isNull()).limit(1).count()
-    )
-    if bad:
+    # r14 opt: the bad-row probe, the duplicate-key probe and the
+    # quantile sketch ride ONE aggregation job (they were three eager
+    # driver jobs — most of this operator's fixed cost at bench scale).
+    # Duplicate detection is count(*) vs COUNT(DISTINCT (order, id)):
+    # identical to the former per-key groupBy probe — a struct with
+    # NULL fields is itself non-NULL, so NULL-keyed duplicate rows
+    # still collapse and get caught (and a NULL order is a bad row
+    # first anyway). The quantile sketch stays percentile_approx —
+    # mergeable bounded memory, not an exact percentile funnel.
+    qs = [i / n_parts for i in range(1, n_parts)]
+    validation_aggs = [
+        F.count(F.when(ln.isNull() | (ln <= 0) | ov.isNull(), 1)).alias(
+            "__bad"
+        ),
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(
+            F.struct(F.col(f"`{order_col}`"), F.col(f"`{id_col}`"))
+        ).alias("__nk"),
+    ]
+    if n_parts > 1:
+        validation_aggs.append(
+            F.percentile_approx(ov, F.lit(qs), F.lit(10000)).alias("__b")
+        )
+    stat = df.agg(*validation_aggs).collect()[0]
+    if stat["__bad"]:
         raise ValueError(
             f"pack_concat: {len_col} must be positive and {order_col} "
             "non-NULL for every row"
         )
     # duplicate (order, id) keys would make the cumsum order — and hence
     # every downstream token position — nondeterministic; fail fast
-    dup = (
-        df.groupBy(F.col(f"`{order_col}`"), F.col(f"`{id_col}`"))
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
+    if stat["__n"] != stat["__nk"]:
         raise ValueError(
             f"pack_concat: ({order_col}, {id_col}) must be unique per row"
         )
@@ -86,14 +100,7 @@ def pack_concat(
     # windows over. All rows sharing an order value share a partition,
     # so the (order, id) tie-break never crosses a boundary.
     if n_parts > 1:
-        # approx quantiles, not exact percentile: the output is invariant
-        # to the bucket boundaries, so a mergeable bounded-memory sketch
-        # is free — exact percentile would funnel every distinct order
-        # value into one aggregation buffer at corpus scale
-        qs = [i / n_parts for i in range(1, n_parts)]
-        row = df.agg(
-            F.percentile_approx(ov, F.lit(qs), F.lit(10000)).alias("b")
-        ).collect()[0]["b"]
+        row = stat["__b"]
         bounds = [float(b) for b in row] if row is not None else []
         barr = F.lit(bounds).cast("array<double>")
         pid = F.size(F.filter(barr, lambda b: ov > b))
