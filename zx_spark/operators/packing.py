@@ -61,27 +61,39 @@ def pack_concat(
     # r14 opt: the bad-row probe, the duplicate-key probe and the
     # quantile sketch ride ONE aggregation job (they were three eager
     # driver jobs — most of this operator's fixed cost at bench scale).
-    # Duplicate detection is count(*) vs COUNT(DISTINCT (order, id)):
-    # identical to the former per-key groupBy probe — a struct with
-    # NULL fields is itself non-NULL, so NULL-keyed duplicate rows
-    # still collapse and get caught (and a NULL order is a bad row
-    # first anyway). The quantile sketch stays percentile_approx —
-    # mergeable bounded memory, not an exact percentile funnel.
+    # Shape matters: a flat agg mixing COUNT(DISTINCT (order, id)) with
+    # percentile_approx triggers Spark's single-distinct rewrite, whose
+    # FIRST aggregate is keyed on the (order, id) struct and therefore
+    # builds one ApproximatePercentile buffer PER KEY — corpus-many
+    # sketch buffers, a scale-killer. Instead aggregate in two explicit
+    # levels: per-(order, id) counts first (narrow rows, plain longs),
+    # then one global agg whose quantile sketch runs over the level-1
+    # KEYS. When keys are unique — the only path that doesn't raise —
+    # the key multiset IS the row multiset, so the sketch is identical;
+    # in the raise paths the bounds are never used. The sketch stays
+    # percentile_approx — mergeable bounded memory, not an exact
+    # percentile funnel.
     qs = [i / n_parts for i in range(1, n_parts)]
+    per_key = df.groupBy(
+        F.col(f"`{order_col}`").alias("__okey"),
+        F.col(f"`{id_col}`").alias("__ikey"),
+    ).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.count(
+            F.when(ln.isNull() | (ln <= 0) | ov.isNull(), 1)
+        ).alias("__badc"),
+    )
+    kov = F.col("__okey").cast("double")
     validation_aggs = [
-        F.count(F.when(ln.isNull() | (ln <= 0) | ov.isNull(), 1)).alias(
-            "__bad"
-        ),
-        F.count(F.lit(1)).alias("__n"),
-        F.count_distinct(
-            F.struct(F.col(f"`{order_col}`"), F.col(f"`{id_col}`"))
-        ).alias("__nk"),
+        F.coalesce(F.sum("__badc"), F.lit(0)).alias("__bad"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"),
+        F.count(F.lit(1)).alias("__nk"),
     ]
     if n_parts > 1:
         validation_aggs.append(
-            F.percentile_approx(ov, F.lit(qs), F.lit(10000)).alias("__b")
+            F.percentile_approx(kov, F.lit(qs), F.lit(10000)).alias("__b")
         )
-    stat = df.agg(*validation_aggs).collect()[0]
+    stat = per_key.agg(*validation_aggs).collect()[0]
     if stat["__bad"]:
         raise ValueError(
             f"pack_concat: {len_col} must be positive and {order_col} "
@@ -102,8 +114,15 @@ def pack_concat(
     if n_parts > 1:
         row = stat["__b"]
         bounds = [float(b) for b in row] if row is not None else []
-        barr = F.lit(bounds).cast("array<double>")
-        pid = F.size(F.filter(barr, lambda b: ov > b))
+        # plain comparison-indicator sum, not a higher-order filter over
+        # an array literal: lambda variables are interpreted per row and
+        # their binding across the downstream broadcast join is what
+        # intermittently threw INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; a
+        # codegen'd CASE chain over ≤ n_parts-1 literals is equivalent
+        # (count of bounds strictly below ov) and join-safe.
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + (ov > F.lit(b)).cast("int")
     else:
         pid = F.lit(0)
     parted = df.withColumn("__pid", pid)
