@@ -96,12 +96,17 @@ def gapfill(
             "__hi_n", F.lit(hi_n)
         )
     else:
+        # localCheckpoint the spine aggregate (groups × 2 longs): the
+        # guard below AND the join spine both read it, so the caller's
+        # upstream pipeline executes once per gapfill call instead of
+        # once for the guard and again for the join — a full redundant
+        # input pass at any scale (r14).
         spine = df.groupBy(*group_cols).agg(
             F.floor(F.min(b) / g).cast("long").alias("__lo_n"),
             F.floor(F.max(b) / g).cast("long").alias("__hi_n"),
-        )
-        # Executor-side guard (one tiny scan over the spine aggregate —
-        # groups × 2 longs), so a bad span fails before the explode.
+        ).localCheckpoint()
+        # Executor-side guard (one tiny scan over the checkpointed spine
+        # aggregate), so a bad span fails before the explode.
         worst = spine.select(
             F.max(F.col("__hi_n") - F.col("__lo_n") + 1).alias("n")
         ).first()["n"]
