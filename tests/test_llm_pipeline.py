@@ -148,6 +148,71 @@ def test_minhash_agg_engine_plan_is_codegen(spark, docs):
     assert "aggregate(" not in plan  # the interpreted fold is gone
 
 
+def test_minhash_bands_static_equals_dynamic(spark):
+    """The r14 static band unroll (plan-time ``sig_len`` → codegen'd
+    concat_ws/ordinal expressions) must emit the IDENTICAL
+    (id, band_no, band_hash) multiset as the dynamic higher-order form
+    for real signatures — the guarantee that lets every banding caller
+    pass ``sig_len=num_hashes`` without touching the oracle."""
+    from zx_spark.operators.dedup import minhash_bands, minhash_signatures
+    from zx_spark.storage import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=32).localCheckpoint()
+    key = lambda r: (r["doc_id"], r["band_no"], r["band_hash"])  # noqa: E731
+    dyn = sorted(map(key, minhash_bands(sigs, "doc_id", "minhash", 8).collect()))
+    stat = sorted(
+        map(key, minhash_bands(sigs, "doc_id", "minhash", 8, sig_len=32).collect())
+    )
+    assert dyn == stat and len(dyn) == 8 * sigs.count()
+    with pytest.raises(ValueError, match="divide"):
+        minhash_bands(sigs, "doc_id", "minhash", 7, sig_len=32)
+
+
+def test_jaccard_union_arithmetic_identical(spark, docs):
+    """|A ∪ B| = |A| + |B| − |A ∩ B| for the distinct shingle sets: the
+    r14 union-size arithmetic must reproduce the materialized
+    array_union jaccard bit-for-bit on real candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.functions.text import shingles_from_tokens, tokenize
+    from zx_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    cands = minhash_candidate_pairs(docs, "text", "doc_id").localCheckpoint()
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, cands, "text", "doc_id").collect()
+    }
+    sets_df = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            shingles_from_tokens(tokenize(F.col("text")), 3)
+        ).alias("sh"),
+    )
+    ref_frame = (
+        cands.join(
+            sets_df.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sets_df.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    ref = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in ref_frame.select(
+            "id_a", "id_b",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 6).alias("j"),
+        ).collect()
+    }
+    assert got == ref and len(got) > 0
+
+
 def test_simhash_near_dup(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
     assert pairs.get((1, 4)) == 0  # identical text → identical signature
