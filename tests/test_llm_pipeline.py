@@ -213,6 +213,47 @@ def test_jaccard_union_arithmetic_identical(spark, docs):
     assert got == ref and len(got) > 0
 
 
+def test_shingles_unrolled_equals_slice_join(spark):
+    """The r14 shingle body (n unrolled null-safe ordinal lookups +
+    one concat_ws) must emit the IDENTICAL shingle arrays as the
+    reference ``array_join(slice(...))`` form for every document shape —
+    normal, shorter-than-n (whole-text shingle via get()'s NULL +
+    concat_ws's NULL-skip, exactly slice truncation), single-token,
+    empty and NULL text — on edge rows and the real corpus."""
+    from pyspark.sql import functions as F
+
+    from zx_spark.functions.text import shingles_from_tokens, tokenize
+    from zx_spark.storage import read_table
+
+    def reference(toks, n):
+        return F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.lit("")))
+
+    edge = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"), (2, "too short"),
+         (3, ""), (4, None), (5, "   "), (6, "one"), (7, "a b")],
+        "doc_id long, text string",
+    )
+    real = read_table(spark, "/root/testdata/sf0.001", "documents")
+    for df in (edge, real):
+        base = df.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        for n in (2, 3, 5, 8):
+            bad = base.select(
+                (
+                    F.array_join(
+                        shingles_from_tokens(F.col("__toks"), n), "|"
+                    )
+                    != F.array_join(reference(F.col("__toks"), n), "|")
+                ).alias("d")
+            ).filter("d").count()
+            assert bad == 0, f"shingle mismatch at n={n}"
+
+
 def test_simhash_near_dup(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
     assert pairs.get((1, 4)) == 0  # identical text → identical signature

@@ -170,12 +170,21 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """n-word shingles from an ALREADY MATERIALIZED token-array column —
     the fast path every shingle consumer should use (see ``tokenize``).
     Documents shorter than ``n`` words yield their whole (joined) text as
-    one shingle so they still participate in dedup."""
+    one shingle so they still participate in dedup.
+
+    The per-position body is ``n`` unrolled null-safe ordinal lookups
+    joined by one ``concat_ws`` (``n`` is a plan-time constant at every
+    call site) — NOT ``array_join(slice(...))``, which allocates an
+    n-element array per shingle position inside the interpreted lambda:
+    measured 6.5× (n=3) / 6.8× (n=5) slower at 300k × 150-token rows
+    (r14). Identical strings: ``F.get`` returns NULL past the end and
+    ``concat_ws`` skips NULLs, exactly as ``slice`` truncates; both
+    forms skip NULL elements and keep empty-string tokens."""
     return F.when(
         F.size(toks) > 0,
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array(F.lit("")))
 

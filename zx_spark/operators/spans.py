@@ -76,8 +76,14 @@ def _dup_positions(
                 F.size("__toks") >= n,
                 F.transform(
                     F.sequence(F.lit(0), F.size("__toks") - n),
+                    # n unrolled ordinal lookups, not concat_ws(slice(...)):
+                    # the slice allocates an n-element array per position
+                    # inside the interpreted lambda (the
+                    # shingles_from_tokens r14 measurement, 6.5-6.8×);
+                    # every position here is complete (size >= n), so the
+                    # strings are identical by construction
                     lambda i: F.concat_ws(
-                        " ", F.slice(F.col("__toks"), i + 1, n)
+                        " ", *[F.get(F.col("__toks"), i + j) for j in range(n)]
                     ),
                 ),
             ).otherwise(F.array().cast("array<string>"))
