@@ -260,6 +260,43 @@ def test_simhash_near_dup(spark, docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_simhash_agg_engine_identical_to_fold(spark):
+    """The r14 explode+groupBy-sum signing engine (``_simhash_signatures``,
+    the pairs path) must produce BIT-IDENTICAL signatures to the per-row
+    fold (``simhash``) for every doc shape — normal, repeated-token,
+    single-token, empty, whitespace-only and NULL text (NULL stays NULL,
+    zero-token stays 0) — and on the real corpus; duplicate and NULL ids
+    stay one signature per ROW."""
+    from zx_spark.operators.dedup import _simhash_signatures, simhash
+    from zx_spark.storage import read_table
+
+    edge = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"), (2, "too short"),
+         (3, ""), (4, None), (5, "   "), (6, "one"), (7, "x y x y x")],
+        "doc_id long, text string",
+    )
+    real = read_table(spark, "/root/testdata/sf0.001", "documents")
+    for df in (edge, real):
+        a = {r["doc_id"]: r["simhash"]
+             for r in simhash(df, "text").select("doc_id", "simhash").collect()}
+        b = {r["doc_id"]: r["simhash"]
+             for r in _simhash_signatures(df, "text", "doc_id").collect()}
+        assert a == b and len(a) == df.count()
+    dup = spark.createDataFrame(
+        [(1, "aa bb cc"), (1, "xx yy zz"), (None, "pp qq"), (None, "ss tt")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        ((r["doc_id"], r["simhash"]) for r in _simhash_signatures(dup, "text", "doc_id").collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+    ref = sorted(
+        ((r["doc_id"], r["simhash"]) for r in simhash(dup, "text").select("doc_id", "simhash").collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+    assert len(rows) == 4 and rows == ref
+
+
 def test_no_cartesian_in_dedup_plans(spark, docs):
     for df in (
         near_dup_pairs(docs, "text", "doc_id"),

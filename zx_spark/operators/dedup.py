@@ -515,13 +515,85 @@ def simhash(
 ) -> DataFrame:
     """60-bit SimHash signature column — fully JVM-side (two projections:
     bit-count accumulation, then bit packing; kept separate so the token
-    aggregation is evaluated once, not once per bit)."""
+    aggregation is evaluated once, not once per bit).
+
+    This is the ZERO-SHUFFLE per-row form, kept for the keep-all-columns
+    contract (the signature lands beside every existing column). When
+    only (id, signature) is needed — the pairs path — use
+    ``_simhash_signatures``: its explode + groupBy-sum engine runs the
+    per-token bit counting in whole-stage codegen and measured **3.1×**
+    faster (10.7 → 3.5 s at 200k × 100-token docs, r14), at the cost of
+    one narrow exchange; this fold evaluates the 60-wide transform +
+    zip_with interpreted per token."""
     acc_col = "__simhash_acc"
     return (
         _spread(df)
         .withColumn(acc_col, _simhash_bit_counts(F.col(text_col), hash_method))
         .withColumn(out_col, _simhash_from_counts(F.col(acc_col)))
         .drop(acc_col)
+    )
+
+
+def _simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, hash_method: str = "md5"
+) -> DataFrame:
+    """(id, simhash) via explode + groupBy-sum — the codegen signing
+    engine (the ``minhash_signatures`` "agg" pattern applied to SimHash;
+    3.1× over the per-row fold, r14). BIT-IDENTICAL signatures to
+    ``simhash``: per bit b the ±1 fold total is 2·Σ bit_b(h) − n_tokens,
+    both integer sums, so sign and packing agree for every token order;
+    NULL text stays NULL (``__n`` NULL marker), zero-token text stays 0
+    (coalesced sums over the explode_outer NULL row). Grouping on a
+    per-ROW key preserves one-signature-per-row under duplicate/NULL
+    ids, exactly like the minhash engine."""
+    toks = F.filter(
+        F.split(F.lower(F.col(f"`{text_col}`")), r"\s+"), lambda t: t != F.lit("")
+    )
+    wr = _spread(df).select(
+        F.col(id_col),
+        F.monotonically_increasing_id().alias("__rid"),
+        toks.alias("__toks"),
+    )
+    ex = wr.select(
+        F.col(id_col),
+        "__rid",
+        F.size("__toks").alias("__n"),
+        F.explode_outer("__toks").alias("__t"),
+    ).select(
+        F.col(id_col),
+        "__rid",
+        "__n",
+        _simhash_token_hash(F.col("__t"), hash_method).alias("__h"),
+    )
+    aggs = (
+        [F.max("__n").alias("__n")]
+        + [
+            F.coalesce(
+                F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))),
+                F.lit(0).cast("long"),
+            ).alias(f"__c{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+        + [F.count("__h").alias("__cnt")]
+    )
+    g = ex.groupBy("__rid", id_col).agg(*aggs)
+    # bit b set iff the ±1 fold total 2·cnt_b − n > 0; packed as a
+    # 60-term sum per GROUP row (one per doc — cheap here, unlike the
+    # per-token unrolls the est_jaccard note warns about)
+    sig = None
+    for b in range(_SIMHASH_BITS):
+        term = F.shiftleft(
+            F.when(2 * F.col(f"__c{b}") > F.col("__cnt"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+            b,
+        )
+        sig = term if sig is None else sig + term
+    return g.select(
+        F.col(id_col),
+        F.when(F.col("__n").isNull(), F.lit(None).cast("long"))
+        .otherwise(sig)
+        .alias("simhash"),
     )
 
 
@@ -545,7 +617,7 @@ def simhash_near_dup_pairs(
             f"max_hamming must be in [0, {_SIMHASH_CHUNKS - 1}] for the "
             f"{_SIMHASH_CHUNKS}-chunk pigeonhole join, got {max_hamming}"
         )
-    sigs = simhash(df, text_col, hash_method=hash_method).select(id_col, "simhash")
+    sigs = _simhash_signatures(df, text_col, id_col, hash_method)
     chunk_mask = (1 << _CHUNK_BITS) - 1
     chunks = sigs.select(
         F.col(id_col),
@@ -561,7 +633,13 @@ def simhash_near_dup_pairs(
             )
         ).alias("chunk_no", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # merge pin: with the agg signing engine the (id, simhash) frame is
+    # an aggregate OUTPUT — data-sized (∝ corpus) but estimate-small, the
+    # SCALE.md r12 broadcast class (the audit gate flagged exactly this
+    # plan when the engine switched, r14). Sort-merge is spillable; the
+    # fold engine's projection never tripped it only because its size
+    # estimate tracked the scan.
+    a, b = chunks.hint("merge").alias("a"), chunks.alias("b")
     pairs = (
         a.join(
             b,
