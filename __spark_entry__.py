@@ -1609,7 +1609,12 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributions; psi lands as 1e-6 fixed point in keep_id, n_cur in
     # dup_count. The oracle re-derives edges, categories, bin counts and
     # the eps-floored fold from raw parquet.
-    from zx_spark.operators.datadrift import categorical_psi, numeric_psi
+    from zx_spark.operators.datadrift import (
+        categorical_psi,
+        numeric_psi,
+        quantile_edges,
+        top_categories,
+    )
 
     b_len = old.select(F.length("text").cast("double").alias("tlen"))
     c_len = v2.select(F.length("text").cast("double").alias("tlen"))
@@ -1618,9 +1623,23 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ws = "[ \\t\\n\\r\\f]+"
     b_tok = old.select(F.split(F.col("text"), _ws).getItem(0).alias("tok1"))
     c_tok = v2.select(F.split(F.col("text"), _ws).getItem(0).alias("tok1"))
+    # r15 (§2.6 overlap-independent-jobs, the drift_report pattern): the
+    # two base-side MODEL jobs the psi arm pays eagerly at build time —
+    # quantile edges and top categories — are independent scans of the
+    # same snapshot; submitting both before blocking overlaps their
+    # scheduling tails (the values passed to *_psi are exactly what each
+    # would have computed itself, so psi rows are value-identical).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _pool:
+        _f_edges = _pool.submit(quantile_edges, b_len, "tlen", 10)
+        _f_cats = _pool.submit(top_categories, b_tok, "tok1", 5)
+        _edges, _cats = _f_edges.result(), _f_cats.result()
     psi_rows = (
-        numeric_psi(b_len, c_len, "tlen", bins=10)
-        .unionByName(categorical_psi(b_tok, c_tok, "tok1", top_k=5))
+        numeric_psi(b_len, c_len, "tlen", bins=10, edges=_edges)
+        .unionByName(
+            categorical_psi(b_tok, c_tok, "tok1", top_k=5, categories=_cats)
+        )
         .select(
             F.lit("psi").alias("part_kind"),
             F.concat(F.col("column"), F.lit(":"), F.col("kind")).alias("key"),

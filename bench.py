@@ -106,6 +106,21 @@ HEADLINE = [
 ]
 
 
+def _executor_task_ms(spark) -> int | None:
+    """Cumulative executor task time (ms) across all executors, from the
+    AppStatusStore. Deltas around a timed query separate EXECUTOR compute
+    from driver overhead (plan analysis / scheduling / py4j): at a
+    compute-bound scale the delta tracks cores while wall-clock shrinks;
+    at an overhead-bound scale (sf0.1) wall-clock is flat across core
+    counts BECAUSE the task-time share is small — which the r14 scaling
+    probe could not see from wall-clock alone (VERDICT r14 item 2)."""
+    try:
+        els = spark.sparkContext._jsc.sc().statusStore().executorList(False)
+        return sum(els.apply(i).totalDuration() for i in range(els.size()))
+    except Exception:
+        return None
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from zx_spark.session import get_spark
@@ -136,8 +151,15 @@ def main() -> None:
     # not the engine, and the cached corpus-sized frame would stay
     # resident for every subsequent row of the run.
     times: dict[str, float] = {}
+    # Per-name EXECUTOR task-time (sum over tasks, from the same pass
+    # that won the wall-clock min) — emitted alongside wall-clock so the
+    # driver's c8-vs-c32 scaling probe can tell "overhead-bound at this
+    # SF" (task_sec << wall, ratios ~1) from "serial engine" (task_sec
+    # ~ wall and not tracking cores). VERDICT r14 item 2.
+    task_sec: dict[str, float] = {}
     for _ in range(4):
         for name in HEADLINE:
+            tm0 = _executor_task_ms(spark)
             t0 = time.time()
             try:
                 rows = qs[name](spark, sf_dir).count()
@@ -148,10 +170,14 @@ def main() -> None:
                     f"bench query {name!r} failed at {sf_dir}"
                 ) from e
             el = time.time() - t0
+            tm1 = _executor_task_ms(spark)
             spark.catalog.clearCache()
             if name not in times or el < times[name]:
                 times[name] = el
+                if tm0 is not None and tm1 is not None:
+                    task_sec[name] = (tm1 - tm0) / 1000.0
     times = {n: round(v, 3) for n, v in times.items()}
+    task_sec = {n: round(v, 3) for n, v in task_sec.items()}
     for name in HEADLINE:
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
@@ -164,6 +190,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # scaling legibility (additive keys; the driver contract
+                # only requires metric/value/unit/queries/sf)
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+                or spark.sparkContext.defaultParallelism,
+                "parallelism": spark.sparkContext.defaultParallelism,
+                "task_sec": task_sec,
             }
         )
     )

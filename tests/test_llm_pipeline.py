@@ -297,6 +297,43 @@ def test_simhash_agg_engine_identical_to_fold(spark):
     assert len(rows) == 4 and rows == ref
 
 
+def test_simhash_columns_dispatch_routes_to_agg_engine(spark):
+    """``simhash(columns=[...])`` (r15) must route narrow consumers to
+    the codegen agg engine — plan shows the groupBy exchange, NOT the
+    per-row fold's interpreted transform — with values identical to the
+    fold and carried columns preserved (including duplicates/NULLs);
+    unknown columns fail fast; default keeps the zero-shuffle fold."""
+    from zx_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "s0", "aa bb cc"), (1, "s0", "xx yy zz"), (None, "s1", "pp qq"),
+         (3, None, ""), (4, "s2", None)],
+        "doc_id long, src string, text string",
+    )
+    narrow = simhash(df, "text", columns=["doc_id", "src"])
+    assert narrow.columns == ["doc_id", "src", "simhash"]
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan  # the agg engine, not the fold
+    wide = simhash(df, "text")
+    assert wide.columns == df.columns + ["simhash"]
+    assert "HashAggregate" not in (
+        wide._jdf.queryExecution().executedPlan().toString()
+    )  # default stays the zero-shuffle per-row fold
+    key = lambda r: (r[0] is None, r[0] or 0, r[1] or "", r[2] or -1)
+    got = sorted(((r["doc_id"], r["src"], r["simhash"]) for r in narrow.collect()), key=key)
+    ref = sorted(
+        ((r["doc_id"], r["src"], r["simhash"])
+         for r in wide.select("doc_id", "src", "simhash").collect()),
+        key=key,
+    )
+    assert got == ref and len(got) == 5
+    try:
+        simhash(df, "text", columns=["nope"])
+        assert False, "unknown column must raise"
+    except ValueError as e:
+        assert "nope" in str(e)
+
+
 def test_no_cartesian_in_dedup_plans(spark, docs):
     for df in (
         near_dup_pairs(docs, "text", "doc_id"),

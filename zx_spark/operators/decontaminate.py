@@ -288,6 +288,116 @@ def boilerplate_fractions(
     )
 
 
+# The bitmask overlap engine packs one bit per distinct source into a
+# signed long: bits 0..62 (63 sources) keep every mask literal positive.
+# Past the cap the collect_set fallback handles unbounded cardinality.
+_OVERLAP_BITMASK_MAX_SOURCES = 63
+
+_OVERLAP_SCHEMA = (
+    "source_a string, source_b string, n_shared long, n_a long, "
+    "n_b long, jaccard double"
+)
+
+
+def _source_overlap_bitmask(
+    filtered: DataFrame,
+    sources: list[str],
+    source_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """Bitmask overlap engine for ≤63 sources — see
+    ``source_overlap_matrix``'s scale-shape note. ``sources`` is the
+    SORTED dictionary (bit i = sources[i], so i<j is exactly the
+    lexicographic ``source_a < source_b`` output contract)."""
+    spark = filtered.sparkSession
+    if len(sources) < 2:
+        # zero or one source → no pairs, matching the fallback's empty
+        # join result
+        return spark.createDataFrame([], _OVERLAP_SCHEMA)
+    src = F.col(f"`{source_col}`")
+    code = F.when(src == F.lit(sources[0]), F.lit(0))
+    for i, s in enumerate(sources[1:], start=1):
+        code = code.when(src == F.lit(s), F.lit(i))
+    hashed = _with_shingle_hashes(
+        _spread(filtered), text_col, n, "__hs"
+    ).select(
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), code.cast("int")
+        ).alias("__b"),
+        F.explode_outer("__hs").alias("__h"),
+    )
+    per_hash = hashed.groupBy("__h").agg(F.bit_or("__b").alias("__m"))
+    # Histogram the MASKS before fanning into per-pair counters: the
+    # per-pair conditional sums are C(n_sources,2) expressions — run
+    # over the corpus-vocab-sized per_hash frame they exceed the
+    # whole-stage-codegen field budget (spark.sql.codegen.maxFields=100
+    # → interpreted, measured ~1 s at sf0.1); over the mask histogram
+    # (≤ distinct co-occurrence PATTERNS, a combinatorial quantity
+    # map-combined down to far below the vocabulary) they are free. The
+    # two corpus-sized aggregations (bit_or, count) each carry a single
+    # codegen'd accumulator.
+    mask_counts = per_hash.groupBy("__m").agg(F.count(F.lit(1)).alias("__cnt"))
+    # One F.expr parse per array (the lit_array lesson: building
+    # C(n_sources,2) aggregate expressions per-element over py4j costs
+    # seconds of driver time PER QUERY CONSTRUCTION; a string parse is
+    # milliseconds at any size). Only integers are interpolated — no
+    # SQL-escaping concern; the source NAMES travel through the
+    # driver-created meta frame below, never through SQL text.
+    idx_pairs = [
+        (i, j)
+        for i in range(len(sources))
+        for j in range(i + 1, len(sources))
+    ]
+    pair_sql = "array(" + ",".join(
+        f"sum(if((__m & {(1 << i) | (1 << j)}L) = {(1 << i) | (1 << j)}L, __cnt, 0L))"
+        for i, j in idx_pairs
+    ) + ")"
+    size_sql = "array(" + ",".join(
+        f"sum(if((__m & {1 << i}L) != 0L, __cnt, 0L))"
+        for i in range(len(sources))
+    ) + ")"
+    one = mask_counts.agg(
+        F.expr(pair_sql).alias("__pc"), F.expr(size_sql).alias("__sc")
+    )
+    # posexplode the pair-count array and decode (i, j, names) from
+    # literal lookup arrays — no join anywhere downstream of the mask
+    # histogram (the r14 shape paid two size joins here).
+    ia = F.expr("array(" + ",".join(str(i) for i, _ in idx_pairs) + ")")
+    ja = F.expr("array(" + ",".join(str(j) for _, j in idx_pairs) + ")")
+    srcs_lit = F.lit(sources)
+    exploded = one.select(
+        F.posexplode("__pc").alias("__k", "n_shared"), F.col("__sc")
+    ).select(
+        F.element_at(ia, F.col("__k") + 1).alias("__i"),
+        F.element_at(ja, F.col("__k") + 1).alias("__j"),
+        "n_shared",
+        "__sc",
+    )
+    return (
+        exploded.filter(F.col("n_shared") >= 1)
+        .select(
+            F.element_at(srcs_lit, F.col("__i") + 1).alias("source_a"),
+            F.element_at(srcs_lit, F.col("__j") + 1).alias("source_b"),
+            "n_shared",
+            F.element_at("__sc", F.col("__i") + 1).alias("n_a"),
+            F.element_at("__sc", F.col("__j") + 1).alias("n_b"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def source_overlap_matrix(
     corpus: DataFrame,
     source_col: str = "source",
@@ -309,27 +419,45 @@ def source_overlap_matrix(
     Source order is lexicographic (``source_a < source_b``); NULL
     sources are excluded.
 
-    Scale shape: ONE hashing pass (the shingle_hash_frame construction
-    with the source carried through), a (source, hash) dedup agg whose
-    shuffle is ∝ per-source vocabulary (map-side partial combines
-    within-source duplicates), then a self equi-join ON THE HASH whose
-    fan-out per shingle is bounded by C(n_sources, 2) — never
-    data-sized — and a final pair-keyed count. No driver-side state
-    beyond the result matrix."""
+    Scale shape (r15, replacing the r14 collect_set shuffle — guide
+    §2.3 "shuffle keys and metadata instead of payloads" / §5): one
+    bounded dictionary probe (distinct sources, capped driver lift)
+    assigns each source a BIT; the hashing pass emits (hash, source_bit)
+    and the only corpus-vocab-sized shuffle aggregates a plain
+    ``bit_or`` — 16 fixed bytes per distinct shingle hash instead of a
+    per-hash java SET of source strings (narrower wire bytes AND no
+    per-key set object in the agg buffers). Every pair count and both
+    vocabulary sizes then ride ONE global conditional-sum aggregation
+    over the (hash, mask) frame (C(n_sources,2)+n_sources codegen'd
+    sums, partial-combined map-side → a single row), so the r14 shape's
+    second pair-keyed shuffle, its two size joins and its interpreted
+    per-row pair transform all disappear. Corpora with more than
+    ``_OVERLAP_BITMASK_MAX_SOURCES`` distinct sources fall back to the
+    r14 collect_set form (same values, unbounded source cardinality)."""
     src = F.col(f"`{source_col}`")
+    filtered = corpus.filter(src.isNotNull())
+    probe = [
+        r[0]
+        for r in filtered.select(src.alias("__src"))
+        .distinct()
+        .limit(_OVERLAP_BITMASK_MAX_SOURCES + 1)
+        .collect()
+    ]
+    if len(probe) <= _OVERLAP_BITMASK_MAX_SOURCES:
+        return _source_overlap_bitmask(
+            filtered, sorted(probe), source_col, text_col, n
+        )
     hashed = _with_shingle_hashes(
-        _spread(corpus.filter(src.isNotNull())), text_col, n, "__hs"
+        _spread(filtered), text_col, n, "__hs"
     ).select(src.alias("__src"), F.explode_outer("__hs").alias("__h"))
-    # r14 opt (replacing the r12 merge-pinned vocabulary self-join):
-    # ONE hash-keyed aggregation collects each shingle's SOURCE SET —
-    # bounded by n_sources per hash, map-side combined, and dedup rides
-    # the same shuffle the old per-source distinct needed — then the
-    # pair expansion is a per-row transform over the sorted set (fan-out
-    # ≤ C(n_sources, 2), never data-sized) and the per-source vocabulary
+    # r14 shape (kept as the >max_sources fallback): ONE hash-keyed
+    # aggregation collects each shingle's SOURCE SET — bounded by
+    # n_sources per hash, map-side combined — then the pair expansion
+    # is a per-row transform over the sorted set (fan-out ≤
+    # C(n_sources, 2), never data-sized) and the per-source vocabulary
     # sizes fall out of the same frame. The data-sized vocabulary is
-    # never JOINED at all: no broadcast cliff to pin away, no sort-merge
-    # of two corpus-vocab sides (measured 1.41 s → 1.07 s at sf0.1,
-    # one wide Exchange instead of three). Values identical.
+    # never JOINED at all (measured 1.41 s → 1.07 s at sf0.1 vs the r12
+    # vocabulary self-join). Values identical to the bitmask form.
     per_hash = hashed.groupBy("__h").agg(F.collect_set("__src").alias("__srcs"))
     srcs_sorted = F.array_sort(F.col("__srcs"))
     pair_structs = F.flatten(

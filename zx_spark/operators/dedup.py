@@ -511,20 +511,36 @@ def _simhash_from_counts(acc: Column) -> Column:
 
 
 def simhash(
-    df: DataFrame, text_col: str, out_col: str = "simhash", hash_method: str = "md5"
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    hash_method: str = "md5",
+    columns: list[str] | None = None,
 ) -> DataFrame:
-    """60-bit SimHash signature column — fully JVM-side (two projections:
-    bit-count accumulation, then bit packing; kept separate so the token
-    aggregation is evaluated once, not once per bit).
+    """60-bit SimHash signature column — fully JVM-side.
 
-    This is the ZERO-SHUFFLE per-row form, kept for the keep-all-columns
-    contract (the signature lands beside every existing column). When
-    only (id, signature) is needed — the pairs path — use
-    ``_simhash_signatures``: its explode + groupBy-sum engine runs the
-    per-token bit counting in whole-stage codegen and measured **3.1×**
-    faster (10.7 → 3.5 s at 200k × 100-token docs, r14), at the cost of
-    one narrow exchange; this fold evaluates the 60-wide transform +
-    zip_with interpreted per token."""
+    Two engines, dispatched on ``columns`` (r15, closing the r14
+    residue #5 docstring-referral):
+
+    - ``columns=None`` (default): the ZERO-SHUFFLE per-row fold — the
+      signature lands beside every existing column (two projections:
+      bit-count accumulation, then bit packing; kept separate so the
+      token aggregation is evaluated once, not once per bit). The
+      60-wide transform + zip_with is interpreted per token — pay that
+      only when the keep-all-columns contract is actually needed.
+    - ``columns=[...]`` (a NARROW consumer: only these columns + the
+      signature survive): the explode + groupBy-sum agg engine — the
+      per-token bit counting runs in whole-stage codegen and measured
+      **3.1×** faster (10.7 → 3.5 s at 200k × 100-token docs, r14), at
+      the cost of one narrow exchange (carried columns ride the group
+      key next to the unique per-row id, so duplicate/NULL values and
+      one-signature-per-row semantics are preserved). Signatures are
+      BIT-IDENTICAL between engines (see ``_simhash_agg``)."""
+    if columns is not None:
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"columns {missing} not in frame")
+        return _simhash_agg(df, text_col, list(columns), hash_method, out_col)
     acc_col = "__simhash_acc"
     return (
         _spread(df)
@@ -534,33 +550,39 @@ def simhash(
     )
 
 
-def _simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, hash_method: str = "md5"
+def _simhash_agg(
+    df: DataFrame,
+    text_col: str,
+    cols: list[str],
+    hash_method: str = "md5",
+    out_col: str = "simhash",
 ) -> DataFrame:
-    """(id, simhash) via explode + groupBy-sum — the codegen signing
+    """(cols..., out_col) via explode + groupBy-sum — the codegen signing
     engine (the ``minhash_signatures`` "agg" pattern applied to SimHash;
     3.1× over the per-row fold, r14). BIT-IDENTICAL signatures to
-    ``simhash``: per bit b the ±1 fold total is 2·Σ bit_b(h) − n_tokens,
-    both integer sums, so sign and packing agree for every token order;
-    NULL text stays NULL (``__n`` NULL marker), zero-token text stays 0
-    (coalesced sums over the explode_outer NULL row). Grouping on a
-    per-ROW key preserves one-signature-per-row under duplicate/NULL
-    ids, exactly like the minhash engine."""
+    the ``simhash`` fold: per bit b the ±1 fold total is 2·Σ bit_b(h) −
+    n_tokens, both integer sums, so sign and packing agree for every
+    token order; NULL text stays NULL (``__n`` NULL marker), zero-token
+    text stays 0 (coalesced sums over the explode_outer NULL row).
+    Grouping on a per-ROW key (with the carried ``cols`` alongside)
+    preserves one-signature-per-row under duplicate/NULL values,
+    exactly like the minhash engine."""
     toks = F.filter(
         F.split(F.lower(F.col(f"`{text_col}`")), r"\s+"), lambda t: t != F.lit("")
     )
+    carried = [F.col(f"`{c}`") for c in cols]
     wr = _spread(df).select(
-        F.col(id_col),
+        *carried,
         F.monotonically_increasing_id().alias("__rid"),
         toks.alias("__toks"),
     )
     ex = wr.select(
-        F.col(id_col),
+        *cols,
         "__rid",
         F.size("__toks").alias("__n"),
         F.explode_outer("__toks").alias("__t"),
     ).select(
-        F.col(id_col),
+        *cols,
         "__rid",
         "__n",
         _simhash_token_hash(F.col("__t"), hash_method).alias("__h"),
@@ -576,7 +598,7 @@ def _simhash_signatures(
         ]
         + [F.count("__h").alias("__cnt")]
     )
-    g = ex.groupBy("__rid", id_col).agg(*aggs)
+    g = ex.groupBy("__rid", *cols).agg(*aggs)
     # bit b set iff the ±1 fold total 2·cnt_b − n > 0; packed as a
     # 60-term sum per GROUP row (one per doc — cheap here, unlike the
     # per-token unrolls the est_jaccard note warns about)
@@ -590,11 +612,19 @@ def _simhash_signatures(
         )
         sig = term if sig is None else sig + term
     return g.select(
-        F.col(id_col),
+        *cols,
         F.when(F.col("__n").isNull(), F.lit(None).cast("long"))
         .otherwise(sig)
-        .alias("simhash"),
+        .alias(out_col),
     )
+
+
+def _simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, hash_method: str = "md5"
+) -> DataFrame:
+    """(id, simhash) — the narrow signing entry the pairs path uses;
+    delegates to the shared ``_simhash_agg`` engine."""
+    return _simhash_agg(df, text_col, [id_col], hash_method, "simhash")
 
 
 def simhash_near_dup_pairs(
