@@ -17,6 +17,33 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="session")
+def registry_frames(spark):
+    """Session-memoized driver-registry (+ bench-compat) DataFrames at
+    sf0.01 — the registry PLAN sweeps (broadcast attestation audit,
+    broadcast bound audit) each need every query's frame, and several
+    builders run eager construction jobs (IVF store fits, profile
+    collects, tmp-store stream drains) that cost tens of seconds per
+    sweep. Building each name ONCE per session instead of once per
+    sweeping test cut the r14 VERIFY budget blowout (~36 min suite;
+    VERDICT r14 item 1). Plan analysis on a shared frame is pure —
+    sweeps only read queryExecution, never mutate."""
+    import __spark_entry__ as entry
+
+    qs = dict(entry.queries())
+    for k, v in entry.BENCH_COMPAT.items():
+        qs.setdefault(k, v)
+    cache: dict = {}
+
+    def get(name: str):
+        if name not in cache:
+            cache[name] = qs[name](spark, "/root/testdata/sf0.01")
+        return cache[name]
+
+    get.names = sorted(qs)
+    return get
+
+
 def drain_memory_sink(out, name: str, checkpoint_dir: str, output_mode: str = "append", timeout_s: int = 120):
     """Shared availableNow drain into a memory table (the streaming test
     pattern repeated across test files — one definition here)."""

@@ -284,23 +284,36 @@ def _pools():
     return {**reg, **compat}
 
 
-@pytest.mark.parametrize("name", sorted(_pools()))
-def test_registry_strict_hint_audit(spark, name):
+def test_registry_strict_hint_audit(spark, registry_frames):
     """fail_hinted=True over the full registry + bench-compat pool,
     with HINTED_UNTRUSTED_OK as the single reviewable waiver list: a
     new data-sized F.broadcast anywhere in a shipped plan fails here
-    until its bound is adjudicated above."""
-    base = name.rsplit("_v", 1)[0]
-    df = _pools()[name](spark, SF)
-    bk = _BOUNDED_KEYS.get(name, _BOUNDED_KEYS.get(base, ()))
-    if name in HINTED_UNTRUSTED_OK:
-        rep = assert_bounded_broadcasts(df, bounded_keys=bk)
-        hinted = [
-            e for e in rep if e["level"] == "untrusted" and e["hinted"]
-        ]
-        assert hinted, (
-            f"{name} is waived in HINTED_UNTRUSTED_OK but its plan has "
-            "no hinted untrusted broadcast — remove the stale waiver"
-        )
-    else:
-        assert_bounded_broadcasts(df, bounded_keys=bk, fail_hinted=True)
+    until its bound is adjudicated above.
+
+    ONE consolidated pass over session-shared frames (r15, VERDICT r14
+    item 1): the per-name parametrize rebuilt every query — including
+    the expensive eager-construction rows (ann_ivf_topk ~30 s,
+    emb_near_pairs_lsh ~27 s) — once here and again in
+    test_broadcast_audit's bound sweep. Same names, same assertions,
+    every failure still reported per name."""
+    failures = []
+    for name in sorted(_pools()):
+        base = name.rsplit("_v", 1)[0]
+        df = registry_frames(name)
+        bk = _BOUNDED_KEYS.get(name, _BOUNDED_KEYS.get(base, ()))
+        try:
+            if name in HINTED_UNTRUSTED_OK:
+                rep = assert_bounded_broadcasts(df, bounded_keys=bk)
+                hinted = [
+                    e for e in rep if e["level"] == "untrusted" and e["hinted"]
+                ]
+                assert hinted, (
+                    f"{name} is waived in HINTED_UNTRUSTED_OK but its plan "
+                    "has no hinted untrusted broadcast — remove the stale "
+                    "waiver"
+                )
+            else:
+                assert_bounded_broadcasts(df, bounded_keys=bk, fail_hinted=True)
+        except AssertionError as e:
+            failures.append(f"{name}: {e}")
+    assert not failures, "strict hint audit failures:\n" + "\n".join(failures)

@@ -260,14 +260,22 @@ def _registry():
     return entry.queries()
 
 
-@pytest.mark.parametrize("name", sorted(_registry()))
-def test_registry_plan_broadcasts_bounded(spark, name):
-    df = _registry()[name](spark, SF)
-    assert_bounded_broadcasts(
-        df,
-        bounded_keys=_BOUNDED_KEYS.get(name, ()),
-        dim_tables=_DIM_TABLES.get(name, ()),
-    )
+def test_registry_plan_broadcasts_bounded(spark, registry_frames):
+    """ONE consolidated pass over session-shared frames (r15, VERDICT
+    r14 item 1 — the per-name parametrize re-ran every query builder
+    this sweep shares with the strict hint audit). Same names, same
+    assertions, failures reported per name."""
+    failures = []
+    for name in sorted(_registry()):
+        try:
+            assert_bounded_broadcasts(
+                registry_frames(name),
+                bounded_keys=_BOUNDED_KEYS.get(name, ()),
+                dim_tables=_DIM_TABLES.get(name, ()),
+            )
+        except AssertionError as e:
+            failures.append(f"{name}: {e}")
+    assert not failures, "bound audit failures:\n" + "\n".join(failures)
 
 
 def _compat():
@@ -276,16 +284,22 @@ def _compat():
     return {k: v for k, v in entry.BENCH_COMPAT.items() if k not in _registry()}
 
 
-@pytest.mark.parametrize("name", sorted(_compat()))
-def test_bench_compat_plan_broadcasts_bounded(spark, name):
+def test_bench_compat_plan_broadcasts_bounded(spark, registry_frames):
     """The frozen _vN pin shapes run in every bench round — they get the
     same gate as the registry (a data-sized broadcast in a pin shape
     would OOM the bench at scale just the same). Attestations are keyed
-    by the base name (a version shares its row's key domains)."""
-    base = name.rsplit("_v", 1)[0]
-    df = _compat()[name](spark, SF)
-    assert_bounded_broadcasts(
-        df,
-        bounded_keys=_BOUNDED_KEYS.get(name, _BOUNDED_KEYS.get(base, ())),
-        dim_tables=_DIM_TABLES.get(name, _DIM_TABLES.get(base, ())),
-    )
+    by the base name (a version shares its row's key domains). One
+    consolidated pass over the session-shared frames, like the sweeps
+    above."""
+    failures = []
+    for name in sorted(_compat()):
+        base = name.rsplit("_v", 1)[0]
+        try:
+            assert_bounded_broadcasts(
+                registry_frames(name),
+                bounded_keys=_BOUNDED_KEYS.get(name, _BOUNDED_KEYS.get(base, ())),
+                dim_tables=_DIM_TABLES.get(name, _DIM_TABLES.get(base, ())),
+            )
+        except AssertionError as e:
+            failures.append(f"{name}: {e}")
+    assert not failures, "compat bound audit failures:\n" + "\n".join(failures)

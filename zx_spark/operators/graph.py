@@ -239,9 +239,18 @@ def pagerank(
     # eager per-iteration checkpoints only when required (see module
     # docstring); otherwise stay lazy and cut lineage periodically
     eager_every_iter = has_dangling or tol is not None
+    # r15 (§2.4, the dup_components trick): in the tol path the previous
+    # rank RIDES the new frame (the iteration join starts from the
+    # checkpointed rank frame itself — same node set as node_frame, same
+    # join shape), so the per-iteration convergence check is a local
+    # max-abs scan of the frame the checkpoint just materialized instead
+    # of a node-sized shuffle JOIN of the old and new rank frames. In
+    # the tol path ranks carries (node, *tp_cols, rank); both reads per
+    # iteration hit the checkpoint, so lineage stays flat.
+    carry_prev = tol is not None
     # r0 = the teleport distribution (uniform 1/N when not seeded)
     ranks = node_frame.select(
-        "node", (F.col("__tp") if seeded else F.lit(1.0 / n)).alias("rank")
+        "node", *tp_cols, (F.col("__tp") if seeded else F.lit(1.0 / n)).alias("rank")
     )
     if eager_every_iter:
         ranks = ranks.localCheckpoint(eager=True)
@@ -260,10 +269,18 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__m"))
         )
+        prev_cols = ["__prev"] if carry_prev else []
+        if carry_prev:
+            iter_base = ranks.select(
+                "node", *tp_cols, F.col("rank").alias("__prev")
+            )
+        else:
+            iter_base = node_frame
         # merge hint: contrib is node-sized (grouped agg over the edge
         # frame) — estimate-small but data-sized (SCALE.md r12 class)
-        new = node_frame.join(contrib.hint("merge"), "node", "left").select(
-            "node", *tp_cols, F.coalesce(F.col("__m"), F.lit(0.0)).alias("__m")
+        new = iter_base.join(contrib.hint("merge"), "node", "left").select(
+            "node", *tp_cols, *prev_cols,
+            F.coalesce(F.col("__m"), F.lit(0.0)).alias("__m"),
         )
         if has_dangling:
             dm = (
@@ -275,6 +292,7 @@ def pagerank(
             new = new.crossJoin(F.broadcast(dm)).select(
                 "node",
                 *tp_cols,
+                *prev_cols,
                 (
                     F.col("__m")
                     + (
@@ -286,6 +304,8 @@ def pagerank(
             )
         new = new.select(
             "node",
+            *tp_cols,
+            *prev_cols,
             (
                 (F.lit(1.0 - damping) * F.col("__tp") + F.lit(damping) * F.col("__m"))
                 if seeded
@@ -296,7 +316,12 @@ def pagerank(
             ).alias("rank"),
         )
         if eager_every_iter:
-            new = new.localCheckpoint(eager=True)
+            # tol path: the checkpoint is LAZY — the delta aggregation
+            # below is the action that materializes it, so each
+            # iteration schedules ONE job, not a checkpoint job plus a
+            # delta job (r15; the dangling-only path keeps the eager
+            # checkpoint — it has no per-iteration action of its own)
+            new = new.localCheckpoint(eager=tol is None)
         elif (
             (it + 1) % max(checkpoint_every, 1) == 0
             # only cut when a FULL window of iterations remains: the
@@ -309,15 +334,16 @@ def pagerank(
             new = new.localCheckpoint(eager=False)
         if tol is not None:
             delta = (
-                new.join(ranks.withColumnRenamed("rank", "__prev").hint("merge"), "node")
-                .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("__d"))
-                .collect()[0]["__d"]
+                new.agg(
+                    F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("__d")
+                ).collect()[0]["__d"]
             )
-            ranks = new
+            ranks = new.select("node", *tp_cols, "rank")
             if delta is not None and delta < tol:
                 break
         else:
             ranks = new
+    ranks = ranks.select("node", "rank")  # drop carried __tp/__prev
     if not use_sink:
         dangling_frame.unpersist()
     if eager_every_iter:
